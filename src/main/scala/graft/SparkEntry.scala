@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Session settings every graft SparkSession needs (Verify/Bench/tests). */
+object GraftSession {
+  /** events.parquet stores ns-precision timestamps, which Spark 4 refuses to
+    * read as TimestampType; read them as long nanos and convert in the
+    * catalog reader (Tables.events). */
+  val configs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true"
+  )
+}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates the per-category query groups (SURVEY.md §2B); every
+  * Oracle=Y query also appears in `oracleSql` with DuckDB-runnable ANSI SQL.
+  * Column names are aliased identically on both sides (driver compare sorts
+  * columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (q_agg_pricing_summary) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Aggs.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (Scans.queries, Scans.oracle),
+      (Aggs.queries, Aggs.oracle)
+    )
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.iterator.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    groups.iterator.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,40 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers over the driver's parquet testdata (TESTDATA.md / FIXTURES.md §A).
+  *
+  * Parquet is self-describing, so no schema inference happens on read; the
+  * expected schemas are documented in FIXTURES.md. Filters/projections applied
+  * by callers are pushed to the parquet scan by Catalyst (verified via
+  * `.explain("formatted")` — `PushedFilters` / `ReadSchema`).
+  */
+object Tables {
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(path(dir, name))
+
+  def region(s: SparkSession, dir: String): DataFrame   = t(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = t(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = t(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = t(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = t(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = t(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
+  /** events.ts is ns-precision in parquet; Spark reads it as long nanos
+    * (spark.sql.legacy.parquet.nanosAsLong). Convert to TimestampType (µs,
+    * floor like DuckDB's ns→µs cast) so downstream ops see a real timestamp. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+}

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+import graft.util.D._
+
+/** Aggregations (SURVEY.md §2B "Aggregations").
+  *
+  * Reference analogs: derived tx_count (`evm_consumer.rs:72-73`), UNIQUE
+  * constraints (`0001_initial.sql:22-23`). Everything else is north-star
+  * analytics surface.
+  *
+  * Scale notes: all groupBy aggregations here are hash aggregates with
+  * map-side partial aggregation (one shuffle on the group keys); grouping
+  * cardinality is tiny relative to input so the shuffle payload is the
+  * partial-aggregate map, not the data. Decimal casts keep partial+final
+  * merge order-insensitive (bit-deterministic across any executor count).
+  */
+object Aggs {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship — TPC-H Q1 style pricing summary.
+    "q_agg_pricing_summary" -> ((s, dir) => pricingSummary(s, dir)),
+
+    "q_agg_distinct" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          countDistinct($"o_custkey").as("n_cust"),
+          sum_distinct($"o_custkey").as("sum_cust"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "q_agg_multi_distinct" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          countDistinct($"o_custkey").as("n_cust"),
+          countDistinct($"o_orderstatus").as("n_status"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "q_agg_having" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .groupBy($"l_partkey")
+        .agg(sum(dec4($"l_quantity")).as("sq"), count(lit(1)).as("n_items"))
+        .filter($"sq" > 900)                  // HAVING on exact decimal
+        .select($"l_partkey", r4($"sq").as("sum_qty"), $"n_items")
+        .orderBy($"l_partkey")
+    }),
+
+    "q_agg_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val c = customer(s, dir)
+        .join(nation(s, dir), $"c_nationkey" === $"n_nationkey")
+        .join(region(s, dir), $"n_regionkey" === $"r_regionkey")
+      c.rollup($"r_name", $"n_name")
+        .agg(
+          grouping($"r_name").cast("int").as("gr"),
+          grouping($"n_name").cast("int").as("gn"),
+          count(lit(1)).as("n_cust"),
+          r4(sum(dec4($"c_acctbal"))).as("sum_bal"))
+        .select($"gr", $"gn", $"r_name", $"n_name", $"n_cust", $"sum_bal")
+        .orderBy($"gr", $"gn", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    }),
+
+    "q_agg_cube" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(
+          grouping($"l_returnflag").cast("int").as("gf"),
+          grouping($"l_linestatus").cast("int").as("gs"),
+          count(lit(1)).as("n_items"),
+          r4(sum(dec4($"l_quantity"))).as("sum_qty"))
+        .select($"gf", $"gs", $"l_returnflag", $"l_linestatus", $"n_items", $"sum_qty")
+        .orderBy($"gf", $"gs",
+          $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("li_gs")
+      s.sql("""
+        SELECT CAST(grouping(l_returnflag) AS INT) AS gf,
+               CAST(grouping(l_linestatus) AS INT) AS gs,
+               l_returnflag, l_linestatus,
+               count(1) AS n_items,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gf, gs, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    "q_agg_stats" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          r4(min($"l_quantity")).as("min_qty"),
+          r4(max($"l_quantity")).as("max_qty"),
+          round(sum(dec4($"l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+          r4(stddev_samp($"l_quantity")).as("sd_qty"),
+          r4(var_samp($"l_quantity")).as("var_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q_agg_collect" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .filter($"l_orderkey" < 100)
+        .groupBy($"l_orderkey")
+        .agg(
+          array_sort(collect_list($"l_linenumber")).as("lns"),
+          array_sort(collect_set($"l_returnflag")).as("flags"))
+        .orderBy($"l_orderkey")
+    }),
+
+    "q_agg_conditional" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count_if($"l_quantity" > 25).as("n_bulk"),
+          r4(sum(when($"l_linestatus" === "O", dec4($"l_extendedprice"))
+            .otherwise(dec4(lit(0))))).as("open_price"),
+          count_if($"l_discount" === 0.0).as("n_nodisc"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // HLL sketch — no exact SQL oracle; driver records a rows-only check.
+    // Unit test asserts ±5% vs exact countDistinct.
+    "q_agg_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id").as("approx_users"))
+        .orderBy($"event_type")
+    })
+  )
+
+  /** TPC-H-Q1-style pricing summary. Exact decimal pipeline:
+    * (18,4)*(19,4) products stay within precision 38 (no Spark precision-loss
+    * rewrite), the (1-d)*(1+t) factor is cast to DECIMAL(18,8) (exact — inputs
+    * have ≤4 decimals), giving a charge of scale 12 still ≤ precision 38.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qty   = dec4($"l_quantity")
+    val price = dec4($"l_extendedprice")
+    val disc  = dec4($"l_discount")
+    val tax   = dec4($"l_tax")
+    val discPrice = price * (lit(1) - disc)
+    val factor    = dec8((lit(1) - disc) * (lit(1) + tax))
+    val charge    = price * factor
+    lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        r4(sum(qty)).as("sum_qty"),
+        r4(sum(price)).as("sum_base_price"),
+        r4(sum(discPrice)).as("sum_disc_price"),
+        r4(sum(charge)).as("sum_charge"),
+        round(sum(qty).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(price).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(sum(disc).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,8))) AS DOUBLE), 4) AS sum_charge,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+                round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority,
+                count(DISTINCT o_custkey) AS n_cust,
+                CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sum_cust
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_agg_multi_distinct" ->
+      """SELECT o_orderpriority,
+                count(DISTINCT o_custkey) AS n_cust,
+                count(DISTINCT o_orderstatus) AS n_status,
+                count(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_agg_having" ->
+      """SELECT l_partkey,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+                count(*) AS n_items
+         FROM lineitem
+         GROUP BY l_partkey
+         HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 900
+         ORDER BY l_partkey""",
+
+    "q_agg_rollup" ->
+      """SELECT CAST(grouping(r_name) AS INT) AS gr,
+                CAST(grouping(n_name) AS INT) AS gn,
+                r_name, n_name,
+                count(*) AS n_cust,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY gr, gn, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q_agg_cube" ->
+      """SELECT CAST(grouping(l_returnflag) AS INT) AS gf,
+                CAST(grouping(l_linestatus) AS INT) AS gs,
+                l_returnflag, l_linestatus,
+                count(*) AS n_items,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gf, gs, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_agg_grouping_sets" ->
+      """SELECT CAST(grouping(l_returnflag) AS INT) AS gf,
+                CAST(grouping(l_linestatus) AS INT) AS gs,
+                l_returnflag, l_linestatus,
+                count(*) AS n_items,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY gf, gs, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+                round(CAST(min(l_quantity) AS DOUBLE), 4) AS min_qty,
+                round(CAST(max(l_quantity) AS DOUBLE), 4) AS max_qty,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                round(CAST(stddev_samp(l_quantity) AS DOUBLE), 4) AS sd_qty,
+                round(CAST(var_samp(l_quantity) AS DOUBLE), 4) AS var_qty,
+                count(*) AS n_items
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_collect" ->
+      """SELECT l_orderkey,
+                list(l_linenumber ORDER BY l_linenumber) AS lns,
+                list_sort(list(DISTINCT l_returnflag)) AS flags
+         FROM lineitem
+         WHERE l_orderkey < 100
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    "q_agg_conditional" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+                round(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS open_price,
+                CAST(sum(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodisc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+}

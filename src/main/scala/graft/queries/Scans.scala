@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+
+/** Scans / filters / predicates (SURVEY.md §2B "Scans" + "Projections/filters").
+  *
+  * Reference analogs: projection pushdown at the source
+  * (`/root/reference/src/blockchain/evm_adapter.rs:58-61` — Full vs Hashes
+  * fetch kind), point lookup (`evm_adapter.rs:51-66`), historical range scan
+  * (`/root/reference/src/streams/producers/evm_producer.rs:58-69`).
+  *
+  * Scale notes: every query here is a single parquet scan with filters and
+  * projection pushed to the reader (verified `PushedFilters`/`ReadSchema` in
+  * the formatted plan) — no shuffle except the final global sort required for
+  * deterministic oracle comparison.
+  */
+object Scans {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3: column pruning decided at the source — 5 of 11 lineitem columns.
+    "q_scan_project" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag", $"l_shipdate")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // A6: date-range + key predicate, both pushed to parquet row groups.
+    "q_scan_filter_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .filter(
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+          $"l_partkey" < 500L)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity", $"l_shipdate")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // A2: single-key fetch; parquet min/max stats skip all other row groups.
+    "q_scan_point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .filter($"o_orderkey" === 4242L)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate", $"o_orderpriority")
+    }),
+
+    // Compound predicates: AND/OR/NOT, IN, BETWEEN, LIKE.
+    "q_filter_compound" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .filter(
+          $"l_quantity".between(10, 30) &&
+          $"l_returnflag".isin("A", "N") &&
+          !($"l_linestatus" === "F") &&
+          ($"l_discount" < 0.02 || $"l_tax" > 0.06) &&
+          $"l_orderkey".cast("string").like("%7"))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag", $"l_linestatus", $"l_discount", $"l_tax")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // Null semantics: nullif-produced nulls, IS NULL, null-safe equality,
+    // 3-valued logic in the predicate. Mirrors Option fields / coalesce
+    // defaults in the reference (`evm.rs:38-42`, `evm_consumer.rs:46-48`).
+    "q_filter_null_semantics" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .select(
+          $"o_orderkey",
+          nullif($"o_orderstatus", lit("O")).as("st"))
+        .filter($"st".isNull || ($"st" <=> "F"))
+        .select(
+          $"o_orderkey",
+          $"st",
+          coalesce($"st", lit("none")).as("st2"),
+          ($"st" <=> "F").as("eq_f"),
+          $"st".isNotNull.as("has_st"))
+        .orderBy($"o_orderkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q_scan_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_partkey < 500
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_scan_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey = 4242""",
+
+    "q_filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus, l_discount, l_tax
+         FROM lineitem
+         WHERE l_quantity BETWEEN 10 AND 30
+           AND l_returnflag IN ('A', 'N')
+           AND NOT (l_linestatus = 'F')
+           AND (l_discount < 0.02 OR l_tax > 0.06)
+           AND CAST(l_orderkey AS VARCHAR) LIKE '%7'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_filter_null_semantics" ->
+      """SELECT o_orderkey, st, coalesce(st, 'none') AS st2,
+                (st IS NOT DISTINCT FROM 'F') AS eq_f,
+                (st IS NOT NULL) AS has_st
+         FROM (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders)
+         WHERE st IS NULL OR st IS NOT DISTINCT FROM 'F'
+         ORDER BY o_orderkey"""
+  )
+}
