@@ -32,7 +32,10 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Scans.queries, Scans.oracle),
-      (Aggs.queries, Aggs.oracle)
+      (Aggs.queries, Aggs.oracle),
+      (Joins.queries, Joins.oracle),
+      (Windows.queries, Windows.oracle),
+      (SortsSets.queries, SortsSets.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+import graft.util.D._
+
+/** Join family (SURVEY.md §2B "Joins").
+  *
+  * Reference analogs: the blocks↔transactions FK pair
+  * (`/root/reference/migrations/0001_initial.sql:39`) motivates the equi/anti
+  * joins (FK-orphan check); the block-tip probe
+  * (`/root/reference/src/blockchain/evm_adapter.rs:86-98`) loosely motivates
+  * the as-of pattern. The rest is north-star analytics surface.
+  *
+  * Scale notes (100 TB posture):
+  *   - Fact⋈fact equi-joins (orders⋈lineitem) shuffle both sides on the join
+  *     key once — sort-merge under AQE, which also splits skewed partitions.
+  *   - Dimension joins (part, supplier, region, nation, customer at small SF)
+  *     broadcast: q_join_broadcast pins the hint explicitly; elsewhere AQE
+  *     converts to broadcast when the built side is under the threshold.
+  *   - The theta join is bounded by an equi conjunct (nationkey) so it plans
+  *     as a sort-merge/hash join on the equi key with the inequality as a
+  *     post-join filter — NOT a nested-loop over the cross product.
+  *   - The as-of join keeps the range predicate inside the join condition
+  *     (equi on user + range on ts) and reduces with max() instead of
+  *     materializing a rank window over the fan-out (SURVEY §7.2.4).
+  */
+object Joins {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Plain inner equi-join, per-customer order rollup.
+    "q_join_inner_equi" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .join(customer(s, dir), $"o_custkey" === $"c_custkey", "inner")
+        .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // Explicit broadcast of both dimension sides → BroadcastHashJoin; the
+    // fact table never shuffles for the join (only for the group-by).
+    "q_join_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir)), $"l_partkey" === $"p_partkey")
+        .join(broadcast(supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"p_brand", $"s_name")
+        .agg(
+          r4(sum(dec4($"l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand", $"s_name")
+    }),
+
+    // 5-way chain region→nation→customer→orders→lineitem; Catalyst reorders,
+    // AQE broadcasts the small tail. Revenue per region.
+    "q_join_multiway" -> ((s, dir) => {
+      import s.implicits._
+      region(s, dir)
+        .join(nation(s, dir), $"r_regionkey" === $"n_regionkey")
+        .join(customer(s, dir), $"n_nationkey" === $"c_nationkey")
+        .join(orders(s, dir), $"c_custkey" === $"o_custkey")
+        .join(lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"r_name")
+        .agg(
+          r4(sum(dec4($"l_extendedprice") * (lit(1) - dec4($"l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name")
+    }),
+
+    // LEFT: every customer kept; count(o_orderkey) = 0 for orderless ones.
+    "q_join_left" -> ((s, dir) => {
+      import s.implicits._
+      customer(s, dir)
+        .join(orders(s, dir), $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(
+          count($"o_orderkey").as("n_orders"),
+          r4(coalesce(sum(dec4($"o_totalprice")), dec4(lit(0)))).as("sum_spent"))
+        .orderBy($"c_custkey")
+    }),
+
+    // RIGHT: mirrored build — orders RIGHT JOIN customer, same semantics.
+    "q_join_right" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .join(customer(s, dir), $"o_custkey" === $"c_custkey", "right")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"c_custkey")
+    }),
+
+    // FULL OUTER over overlapping key ranges: [0,100) ∪ [50,150].
+    "q_join_full" -> ((s, dir) => {
+      import s.implicits._
+      val a = customer(s, dir).filter($"c_custkey" < 100)
+        .select($"c_custkey".as("ak"), $"c_acctbal".as("abal"))
+      val b = customer(s, dir).filter($"c_custkey".between(50, 150))
+        .select($"c_custkey".as("bk"), $"c_acctbal".as("bbal"))
+      a.join(b, $"ak" === $"bk", "full")
+        .select(
+          coalesce($"ak", $"bk").as("custkey"),
+          $"ak".isNotNull.as("in_a"),
+          $"bk".isNotNull.as("in_b"),
+          r4(coalesce($"abal", $"bbal")).as("bal"))
+        .orderBy($"custkey")
+    }),
+
+    // SEMI: customers that have at least one order (EXISTS).
+    "q_join_semi" -> ((s, dir) => {
+      import s.implicits._
+      customer(s, dir)
+        .join(orders(s, dir), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // ANTI: the FK-orphan check (0001_initial.sql:39). Parent set is
+    // restricted to even orderkeys so the orphan set is non-trivial.
+    "q_join_anti" -> ((s, dir) => {
+      import s.implicits._
+      val parents = orders(s, dir).filter($"o_orderkey" % 2 === 0)
+      lineitem(s, dir)
+        .join(parents, $"l_orderkey" === $"o_orderkey", "left_anti")
+        .select($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // CROSS: region × nation (25×5, scale-safe constant) → BroadcastNestedLoop.
+    "q_join_cross" -> ((s, dir) => {
+      import s.implicits._
+      region(s, dir).select($"r_name")
+        .crossJoin(nation(s, dir).select($"n_name"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // THETA: equi conjunct (same nation) + inequality (richer supplier).
+    "q_join_theta" -> ((s, dir) => {
+      import s.implicits._
+      supplier(s, dir)
+        .join(customer(s, dir),
+          $"s_nationkey" === $"c_nationkey" && $"s_acctbal" > $"c_acctbal")
+        .select($"s_suppkey", $"c_custkey",
+          r4(col("s_acctbal") - col("c_acctbal")).as("bal_gap"))
+        .orderBy($"s_suppkey", $"c_custkey")
+    }),
+
+    // RANGE: equi on orderkey + shipdate within 30 days of orderdate.
+    "q_join_range" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .join(orders(s, dir),
+          $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+        .select($"l_orderkey", $"l_linenumber", $"l_shipdate", $"o_orderdate")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // AS-OF: latest prior signup per purchase, same user. Equi on user +
+    // range on ts inside the join condition; aggregate max instead of a
+    // rank window over the fan-out.
+    "q_join_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val sg = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+      p.join(sg, $"user_id" === $"s_user" && $"s_ts" <= $"ts", "left")
+        .groupBy($"event_id", $"user_id", $"ts")
+        .agg(max($"s_ts").as("signup_ts"))
+        .orderBy($"event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner_equi" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+
+    "q_join_broadcast" ->
+      """SELECT p_brand, s_name,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY p_brand, s_name
+         ORDER BY p_brand, s_name""",
+
+    "q_join_multiway" ->
+      """SELECT r_name,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS revenue,
+                count(*) AS n_items
+         FROM region
+         JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY r_name
+         ORDER BY r_name""",
+
+    "q_join_left" ->
+      """SELECT c_custkey,
+                count(o_orderkey) AS n_orders,
+                round(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), CAST(0 AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey
+         ORDER BY c_custkey""",
+
+    "q_join_right" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY c_custkey""",
+
+    "q_join_full" ->
+      """SELECT coalesce(ak, bk) AS custkey,
+                (ak IS NOT NULL) AS in_a,
+                (bk IS NOT NULL) AS in_b,
+                round(CAST(coalesce(abal, bbal) AS DOUBLE), 4) AS bal
+         FROM (SELECT c_custkey AS ak, c_acctbal AS abal FROM customer WHERE c_custkey < 100) a
+         FULL OUTER JOIN (SELECT c_custkey AS bk, c_acctbal AS bbal FROM customer WHERE c_custkey BETWEEN 50 AND 150) b
+           ON ak = bk
+         ORDER BY custkey""",
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q_join_anti" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderkey % 2 = 0)
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+
+    "q_join_theta" ->
+      """SELECT s_suppkey, c_custkey,
+                round(CAST(s_acctbal - c_acctbal AS DOUBLE), 4) AS bal_gap
+         FROM supplier JOIN customer
+           ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+         ORDER BY s_suppkey, c_custkey""",
+
+    "q_join_range" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+         FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+                CAST((SELECT max(s.ts) FROM events s
+                      WHERE s.event_type = 'signup'
+                        AND s.user_id = e.user_id
+                        AND s.ts <= e.ts) AS TIMESTAMP) AS signup_ts
+         FROM events e
+         WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id"""
+  )
+}

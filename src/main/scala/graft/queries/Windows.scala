@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+import graft.util.D._
+
+/** Window functions (SURVEY.md §2B "Window functions").
+  *
+  * Reference analogs (loose): block-height monotonicity
+  * (`/root/reference/src/streams/schemas/evm.rs:10`) for running windows,
+  * the parent_hash chain (`evm.rs:13`) for lead/lag. The rest is north-star.
+  *
+  * Scale notes: every window here partitions by a high-cardinality key
+  * (custkey/orderkey), so state per partition is bounded (orders-per-customer,
+  * lines-per-order); one shuffle on the partition key, sort within partitions.
+  * No un-partitioned windows — a global `Window.orderBy` would serialize the
+  * whole dataset through one task at 100 TB.
+  */
+object Windows {
+
+  /** Deterministic window ordering: tie-break every orderBy to a unique key
+    * so rank/lag values don't depend on partition-internal arrival order. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      orders(s, dir)
+        .select(
+          $"o_custkey", $"o_orderkey", $"o_totalprice",
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    "q_win_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, dir)
+        .select(
+          $"o_custkey", $"o_orderkey", $"o_orderdate",
+          r4(sum(dec4($"o_totalprice")).over(w)).as("run_spent"),
+          count(lit(1)).over(w).as("run_orders"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    "q_win_lead_lag" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      orders(s, dir)
+        .select(
+          $"o_custkey", $"o_orderkey", $"o_orderdate",
+          lag($"o_orderdate", 1).over(w).as("prev_date"),
+          lead($"o_orderdate", 1).over(w).as("next_date"),
+          first($"o_orderdate").over(w).as("first_date"),
+          last($"o_orderdate").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("last_date"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    "q_win_moving" -> ((s, dir) => {
+      import s.implicits._
+      val rows3 = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(-3, 0)
+      // RANGE frame over the int day-offset of the order date: orders within
+      // the previous 30 days (inclusive) of the current row's date.
+      val byDay = Window.partitionBy($"o_custkey")
+        .orderBy(datediff($"o_orderdate", lit("1990-01-01").cast("date")))
+        .rangeBetween(-30, 0)
+      orders(s, dir)
+        .select(
+          $"o_custkey", $"o_orderkey", $"o_orderdate",
+          round(avg(dec4($"o_totalprice")).over(rows3).cast("double"), 4).as("mavg4"),
+          count(lit(1)).over(byDay).as("n_30d"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    "q_win_ntile" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      orders(s, dir)
+        .select(
+          $"o_orderpriority", $"o_orderkey", $"o_totalprice",
+          ntile(4).over(w).as("quartile"),
+          r4(percent_rank().over(w)).as("pr"),
+          r4(cume_dist().over(w)).as("cd"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    }),
+
+    "q_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      orders(s, dir)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          row_number().over(w).as("rn"))
+        .filter($"rn" <= 2)
+        .orderBy($"o_custkey", $"rn")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(row_number() OVER w AS INT) AS rn,
+                CAST(rank() OVER w AS INT) AS rk,
+                CAST(dense_rank() OVER w AS INT) AS drk
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE), 4) AS run_spent,
+                count(*) OVER w AS run_orders
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_win_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                lag(o_orderdate, 1) OVER w AS prev_date,
+                lead(o_orderdate, 1) OVER w AS next_date,
+                first_value(o_orderdate) OVER w AS first_date,
+                last_value(o_orderdate) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_date
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_win_moving" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                round(CAST(avg(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS mavg4,
+                count(*) OVER
+                  (PARTITION BY o_custkey
+                   ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
+         FROM orders
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_win_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                round(CAST(percent_rank() OVER w AS DOUBLE), 4) AS pr,
+                round(CAST(cume_dist() OVER w AS DOUBLE), 4) AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderpriority, o_orderkey""",
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+               FROM orders)
+         WHERE rn <= 2
+         ORDER BY o_custkey, rn"""
+  )
+}
