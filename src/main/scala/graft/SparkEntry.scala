@@ -35,7 +35,8 @@ object SparkEntry {
       (Aggs.queries, Aggs.oracle),
       (Joins.queries, Joins.oracle),
       (Windows.queries, Windows.oracle),
-      (SortsSets.queries, SortsSets.oracle)
+      (SortsSets.queries, SortsSets.oracle),
+      (Funcs.queries, Funcs.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

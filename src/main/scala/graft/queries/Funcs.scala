@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+import graft.util.D._
+
+/** Scalar-function surface (SURVEY.md §2B "Scalar functions"):
+  * string / regex / hex+hash / date / epoch / math / conditional / cast /
+  * array / map / json / explode round-trip.
+  *
+  * Reference analogs: hex-string hash/address handling
+  * (`/root/reference/src/streams/consumers/evm_consumer.rs:43-45,82-83`),
+  * unix→timestamp conversion (`evm_consumer.rs:71`), coalesce defaults
+  * (`evm_consumer.rs:46-48`), TEXT numerics + narrowing casts
+  * (`/root/reference/migrations/0001_initial.sql:14-15,34-37`,
+  * `evm_consumer.rs:66-70`), JSON messages (`evm_producer.rs:46`), and the
+  * block→transactions explode (`evm_consumer.rs:124-126` — A11, the
+  * reference's signature reshaping op, exercised here as nest∘explode = id).
+  *
+  * Scale notes: everything here is a narrow per-row projection — one codegen
+  * stage fused with the scan, no shuffle except the deterministic output sort.
+  * All functions are built-in Catalyst expressions (codegen'd); no UDFs.
+  *
+  * DuckDB parity notes (empirically probed, duckdb 1.0.0):
+  * hex/to_hex both uppercase; md5/sha256 both lowercase; regexp_extract
+  * no-match → '' on both; DuckDB extract(dow) is 0-based Sunday vs Spark
+  * dayofweek 1-based → oracle adds 1; DuckDB epoch() is DOUBLE with
+  * fraction vs Spark unix_timestamp LONG → oracle floors; DuckDB floor()
+  * keeps DECIMAL → oracle casts BIGINT.
+  */
+object Funcs {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_funcs" -> ((s, dir) => {
+      import s.implicits._
+      part(s, dir)
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("up"),
+          lower($"p_type").as("lo"),
+          trim(concat(lit("  "), $"p_name", lit(" "))).as("trimmed"),
+          substring($"p_name", 1, 5).as("sub5"),
+          concat($"p_brand", lit("-"), $"p_type").as("brand_type"),
+          length($"p_name").as("len"),
+          regexp_replace($"p_name", lit(" "), lit("_")).as("snake"),
+          lpad($"p_size".cast("string"), 4, "0").as("size4"),
+          split($"p_name", " ").as("toks"))
+        .orderBy($"p_partkey")
+    }),
+
+    "q_regex_funcs" -> ((s, dir) => {
+      import s.implicits._
+      part(s, dir)
+        .select(
+          $"p_partkey",
+          regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"),
+          regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"),
+          regexp_replace($"p_name", "[aeiou]", "*").as("devowel"),
+          $"p_name".rlike("^(small|large)").as("is_sized"))
+        .orderBy($"p_partkey")
+    }),
+
+    "q_hex_hash_funcs" -> ((s, dir) => {
+      import s.implicits._
+      part(s, dir)
+        .select(
+          $"p_partkey",
+          hex($"p_partkey").as("key_hex"),
+          lower(hex($"p_name")).as("name_hex"),
+          // unhex∘hex round trip back to the original string
+          decode(unhex(hex($"p_name")), "UTF-8").as("name_rt"),
+          md5($"p_name").as("name_md5"),
+          sha2($"p_name", 256).as("name_sha256"))
+        .orderBy($"p_partkey")
+    }),
+
+    "q_date_funcs" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          dayofmonth($"o_orderdate").as("d"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          datediff(lit("1998-01-01").cast("date"), $"o_orderdate").as("days_to_98"),
+          date_add($"o_orderdate".cast("date"), 30).as("plus30"),
+          dayofweek($"o_orderdate").as("dow"),
+          last_day($"o_orderdate").as("eom"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "q_unix_ts" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .select(
+          $"event_id",
+          unix_timestamp($"ts").as("epoch_s"),
+          // round trip: epoch seconds → timestamp (second precision)
+          timestamp_seconds(unix_timestamp($"ts")).as("ts_rt"),
+          (unix_timestamp($"ts") % 86400).as("sec_of_day"))
+        .orderBy($"event_id")
+    }),
+
+    "q_math_funcs" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .select(
+          $"o_orderkey",
+          round($"o_totalprice", 1).as("r1"),
+          floor($"o_totalprice").as("fl"),
+          ceil($"o_totalprice").as("ce"),
+          abs($"o_totalprice" - 100000).as("dist"),
+          r4(pow($"o_totalprice", 0.5)).as("pw"),
+          r4(sqrt($"o_totalprice")).as("sq"),
+          r4(log($"o_totalprice")).as("lg"),
+          ($"o_orderkey" % 7).as("md"),
+          signum($"o_totalprice" - 100000).cast("int").as("sg"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "q_conditional" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .select(
+          $"o_orderkey",
+          when($"o_totalprice" > 200000, "big")
+            .when($"o_totalprice" > 50000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("st"),
+          greatest($"o_totalprice", lit(100000.0)).as("hi"),
+          least($"o_totalprice", lit(100000.0)).as("lo"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "q_cast_types" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .select(
+          $"o_orderkey",
+          $"o_orderkey".cast("string").as("key_s"),
+          $"o_orderkey".cast("string").cast("long").as("key_rt"),
+          $"o_orderkey".cast("double").as("key_d"),
+          // upscale to DECIMAL(18,4) is exact (source has 2 decimals);
+          // never downscale — DuckDB truncates where Spark rounds.
+          r4($"o_totalprice".cast("decimal(18,4)")).as("price_dec"),
+          // big-decimal string beyond int64, the U256-string policy probe
+          lit("123456789012345678.7654").cast("decimal(38,4)").cast("double").as("big_dec"),
+          $"o_orderdate".cast("date").as("od"),
+          $"o_orderdate".cast("date").cast("string").as("od_s"),
+          lit("2024-02-29 12:30:45").cast("timestamp").as("lit_ts"))
+        .orderBy($"o_orderkey")
+    }),
+
+    "q_array_funcs" -> ((s, dir) => {
+      import s.implicits._
+      embeddings(s, dir)
+        .select(
+          $"vec_id",
+          size($"embedding").as("dim"),
+          element_at($"embedding", 3).as("e3"),
+          slice($"embedding", 1, 4).as("head4"),
+          array_contains(transform($"embedding", x => x > 0.2f), lit(true)).as("has_big"),
+          // sum of squares via higher-order aggregate, double math throughout
+          round(aggregate(
+            transform($"embedding", x => x.cast("double") * x.cast("double")),
+            lit(0.0),
+            (acc, x) => acc + x), 4).as("sum_sq"))
+        .orderBy($"vec_id")
+    }),
+
+    "q_map_funcs" -> ((s, dir) => {
+      import s.implicits._
+      region(s, dir)
+        .select($"r_regionkey",
+          explode(map_from_arrays(
+            array(lit("name"), lit("key")),
+            array($"r_name", $"r_regionkey".cast("string")))).as(Seq("k", "v")))
+        .orderBy($"r_regionkey", $"k")
+    }),
+
+    "q_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").as("k_str"),
+          get_json_object($"props", "$.k").cast("long").as("k_num"),
+          get_json_object($"props", "$.missing").as("absent"))
+        .orderBy($"event_id")
+    }),
+
+    // A11 as an algebraic law: nest lineitem per order, explode back — the
+    // composition is the identity on (orderkey, linenumber, quantity).
+    "q_explode_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_list(struct($"l_linenumber", $"l_quantity"))).as("lines"))
+        .select($"l_orderkey", explode($"lines").as("ln"))
+        .select($"l_orderkey",
+          $"ln.l_linenumber".as("l_linenumber"),
+          $"ln.l_quantity".as("l_quantity"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+                upper(p_name) AS up,
+                lower(p_type) AS lo,
+                trim(concat('  ', p_name, ' ')) AS trimmed,
+                substring(p_name, 1, 5) AS sub5,
+                concat(p_brand, '-', p_type) AS brand_type,
+                CAST(length(p_name) AS INT) AS len,
+                replace(p_name, ' ', '_') AS snake,
+                lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+                string_split(p_name, ' ') AS toks
+         FROM part ORDER BY p_partkey""",
+
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+                regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+                regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+                regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel,
+                regexp_matches(p_name, '^(small|large)') AS is_sized
+         FROM part ORDER BY p_partkey""",
+
+    "q_hex_hash_funcs" ->
+      """SELECT p_partkey,
+                to_hex(p_partkey) AS key_hex,
+                lower(hex(p_name)) AS name_hex,
+                CAST(unhex(hex(p_name)) AS VARCHAR) AS name_rt,
+                md5(p_name) AS name_md5,
+                sha256(p_name) AS name_sha256
+         FROM part ORDER BY p_partkey""",
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(day(o_orderdate) AS INT) AS d,
+                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+                CAST(o_orderdate AS DATE) + 30 AS plus30,
+                CAST(extract(dow FROM o_orderdate) + 1 AS INT) AS dow,
+                last_day(CAST(o_orderdate AS DATE)) AS eom
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_unix_ts" ->
+      """SELECT event_id,
+                CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s,
+                CAST(to_timestamp(CAST(floor(extract(epoch FROM ts)) AS BIGINT)) AS TIMESTAMP) AS ts_rt,
+                CAST(floor(extract(epoch FROM ts)) AS BIGINT) % 86400 AS sec_of_day
+         FROM events ORDER BY event_id""",
+
+    "q_math_funcs" ->
+      """SELECT o_orderkey,
+                round(o_totalprice, 1) AS r1,
+                CAST(floor(o_totalprice) AS BIGINT) AS fl,
+                CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+                abs(o_totalprice - 100000) AS dist,
+                round(CAST(pow(o_totalprice, 0.5) AS DOUBLE), 4) AS pw,
+                round(CAST(sqrt(o_totalprice) AS DOUBLE), 4) AS sq,
+                round(CAST(ln(o_totalprice) AS DOUBLE), 4) AS lg,
+                o_orderkey % 7 AS md,
+                CAST(sign(o_totalprice - 100000) AS INT) AS sg
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_conditional" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice > 200000 THEN 'big'
+                     WHEN o_totalprice > 50000 THEN 'mid'
+                     ELSE 'small' END AS bucket,
+                coalesce(nullif(o_orderstatus, 'O'), 'open') AS st,
+                greatest(o_totalprice, 100000.0) AS hi,
+                least(o_totalprice, 100000.0) AS lo
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_cast_types" ->
+      """SELECT o_orderkey,
+                CAST(o_orderkey AS VARCHAR) AS key_s,
+                CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt,
+                CAST(o_orderkey AS DOUBLE) AS key_d,
+                round(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 4) AS price_dec,
+                CAST(CAST('123456789012345678.7654' AS DECIMAL(38,4)) AS DOUBLE) AS big_dec,
+                CAST(o_orderdate AS DATE) AS od,
+                CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od_s,
+                TIMESTAMP '2024-02-29 12:30:45' AS lit_ts
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS INT) AS dim,
+                embedding[3] AS e3,
+                embedding[1:4] AS head4,
+                list_contains(list_transform(embedding, x -> x > 0.2), true) AS has_big,
+                round(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq
+         FROM embeddings ORDER BY vec_id""",
+
+    "q_map_funcs" ->
+      """SELECT r_regionkey, 'key' AS k, CAST(r_regionkey AS VARCHAR) AS v FROM region
+         UNION ALL
+         SELECT r_regionkey, 'name' AS k, r_name AS v FROM region
+         ORDER BY r_regionkey, k""",
+
+    "q_json_extract" ->
+      """SELECT event_id,
+                regexp_extract(props, '"k":\s*(-?\d+)', 1) AS k_str,
+                CAST(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k_num,
+                CAST(NULL AS VARCHAR) AS absent
+         FROM events ORDER BY event_id""",
+
+    "q_explode_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_quantity"""
+  )
+}
