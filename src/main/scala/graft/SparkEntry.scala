@@ -36,7 +36,11 @@ object SparkEntry {
       (Joins.queries, Joins.oracle),
       (Windows.queries, Windows.oracle),
       (SortsSets.queries, SortsSets.oracle),
-      (Funcs.queries, Funcs.oracle)
+      (Funcs.queries, Funcs.oracle),
+      (Text.queries, Text.oracle),
+      (Sim.queries, Sim.oracle),
+      (UDx.queries, UDx.oracle),
+      (Streams.queries, Streams.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+
+/** Similarity search over `embeddings` + multimodal join
+  * (SURVEY.md §2B "LLM-data-pipeline extensions").
+  *
+  * Dot products and norms run through higher-order functions
+  * (`zip_with`/`aggregate`) with element-wise double casts, so the fold is a
+  * deterministic left-to-right double sum — bit-identical to the DuckDB
+  * list_zip/list_transform/list_sum oracle algebra.
+  *
+  * Scale notes: brute-force kNN is O(probes × corpus) with the corpus scan
+  * fully parallel and the per-row dot product codegen'd; the top-1 reduce is
+  * a partial-aggregate min/max shuffle of one row per probe per partition.
+  * The 100 TB scale path (LSH bucketing / IVF coarse quantization so each
+  * probe touches a bucket, not the corpus) lives in graft.operators.Ann with
+  * recall tests against this brute-force baseline.
+  */
+object Sim {
+
+  /** Left-fold double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Sum of squares (norm²) of a float-array column. */
+  def norm2(v: Column): Column = dot(v, v)
+
+  /** cosine(a, b) as a double column. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pairwise cosine over a bounded id set (190 pairs at every SF).
+    "q_sim_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir).filter($"vec_id" < 20)
+      val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"))
+      val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+      a.join(b, $"id_a" < $"id_b")
+        .select($"id_a", $"id_b", round(cosine($"va", $"vb"), 4).as("cos"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // brute-force top-1 neighbor per probe (the ANN correctness baseline).
+    "q_sim_knn" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir)
+      val probes = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+      val corpus = e.filter($"vec_id" >= 5)
+        .select($"vec_id".as("cand_id"), $"label", $"embedding".as("cv"))
+      // probes broadcast: the corpus scan never shuffles for the product.
+      val scored = corpus.crossJoin(broadcast(probes)).select(
+        $"probe_id", $"cand_id", $"label",
+        round(cosine($"pv", $"cv"), 4).as("cos"))
+      val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id")
+      scored
+        .select($"probe_id", $"cand_id", $"label", $"cos",
+          row_number().over(w).as("rn"))
+        .filter($"rn" === 1)
+        .select($"probe_id", $"cand_id", $"label", $"cos")
+        .orderBy($"probe_id")
+    }),
+
+    // multimodal: text metadata ⋈ vector column, filters on both modalities.
+    "q_multimodal_join" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .join(embeddings(s, dir), $"doc_id" === $"vec_id")
+        .filter($"n_chars" > 100)
+        .select($"doc_id", $"lang", $"n_chars", $"label",
+          round(sqrt(norm2($"embedding")), 4).as("vnorm"))
+        .filter($"vnorm" > 0.7)
+        .orderBy($"doc_id")
+    })
+  )
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def normSql(v: String) =
+    s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(${dotSql.format("a.embedding", "b.embedding")}
+                       / (sqrt(${normSql("a.embedding")}) * sqrt(${normSql("b.embedding")})), 4) AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          ORDER BY id_a, id_b""",
+
+    "q_sim_knn" ->
+      s"""WITH scored AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, c.label,
+                   round(${dotSql.format("p.embedding", "c.embedding")}
+                         / (sqrt(${normSql("p.embedding")}) * sqrt(${normSql("c.embedding")})), 4) AS cos
+            FROM embeddings p, embeddings c
+            WHERE p.vec_id < 5 AND c.vec_id >= 5),
+          ranked AS (
+            SELECT probe_id, cand_id, label, cos,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+            FROM scored)
+          SELECT probe_id, cand_id, label, cos FROM ranked WHERE rn = 1
+          ORDER BY probe_id""",
+
+    "q_multimodal_join" ->
+      s"""SELECT doc_id, lang, n_chars, label,
+                 round(sqrt(${normSql("embedding")}), 4) AS vnorm
+          FROM documents JOIN embeddings ON doc_id = vec_id
+          WHERE n_chars > 100
+            AND round(sqrt(${normSql("embedding")}), 4) > 0.7
+          ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+import graft.util.D._
+
+/** Streaming analytics in batch-oracle form (SURVEY.md §2B "Streaming").
+  * The same `window`/`session_window`/`dropDuplicates` operators run
+  * unchanged under `readStream`; graft.streaming.StreamOps + the MemoryStream
+  * specs cover the streaming-only semantics (watermarks, late data,
+  * append-mode emission) that have no batch oracle.
+  *
+  * Reference analogs: the realtime block feed
+  * (`/root/reference/src/blockchain/evm_adapter.rs:68-84`) for the tumbling
+  * feed, Earliest-replay at-least-once delivery
+  * (`/root/reference/src/streams/message_queue/pulsar.rs:28-32`) +
+  * UNIQUE constraints for streaming dedup.
+  *
+  * Scale notes: time-windowed aggregation shuffles on (window, key) with
+  * partial aggregation; session windows shuffle on user key and merge
+  * per-key sorted runs. State at 100 TB is bounded by watermarking (see
+  * streaming module); the batch forms here are plain hash aggregates.
+  */
+object Streams {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 1h tumbling count/sum per event_type.
+    "q_stream_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), r4(sum(dec4($"value"))).as("sum_value"))
+        .select($"w.start".as("ws"), $"w.end".as("we"), $"event_type", $"n", $"sum_value")
+        .orderBy($"ws", $"event_type")
+    }),
+
+    // 1h window / 30m slide: each event lands in exactly 2 windows.
+    "q_stream_sliding" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("ws"), $"w.end".as("we"), $"event_type", $"n")
+        .orderBy($"ws", $"event_type")
+    }),
+
+    // 30m-gap sessions per user: event count and [min, max] span.
+    "q_stream_session" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"),
+          min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+        .select($"user_id", $"first_ts", $"last_ts", $"n")
+        .orderBy($"user_id", $"first_ts")
+    }),
+
+    // exactly-once by event_id after duplicate injection (at-least-once
+    // replay analog); full rows are identical so the kept row is
+    // deterministic.
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir).select($"event_id", $"ts", $"user_id", $"event_type")
+      e.unionAll(e)
+        .dropDuplicates("event_id")
+        .orderBy($"event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+                date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS we,
+                event_type,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+         FROM events
+         GROUP BY 1, 2, 3
+         ORDER BY ws, event_type""",
+
+    "q_stream_sliding" ->
+      """WITH assigned AS (
+           SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS ws, event_type FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS ws, event_type FROM events)
+         SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type, count(*) AS n
+         FROM assigned
+         GROUP BY ws, event_type
+         ORDER BY ws, event_type""",
+
+    "q_stream_session" ->
+      """WITH ordered AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                       OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM ordered)
+         SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n
+         FROM sessions
+         GROUP BY user_id, sid
+         ORDER BY user_id, first_ts""",
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+         FROM (SELECT event_id, ts, user_id, event_type FROM events
+               UNION ALL
+               SELECT event_id, ts, user_id, event_type FROM events)
+         ORDER BY event_id"""
+  )
+}

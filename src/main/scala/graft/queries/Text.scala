@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+
+/** Text-analysis / LLM-training-data operators over `documents`
+  * (SURVEY.md §2B "LLM-data-pipeline extensions" + north-star text ops:
+  * language-ID heuristic, quality scoring, token counting, fingerprinting,
+  * near-duplicate detection).
+  *
+  * Scale notes (100 TB posture):
+  *   - Word counting / quality scoring are narrow per-row ops + one hash agg.
+  *   - The near-dup Jaccard self-join is the classic token-inverted-index
+  *     join; unbounded it is O(sum_token df²). Here the oracle query bounds
+  *     the candidate set by doc_id (fixed work at every SF); the scale path
+  *     (MinHash/LSH banding, SimHash) lives in graft.operators.Dedup with
+  *     unit tests — band-bucket joins replace the full pairwise product.
+  *   - Everything uses built-in codegen'd functions; no UDFs.
+  */
+object Text {
+
+  /** Tiny stopword list for quality scoring (shared with oracle SQL). */
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tokenize → explode → global top-20 terms.
+    "q_text_wordcount" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .select(explode(split($"text", " ")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token")
+        .limit(20)
+    }),
+
+    // per-language corpus stats: doc count, avg/median chars.
+    "q_text_stats_lang" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(sum($"n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"),
+          round(median($"n_chars"), 4).as("med_chars"))
+        .orderBy($"lang")
+    }),
+
+    // n-gram-free language-ID heuristic: marker-token membership. On real
+    // corpora the markers would be per-language stopword sets; the synthetic
+    // docs share one vocabulary, so the heuristic output is mostly 'und' —
+    // the tested semantics are the token-set membership mechanics.
+    "q_text_langid" -> ((s, dir) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      documents(s, dir)
+        .select(
+          $"doc_id", $"lang",
+          when(array_contains(toks, "the") && array_contains(toks, "and"), "en")
+            .when(array_contains(toks, "el") || array_contains(toks, "la"), "es")
+            .otherwise("und").as("lang_guess"))
+        .orderBy($"doc_id")
+    }),
+
+    // quality scoring: token count, distinct ratio, stopword ratio, mean
+    // token length — composited into one score.
+    "q_text_quality" -> ((s, dir) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      documents(s, dir)
+        .select(
+          $"doc_id",
+          size(toks).as("n_tokens"),
+          round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("uniq_ratio"),
+          round(
+            size(array_intersect(toks, array(stopwords.map(lit): _*))).cast("double") / size(toks),
+            4).as("stop_ratio"),
+          round($"n_chars".cast("double") / size(toks), 4).as("chars_per_tok"))
+        .withColumn("quality",
+          round($"uniq_ratio" * (lit(1.0) - $"stop_ratio"), 4))
+        .orderBy($"doc_id")
+    }),
+
+    // token counting: whitespace tokens + a BPE-ish subword estimate
+    // (ceil(len/4) units per token, the ~4-chars-per-BPE-token rule).
+    "q_text_tokencount" -> ((s, dir) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      documents(s, dir)
+        .select(
+          $"doc_id",
+          size(toks).as("ws_tokens"),
+          aggregate(
+            transform(toks, t => ceil(length(t).cast("double") / 4.0)),
+            lit(0L), (acc, x) => acc + x).as("bpe_units"),
+          size(array_distinct(toks)).as("vocab"))
+        .orderBy($"doc_id")
+    }),
+
+    // document fingerprint: canonicalize (distinct tokens, sorted) + hash.
+    // Exact-dedup key that survives token reordering/repetition.
+    "q_text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val canon = array_join(array_sort(array_distinct(split($"text", " "))), " ")
+      documents(s, dir)
+        .select($"doc_id", md5(canon).as("fingerprint"))
+        .orderBy($"doc_id")
+    }),
+
+    // near-dup detection: token-set Jaccard >= 0.5 over a bounded candidate
+    // set (doc_id < 300 — fixed work at every SF; LSH is the scale path).
+    "q_text_dedup_near" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir).filter($"doc_id" < 300)
+      val toks = docs.select($"doc_id",
+        explode(array_distinct(split($"text", " "))).as("tok"))
+      val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_tok"))
+      val common = toks.as("a")
+        .join(toks.as("b"), col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select($"doc_id".as("d1"), $"n_tok".as("n1")), "d1")
+        .join(sizes.select($"doc_id".as("d2"), $"n_tok".as("n2")), "d2")
+        .select($"d1", $"d2",
+          round($"common".cast("double") / ($"n1" + $"n2" - $"common"), 4).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .orderBy($"d1", $"d2")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_wordcount" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token
+         ORDER BY n DESC, token
+         LIMIT 20""",
+
+    "q_text_stats_lang" ->
+      """SELECT lang,
+                count(*) AS n_docs,
+                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+                round(CAST(median(n_chars) AS DOUBLE), 4) AS med_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_text_langid" ->
+      """SELECT doc_id, lang,
+                CASE WHEN list_contains(string_split(text, ' '), 'the')
+                      AND list_contains(string_split(text, ' '), 'and') THEN 'en'
+                     WHEN list_contains(string_split(text, ' '), 'el')
+                       OR list_contains(string_split(text, ' '), 'la') THEN 'es'
+                     ELSE 'und' END AS lang_guess
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_quality" ->
+      """SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, chars_per_tok,
+                round(uniq_ratio * (1.0 - stop_ratio), 4) AS quality
+         FROM (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' ')), 4) AS uniq_ratio,
+                  round(CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                 ['the','a','an','and','or','of','to','in'])) AS DOUBLE)
+                        / len(string_split(text, ' ')), 4) AS stop_ratio,
+                  round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_tok
+           FROM documents)
+         ORDER BY doc_id""",
+
+    "q_text_tokencount" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+                CAST(list_sum(list_transform(string_split(text, ' '),
+                  t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_units,
+                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS vocab
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_dedup_near" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents WHERE doc_id < 300),
+         sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT d1, d2,
+                round(CAST(common AS DOUBLE) / (s1.n_tok + s2.n_tok - common), 4) AS jaccard
+         FROM common
+         JOIN sizes s1 ON s1.doc_id = d1
+         JOIN sizes s2 ON s2.doc_id = d2
+         WHERE round(CAST(common AS DOUBLE) / (s1.n_tok + s2.n_tok - common), 4) >= 0.5
+         ORDER BY d1, d2"""
+  )
+}
