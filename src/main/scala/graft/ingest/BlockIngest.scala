@@ -1,0 +1,210 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Blockchain ingest layer — the reference's actual dataflow (SURVEY.md §2A),
+  * re-expressed Spark-first and with its ledger of bugs fixed as features:
+  *
+  *   A7/A10 serialize/deserialize  → to_json / from_json (PERMISSIVE skip-and-
+  *     log, NOT break-the-stream — fixes `evm_consumer.rs:118-121`)
+  *   A11 flatten                   → explode(transactions)
+  *   A12/A13 project+cast          → select with casts, coalesce defaults
+  *     mirroring unwrap_or_default (`evm_consumer.rs:46-50,66-74`)
+  *   A14/A15 sink + uniqueness     → parent-before-child parquet writes
+  *     (fixes the FK-ordering bug `evm_consumer.rs:124-128` vs
+  *     `0001_initial.sql:39`) with dedup-on-write
+  *     (fixes duplicate ingestion, SURVEY §0.2.5)
+  *   A6 historical backfill        → spark.range + mapPartitions fan-out
+  *     (the reference fetches serially, `evm_producer.rs:58-69`)
+  *
+  * U256 policy (SURVEY §1.2): canonical lossless decimal strings; values the
+  * reference itself narrows (gas, size, timestamps, block numbers,
+  * `evm_consumer.rs:66-70`) cast to LONG; arithmetic projections go through
+  * `u256ToDec38` which yields null + an overflow flag past DECIMAL(38).
+  *
+  * Scale notes: ingest is embarrassingly parallel (per-message narrow ops);
+  * the only shuffles are dedup (hash by key) and the optional keep-latest
+  * window. Bronze tables partition by chain_name so per-chain queries prune.
+  */
+object BlockIngest {
+
+  /** Transaction message schema — `evm.rs:33-47` (FIXTURES.md §B.1). */
+  val txMsgSchema: StructType = StructType(Seq(
+    StructField("hash", StringType),
+    StructField("chain_name", StringType),
+    StructField("nonce", StringType),
+    StructField("block_hash", StringType),
+    StructField("block_number", StringType),
+    StructField("transaction_index", StringType),
+    StructField("from", StringType),
+    StructField("to", StringType),
+    StructField("value", StringType),
+    StructField("gas_price", StringType),
+    StructField("gas", StringType),
+    StructField("input", StringType)))
+
+  /** Block message schema — `evm.rs:8-30` (FIXTURES.md §B.1). */
+  val blockMsgSchema: StructType = StructType(Seq(
+    StructField("number", StringType),
+    StructField("chain_name", StringType),
+    StructField("hash", StringType),
+    StructField("parent_hash", StringType),
+    StructField("nonce", StringType),
+    StructField("sha3_uncles", StringType),
+    StructField("logs_bloom", StringType),
+    StructField("transactions_root", StringType),
+    StructField("state_root", StringType),
+    StructField("receipts_root", StringType),
+    StructField("miner", StringType),
+    StructField("difficulty", StringType),
+    StructField("total_difficulty", StringType),
+    StructField("extra_data", StringType),
+    StructField("size", StringType),
+    StructField("gas_limit", StringType),
+    StructField("gas_used", StringType),
+    StructField("timestamp", LongType),
+    StructField("transactions", ArrayType(txMsgSchema)),
+    StructField("uncles", ArrayType(StringType))))
+
+  /** Declared-but-unimplemented logs schema (`README.md:187-196`). */
+  val logSchema: StructType = StructType(Seq(
+    StructField("log_index", LongType),
+    StructField("address", StringType),
+    StructField("topics", ArrayType(StringType)),
+    StructField("data", StringType),
+    StructField("decoded_event", StringType),
+    StructField("transaction_hash", StringType),
+    StructField("block_number", LongType)))
+
+  /** A10: JSON lines → typed rows. PERMISSIVE: corrupt messages become null
+    * structs and are dropped (skip-and-log), never aborting the stream. */
+  def parse(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw
+      .withColumn("msg", from_json(col(jsonCol), blockMsgSchema,
+        Map("mode" -> "PERMISSIVE")))
+      .filter(col("msg").isNotNull && col("msg.number").isNotNull)
+      .select("msg.*")
+
+  /** U256 decimal-string → DECIMAL(38,0) with explicit overflow policy:
+    * values past 38 digits yield (null, flag=true) (SURVEY §7.2.2). */
+  def u256ToDec38(c: Column): (Column, Column) = {
+    // try_cast, not cast: ANSI mode (Spark 4 default) throws on overflow.
+    val dec = c.try_cast(DecimalType(38, 0))
+    (dec, c.isNotNull && dec.isNull)
+  }
+
+  /** A13: parsed block messages → bronze `blocks` rows
+    * (`0001_initial.sql:6-24`). Long narrowing exactly where the reference
+    * narrows (`evm_consumer.rs:66-73`); unix seconds → TIMESTAMP
+    * (`evm_consumer.rs:71`); tx_count = size(transactions). */
+  def normalizeBlocks(parsed: DataFrame): DataFrame =
+    parsed.select(
+      col("number").cast(LongType).as("block_number"),
+      col("chain_name"),
+      col("hash"),
+      col("parent_hash"),
+      timestamp_seconds(col("timestamp")).as("timestamp"),
+      col("miner"),
+      col("difficulty"),
+      col("total_difficulty"),
+      col("gas_used").cast(LongType).as("gas_used"),
+      col("gas_limit").cast(LongType).as("gas_limit"),
+      col("size").cast(LongType).as("size"),
+      col("receipts_root"),
+      col("transactions"),
+      coalesce(size(col("transactions")), lit(0)).cast(LongType).as("tx_count"))
+
+  /** A11+A12: explode transactions → bronze `transactions` rows
+    * (`0001_initial.sql:27-40`). Defaults mirror unwrap_or_default
+    * (`evm_consumer.rs:46-50`): value/gas_price/gas → "0", nonce → 0;
+    * to_address stays nullable (contract creation). */
+  def normalizeTxs(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("chain_name"), col("number").cast(LongType).as("block_number"),
+        explode(col("transactions")).as("tx"))
+      .select(
+        col("chain_name"),
+        col("block_number"),
+        col("tx.hash").as("tx_hash"),
+        col("tx.from").as("from_address"),
+        col("tx.to").as("to_address"),
+        coalesce(col("tx.value"), lit("0")).as("value"),
+        coalesce(col("tx.gas_price"), lit("0")).as("gas_price"),
+        coalesce(col("tx.gas"), lit("0")).as("gas"),
+        coalesce(col("tx.input"), lit("0x")).as("input"),
+        coalesce(col("tx.nonce").cast(LongType), lit(0L)).as("nonce"))
+
+  /** A15: exact dedup on the natural key — UNIQUE(block_number, hash). */
+  def dedupBlocks(blocks: DataFrame): DataFrame =
+    blocks.dropDuplicates("chain_name", "block_number", "hash")
+
+  /** Reorg semantics — UNIQUE(block_number) keep-latest intent
+    * (`0001_initial.sql:23`): per (chain, height) retain the row with the
+    * newest timestamp, hash tie-break for determinism under replay. */
+  def keepCanonical(blocks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("chain_name"), col("block_number"))
+      .orderBy(col("timestamp").desc, col("hash").desc)
+    blocks
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  def dedupTxs(txs: DataFrame): DataFrame =
+    txs.dropDuplicates("chain_name", "block_number", "tx_hash")
+
+  /** A14 sink: parent-before-child (fixes §0.2.4), dedup-on-write (fixes
+    * §0.2.5), partitioned by chain for pruning. Parquet append = the
+    * idempotent-upsert surface (compact with keepCanonical). */
+  def writeBronze(parsed: DataFrame, outDir: String): Unit = {
+    val blocks = keepCanonical(dedupBlocks(normalizeBlocks(parsed)))
+    blocks.write.mode("append").partitionBy("chain_name")
+      .parquet(s"$outDir/blocks")
+    val txs = dedupTxs(normalizeTxs(parsed))
+    txs.write.mode("append").partitionBy("chain_name")
+      .parquet(s"$outDir/transactions")
+  }
+
+  /** A6 historical backfill shape: the block-number range is a distributed
+    * dataset and the RPC fetch runs per partition in parallel — vs the
+    * reference's serial one-block-at-a-time loop (`evm_producer.rs:58-69`).
+    * `fetch` is injected (tests use a deterministic fake; a live module
+    * would wrap an HTTP client). Returns raw JSON messages. */
+  def backfillRange(
+      spark: SparkSession,
+      start: Long,
+      end: Long,
+      parallelism: Int)(fetch: Long => Option[String]): DataFrame = {
+    import spark.implicits._
+    spark.range(start, end + 1, 1, parallelism)
+      .mapPartitions(_.flatMap(n => fetch(n)))
+      .toDF("value")
+  }
+
+  /** A4/A9 live path: file-source stream of JSON block messages with
+    * checkpointed offsets (the ack analog) and idempotent per-batch
+    * dedup-append. startingOffsets=earliest ⇔ the reference's
+    * InitialPosition::Earliest (`pulsar.rs:31-32`). */
+  def streamBronze(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(inDir)
+    parseStream(raw)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeBronze(batch, outDir)
+      }
+      .start()
+  }
+
+  private def parseStream(raw: DataFrame): DataFrame =
+    parse(raw)
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming operator library (SURVEY.md §2B "Streaming" — the
+  * streaming-only semantics with no batch oracle: watermarks, late-data
+  * drops, append-mode emission, custom keyed state).
+  *
+  * Reference analogs: the WS tail subscription
+  * (`/root/reference/src/blockchain/evm_adapter.rs:68-84`) is the unbounded
+  * source; consumer ack ⇔ checkpointed offsets
+  * (`/root/reference/src/streams/consumers/evm_consumer.rs:130-133`);
+  * at-least-once Earliest replay (`pulsar.rs:31-32`) ⇔ idempotent
+  * dedup-by-key with a watermark bounding the dedup state.
+  *
+  * Scale notes: every stateful op is keyed (window×type, event_id, user),
+  * so state partitions across executors; watermarks bound state size —
+  * without them streaming dedup/window state grows forever at 100 TB/day.
+  */
+object StreamOps {
+
+  /** Typed event record for streaming ops (mirrors the events table). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  /** Per-user session summary emitted by the custom-state operator. */
+  case class UserCount(user_id: Long, n: Long, last_epoch_s: Long)
+
+  /** 1h tumbling counts with a 10m watermark; append mode emits a window
+    * only once it is below the watermark (late rows beyond it are dropped). */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+
+  /** Exactly-once projection of an at-least-once feed: dedup by event_id.
+    * The watermark bounds how long a key is remembered — the replay horizon. */
+  def streamingDedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** 30m-gap session windows per user (append mode — sessions emit when
+    * closed by the watermark). */
+  def sessionize(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"), col("n"))
+
+  /** Custom keyed state via mapGroupsWithState: running event count per
+    * user with processing-time timeout — the shape for state Spark's
+    * built-in windows can't express. */
+  def runningUserCounts(events: Dataset[Event]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[UserCount]) =>
+          val prev = state.getOption.getOrElse(UserCount(user, 0L, 0L))
+          val batch = rows.toSeq
+          val next = UserCount(
+            user,
+            prev.n + batch.size,
+            math.max(prev.last_epoch_s, batch.map(_.ts.toInstant.getEpochSecond).max))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Sink an event stream as parquet with checkpointing (ack analog). */
+  def toParquet(df: DataFrame, outDir: String, checkpointDir: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+}

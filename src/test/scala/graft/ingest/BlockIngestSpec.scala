@@ -1,0 +1,125 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Ingest-layer unit tests over the FIXTURES.md §B.3 JSON block fixtures:
+  * parse (PERMISSIVE skip of corrupt lines), normalize (defaults, narrowing,
+  * timestamps, tx_count), explode, dedup (duplicate delivery §0.2.5), reorg
+  * keep-canonical, U256 overflow policy, parallel backfill shape, and the
+  * checkpointed file-stream path. */
+class BlockIngestSpec extends SparkSpec {
+
+  private def fixturePath: String =
+    getClass.getResource("/blocks/blocks.jsonl").getPath
+
+  private lazy val parsed = {
+    val raw = spark.read.text(fixturePath).withColumnRenamed("value", "value")
+    BlockIngest.parse(raw).cache()
+  }
+
+  test("parse: corrupt line skipped, stream not aborted (fixes evm_consumer.rs:118-121)") {
+    // 7 lines, 1 corrupt → 6 parsed messages
+    assert(parsed.count() === 6)
+    assert(parsed.filter(col("number") === "103").count() === 0)
+  }
+
+  test("normalizeBlocks: narrowing, unix→timestamp, tx_count (evm_consumer.rs:64-105)") {
+    val blocks = BlockIngest.normalizeBlocks(parsed)
+    val b100 = blocks.filter(col("block_number") === 100L && col("hash") === "0xaa01")
+      .collect().head
+    assert(b100.getAs[Long]("gas_used") === 21000L)
+    assert(b100.getAs[Long]("tx_count") === 2L)
+    assert(b100.getAs[java.sql.Timestamp]("timestamp").toInstant.getEpochSecond === 1704067200L)
+    // empty block keeps its parent row with tx_count 0
+    val b102 = blocks.filter(col("block_number") === 102L).collect().head
+    assert(b102.getAs[Long]("tx_count") === 0L)
+  }
+
+  test("normalizeTxs: explode + defaults (evm_consumer.rs:36-62)") {
+    val txs = BlockIngest.normalizeTxs(parsed)
+    // empty block produces no child rows but is not dropped from blocks
+    assert(txs.filter(col("block_number") === 102L).count() === 0)
+    // null-default path: value/gas_price→"0", nonce→0
+    val t3 = txs.filter(col("tx_hash") === "0xt3").collect().head
+    assert(t3.getAs[String]("value") === "0")
+    assert(t3.getAs[String]("gas_price") === "0")
+    assert(t3.getAs[Long]("nonce") === 0L)
+    // contract creation: to_address stays null
+    val t2 = txs.filter(col("tx_hash") === "0xt2").collect().head
+    assert(t2.getAs[String]("to_address") === null)
+  }
+
+  test("dedupBlocks: duplicate delivery collapses (§0.2.5 regression)") {
+    val blocks = BlockIngest.normalizeBlocks(parsed)
+    // raw has block 100/0xaa01 twice
+    assert(blocks.filter(col("hash") === "0xaa01").count() === 2)
+    val deduped = BlockIngest.dedupBlocks(blocks)
+    assert(deduped.filter(col("hash") === "0xaa01").count() === 1)
+    // idempotence: dedup(dedup(x)) == dedup(x)
+    assert(BlockIngest.dedupBlocks(deduped).count() === deduped.count())
+  }
+
+  test("keepCanonical: reorg retains the later block per height (0001_initial.sql:23)") {
+    val canon = BlockIngest.keepCanonical(
+      BlockIngest.dedupBlocks(BlockIngest.normalizeBlocks(parsed)))
+    val at100 = canon.filter(col("block_number") === 100L).collect()
+    assert(at100.length === 1)
+    assert(at100.head.getAs[String]("hash") === "0xbb01")
+  }
+
+  test("u256ToDec38: overflow → null + flag (SURVEY §7.2.2)") {
+    val (dec, flag) = BlockIngest.u256ToDec38(col("difficulty"))
+    val rows = BlockIngest.normalizeBlocks(parsed)
+      .select(col("block_number"), dec.as("d"), flag.as("of"))
+      .filter(col("block_number").isin(100L, 104L))
+      .collect()
+    val b104 = rows.find(_.getAs[Long]("block_number") == 104L).get
+    assert(b104.isNullAt(1) && b104.getAs[Boolean]("of"))
+    val b100 = rows.find(r => r.getAs[Long]("block_number") == 100L).get
+    assert(!b100.isNullAt(1) && !b100.getAs[Boolean]("of"))
+  }
+
+  test("writeBronze: parent-before-child, idempotent under replay (§0.2.4/§0.2.5)") {
+    val out = java.nio.file.Files.createTempDirectory("bronze").toString
+    BlockIngest.writeBronze(parsed, out)
+    val blocks = spark.read.parquet(s"$out/blocks")
+    val txs = spark.read.parquet(s"$out/transactions")
+    // FK integrity: no orphan transactions (left-anti join is empty)
+    val orphans = txs.join(blocks,
+      txs("block_number") === blocks("block_number") &&
+        txs("chain_name") === blocks("chain_name"), "left_anti")
+    assert(orphans.count() === 0)
+    // canonical: one row per height
+    assert(blocks.groupBy("block_number").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("backfillRange: parallel fan-out over the block range (A6 upgrade)") {
+    val df = BlockIngest.backfillRange(spark, 10L, 29L, parallelism = 4) { n =>
+      if (n % 10 == 3) None // missing block → skipped, like Option::None
+      else Some(s"""{"number":"$n","chain_name":"T","hash":"0x$n","parent_hash":"0x${n - 1}","timestamp":${1700000000 + n},"transactions":[],"uncles":[]}""")
+    }
+    assert(df.rdd.getNumPartitions === 4)
+    val parsedBf = BlockIngest.parse(df)
+    assert(parsedBf.count() === 18) // 20 minus two missing (13, 23)
+    assert(BlockIngest.normalizeBlocks(parsedBf)
+      .agg(max(col("block_number"))).collect().head.getLong(0) === 29L)
+  }
+
+  test("streamBronze: checkpointed file stream lands deduped bronze (A4/A9)") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(in).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixturePath),
+      java.nio.file.Paths.get(s"$in/blocks.jsonl"))
+    val q = BlockIngest.streamBronze(spark, in, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val blocks = spark.read.parquet(s"$out/blocks")
+    // 6 parsed - 1 duplicate - 1 reorg loser = 4 canonical blocks
+    assert(blocks.count() === 4)
+    assert(spark.read.parquet(s"$out/transactions")
+      .filter(col("tx_hash") === "0xt1").count() === 1)
+  }
+}

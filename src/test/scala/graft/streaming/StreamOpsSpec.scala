@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import StreamOps.Event
+
+/** MemoryStream micro-batch tests for the semantics with no batch oracle
+  * (SURVEY.md §5.2.4): watermark late-row drops, append-mode window
+  * emission, streaming dedup across batches, custom keyed state. */
+class StreamOpsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click"): Event =
+    Event(id, ts(minute), user, typ, 1.0)
+
+  test("watermark drops late rows; append emits only closed windows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamOps.tumblingCounts(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // hour-0 rows, then advance event time into hour 2 → watermark
+      // (max 130m − 10m = 120m) closes the hour-0 and hour-1 windows.
+      in.addData(ev(1, 5), ev(2, 25), ev(3, 59))
+      q.processAllAvailable()
+      in.addData(ev(4, 130))
+      q.processAllAvailable()
+      // a row for hour 0 arrives beyond the watermark → dropped
+      in.addData(ev(5, 30))
+      q.processAllAvailable()
+      // one more hour-2 row keeps the query moving but its window stays open
+      in.addData(ev(6, 135))
+      q.processAllAvailable()
+      val emitted = spark.table("tumbling").collect()
+        .map(r => (r.getAs[Timestamp]("ws"), r.getAs[Long]("n"))).toSet
+      // hour-0 window emitted exactly once with the 3 on-time rows; the
+      // late 4th row did NOT re-emit or bump the count; hour-2 not emitted.
+      assert(emitted === Set((ts(0), 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup: duplicate event_ids across batches collapse") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamOps.streamingDedup(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      in.addData(ev(1, 0), ev(3, 2)) // replay of id 1 + a new id
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("session windows: 30m gap splits sessions, append emits closed ones") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at 0,10 (one session), then 60 (a new session);
+      // advancing to 200m closes everything.
+      in.addData(ev(1, 0), ev(2, 10), ev(3, 60))
+      q.processAllAvailable()
+      in.addData(ev(9, 200))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getAs[Timestamp]("ws"), r.getAs[Long]("n")))
+      assert(rows.count(_ == (ts(0), 2L)) === 1)
+      assert(rows.count(_ == (ts(60), 1L)) === 1)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: running per-user counts across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamOps.runningUserCounts(in.toDS())
+      .writeStream.format("memory").queryName("usercounts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(ev(1, 0, user = 7), ev(2, 5, user = 7), ev(3, 1, user = 8))
+      q.processAllAvailable()
+      in.addData(ev(4, 10, user = 7))
+      q.processAllAvailable()
+      val last = spark.table("usercounts").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")))
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+      assert(last === Map(7L -> 3L, 8L -> 1L))
+    } finally q.stop()
+  }
+}
