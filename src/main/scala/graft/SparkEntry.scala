@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.operators.Dedup
 import graft.queries._
 
 /** Session settings every graft SparkSession needs (Verify/Bench/tests). */
@@ -40,7 +41,8 @@ object SparkEntry {
       (Text.queries, Text.oracle),
       (Sim.queries, Sim.oracle),
       (UDx.queries, UDx.oracle),
-      (Streams.queries, Streams.oracle)
+      (Streams.queries, Streams.oracle),
+      (Dedup.queries, Dedup.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

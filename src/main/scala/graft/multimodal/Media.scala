@@ -1,0 +1,137 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata (SURVEY.md north star).
+  *
+  * The Spark-side plumbing is real and tested — schema, batch shape,
+  * partition-parallel processing via typed `mapPartitions` (the Scala analog
+  * of `mapInPandas` batch UDFs), metadata propagation, and modality
+  * routing. The actual codecs are STUBBED with deterministic fakes (clearly
+  * marked below): the container has no image/audio libraries, and the
+  * pipeline semantics — batching, schema, partitioning — are what this
+  * module owns. Swapping `StubCodecs` for a real JNI/ffmpeg-backed codec is
+  * a per-function change that touches nothing else.
+  *
+  * Scale notes: media blobs never shuffle — every transform here is a
+  * narrow per-partition map; only extracted features (small, fixed-width)
+  * flow into joins/aggregations downstream. Partition sizing is by
+  * maxPartitionBytes on read, so a 100 TB media lake maps to bounded-memory
+  * tasks.
+  */
+object Media {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRec(
+    media_id: Long,
+    kind: String, // image | audio | video
+    bytes: Array[Byte],
+    width: Int, height: Int, // images/video; 0 otherwise
+    sample_rate: Int, // audio; 0 otherwise
+    duration_ms: Long) // audio/video; 0 otherwise
+
+  /** A decoded/derived feature row (fixed-width — this is what shuffles). */
+  case class MediaFeature(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    checksum: String,
+    feature: Array[Float])
+
+  // ------------------------------------------------------------------ stubs
+
+  /** STUB CODECS — deterministic fakes in place of real decoders.
+    * Every function is pure in the payload bytes so the pipeline is
+    * reproducible; replace bodies with real codec calls to go live. */
+  object StubCodecs {
+    /** ??? real impl: image decode (e.g. via javax.imageio / JNI turbojpeg).
+      * Fake: 8 deterministic "pixels" folded from the byte stream. */
+    def decodeImage(bytes: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](8)
+      var i = 0
+      while (i < bytes.length) { acc(i % 8) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+      acc
+    }
+
+    /** ??? real impl: resample/resize. Fake: scale the fake pixels. */
+    def resize(px: Array[Float], w: Int, h: Int, tw: Int, th: Int): Array[Float] = {
+      val scale = if (w * h == 0) 1.0f else (tw.toFloat * th) / (w.toFloat * h)
+      px.map(_ * scale)
+    }
+
+    /** ??? real impl: audio PCM decode + MFCC-ish features.
+      * Fake: windowed byte means. */
+    def audioFeatures(bytes: Array[Byte], sampleRate: Int): Array[Float] = {
+      val n = 8
+      val win = math.max(1, bytes.length / n)
+      Array.tabulate(n) { i =>
+        val s = bytes.slice(i * win, (i + 1) * win)
+        if (s.isEmpty) 0f else s.map(b => (b & 0xff).toFloat).sum / (s.length * 255f)
+      }
+    }
+
+    /** ??? real impl: keyframe extraction. Fake: every k-th byte window is a
+      * "frame"; returns (frame_index, frame_bytes) pairs. */
+    def sampleFrames(bytes: Array[Byte], everyMs: Long, durationMs: Long): Seq[(Int, Array[Byte])] = {
+      val nFrames = math.max(1, (durationMs / math.max(1, everyMs)).toInt)
+      val win = math.max(1, bytes.length / nFrames)
+      (0 until math.min(nFrames, bytes.length)).map(i =>
+        (i, bytes.slice(i * win, (i + 1) * win)))
+    }
+  }
+
+  // -------------------------------------------------------------- pipeline
+
+  /** Batched per-partition feature extraction — the mapInPandas analog:
+    * one iterator pass per partition, no per-row task overhead, media bytes
+    * stay partition-local. */
+  def extractFeatures(media: Dataset[MediaRec]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        digest.reset()
+        val sum = digest.digest(r.bytes).map("%02x".format(_)).mkString
+        val feat = r.kind match {
+          case "image" => StubCodecs.decodeImage(r.bytes)
+          case "audio" => StubCodecs.audioFeatures(r.bytes, r.sample_rate)
+          case "video" =>
+            StubCodecs.decodeImage(
+              StubCodecs.sampleFrames(r.bytes, 1000, r.duration_ms)
+                .headOption.map(_._2).getOrElse(Array.emptyByteArray))
+          case _ => Array.emptyFloatArray
+        }
+        MediaFeature(r.media_id, r.kind, r.bytes.length.toLong, sum, feat)
+      }
+    }
+  }
+
+  /** Image-only resize pass (modality routing + metadata update; payload
+    * untouched in the stub, dimensions rewritten). */
+  def resizeImages(media: Dataset[MediaRec], tw: Int, th: Int): Dataset[MediaRec] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.kind == "image") r.copy(width = tw, height = th) else r
+    }
+  }
+
+  /** Frame sampling: video rows explode into one row per sampled frame —
+    * the generator shape of A11 applied to media. */
+  def sampleVideoFrames(media: Dataset[MediaRec], everyMs: Long): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      StubCodecs.sampleFrames(r.bytes, everyMs, r.duration_ms).map {
+        case (idx, frame) => (r.media_id, idx, frame, r.width, r.height)
+      }
+    }.toDF("media_id", "frame_index", "frame_bytes", "width", "height")
+  }
+
+  /** Join extracted features back to a metadata table — fixed-width columns
+    * only; the blob column is pruned before any shuffle. */
+  def featureTable(media: Dataset[MediaRec]): DataFrame =
+    extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        col("feature"))
+}

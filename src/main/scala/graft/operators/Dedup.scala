@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+
+/** Near-duplicate detection operators for training-data pipelines — the
+  * scale paths behind q_text_dedup_near's bounded pairwise check:
+  *
+  *   - MinHash + LSH banding: per-doc k-way MinHash signature (min of a
+  *     keyed hash over the token set), banded into b buckets; only documents
+  *     sharing a band bucket are candidate pairs → the pairwise product
+  *     collapses from O(n²) to O(Σ bucket²), each bucket tiny at scale.
+  *   - SimHash: 32-bit sign-of-weighted-bit-sums fingerprint; near-dups
+  *     differ in few bits (banding on bit ranges gives the bucket join).
+  *   - n-gram (shingle) Jaccard: 3-gram shingles instead of unigram token
+  *     sets — order-sensitive near-dup detection.
+  *   - Embedding cosine: semantic near-dup via vector similarity.
+  *
+  * Hashing is md5-based end-to-end (lexicographic min over hex strings is a
+  * valid uniform MinHash) so the exact same algebra is expressible in the
+  * DuckDB oracle — no JVM-private hash functions in the semantics.
+  *
+  * All four are exposed both as unbounded DataFrame operators (the real
+  * API) and as bounded oracle queries (fixed candidate sets so the driver
+  * check does fixed work at every SF).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- minhash
+
+  val minhashSeeds: Seq[Int] = 0 until 8
+  val bandsOf: Int = 4 // 4 bands × 2 rows
+
+  private def tokens(text: Column): Column = array_distinct(split(text, " "))
+
+  /** One MinHash component: lexicographic min of md5(token ∥ seed). */
+  private def minhash(toks: Column, seed: Int): Column =
+    array_min(transform(toks, t => md5(concat(t, lit(s"_s$seed")))))
+
+  /** doc_id + k MinHash components m0..m7. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id") +: minhashSeeds.map(s => minhash(toks, s).as(s"m$s")): _*)
+  }
+
+  /** (doc_id, band, band_hash) — the LSH bucket keys. */
+  def lshBuckets(signatures: DataFrame): DataFrame = {
+    val bands = (0 until bandsOf).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bh"))
+    }
+    signatures
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+  }
+
+  /** Candidate pairs from shared LSH buckets (distinct over bands). */
+  def lshCandidates(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("bh"), col("doc_id").as("d1"))
+    val b = buckets.select(col("band").as("band2"), col("bh").as("bh2"),
+      col("doc_id").as("d2"))
+    a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
+        col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Exact token-set Jaccard for a pair set (the verify step after LSH). */
+  def verifyJaccard(docs: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val withToks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    pairs
+      .join(withToks.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
+      .join(withToks.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_union(col("t1"), col("t2"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature → band → bucket join →
+    * exact verify. The only shuffles are the bucket join and the verify
+    * joins; no all-pairs product anywhere. */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(docs, lshCandidates(lshBuckets(minhashSignatures(docs))), threshold)
+
+  // ---------------------------------------------------------------- simhash
+
+  val simhashBits: Int = 32
+
+  /** 32-bit SimHash over the distinct token set, emitted as a bit string.
+    * Bit j weight of token t = ((md5-nibble >> (j%4)) & 1) ? +1 : −1 on
+    * nibble j/4; bit set where the summed weight is ≥ 0. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = explode(tokens(col("text"))).as("tok")
+    val exploded = docs.select(col("doc_id"), tok)
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until simhashBits).map { j =>
+      val nibble = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nibble, j % 4).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    exploded.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until simhashBits).map(j =>
+          when(col(s"s$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hamming(a: Column, b: Column): Column =
+    size(filter(
+      zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
+      d => d))
+
+  /** SimHash near-dups: band the 32 bits into 4 byte-buckets; pairs sharing
+    * any exact byte are candidates, verified by full hamming distance. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), substring(col("simhash"), b * 8 + 1, 8).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh"))
+    val a = bands.select(col("band"), col("bh"), col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = bands.select(col("band").as("band2"), col("bh").as("bh2"),
+      col("doc_id").as("d2"), col("simhash").as("h2"))
+    a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), hamming(col("h1"), col("h2")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+
+  // ----------------------------------------------------------------- ngrams
+
+  /** 3-gram shingle set of the token sequence (order-sensitive). */
+  def shingles3(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+  }
+
+  /** n-gram Jaccard near-dups over an explicit pair product (callers bound
+    * the candidate set; LSH over shingles is the unbounded path). */
+  def ngramNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val a = withSh.select(col("doc_id").as("d1"), col("sh").as("s1"))
+    val b = withSh.select(col("doc_id").as("d2"), col("sh").as("s2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------- embeddings
+
+  /** Embedding-cosine near-dups over an explicit pair product (bounded by
+    * caller; the unbounded path is ANN bucketing, graft.operators.Ann). */
+  def embeddingNearDups(embs: DataFrame, threshold: Double): DataFrame = {
+    import graft.queries.Sim
+    val a = embs.select(col("vec_id").as("d1"), col("embedding").as("v1"))
+    val b = embs.select(col("vec_id").as("d2"), col("embedding").as("v2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(Sim.cosine(col("v1"), col("v2")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  // ------------------------------------------------------- oracle queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash signature + LSH banding + exact-Jaccard verify, bounded ids.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = documents(s, dir).filter(col("doc_id") < 500)
+      minhashNearDups(docs, 0.5).orderBy(col("d1"), col("d2"))
+    }),
+
+    // Per-doc 32-bit SimHash fingerprint (pair-finding is unit-tested).
+    "q_dedup_simhash" -> ((s, dir) => {
+      simhash(documents(s, dir).filter(col("doc_id") < 200))
+        .orderBy(col("doc_id"))
+    }),
+
+    // 3-gram shingle Jaccard, bounded pair product.
+    "q_dedup_ngram" -> ((s, dir) => {
+      ngramNearDups(documents(s, dir).filter(col("doc_id") < 200), 0.2)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    //
+
+    "q_dedup_embed" -> ((s, dir) => {
+      embeddingNearDups(embeddings(s, dir).filter(col("vec_id") < 100), 0.3)
+        .orderBy(col("d1"), col("d2"))
+    })
+  )
+
+  private val toksSql = "list_distinct(string_split(text, ' '))"
+
+  private def minhashSql(seed: Int): String =
+    s"list_min(list_transform($toksSql, t -> md5(t || '_s$seed')))"
+
+  private val simhashBitSql: String = {
+    val bitCases = (0 until simhashBits).map { j =>
+      s"""CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"""
+    }
+    s"""SELECT doc_id, concat(${bitCases.mkString(", ")}) AS simhash
+        FROM (SELECT doc_id, unnest($toksSql) AS tok, md5(unnest($toksSql)) AS h
+              FROM documents WHERE doc_id < 200)
+        GROUP BY doc_id
+        ORDER BY doc_id"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" -> {
+      val sigCols = minhashSeeds.map(s => s"${minhashSql(s)} AS m$s").mkString(",\n                  ")
+      val bandSelects = (0 until bandsOf).map(b =>
+        s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bh FROM sigs").mkString("\n           UNION ALL ")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+          sigs AS (SELECT doc_id,
+                  $sigCols
+                   FROM docs),
+          bands AS ($bandSelects),
+          cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          toks AS (SELECT doc_id, $toksSql AS t FROM docs)
+          SELECT d1, d2,
+                 round(CAST(len(list_intersect(t1.t, t2.t)) AS DOUBLE)
+                       / len(list_distinct(list_concat(t1.t, t2.t))), 4) AS jaccard
+          FROM cands
+          JOIN toks t1 ON t1.doc_id = d1
+          JOIN toks t2 ON t2.doc_id = d2
+          WHERE round(CAST(len(list_intersect(t1.t, t2.t)) AS DOUBLE)
+                      / len(list_distinct(list_concat(t1.t, t2.t))), 4) >= 0.5
+          ORDER BY d1, d2"""
+    },
+
+    "q_dedup_simhash" -> simhashBitSql,
+
+    "q_dedup_ngram" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                     i -> concat(string_split(text, ' ')[i], ' ',
+                                 string_split(text, ' ')[i + 1], ' ',
+                                 string_split(text, ' ')[i + 2]))) AS s
+            FROM documents WHERE doc_id < 200)
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.2
+          ORDER BY d1, d2""",
+
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100)
+         SELECT a.vec_id AS d1, b.vec_id AS d2,
+                round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3
+         ORDER BY d1, d2"""
+  )
+}

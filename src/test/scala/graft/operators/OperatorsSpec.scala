@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+/** Unit tests for the scale-path operators: LSH dedup candidate generation,
+  * ANN recall vs the brute-force baseline, and property-style laws. */
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf()).filter(col("doc_id") < 120).cache()
+  private lazy val embs = Tables.embeddings(spark, sf()).cache()
+
+  test("minhash LSH candidates ⊇ high-jaccard pairs (recall on j ≥ 0.9)") {
+    // every pair with near-identical token sets must share ≥1 band bucket
+    val cands = Dedup.lshCandidates(Dedup.lshBuckets(Dedup.minhashSignatures(docs)))
+      .select(col("d1"), col("d2"))
+    val exact = Dedup.verifyJaccard(
+      docs, docs.select(col("doc_id").as("d1"))
+        .crossJoin(docs.select(col("doc_id").as("d2")))
+        .filter(col("d1") < col("d2")), 0.9)
+    val missed = exact.join(cands, Seq("d1", "d2"), "left_anti")
+    assert(missed.count() === 0)
+  }
+
+  test("minhash near-dups ⊆ all-pairs verified near-dups (no false positives)") {
+    val viaLsh = Dedup.minhashNearDups(docs, 0.5).select("d1", "d2")
+    val allPairs = docs.select(col("doc_id").as("d1"))
+      .crossJoin(docs.select(col("doc_id").as("d2")))
+      .filter(col("d1") < col("d2"))
+    val exact = Dedup.verifyJaccard(docs, allPairs, 0.5).select("d1", "d2")
+    assert(viaLsh.join(exact, Seq("d1", "d2"), "left_anti").count() === 0)
+  }
+
+  test("simhash: 32-bit strings, identical docs → identical hashes") {
+    val sh = Dedup.simhash(docs)
+    assert(sh.filter(length(col("simhash")) =!= 32).count() === 0)
+    // a doc unioned with itself under a new id hashes identically
+    val dup = docs.limit(1).select(lit(99999L).as("doc_id"), col("text"))
+    val both = Dedup.simhash(docs.limit(1).select(col("doc_id"), col("text")).union(dup))
+      .select(col("simhash")).distinct()
+    assert(both.count() === 1)
+  }
+
+  test("hamming distance: zero iff equal, symmetric bound") {
+    val sh = Dedup.simhash(docs).limit(5).cache()
+    val pairs = sh.select(col("simhash").as("a"))
+      .crossJoin(sh.select(col("simhash").as("b")))
+      .select(Dedup.hamming(col("a"), col("b")).as("d"), (col("a") === col("b")).as("eq"))
+      .collect()
+    pairs.foreach { r =>
+      val d = r.getAs[Int]("d")
+      assert(d >= 0 && d <= 32)
+      assert((d == 0) === r.getAs[Boolean]("eq"))
+    }
+  }
+
+  test("ANN: lsh always finds exact duplicates (identical vector ⇒ identical bucket)") {
+    // corpus = rest of the table ∪ exact copies of the probes under new ids;
+    // a copy hashes to the same bucket, so top-1 must be the copy (cos = 1).
+    val probes = embs.filter(col("vec_id") < 10)
+    val copies = probes.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val corpus = embs.filter(col("vec_id") >= 10).unionByName(copies)
+    val top1 = Ann.lshTopK(probes, corpus, 1, nPlanes = 4)
+    assert(top1.count() === 10)
+    assert(top1.filter(col("cand_id") =!= col("probe_id") + 100000L).count() === 0)
+    assert(top1.filter(abs(col("cos") - 1.0) > 1e-6).count() === 0)
+  }
+
+  test("ANN: lsh candidate set is bucket-bounded, not the full corpus") {
+    val probes = embs.filter(col("vec_id") < 10)
+    val corpus = embs.filter(col("vec_id") >= 10)
+    val planes = Ann.hyperplanes(4, 64)
+    val bucketSizes = corpus
+      .select(Ann.lshBucket(col("embedding"), planes).as("b"))
+      .groupBy("b").count().collect().map(_.getAs[Long]("count"))
+    // 4 planes → up to 16 buckets; no bucket is the whole corpus.
+    assert(bucketSizes.length > 1)
+    assert(bucketSizes.max < corpus.count())
+  }
+
+  test("ANN: ivf routes every probe and returns k candidates from one label") {
+    val probes = embs.filter(col("vec_id") < 10)
+    val corpus = embs.filter(col("vec_id") >= 10)
+    val res = Ann.ivfTopK(probes, corpus, 3).cache()
+    assert(res.groupBy("probe_id").count().filter(col("count") =!= 3).count() === 0)
+    assert(res.select(countDistinct(col("probe_id"))).collect().head.getLong(0) === 10L)
+    // sanity: ivf top-1 cosine can never exceed brute-force top-1
+    val bf = Ann.bruteForceTopK(probes, corpus, 1)
+      .select(col("probe_id"), col("cos").as("bf_cos"))
+    val ivf1 = res.groupBy("probe_id").agg(max(col("cos")).as("ivf_cos"))
+    val cmp = bf.join(ivf1, "probe_id")
+      .filter(col("ivf_cos") > col("bf_cos") + 1e-9)
+    assert(cmp.count() === 0)
+  }
+}
