@@ -11,6 +11,9 @@ object Bench {
     GraftSession.configs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/IO paths so the first measured query isn't
+    // charged for session startup (~4s otherwise lands on one query).
+    SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

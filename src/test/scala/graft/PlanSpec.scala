@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guards (the 100 TB posture, checked at sf0.001):
+  * filters/projections reach the parquet scan, dimension joins broadcast,
+  * top-k never global-sorts, aggregation is partial+final with a single
+  * data shuffle. A plan regression here is a scale bug long before it is a
+  * local-runtime bug. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf())
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("scan queries push filters and prune columns at the parquet reader") {
+    val p = plan("q_scan_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), "filters must reach the scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("LessThan(l_partkey"),
+      s"expected shipdate/partkey pushdown in:\n$p")
+    // 5-column projection: ReadSchema must not contain unselected columns
+    assert(!p.contains("l_extendedprice"), "unselected column read from parquet")
+  }
+
+  test("point lookup pushes the key predicate") {
+    val p = plan("q_scan_point_lookup")
+    assert(p.contains("EqualTo(o_orderkey,4242)"), s"expected key pushdown in:\n$p")
+  }
+
+  test("broadcast join: both dims broadcast, fact side never shuffles for the join") {
+    val p = plan("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"expected 2 broadcast joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to sort-merge")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("flagship aggregation is partial+final hash agg with one data shuffle") {
+    val p = plan("q_agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final aggregation")
+    // one exchange for the group-by, one for the deterministic output sort
+    val exchanges = "\\+- Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges) in:\n$p")
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+  }
+
+  test("kNN probes broadcast: corpus scan joins without shuffling") {
+    val p = plan("q_sim_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probes must broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "kNN cross product must not sort-merge")
+  }
+
+  test("windows partition by key — no un-partitioned global window") {
+    val p = plan("q_win_rank")
+    assert(p.contains("Window"), "expected window operator")
+    assert(p.contains("partitionBy") || p.contains("PartitionBy") ||
+      p.contains("hashpartitioning(o_custkey"),
+      s"window must hash-partition on the key in:\n$p")
+  }
+
+  test("as-of join keeps the range predicate inside the join") {
+    val df = SparkEntry.queries("q_join_asof")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // the ts range condition must sit in the join, not a post-join filter
+    assert(p.contains("s_ts") && (p.contains("<=") || p.contains("joincondition")),
+      s"expected range predicate in join condition:\n$p")
+  }
+}
