@@ -13,7 +13,9 @@ object GraftSession {
   val configs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true"
+    "spark.sql.adaptive.enabled" -> "true",
+    // native codegen'd vector kernels (graft_dot / graft_cosine)
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions"
   )
 }
 

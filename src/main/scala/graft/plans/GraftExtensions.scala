@@ -1,0 +1,28 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSim, DotProduct}
+
+/** Session extension registering graft's native functions
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`, set by
+  * GraftSession.configs). Makes `graft_dot`/`graft_cosine` available to
+  * both the DataFrame API (`call_function`) and plain SQL. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two float arrays in double."),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays."),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+  }
+}

@@ -23,18 +23,24 @@ import graft.catalog.Tables._
   */
 object Sim {
 
-  /** Left-fold double dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-fold double dot product via higher-order functions — the
+    * reference algebra the DuckDB oracle mirrors. Interpreted per element;
+    * kept for the bit-equality spec against the native kernel. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Dot product — native codegen'd kernel (graft.functions.DotProduct),
+    * bit-identical to dotHof (same left-to-right double accumulation). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
   /** Sum of squares (norm²) of a float-array column. */
   def norm2(v: Column): Column = dot(v, v)
 
-  /** cosine(a, b) as a double column. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+  /** cosine(a, b) — single-pass native kernel (graft.functions.CosineSim),
+    * bit-identical to dot/(√·√) in the HOF formulation. */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pairwise cosine over a bounded id set (190 pairs at every SF).

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.Tables
+import graft.queries.Sim
+
+/** Native vector kernels must be BIT-identical to the HOF algebra the
+  * DuckDB oracle mirrors — otherwise swapping them into the oracle queries
+  * would silently change hashes. Also pins codegen (no fallback). */
+class VectorExprsSpec extends SparkSpec {
+
+  private lazy val pairs = {
+    val e = Tables.embeddings(spark, sf()).filter(col("vec_id") < 40)
+    e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("idb"), col("embedding").as("vb")))
+      .filter(col("ida") < col("idb"))
+  }
+
+  test("graft_dot ≡ HOF left-fold, bitwise") {
+    val diff = pairs.select(
+      Sim.dot(col("va"), col("vb")).as("native"),
+      Sim.dotHof(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact double equality
+    assert(diff.count() === 0)
+  }
+
+  test("graft_cosine ≡ dotHof/(√·√), bitwise") {
+    val hofCos = Sim.dotHof(col("va"), col("vb")) /
+      (sqrt(Sim.dotHof(col("va"), col("va"))) * sqrt(Sim.dotHof(col("vb"), col("vb"))))
+    val diff = pairs.select(
+      Sim.cosine(col("va"), col("vb")).as("native"), hofCos.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
+  test("kernels work from plain SQL via the session extension") {
+    Tables.embeddings(spark, sf()).limit(5).createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM emb_sql").collect()
+    assert(r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-9))
+  }
+
+  test("null inputs propagate null, mismatched dims use common prefix") {
+    val df = spark.sql(
+      """SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                 CAST(array(3.0, 4.0, 5.0) AS ARRAY<FLOAT>)) AS d,
+        |        graft_dot(CAST(NULL AS ARRAY<FLOAT>),
+        |                 CAST(array(1.0) AS ARRAY<FLOAT>)) AS n""".stripMargin)
+    val row = df.collect().head
+    assert(row.getDouble(0) === 11.0)
+    assert(row.isNullAt(1))
+  }
+}
