@@ -156,17 +156,61 @@ object BlockIngest {
   def dedupTxs(txs: DataFrame): DataFrame =
     txs.dropDuplicates("chain_name", "block_number", "tx_hash")
 
+  /** normalizeTxs + the parent block hash carried through for canonical
+    * filtering (dropped again before the DDL-shaped write). */
+  private def normalizeTxsKeyed(parsed: DataFrame): DataFrame =
+    parsed
+      .select(col("chain_name"), col("number").cast(LongType).as("block_number"),
+        col("hash").as("parent_block_hash"), explode(col("transactions")).as("tx"))
+      .select(
+        col("chain_name"),
+        col("block_number"),
+        col("parent_block_hash"),
+        col("tx.hash").as("tx_hash"),
+        col("tx.from").as("from_address"),
+        col("tx.to").as("to_address"),
+        coalesce(col("tx.value"), lit("0")).as("value"),
+        coalesce(col("tx.gas_price"), lit("0")).as("gas_price"),
+        coalesce(col("tx.gas"), lit("0")).as("gas"),
+        coalesce(col("tx.input"), lit("0x")).as("input"),
+        coalesce(col("tx.nonce").cast(LongType), lit(0L)).as("nonce"))
+
   /** A14 sink: parent-before-child (fixes §0.2.4), dedup-on-write (fixes
-    * §0.2.5), partitioned by chain for pruning. Parquet append = the
-    * idempotent-upsert surface (compact with keepCanonical). */
+    * §0.2.5), partitioned by chain for pruning. Child rows are restricted
+    * to CANONICAL parents — a reorg that replaces a block must not leave
+    * its orphaned transactions behind (the FK intent of
+    * `0001_initial.sql:39`). Parquet append = the idempotent-upsert
+    * surface (compact with keepCanonical). */
   def writeBronze(parsed: DataFrame, outDir: String): Unit = {
     val blocks = keepCanonical(dedupBlocks(normalizeBlocks(parsed)))
     blocks.write.mode("append").partitionBy("chain_name")
       .parquet(s"$outDir/blocks")
-    val txs = dedupTxs(normalizeTxs(parsed))
+    val canon = blocks.select(col("chain_name"), col("block_number"),
+      col("hash").as("parent_block_hash"))
+    val txs = dedupTxs(
+      normalizeTxsKeyed(parsed)
+        .join(canon, Seq("chain_name", "block_number", "parent_block_hash"), "left_semi")
+        .drop("parent_block_hash"))
     txs.write.mode("append").partitionBy("chain_name")
       .parquet(s"$outDir/transactions")
   }
+
+  /** A7 serialize: bronze block rows → one JSON message per block, the
+    * shape the reference publishes to its queue (`evm_producer.rs:46,64`).
+    * Inverse of parse∘normalize up to field ordering: unix seconds are
+    * restored from the timestamp and number goes back to its decimal
+    * string. */
+  def toMessages(blocks: DataFrame): DataFrame =
+    blocks.select(to_json(struct(
+      col("block_number").cast(StringType).as("number"),
+      col("chain_name"), col("hash"), col("parent_hash"), col("miner"),
+      col("difficulty"), col("total_difficulty"),
+      col("gas_used").cast(StringType).as("gas_used"),
+      col("gas_limit").cast(StringType).as("gas_limit"),
+      col("size").cast(StringType).as("size"),
+      col("receipts_root"),
+      unix_timestamp(col("timestamp")).as("timestamp"),
+      col("transactions"), col("tx_count"))).as("value"))
 
   /** A6 historical backfill shape: the block-number range is a distributed
     * dataset and the RPC fetch runs per partition in parallel — vs the

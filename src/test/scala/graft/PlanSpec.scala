@@ -11,6 +11,9 @@ import org.apache.spark.sql.execution.ExplainMode
 class PlanSpec extends SparkSpec {
 
   private def plan(name: String): String = {
+    // other suites may have cached these tables; plans must be inspected
+    // against the real parquet scans, not InMemoryRelation substitutes.
+    spark.catalog.clearCache()
     val df: DataFrame = SparkEntry.queries(name)(spark, sf())
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.catalog.Tables
+import graft.operators.Dedup
+import graft.queries.Sim
+
+/** Property-based laws (SURVEY.md §5.2.3). Data-level generators run
+  * against small in-memory DataFrames; table-level laws run once against
+  * the sf0.001 fixtures. */
+class PropertiesSpec extends SparkSpec {
+
+  /** Run a ScalaCheck property with a fixed seed and assert it holds. */
+  private def check(prop: Prop, n: Int = 20): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(n)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private lazy val li = Tables.lineitem(spark, sf()).cache()
+
+  test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
+    val once = li.select("l_orderkey", "l_linenumber", "l_quantity")
+      .dropDuplicates()
+    assert(once.dropDuplicates().count() === once.count())
+  }
+
+  test("union-all count additivity on arbitrary predicates") {
+    val preds = Seq(
+      col("l_quantity") < 10, col("l_returnflag") === "A",
+      col("l_orderkey") % 3 === 0)
+    preds.foreach { p =>
+      val a = li.filter(p).count()
+      val b = li.filter(!p || p.isNull).count()
+      assert(a + b === li.count(), s"partition not exhaustive for $p")
+    }
+  }
+
+  test("cosine ∈ [−1, 1] and cos(v, v) ≈ 1 on real embeddings") {
+    val e = Tables.embeddings(spark, sf())
+    val selfCos = e.select(Sim.cosine(col("embedding"), col("embedding")).as("c"))
+    assert(selfCos.filter(abs(col("c") - 1.0) > 1e-9).count() === 0)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va")).limit(30)
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb")).limit(30)
+    val cross = a.crossJoin(b).select(Sim.cosine(col("va"), col("vb")).as("c"))
+    assert(cross.filter(col("c") < -1.0 - 1e-9 || col("c") > 1.0 + 1e-9).count() === 0)
+  }
+
+  test("jaccard symmetry: j(a,b) == j(b,a) (generated token sets)") {
+    import spark.implicits._
+    val gen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    check(Prop.forAll(gen, gen) { (x: List[String], y: List[String]) =>
+      val df = Seq((x.mkString(" "), y.mkString(" "))).toDF("ta", "tb")
+        .select(
+          array_distinct(split(col("ta"), " ")).as("a"),
+          array_distinct(split(col("tb"), " ")).as("b"))
+      val Array(j1, j2) = df.select(
+        size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b"))),
+        size(array_intersect(col("b"), col("a"))).cast("double") /
+          size(array_union(col("b"), col("a"))))
+        .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+      j1 == j2
+    })
+  }
+
+  test("window rank is a permutation of 1..n within each partition") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"))
+    val ranked = li.select(col("l_orderkey"),
+      row_number().over(w).as("rn"))
+    val bad = ranked.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"), max(col("rn")).as("mx"),
+        countDistinct(col("rn")).as("dn"))
+      .filter(col("mx") =!= col("n") || col("dn") =!= col("n"))
+    assert(bad.count() === 0)
+  }
+
+  test("explode ∘ nest = identity (generalized q_explode_roundtrip)") {
+    val nested = li.groupBy("l_orderkey")
+      .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("xs"))
+    val back = nested.select(col("l_orderkey"), explode(col("xs")).as("x"))
+      .select(col("l_orderkey"), col("x.l_linenumber"), col("x.l_quantity"))
+    assert(back.count() === li.count())
+    assert(back.except(li.select("l_orderkey", "l_linenumber", "l_quantity")).count() === 0)
+  }
+
+  test("minhash containment: identical texts share every band bucket") {
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.oneOf("w1", "w2", "w3", "w4", "w5"))
+    check(Prop.forAll(gen) { toks =>
+      val docs = Seq((1L, toks.mkString(" ")), (2L, toks.mkString(" ")))
+        .toDF("doc_id", "text")
+      val cands = Dedup.lshCandidates(Dedup.lshBuckets(Dedup.minhashSignatures(docs)))
+      cands.count() == 1L
+    }, 10)
+  }
+
+  test("serialize ∘ parse round trip preserves bronze blocks (A7 ∘ A10 = id)") {
+    val raw = spark.read.text(getClass.getResource("/blocks/blocks.jsonl").getPath)
+    val parsed = graft.ingest.BlockIngest.parse(raw)
+    val bronze = graft.ingest.BlockIngest.keepCanonical(
+      graft.ingest.BlockIngest.dedupBlocks(
+        graft.ingest.BlockIngest.normalizeBlocks(parsed)))
+    val reparsed = graft.ingest.BlockIngest.normalizeBlocks(
+      graft.ingest.BlockIngest.parse(graft.ingest.BlockIngest.toMessages(bronze)))
+    assert(reparsed.count() === bronze.count())
+    val cols = Seq("block_number", "hash", "gas_used", "tx_count").map(col)
+    assert(reparsed.select(cols: _*).except(bronze.select(cols: _*)).count() === 0)
+  }
+}

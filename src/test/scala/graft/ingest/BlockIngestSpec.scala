@@ -119,7 +119,9 @@ class BlockIngestSpec extends SparkSpec {
     val blocks = spark.read.parquet(s"$out/blocks")
     // 6 parsed - 1 duplicate - 1 reorg loser = 4 canonical blocks
     assert(blocks.count() === 4)
-    assert(spark.read.parquet(s"$out/transactions")
-      .filter(col("tx_hash") === "0xt1").count() === 1)
+    val txs = spark.read.parquet(s"$out/transactions")
+    // the reorg winner's tx landed; the orphaned block's txs did not
+    assert(txs.filter(col("tx_hash") === "0xt9").count() === 1)
+    assert(txs.filter(col("tx_hash") === "0xt1").count() === 0)
   }
 }
