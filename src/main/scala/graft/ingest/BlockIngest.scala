@@ -195,6 +195,14 @@ object BlockIngest {
       .parquet(s"$outDir/transactions")
   }
 
+  /** Compaction: rewrite a bronze blocks table keeping only canonical rows
+    * (the upsert-compact half of append+dedup — Parquet has no in-place
+    * update, SURVEY §7.2.6). Reads, resolves, writes to a new location. */
+  def compactBronzeBlocks(spark: SparkSession, bronzeDir: String, outDir: String): Unit =
+    keepCanonical(spark.read.parquet(s"$bronzeDir/blocks"))
+      .write.mode("overwrite").partitionBy("chain_name")
+      .parquet(s"$outDir/blocks")
+
   /** A7 serialize: bronze block rows → one JSON message per block, the
     * shape the reference publishes to its queue (`evm_producer.rs:46,64`).
     * Inverse of parse∘normalize up to field ordering: unix seconds are

@@ -124,4 +124,28 @@ class BlockIngestSpec extends SparkSpec {
     assert(txs.filter(col("tx_hash") === "0xt9").count() === 1)
     assert(txs.filter(col("tx_hash") === "0xt1").count() === 0)
   }
+
+  test("typed layer: Dataset[BlockRec]/Dataset[TxRec] round the normalize path") {
+    val blocks = Typed.blocks(BlockIngest.normalizeBlocks(parsed))
+    val txs = Typed.txs(BlockIngest.normalizeTxs(parsed))
+    val b100 = blocks.filter(_.hash == "0xaa01").head()
+    assert(b100.block_number === 100L && b100.tx_count === 2L)
+    assert(b100.size === Some(1200L))
+    val creation = txs.filter(_.tx_hash == "0xt2").head()
+    assert(creation.to_address === None) // contract creation stays typed-None
+    assert(txs.filter(_.nonce == 0L).count() >= 1)
+  }
+
+  test("compactBronzeBlocks: replays collapse to one canonical row per height") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    // two appends of the same batch = an at-least-once replay
+    BlockIngest.writeBronze(parsed, s"$tmp/bronze")
+    BlockIngest.writeBronze(parsed, s"$tmp/bronze")
+    val raw = spark.read.parquet(s"$tmp/bronze/blocks")
+    assert(raw.groupBy("block_number").count().filter(col("count") > 1).count() > 0)
+    BlockIngest.compactBronzeBlocks(spark, s"$tmp/bronze", s"$tmp/compacted")
+    val compacted = spark.read.parquet(s"$tmp/compacted/blocks")
+    assert(compacted.groupBy("block_number").count().filter(col("count") > 1).count() === 0)
+    assert(compacted.count() === 4)
+  }
 }
