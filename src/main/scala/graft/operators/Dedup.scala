@@ -74,8 +74,8 @@ object Dedup {
       .join(withToks.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
       .join(withToks.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
       .select(col("d1"), col("d2"),
-        round(size(array_intersect(col("t1"), col("t2"))).cast("double") /
-          size(array_union(col("t1"), col("t2"))), 4).as("jaccard"))
+        (size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_union(col("t1"), col("t2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -150,8 +150,8 @@ object Dedup {
     val b = withSh.select(col("doc_id").as("d2"), col("sh").as("s2"))
     a.join(b, col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        round(size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2"))), 4).as("jaccard"))
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -229,13 +229,13 @@ object Dedup {
                       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
           toks AS (SELECT doc_id, $toksSql AS t FROM docs)
           SELECT d1, d2,
-                 round(CAST(len(list_intersect(t1.t, t2.t)) AS DOUBLE)
-                       / len(list_distinct(list_concat(t1.t, t2.t))), 4) AS jaccard
+                 CAST(len(list_intersect(t1.t, t2.t)) AS DOUBLE)
+                       / len(list_distinct(list_concat(t1.t, t2.t))) AS jaccard
           FROM cands
           JOIN toks t1 ON t1.doc_id = d1
           JOIN toks t2 ON t2.doc_id = d2
-          WHERE round(CAST(len(list_intersect(t1.t, t2.t)) AS DOUBLE)
-                      / len(list_distinct(list_concat(t1.t, t2.t))), 4) >= 0.5
+          WHERE CAST(len(list_intersect(t1.t, t2.t)) AS DOUBLE)
+                      / len(list_distinct(list_concat(t1.t, t2.t))) >= 0.5
           ORDER BY d1, d2"""
     },
 
@@ -251,11 +251,11 @@ object Dedup {
                                  string_split(text, ' ')[i + 2]))) AS s
             FROM documents WHERE doc_id < 200)
           SELECT a.doc_id AS d1, b.doc_id AS d2,
-                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                       / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                      / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.2
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
           ORDER BY d1, d2""",
 
     "q_dedup_embed" ->

@@ -43,7 +43,7 @@ object Text {
         .groupBy($"lang")
         .agg(
           count(lit(1)).as("n_docs"),
-          round(sum($"n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"),
+          (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"),
           round(median($"n_chars"), 4).as("med_chars"))
         .orderBy($"lang")
     }),
@@ -73,13 +73,15 @@ object Text {
         .select(
           $"doc_id",
           size(toks).as("n_tokens"),
-          round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("uniq_ratio"),
-          round(
-            size(array_intersect(toks, array(stopwords.map(lit): _*))).cast("double") / size(toks),
-            4).as("stop_ratio"),
-          round($"n_chars".cast("double") / size(toks), 4).as("chars_per_tok"))
-        .withColumn("quality",
-          round($"uniq_ratio" * (lit(1.0) - $"stop_ratio"), 4))
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"),
+          (size(array_intersect(toks, array(stopwords.map(lit): _*))).cast("double") / size(toks))
+            .as("stop_ratio"),
+          ($"n_chars".cast("double") / size(toks)).as("chars_per_tok"))
+        // raw doubles, not round(x,4): these are small-denominator rationals
+        // that land exactly on .00005 boundaries, where Spark (shortest-
+        // string HALF_UP) and DuckDB (multiply+round) legitimately disagree;
+        // the unrounded single-op divisions/products are IEEE-identical.
+        .withColumn("quality", $"uniq_ratio" * (lit(1.0) - $"stop_ratio"))
         .orderBy($"doc_id")
     }),
 
@@ -126,7 +128,7 @@ object Text {
         .join(sizes.select($"doc_id".as("d1"), $"n_tok".as("n1")), "d1")
         .join(sizes.select($"doc_id".as("d2"), $"n_tok".as("n2")), "d2")
         .select($"d1", $"d2",
-          round($"common".cast("double") / ($"n1" + $"n2" - $"common"), 4).as("jaccard"))
+          ($"common".cast("double") / ($"n1" + $"n2" - $"common")).as("jaccard"))
         .filter($"jaccard" >= 0.5)
         .orderBy($"d1", $"d2")
     })
@@ -143,7 +145,7 @@ object Text {
     "q_text_stats_lang" ->
       """SELECT lang,
                 count(*) AS n_docs,
-                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+                CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
                 round(CAST(median(n_chars) AS DOUBLE), 4) AS med_chars
          FROM documents GROUP BY lang ORDER BY lang""",
 
@@ -158,16 +160,16 @@ object Text {
 
     "q_text_quality" ->
       """SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, chars_per_tok,
-                round(uniq_ratio * (1.0 - stop_ratio), 4) AS quality
+                uniq_ratio * (1.0 - stop_ratio) AS quality
          FROM (
            SELECT doc_id,
                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-                  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                        / len(string_split(text, ' ')), 4) AS uniq_ratio,
-                  round(CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' ')) AS uniq_ratio,
+                  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
                                  ['the','a','an','and','or','of','to','in'])) AS DOUBLE)
-                        / len(string_split(text, ' ')), 4) AS stop_ratio,
-                  round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_tok
+                        / len(string_split(text, ' ')) AS stop_ratio,
+                  CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_tok
            FROM documents)
          ORDER BY doc_id""",
 
@@ -194,11 +196,11 @@ object Text {
            FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id)
          SELECT d1, d2,
-                round(CAST(common AS DOUBLE) / (s1.n_tok + s2.n_tok - common), 4) AS jaccard
+                CAST(common AS DOUBLE) / (s1.n_tok + s2.n_tok - common) AS jaccard
          FROM common
          JOIN sizes s1 ON s1.doc_id = d1
          JOIN sizes s2 ON s2.doc_id = d2
-         WHERE round(CAST(common AS DOUBLE) / (s1.n_tok + s2.n_tok - common), 4) >= 0.5
+         WHERE CAST(common AS DOUBLE) / (s1.n_tok + s2.n_tok - common) >= 0.5
          ORDER BY d1, d2"""
   )
 }

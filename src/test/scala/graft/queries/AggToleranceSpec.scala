@@ -1,0 +1,27 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+/** q_agg_approx_distinct has no SQL oracle (HLL sketch); SURVEY §2B pins a
+  * ±5% tolerance against the exact count instead. */
+class AggToleranceSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact per event_type") {
+    val e = Tables.events(spark, sf())
+    val approx = e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("a"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("x"))
+    val joined = approx.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val a = r.getAs[Long]("a").toDouble
+      val x = r.getAs[Long]("x").toDouble
+      assert(math.abs(a - x) / x <= 0.05,
+        s"${r.getAs[String]("event_type")}: approx $a vs exact $x")
+    }
+  }
+}
