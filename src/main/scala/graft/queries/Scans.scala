@@ -62,6 +62,32 @@ object Scans {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // Correlated scalar subquery — Catalyst decorrelates to an aggregate +
+    // join (DecorrelateInnerQuery / RewriteCorrelatedScalarSubquery,
+    // SURVEY §4.1); the oracle runs the identical SQL.
+    "q_subquery_corr" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("orders_sq")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_sq o
+        WHERE o_totalprice > 1.5 * (
+          SELECT avg(i.o_totalprice) FROM orders_sq i
+          WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }),
+
+    // IN-subquery over a derived key set (plans as a semi join).
+    "q_subquery_in" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("orders_in")
+      lineitem(s, dir).createOrReplaceTempView("lineitem_in")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders_in
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem_in WHERE l_quantity > 45)
+        ORDER BY o_orderkey""")
+    }),
+
     // Null semantics: nullif-produced nulls, IS NULL, null-safe equality,
     // 3-valued logic in the predicate. Mirrors Option fields / coalesce
     // defaults in the reference (`evm.rs:38-42`, `evm_consumer.rs:46-48`).
@@ -107,6 +133,21 @@ object Scans {
            AND (l_discount < 0.02 OR l_tax > 0.06)
            AND CAST(l_orderkey AS VARCHAR) LIKE '%7'
          ORDER BY l_orderkey, l_linenumber""",
+
+    "q_subquery_corr" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT avg(i.o_totalprice) FROM orders i
+           WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+
+    "q_subquery_in" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+         ORDER BY o_orderkey""",
 
     "q_filter_null_semantics" ->
       """SELECT o_orderkey, st, coalesce(st, 'none') AS st2,

@@ -148,4 +148,24 @@ class BlockIngestSpec extends SparkSpec {
     assert(compacted.groupBy("block_number").count().filter(col("count") > 1).count() === 0)
     assert(compacted.count() === 4)
   }
+
+  test("streamBronze: restart resumes from checkpoint, no reprocessing (ack analog)") {
+    val tmp = java.nio.file.Files.createTempDirectory("restart").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(in).mkdirs()
+    def block(n: Long): String =
+      s"""{"number":"$n","chain_name":"R","hash":"0xr$n","parent_hash":"0xr${n - 1}","timestamp":${1704067200 + n},"transactions":[],"uncles":[]}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/a.jsonl"), block(1))
+    val q1 = BlockIngest.streamBronze(spark, in, out, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$out/blocks").count() === 1)
+    // restart with the same checkpoint; only the NEW file is processed
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b.jsonl"), block(2))
+    val q2 = BlockIngest.streamBronze(spark, in, out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val blocks = spark.read.parquet(s"$out/blocks")
+    // block 1 appears exactly once: the committed offset was honored
+    assert(blocks.filter(col("block_number") === 1L).count() === 1)
+    assert(blocks.count() === 2)
+  }
 }
