@@ -75,6 +75,25 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * signups within [p.ts − window, p.ts]. Both sides carry watermarks so
+    * the join state is bounded — the range condition inside the join is
+    * what lets Spark expire buffered rows. */
+  def purchaseSignupJoin(events: DataFrame, window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val sg = events.filter(col("event_type") === "signup")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    p.join(sg,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("s_ts"))
+  }
+
   /** Sink an event stream as parquet with checkpointing (ack analog). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

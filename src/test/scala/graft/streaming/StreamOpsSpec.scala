@@ -103,4 +103,27 @@ class StreamOpsSpec extends SparkSpec {
       assert(last === Map(7L -> 3L, 8L -> 1L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: signups within the hour match, older do not") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamOps.purchaseSignupJoin(in.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("psjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        ev(1, 0, user = 1, typ = "signup"),    // within the hour of p@30
+        ev(2, 30, user = 1, typ = "purchase"),
+        ev(3, 10, user = 2, typ = "signup"),   // 100m before p@110 → outside
+        ev(4, 110, user = 2, typ = "purchase"))
+      q.processAllAvailable()
+      // advance both watermarks so joined rows emit
+      in.addData(ev(8, 300, user = 9, typ = "click"))
+      q.processAllAvailable()
+      val rows = spark.table("psjoin").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("user_id")))
+      assert(rows.toSet === Set((2L, 1L)))
+    } finally q.stop()
+  }
 }
