@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling probe (not part of the driver contract): multiplies the sf0.1
+  * fact table N× via union to measure how the flagship aggregation and a
+  * fact⋈fact join scale with input volume on local[32]. Near-linear rows/s
+  * across N is the evidence the plan shape (scan → partial agg → single
+  * exchange → final agg) survives scale-up; superlinear degradation would
+  * indicate a shuffle or spill problem to fix BEFORE 100 TB. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mults = args.headOption.map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    GraftSession.configs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    // warmup
+    li0.groupBy($"l_returnflag").count().collect()
+
+    val results = mults.map { m =>
+      val li = Seq.fill(m)(li0).reduce(_ unionAll _)
+      val n = li.count()
+      val t0 = System.nanoTime()
+      // flagship hash agg
+      li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity".cast("decimal(18,4)")).as("q"), count(lit(1)).as("c"))
+        .collect()
+      val tAgg = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      // fact⋈fact shuffle join + agg
+      li.join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1))).collect()
+      val tJoin = (System.nanoTime() - t1) / 1e9
+      (m, n, tAgg, n / tAgg / 1e6, tJoin)
+    }
+    results.foreach { case (m, n, tAgg, mrps, tJoin) =>
+      println(f"""{"mult":$m,"rows":$n,"agg_sec":$tAgg%.2f,"agg_Mrows_per_sec":$mrps%.1f,"join_sec":$tJoin%.2f}""")
+    }
+    spark.stop()
+  }
+}

@@ -24,4 +24,13 @@ class AggToleranceSpec extends SparkSpec {
         s"${r.getAs[String]("event_type")}: approx $a vs exact $x")
     }
   }
+
+  test("percentile_approx within 5% of exact percentile on order totals") {
+    val o = Tables.orders(spark, sf())
+    val r = o.agg(
+      expr("percentile_approx(o_totalprice, 0.5)").as("approx"),
+      expr("percentile(o_totalprice, 0.5)").as("exact")).collect().head
+    val a = r.getAs[Double]("approx"); val x = r.getAs[Double]("exact")
+    assert(math.abs(a - x) / x <= 0.05, s"approx $a vs exact $x")
+  }
 }
