@@ -111,6 +111,25 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // reproducible sampling: md5-bucket assignment (NOT rand() — hash-based
+    // sampling is replayable, engine-portable, and stable under
+    // repartitioning; the standard trick for train/val/test splits at
+    // scale). Bucket = first 4 md5 hex chars of the key → [0, 65536).
+    "q_sample_hash" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+        .cast("int")
+      documents(s, dir)
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when($"bucket" < 52429, "train") // ~80%
+            .when($"bucket" < 58982, "val") // ~10%
+            .otherwise("test")) // ~10%
+        .filter($"split" =!= "train") // output the held-out 20%
+        .select($"doc_id", $"lang", $"bucket", $"split")
+        .orderBy($"doc_id")
+    }),
+
     // near-dup detection: token-set Jaccard >= 0.5 over a bounded candidate
     // set (doc_id < 300 — fixed work at every SF; LSH is the scale path).
     "q_text_dedup_near" -> ((s, dir) => {
@@ -185,6 +204,23 @@ object Text {
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, bucket, split
+         FROM (
+           SELECT doc_id, lang, bucket,
+                  CASE WHEN bucket < 52429 THEN 'train'
+                       WHEN bucket < 58982 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (
+             SELECT doc_id, lang,
+                    CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 4096
+                    + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT) * 256
+                    + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS INT) * 16
+                    + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1 AS INT) AS bucket
+             FROM documents))
+         WHERE split <> 'train'
+         ORDER BY doc_id""",
 
     "q_text_dedup_near" ->
       """WITH toks AS (
