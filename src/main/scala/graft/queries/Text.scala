@@ -214,10 +214,7 @@ object Text {
                        ELSE 'test' END AS split
            FROM (
              SELECT doc_id, lang,
-                    CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 4096
-                    + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT) * 256
-                    + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1 AS INT) * 16
-                    + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1 AS INT) AS bucket
+                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS bucket
              FROM documents))
          WHERE split <> 'train'
          ORDER BY doc_id""",
