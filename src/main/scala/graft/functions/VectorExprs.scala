@@ -69,6 +69,47 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** jaccard(a, b) over two string arrays that are already distinct: one
+  * hash-set pass instead of array_intersect + array_union (each of which
+  * builds its own set AND materializes a result array per row). Identical
+  * algebra: |A∩B| / (|A| + |B| − |A∩B|) = size(intersect)/size(union) for
+  * distinct inputs, and the final division is the same single IEEE op the
+  * oracle performs. Evaluated per row (CodegenFallback) — the win is doing
+  * the set work in one tight JVM pass, not per-element Catalyst eval. */
+case class JaccardSim(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two ARRAY<STRING> arguments, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return null // 0/0 like size(union)=0 division
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var common = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getUTF8String(i))) common += 1; i += 1 }
+    common.toDouble / (na + nb - common)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** cosine(a, b) in ONE pass: dot, ‖a‖², ‖b‖² accumulated in the same loop
   * (the HOF formulation walks the arrays three times). */
 case class CosineSim(left: Expression, right: Expression)

@@ -74,8 +74,9 @@ object Dedup {
       .join(withToks.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
       .join(withToks.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
       .select(col("d1"), col("d2"),
-        (size(array_intersect(col("t1"), col("t2"))).cast("double") /
-          size(array_union(col("t1"), col("t2")))).as("jaccard"))
+        // native kernel: |A∩B|/(|A|+|B|−|A∩B|) in one set pass, identical
+        // algebra (and IEEE result) to size(intersect)/size(union)
+        call_function("graft_jaccard", col("t1"), col("t2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -150,8 +151,7 @@ object Dedup {
     val b = withSh.select(col("doc_id").as("d2"), col("sh").as("s2"))
     a.join(b, col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2")))).as("jaccard"))
+        call_function("graft_jaccard", col("s1"), col("s2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

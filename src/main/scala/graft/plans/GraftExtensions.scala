@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct}
+import graft.functions.{CosineSim, DotProduct, JaccardSim}
 
 /** Session extension registering graft's native functions
   * (`spark.sql.extensions=graft.plans.GraftExtensions`, set by
@@ -24,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays."),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard",
+        "graft_jaccard(a, b) - Jaccard similarity of two distinct string arrays."),
+      (children: Seq[Expression]) => JaccardSim(children(0), children(1))))
   }
 }
