@@ -134,6 +134,32 @@ object Aggs {
         .orderBy($"l_returnflag")
     }),
 
+    // pivot: one column per linestatus value (values pinned explicitly —
+    // implicit value discovery would scan twice and order arbitrarily).
+    "q_agg_pivot" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(r4(sum(dec4($"l_quantity"))))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // unpivot/melt: wide metric columns → long (metric, value) rows.
+    "q_reshape_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .select($"o_orderkey", $"o_totalprice",
+          $"o_custkey".cast("double").as("custkey_d"))
+        .unpivot(
+          ids = Array($"o_orderkey"),
+          values = Array($"o_totalprice", $"custkey_d"),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy($"o_orderkey", $"metric")
+    }),
+
     // HLL sketch — no exact SQL oracle; driver records a rows-only check.
     // Unit test asserts ±5% vs exact countDistinct.
     "q_agg_approx_distinct" -> ((s, dir) => {
@@ -259,6 +285,18 @@ object Aggs {
          FROM lineitem
          WHERE l_orderkey < 100
          GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    "q_agg_pivot" ->
+      """SELECT l_returnflag,
+                round(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS qty_f,
+                round(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_reshape_unpivot" ->
+      """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value FROM orders
+         UNION ALL
+         SELECT o_orderkey, 'custkey_d' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+         ORDER BY o_orderkey, metric""",
 
     "q_agg_conditional" ->
       """SELECT l_returnflag,
