@@ -171,6 +171,48 @@ object Funcs {
         .orderBy($"vec_id")
     }),
 
+    // time-series gap-fill: date spine via sequence+explode, left join,
+    // zero-fill — the standard resample pattern (no native ASOF/resample
+    // operator needed).
+    "q_timeseries_gapfill" -> ((s, dir) => {
+      import s.implicits._
+      val o = orders(s, dir)
+      val bounds = o.agg(
+        min($"o_orderdate".cast("date")).as("d0"),
+        max($"o_orderdate".cast("date")).as("d1"))
+      val spine = bounds.select(
+        explode(sequence($"d0", $"d1", expr("INTERVAL 1 DAY"))).as("day"))
+      val daily = o.groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("day"), "left")
+        .select($"day", coalesce($"n_orders", lit(0L)).as("n_orders"))
+        .orderBy($"day")
+    }),
+
+    // edit distance between part names within a bounded pair set.
+    "q_str_distance" -> ((s, dir) => {
+      import s.implicits._
+      val p = part(s, dir).filter($"p_partkey" < 30)
+      val a = p.select($"p_partkey".as("k1"), $"p_name".as("n1"))
+      val b = p.select($"p_partkey".as("k2"), $"p_name".as("n2"))
+      a.join(b, $"k1" < $"k2")
+        .select($"k1", $"k2", levenshtein($"n1", $"n2").as("dist"))
+        .orderBy($"k1", $"k2")
+    }),
+
+    // regex tokenization: extract-all word tokens (vs whitespace split).
+    "q_regex_tokenize" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .filter($"doc_id" < 100)
+        .select(
+          $"doc_id",
+          regexp_extract_all($"text", lit("[a-z]+"), lit(0)).as("words"),
+          size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).as("n_words"),
+          size(regexp_extract_all($"text", lit("[aeiou]{2,}"), lit(0))).as("n_vowel_runs"))
+        .orderBy($"doc_id")
+    }),
+
     "q_map_funcs" -> ((s, dir) => {
       import s.implicits._
       region(s, dir)
@@ -301,6 +343,34 @@ object Funcs {
                 round(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq
          FROM embeddings ORDER BY vec_id""",
+
+    "q_timeseries_gapfill" ->
+      """WITH bounds AS (
+           SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+                  max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+         spine AS (
+           SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds),
+         daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT CAST(s.day AS DATE) AS day, coalesce(d.n_orders, 0) AS n_orders
+         FROM spine s LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day
+         ORDER BY day""",
+
+    "q_str_distance" ->
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+         WHERE a.p_partkey < 30 AND b.p_partkey < 30
+         ORDER BY k1, k2""",
+
+    "q_regex_tokenize" ->
+      """SELECT doc_id,
+                regexp_extract_all(text, '[a-z]+') AS words,
+                CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_words,
+                CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS INT) AS n_vowel_runs
+         FROM documents WHERE doc_id < 100
+         ORDER BY doc_id""",
 
     "q_map_funcs" ->
       """SELECT r_regionkey, 'key' AS k, CAST(r_regionkey AS VARCHAR) AS v FROM region
