@@ -102,7 +102,12 @@ object BlockIngest {
     * (`evm_consumer.rs:71`); tx_count = size(transactions). */
   def normalizeBlocks(parsed: DataFrame): DataFrame =
     parsed.select(
-      col("number").cast(LongType).as("block_number"),
+      // try_cast everywhere a string narrows: ANSI mode (Spark 4 default)
+      // would otherwise THROW on a malformed numeric (e.g. hex "0x64") and
+      // abort the batch — the break-the-stream failure this layer exists to
+      // fix. A block whose number can't narrow is dropped like any other
+      // corrupt message (skip-and-log, not abort).
+      col("number").try_cast(LongType).as("block_number"),
       col("chain_name"),
       col("hash"),
       col("parent_hash"),
@@ -110,12 +115,13 @@ object BlockIngest {
       col("miner"),
       col("difficulty"),
       col("total_difficulty"),
-      col("gas_used").cast(LongType).as("gas_used"),
-      col("gas_limit").cast(LongType).as("gas_limit"),
-      col("size").cast(LongType).as("size"),
+      col("gas_used").try_cast(LongType).as("gas_used"),
+      col("gas_limit").try_cast(LongType).as("gas_limit"),
+      col("size").try_cast(LongType).as("size"),
       col("receipts_root"),
       col("transactions"),
       coalesce(size(col("transactions")), lit(0)).cast(LongType).as("tx_count"))
+      .filter(col("block_number").isNotNull)
 
   /** A11+A12: explode transactions → bronze `transactions` rows
     * (`0001_initial.sql:27-40`). Defaults mirror unwrap_or_default
@@ -123,7 +129,7 @@ object BlockIngest {
     * to_address stays nullable (contract creation). */
   def normalizeTxs(parsed: DataFrame): DataFrame =
     parsed
-      .select(col("chain_name"), col("number").cast(LongType).as("block_number"),
+      .select(col("chain_name"), col("number").try_cast(LongType).as("block_number"),
         explode(col("transactions")).as("tx"))
       .select(
         col("chain_name"),
@@ -135,7 +141,7 @@ object BlockIngest {
         coalesce(col("tx.gas_price"), lit("0")).as("gas_price"),
         coalesce(col("tx.gas"), lit("0")).as("gas"),
         coalesce(col("tx.input"), lit("0x")).as("input"),
-        coalesce(col("tx.nonce").cast(LongType), lit(0L)).as("nonce"))
+        coalesce(col("tx.nonce").try_cast(LongType), lit(0L)).as("nonce"))
 
   /** A15: exact dedup on the natural key — UNIQUE(block_number, hash). */
   def dedupBlocks(blocks: DataFrame): DataFrame =
@@ -160,7 +166,7 @@ object BlockIngest {
     * filtering (dropped again before the DDL-shaped write). */
   private def normalizeTxsKeyed(parsed: DataFrame): DataFrame =
     parsed
-      .select(col("chain_name"), col("number").cast(LongType).as("block_number"),
+      .select(col("chain_name"), col("number").try_cast(LongType).as("block_number"),
         col("hash").as("parent_block_hash"), explode(col("transactions")).as("tx"))
       .select(
         col("chain_name"),
@@ -173,7 +179,7 @@ object BlockIngest {
         coalesce(col("tx.gas_price"), lit("0")).as("gas_price"),
         coalesce(col("tx.gas"), lit("0")).as("gas"),
         coalesce(col("tx.input"), lit("0x")).as("input"),
-        coalesce(col("tx.nonce").cast(LongType), lit(0L)).as("nonce"))
+        coalesce(col("tx.nonce").try_cast(LongType), lit(0L)).as("nonce"))
 
   /** A14 sink: parent-before-child (fixes §0.2.4), dedup-on-write (fixes
     * §0.2.5), partitioned by chain for pruning. Child rows are restricted

@@ -66,15 +66,26 @@ object Topology {
       inDirFor: String => String,
       outDir: String,
       checkpointRoot: String,
-      fetch: (String, Long) => Option[String] = (_, _) => None)
+      fetch: (String, Long) => Option[String] = (_, _) => None,
+      tipOf: String => Option[Long] = _ => None)
       : (Seq[StreamingQuery], Seq[String]) = {
     val (evm, skipped) = configs.partition(c => c.enabled && c.adapterType == "EVM")
     val queries = evm.map { c =>
-      // historical backfill first (parent data lands before the tail)
-      for (start <- c.startBlock; end <- c.endBlock) {
-        val raw = BlockIngest.backfillRange(spark, start, end,
-          parallelism = spark.sparkContext.defaultParallelism)(n => fetch(c.chainName, n))
-        BlockIngest.writeBronze(BlockIngest.parse(raw), outDir)
+      // historical backfill first (parent data lands before the tail).
+      // end_block absent ⇔ the reference's open-ended u64::MAX default
+      // (lib.rs:99): backfill to the chain tip (A5 probe) — and if no tip
+      // probe is available either, say so instead of silently skipping.
+      c.startBlock.foreach { start =>
+        c.endBlock.orElse(tipOf(c.chainName)) match {
+          case Some(end) =>
+            val raw = BlockIngest.backfillRange(spark, start, end,
+              parallelism = spark.sparkContext.defaultParallelism)(n => fetch(c.chainName, n))
+            BlockIngest.writeBronze(BlockIngest.parse(raw), outDir)
+          case None =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"${c.chainName}: start_block=$start but no end_block and no " +
+                "tip probe — historical backfill SKIPPED")
+        }
       }
       BlockIngest.streamBronze(spark, inDirFor(c.chainName), outDir,
         s"$checkpointRoot/${c.chainName}")

@@ -75,7 +75,6 @@ object Ann {
 
   /** Per-label mean vectors — the coarse IVF codebook. */
   def centroids(corpus: DataFrame): DataFrame = {
-    val dim = 64
     // mean per dimension: explode with position, average, re-assemble.
     corpus
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))

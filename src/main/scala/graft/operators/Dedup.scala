@@ -134,13 +134,18 @@ object Dedup {
 
   // ----------------------------------------------------------------- ngrams
 
-  /** 3-gram shingle set of the token sequence (order-sensitive). */
+  /** 3-gram shingle set of the token sequence (order-sensitive). Documents
+    * with < 3 tokens yield an empty set — guarded explicitly because
+    * sequence(1, 0) is the DESCENDING array [1, 0] and the out-of-range
+    * element_at would throw under ANSI mode (Spark 4 default). */
   def shingles3(text: Column): Column = {
     val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+    when(size(toks) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** n-gram Jaccard near-dups over an explicit pair product (callers bound

@@ -12,21 +12,21 @@ import graft.functions.{CosineSim, DotProduct, JaccardSim}
   * both the DataFrame API (`call_function`) and plain SQL. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - dot product of two float arrays in double."),
+      info(classOf[DotProduct], "graft_dot", "graft_dot(a, b) - dot product of two float arrays in double."),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays."),
+      info(classOf[CosineSim], "graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays."),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_jaccard"),
-      info("graft_jaccard",
+      info(classOf[JaccardSim], "graft_jaccard",
         "graft_jaccard(a, b) - Jaccard similarity of two distinct string arrays."),
       (children: Seq[Expression]) => JaccardSim(children(0), children(1))))
   }

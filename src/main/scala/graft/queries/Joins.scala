@@ -155,7 +155,7 @@ object Joins {
           $"l_shipdate" >= $"o_orderdate" &&
           $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 30 DAYS"))
         .select($"l_orderkey", $"l_linenumber", $"l_shipdate", $"o_orderdate")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_shipdate")
     }),
 
     // AS-OF: latest prior signup per purchase, same user. Equi on user +
@@ -254,7 +254,7 @@ object Joins {
            ON l_orderkey = o_orderkey
           AND l_shipdate >= o_orderdate
           AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_shipdate""",
 
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,

@@ -25,7 +25,9 @@ object Scans {
       import s.implicits._
       lineitem(s, dir)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag", $"l_shipdate")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+        // sort on every output column so tie rows are order-identical.
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag", $"l_shipdate")
     }),
 
     // A6: date-range + key predicate, both pushed to parquet row groups.
@@ -37,7 +39,7 @@ object Scans {
           $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
           $"l_partkey" < 500L)
         .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity", $"l_shipdate")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity", $"l_shipdate")
     }),
 
     // A2: single-key fetch; parquet min/max stats skip all other row groups.
@@ -59,7 +61,7 @@ object Scans {
           ($"l_discount" < 0.02 || $"l_tax" > 0.06) &&
           $"l_orderkey".cast("string").like("%7"))
         .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag", $"l_linestatus", $"l_discount", $"l_tax")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount", $"l_tax")
     }),
 
     // Correlated scalar subquery — Catalyst decorrelates to an aggregate +
@@ -111,14 +113,15 @@ object Scans {
   val oracle: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate""",
 
     "q_scan_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_partkey < 500
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate""",
 
     "q_scan_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
@@ -132,7 +135,7 @@ object Scans {
            AND NOT (l_linestatus = 'F')
            AND (l_discount < 0.02 OR l_tax > 0.06)
            AND CAST(l_orderkey AS VARCHAR) LIKE '%7'
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax""",
 
     "q_subquery_corr" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -40,11 +40,15 @@ object StreamOps {
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
 
   /** Exactly-once projection of an at-least-once feed: dedup by event_id.
-    * The watermark bounds how long a key is remembered — the replay horizon. */
+    * dropDuplicatesWithinWatermark — NOT plain dropDuplicates("event_id"):
+    * with the event-time column absent from the key subset, plain dedup
+    * never evicts its state and grows one entry per distinct id forever;
+    * the WithinWatermark variant expires keys once they age past the
+    * watermark, making the watermark the actual replay horizon. */
   def streamingDedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** 30m-gap session windows per user (append mode — sessions emit when
     * closed by the watermark). */

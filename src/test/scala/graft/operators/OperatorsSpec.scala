@@ -95,4 +95,35 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("ivf_cos") > col("bf_cos") + 1e-9)
     assert(cmp.count() === 0)
   }
+
+  test("shingles3: documents with fewer than 3 tokens yield empty sets, no ANSI crash") {
+    import spark.implicits._
+    val tiny = Seq((1L, "one"), (2L, "two words"), (3L, "three word doc"),
+      (4L, "a b c d")).toDF("doc_id", "text")
+    val sh = tiny.select(col("doc_id"), Dedup.shingles3(col("text")).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty)
+    assert(sh(3L) === Seq("three word doc"))
+    assert(sh(4L).toSet === Set("a b c", "b c d"))
+    // and the full pair pipeline survives short docs
+    assert(Dedup.ngramNearDups(tiny, 0.1).count() >= 0)
+  }
+
+  test("topology: open-ended range backfills to the tip probe (lib.rs:99 default)") {
+    val tmp = java.nio.file.Files.createTempDirectory("topo2").toString
+    new java.io.File(s"$tmp/in/T").mkdirs()
+    val cfgs = Seq(graft.ingest.Topology.ChainConfig(
+      "T", "EVM", enabled = true, startBlock = Some(5L), endBlock = None,
+      schemas = Seq("blocks")))
+    val (qs, _) = graft.ingest.Topology.launch(
+      spark, cfgs, _ => s"$tmp/in/T", s"$tmp/bronze", s"$tmp/ckpt",
+      fetch = (c, n) => Some(
+        s"""{"number":"$n","chain_name":"$c","hash":"0xg$n","parent_hash":"0xg${n - 1}","timestamp":${1704067200 + n},"transactions":[],"uncles":[]}"""),
+      tipOf = _ => Some(8L))
+    try {
+      qs.foreach(_.processAllAvailable())
+      val blocks = spark.read.parquet(s"$tmp/bronze/blocks")
+      assert(blocks.count() === 4) // 5..8 via the tip probe
+    } finally qs.foreach(_.stop())
+  }
 }
