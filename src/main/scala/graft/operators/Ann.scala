@@ -73,6 +73,33 @@ object Ann {
       .drop("rn")
   }
 
+  /** Multi-probe LSH top-k: each probe also searches every bucket at
+    * hamming distance 1 from its own (flip one sign bit) — the standard
+    * recall boost that trades nPlanes+1 bucket lookups for not shrinking
+    * buckets. Probe side explodes to its probe set (tiny); the corpus is
+    * still touched only where buckets match. */
+  def lshMultiProbeTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val flip = udf { (b: String) =>
+      b +: (0 until b.length).map(i =>
+        b.updated(i, if (b(i) == '1') '0' else '1')).toSeq
+    }
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+      explode(flip(lshBucket(col("embedding"), planes))).as("pb"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      lshBucket(col("embedding"), planes).as("cb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(p), col("cb") === col("pb"))
+      .select(col("probe_id"), col("cand_id"),
+        round(Sim.cosine(col("pv"), col("cv")), 6).as("cos"))
+      .dropDuplicates("probe_id", "cand_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Per-label mean vectors — the coarse IVF codebook. */
   def centroids(corpus: DataFrame): DataFrame = {
     // mean per dimension: explode with position, average, re-assemble.

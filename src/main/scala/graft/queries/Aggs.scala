@@ -134,6 +134,38 @@ object Aggs {
         .orderBy($"l_returnflag")
     }),
 
+    // Pearson correlation from EXACT decimal component sums — built-in
+    // corr() uses engine-specific streaming algorithms (Welford vs
+    // sum-of-products) whose float results differ across engines; the
+    // hand-rolled algebra is bit-portable: exact Σx Σy Σxy Σx² Σy² then
+    // one identical double formula on both sides.
+    "q_agg_corr" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec4($"l_quantity")).as("sx"),
+          sum(dec4($"l_extendedprice")).as("sy"),
+          sum(dec4($"l_quantity") * dec4($"l_extendedprice")).as("sxy"),
+          sum(dec4($"l_quantity") * dec4($"l_quantity")).as("sxx"),
+          sum(dec4($"l_extendedprice") * dec4($"l_extendedprice")).as("syy"))
+        // every exact decimal sum → double FIRST (identical nearest-double
+        // on both engines), THEN one shared double formula: products of two
+        // Σ-terms overflow DECIMAL(38) and precision-loss handling is
+        // engine-specific, so the decimal domain must end here.
+        .select($"l_returnflag", $"n".cast("double").as("nd"), $"n",
+          $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+          $"sxy".cast("double").as("sxyd"), $"sxx".cast("double").as("sxxd"),
+          $"syy".cast("double").as("syyd"))
+        .select($"l_returnflag", $"n",
+          round(
+            ($"nd" * $"sxyd" - $"sxd" * $"syd") /
+              (sqrt($"nd" * $"sxxd" - $"sxd" * $"sxd") *
+               sqrt($"nd" * $"syyd" - $"syd" * $"syd")), 4).as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // pivot: one column per linestatus value (values pinned explicitly —
     // implicit value discovery would scan twice and order arbitrarily).
     "q_agg_pivot" -> ((s, dir) => {
@@ -285,6 +317,25 @@ object Aggs {
          FROM lineitem
          WHERE l_orderkey < 100
          GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    "q_agg_corr" ->
+      """SELECT l_returnflag, n,
+                round((nd * sxyd - sxd * syd)
+                      / (sqrt(nd * sxxd - sxd * sxd)
+                         * sqrt(nd * syyd - syd * syd)), 4) AS corr_qty_price
+         FROM (
+           SELECT l_returnflag,
+                  count(*) AS n,
+                  CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxd,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syd,
+                  -- DECIMAL(19,4): int128 storage so the product doesn't
+                  -- overflow DuckDB's int64 decimal multiply; 19+19=38 ≤ max
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxyd,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxxd,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syyd
+           FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
 
     "q_agg_pivot" ->
       """SELECT l_returnflag,

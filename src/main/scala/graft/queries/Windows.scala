@@ -96,6 +96,19 @@ object Windows {
         .orderBy($"o_orderpriority", $"o_orderkey")
     }),
 
+    // nth_value over the full-partition frame (needs both bounds — the
+    // default running frame would make nth_value order-dependent garbage).
+    "q_win_nth" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, dir)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          nth_value($"o_orderkey", 2).over(w).as("second_best"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     "q_topk_per_group" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey")
@@ -159,6 +172,14 @@ object Windows {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_orderpriority, o_orderkey""",
+
+    "q_win_nth" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                nth_value(o_orderkey, 2) OVER
+                  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
+         FROM orders
+         ORDER BY o_custkey, o_orderkey""",
 
     "q_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn

@@ -126,4 +126,19 @@ class OperatorsSpec extends SparkSpec {
       assert(blocks.count() === 4) // 5..8 via the tip probe
     } finally qs.foreach(_.stop())
   }
+
+  test("ANN: multi-probe recall@1 ≥ single-probe recall@1") {
+    val probes = embs.filter(col("vec_id") < 20)
+    val corpus = embs.filter(col("vec_id") >= 20)
+    val exact = Ann.bruteForceTopK(probes, corpus, 1)
+      .select(col("probe_id"), col("cand_id").as("nn"))
+    def recall(res: org.apache.spark.sql.DataFrame): Long =
+      exact.join(res.select(col("probe_id"), col("cand_id")),
+        Seq("probe_id")).filter(col("nn") === col("cand_id")).count()
+    val single = recall(Ann.lshTopK(probes, corpus, 1, nPlanes = 4))
+    val multi = recall(Ann.lshMultiProbeTopK(probes, corpus, 1, nPlanes = 4))
+    assert(multi >= single, s"multi-probe recall $multi < single $single")
+    // every probe still gets a result under multi-probe (larger probe set)
+    assert(Ann.lshMultiProbeTopK(probes, corpus, 1, nPlanes = 4).count() === 20)
+  }
 }
