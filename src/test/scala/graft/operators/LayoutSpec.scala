@@ -53,4 +53,19 @@ class LayoutSpec extends SparkSpec {
     assert(r.count() === 15)
     assert(r.groupBy("__salt").count().count() === 3)
   }
+
+  test("salted join ≡ plain join under heavy key skew (90% one key)") {
+    import spark.implicits._
+    // 10k rows, 90% sharing key 1 — the pathological-height scenario
+    val skewed = spark.range(10000)
+      .select(
+        when(col("id") % 10 =!= 0, 1L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(5000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val plain = skewed.join(dim, "k")
+    val salted = Layout.saltedJoin(skewed, dim, "k", salt = 16,
+      saltExpr = abs(hash(col("payload"))))
+    assert(salted.count() === plain.count())
+    assert(salted.select("k", "payload", "v").except(plain.select("k", "payload", "v")).count() === 0)
+  }
 }
