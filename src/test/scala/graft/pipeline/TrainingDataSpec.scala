@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+/** End-to-end curation: quality gate, near-dedup keeps cluster
+  * representatives, features joined, splits reproducible and exhaustive. */
+class TrainingDataSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf()).cache()
+  private lazy val embs = Tables.embeddings(spark, sf()).cache()
+
+  test("curate: full pipeline output shape and invariants") {
+    val cfg = TrainingData.Config(minQuality = 0.2, dedupJaccard = 0.8)
+    val out = TrainingData.curate(docs, embs, cfg).cache()
+    val n = out.count()
+    assert(n > 0 && n <= docs.count())
+    // quality gate held
+    assert(out.filter(col("quality") < 0.2).count() === 0)
+    // split exhaustive + deterministic re-run
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() === 0)
+    val again = TrainingData.curate(docs, embs, cfg)
+    assert(out.select("doc_id", "split").except(again.select("doc_id", "split")).count() === 0)
+    // doc_id unique after dedup
+    assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("dropNearDups: injected exact duplicate is removed, original kept") {
+    val dup = docs.limit(1).select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))
+    val withDup = docs.unionByName(dup)
+    val cleaned = TrainingData.dropNearDups(withDup, 0.95)
+    // the high-id copy lost to the original
+    assert(cleaned.filter(col("doc_id") >= 1000000L).count() === 0)
+    assert(cleaned.count() <= docs.count())
+  }
+
+  test("withSplit: ~80/10/10 proportions at corpus scale") {
+    val split = TrainingData.withSplit(docs, TrainingData.Config())
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = split.values.sum.toDouble
+    assert(split("train") / total > 0.7 && split("train") / total < 0.9)
+    assert(split.getOrElse("val", 0L) / total < 0.2)
+    assert(split.getOrElse("test", 0L) / total < 0.2)
+  }
+}
