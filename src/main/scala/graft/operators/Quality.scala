@@ -30,23 +30,28 @@ object Quality {
       .filter(col("n_rows") > 1)
 
   /** Child rows whose (childKeys) have no parent (parentKeys) — the
-    * FK-orphan scan. Empty result = integrity holds. */
+    * FK-orphan scan. Empty result = integrity holds. SQL MATCH SIMPLE
+    * semantics (what the reference's Postgres FK enforces): a child row
+    * with ANY null key column satisfies the constraint and is never
+    * reported; parent-side nulls never match anything. */
   def checkFk(child: DataFrame, parent: DataFrame,
       childKeys: Seq[String], parentKeys: Seq[String]): DataFrame = {
+    val nonNullChild = child.filter(childKeys.map(col(_).isNotNull).reduce(_ && _))
     val cond = childKeys.zip(parentKeys)
-      .map { case (c, p) => child(c) <=> parent(p) }
+      .map { case (c, p) => nonNullChild(c) === parent(p) }
       .reduce(_ && _)
-    child.join(parent, cond, "left_anti")
+    nonNullChild.join(parent, cond, "left_anti")
   }
 
-  /** Null counts for columns that must be NOT NULL; rows where any are. */
+  /** One-row frame of null COUNTS per required column (not the offending
+    * rows — filter `col.isNull` yourself to quarantine them). */
   def checkNotNull(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(c => sum(col(c).isNull.cast("long")).as(s"${c}_nulls")): _*)
 
-  /** Schema conformance: human-readable diffs vs the expected StructType
-    * (missing columns, type mismatches, unexpected non-nullable gaps).
-    * Empty = conforms. Extra columns are reported but tolerated separately
-    * so additive evolution doesn't hard-fail. */
+  /** Schema conformance: human-readable diffs vs the expected StructType —
+    * missing columns, type mismatches, nullable-where-required drift, and
+    * unexpected extra columns (reported separately so additive evolution
+    * doesn't hard-fail). Empty = conforms. */
   def expectSchema(df: DataFrame, expected: StructType): Seq[String] = {
     val actual = df.schema.map(f => f.name -> f).toMap
     val missing = expected.flatMap { f =>
@@ -55,6 +60,8 @@ object Quality {
         case Some(a) if a.dataType != f.dataType =>
           Some(s"type mismatch: ${f.name} is ${a.dataType.simpleString}, " +
             s"expected ${f.dataType.simpleString}")
+        case Some(a) if a.nullable && !f.nullable =>
+          Some(s"nullability drift: ${f.name} is nullable, expected required")
         case _ => None
       }
     }

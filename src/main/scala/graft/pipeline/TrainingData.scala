@@ -18,23 +18,24 @@ import graft.operators.Dedup
   */
 object TrainingData {
 
+  import graft.queries.Text
+
   case class Config(
     minQuality: Double = 0.3, // uniq_ratio · (1 − stop_ratio) gate
+    minTokens: Int = 3, // degenerate docs score 0, never 1.0
     dedupJaccard: Double = 0.8, // near-dup threshold (token-set Jaccard)
-    trainBucket: Int = 52429, // ~80% of 65536
-    valBucket: Int = 58982) // next ~10%; rest = test
+    trainBucket: Int = Text.trainBucket, // ~80% of 65536
+    valBucket: Int = Text.valBucket) // next ~10%; rest = test
 
-  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in")
-
-  /** Per-doc quality score (same algebra as q_text_quality). */
-  def withQuality(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+  /** Per-doc quality score — Text.qualityExpr (the q_text_quality algebra,
+    * ONE definition) with a degenerate-document guard: empty or <minTokens
+    * docs would otherwise score a perfect 1.0 (uniq 1/1, stop 0/1), waving
+    * exactly the lowest-value inputs through the gate. They score 0. */
+  def withQuality(docs: DataFrame, minTokens: Int = 3): DataFrame =
     docs.withColumn("quality",
-      (size(array_distinct(toks)).cast("double") / size(toks)) *
-        (lit(1.0) -
-          size(array_intersect(toks, array(stopwords.map(lit): _*))).cast("double") /
-            size(toks)))
-  }
+      when(length(trim(col("text"))) === 0, 0.0)
+        .when(size(split(col("text"), " ")) < minTokens, 0.0)
+        .otherwise(Text.qualityExpr(col("text"))))
 
   /** Near-dup removal: for every verified duplicate pair keep the LOWER
     * doc_id (deterministic cluster representative); drop the rest via
@@ -45,22 +46,19 @@ object TrainingData {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  /** Reproducible split assignment (same md5-bucket algebra as
-    * q_sample_hash). */
-  def withSplit(docs: DataFrame, cfg: Config): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int")
-    docs.withColumn("bucket", bucket)
+  /** Reproducible split assignment — Text.hashBucketExpr (the
+    * q_sample_hash algebra, one definition). */
+  def withSplit(docs: DataFrame, cfg: Config): DataFrame =
+    docs.withColumn("bucket", Text.hashBucketExpr(col("doc_id")))
       .withColumn("split",
         when(col("bucket") < cfg.trainBucket, "train")
           .when(col("bucket") < cfg.valBucket, "val")
           .otherwise("test"))
-  }
 
   /** Full curation: gate → dedup → feature join → split. */
   def curate(docs: DataFrame, embeddings: DataFrame,
       cfg: Config = Config()): DataFrame = {
-    val gated = withQuality(docs).filter(col("quality") >= cfg.minQuality)
+    val gated = withQuality(docs, cfg.minTokens).filter(col("quality") >= cfg.minQuality)
     val deduped = dropNearDups(gated, cfg.dedupJaccard)
     val joined = deduped.join(
       embeddings.select(col("vec_id").as("doc_id"), col("embedding"), col("label")),

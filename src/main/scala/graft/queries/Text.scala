@@ -21,8 +21,28 @@ import graft.catalog.Tables._
   */
 object Text {
 
-  /** Tiny stopword list for quality scoring (shared with oracle SQL). */
-  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+  /** Tiny stopword list for quality scoring (shared with the oracle SQL
+    * and with graft.pipeline.TrainingData — one definition). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in")
+
+  /** quality = uniq_ratio · (1 − stop_ratio) over a text column — the
+    * single definition behind q_text_quality and the curation gate. */
+  def qualityExpr(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(text, " ")
+    (size(array_distinct(toks)).cast("double") / size(toks)) *
+      (lit(1.0) -
+        size(array_intersect(toks, array(stopwords.map(lit): _*))).cast("double") /
+          size(toks))
+  }
+
+  /** md5 bucket in [0, 65536) of an id column — the single definition
+    * behind q_sample_hash and TrainingData.withSplit. */
+  def hashBucketExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** q_sample_hash / TrainingData split thresholds (~80/10/10 of 65536). */
+  val trainBucket: Int = 52429
+  val valBucket: Int = 58982
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tokenize → explode → global top-20 terms.
@@ -65,7 +85,8 @@ object Text {
     }),
 
     // quality scoring: token count, distinct ratio, stopword ratio, mean
-    // token length — composited into one score.
+    // token length — composited into one score (qualityExpr, shared with
+    // the TrainingData curation gate).
     "q_text_quality" -> ((s, dir) => {
       import s.implicits._
       val toks = split($"text", " ")
@@ -76,12 +97,12 @@ object Text {
           (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"),
           (size(array_intersect(toks, array(stopwords.map(lit): _*))).cast("double") / size(toks))
             .as("stop_ratio"),
-          ($"n_chars".cast("double") / size(toks)).as("chars_per_tok"))
+          ($"n_chars".cast("double") / size(toks)).as("chars_per_tok"),
+          qualityExpr($"text").as("quality"))
         // raw doubles, not round(x,4): these are small-denominator rationals
         // that land exactly on .00005 boundaries, where Spark (shortest-
         // string HALF_UP) and DuckDB (multiply+round) legitimately disagree;
         // the unrounded single-op divisions/products are IEEE-identical.
-        .withColumn("quality", $"uniq_ratio" * (lit(1.0) - $"stop_ratio"))
         .orderBy($"doc_id")
     }),
 
@@ -117,13 +138,11 @@ object Text {
     // scale). Bucket = first 4 md5 hex chars of the key → [0, 65536).
     "q_sample_hash" -> ((s, dir) => {
       import s.implicits._
-      val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
-        .cast("int")
       documents(s, dir)
-        .withColumn("bucket", bucket)
+        .withColumn("bucket", hashBucketExpr($"doc_id"))
         .withColumn("split",
-          when($"bucket" < 52429, "train") // ~80%
-            .when($"bucket" < 58982, "val") // ~10%
+          when($"bucket" < trainBucket, "train") // ~80%
+            .when($"bucket" < valBucket, "val") // ~10%
             .otherwise("test")) // ~10%
         .filter($"split" =!= "train") // output the held-out 20%
         .select($"doc_id", $"lang", $"bucket", $"split")

@@ -10,50 +10,53 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * reference's deserialize-error path
   * `/root/reference/src/streams/consumers/evm_consumer.rs:118-121`).
   *
-  * Each reader returns (clean rows, quarantined raw records). Quarantine is
-  * a DataFrame so it can be persisted/alerted on rather than logged away.
-  *
-  * Scale notes: all formats split by file/offset ranges for parallel read;
-  * the corrupt-record column is projected only into the quarantine branch
-  * so the clean path carries no extra bytes.
+  * Each reader returns a [[SourceRead]]: clean rows, quarantined raw
+  * records, and a `release()` that unpersists the shared parse cache.
+  * The cache is REQUIRED (Spark disallows queries whose referenced columns
+  * are only the internal corrupt-record column, and it guarantees one
+  * parse for both branches) but it pins executor storage — call
+  * `release()` once both branches are consumed, or the entries live for
+  * the application lifetime.
   */
 object Sources {
+
+  /** One source read: consume `clean`/`quarantine`, then `release()`. */
+  case class SourceRead(clean: DataFrame, quarantine: DataFrame,
+      release: () => Unit)
 
   private val corruptCol = "_corrupt_record"
 
   private def withCorrupt(schema: StructType): StructType =
     StructType(schema.fields :+ StructField(corruptCol, StringType))
 
-  /** JSON-lines with explicit schema → (clean, quarantine). */
-  def readJson(spark: SparkSession, path: String, schema: StructType)
-      : (DataFrame, DataFrame) = {
-    val raw = spark.read
+  /** Shared clean/quarantine split over a PERMISSIVE-parsed frame. */
+  private def split(raw: DataFrame): SourceRead = {
+    val cached = raw.cache()
+    SourceRead(
+      clean = cached.filter(col(corruptCol).isNull).drop(corruptCol),
+      quarantine = cached.filter(col(corruptCol).isNotNull)
+        .select(col(corruptCol).as("raw")),
+      release = () => { cached.unpersist(); () })
+  }
+
+  /** JSON-lines with explicit schema. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): SourceRead =
+    split(spark.read
       .schema(withCorrupt(schema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
-      .json(path)
-      .cache() // one parse, both branches
-    val clean = raw.filter(col(corruptCol).isNull).drop(corruptCol)
-    val quarantine = raw.filter(col(corruptCol).isNotNull).select(col(corruptCol).as("raw"))
-    (clean, quarantine)
-  }
+      .json(path))
 
-  /** CSV with explicit schema + header → (clean, quarantine). */
+  /** CSV with explicit schema + header. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true, delimiter: String = ",")
-      : (DataFrame, DataFrame) = {
-    val raw = spark.read
+      header: Boolean = true, delimiter: String = ","): SourceRead =
+    split(spark.read
       .schema(withCorrupt(schema))
       .option("header", header.toString)
       .option("sep", delimiter)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
-      .csv(path)
-      .cache()
-    val clean = raw.filter(col(corruptCol).isNull).drop(corruptCol)
-    val quarantine = raw.filter(col(corruptCol).isNotNull).select(col(corruptCol).as("raw"))
-    (clean, quarantine)
-  }
+      .csv(path))
 
   /** Parquet is self-describing; validation happens via
     * Quality.expectSchema rather than read-time inference. */

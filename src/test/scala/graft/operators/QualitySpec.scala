@@ -29,6 +29,16 @@ class QualitySpec extends SparkSpec {
     assert(orphans.filter(col("l_orderkey") < 100).count() === 0)
   }
 
+  test("checkFk: null-keyed child rows satisfy the constraint (MATCH SIMPLE)") {
+    import spark.implicits._
+    val child = Seq((Some(1L), "a"), (None, "b"), (Some(99L), "c"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L).toDF("pk")
+    val orphans = Quality.checkFk(child, parent, Seq("fk"), Seq("pk"))
+    // only the non-null missing key is an orphan; the null-FK row passes
+    assert(orphans.collect().map(_.getAs[String]("payload")).toSeq === Seq("c"))
+  }
+
   test("checkNotNull: counts nulls per required column") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, None))

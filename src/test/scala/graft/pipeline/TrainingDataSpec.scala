@@ -37,6 +37,16 @@ class TrainingDataSpec extends SparkSpec {
     assert(cleaned.count() <= docs.count())
   }
 
+  test("withQuality: degenerate documents score 0, never a perfect 1.0") {
+    import spark.implicits._
+    val weird = Seq((1L, ""), (2L, "word"), (3L, "two words"),
+      (4L, "a real document with several distinct tokens")).toDF("doc_id", "text")
+    val q = TrainingData.withQuality(weird).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    assert(q(1L) === 0.0 && q(2L) === 0.0 && q(3L) === 0.0)
+    assert(q(4L) > 0.5)
+  }
+
   test("withSplit: ~80/10/10 proportions at corpus scale") {
     val split = TrainingData.withSplit(docs, TrainingData.Config())
       .groupBy("split").count().collect()

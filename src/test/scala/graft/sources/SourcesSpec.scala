@@ -22,7 +22,8 @@ class SourcesSpec extends SparkSpec {
         |{nope this is not json
         |{"id": "NaNope", "name": "gamma", "score": 3.5}
         |""".stripMargin)
-    val (clean, quarantine) = Sources.readJson(spark, dir, schema)
+    val read = Sources.readJson(spark, dir, schema)
+    val (clean, quarantine) = (read.clean, read.quarantine)
     // line 3 is unparseable; line 4 has a bad id type (null after coercion
     // failure but the record itself parses → stays clean with null id)
     assert(clean.filter("id IS NOT NULL").count() === 2)
@@ -38,9 +39,11 @@ class SourcesSpec extends SparkSpec {
         |2,beta,2.5
         |oops,gamma,not_a_number
         |""".stripMargin)
-    val (clean, quarantine) = Sources.readCsv(spark, dir, schema)
+    val read = Sources.readCsv(spark, dir, schema)
+    val (clean, quarantine) = (read.clean, read.quarantine)
     assert(clean.filter("id IS NOT NULL AND score IS NOT NULL").count() === 2)
     assert(quarantine.count() === 1)
     assert(quarantine.collect().head.getString(0).contains("oops"))
+    read.release() // unpersist the shared parse cache
   }
 }
