@@ -74,4 +74,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("s_ts") && (p.contains("<=") || p.contains("joincondition")),
       s"expected range predicate in join condition:\n$p")
   }
+
+  test("curation pipeline plan: no cartesian product, LSH-bounded shuffles") {
+    spark.catalog.clearCache()
+    val docs = graft.catalog.Tables.documents(spark, sf())
+    val embs = graft.catalog.Tables.embeddings(spark, sf())
+    val plan = graft.pipeline.TrainingData.curate(docs, embs)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"), s"all-pairs product in curate:\n$plan")
+    // band bucket join + dedup anti join + verify joins + feature join —
+    // shuffle count stays bounded (no quadratic re-shuffle cascade)
+    val exchanges = "\\+- Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 14, s"unexpected shuffle cascade ($exchanges) in curate")
+  }
 }
