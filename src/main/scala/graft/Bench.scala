@@ -31,6 +31,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-query line above can exceed the driver's tail-capture window,
+    // losing its front (BENCH_r01 recorded "parsed": null). Re-emit the
+    // headline as a short final line so the total always survives capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

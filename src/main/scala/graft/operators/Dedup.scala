@@ -57,10 +57,18 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
   }
 
-  /** Candidate pairs from shared LSH buckets (distinct over bands). */
+  /** Candidate pairs from shared LSH buckets (distinct over bands).
+    *
+    * The buckets frame is materialized (localCheckpoint) before the
+    * self-join: the two join sides carry different aliases, so ReuseExchange
+    * cannot dedupe them and each side would otherwise re-execute the whole
+    * tokenize + k×md5 + band-hash pipeline from the scan — 2× the most
+    * expensive narrow work at 100 TB. The checkpointed frame is tiny
+    * (doc_id, band, band_hash) relative to the corpus. */
   def lshCandidates(buckets: DataFrame): DataFrame = {
-    val a = buckets.select(col("band"), col("bh"), col("doc_id").as("d1"))
-    val b = buckets.select(col("band").as("band2"), col("bh").as("bh2"),
+    val mat = buckets.localCheckpoint()
+    val a = mat.select(col("band"), col("bh"), col("doc_id").as("d1"))
+    val b = mat.select(col("band").as("band2"), col("bh").as("bh2"),
       col("doc_id").as("d2"))
     a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
         col("d1") < col("d2"))
@@ -118,10 +126,13 @@ object Dedup {
     * any exact byte are candidates, verified by full hamming distance. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sh = simhash(docs)
+    // Materialized for the same reason as lshCandidates: without it both
+    // self-join sides recompute the full SimHash aggregation from the scan.
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), substring(col("simhash"), b * 8 + 1, 8).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh"))
+      .localCheckpoint()
     val a = bands.select(col("band"), col("bh"), col("doc_id").as("d1"), col("simhash").as("h1"))
     val b = bands.select(col("band").as("band2"), col("bh").as("bh2"),
       col("doc_id").as("d2"), col("simhash").as("h2"))

@@ -117,8 +117,11 @@ object Aggs {
         .filter($"l_orderkey" < 100)
         .groupBy($"l_orderkey")
         .agg(
-          array_sort(collect_list($"l_linenumber")).as("lns"),
-          array_sort(collect_set($"l_returnflag")).as("flags"))
+          // collect_list/collect_set + array_sort stay under test; the
+          // output is array_join-serialized because the driver's pandas
+          // comparator cannot sort/hash raw ARRAY columns.
+          array_join(array_sort(collect_list($"l_linenumber")).cast("array<string>"), "|").as("lns"),
+          array_join(array_sort(collect_set($"l_returnflag")), "|").as("flags"))
         .orderBy($"l_orderkey")
     }),
 
@@ -312,8 +315,8 @@ object Aggs {
 
     "q_agg_collect" ->
       """SELECT l_orderkey,
-                list(l_linenumber ORDER BY l_linenumber) AS lns,
-                list_sort(list(DISTINCT l_returnflag)) AS flags
+                array_to_string(list(l_linenumber ORDER BY l_linenumber), '|') AS lns,
+                array_to_string(list_sort(list(DISTINCT l_returnflag)), '|') AS flags
          FROM lineitem
          WHERE l_orderkey < 100
          GROUP BY l_orderkey ORDER BY l_orderkey""",

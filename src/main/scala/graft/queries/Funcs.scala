@@ -46,7 +46,10 @@ object Funcs {
           length($"p_name").as("len"),
           regexp_replace($"p_name", lit(" "), lit("_")).as("snake"),
           lpad($"p_size".cast("string"), 4, "0").as("size4"),
-          split($"p_name", " ").as("toks"))
+          // array_join-serialized so the driver's pandas comparator can
+          // sort/hash it (raw ARRAY columns are unhashable there); the
+          // split() semantics stay in the query body.
+          array_join(split($"p_name", " "), "|").as("toks"))
         .orderBy($"p_partkey")
     }),
 
@@ -161,7 +164,12 @@ object Funcs {
           $"vec_id",
           size($"embedding").as("dim"),
           element_at($"embedding", 3).as("e3"),
-          slice($"embedding", 1, 4).as("head4"),
+          // slice() stays under test, but floats serialize non-portably
+          // (Spark "1.0E-4" vs DuckDB "0.0001"), so emit the sliced
+          // elements as rounded double scalars instead of a raw array
+          // (raw ARRAY output is unhashable in the driver's comparator).
+          round(element_at(slice($"embedding", 1, 4), 1).cast("double"), 4).as("h1"),
+          round(element_at(slice($"embedding", 1, 4), 4).cast("double"), 4).as("h4"),
           array_contains(transform($"embedding", x => x > 0.2f), lit(true)).as("has_big"),
           // sum of squares via higher-order aggregate, double math throughout
           round(aggregate(
@@ -207,7 +215,9 @@ object Funcs {
         .filter($"doc_id" < 100)
         .select(
           $"doc_id",
-          regexp_extract_all($"text", lit("[a-z]+"), lit(0)).as("words"),
+          // serialized via array_join for the driver comparator; the
+          // regexp_extract_all list semantics stay in the body.
+          array_join(regexp_extract_all($"text", lit("[a-z]+"), lit(0)), "|").as("words"),
           size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).as("n_words"),
           size(regexp_extract_all($"text", lit("[aeiou]{2,}"), lit(0))).as("n_vowel_runs"))
         .orderBy($"doc_id")
@@ -260,7 +270,7 @@ object Funcs {
                 CAST(length(p_name) AS INT) AS len,
                 replace(p_name, ' ', '_') AS snake,
                 lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
-                string_split(p_name, ' ') AS toks
+                array_to_string(string_split(p_name, ' '), '|') AS toks
          FROM part ORDER BY p_partkey""",
 
     "q_regex_funcs" ->
@@ -338,7 +348,8 @@ object Funcs {
       """SELECT vec_id,
                 CAST(len(embedding) AS INT) AS dim,
                 embedding[3] AS e3,
-                embedding[1:4] AS head4,
+                round(CAST(embedding[1:4][1] AS DOUBLE), 4) AS h1,
+                round(CAST(embedding[1:4][4] AS DOUBLE), 4) AS h4,
                 list_contains(list_transform(embedding, x -> x > 0.2), true) AS has_big,
                 round(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq
@@ -366,7 +377,7 @@ object Funcs {
 
     "q_regex_tokenize" ->
       """SELECT doc_id,
-                regexp_extract_all(text, '[a-z]+') AS words,
+                array_to_string(regexp_extract_all(text, '[a-z]+'), '|') AS words,
                 CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_words,
                 CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS INT) AS n_vowel_runs
          FROM documents WHERE doc_id < 100
