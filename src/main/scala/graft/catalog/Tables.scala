@@ -16,11 +16,20 @@ object Tables {
     * buffer-pool analog for repeated-query workloads — Bench enables it so
     * per-query time measures compute, not re-scanning the same parquet 76
     * times. Off by default: Verify and tests read cold like the driver. */
-  private val cached = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val cached = scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  /** Stable per-session cache key: a DataFrame cached under a stopped or
+    * replaced session must never be handed to a new one (it would fail at
+    * execution) — each session gets its own cache entries. */
+  private def sessionKey(s: SparkSession): String =
+    // applicationId changes when the context restarts; the identity hash
+    // separates sibling sessions of one context (sessionUUID is private[sql])
+    s"${s.sparkContext.applicationId}#${System.identityHashCode(s)}"
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (java.lang.Boolean.getBoolean("graft.cacheTables"))
-      cached.getOrElseUpdate((dir, name), s.read.parquet(path(dir, name)).persist())
+      cached.getOrElseUpdate((sessionKey(s), dir, name),
+        s.read.parquet(path(dir, name)).persist())
     else s.read.parquet(path(dir, name))
 
   def region(s: SparkSession, dir: String): DataFrame   = t(s, dir, "region")

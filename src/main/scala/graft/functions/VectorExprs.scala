@@ -90,6 +90,10 @@ case class JaccardSim(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard"
+  // contract: two empty sets → NULL (DuckDB's 0/0 division), never NaN —
+  // and that null can surface even from non-null inputs, so nullability
+  // must not be inferred from the children.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -111,12 +115,18 @@ case class JaccardSim(left: Expression, right: Expression)
 }
 
 /** cosine(a, b) in ONE pass: dot, ‖a‖², ‖b‖² accumulated in the same loop
-  * (the HOF formulation walks the arrays three times). */
+  * (the HOF formulation walks the arrays three times).
+  *
+  * Zero-denominator contract (pinned — not IEEE incidental): a zero or
+  * empty vector on either side yields NULL, matching DuckDB's
+  * division-by-zero NULL, never the NaN that raw `0/0.0` would produce. */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression with FloatArrayPair {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  // null can surface from non-null (zero-vector) inputs
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -130,7 +140,8 @@ case class CosineSim(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -146,7 +157,11 @@ case class CosineSim(left: Expression, right: Expression)
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

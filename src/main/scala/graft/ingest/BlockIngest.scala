@@ -69,7 +69,9 @@ object BlockIngest {
     StructField("transactions", ArrayType(txMsgSchema)),
     StructField("uncles", ArrayType(StringType))))
 
-  /** Declared-but-unimplemented logs schema (`README.md:187-196`). */
+  /** Bronze logs schema — the reference's documented logs data model
+    * (`README.md:187-196`: log_index, address, topics, data, decoded_event,
+    * transaction_hash, block_number), plus chain_name as everywhere else. */
   val logSchema: StructType = StructType(Seq(
     StructField("log_index", LongType),
     StructField("address", StringType),
@@ -78,6 +80,18 @@ object BlockIngest {
     StructField("decoded_event", StringType),
     StructField("transaction_hash", StringType),
     StructField("block_number", LongType)))
+
+  /** Log message schema: the RPC wire shape of the logs model — numerics as
+    * decimal strings (like blocks/txs), chain_name injected per topology. */
+  val logMsgSchema: StructType = StructType(Seq(
+    StructField("log_index", StringType),
+    StructField("chain_name", StringType),
+    StructField("address", StringType),
+    StructField("topics", ArrayType(StringType)),
+    StructField("data", StringType),
+    StructField("decoded_event", StringType),
+    StructField("transaction_hash", StringType),
+    StructField("block_number", StringType)))
 
   /** A10: JSON lines → typed rows. PERMISSIVE: corrupt messages become null
     * structs and are dropped (skip-and-log), never aborting the stream. */
@@ -199,6 +213,60 @@ object BlockIngest {
         .drop("parent_block_hash"))
     txs.write.mode("append").partitionBy("chain_name")
       .parquet(s"$outDir/transactions")
+  }
+
+  // ------------------------------------------------------------------ logs
+
+  /** Logs A10 analog: JSON log messages → typed rows, PERMISSIVE
+    * skip-and-log like `parse`. A log without its identifying keys
+    * (tx hash + index) is corrupt and dropped. */
+  def parseLogs(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw
+      .withColumn("msg", from_json(col(jsonCol), logMsgSchema,
+        Map("mode" -> "PERMISSIVE")))
+      .filter(col("msg").isNotNull && col("msg.transaction_hash").isNotNull &&
+        col("msg.log_index").isNotNull)
+      .select("msg.*")
+
+  /** Logs A12/A13 analog: narrow string numerics, default empty topics /
+    * "0x" data (the unwrap_or_default policy of `evm_consumer.rs:46-50`
+    * applied to the logs model); decoded_event stays nullable (decoding is
+    * a downstream concern). */
+  def normalizeLogs(parsed: DataFrame): DataFrame =
+    parsed.select(
+      col("chain_name"),
+      col("block_number").try_cast(LongType).as("block_number"),
+      col("transaction_hash"),
+      col("log_index").try_cast(LongType).as("log_index"),
+      col("address"),
+      coalesce(col("topics"), array().cast(ArrayType(StringType))).as("topics"),
+      coalesce(col("data"), lit("0x")).as("data"),
+      col("decoded_event"))
+      .filter(col("block_number").isNotNull && col("log_index").isNotNull)
+
+  /** A15 analog for logs: UNIQUE(chain, block, tx_hash, log_index). */
+  def dedupLogs(logs: DataFrame): DataFrame =
+    logs.dropDuplicates("chain_name", "block_number", "transaction_hash", "log_index")
+
+  /** Topics array → one row per (log, topic position) — the A11 explode
+    * applied to the logs model's nested collection. */
+  def explodeTopics(logs: DataFrame): DataFrame =
+    logs.select(
+      col("chain_name"), col("block_number"), col("transaction_hash"),
+      col("log_index"),
+      posexplode(col("topics")).as(Seq("topic_pos", "topic")))
+
+  /** Logs sink: dedup-on-write and FK-restricted to transactions that
+    * actually landed (the logs→transactions FK intent mirroring
+    * `0001_initial.sql:39`) — a reorg that drops a transaction must not
+    * leave its logs behind. Parent (txs) writes before child (logs). */
+  def writeBronzeLogs(parsedLogs: DataFrame, txs: DataFrame, outDir: String): Unit = {
+    val parents = txs.select(
+      col("chain_name"), col("block_number"), col("tx_hash").as("transaction_hash"))
+    dedupLogs(normalizeLogs(parsedLogs))
+      .join(parents, Seq("chain_name", "block_number", "transaction_hash"), "left_semi")
+      .write.mode("append").partitionBy("chain_name")
+      .parquet(s"$outDir/logs")
   }
 
   /** Compaction: rewrite a bronze blocks table keeping only canonical rows

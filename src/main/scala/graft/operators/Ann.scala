@@ -81,12 +81,17 @@ object Ann {
   def lshMultiProbeTopK(probes: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    val flip = udf { (b: String) =>
-      b +: (0 until b.length).map(i =>
-        b.updated(i, if (b(i) == '1') '0' else '1')).toSeq
-    }
+    // probe set = own bucket ∪ one-bit flips, built from substring/when
+    // composition (nPlanes is a plan-time constant) so the expansion stays
+    // inside whole-stage codegen — no Scala UDF in the probe path.
+    val base = lshBucket(col("embedding"), planes)
+    def flipBit(i: Int): Column = concat(
+      substring(base, 1, i),
+      when(substring(base, i + 1, 1) === "1", "0").otherwise("1"),
+      substring(base, i + 2, nPlanes - i - 1))
+    val probeSet = array(base +: (0 until nPlanes).map(flipBit): _*)
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-      explode(flip(lshBucket(col("embedding"), planes))).as("pb"))
+      explode(probeSet).as("pb"))
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       lshBucket(col("embedding"), planes).as("cb"))
     val w = Window.partitionBy(col("probe_id"))

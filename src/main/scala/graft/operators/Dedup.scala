@@ -94,6 +94,40 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame =
     verifyJaccard(docs, lshCandidates(lshBuckets(minhashSignatures(docs))), threshold)
 
+  // -------------------------------------------------- inverted-index path
+
+  /** Candidate pairs from a document-frequency-capped inverted-index join —
+    * the unbounded form of q_text_dedup_near's token join (SURVEY §7.2.5).
+    *
+    * A token appearing in k documents contributes k·(k−1)/2 pairs to the
+    * self-join, so one corpus-wide token ("the") makes the join quadratic in
+    * corpus size. Dropping tokens with df > maxTokenDf bounds the candidate
+    * count at O(n_tokens · maxTokenDf): true near-dups still collide on
+    * their rare tokens, and only pairs whose entire overlap is corpus-common
+    * vocabulary are missed (such pairs have near-zero Jaccard specificity
+    * anyway — this is the standard df-cut from inverted-index retrieval). */
+  def invertedIndexCandidates(docs: DataFrame, maxTokenDf: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val rare = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTokenDf)
+      .select(col("tok"))
+    // materialized: both self-join sides read the capped index once instead
+    // of re-executing tokenize + df-join from the scan (same reasoning as
+    // lshCandidates).
+    val capped = toks.join(rare, Seq("tok")).localCheckpoint()
+    capped.select(col("tok"), col("doc_id").as("d1"))
+      .join(capped.select(col("tok").as("tok2"), col("doc_id").as("d2")),
+        col("tok") === col("tok2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Unbounded token-set near-dup detection: df-capped inverted-index
+    * candidates, then exact Jaccard over the FULL token sets (the df cut
+    * only prunes candidate generation — reported scores are uncapped). */
+  def invertedIndexNearDups(docs: DataFrame, threshold: Double,
+      maxTokenDf: Int = 1000): DataFrame =
+    verifyJaccard(docs, invertedIndexCandidates(docs, maxTokenDf), threshold)
+
   // ---------------------------------------------------------------- simhash
 
   val simhashBits: Int = 32

@@ -14,9 +14,11 @@ import graft.catalog.Tables._
   *   - Word counting / quality scoring are narrow per-row ops + one hash agg.
   *   - The near-dup Jaccard self-join is the classic token-inverted-index
   *     join; unbounded it is O(sum_token df²). Here the oracle query bounds
-  *     the candidate set by doc_id (fixed work at every SF); the scale path
-  *     (MinHash/LSH banding, SimHash) lives in graft.operators.Dedup with
-  *     unit tests — band-bucket joins replace the full pairwise product.
+  *     the candidate set by doc_id (fixed work at every SF); the unbounded
+  *     API is Dedup.invertedIndexNearDups (df-capped index, exact verify)
+  *     and the sub-linear scale paths (MinHash/LSH banding, SimHash) live
+  *     in graft.operators.Dedup — band-bucket joins replace the full
+  *     pairwise product.
   *   - Everything uses built-in codegen'd functions; no UDFs.
   */
 object Text {

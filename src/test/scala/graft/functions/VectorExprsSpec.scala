@@ -42,6 +42,31 @@ class VectorExprsSpec extends SparkSpec {
     assert(r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-9))
   }
 
+  test("zero-denominator contract: zero/empty vectors → NULL, never NaN") {
+    // graft_cosine: zero vector on either side → NULL (DuckDB's x/0 NULL);
+    // graft_jaccard: two empty sets → NULL (DuckDB's 0/0 NULL). Pinned in
+    // both the interpreted path (collect) and codegen (the SQL below runs
+    // inside whole-stage codegen for cosine).
+    val row = spark.sql(
+      """SELECT graft_cosine(CAST(array(0.0, 0.0) AS ARRAY<FLOAT>),
+        |                    CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS zc,
+        |       graft_cosine(CAST(array() AS ARRAY<FLOAT>),
+        |                    CAST(array() AS ARRAY<FLOAT>)) AS ec,
+        |       graft_jaccard(CAST(array() AS ARRAY<STRING>),
+        |                     CAST(array() AS ARRAY<STRING>)) AS ej,
+        |       graft_jaccard(CAST(array() AS ARRAY<STRING>),
+        |                     array('a')) AS hj""".stripMargin).collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+    assert(row.getDouble(3) === 0.0) // one empty side: 0/(0+1-0), a real zero
+    // and NULL-producing non-null inputs must not be folded away by a
+    // wrong nullability: isnull() over the kernels stays truthful
+    val n = spark.sql(
+      """SELECT isnull(graft_cosine(CAST(array(0.0) AS ARRAY<FLOAT>),
+        |                           CAST(array(1.0) AS ARRAY<FLOAT>)))""".stripMargin)
+      .collect().head.getBoolean(0)
+    assert(n)
+  }
+
   test("null inputs propagate null, mismatched dims use common prefix") {
     val df = spark.sql(
       """SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),

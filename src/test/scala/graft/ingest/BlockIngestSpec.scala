@@ -125,6 +125,46 @@ class BlockIngestSpec extends SparkSpec {
     assert(txs.filter(col("tx_hash") === "0xt1").count() === 0)
   }
 
+  test("logs: parse→normalize→bronze with FK restriction to landed txs (README.md:187-196)") {
+    import spark.implicits._
+    val logLines = Seq(
+      // two logs of tx 0xt9 (canonical block 100/0xbb01), one with 2 topics
+      """{"log_index":"0","chain_name":"ARB","address":"0xc1","topics":["0xtop1","0xtop2"],"data":"0xd1","decoded_event":"Transfer","transaction_hash":"0xt9","block_number":"100"}""",
+      """{"log_index":"1","chain_name":"ARB","address":"0xc1","topics":null,"data":null,"decoded_event":null,"transaction_hash":"0xt9","block_number":"100"}""",
+      // duplicate delivery of log 0 (§0.2.5 analog)
+      """{"log_index":"0","chain_name":"ARB","address":"0xc1","topics":["0xtop1","0xtop2"],"data":"0xd1","decoded_event":"Transfer","transaction_hash":"0xt9","block_number":"100"}""",
+      // orphan: tx never landed (reorg loser 0xt1) → FK-restricted out
+      """{"log_index":"0","chain_name":"ARB","address":"0xc2","topics":["0xdead"],"data":"0x","decoded_event":null,"transaction_hash":"0xt1","block_number":"100"}""",
+      // corrupt line → skipped, not aborted
+      """{"log_index":"2","chain_name":"ARB",CORRUPT""")
+    val rawLogs = logLines.toDF("value")
+    val parsedLogs = BlockIngest.parseLogs(rawLogs)
+    assert(parsedLogs.count() === 4) // corrupt line dropped
+    // normalize: narrowing + defaults
+    val norm = BlockIngest.normalizeLogs(parsedLogs)
+    val l1 = norm.filter(col("log_index") === 1L).collect().head
+    assert(l1.getAs[Seq[String]]("topics") === Seq.empty)
+    assert(l1.getAs[String]("data") === "0x")
+    // bronze write: parent txs first (writeBronze), then FK-restricted logs
+    val out = java.nio.file.Files.createTempDirectory("bronzelogs").toString
+    BlockIngest.writeBronze(parsed, out)
+    val txs = spark.read.parquet(s"$out/transactions")
+    BlockIngest.writeBronzeLogs(parsedLogs, txs, out)
+    val logs = spark.read.parquet(s"$out/logs")
+    assert(logs.count() === 2) // dup collapsed, orphan dropped
+    // FK green: no log references a missing transaction
+    val orphans = graft.operators.Quality.checkFk(
+      logs, txs.withColumnRenamed("tx_hash", "transaction_hash"),
+      Seq("chain_name", "block_number", "transaction_hash"),
+      Seq("chain_name", "block_number", "transaction_hash"))
+    assert(orphans.count() === 0)
+    // topics explode: (log, position) rows
+    val topics = BlockIngest.explodeTopics(logs)
+    assert(topics.count() === 2)
+    assert(topics.orderBy(col("topic_pos")).collect().map(_.getAs[String]("topic")).toSeq
+      === Seq("0xtop1", "0xtop2"))
+  }
+
   test("typed layer: Dataset[BlockRec]/Dataset[TxRec] round the normalize path") {
     val blocks = Typed.blocks(BlockIngest.normalizeBlocks(parsed))
     val txs = Typed.txs(BlockIngest.normalizeTxs(parsed))

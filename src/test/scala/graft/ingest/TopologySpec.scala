@@ -39,6 +39,51 @@ class TopologySpec extends SparkSpec {
     assert(arb.schemas === Seq("blocks", "transactions"))
   }
 
+  test("retry: transient failures retried with backoff, then success (README.md:132)") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // fail twice with a 429, then succeed
+    var failures = 2
+    val flaky: Long => Option[String] = { n =>
+      calls += n
+      if (failures > 0) { failures -= 1; throw new RuntimeException("HTTP 429") }
+      Some(s"block-$n")
+    }
+    val wrapped = Retry.withRetry(maxRetries = 3, baseDelayMs = 100,
+      sleep = delays += _)(flaky)
+    assert(wrapped(7L) === Some("block-7"))
+    assert(calls.size === 3) // 2 failures + 1 success
+    assert(delays.toSeq === Seq(100L, 200L)) // exponential backoff
+  }
+
+  test("retry: give-up after bounded attempts is skip-and-log, None never retried") {
+    var calls = 0
+    val gaveUp = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val alwaysDown: Long => Option[String] = { _ => calls += 1; throw new RuntimeException("boom") }
+    val wrapped = Retry.withRetry(maxRetries = 2, sleep = _ => (),
+      onGiveUp = (n, _) => gaveUp += n)(alwaysDown)
+    assert(wrapped(9L) === None) // skip, not throw: the stream survives
+    assert(calls === 3) // 1 + maxRetries, strictly bounded
+    assert(gaveUp.toSeq === Seq(9L))
+    // a None result is a genuine absence (past the tip), not a failure
+    var probes = 0
+    val absent = Retry.withRetry(maxRetries = 5, sleep = _ => ())({ _ => probes += 1; None })
+    assert(absent(1L) === None && probes === 1)
+  }
+
+  test("retry: composes with backfillRange — flaky fetch still lands all blocks") {
+    // per-block transient failure on first attempt; retry recovers every one
+    val flaky: Long => Option[String] = { n =>
+      // deterministic per-call state must live OUTSIDE the executor closure;
+      // use a thread-local attempt marker keyed by block number
+      if (TopologySpec.firstAttempt.add(n)) throw new RuntimeException("HTTP 429")
+      Some(s"""{"number":"$n","chain_name":"R","hash":"0xr$n","parent_hash":"0xr${n - 1}","timestamp":${1704067200 + n},"transactions":[],"uncles":[]}""")
+    }
+    val df = BlockIngest.backfillRange(spark, 1L, 8L, parallelism = 2)(
+      Retry.withRetry(maxRetries = 2, sleep = _ => ())(flaky))
+    assert(BlockIngest.parse(df).count() === 8)
+  }
+
   test("launch: EVM chains ingest historical+realtime; others skipped (lib.rs:125-128)") {
     val tmp = java.nio.file.Files.createTempDirectory("topo").toString
     val in = s"$tmp/in/ARB"
@@ -65,4 +110,12 @@ class TopologySpec extends SparkSpec {
       assert(blocks.select("chain_name").distinct().collect().map(_.getString(0)).toSeq === Seq("ARB"))
     } finally queries.foreach(_.stop())
   }
+}
+
+object TopologySpec {
+  /** Blocks already attempted once by the flaky backfill fake — a
+    * concurrent set because mapPartitions runs it from executor threads
+    * (local mode: same JVM). */
+  val firstAttempt: java.util.concurrent.ConcurrentHashMap.KeySetView[java.lang.Long, java.lang.Boolean] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
 }

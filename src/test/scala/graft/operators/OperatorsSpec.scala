@@ -109,6 +109,31 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.ngramNearDups(tiny, 0.1).count() >= 0)
   }
 
+  test("inverted-index near-dup: df cap bounds candidates under a shared-token corpus") {
+    import spark.implicits._
+    // pathological corpus: 60 docs all share the token "spam" (df=60);
+    // docs 0 and 1 are true near-dups sharing three rare tokens.
+    val corpus = (0L until 60L).map { i =>
+      val text = if (i <= 1) s"spam rare1 rare2 rare3 uniq$i"
+      else s"spam uniq${i}a uniq${i}b uniq${i}c uniq${i}d"
+      (i, text)
+    }.toDF("doc_id", "text")
+    // uncapped (df cap ≥ corpus size): the shared token alone yields the
+    // full 60·59/2 pairwise product
+    val uncapped = Dedup.invertedIndexCandidates(corpus, maxTokenDf = 60)
+    assert(uncapped.count() === 60L * 59 / 2)
+    // capped: "spam" (df=60) is cut from the index; only the rare-token
+    // collision (docs 0,1) survives — candidates bounded, not quadratic
+    val capped = Dedup.invertedIndexCandidates(corpus, maxTokenDf = 10)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
+    // full pipeline: Jaccard is computed over FULL token sets (the shared
+    // token counts toward the score even though it was cut from the index)
+    val dups = Dedup.invertedIndexNearDups(corpus, 0.5, maxTokenDf = 10).collect()
+    assert(dups.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
+    // |{spam,rare1..3,uniq0} ∩ {spam,rare1..3,uniq1}| = 4, union = 6
+    assert(math.abs(dups.head.getDouble(2) - 4.0 / 6.0) < 1e-12)
+  }
+
   test("topology: open-ended range backfills to the tip probe (lib.rs:99 default)") {
     val tmp = java.nio.file.Files.createTempDirectory("topo2").toString
     new java.io.File(s"$tmp/in/T").mkdirs()
