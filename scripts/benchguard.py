@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Per-query bench regression guard.
+
+Usage: scripts/benchguard.py <bench_output_file_or_-> [medians.json]
+
+Reads graft.Bench's long JSON line (the one with the per-query map) and
+compares every query's wall time against the recorded medians in
+bench/medians.json. Fails (exit 1) when a query exceeds 4x its recorded
+median AND the excess is more than 0.5s absolute (so sub-100ms queries
+jittering to 300ms don't false-alarm), or when the total exceeds 2x the
+recorded total median. This catches the next 13.5s-style single-query
+outlier at build time instead of judge time.
+
+Refresh the medians after an intentional perf change:
+  for i in 1 2 3; do SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    scripts/run.sh graft.Bench 2>/dev/null | head -1 >> /tmp/bench.jsonl; done
+  then recompute per-query medians into bench/medians.json.
+"""
+import json
+import sys
+
+src = sys.argv[1] if len(sys.argv) > 1 else '-'
+medfile = sys.argv[2] if len(sys.argv) > 2 else 'bench/medians.json'
+
+text = sys.stdin.read() if src == '-' else open(src).read()
+bench = None
+for line in text.splitlines():
+    line = line.strip()
+    if line.startswith('{') and '"queries"' in line:
+        bench = json.loads(line)
+        break
+if bench is None:
+    sys.exit('no bench JSON line with a "queries" map found')
+
+medians = json.load(open(medfile))
+total_median = medians.pop('_total')
+
+fails = []
+for q, t in sorted(bench['queries'].items()):
+    m = medians.get(q)
+    if m is None:
+        print(f'NEW  {q}: {t:.2f}s (no recorded median — refresh medians.json)')
+        continue
+    if t > 4 * m and t - m > 0.5:
+        fails.append(f'{q}: {t:.2f}s > 4x median {m:.2f}s')
+if bench['value'] > 2 * total_median:
+    fails.append(f"total: {bench['value']:.1f}s > 2x median {total_median:.1f}s")
+
+for f in fails:
+    print('FAIL', f)
+if not fails:
+    print(f"OK   total {bench['value']:.1f}s (median {total_median:.1f}s), "
+          f"{len(bench['queries'])} queries within 4x of medians")
+sys.exit(1 if fails else 0)
