@@ -39,12 +39,21 @@ object Dedup {
   private def minhash(toks: Column, seed: Int): Column =
     array_min(transform(toks, t => md5(concat(t, lit(s"_s$seed")))))
 
-  /** doc_id + k MinHash components m0..m7. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(
-      col("doc_id") +: minhashSeeds.map(s => minhash(toks, s).as(s"m$s")): _*)
-  }
+  /** doc_id + k MinHash components m0..m7 over `setOf(text)` — token sets
+    * by default; pass `shingles3` for the order-sensitive variant.
+    *
+    * Two-step projection on purpose: the set expression materializes ONCE
+    * per row and the k minhash columns read the materialized array.
+    * Inlining `setOf(text)` into each minhash column would re-evaluate the
+    * whole tokenize/shingle pipeline k times per row (higher-order
+    * functions are interpreted — no codegen CSE rescues it); Catalyst's
+    * CollapseProject keeps the split because the array is non-cheap and
+    * referenced k times. */
+  def minhashSignatures(docs: DataFrame,
+      setOf: Column => Column = tokens): DataFrame =
+    docs.select(col("doc_id"), setOf(col("text")).as("st"))
+      .select(
+        col("doc_id") +: minhashSeeds.map(sd => minhash(col("st"), sd).as(s"m$sd")): _*)
 
   /** (doc_id, band, band_hash) — the LSH bucket keys. */
   def lshBuckets(signatures: DataFrame): DataFrame = {
@@ -75,9 +84,11 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
-  /** Exact token-set Jaccard for a pair set (the verify step after LSH). */
-  def verifyJaccard(docs: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
-    val withToks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+  /** Exact set Jaccard for a pair set (the verify step after LSH) —
+    * token sets by default, any set extractor via `setOf`. */
+  def verifyJaccard(docs: DataFrame, pairs: DataFrame, threshold: Double,
+      setOf: Column => Column = tokens): DataFrame = {
+    val withToks = docs.select(col("doc_id"), setOf(col("text")).as("toks"))
     pairs
       .join(withToks.select(col("doc_id").as("d1"), col("toks").as("t1")), "d1")
       .join(withToks.select(col("doc_id").as("d2"), col("toks").as("t2")), "d2")
@@ -193,8 +204,22 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Order-sensitive unbounded near-dup: the same MinHash+LSH banding run
+    * over 3-gram shingle sets instead of unigram token sets. A permuted
+    * document (same vocabulary, different order) shares almost no shingles,
+    * so it does NOT collide here, while it scores Jaccard 1.0 under
+    * minhashNearDups — the two operators are complementary, and both scale
+    * via band-bucket joins (no all-pairs). Documents with < 3 tokens have
+    * empty shingle sets → null signatures → null band hashes, which match
+    * nothing in the bucket join and verify to null Jaccard: they simply
+    * never pair. */
+  def shingleNearDups(docs: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(docs,
+      lshCandidates(lshBuckets(minhashSignatures(docs, shingles3))),
+      threshold, shingles3)
+
   /** n-gram Jaccard near-dups over an explicit pair product (callers bound
-    * the candidate set; LSH over shingles is the unbounded path). */
+    * the candidate set; `shingleNearDups` is the unbounded LSH path). */
   def ngramNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     val withSh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
     val a = withSh.select(col("doc_id").as("d1"), col("sh").as("s1"))
@@ -240,6 +265,14 @@ object Dedup {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // Order-sensitive LSH: MinHash banding over 3-gram shingles — the
+    // unbounded scale path for shingle near-dup (same banding algebra as
+    // q_dedup_minhash, reproduced exactly in the oracle SQL).
+    "q_dedup_ngram_lsh" -> ((s, dir) => {
+      shingleNearDups(documents(s, dir).filter(col("doc_id") < 500), 0.2)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     //
 
     "q_dedup_embed" -> ((s, dir) => {
@@ -250,8 +283,46 @@ object Dedup {
 
   private val toksSql = "list_distinct(string_split(text, ' '))"
 
-  private def minhashSql(seed: Int): String =
-    s"list_min(list_transform($toksSql, t -> md5(t || '_s$seed')))"
+  /** DuckDB mirror of shingles3 (same as the q_dedup_ngram oracle). */
+  private val shingleSql =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      |  i -> concat(string_split(text, ' ')[i], ' ',
+      |              string_split(text, ' ')[i + 1], ' ',
+      |              string_split(text, ' ')[i + 2])))""".stripMargin
+
+  private def minhashSqlOver(set: String, seed: Int): String =
+    s"list_min(list_transform($set, t -> md5(t || '_s$seed')))"
+
+  private def minhashSql(seed: Int): String = minhashSqlOver(toksSql, seed)
+
+  /** MinHash+LSH+verify oracle over an arbitrary set expression — shared by
+    * q_dedup_minhash (token sets) and q_dedup_ngram_lsh (shingles). */
+  private def lshOracleSql(setSql: String, threshold: Double): String = {
+    val sigCols = minhashSeeds.map(s => s"${minhashSqlOver("st", s)} AS m$s")
+      .mkString(",\n                  ")
+    val bandSelects = (0 until bandsOf).map(b =>
+      s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bh FROM sigs")
+      .mkString("\n           UNION ALL ")
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        sets AS (SELECT doc_id, $setSql AS st FROM docs),
+        sigs AS (SELECT doc_id,
+                $sigCols
+                 FROM sets),
+        bands AS ($bandSelects),
+        cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        SELECT d1, d2,
+               CAST(len(list_intersect(t1.st, t2.st)) AS DOUBLE)
+                     / len(list_distinct(list_concat(t1.st, t2.st))) AS jaccard
+        FROM cands
+        JOIN sets t1 ON t1.doc_id = d1
+        JOIN sets t2 ON t2.doc_id = d2
+        WHERE CAST(len(list_intersect(t1.st, t2.st)) AS DOUBLE)
+                    / len(list_distinct(list_concat(t1.st, t2.st))) >= $threshold
+        ORDER BY d1, d2"""
+  }
 
   private val simhashBitSql: String = {
     val bitCases = (0 until simhashBits).map { j =>
@@ -265,29 +336,9 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
-    "q_dedup_minhash" -> {
-      val sigCols = minhashSeeds.map(s => s"${minhashSql(s)} AS m$s").mkString(",\n                  ")
-      val bandSelects = (0 until bandsOf).map(b =>
-        s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bh FROM sigs").mkString("\n           UNION ALL ")
-      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
-          sigs AS (SELECT doc_id,
-                  $sigCols
-                   FROM docs),
-          bands AS ($bandSelects),
-          cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                    FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-          toks AS (SELECT doc_id, $toksSql AS t FROM docs)
-          SELECT d1, d2,
-                 CAST(len(list_intersect(t1.t, t2.t)) AS DOUBLE)
-                       / len(list_distinct(list_concat(t1.t, t2.t))) AS jaccard
-          FROM cands
-          JOIN toks t1 ON t1.doc_id = d1
-          JOIN toks t2 ON t2.doc_id = d2
-          WHERE CAST(len(list_intersect(t1.t, t2.t)) AS DOUBLE)
-                      / len(list_distinct(list_concat(t1.t, t2.t))) >= 0.5
-          ORDER BY d1, d2"""
-    },
+    "q_dedup_minhash" -> lshOracleSql(toksSql, 0.5),
+
+    "q_dedup_ngram_lsh" -> lshOracleSql(shingleSql, 0.2),
 
     "q_dedup_simhash" -> simhashBitSql,
 

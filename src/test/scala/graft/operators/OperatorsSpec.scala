@@ -134,6 +134,30 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(dups.head.getDouble(2) - 4.0 / 6.0) < 1e-12)
   }
 
+  test("shingle LSH: order-sensitive, bucket-bounded — permutations don't pair") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " extra"), // superset sequence: shingle jaccard 48/49
+      (3L, (1 to 50).reverse.map(i => s"tok$i").mkString(" ")), // permutation
+      (4L, (100 to 150).map(i => s"z$i").mkString(" ")), // unrelated
+      (5L, "a b")) // < 3 tokens: empty shingle set, must never pair or crash
+      .toDF("doc_id", "text")
+    val shPairs = Dedup.shingleNearDups(corpus, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shPairs === Set((1L, 2L))) // the permutation does NOT collide
+    // complementary: token-set LSH finds the permutation (same vocabulary)
+    val tokPairs = Dedup.minhashNearDups(corpus, 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tokPairs.contains((1L, 3L)))
+    // bucket-boundedness: unrelated docs share no band bucket, so the
+    // candidate set stays sparse rather than the full pair product
+    val cands = Dedup.lshCandidates(
+      Dedup.lshBuckets(Dedup.minhashSignatures(corpus, Dedup.shingles3)))
+    assert(cands.count() < 5L * 4 / 2)
+  }
+
   test("topology: open-ended range backfills to the tip probe (lib.rs:99 default)") {
     val tmp = java.nio.file.Files.createTempDirectory("topo2").toString
     new java.io.File(s"$tmp/in/T").mkdirs()
