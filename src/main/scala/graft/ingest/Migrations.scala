@@ -1,0 +1,129 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** Schema migrations — the reference's A17 surface completed: its sqlx
+  * runner applies versioned up-migrations
+  * (`/root/reference/src/storage/db.rs:5-10`,
+  * `/root/reference/migrations/0001_initial.sql`) and ships a teardown
+  * (`0001_initial.down.sql`) that nothing ever runs. Here both directions
+  * are first-class:
+  *
+  *   - a migration = (version, name, up, down) acting on a table root;
+  *   - `migrate` applies pending migrations in version order and records
+  *     them in a ledger file (the sqlx `_sqlx_migrations` analog);
+  *   - `rollback(to)` runs `down` in reverse order back to a version.
+  *
+  * "CREATE TABLE" in a Parquet-only engine = write an empty frame with the
+  * declared schema (the schema footer is the DDL); "DROP TABLE" = delete
+  * the path. The ledger is a plain text file of applied versions, replaced
+  * atomically — adequate for the single-writer migration step the
+  * reference models (its runner is also one process at startup).
+  */
+object Migrations {
+
+  case class Migration(
+    version: Int,
+    name: String,
+    up: SparkSession => Unit,
+    down: SparkSession => Unit)
+
+  private def ledgerPath(root: String) = Paths.get(root, "_migrations")
+
+  /** Versions already applied at this root, ascending. */
+  def applied(root: String): Seq[Int] = {
+    val p = ledgerPath(root)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map(_.toInt).sorted
+  }
+
+  private def writeLedger(root: String, versions: Seq[Int]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, "_migrations.tmp")
+    Files.write(tmp, versions.sorted.map(_.toString).asJava)
+    Files.move(tmp, ledgerPath(root), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Apply every pending migration in version order; returns the versions
+    * applied this call. Idempotent: already-recorded versions are skipped. */
+  def migrate(spark: SparkSession, root: String,
+      migrations: Seq[Migration]): Seq[Int] = {
+    val done = applied(root).toSet
+    val pending = migrations.filterNot(m => done.contains(m.version)).sortBy(_.version)
+    pending.foreach { m =>
+      m.up(spark)
+      writeLedger(root, (applied(root) :+ m.version).distinct)
+    }
+    pending.map(_.version)
+  }
+
+  /** Roll back to `toVersion` (exclusive floor): every applied migration
+    * with version > toVersion runs `down`, newest first. */
+  def rollback(spark: SparkSession, root: String,
+      migrations: Seq[Migration], toVersion: Int): Seq[Int] = {
+    val byVersion = migrations.map(m => m.version -> m).toMap
+    val undo = applied(root).filter(_ > toVersion).sorted.reverse
+    undo.foreach { v =>
+      byVersion.get(v) match {
+        case Some(m) => m.down(spark)
+        case None => throw new IllegalArgumentException(
+          s"applied version $v has no registered migration to roll back")
+      }
+      writeLedger(root, applied(root).filterNot(_ == v))
+    }
+    undo
+  }
+
+  // ------------------------------------------------------- bronze DDL set
+
+  /** Empty-frame "CREATE TABLE" with a declared schema. */
+  def createTable(spark: SparkSession, path: String, schema: StructType): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("ignore").parquet(path)
+
+  /** "DROP TABLE" = delete the path (SURVEY §2A A17). */
+  def dropTable(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  /** The reference's 0001_initial (blocks + transactions,
+    * `0001_initial.sql:6-40`) and its teardown (`0001_initial.down.sql`). */
+  def initialBronze(root: String): Migration = Migration(
+    version = 1, name = "initial",
+    up = s => {
+      createTable(s, s"$root/blocks",
+        BlockIngest.normalizeBlocks(emptyParsed(s)).schema)
+      createTable(s, s"$root/transactions",
+        BlockIngest.normalizeTxs(emptyParsed(s)).schema)
+    },
+    down = _ => {
+      dropTable(s"$root/transactions")
+      dropTable(s"$root/blocks")
+    })
+
+  /** Round-2 logs table (`README.md:187-196` model) as migration 2. */
+  def logsBronze(root: String): Migration = Migration(
+    version = 2, name = "logs",
+    up = s => createTable(s, s"$root/logs",
+      BlockIngest.normalizeLogs(emptyParsedLogs(s)).schema),
+    down = _ => dropTable(s"$root/logs"))
+
+  /** Empty frames carrying the declared message schemas, so the bronze
+    * DDL schemas stay derived from the ONE normalize definition. */
+  private def emptyParsed(s: SparkSession) =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      BlockIngest.blockMsgSchema)
+
+  private def emptyParsedLogs(s: SparkSession) =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      BlockIngest.logMsgSchema)
+}

@@ -218,6 +218,36 @@ object Dedup {
       lshCandidates(lshBuckets(minhashSignatures(docs, shingles3))),
       threshold, shingles3)
 
+  /** Benchmark contamination scan — the training-data hygiene op (the
+    * n-gram-collision decontamination used for LLM corpora): pairs of
+    * (train doc, benchmark doc) sharing at least `minShared` 3-gram
+    * shingles. The shingle join is df-capped on the train side like
+    * invertedIndexCandidates — a boilerplate shingle present in half the
+    * corpus is uninformative for contamination and would make the join
+    * quadratic; real leaked passages collide on their rare shingles. */
+  def contamination(train: DataFrame, benchmark: DataFrame, minShared: Int,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val t = train.select(col("doc_id").as("train_id"),
+      explode(shingles3(col("text"))).as("sh"))
+    val rare = t.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select(col("sh"))
+    val b = benchmark.select(col("doc_id").as("bench_id"),
+      explode(shingles3(col("text"))).as("sh"))
+    // shingles3 is distinct per doc, so the count is distinct shared shingles
+    t.join(rare, Seq("sh")).join(b, Seq("sh"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Drop contaminated training documents (anti-join on flagged ids). */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, minShared: Int,
+      maxShingleDf: Int = 1000): DataFrame =
+    train.join(
+      contamination(train, benchmark, minShared, maxShingleDf)
+        .select(col("train_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** n-gram Jaccard near-dups over an explicit pair product (callers bound
     * the candidate set; `shingleNearDups` is the unbounded LSH path). */
   def ngramNearDups(docs: DataFrame, threshold: Double): DataFrame = {
@@ -278,6 +308,16 @@ object Dedup {
     "q_dedup_embed" -> ((s, dir) => {
       embeddingNearDups(embeddings(s, dir).filter(col("vec_id") < 100), 0.3)
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    // Benchmark decontamination: docs < 50 play the benchmark set, docs in
+    // [50, 300) the training corpus; pairs sharing ≥ 2 shingles flagged.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      contamination(
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 300),
+        docs.filter(col("doc_id") < 50), minShared = 2)
+        .orderBy(col("train_id"), col("bench_id"))
     })
   )
 
@@ -341,6 +381,19 @@ object Dedup {
     "q_dedup_ngram_lsh" -> lshOracleSql(shingleSql, 0.2),
 
     "q_dedup_simhash" -> simhashBitSql,
+
+    "q_decontaminate" ->
+      s"""WITH tr AS (SELECT doc_id AS train_id, unnest($shingleSql) AS sh
+                      FROM documents WHERE doc_id >= 50 AND doc_id < 300),
+          rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM tr GROUP BY sh)
+                   WHERE df <= 1000),
+          bm AS (SELECT doc_id AS bench_id, unnest($shingleSql) AS sh
+                 FROM documents WHERE doc_id < 50)
+          SELECT train_id, bench_id, count(*) AS n_shared
+          FROM tr JOIN rare USING (sh) JOIN bm USING (sh)
+          GROUP BY train_id, bench_id
+          HAVING count(*) >= 2
+          ORDER BY train_id, bench_id""",
 
     "q_dedup_ngram" ->
       s"""WITH sh AS (

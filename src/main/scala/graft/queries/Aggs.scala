@@ -195,6 +195,44 @@ object Aggs {
         .orderBy($"o_orderkey", $"metric")
     }),
 
+    // Exact interpolated quantiles via PORTABLE algebra: built-in
+    // percentile()/quantile_cont() interpolate with engine-specific
+    // formula/order (ULP divergence), so both sides compute rank selection
+    // + the SAME interpolation expression `a + (b - a) * g` on the SAME
+    // double inputs — bit-identical, no rounding needed. g is exact: p ∈
+    // {.25,.5,.75} and n−1 integer make p·(n−1) and its fraction exact
+    // doubles. Scale note: this exact path costs a per-group sort (the
+    // window) + two self-joins; the production approximation is
+    // percentile_approx (sketch, one pass — tolerance unit-tested in
+    // AggToleranceSpec).
+    "q_agg_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag").orderBy($"x")
+      // counts comes straight off the table (hash agg) — deriving it from
+      // `ranked` would execute the per-group sort window a third time.
+      // The two bracket joins each evaluate the window; materializing it
+      // (localCheckpoint) was measured to cost as much as the recompute at
+      // this row count, so the plan stays lazy.
+      val ranked = lineitem(s, dir)
+        .select($"l_returnflag", $"l_extendedprice".as("x"))
+        .withColumn("rn", row_number().over(w))
+      val counts = lineitem(s, dir).groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"))
+      val pos = counts.crossJoin(Seq(0.25, 0.5, 0.75).toDF("p"))
+        .withColumn("h", $"p" * ($"n" - 1))
+        .withColumn("lo", floor($"h").cast("long") + 1)
+        .withColumn("hi", least(floor($"h").cast("long") + 2, $"n"))
+        .withColumn("g", $"h" - floor($"h"))
+      pos
+        .join(ranked.select($"l_returnflag", $"rn".as("lo"), $"x".as("a")),
+          Seq("l_returnflag", "lo"))
+        .join(ranked.select($"l_returnflag", $"rn".as("hi"), $"x".as("b")),
+          Seq("l_returnflag", "hi"))
+        .select($"l_returnflag", $"p", ($"a" + ($"b" - $"a") * $"g").as("q"))
+        .orderBy($"l_returnflag", $"p")
+    }),
+
     // HLL sketch — no exact SQL oracle; driver records a rows-only check.
     // Unit test asserts ±5% vs exact countDistinct.
     "q_agg_approx_distinct" -> ((s, dir) => {
@@ -357,6 +395,25 @@ object Aggs {
                 CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
                 round(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS open_price,
                 CAST(sum(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodisc
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_percentiles" ->
+      """WITH ranked AS (
+           SELECT l_returnflag, l_extendedprice AS x,
+                  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn
+           FROM lineitem),
+         counts AS (SELECT l_returnflag, count(*) AS n FROM ranked GROUP BY l_returnflag),
+         ps AS (SELECT unnest(CAST([0.25, 0.5, 0.75] AS DOUBLE[])) AS p),
+         pos AS (
+           SELECT l_returnflag, p, n,
+                  CAST(floor(p * (n - 1)) AS BIGINT) + 1 AS lo,
+                  least(CAST(floor(p * (n - 1)) AS BIGINT) + 2, n) AS hi,
+                  p * (n - 1) - floor(p * (n - 1)) AS g
+           FROM counts CROSS JOIN ps)
+         SELECT pos.l_returnflag, p, a.x + (b.x - a.x) * g AS q
+         FROM pos
+         JOIN ranked a ON a.l_returnflag = pos.l_returnflag AND a.rn = pos.lo
+         JOIN ranked b ON b.l_returnflag = pos.l_returnflag AND b.rn = pos.hi
+         ORDER BY pos.l_returnflag, p"""
   )
 }

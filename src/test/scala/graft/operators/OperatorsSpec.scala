@@ -158,6 +158,31 @@ class OperatorsSpec extends SparkSpec {
     assert(cands.count() < 5L * 4 / 2)
   }
 
+  test("decontaminate: leaked benchmark passages flagged, boilerplate df-capped") {
+    import spark.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val boiler = "copyright header all rights reserved"
+    val train = Seq(
+      // leaked: contains the benchmark passage verbatim → many shared shingles
+      (100L, s"intro words then the quick brown fox jumps over the lazy dog outro"),
+      // clean but shares the boilerplate with every other train doc
+      (101L, s"$boiler unrelated content alpha beta gamma"),
+      (102L, s"$boiler other unrelated content delta epsilon zeta"),
+      // one incidental shingle in common with the benchmark (< minShared)
+      (103L, "a sentence where the quick brown cat sits")).toDF("doc_id", "text")
+    val flagged = Dedup.contamination(train, bench, minShared = 2)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(100L))
+    val clean = Dedup.decontaminate(train, bench, minShared = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(101L, 102L, 103L))
+    // df cap: boilerplate shingles shared by every train doc are cut from
+    // the index entirely — a benchmark doc made of boilerplate flags nothing
+    val boilerBench = Seq((2L, boiler)).toDF("doc_id", "text")
+    assert(Dedup.contamination(train, boilerBench, minShared = 1,
+      maxShingleDf = 1).count() === 0)
+  }
+
   test("topology: open-ended range backfills to the tip probe (lib.rs:99 default)") {
     val tmp = java.nio.file.Files.createTempDirectory("topo2").toString
     new java.io.File(s"$tmp/in/T").mkdirs()

@@ -25,6 +25,24 @@ class AggToleranceSpec extends SparkSpec {
     }
   }
 
+  test("q_agg_percentiles portable algebra ≡ built-in percentile() (1e-9)") {
+    val ours = graft.SparkEntry.queries("q_agg_percentiles")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val builtin = Tables.lineitem(spark, sf())
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("qs"))
+      .collect().flatMap { r =>
+        r.getSeq[Double](1).zip(Seq(0.25, 0.5, 0.75)).map { case (q, p) =>
+          (r.getString(0), p) -> q
+        }
+      }.toMap
+    assert(ours.keySet === builtin.keySet)
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"$k: portable $v vs builtin ${builtin(k)}")
+    }
+  }
+
   test("percentile_approx within 5% of exact percentile on order totals") {
     val o = Tables.orders(spark, sf())
     val r = o.agg(
