@@ -322,15 +322,20 @@ object BlockIngest {
     val raw = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .text(inDir)
-    parseStream(raw)
+    streamBronze(raw, outDir, checkpointDir)
+  }
+
+  /** Same sink over an already-constructed message stream — the form a
+    * pluggable transport feeds (`MessageQueue.stream(topic)`). */
+  def streamBronze(
+      raw: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    parse(raw)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         writeBronze(batch, outDir)
       }
       .start()
-  }
-
-  private def parseStream(raw: DataFrame): DataFrame =
-    parse(raw)
 }

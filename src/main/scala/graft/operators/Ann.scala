@@ -105,6 +105,82 @@ object Ann {
       .drop("rn")
   }
 
+  /** Nearest-centroid assignment WITHOUT a shuffle: the codebook unrolls
+    * into one array-of-structs expression per row and `array_max` picks the
+    * best (struct ordering compares cos first, centroid id as tie-break) —
+    * fully narrow, fused with the scan, no crossJoin + window. This is why
+    * the codebook lives driver-side as plain values: k centroids are
+    * broadcast-scale by definition. Null cosines (zero vectors) rank below
+    * every real score. */
+  def assign(corpus: DataFrame, codebook: Seq[(Int, Seq[Float])]): DataFrame = {
+    val scored = array(codebook.map { case (id, v) =>
+      struct(
+        coalesce(Sim.cosine(col("embedding"), typedlit(v)), lit(-2.0)).as("cos"),
+        lit(id).as("cluster"))
+    }: _*)
+    corpus.withColumn("cluster", array_max(scored).getField("cluster"))
+  }
+
+  /** Deterministic Lloyd's k-means over the embedding column — the real
+    * IVF codebook builder (the label-routed `centroids` below is the
+    * degenerate case where labels are already a clustering). Each
+    * iteration is ONE narrow assignment pass + ONE groupBy shuffle
+    * (per-dimension means); centroids round-trip through the driver
+    * because k·dim doubles is broadcast-sized. Init is deterministic
+    * farthest-first traversal (the k-center heuristic): seed 1 is the
+    * md5-min document, each next seed is the point least similar to every
+    * chosen seed — k cheap narrow scans that avoid the
+    * two-seeds-in-one-cluster local optimum of arbitrary init. Empty
+    * clusters keep their previous centroid. */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
+    val first = corpus.orderBy(md5(col("vec_id").cast("string")))
+      .limit(1).select(col("embedding")).collect().head.getSeq[Float](0)
+    var seeds = Seq(first)
+    while (seeds.size < k) {
+      val sims = seeds.map(s =>
+        coalesce(Sim.cosine(col("embedding"), typedlit(s)), lit(-2.0)))
+      val worst = if (sims.size == 1) sims.head else greatest(sims: _*)
+      val next = corpus.withColumn("worst", worst)
+        .orderBy(col("worst").asc, col("vec_id"))
+        .limit(1).select(col("embedding")).collect().head.getSeq[Float](0)
+      seeds :+= next
+    }
+    var codebook: Seq[(Int, Seq[Float])] = seeds.zipWithIndex.map(_.swap)
+    (0 until iters).foreach { _ =>
+      val means = assign(corpus, codebook)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      codebook = codebook.map { case (i, old) => i -> means.getOrElse(i, old) }
+    }
+    codebook
+  }
+
+  /** IVF nprobe=1 over an explicit k-means codebook: corpus and probes are
+    * both routed by nearest centroid (narrow), candidates meet in an
+    * equi-join on cluster id — the full ANN shape at scale: cluster count
+    * bounds every probe's candidate set. */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      codebook: Seq[(Int, Seq[Float])]): DataFrame = {
+    val c = assign(corpus, codebook)
+      .select(col("vec_id").as("cand_id"), col("cluster"), col("embedding").as("cv"))
+    val p = assign(probes, codebook)
+      .select(col("vec_id").as("probe_id"), col("cluster"), col("embedding").as("pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(p), Seq("cluster"))
+      .select(col("probe_id"), col("cand_id"),
+        round(Sim.cosine(col("pv"), col("cv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Per-label mean vectors — the coarse IVF codebook. */
   def centroids(corpus: DataFrame): DataFrame = {
     // mean per dimension: explode with position, average, re-assemble.

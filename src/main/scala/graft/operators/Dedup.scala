@@ -74,10 +74,29 @@ object Dedup {
     * tokenize + k×md5 + band-hash pipeline from the scan — 2× the most
     * expensive narrow work at 100 TB. The checkpointed frame is tiny
     * (doc_id, band, band_hash) relative to the corpus. */
-  def lshCandidates(buckets: DataFrame): DataFrame = {
+  def lshCandidates(buckets: DataFrame): DataFrame =
+    lshCandidates(buckets, maxBucketSize = Int.MaxValue)
+
+  /** As above, with the 100 TB skew guard: a bucket of k docs contributes
+    * k·(k−1)/2 pairs, so one degenerate bucket (e.g. every near-empty doc
+    * hashing identically) turns the self-join quadratic and lands on a
+    * single shuffle partition. Buckets larger than maxBucketSize are
+    * dropped — standard LSH practice: a bucket that big means the band
+    * carries no discriminating information, and true near-dup pairs still
+    * collide in one of their other b−1 bands. */
+  def lshCandidates(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
     val mat = buckets.localCheckpoint()
-    val a = mat.select(col("band"), col("bh"), col("doc_id").as("d1"))
-    val b = mat.select(col("band").as("band2"), col("bh").as("bh2"),
+    val sized =
+      if (maxBucketSize == Int.MaxValue) mat
+      else {
+        val small = mat.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .select(col("band"), col("bh"))
+        mat.join(small, Seq("band", "bh"))
+      }
+    val a = sized.select(col("band"), col("bh"), col("doc_id").as("d1"))
+    val b = sized.select(col("band").as("band2"), col("bh").as("bh2"),
       col("doc_id").as("d2"))
     a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
         col("d1") < col("d2"))

@@ -158,6 +158,21 @@ class OperatorsSpec extends SparkSpec {
     assert(cands.count() < 5L * 4 / 2)
   }
 
+  test("lsh bucket cap: a degenerate hot bucket is dropped, rare buckets survive") {
+    import spark.implicits._
+    // 40 identical docs (one giant bucket in every band) + 2 near-dups of
+    // a distinct text (their own small bucket)
+    val corpus = ((1L to 40L).map(i => (i, "same same same text")) ++
+      Seq((100L, "alpha beta gamma delta epsilon"),
+          (101L, "alpha beta gamma delta epsilon"))).toDF("doc_id", "text")
+    val buckets = Dedup.lshBuckets(Dedup.minhashSignatures(corpus))
+    val uncapped = Dedup.lshCandidates(buckets)
+    assert(uncapped.count() === 40L * 39 / 2 + 1) // quadratic hot bucket
+    val capped = Dedup.lshCandidates(buckets, maxBucketSize = 10)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L))) // hot bucket cut, rare pair kept
+  }
+
   test("decontaminate: leaked benchmark passages flagged, boilerplate df-capped") {
     import spark.implicits._
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
@@ -199,6 +214,33 @@ class OperatorsSpec extends SparkSpec {
       val blocks = spark.read.parquet(s"$tmp/bronze/blocks")
       assert(blocks.count() === 4) // 5..8 via the tip probe
     } finally qs.foreach(_.stop())
+  }
+
+  test("kmeans: recovers separated clusters; ivf over the codebook routes correctly") {
+    import spark.implicits._
+    // three well-separated axis clusters in 8 dims, 20 points each
+    def cluster(base: Int, axis: Int): Seq[(Long, Seq[Float], String)] =
+      (0 until 20).map { i =>
+        val v = Array.fill(8)(0.01f * ((i + base) % 5))
+        v(axis) = 1.0f + 0.01f * i
+        ((base + i).toLong, v.toSeq, s"c$axis")
+      }
+    val corpus = (cluster(0, 0) ++ cluster(100, 3) ++ cluster(200, 6))
+      .toDF("vec_id", "embedding", "label")
+    val codebook = Ann.kmeans(corpus, k = 3, iters = 5)
+    assert(codebook.size === 3)
+    // every ground-truth cluster maps to exactly one learned cluster
+    val assigned = Ann.assign(corpus, codebook)
+      .select(col("label"), col("cluster")).distinct().collect()
+    assert(assigned.length === 3)
+    assert(assigned.map(_.getInt(1)).distinct.length === 3)
+    // ivf over the learned codebook: a probe near cluster-3's axis finds
+    // only cluster-3 members
+    val probe = Seq((999L, Seq.fill(8)(0.0f).updated(3, 1.0f), "p"))
+      .toDF("vec_id", "embedding", "label")
+    val top = Ann.ivfTopK(probe, corpus, 5, codebook).collect()
+    assert(top.length === 5)
+    assert(top.forall(r => r.getLong(1) >= 100L && r.getLong(1) < 200L))
   }
 
   test("ANN: multi-probe recall@1 ≥ single-probe recall@1") {
