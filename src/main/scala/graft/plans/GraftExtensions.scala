@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom operator tier: merge-based as-of join (AsOfJoinPlan →
+    // AsOfJoinExec) — see graft.plans.AsOf
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info(classOf[DotProduct], "graft_dot", "graft_dot(a, b) - dot product of two float arrays in double."),

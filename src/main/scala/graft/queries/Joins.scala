@@ -172,6 +172,22 @@ object Joins {
         .groupBy($"event_id", $"user_id", $"ts")
         .agg(max($"s_ts").as("signup_ts"))
         .orderBy($"event_id")
+    }),
+
+    // Same as-of semantics through the CUSTOM MERGE OPERATOR
+    // (graft.plans.AsOf → AsOfJoinExec): one co-partitioned forward merge
+    // instead of the fan-out join + aggregate above — the scale path for
+    // hot keys, oracle-checked against the identical correlated-max SQL.
+    "q_join_asof_merge" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val sg = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+      graft.plans.AsOf.join(p, sg, "user_id", "s_user", "ts", "s_ts")
+        .select($"event_id", $"user_id", $"ts", $"s_ts".as("signup_ts"))
+        .orderBy($"event_id")
     })
   )
 
@@ -257,6 +273,16 @@ object Joins {
          ORDER BY l_orderkey, l_linenumber, l_shipdate""",
 
     "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+                CAST((SELECT max(s.ts) FROM events s
+                      WHERE s.event_type = 'signup'
+                        AND s.user_id = e.user_id
+                        AND s.ts <= e.ts) AS TIMESTAMP) AS signup_ts
+         FROM events e
+         WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id""",
+
+    "q_join_asof_merge" ->
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
                 CAST((SELECT max(s.ts) FROM events s
                       WHERE s.event_type = 'signup'
