@@ -46,6 +46,28 @@ object ScaleProbe {
     results.foreach { case (m, n, tAgg, mrps, tJoin) =>
       println(f"""{"mult":$m,"rows":$n,"agg_sec":$tAgg%.2f,"agg_Mrows_per_sec":$mrps%.1f,"join_sec":$tJoin%.2f}""")
     }
+
+    // hot-key as-of: every row on ONE key — the composable join+max
+    // formulation materializes probes × builds intermediate rows; the
+    // custom merge operator streams both sides once. This is the skew case
+    // the operator exists for.
+    val hotN = 100000L
+    val hotProbes = spark.range(0, hotN)
+      .select($"id".as("event_id"), lit("hot").as("k"), ($"id" * 7 % 100000).as("ts"))
+    val hotBuilds = spark.range(0, hotN)
+      .select(lit("hot").as("bk"), ($"id" * 11 % 100000).as("bts"))
+    // sum(max) forces the joined values to be computed — a bare count()
+    // lets the optimizer eliminate the join entirely.
+    val tc0 = System.nanoTime()
+    hotProbes.join(hotBuilds, $"k" === $"bk" && $"bts" <= $"ts", "left")
+      .groupBy($"event_id").agg(max($"bts").as("m"))
+      .agg(sum($"m")).collect()
+    val tComposed = (System.nanoTime() - tc0) / 1e9
+    val tm0 = System.nanoTime()
+    graft.plans.AsOf.join(hotProbes, hotBuilds, "k", "bk", "ts", "bts")
+      .agg(sum($"bts")).collect()
+    val tMerge = (System.nanoTime() - tm0) / 1e9
+    println(f"""{"asof_hotkey_rows":$hotN,"composed_sec":$tComposed%.2f,"merge_sec":$tMerge%.2f}""")
     spark.stop()
   }
 }

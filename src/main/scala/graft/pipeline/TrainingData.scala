@@ -55,12 +55,21 @@ object TrainingData {
           .when(col("bucket") < cfg.valBucket, "val")
           .otherwise("test"))
 
-  /** Full curation: gate → dedup → feature join → split. */
+  /** Full curation: gate → dedup → [decontaminate] → feature join → split.
+    * `benchmark` (when given) drops training docs sharing ≥ minSharedShingles
+    * 3-gram shingles with any benchmark doc — eval-set hygiene as a
+    * pipeline stage (Dedup.decontaminate). */
   def curate(docs: DataFrame, embeddings: DataFrame,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      benchmark: Option[DataFrame] = None,
+      minSharedShingles: Int = 5): DataFrame = {
     val gated = withQuality(docs, cfg.minTokens).filter(col("quality") >= cfg.minQuality)
     val deduped = dropNearDups(gated, cfg.dedupJaccard)
-    val joined = deduped.join(
+    val cleaned = benchmark match {
+      case Some(b) => Dedup.decontaminate(deduped, b, minSharedShingles)
+      case None => deduped
+    }
+    val joined = cleaned.join(
       embeddings.select(col("vec_id").as("doc_id"), col("embedding"), col("label")),
       Seq("doc_id"), "left")
     withSplit(joined, cfg)

@@ -47,6 +47,20 @@ class TrainingDataSpec extends SparkSpec {
     assert(q(4L) > 0.5)
   }
 
+  test("curate with benchmark: contaminated docs drop, clean docs survive") {
+    import spark.implicits._
+    // a benchmark doc whose text is a verbatim slice of one corpus doc
+    val leakedFrom = docs.orderBy(col("doc_id")).limit(1).collect().head
+    val leakedId = leakedFrom.getAs[Long]("doc_id")
+    val bench = Seq((900000L, leakedFrom.getAs[String]("text")))
+      .toDF("doc_id", "text")
+    val cfg = TrainingData.Config(minQuality = 0.0, dedupJaccard = 1.1) // isolate the stage
+    val out = TrainingData.curate(docs, embs, cfg, benchmark = Some(bench),
+      minSharedShingles = 3)
+    assert(out.filter(col("doc_id") === leakedId).count() === 0)
+    assert(out.count() > 0)
+  }
+
   test("withSplit: ~80/10/10 proportions at corpus scale") {
     val split = TrainingData.withSplit(docs, TrainingData.Config())
       .groupBy("split").count().collect()
