@@ -37,6 +37,20 @@ object Text {
           size(toks))
   }
 
+  /** Corpus text normalization — the cleaning pass that precedes every
+    * dedup/quality stage in a training-data pipeline: strip markup, mask
+    * emails, collapse whitespace, lowercase, trim. Composed from
+    * codegen'd regexp_replace with conservative ASCII character classes so
+    * the EXACT same patterns run in Java regex (Spark) and RE2 (DuckDB
+    * oracle) with identical semantics. One definition (q_text_clean +
+    * any pipeline caller). */
+  def cleanExpr(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(lower(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "<[^>]+>", " "), // markup tags → space
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "[email]"), // mask emails
+      "[ \\t\\r\\n]+", " "))) // collapse whitespace runs
+
   /** md5 bucket in [0, 65536) of an id column — the single definition
     * behind q_sample_hash and TrainingData.withSplit. */
   def hashBucketExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -151,6 +165,19 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // normalization pass: markup strip + email mask + whitespace collapse
+    // + lowercase/trim, fingerprinted so the output stays small while the
+    // whole cleaned string is still value-checked (md5).
+    "q_text_clean" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .select(
+          $"doc_id",
+          md5(cleanExpr($"text")).as("clean_md5"),
+          length(cleanExpr($"text")).as("clean_len"))
+        .orderBy($"doc_id")
+    }),
+
     // near-dup detection: token-set Jaccard >= 0.5 over a bounded candidate
     // set (doc_id < 300 — fixed work at every SF; LSH is the scale path).
     "q_text_dedup_near" -> ((s, dir) => {
@@ -239,6 +266,20 @@ object Text {
              FROM documents))
          WHERE split <> 'train'
          ORDER BY doc_id""",
+
+    "q_text_clean" ->
+      """SELECT doc_id,
+                md5(trim(lower(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '[email]', 'g'),
+                  '[ \t\r\n]+', ' ', 'g')))) AS clean_md5,
+                CAST(length(trim(lower(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '[email]', 'g'),
+                  '[ \t\r\n]+', ' ', 'g')))) AS INT) AS clean_len
+         FROM documents ORDER BY doc_id""",
 
     "q_text_dedup_near" ->
       """WITH toks AS (
