@@ -101,6 +101,62 @@ class PropertiesSpec extends SparkSpec {
     }, 10)
   }
 
+  test("cleanExpr idempotence on arbitrary messy ASCII text") {
+    import spark.implicits._
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const("<b>Tag</b>"), Gen.const("a.b@c.de"),
+      Gen.const("  \t"), Gen.const("\r\n"), Gen.const("MiXeD"))
+    val gen = Gen.listOfN(6, piece).map(_.mkString(" "))
+    check(Prop.forAll(gen) { s =>
+      val out = Seq(s, "probe").toDF("text")
+        .select(graft.queries.Text.cleanExpr(col("text")).as("c"))
+        .collect().map(_.getString(0))
+      val once = out.head
+      val twice = Seq(once).toDF("text")
+        .select(graft.queries.Text.cleanExpr(col("text")).as("c"))
+        .collect().head.getString(0)
+      twice == once
+    }, 15)
+  }
+
+  test("contamination monotonicity: raising minShared never adds pairs") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "x alpha beta gamma y"),
+      (11L, "alpha beta gamma delta epsilon q"),
+      (12L, "unrelated words only here")).toDF("doc_id", "text")
+    val at = (1 to 4).map { k =>
+      Dedup.contamination(train, bench, minShared = k)
+        .select("train_id", "bench_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    at.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi.subsetOf(lo), s"minShared increase added pairs: ${hi -- lo}")
+    }
+    // decontaminate keeps exactly the unflagged docs: doc 10 shares only
+    // one shingle with the benchmark, doc 11 shares three
+    val clean = Dedup.decontaminate(train, bench, minShared = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(10L, 12L))
+  }
+
+  test("as-of merge is total on the probe side for arbitrary key overlap") {
+    import spark.implicits._
+    val gen = for {
+      pk <- Gen.listOfN(30, Gen.choose(0L, 5L))
+      bk <- Gen.listOfN(20, Gen.choose(3L, 8L)) // partial key overlap
+    } yield (pk, bk)
+    check(Prop.forAll(gen) { case (pk, bk) =>
+      val probes = pk.zipWithIndex.map { case (k, i) => (i.toLong, k, (i * 13 % 50).toLong) }
+        .toDF("event_id", "k", "ts")
+      val builds = bk.zipWithIndex.map { case (k, i) => (k, (i * 7 % 50).toLong) }
+        .toDF("bk", "bts")
+      graft.plans.AsOf.join(probes, builds, "k", "bk", "ts", "bts").count() == pk.size.toLong
+    }, 10)
+  }
+
   test("serialize ∘ parse round trip preserves bronze blocks (A7 ∘ A10 = id)") {
     val raw = spark.read.text(getClass.getResource("/blocks/blocks.jsonl").getPath)
     val parsed = graft.ingest.BlockIngest.parse(raw)
