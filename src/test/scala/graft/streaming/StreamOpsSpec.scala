@@ -47,6 +47,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: per-batch broadcast join, no streaming state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = StreamOps.enrich(in.toDF(), dim, Seq("user_id"))
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 5, user = 1L), ev(2, 6, user = 2L), ev(3, 7, user = 9L))
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+      // stateless: no stateful operator in the progress metrics
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate event_ids across batches collapse") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
