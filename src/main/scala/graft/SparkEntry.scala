@@ -44,7 +44,8 @@ object SparkEntry {
       (Sim.queries, Sim.oracle),
       (UDx.queries, UDx.oracle),
       (Streams.queries, Streams.oracle),
-      (Dedup.queries, Dedup.oracle)
+      (Dedup.queries, Dedup.oracle),
+      (graft.operators.Vocab.queries, graft.operators.Vocab.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -21,11 +21,15 @@ object GraftCatalog {
     }
   }
 
-  /** Register bronze blockchain tables produced by BlockIngest.writeBronze. */
+  /** Register bronze blockchain tables produced by BlockIngest.writeBronze
+    * (+ the logs table when writeBronzeLogs has run). */
   def registerBronze(spark: SparkSession, bronzeDir: String): Unit = {
     spark.read.parquet(s"$bronzeDir/blocks").createOrReplaceTempView("blocks")
     spark.read.parquet(s"$bronzeDir/transactions")
       .createOrReplaceTempView("transactions")
+    if (new java.io.File(s"$bronzeDir/logs").exists()) {
+      spark.read.parquet(s"$bronzeDir/logs").createOrReplaceTempView("logs")
+    }
   }
 
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
