@@ -27,13 +27,19 @@ bench = None
 for line in text.splitlines():
     line = line.strip()
     if line.startswith('{') and '"queries"' in line:
-        bench = json.loads(line)
-        break
+        try:
+            bench = json.loads(line)
+            break
+        except json.JSONDecodeError:
+            continue  # tail-truncated capture of the long line — keep looking
 if bench is None:
-    sys.exit('no bench JSON line with a "queries" map found')
+    sys.exit('no parseable bench JSON line with a "queries" map found '
+             '(capture may have truncated the long line)')
 
 medians = json.load(open(medfile))
-total_median = medians.pop('_total')
+total_median = medians.pop('_total', None)
+if total_median is None:
+    sys.exit(f'{medfile} has no _total entry — refresh medians')
 
 fails = []
 for q, t in sorted(bench['queries'].items()):

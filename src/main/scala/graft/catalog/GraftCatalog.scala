@@ -27,7 +27,11 @@ object GraftCatalog {
     spark.read.parquet(s"$bronzeDir/blocks").createOrReplaceTempView("blocks")
     spark.read.parquet(s"$bronzeDir/transactions")
       .createOrReplaceTempView("transactions")
-    if (new java.io.File(s"$bronzeDir/logs").exists()) {
+    // Hadoop FS probe, not java.io.File: bronzeDir may be a URI-qualified
+    // path (file:/, hdfs:/, s3a:/) that only Spark's filesystem resolves.
+    val logsPath = new org.apache.hadoop.fs.Path(s"$bronzeDir/logs")
+    val fs = logsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(logsPath)) {
       spark.read.parquet(s"$bronzeDir/logs").createOrReplaceTempView("logs")
     }
   }

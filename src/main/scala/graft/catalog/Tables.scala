@@ -20,11 +20,18 @@ object Tables {
 
   /** Stable per-session cache key: a DataFrame cached under a stopped or
     * replaced session must never be handed to a new one (it would fail at
-    * execution) — each session gets its own cache entries. */
-  private def sessionKey(s: SparkSession): String =
-    // applicationId changes when the context restarts; the identity hash
-    // separates sibling sessions of one context (sessionUUID is private[sql])
-    s"${s.sparkContext.applicationId}#${System.identityHashCode(s)}"
+    * execution) — each session gets its own cache entries. A UUID is
+    * minted into the session's conf on first use (identityHashCode is NOT
+    * unique — a GC'd session's hash can recur on a successor and revive
+    * its dead cache entries). */
+  private def sessionKey(s: SparkSession): String = {
+    val confKey = "graft.cache.sessionKey"
+    s.conf.getOption(confKey).getOrElse {
+      val v = java.util.UUID.randomUUID().toString
+      s.conf.set(confKey, v)
+      v
+    }
+  }
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (java.lang.Boolean.getBoolean("graft.cacheTables"))

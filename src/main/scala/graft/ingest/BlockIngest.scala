@@ -259,14 +259,28 @@ object BlockIngest {
   /** Logs sink: dedup-on-write and FK-restricted to transactions that
     * actually landed (the logs→transactions FK intent mirroring
     * `0001_initial.sql:39`) — a reorg that drops a transaction must not
-    * leave its logs behind. Parent (txs) writes before child (logs). */
+    * leave its logs behind. Parent (txs) writes before child (logs).
+    *
+    * FK-failing logs are NOT dropped: logs and transactions can arrive on
+    * separate topics/batches, so "parent missing" may mean "parent not
+    * landed YET", not "reorged out". They land in `logs_quarantine`
+    * instead — replay the quarantine through this sink once later batches
+    * have delivered the parents (the append-only analog of a deferred FK
+    * check; same skip-and-log posture as corrupt messages). */
   def writeBronzeLogs(parsedLogs: DataFrame, txs: DataFrame, outDir: String): Unit = {
     val parents = txs.select(
       col("chain_name"), col("block_number"), col("tx_hash").as("transaction_hash"))
-    dedupLogs(normalizeLogs(parsedLogs))
+    val logs = dedupLogs(normalizeLogs(parsedLogs)).localCheckpoint()
+    logs
       .join(parents, Seq("chain_name", "block_number", "transaction_hash"), "left_semi")
       .write.mode("append").partitionBy("chain_name")
       .parquet(s"$outDir/logs")
+    val orphans = logs
+      .join(parents, Seq("chain_name", "block_number", "transaction_hash"), "left_anti")
+    if (!orphans.isEmpty) {
+      orphans.write.mode("append").partitionBy("chain_name")
+        .parquet(s"$outDir/logs_quarantine")
+    }
   }
 
   /** Compaction: rewrite a bronze blocks table keeping only canonical rows

@@ -40,10 +40,13 @@ object Retry {
         result = fetch(n)
         done = true
       } catch {
-        case e: Throwable if attempt < maxRetries =>
+        // NonFatal only: an OutOfMemoryError/LinkageError or a task-cancel
+        // InterruptedException must FAIL the task (so Spark reschedules),
+        // never be retried or converted into a silent missing block.
+        case scala.util.control.NonFatal(e) if attempt < maxRetries =>
           sleep(math.min(baseDelayMs << attempt, maxDelayMs))
           attempt += 1
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           onGiveUp(n, e)
           result = None
           done = true

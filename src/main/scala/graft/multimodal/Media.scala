@@ -171,20 +171,29 @@ object Media {
     fp
   }
 
-  /** Near-duplicate media pairs by fingerprint: band the 64 bits into four
-    * 16-bit buckets — any pair within hamming distance 3 shares at least
-    * one exact band (pigeonhole), so recall is total for maxHamming ≤ 3 —
-    * then verify with the full popcount. Same bucket-join shape as the
-    * text SimHash path; the blob never shuffles, only (media_id, fp). */
+  /** Near-duplicate media pairs by fingerprint: band the 64 bits into
+    * maxHamming + 1 buckets — h flipped bits can damage at most h bands,
+    * so every pair within the threshold shares at least one exact band
+    * (pigeonhole; recall is TOTAL for the requested maxHamming, which is
+    * why the band count derives from it instead of being fixed) — then
+    * verify with the full popcount. Same bucket-join shape as the text
+    * SimHash path; the blob never shuffles, only (media_id, fp).
+    * maxHamming is capped at 15: beyond that bands shrink under 4 bits and
+    * the buckets stop discriminating (use embedding ANN instead). */
   def nearDupMedia(media: Dataset[MediaRec], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = (64 + nBands - 1) / nBands
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     import media.sparkSession.implicits._
     val fp = media.map(r => (r.media_id, byteSimhash(r.bytes)))
       .toDF("media_id", "fp")
       .localCheckpoint() // both self-join sides read the fingerprints once
     val bands = fp.select(col("media_id"), col("fp"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("bb"))
+          shiftrightunsigned(col("fp"), b * width).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bb"))
       .select(col("media_id"), col("fp"), col("bb.band"), col("bb.bh"))
     val a = bands.select(col("band"), col("bh"), col("media_id").as("m1"), col("fp").as("f1"))
     val b = bands.select(col("band").as("band2"), col("bh").as("bh2"),

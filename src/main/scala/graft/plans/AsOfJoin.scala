@@ -50,9 +50,25 @@ object AsOf {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
-    Bridge.ofRows(probes.sparkSession,
-      AsOfJoinPlan(lp, rp, attr(lp, probeKey), attr(rp, buildKey),
-        attr(lp, probeTs), attr(rp, buildTs)))
+    // Shared-lineage guard: when both sides derive from the same frame
+    // without aliasing, they carry IDENTICAL exprIds; the output would
+    // then contain duplicate attributes and every right-side column would
+    // silently resolve to the probe side's values. Dataset.join dedups
+    // this in analysis; this operator fails fast instead.
+    val shared = lp.outputSet.intersect(rp.outputSet)
+    require(shared.isEmpty,
+      s"probe and build sides share lineage for ${shared.map(_.name).mkString(", ")} — " +
+        "alias the build side's columns (e.g. .select($\"ts\".as(\"s_ts\"), ...)) first")
+    val (lk, rk) = (attr(lp, probeKey), attr(rp, buildKey))
+    val (lts, rts) = (attr(lp, probeTs), attr(rp, buildTs))
+    // no implicit coercion is inserted (unlike SQL joins), so mismatched
+    // types would hash-partition the same logical key differently and
+    // class-cast at execution — fail at construction instead.
+    require(lk.dataType == rk.dataType,
+      s"key types differ: $probeKey is ${lk.dataType}, $buildKey is ${rk.dataType} — cast first")
+    require(lts.dataType == rts.dataType,
+      s"ts types differ: $probeTs is ${lts.dataType}, $buildTs is ${rts.dataType} — cast first")
+    Bridge.ofRows(probes.sparkSession, AsOfJoinPlan(lp, rp, lk, rk, lts, rts))
   }
 }
 

@@ -151,7 +151,12 @@ class BlockIngestSpec extends SparkSpec {
     val txs = spark.read.parquet(s"$out/transactions")
     BlockIngest.writeBronzeLogs(parsedLogs, txs, out)
     val logs = spark.read.parquet(s"$out/logs")
-    assert(logs.count() === 2) // dup collapsed, orphan dropped
+    assert(logs.count() === 2) // dup collapsed, orphan diverted
+    // the orphan is quarantined for replay, not silently dropped (its
+    // parent may simply not have landed yet)
+    val quarantined = spark.read.parquet(s"$out/logs_quarantine")
+    assert(quarantined.count() === 1)
+    assert(quarantined.collect().head.getAs[String]("transaction_hash") === "0xt1")
     // FK green: no log references a missing transaction
     val orphans = graft.operators.Quality.checkFk(
       logs, txs.withColumnRenamed("tx_hash", "transaction_hash"),

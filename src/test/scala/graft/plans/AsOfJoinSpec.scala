@@ -53,6 +53,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(merged.count() === 500) // every probe row survives
   }
 
+  test("construction guards: shared lineage and mismatched types fail fast") {
+    import spark.implicits._
+    val ev = Seq((1L, "u", 10L, "purchase"), (2L, "u", 5L, "signup"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    // both sides from the same frame WITHOUT aliasing → same exprIds →
+    // right columns would silently mirror the left; must throw instead
+    val unaliased = intercept[IllegalArgumentException] {
+      AsOf.join(
+        ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts"),
+        ev.filter($"event_type" === "signup").select($"user_id", $"ts"),
+        "user_id", "user_id", "ts", "ts")
+    }
+    assert(unaliased.getMessage.contains("share lineage"))
+    // mismatched ts types → no implicit coercion exists; fail at build
+    val probes = Seq((1L, "u", 10L)).toDF("event_id", "k", "ts")
+    val builds = Seq(("u", 5)).toDF("bk", "bts") // Int, not Long
+    val mismatched = intercept[IllegalArgumentException] {
+      AsOf.join(probes, builds, "k", "bk", "ts", "bts")
+    }
+    assert(mismatched.getMessage.contains("ts types differ"))
+  }
+
   test("physical plan: AsOfJoinExec with planned exchanges+sorts, no window, no fan-out join") {
     import spark.implicits._
     val probes = Seq((1L, "u", 1L)).toDF("event_id", "user_id", "ts")
