@@ -75,6 +75,13 @@ class PlanSpec extends SparkSpec {
       s"expected range predicate in join condition:\n$p")
   }
 
+  test("round-2 dedup/decontamination queries never plan an all-pairs product") {
+    Seq("q_dedup_ngram_lsh", "q_decontaminate", "q_dedup_minhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans an all-pairs product:\n$p")
+    }
+  }
+
   test("curation pipeline plan: no cartesian product, LSH-bounded shuffles") {
     spark.catalog.clearCache()
     val docs = graft.catalog.Tables.documents(spark, sf())
