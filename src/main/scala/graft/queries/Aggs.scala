@@ -233,6 +233,18 @@ object Aggs {
         .orderBy($"l_returnflag", $"p")
     }),
 
+    // Fixed-bin histogram via portable bucket algebra: floor of a scaled
+    // double (identical IEEE op both engines) with a capped overflow
+    // bucket — width_bucket() exists in both engines but with different
+    // edge conventions, so the shared formula is used instead.
+    "q_agg_histogram" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .select(least(floor($"o_totalprice" / 25000.0), lit(23.0)).cast("int").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    }),
+
     // HLL sketch — no exact SQL oracle; driver records a rows-only check.
     // Unit test asserts ±5% vs exact countDistinct.
     "q_agg_approx_distinct" -> ((s, dir) => {
@@ -396,6 +408,11 @@ object Aggs {
                 round(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS open_price,
                 CAST(sum(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodisc
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 25000.0), 23.0) AS INT) AS bucket,
+                count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY bucket""",
 
     "q_agg_percentiles" ->
       """WITH ranked AS (

@@ -174,6 +174,21 @@ object Joins {
         .orderBy($"event_id")
     }),
 
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys MATCH
+    // each other, unlike = which drops them under 3-valued logic. nullif
+    // manufactures null keys on both sides ('P' status) so the null
+    // bucket genuinely pairs.
+    "q_join_nullsafe" -> ((s, dir) => {
+      import s.implicits._
+      val a = orders(s, dir).filter($"o_orderkey" < 200)
+        .select($"o_orderkey".as("a_key"), nullif($"o_orderstatus", lit("P")).as("a_st"))
+      val b = orders(s, dir).filter($"o_orderkey" < 200)
+        .select($"o_orderkey".as("b_key"), nullif($"o_orderstatus", lit("P")).as("b_st"))
+      a.join(b, $"a_st" <=> $"b_st" && $"a_key" < $"b_key")
+        .groupBy($"a_st").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"a_st".asc_nulls_first)
+    }),
+
     // Same as-of semantics through the CUSTOM MERGE OPERATOR
     // (graft.plans.AsOf → AsOfJoinExec): one co-partitioned forward merge
     // instead of the fan-out join + aggregate above — the scale path for
@@ -271,6 +286,16 @@ object Joins {
           AND l_shipdate >= o_orderdate
           AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
          ORDER BY l_orderkey, l_linenumber, l_shipdate""",
+
+    "q_join_nullsafe" ->
+      """SELECT a.st AS a_st, count(*) AS n_pairs
+         FROM (SELECT o_orderkey AS k, nullif(o_orderstatus, 'P') AS st
+               FROM orders WHERE o_orderkey < 200) a
+         JOIN (SELECT o_orderkey AS k, nullif(o_orderstatus, 'P') AS st
+               FROM orders WHERE o_orderkey < 200) b
+           ON a.st IS NOT DISTINCT FROM b.st AND a.k < b.k
+         GROUP BY a.st
+         ORDER BY a_st NULLS FIRST""",
 
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,

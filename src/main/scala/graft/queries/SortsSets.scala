@@ -94,6 +94,24 @@ object SortsSets {
       open.except(fin).orderBy($"o_custkey")
     }),
 
+    // INTERSECT ALL / EXCEPT ALL: multiplicity-preserving set ops — a
+    // customer with 3 open and 2 finished orders appears min(3,2)=2 /
+    // 3−2=1 times respectively (bag semantics, distinct operator family
+    // from the DISTINCT variants above).
+    "q_set_intersect_all" -> ((s, dir) => {
+      import s.implicits._
+      val open = orders(s, dir).filter($"o_orderstatus" === "O").select($"o_custkey")
+      val fin  = orders(s, dir).filter($"o_orderstatus" === "F").select($"o_custkey")
+      open.intersectAll(fin).orderBy($"o_custkey")
+    }),
+
+    "q_set_except_all" -> ((s, dir) => {
+      import s.implicits._
+      val open = orders(s, dir).filter($"o_orderstatus" === "O").select($"o_custkey")
+      val fin  = orders(s, dir).filter($"o_orderstatus" === "F").select($"o_custkey")
+      open.exceptAll(fin).orderBy($"o_custkey")
+    }),
+
     // Exact dedup after duplicate injection (×2 union) — A15/§0.2.5
     // regression as a feature. Full-row dedup: (orderkey, linenumber) is NOT
     // unique in the synthetic lineitem, so the dedup key is the whole row.
@@ -156,6 +174,18 @@ object SortsSets {
     "q_set_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+
+    "q_set_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT ALL
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+
+    "q_set_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT ALL
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          ORDER BY o_custkey""",
 
