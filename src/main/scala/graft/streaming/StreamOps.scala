@@ -115,4 +115,25 @@ object StreamOps {
       .format("parquet")
       .option("path", outDir)
       .start()
+
+  /** EXACTLY-ONCE parquet sink under at-least-once replay: each micro-batch
+    * overwrites its own `batch_id=N` partition (dynamic partition
+    * overwrite), so re-executing a batch after a crash between write and
+    * offset-commit replaces its partition instead of appending duplicates —
+    * the Parquet-only analog of a transactional sink (plain append +
+    * foreachBatch is at-least-once; the reference's per-row DB transactions
+    * `evm_consumer.rs:37-59` were its attempt at the same guarantee). */
+  def toParquetExactlyOnce(df: DataFrame, outDir: String,
+      checkpointDir: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
 }

@@ -170,6 +170,20 @@ class BlockIngestSpec extends SparkSpec {
       === Seq("0xtop1", "0xtop2"))
   }
 
+  test("bronze partitioning: per-chain queries prune partitions at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("prune").toString
+    BlockIngest.writeBronze(parsed, out)
+    val plan = spark.read.parquet(s"$out/blocks")
+      .filter(col("chain_name") === "ARB")
+      .queryExecution.executedPlan.toString
+    // the chain predicate must be a PartitionFilter (pruned directories),
+    // never a post-scan row filter over all chains
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("chain_name"),
+      s"chain_name not pruned as a partition filter:\n$plan")
+  }
+
   test("typed layer: Dataset[BlockRec]/Dataset[TxRec] round the normalize path") {
     val blocks = Typed.blocks(BlockIngest.normalizeBlocks(parsed))
     val txs = Typed.txs(BlockIngest.normalizeTxs(parsed))

@@ -67,6 +67,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactly-once sink: replaying a batch overwrites its partition, no duplicates") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("eo").toString
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val in = MemoryStream[Event]
+    val q1 = StreamOps.toParquetExactlyOnce(in.toDF(), out, ckpt)
+    try {
+      in.addData(ev(1, 5), ev(2, 6))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+    // simulate a replay of the SAME source data after losing the
+    // checkpoint (the at-least-once worst case): same batch ids re-run
+    val in2 = MemoryStream[Event]
+    val q2 = StreamOps.toParquetExactlyOnce(in2.toDF(), out, s"$tmp/ckpt2")
+    try {
+      in2.addData(ev(1, 5), ev(2, 6))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // batch 0 was overwritten, not appended: still 2 rows, 1 batch dir
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 2)
+    assert(rows.select("batch_id").distinct().count() === 1)
+  }
+
   test("streaming dedup: duplicate event_ids across batches collapse") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
