@@ -240,7 +240,7 @@ object Aggs {
     "q_agg_histogram" -> ((s, dir) => {
       import s.implicits._
       orders(s, dir)
-        .select(least(floor($"o_totalprice" / 25000.0), lit(23.0)).cast("int").as("bucket"))
+        .select(least(floor($"o_totalprice" / 25000.0), lit(15.0)).cast("int").as("bucket"))
         .groupBy($"bucket").agg(count(lit(1)).as("n"))
         .orderBy($"bucket")
     }),
@@ -410,7 +410,7 @@ object Aggs {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_agg_histogram" ->
-      """SELECT CAST(least(floor(o_totalprice / 25000.0), 23.0) AS INT) AS bucket,
+      """SELECT CAST(least(floor(o_totalprice / 25000.0), 15.0) AS INT) AS bucket,
                 count(*) AS n
          FROM orders GROUP BY 1 ORDER BY bucket""",
 

@@ -116,23 +116,30 @@ object StreamOps {
       .option("path", outDir)
       .start()
 
-  /** EXACTLY-ONCE parquet sink under at-least-once replay: each micro-batch
+  /** Idempotent parquet sink for batch REPLAYS: each micro-batch
     * overwrites its own `batch_id=N` partition (dynamic partition
-    * overwrite), so re-executing a batch after a crash between write and
-    * offset-commit replaces its partition instead of appending duplicates —
-    * the Parquet-only analog of a transactional sink (plain append +
-    * foreachBatch is at-least-once; the reference's per-row DB transactions
-    * `evm_consumer.rs:37-59` were its attempt at the same guarantee). */
+    * overwrite, scoped to THIS writer — a session-level conf flip would
+    * leak into every later partitioned overwrite, silently breaking
+    * full-table compaction rewrites). Re-executing a batch after a crash
+    * between write and offset-commit replaces its partition instead of
+    * appending duplicates — the guarantee Spark's docs call exactly-once
+    * via idempotent foreachBatch sinks. Scope: it holds when the SAME
+    * batch (same id, same data) re-runs, i.e. with the checkpoint intact;
+    * losing the checkpoint re-batches the source arbitrarily, and no
+    * batch-keyed sink can dedup across different batchings (that needs
+    * row-keyed dedup, `streamingDedup`). The reference's per-row DB
+    * transactions (`evm_consumer.rs:37-59`) were its attempt at the same
+    * guarantee. */
   def toParquetExactlyOnce(df: DataFrame, outDir: String,
       checkpointDir: String) =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("batch_id")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
           .parquet(outDir)
       }
       .start()

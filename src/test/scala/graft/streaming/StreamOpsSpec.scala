@@ -79,8 +79,9 @@ class StreamOpsSpec extends SparkSpec {
       q1.processAllAvailable()
     } finally q1.stop()
     assert(spark.read.parquet(out).count() === 2)
-    // simulate a replay of the SAME source data after losing the
-    // checkpoint (the at-least-once worst case): same batch ids re-run
+    // re-run of the SAME batch (same id, same rows — the
+    // crash-between-write-and-commit replay this sink defends against;
+    // checkpoint-loss RE-BATCHING is out of scope, see scaladoc)
     val in2 = MemoryStream[Event]
     val q2 = StreamOps.toParquetExactlyOnce(in2.toDF(), out, s"$tmp/ckpt2")
     try {
@@ -91,6 +92,9 @@ class StreamOpsSpec extends SparkSpec {
     val rows = spark.read.parquet(out)
     assert(rows.count() === 2)
     assert(rows.select("batch_id").distinct().count() === 1)
+    // and the dynamic-overwrite setting did NOT leak into the session
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
   }
 
   test("streaming dedup: duplicate event_ids across batches collapse") {
