@@ -178,6 +178,43 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // stratified rebalancing: per-language sampling RATES via the same
+    // deterministic md5 bucket as q_sample_hash — the data-mixing op
+    // (downsample the dominant language, keep the rest): en keeps 50%,
+    // everything else 100%. Hash-based ⇒ replayable and repartition-stable,
+    // unlike rand()-based sample().
+    "q_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val rate = when($"lang" === "en", 0.5).otherwise(1.0)
+      documents(s, dir)
+        .withColumn("bucket", hashBucketExpr($"doc_id"))
+        .filter($"bucket" < rate * 65536)
+        .select($"doc_id", $"lang", $"bucket")
+        .orderBy($"doc_id")
+    }),
+
+    // intra-document repetition signals — the "remove repetitive documents"
+    // quality filter: adjacent duplicate tokens and the repeated-phrase
+    // fraction (1 − distinct 3-grams / total 3-grams). Raw double division
+    // (small-denominator rational — round(,4) is the non-portable hazard).
+    "q_text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      val l = slice(toks, lit(1), size(toks) - 1)
+      val r = slice(toks, lit(2), size(toks) - 1)
+      val adj = size(filter(zip_with(l, r, (a, b) => a === b), x => x))
+      val nSh = greatest(size(toks) - 2, lit(0))
+      documents(s, dir)
+        .select(
+          $"doc_id",
+          adj.as("n_adj_repeats"),
+          when(nSh === 0, 0.0)
+            .otherwise(lit(1.0) -
+              size(graft.operators.Dedup.shingles3($"text")).cast("double") / nSh)
+            .as("rep3_fraction"))
+        .orderBy($"doc_id")
+    }),
+
     // near-dup detection: token-set Jaccard >= 0.5 over a bounded candidate
     // set (doc_id < 300 — fixed work at every SF; LSH is the scale path).
     "q_text_dedup_near" -> ((s, dir) => {
@@ -265,6 +302,27 @@ object Text {
                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS bucket
              FROM documents))
          WHERE split <> 'train'
+         ORDER BY doc_id""",
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, bucket
+         FROM (SELECT doc_id, lang,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS bucket
+               FROM documents)
+         WHERE bucket < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END) * 65536
+         ORDER BY doc_id""",
+
+    "q_text_repetition" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(
+                  list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                  p -> p[1] = p[2])) AS INT) AS n_adj_repeats,
+                CASE WHEN greatest(len(toks) - 2, 0) = 0 THEN 0.0
+                     ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                            range(1, greatest(len(toks) - 2, 0) + 1),
+                            i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS DOUBLE)
+                          / greatest(len(toks) - 2, 0) END AS rep3_fraction
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
          ORDER BY doc_id""",
 
     "q_text_clean" ->
