@@ -52,6 +52,13 @@ for q, t in sorted(bench['queries'].items()):
 if bench['value'] > 2 * total_median:
     fails.append(f"total: {bench['value']:.1f}s > 2x median {total_median:.1f}s")
 
+# A query recorded in the medians but absent from this run means it was
+# dropped from SparkEntry.queries (or renamed) — the per-query gate would
+# silently stop guarding it, so fail loudly instead.
+missing = sorted(set(medians) - set(bench['queries']))
+if missing:
+    fails.append(f"missing from bench output (dropped queries?): {', '.join(missing)}")
+
 for f in fails:
     print('FAIL', f)
 if not fails:

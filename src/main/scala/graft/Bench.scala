@@ -30,11 +30,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
     // The per-query line above can exceed the driver's tail-capture window,
     // losing its front (BENCH_r01 recorded "parsed": null). Re-emit the
     // headline as a short final line so the total always survives capture.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // stdout arrives at the driver with sbt's "[info] " prefix, which
+    // defeats its JSON line parse (BENCH_r02 "parsed": null) — so also write
+    // the exact JSON to a file sbt can't decorate.
+    try {
+      val out = java.nio.file.Paths.get("bench", "last_run.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench/last_run.json write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -55,9 +55,15 @@ final class FileQueue(root: String) extends MessageQueue {
 
   private def dir(topic: String) = s"$root/$topic"
 
-  override def append(topic: String, messages: DataFrame): Unit =
+  override def append(topic: String, messages: DataFrame): Unit = {
+    // fail fast on multi-column frames: silently serializing only the first
+    // column would drop the rest — the wire contract is ONE string column
+    require(messages.columns.length == 1,
+      s"MessageQueue.append expects a single-string-column frame " +
+        s"(the A7/A10 JSON wire shape); got ${messages.columns.mkString(", ")}")
     messages.select(col(messages.columns.head).cast(StringType).as("value"))
       .write.mode("append").text(dir(topic))
+  }
 
   override def stream(spark: SparkSession, topic: String): DataFrame = {
     // the topic directory must exist before a subscription can start

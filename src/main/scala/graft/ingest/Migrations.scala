@@ -1,9 +1,7 @@
 package graft.ingest
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.StructType
 
@@ -33,21 +31,48 @@ object Migrations {
     up: SparkSession => Unit,
     down: SparkSession => Unit)
 
-  private def ledgerPath(root: String) = Paths.get(root, "_migrations")
+  // Ledger and drop go through the Hadoop filesystem API, not java.nio —
+  // createTable writes via Spark, so a URI-qualified root (file:/, hdfs:/,
+  // s3a:/) must resolve ledger and teardown against the SAME filesystem or
+  // ledger and data silently diverge (same reasoning as
+  // GraftCatalog.registerBronze). Local relative paths resolve to the local
+  // FS exactly as before.
+  private def fsFor(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    val active = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val conf = active.map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    (p.getFileSystem(conf), p)
+  }
+
+  private def ledgerPath(root: String) = s"$root/_migrations"
 
   /** Versions already applied at this root, ascending. */
   def applied(root: String): Seq[Int] = {
-    val p = ledgerPath(root)
-    if (!Files.exists(p)) Seq.empty
-    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map(_.toInt).sorted
+    val (fs, p) = fsFor(ledgerPath(root))
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          .filter(_.nonEmpty).map(_.toInt).sorted
+      } finally in.close()
+    }
   }
 
   private def writeLedger(root: String, versions: Seq[Int]): Unit = {
-    Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, "_migrations.tmp")
-    Files.write(tmp, versions.sorted.map(_.toString).asJava)
-    Files.move(tmp, ledgerPath(root), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    val (fs, rootP) = fsFor(root)
+    fs.mkdirs(rootP)
+    val tmp = new HPath(rootP, "_migrations.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(versions.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    // rename is atomic on HDFS/local; object stores make it copy+delete,
+    // which is still safe for the single-writer startup step modeled here
+    val dst = new HPath(rootP, "_migrations")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"ledger rename failed: $tmp -> $dst")
   }
 
   /** Apply every pending migration in version order; returns the versions
@@ -87,12 +112,11 @@ object Migrations {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .write.mode("ignore").parquet(path)
 
-  /** "DROP TABLE" = delete the path (SURVEY §2A A17). */
+  /** "DROP TABLE" = delete the path recursively (SURVEY §2A A17) — via the
+    * Hadoop FS so URI-qualified roots drop the same data Spark wrote. */
   def dropTable(path: String): Unit = {
-    val p = Paths.get(path)
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    val (fs, p) = fsFor(path)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** The reference's 0001_initial (blocks + transactions,

@@ -44,7 +44,11 @@ object Retry {
         // InterruptedException must FAIL the task (so Spark reschedules),
         // never be retried or converted into a silent missing block.
         case scala.util.control.NonFatal(e) if attempt < maxRetries =>
-          sleep(math.min(baseDelayMs << attempt, maxDelayMs))
+          // exponent clamped: a Long shift wraps mod 64, so baseDelayMs <<
+          // attempt can go NEGATIVE for large maxRetries and Thread.sleep
+          // would throw from inside the catch — breaking the skip-and-log
+          // contract. 2^30·base already exceeds any sane maxDelayMs.
+          sleep(math.min(baseDelayMs << math.min(attempt, 30), maxDelayMs))
           attempt += 1
         case scala.util.control.NonFatal(e) =>
           onGiveUp(n, e)

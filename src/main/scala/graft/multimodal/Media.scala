@@ -171,29 +171,35 @@ object Media {
     fp
   }
 
-  /** Near-duplicate media pairs by fingerprint: band the 64 bits into
-    * maxHamming + 1 buckets — h flipped bits can damage at most h bands,
-    * so every pair within the threshold shares at least one exact band
-    * (pigeonhole; recall is TOTAL for the requested maxHamming, which is
-    * why the band count derives from it instead of being fixed) — then
-    * verify with the full popcount. Same bucket-join shape as the text
-    * SimHash path; the blob never shuffles, only (media_id, fp).
-    * maxHamming is capped at 15: beyond that bands shrink under 4 bits and
-    * the buckets stop discriminating (use embedding ANN instead). */
-  def nearDupMedia(media: Dataset[MediaRec], maxHamming: Int = 3): DataFrame = {
+  /** Disjoint variable-width partition of the 64 fingerprint bits into
+    * nBands contiguous bands: band b covers [b·64/nBands, (b+1)·64/nBands)
+    * (integer math). Variable width matters: a uniform ceil(64/nBands)
+    * width makes the last band's shift reach or exceed 64, which the JVM
+    * shift wraps mod 64 — bands then duplicate instead of partitioning and
+    * the pigeonhole recall guarantee silently breaks for
+    * nBands ∈ {9, 12, 14, 15} (maxHamming 8, 11, 13, 14). */
+  private[multimodal] def bandRanges(nBands: Int): Seq[(Int, Int)] =
+    (0 until nBands).map(b => (b * 64 / nBands, (b + 1) * 64 / nBands))
+
+  /** Near-duplicate pairs over a (media_id, fp) long-fingerprint frame:
+    * band the 64 bits into maxHamming + 1 DISJOINT bands ([[bandRanges]]) —
+    * h flipped bits can damage at most h bands, so every pair within the
+    * threshold shares at least one exact band (pigeonhole; recall is TOTAL
+    * for the requested maxHamming, which is why the band count derives from
+    * it instead of being fixed) — then verify with the full popcount. */
+  def nearDupFingerprints(fps: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming")
-    val nBands = maxHamming + 1
-    val width = (64 + nBands - 1) / nBands
-    val mask = if (width >= 64) -1L else (1L << width) - 1
-    import media.sparkSession.implicits._
-    val fp = media.map(r => (r.media_id, byteSimhash(r.bytes)))
-      .toDF("media_id", "fp")
-      .localCheckpoint() // both self-join sides read the fingerprints once
-    val bands = fp.select(col("media_id"), col("fp"),
-      explode(array((0 until nBands).map(b =>
+    val fp = fps.localCheckpoint() // both self-join sides read the fps once
+    val bandCols = bandRanges(maxHamming + 1).zipWithIndex.map {
+      case ((start, end), b) =>
+        val width = end - start
+        val mask = if (width >= 64) -1L else (1L << width) - 1
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("fp"), b * width).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bb"))
+          shiftrightunsigned(col("fp"), start).bitwiseAND(lit(mask)).as("bh"))
+    }
+    val bands = fp.select(col("media_id"), col("fp"),
+        explode(array(bandCols: _*)).as("bb"))
       .select(col("media_id"), col("fp"), col("bb.band"), col("bb.bh"))
     val a = bands.select(col("band"), col("bh"), col("media_id").as("m1"), col("fp").as("f1"))
     val b = bands.select(col("band").as("band2"), col("bh").as("bh2"),
@@ -203,5 +209,17 @@ object Media {
       .select(col("m1"), col("m2"), bit_count(col("f1").bitwiseXOR(col("f2"))).as("dist"))
       .distinct()
       .filter(col("dist") <= maxHamming)
+  }
+
+  /** Near-duplicate media pairs by byte-SimHash fingerprint — same
+    * bucket-join shape as the text SimHash path; the blob never shuffles,
+    * only (media_id, fp). maxHamming is capped at 15: beyond that bands
+    * shrink under 4 bits and the buckets stop discriminating (use embedding
+    * ANN instead). */
+  def nearDupMedia(media: Dataset[MediaRec], maxHamming: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    nearDupFingerprints(
+      media.map(r => (r.media_id, byteSimhash(r.bytes))).toDF("media_id", "fp"),
+      maxHamming)
   }
 }

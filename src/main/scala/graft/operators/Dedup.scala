@@ -66,7 +66,18 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
   }
 
-  /** Candidate pairs from shared LSH buckets (distinct over bands).
+  /** Default hot-bucket cap for every public LSH entry point. 1000 matches
+    * maxTokenDf: a band bucket holding >1000 documents carries no
+    * discriminating information (the band collided on corpus-common
+    * structure), and keeping it would make the self-join quadratic on one
+    * shuffle partition. Pass maxBucketSize = Int.MaxValue to opt out. */
+  val defaultMaxBucketSize: Int = 1000
+
+  /** Candidate pairs from shared LSH buckets (distinct over bands),
+    * hot-bucket-capped at [[defaultMaxBucketSize]] — the capped path is the
+    * DEFAULT because the one corpus that needs the guard (near-empty docs
+    * hashing identically) is exactly the one where forgetting it is
+    * quadratic. Uncapped is the explicit opt-out.
     *
     * The buckets frame is materialized (localCheckpoint) before the
     * self-join: the two join sides carry different aliases, so ReuseExchange
@@ -75,7 +86,7 @@ object Dedup {
     * expensive narrow work at 100 TB. The checkpointed frame is tiny
     * (doc_id, band, band_hash) relative to the corpus. */
   def lshCandidates(buckets: DataFrame): DataFrame =
-    lshCandidates(buckets, maxBucketSize = Int.MaxValue)
+    lshCandidates(buckets, maxBucketSize = defaultMaxBucketSize)
 
   /** As above, with the 100 TB skew guard: a bucket of k docs contributes
     * k·(k−1)/2 pairs, so one degenerate bucket (e.g. every near-empty doc
@@ -120,9 +131,14 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: signature → band → bucket join →
     * exact verify. The only shuffles are the bucket join and the verify
-    * joins; no all-pairs product anywhere. */
-  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame =
-    verifyJaccard(docs, lshCandidates(lshBuckets(minhashSignatures(docs))), threshold)
+    * joins; no all-pairs product anywhere. Hot buckets larger than
+    * maxBucketSize (default [[defaultMaxBucketSize]]) are dropped — the
+    * 100 TB skew guard is ON unless explicitly opted out. */
+  def minhashNearDups(docs: DataFrame, threshold: Double,
+      maxBucketSize: Int = defaultMaxBucketSize): DataFrame =
+    verifyJaccard(docs,
+      lshCandidates(lshBuckets(minhashSignatures(docs)), maxBucketSize),
+      threshold)
 
   // -------------------------------------------------- inverted-index path
 
@@ -232,9 +248,10 @@ object Dedup {
     * empty shingle sets → null signatures → null band hashes, which match
     * nothing in the bucket join and verify to null Jaccard: they simply
     * never pair. */
-  def shingleNearDups(docs: DataFrame, threshold: Double): DataFrame =
+  def shingleNearDups(docs: DataFrame, threshold: Double,
+      maxBucketSize: Int = defaultMaxBucketSize): DataFrame =
     verifyJaccard(docs,
-      lshCandidates(lshBuckets(minhashSignatures(docs, shingles3))),
+      lshCandidates(lshBuckets(minhashSignatures(docs, shingles3)), maxBucketSize),
       threshold, shingles3)
 
   /** Benchmark contamination scan — the training-data hygiene op (the

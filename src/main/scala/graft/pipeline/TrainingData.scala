@@ -39,7 +39,10 @@ object TrainingData {
 
   /** Near-dup removal: for every verified duplicate pair keep the LOWER
     * doc_id (deterministic cluster representative); drop the rest via
-    * anti-join. LSH banding bounds the candidate set — no all-pairs. */
+    * anti-join. LSH banding bounds the candidate set — no all-pairs — and
+    * the pipeline inherits minhashNearDups' default hot-bucket cap
+    * (Dedup.defaultMaxBucketSize), so a degenerate corpus of near-empty
+    * docs cannot turn the bucket self-join quadratic. */
   def dropNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     val losers = Dedup.minhashNearDups(docs, threshold)
       .select(col("d2").as("doc_id")).distinct()

@@ -94,6 +94,40 @@ class MediaSpec extends SparkSpec {
       Media.byteSimhash(base) ^ Media.byteSimhash(corrupted)) <= 3)
   }
 
+  test("bandRanges: disjoint cover of all 64 bits for every legal band count") {
+    (1 to 16).foreach { nBands =>
+      val ranges = Media.bandRanges(nBands)
+      assert(ranges.length === nBands)
+      // contiguous, disjoint, covering [0, 64): each band starts where the
+      // previous ended, first at 0, last at 64, every band non-empty
+      assert(ranges.head._1 === 0)
+      assert(ranges.last._2 === 64)
+      ranges.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 === s2)
+        case _ =>
+      }
+      assert(ranges.forall { case (s, e) => e > s })
+    }
+  }
+
+  test("near-dup recall holds at maxHamming=8 (the wrap-around band widths)") {
+    // Adversarial pair: 8 flipped bits at positions 0,8,…,56 — one per band
+    // of the OLD uniform-ceil-width scheme, where band 8's shift of 64
+    // wrapped to 0 and duplicated band 0, leaving only 8 distinct bands all
+    // damaged → pair missed despite hamming = maxHamming. The disjoint
+    // 9-band partition leaves at least one band untouched (pigeonhole), so
+    // the pair MUST be found.
+    val f1 = 0x0123456789abcdefL
+    val flips = (0 until 8).map(i => 1L << (8 * i)).reduce(_ | _)
+    val f2 = f1 ^ flips
+    assert(java.lang.Long.bitCount(f1 ^ f2) === 8)
+    import spark.implicits._
+    val fps = Seq((1L, f1), (2L, f2)).toDF("media_id", "fp")
+    val pairs = Media.nearDupFingerprints(fps, maxHamming = 8)
+      .select("m1", "m2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("featureTable: blob column pruned from the shuffle-facing output") {
     val ft = Media.featureTable(media)
     assert(!ft.columns.contains("bytes"))
