@@ -105,20 +105,75 @@ object Ann {
       .drop("rn")
   }
 
-  /** Nearest-centroid assignment WITHOUT a shuffle: the codebook unrolls
-    * into one array-of-structs expression per row and `array_max` picks the
-    * best (struct ordering compares cos first, centroid id as tie-break) —
-    * fully narrow, fused with the scan, no crossJoin + window. This is why
-    * the codebook lives driver-side as plain values: k centroids are
-    * broadcast-scale by definition. Null cosines (zero vectors) rank below
-    * every real score. */
-  def assign(corpus: DataFrame, codebook: Seq[(Int, Seq[Float])]): DataFrame = {
-    val scored = array(codebook.map { case (id, v) =>
+  /** Per-row array of (cosine, cluster) structs against every centroid —
+    * the codebook unrolls into one expression, fully narrow, fused with the
+    * scan. This is why the codebook lives driver-side as plain values: k
+    * centroids are broadcast-scale by definition. Null cosines (zero
+    * vectors) rank below every real score. */
+  private def centroidScores(codebook: Seq[(Int, Seq[Float])]): Column =
+    array(codebook.map { case (id, v) =>
       struct(
         coalesce(Sim.cosine(col("embedding"), typedlit(v)), lit(-2.0)).as("cos"),
         lit(id).as("cluster"))
     }: _*)
-    corpus.withColumn("cluster", array_max(scored).getField("cluster"))
+
+  /** Nearest-centroid assignment WITHOUT a shuffle: `array_max` picks the
+    * best scored struct (ordering compares cos first, centroid id as
+    * tie-break) — no crossJoin + window. */
+  def assign(corpus: DataFrame, codebook: Seq[(Int, Seq[Float])]): DataFrame =
+    corpus.withColumn("cluster",
+      array_max(centroidScores(codebook)).getField("cluster"))
+
+  /** Top-nprobe centroid routing: each probe row explodes into its nprobe
+    * nearest clusters (sorted scored array, sliced) — the standard IVF
+    * recall lever: a probe near a Voronoi boundary also searches the
+    * runner-up cell. Still narrow; output is nprobe rows per probe. */
+  def route(probes: DataFrame, codebook: Seq[(Int, Seq[Float])],
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= codebook.size,
+      s"nprobe must be in [1, ${codebook.size}], got $nprobe")
+    probes
+      .withColumn("rt",
+        explode(slice(reverse(array_sort(centroidScores(codebook))), 1, nprobe)))
+      .withColumn("cluster", col("rt.cluster"))
+      .drop("rt")
+  }
+
+  /** k-means‖-style seeding: ONE deterministic oversample pass (md5-order
+    * top 20·k — a TakeOrdered, not a full sort) followed by DRIVER-SIDE
+    * farthest-first over the sample. Same spread-out-seeds property as full
+    * farthest-first (no two seeds land in one dense cluster), at O(1)
+    * corpus scans instead of k — the previous init ran k full scans, one
+    * per seed, which dominates init cost at 100 TB. Driver work is
+    * O(sample·k·dim) on ≤ 20·k vectors — trivially broadcast-scale. */
+  private[operators] def initSeeds(corpus: DataFrame, k: Int): Seq[Seq[Float]] = {
+    val sample = corpus.orderBy(md5(col("vec_id").cast("string")))
+      .limit(math.max(k, 20 * k))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0)).toIndexedSeq
+    require(sample.nonEmpty, "kmeans init: empty corpus")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) -2.0 else dot / math.sqrt(na * nb)
+    }
+    var seeds = Vector(sample.head)
+    // max similarity of each sample point to any chosen seed
+    val best = Array.tabulate(sample.size)(i => cos(sample(i), sample.head))
+    while (seeds.size < k) {
+      var idx = 0
+      var i = 1
+      while (i < sample.size) { if (best(i) < best(idx)) idx = i; i += 1 }
+      val next = sample(idx)
+      seeds :+= next
+      i = 0
+      while (i < sample.size) {
+        best(i) = math.max(best(i), cos(sample(i), next)); i += 1
+      }
+    }
+    seeds
   }
 
   /** Deterministic Lloyd's k-means over the embedding column — the real
@@ -126,26 +181,13 @@ object Ann {
     * degenerate case where labels are already a clustering). Each
     * iteration is ONE narrow assignment pass + ONE groupBy shuffle
     * (per-dimension means); centroids round-trip through the driver
-    * because k·dim doubles is broadcast-sized. Init is deterministic
-    * farthest-first traversal (the k-center heuristic): seed 1 is the
-    * md5-min document, each next seed is the point least similar to every
-    * chosen seed — k cheap narrow scans that avoid the
-    * two-seeds-in-one-cluster local optimum of arbitrary init. Empty
-    * clusters keep their previous centroid. */
+    * because k·dim doubles is broadcast-sized. Init is [[initSeeds]]:
+    * one-pass deterministic oversample + driver-side farthest-first, which
+    * avoids the two-seeds-in-one-cluster local optimum of arbitrary init
+    * without per-seed corpus scans. Empty clusters keep their previous
+    * centroid. */
   def kmeans(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
-    val first = corpus.orderBy(md5(col("vec_id").cast("string")))
-      .limit(1).select(col("embedding")).collect().head.getSeq[Float](0)
-    var seeds = Seq(first)
-    while (seeds.size < k) {
-      val sims = seeds.map(s =>
-        coalesce(Sim.cosine(col("embedding"), typedlit(s)), lit(-2.0)))
-      val worst = if (sims.size == 1) sims.head else greatest(sims: _*)
-      val next = corpus.withColumn("worst", worst)
-        .orderBy(col("worst").asc, col("vec_id"))
-        .limit(1).select(col("embedding")).collect().head.getSeq[Float](0)
-      seeds :+= next
-    }
-    var codebook: Seq[(Int, Seq[Float])] = seeds.zipWithIndex.map(_.swap)
+    var codebook: Seq[(Int, Seq[Float])] = initSeeds(corpus, k).zipWithIndex.map(_.swap)
     (0 until iters).foreach { _ =>
       val means = assign(corpus, codebook)
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -161,15 +203,17 @@ object Ann {
     codebook
   }
 
-  /** IVF nprobe=1 over an explicit k-means codebook: corpus and probes are
-    * both routed by nearest centroid (narrow), candidates meet in an
-    * equi-join on cluster id — the full ANN shape at scale: cluster count
-    * bounds every probe's candidate set. */
+  /** IVF over an explicit k-means codebook: corpus rows are routed to their
+    * single nearest centroid (narrow), probes to their nprobe nearest
+    * ([[route]]); candidates meet in an equi-join on cluster id — the full
+    * ANN shape at scale: cluster count bounds every probe's candidate set,
+    * and nprobe is the recall lever (each candidate lives in exactly one
+    * cluster, so probing several clusters never duplicates a candidate). */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
-      codebook: Seq[(Int, Seq[Float])]): DataFrame = {
+      codebook: Seq[(Int, Seq[Float])], nprobe: Int = 1): DataFrame = {
     val c = assign(corpus, codebook)
       .select(col("vec_id").as("cand_id"), col("cluster"), col("embedding").as("cv"))
-    val p = assign(probes, codebook)
+    val p = route(probes, codebook, nprobe)
       .select(col("vec_id").as("probe_id"), col("cluster"), col("embedding").as("pv"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id"))
@@ -194,19 +238,26 @@ object Ann {
         transform(col("pm"), e => e.getField("m").cast("float")).as("centroid"))
   }
 
-  /** IVF nprobe=1: route each probe to its nearest centroid's label
-    * partition, then exact-rank within that partition only. */
-  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  /** Label-routed IVF at nprobe=1 (only one overload may carry a default
+    * argument in Scala, and the codebook variant holds it). */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    ivfTopK(probes, corpus, k, nprobe = 1)
+
+  /** Label-routed IVF: route each probe to its nprobe nearest centroids'
+    * label partitions, then exact-rank within those partitions only (each
+    * candidate carries one label, so multi-probe never duplicates it). */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     val cents = centroids(corpus)
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    // nearest centroid per probe (centroid table is tiny → broadcast).
+    // nearest centroids per probe (centroid table is tiny → broadcast).
     val wc = Window.partitionBy(col("probe_id"))
       .orderBy(col("ccos").desc, col("label"))
     val routed = p.crossJoin(broadcast(cents))
       .select(col("probe_id"), col("pv"), col("label"),
         Sim.cosine(col("pv"), col("centroid")).as("ccos"))
       .withColumn("rn", row_number().over(wc))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("probe_id"), col("pv"), col("label").as("route"))
     val c = corpus.select(col("vec_id").as("cand_id"), col("label"), col("embedding").as("cv"))
     val w = Window.partitionBy(col("probe_id"))

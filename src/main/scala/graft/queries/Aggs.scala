@@ -201,35 +201,44 @@ object Aggs {
     // + the SAME interpolation expression `a + (b - a) * g` on the SAME
     // double inputs — bit-identical, no rounding needed. g is exact: p ∈
     // {.25,.5,.75} and n−1 integer make p·(n−1) and its fraction exact
-    // doubles. Scale note: this exact path costs a per-group sort (the
-    // window) + two self-joins; the production approximation is
-    // percentile_approx (sketch, one pass — tolerance unit-tested in
-    // AggToleranceSpec).
+    // doubles.
+    //
+    // Scale shape: ONE shuffle + ONE per-group sort window. Group sizes
+    // come from a parallel hash agg on the base table, broadcast onto the
+    // ranked rows (a second count-over-partition Window would buffer every
+    // partition again for a number the 3-row dim already knows); every row
+    // then knows (rn, n), decides locally whether it brackets any requested
+    // quantile, and the survivors (≤ 2·|p| rows per group) feed a tiny hash
+    // agg. The earlier two-bracket-join form executed the sort window
+    // TWICE — a 2× constant on the heaviest stage that flips hard at 100×.
+    // The production approximation remains percentile_approx (sketch, one
+    // pass — tolerance unit-tested in AggToleranceSpec).
     "q_agg_percentiles" -> ((s, dir) => {
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"l_returnflag").orderBy($"x")
-      // counts comes straight off the table (hash agg) — deriving it from
-      // `ranked` would execute the per-group sort window a third time.
-      // The two bracket joins each evaluate the window; materializing it
-      // (localCheckpoint) was measured to cost as much as the recompute at
-      // this row count, so the plan stays lazy.
+      val counts = lineitem(s, dir).groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"))
       val ranked = lineitem(s, dir)
         .select($"l_returnflag", $"l_extendedprice".as("x"))
         .withColumn("rn", row_number().over(w))
-      val counts = lineitem(s, dir).groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n"))
-      val pos = counts.crossJoin(Seq(0.25, 0.5, 0.75).toDF("p"))
+        .join(broadcast(counts), Seq("l_returnflag"))
+      ranked
+        // 3× narrow row inflation (one per requested p), all codegen; the
+        // bracket filter immediately cuts it to ≤ 6 rows per group
+        .select($"l_returnflag", $"x", $"rn", $"n",
+          explode(array(Seq(0.25, 0.5, 0.75).map(lit): _*)).as("p"))
         .withColumn("h", $"p" * ($"n" - 1))
         .withColumn("lo", floor($"h").cast("long") + 1)
         .withColumn("hi", least(floor($"h").cast("long") + 2, $"n"))
         .withColumn("g", $"h" - floor($"h"))
-      pos
-        .join(ranked.select($"l_returnflag", $"rn".as("lo"), $"x".as("a")),
-          Seq("l_returnflag", "lo"))
-        .join(ranked.select($"l_returnflag", $"rn".as("hi"), $"x".as("b")),
-          Seq("l_returnflag", "hi"))
-        .select($"l_returnflag", $"p", ($"a" + ($"b" - $"a") * $"g").as("q"))
+        .filter($"rn" === $"lo" || $"rn" === $"hi")
+        .groupBy($"l_returnflag", $"p")
+        .agg(
+          max(when($"rn" === $"lo", $"x")).as("a"),
+          max(when($"rn" === $"hi", $"x")).as("b"),
+          first($"g").as("gg"))
+        .select($"l_returnflag", $"p", ($"a" + ($"b" - $"a") * $"gg").as("q"))
         .orderBy($"l_returnflag", $"p")
     }),
 

@@ -264,6 +264,29 @@ class OperatorsSpec extends SparkSpec {
     assert(top.forall(r => r.getLong(1) >= 100L && r.getLong(1) < 200L))
   }
 
+  test("ANN: ivf nprobe=2 recall@1 ≥ nprobe=1, no duplicate candidates") {
+    val probes = embs.filter(col("vec_id") < 20)
+    val corpus = embs.filter(col("vec_id") >= 20)
+    val codebook = Ann.kmeans(corpus, k = 8, iters = 3)
+    val exact = Ann.bruteForceTopK(probes, corpus, 1)
+      .select(col("probe_id"), col("cand_id").as("nn"))
+    def recall(res: org.apache.spark.sql.DataFrame): Long =
+      exact.join(res.select(col("probe_id"), col("cand_id")),
+        Seq("probe_id")).filter(col("nn") === col("cand_id")).count()
+    val r1res = Ann.ivfTopK(probes, corpus, 1, codebook)
+    val r2res = Ann.ivfTopK(probes, corpus, 1, codebook, nprobe = 2).cache()
+    assert(recall(r2res) >= recall(r1res),
+      "nprobe=2 recall fell below nprobe=1")
+    // each candidate lives in exactly one cluster: no (probe, cand) dups
+    val full2 = Ann.ivfTopK(probes, corpus, 5, codebook, nprobe = 2)
+    assert(full2.groupBy("probe_id", "cand_id").count()
+      .filter(col("count") > 1).count() === 0)
+    // label-routed variant: nprobe=2 widens the candidate pool the same way
+    val lab1 = Ann.ivfTopK(probes, corpus, 1)
+    val lab2 = Ann.ivfTopK(probes, corpus, 1, nprobe = 2)
+    assert(recall(lab2) >= recall(lab1))
+  }
+
   test("ANN: multi-probe recall@1 ≥ single-probe recall@1") {
     val probes = embs.filter(col("vec_id") < 20)
     val corpus = embs.filter(col("vec_id") >= 20)
