@@ -44,6 +44,7 @@ object SparkEntry {
       (Sim.queries, Sim.oracle),
       (UDx.queries, UDx.oracle),
       (Streams.queries, Streams.oracle),
+      (Logs.queries, Logs.oracle),
       (Dedup.queries, Dedup.oracle),
       (graft.operators.Vocab.queries, graft.operators.Vocab.oracle)
     )

@@ -107,6 +107,31 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Streaming as-of enrichment — the streaming analog of the block-tip
+    * probe (A5): each micro-batch runs the custom merge as-of operator
+    * (AsOfJoinExec) against a static build side inside foreachBatch, where
+    * the batch is a plain DataFrame. Enrichment is EVENT-time — each event
+    * joins the build row with the greatest build-ts ≤ its OWN ts for its
+    * key — so out-of-order and late events still pick the dimension row
+    * that was current when they happened, not when they arrived; the
+    * per-batch broadcast `enrich` attaches only the dimension's current
+    * state. Build side static (re-resolved per batch on file sources), no
+    * streaming state, batches append to parquet under the checkpoint's
+    * at-least-once contract (use toParquetExactlyOnce's partition pattern
+    * when replays must be idempotent). */
+  def enrichAsOf(stream: DataFrame, builds: DataFrame,
+      probeKey: String, buildKey: String,
+      probeTs: String, buildTs: String,
+      outDir: String, checkpointDir: String) =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.plans.AsOf.join(batch, builds, probeKey, buildKey, probeTs, buildTs)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Sink an event stream as parquet with checkpointing (ack analog). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -168,6 +168,18 @@ class BlockIngestSpec extends SparkSpec {
     assert(topics.count() === 2)
     assert(topics.orderBy(col("topic_pos")).collect().map(_.getAs[String]("topic")).toSeq
       === Seq("0xtop1", "0xtop2"))
+    // the q_logs_topics aggregation shape runs over bronze logs as-is:
+    // explode + count per (address, topic)
+    val perTopic = logs
+      .select(col("address"), explode(col("topics")).as("topic"))
+      .groupBy(col("address"), col("topic")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(perTopic === Set(("0xc1", "0xtop1", 1L), ("0xc1", "0xtop2", 1L)))
+    // decoded_event is nullable in bronze (decoding is downstream): the
+    // q_logs_decoded extraction shape must not throw on null payloads
+    val decoded = logs.select(
+      get_json_object(col("decoded_event"), "$.event").as("event_name"))
+    assert(decoded.count() === 2)
   }
 
   test("bronze partitioning: per-chain queries prune partitions at the scan") {

@@ -67,6 +67,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of enrichment: out-of-order events join the latest-PRIOR dim row across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // tier history: user 1 was bronze from minute 0, gold from minute 60
+    val builds = Seq(
+      (1L, ts(0), "bronze"),
+      (1L, ts(60), "gold"),
+      (2L, ts(10), "basic"))
+      .toDF("b_user", "b_ts", "tier")
+    val out = java.nio.file.Files.createTempDirectory("asofout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("asofckpt").toString
+    val in = MemoryStream[Event]
+    val q = StreamOps.enrichAsOf(in.toDF(), builds,
+      "user_id", "b_user", "ts", "b_ts", out, ckpt)
+    try {
+      // batch 1: an event AFTER the gold upgrade
+      in.addData(ev(1, 70, user = 1L))
+      q.processAllAvailable()
+      // batch 2 arrives LATER but carries EARLIER event time (out-of-order
+      // across batches) + a user with no dim row at all
+      in.addData(ev(2, 30, user = 1L), ev(3, 5, user = 2L), ev(4, 40, user = 9L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select($"event_id", $"tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(
+        1L -> Some("gold"), // minute 70 ≥ gold@60
+        2L -> Some("bronze"), // minute 30: latest PRIOR is bronze@0, not gold
+        3L -> None, // minute 5 < basic@10 → no prior row
+        4L -> None)) // unknown user → left outer null
+      // event-time semantics, no streaming state
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("exactly-once sink: replaying a batch overwrites its partition, no duplicates") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
