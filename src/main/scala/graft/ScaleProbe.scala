@@ -47,6 +47,50 @@ object ScaleProbe {
       println(f"""{"mult":$m,"rows":$n,"agg_sec":$tAgg%.2f,"agg_Mrows_per_sec":$mrps%.1f,"join_sec":$tJoin%.2f}""")
     }
 
+    // ---- round-2 heavyweights: time-vs-input growth on N×-unioned inputs.
+    // Documents are replicated with DISJOINT vocabularies (every token
+    // prefixed with the replica tag) and remapped doc_ids, so corpus
+    // density stays constant — replicas never near-dup each other and the
+    // semantic output grows linearly. That makes measured growth the
+    // PLAN's, not the problem's (naive replication would add N exact
+    // copies of every doc and the true pair count itself would be
+    // quadratic in N).
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    def replicateDocs(m: Int) =
+      (0 until m).map { i =>
+        docs0.select(
+          ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
+          concat(lit(s"r$i"), regexp_replace($"text", " ", s" r$i")).as("text"))
+      }.reduce(_ unionAll _)
+    val docMults = Seq(1, 4, 16)
+    docMults.foreach { m =>
+      val docs = replicateDocs(m)
+      val nDocs = docs.count()
+      val t0 = System.nanoTime()
+      val nearDups = graft.operators.Dedup.shingleNearDups(docs, 0.2).count()
+      val tLsh = (System.nanoTime() - t0) / 1e9
+      val bench = docs0.filter($"doc_id" < 50)
+        .select($"doc_id", $"text") // UN-prefixed benchmark: decontamination
+      val train = docs // must still do its full index+join work
+      val t1 = System.nanoTime()
+      val contaminated = graft.operators.Dedup.contamination(train, bench, 2).count()
+      val tDecon = (System.nanoTime() - t1) / 1e9
+      println(f"""{"probe":"docs","mult":$m,"docs":$nDocs,"shingle_lsh_sec":$tLsh%.2f,"near_dups":$nearDups,"decontaminate_sec":$tDecon%.2f,"contaminated":$contaminated}""")
+    }
+
+    // percentiles: the q_agg_percentiles single-sort-window shape on
+    // N×-unioned lineitem (values unchanged — quantiles of a replicated
+    // multiset are the originals; the WORK is the per-group sort).
+    Seq(1, 8, 64).foreach { m =>
+      val li = Seq.fill(m)(li0).reduce(_ unionAll _)
+      val n = li.count()
+      val t0 = System.nanoTime()
+      graft.queries.Aggs.percentilesOf(li, Seq(0.25, 0.5, 0.75)).collect()
+      val tPct = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"percentiles","mult":$m,"rows":$n,"sec":$tPct%.2f}""")
+    }
+
     // hot-key as-of: every row on ONE key — the composable join+max
     // formulation materializes probes × builds intermediate rows; the
     // custom merge operator streams both sides once. This is the skew case

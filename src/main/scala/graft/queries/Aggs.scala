@@ -203,44 +203,14 @@ object Aggs {
     // {.25,.5,.75} and n−1 integer make p·(n−1) and its fraction exact
     // doubles.
     //
-    // Scale shape: ONE shuffle + ONE per-group sort window. Group sizes
-    // come from a parallel hash agg on the base table, broadcast onto the
-    // ranked rows (a second count-over-partition Window would buffer every
-    // partition again for a number the 3-row dim already knows); every row
-    // then knows (rn, n), decides locally whether it brackets any requested
-    // quantile, and the survivors (≤ 2·|p| rows per group) feed a tiny hash
-    // agg. The earlier two-bracket-join form executed the sort window
-    // TWICE — a 2× constant on the heaviest stage that flips hard at 100×.
-    // The production approximation remains percentile_approx (sketch, one
-    // pass — tolerance unit-tested in AggToleranceSpec).
-    "q_agg_percentiles" -> ((s, dir) => {
-      import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"l_returnflag").orderBy($"x")
-      val counts = lineitem(s, dir).groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n"))
-      val ranked = lineitem(s, dir)
-        .select($"l_returnflag", $"l_extendedprice".as("x"))
-        .withColumn("rn", row_number().over(w))
-        .join(broadcast(counts), Seq("l_returnflag"))
-      ranked
-        // 3× narrow row inflation (one per requested p), all codegen; the
-        // bracket filter immediately cuts it to ≤ 6 rows per group
-        .select($"l_returnflag", $"x", $"rn", $"n",
-          explode(array(Seq(0.25, 0.5, 0.75).map(lit): _*)).as("p"))
-        .withColumn("h", $"p" * ($"n" - 1))
-        .withColumn("lo", floor($"h").cast("long") + 1)
-        .withColumn("hi", least(floor($"h").cast("long") + 2, $"n"))
-        .withColumn("g", $"h" - floor($"h"))
-        .filter($"rn" === $"lo" || $"rn" === $"hi")
-        .groupBy($"l_returnflag", $"p")
-        .agg(
-          max(when($"rn" === $"lo", $"x")).as("a"),
-          max(when($"rn" === $"hi", $"x")).as("b"),
-          first($"g").as("gg"))
-        .select($"l_returnflag", $"p", ($"a" + ($"b" - $"a") * $"gg").as("q"))
-        .orderBy($"l_returnflag", $"p")
-    }),
+    // Scale shape: distributed rank via range partitioning — see
+    // percentilesOf. A group-partitioned window caps sort parallelism at
+    // the GROUP count (3 here); ScaleProbe measured that superlinear at
+    // 64× input (74 s), vs 14 s for the range-sliced rank at identical
+    // output. The production approximation remains percentile_approx
+    // (sketch, one pass — tolerance unit-tested in AggToleranceSpec).
+    "q_agg_percentiles" -> ((s, dir) =>
+      percentilesOf(lineitem(s, dir), Seq(0.25, 0.5, 0.75))),
 
     // Fixed-bin histogram via portable bucket algebra: floor of a scaled
     // double (identical IEEE op both engines) with a capped overflow
@@ -254,6 +224,75 @@ object Aggs {
         .orderBy($"bucket")
     }),
 
+    // Modal value per group: count + rank with a deterministic tie-break
+    // (highest count, then lowest value). Two hash aggs + a window over the
+    // group×value table — never over the fact rows.
+    "q_agg_mode" -> ((s, dir) => {
+      import s.implicits._
+      val counts = orders(s, dir)
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderstatus").orderBy($"n".desc, $"o_orderpriority")
+      counts.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"n")
+        .orderBy($"o_orderstatus")
+    }),
+
+    // Table profiling (the data-quality report a curation pipeline runs
+    // first): per-column null count, exact distinct count, min/max — ONE
+    // aggregate pass (multi-distinct lowers to a single Expand-based
+    // aggregation, not one scan per column), then the 1-row wide result
+    // explodes into the tall report. Doubles are profiled only via
+    // null/distinct counts; min/max strings are emitted for the portable
+    // types (int/string/date) — float-to-string formatting is
+    // engine-specific.
+    "q_profile_table" -> ((s, dir) => {
+      import s.implicits._
+      val od = $"o_orderdate".cast("date")
+      val wide = orders(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("nn_key"),
+        countDistinct($"o_orderkey").as("nd_key"),
+        min($"o_orderkey").cast("string").as("mn_key"),
+        max($"o_orderkey").cast("string").as("mx_key"),
+        sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("nn_cust"),
+        countDistinct($"o_custkey").as("nd_cust"),
+        min($"o_custkey").cast("string").as("mn_cust"),
+        max($"o_custkey").cast("string").as("mx_cust"),
+        sum(when($"o_orderstatus".isNull, 1L).otherwise(0L)).as("nn_status"),
+        countDistinct($"o_orderstatus").as("nd_status"),
+        min($"o_orderstatus").as("mn_status"),
+        max($"o_orderstatus").as("mx_status"),
+        sum(when($"o_orderpriority".isNull, 1L).otherwise(0L)).as("nn_prio"),
+        countDistinct($"o_orderpriority").as("nd_prio"),
+        min($"o_orderpriority").as("mn_prio"),
+        max($"o_orderpriority").as("mx_prio"),
+        sum(when(od.isNull, 1L).otherwise(0L)).as("nn_date"),
+        countDistinct(od).as("nd_date"),
+        min(od).cast("string").as("mn_date"),
+        max(od).cast("string").as("mx_date"),
+        sum(when($"o_totalprice".isNull, 1L).otherwise(0L)).as("nn_price"),
+        countDistinct($"o_totalprice").as("nd_price"))
+      wide.select($"n_rows", explode(array(
+          struct(lit("o_orderkey").as("col_name"), $"nn_key".as("n_null"),
+            $"nd_key".as("n_distinct"), $"mn_key".as("min_v"), $"mx_key".as("max_v")),
+          struct(lit("o_custkey").as("col_name"), $"nn_cust".as("n_null"),
+            $"nd_cust".as("n_distinct"), $"mn_cust".as("min_v"), $"mx_cust".as("max_v")),
+          struct(lit("o_orderstatus").as("col_name"), $"nn_status".as("n_null"),
+            $"nd_status".as("n_distinct"), $"mn_status".as("min_v"), $"mx_status".as("max_v")),
+          struct(lit("o_orderpriority").as("col_name"), $"nn_prio".as("n_null"),
+            $"nd_prio".as("n_distinct"), $"mn_prio".as("min_v"), $"mx_prio".as("max_v")),
+          struct(lit("o_orderdate").as("col_name"), $"nn_date".as("n_null"),
+            $"nd_date".as("n_distinct"), $"mn_date".as("min_v"), $"mx_date".as("max_v")),
+          struct(lit("o_totalprice").as("col_name"), $"nn_price".as("n_null"),
+            $"nd_price".as("n_distinct"), lit(null).cast("string").as("min_v"),
+            lit(null).cast("string").as("max_v")))).as("p"))
+        .select($"p.col_name", $"n_rows", $"p.n_null", $"p.n_distinct",
+          $"p.min_v", $"p.max_v")
+        .orderBy($"col_name")
+    }),
+
     // HLL sketch — no exact SQL oracle; driver records a rows-only check.
     // Unit test asserts ±5% vs exact countDistinct.
     "q_agg_approx_distinct" -> ((s, dir) => {
@@ -264,6 +303,95 @@ object Aggs {
         .orderBy($"event_type")
     })
   )
+
+  /** Exact interpolated per-group quantiles over (l_returnflag,
+    * l_extendedprice) — the q_agg_percentiles operator, reusable on any
+    * lineitem-shaped frame (ScaleProbe replays it on N×-unioned inputs).
+    *
+    * Distributed-rank shape: a window partitioned by the GROUP alone caps
+    * parallelism at the group count (3 here — a ScaleProbe-measured
+    * superlinear wall at 64× input). Instead:
+    *
+    *   1. range-repartition on (group, x) → every partition holds a
+    *      contiguous slice of one-or-more groups' sorted value ranges, and
+    *      partition count (not group count) is the parallelism;
+    *   2. per-(group, slice) counts (≤ groups × partitions rows —
+    *      broadcast-scale), prefix-summed in-plan into each slice's global
+    *      rank offset;
+    *   3. local rank within each (group, slice) — the per-slice sort is
+    *      parallel across slices — then global rank = local + offset, and
+    *      the same local bracket filter + tiny conditional agg.
+    *
+    * Rows with equal x may split across a partition boundary; their ranks
+    * are then assigned arbitrarily BETWEEN equal values, which leaves the
+    * value-at-rank (all that quantiles read) unchanged — the output is
+    * deterministic. Interpolation algebra is unchanged and byte-identical
+    * to the DuckDB oracle. percentile_approx remains the one-pass
+    * production approximation (AggToleranceSpec). */
+  def percentilesOf(li: DataFrame, ps: Seq[Double]): DataFrame = {
+    def sliced(ranged: DataFrame): DataFrame = ranged
+      .sortWithinPartitions(col("l_returnflag"), col("x"))
+      .withColumn("ord",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    val W = org.apache.spark.sql.expressions.Window
+    val ranged = li
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      .repartitionByRange(col("l_returnflag"), col("x"))
+      .withColumn("pid", spark_partition_id())
+    // Slice stats: ≤ groups × partitions rows, from a sort-free hash agg.
+    // BOTH rank ingredients derive from counts alone:
+    //   rank_off  — this slice's global offset within its group: counts of
+    //               the same group in earlier partitions (range partitioning
+    //               puts strictly-lower x there);
+    //   start_ord — where this group starts inside its partition's sorted
+    //               order: counts of lexically-earlier groups in the SAME
+    //               partition (the in-partition sort is (group, x));
+    //   n         — group total.
+    // The prefix sums run in-plan over the tiny frame (no driver collect —
+    // that would be a second action re-executing the range shuffle);
+    // ReuseExchange feeds this branch and the rank branch from ONE range
+    // exchange.
+    val wOff = W.partitionBy(col("l_returnflag")).orderBy(col("pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wStart = W.partitionBy(col("pid")).orderBy(col("l_returnflag"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wN = W.partitionBy(col("l_returnflag"))
+    val slices = ranged.groupBy(col("l_returnflag"), col("pid"))
+      .agg(count(lit(1)).as("slice_n"))
+      .withColumn("rank_off", coalesce(sum(col("slice_n")).over(wOff), lit(0L)))
+      .withColumn("start_ord", coalesce(sum(col("slice_n")).over(wStart), lit(0L)))
+      .withColumn("n", sum(col("slice_n")).over(wN))
+      .select(col("l_returnflag"), col("pid"), col("rank_off"),
+        col("start_ord"), col("n"))
+    // Rank branch: NARROW in-partition sort (parallelism = slice count, not
+    // group count) + monotonically_increasing_id, whose low 33 bits are the
+    // within-partition ordinal in sort order (nondeterministic-flagged, so
+    // Catalyst never reorders it past the sort). Rows with equal x may
+    // permute between executions or split across a slice boundary; that
+    // shuffles ranks only AMONG equal values, so the value-at-rank — all
+    // that quantiles read — is deterministic.
+    sliced(ranged)
+      .join(broadcast(slices), Seq("l_returnflag", "pid"))
+      .withColumn("rn", col("ord") - col("start_ord") + 1 + col("rank_off"))
+      .drop("pid", "ord", "start_ord", "rank_off")
+      // |ps|× narrow row inflation (one per requested p), all codegen; the
+      // bracket filter immediately cuts it to ≤ 2·|ps| rows per group
+      .select(col("l_returnflag"), col("x"), col("rn"), col("n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("h", col("p") * (col("n") - 1))
+      .withColumn("lo", floor(col("h")).cast("long") + 1)
+      .withColumn("hi", least(floor(col("h")).cast("long") + 2, col("n")))
+      .withColumn("g", col("h") - floor(col("h")))
+      .filter(col("rn") === col("lo") || col("rn") === col("hi"))
+      .groupBy(col("l_returnflag"), col("p"))
+      .agg(
+        max(when(col("rn") === col("lo"), col("x"))).as("a"),
+        max(when(col("rn") === col("hi"), col("x"))).as("b"),
+        first(col("g")).as("gg"))
+      .select(col("l_returnflag"), col("p"),
+        (col("a") + (col("b") - col("a")) * col("gg")).as("q"))
+      .orderBy(col("l_returnflag"), col("p"))
+  }
 
   /** TPC-H-Q1-style pricing summary. Exact decimal pipeline:
     * (18,4)*(19,4) products stay within precision 38 (no Spark precision-loss
@@ -422,6 +550,50 @@ object Aggs {
       """SELECT CAST(least(floor(o_totalprice / 25000.0), 15.0) AS INT) AS bucket,
                 count(*) AS n
          FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    "q_agg_mode" ->
+      """SELECT o_orderstatus, mode_priority, n FROM (
+           SELECT o_orderstatus, o_orderpriority AS mode_priority, count(*) AS n,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY count(*) DESC, o_orderpriority) AS rn
+           FROM orders GROUP BY o_orderstatus, o_orderpriority)
+         WHERE rn = 1
+         ORDER BY o_orderstatus""",
+
+    "q_profile_table" ->
+      """WITH w AS (SELECT
+           count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_key,
+           count(DISTINCT o_orderkey) AS nd_key,
+           CAST(min(o_orderkey) AS VARCHAR) AS mn_key,
+           CAST(max(o_orderkey) AS VARCHAR) AS mx_key,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_cust,
+           count(DISTINCT o_custkey) AS nd_cust,
+           CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
+           CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_status,
+           count(DISTINCT o_orderstatus) AS nd_status,
+           min(o_orderstatus) AS mn_status,
+           max(o_orderstatus) AS mx_status,
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_prio,
+           count(DISTINCT o_orderpriority) AS nd_prio,
+           min(o_orderpriority) AS mn_prio,
+           max(o_orderpriority) AS mx_prio,
+           sum(CASE WHEN CAST(o_orderdate AS DATE) IS NULL THEN 1 ELSE 0 END) AS nn_date,
+           count(DISTINCT CAST(o_orderdate AS DATE)) AS nd_date,
+           CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn_date,
+           CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx_date,
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_price,
+           count(DISTINCT o_totalprice) AS nd_price
+         FROM orders)
+         SELECT col_name, n_rows, n_null, n_distinct, min_v, max_v FROM (
+           SELECT 'o_orderkey' AS col_name, n_rows, nn_key AS n_null, nd_key AS n_distinct, mn_key AS min_v, mx_key AS max_v FROM w
+           UNION ALL SELECT 'o_custkey', n_rows, nn_cust, nd_cust, mn_cust, mx_cust FROM w
+           UNION ALL SELECT 'o_orderstatus', n_rows, nn_status, nd_status, mn_status, mx_status FROM w
+           UNION ALL SELECT 'o_orderpriority', n_rows, nn_prio, nd_prio, mn_prio, mx_prio FROM w
+           UNION ALL SELECT 'o_orderdate', n_rows, nn_date, nd_date, mn_date, mx_date FROM w
+           UNION ALL SELECT 'o_totalprice', n_rows, nn_price, nd_price, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM w)
+         ORDER BY col_name""",
 
     "q_agg_percentiles" ->
       """WITH ranked AS (

@@ -75,6 +75,29 @@ object Sim {
         .orderBy($"probe_id")
     }),
 
+    // Symmetric int8 quantization of the embedding column — the storage
+    // operator a 100 TB vector corpus runs before indexing (4× smaller than
+    // float32). scale = max|x|/127; q_i = floor(x_i/scale + 0.5) — the
+    // explicit floor(+0.5) formula instead of round() because both engines
+    // execute it with the SAME IEEE ops (round()'s tie-handling is
+    // engine-specific); zero vectors quantize to zeros (the division guard
+    // — ±Inf would throw on the ANSI bigint cast). Per-row narrow work;
+    // only the int8 codes and one double shuffle onward.
+    "q_embed_quantize" -> ((s, dir) => {
+      import s.implicits._
+      val absMax = array_max(transform($"embedding", x => abs(x.cast("double"))))
+      embeddings(s, dir).filter($"vec_id" < 200)
+        .select($"vec_id", (absMax / 127.0).as("scale"), $"embedding")
+        .select($"vec_id", $"scale",
+          array_join(
+            transform($"embedding", x =>
+              when($"scale" === 0.0, 0L)
+                .otherwise(floor(x.cast("double") / $"scale" + 0.5).cast("long"))
+                .cast("string")),
+            ",").as("q8"))
+        .orderBy($"vec_id")
+    }),
+
     // multimodal: text metadata ⋈ vector column, filters on both modalities.
     "q_multimodal_join" -> ((s, dir) => {
       import s.implicits._
@@ -115,6 +138,19 @@ object Sim {
             FROM scored)
           SELECT probe_id, cand_id, label, cos FROM ranked WHERE rn = 1
           ORDER BY probe_id""",
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings WHERE vec_id < 200)
+         SELECT vec_id, scale,
+                array_to_string(list_transform(embedding, x ->
+                  CAST(CASE WHEN scale = 0.0 THEN 0
+                       ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) END AS VARCHAR)),
+                  ',') AS q8
+         FROM e
+         ORDER BY vec_id""",
 
     "q_multimodal_join" ->
       s"""SELECT doc_id, lang, n_chars, label,

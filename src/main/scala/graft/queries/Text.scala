@@ -215,6 +215,33 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // Keyword extraction: top-3 terms per document ranked by term frequency
+    // with rarity (ascending document frequency) then term as tie-breaks —
+    // a fully integer-valued ranking (no float score can flip rank order
+    // between engines); ln(N/df) idf is carried as an informational column
+    // (irrational-valued → round(,4) is portable). Scale shape: two hash
+    // aggs (doc×term, then term) + one window over the tf table — the fact
+    // rows are touched once by the explode.
+    "q_text_top_terms" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+      val tf = docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term")
+      tf.join(df, Seq("term"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"rn", $"term", $"tf", $"df",
+          round(log($"n_docs".cast("double") / $"df"), 4).as("idf"))
+        .orderBy($"doc_id", $"rn")
+    }),
+
     // near-dup detection: token-set Jaccard >= 0.5 over a bounded candidate
     // set (doc_id < 300 — fixed work at every SF; LSH is the scale path).
     "q_text_dedup_near" -> ((s, dir) => {
@@ -338,6 +365,26 @@ object Text {
                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '[email]', 'g'),
                   '[ \t\r\n]+', ' ', 'g')))) AS INT) AS clean_len
          FROM documents ORDER BY doc_id""",
+
+    "q_text_top_terms" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents)
+           WHERE term <> ''
+           GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, rn, term, tf, df,
+                round(ln(CAST(n_docs AS DOUBLE) / df), 4) AS idf
+         FROM (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST(row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY tf.tf DESC, df.df ASC, tf.term) AS INT) AS rn
+           FROM tf JOIN df USING (term)) t
+         CROSS JOIN n
+         WHERE rn <= 3
+         ORDER BY doc_id, rn""",
 
     "q_text_dedup_near" ->
       """WITH toks AS (
