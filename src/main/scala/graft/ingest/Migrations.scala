@@ -47,16 +47,23 @@ object Migrations {
 
   private def ledgerPath(root: String) = s"$root/_migrations"
 
-  /** Versions already applied at this root, ascending. */
+  /** Versions already applied at this root, ascending. A missing main
+    * ledger falls back to the in-flight `.tmp` (newest content — a crash
+    * landed between the backup and final rename) then the parked `.bak`,
+    * so a mid-swap crash never reads as "nothing applied" and re-runs
+    * arbitrary user `up()` functions. */
   def applied(root: String): Seq[Int] = {
     val (fs, p) = fsFor(ledgerPath(root))
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val in = fs.open(p)
-      try {
-        scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          .filter(_.nonEmpty).map(_.toInt).sorted
-      } finally in.close()
+    val candidates = p +:
+      Seq(".tmp", ".bak").map(sfx => new HPath(s"${ledgerPath(root)}$sfx"))
+    candidates.find(fs.exists) match {
+      case None => Seq.empty
+      case Some(ledger) =>
+        val in = fs.open(ledger)
+        try {
+          scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            .filter(_.nonEmpty).map(_.toInt).sorted
+        } finally in.close()
     }
   }
 
@@ -67,12 +74,20 @@ object Migrations {
     val out = fs.create(tmp, true)
     try out.write(versions.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    // rename is atomic on HDFS/local; object stores make it copy+delete,
-    // which is still safe for the single-writer startup step modeled here
+    // Hadoop rename won't clobber an existing target, so the swap parks
+    // the old ledger at .bak, moves the new one in, then drops the backup.
+    // A crash anywhere in that window leaves .tmp (new) and/or .bak (old)
+    // on disk, both of which `applied` falls back to — there is no instant
+    // at which every ledger copy is gone (the old delete-then-rename had
+    // one, re-running every migration after a crash in it).
     val dst = new HPath(rootP, "_migrations")
-    if (fs.exists(dst)) fs.delete(dst, false)
+    val bak = new HPath(rootP, "_migrations.bak")
+    if (fs.exists(bak)) fs.delete(bak, false)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"ledger backup failed: $dst -> $bak")
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"ledger rename failed: $tmp -> $dst")
+    fs.delete(bak, false)
   }
 
   /** Apply every pending migration in version order; returns the versions

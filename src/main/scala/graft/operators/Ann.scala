@@ -162,15 +162,24 @@ object Ann {
     var seeds = Vector(sample.head)
     // max similarity of each sample point to any chosen seed
     val best = Array.tabulate(sample.size)(i => cos(sample(i), sample.head))
-    while (seeds.size < k) {
+    var exhausted = false
+    while (seeds.size < k && !exhausted) {
       var idx = 0
       var i = 1
       while (i < sample.size) { if (best(i) < best(idx)) idx = i; i += 1 }
-      val next = sample(idx)
-      seeds :+= next
-      i = 0
-      while (i < sample.size) {
-        best(i) = math.max(best(i), cos(sample(i), next)); i += 1
+      // The farthest remaining point already coincides (cosine 1) with a
+      // chosen seed: the sample has < k distinct directions. Stop rather
+      // than emit duplicate centroids — callers size the codebook off the
+      // returned seq, and k identical centroids would mean guaranteed-empty
+      // clusters plus ambiguous routing ties.
+      if (best(idx) >= 1.0 - 1e-9) exhausted = true
+      else {
+        val next = sample(idx)
+        seeds :+= next
+        i = 0
+        while (i < sample.size) {
+          best(i) = math.max(best(i), cos(sample(i), next)); i += 1
+        }
       }
     }
     seeds

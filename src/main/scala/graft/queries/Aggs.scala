@@ -388,8 +388,22 @@ object Aggs {
         max(when(col("rn") === col("lo"), col("x"))).as("a"),
         max(when(col("rn") === col("hi"), col("x"))).as("b"),
         first(col("g")).as("gg"))
+      // Runtime invariant guard: rn is stitched from BOTH branches of the
+      // reused range exchange (ord from the rank branch, offsets from the
+      // slice-stats branch). If a future edit breaks that reuse — e.g. a
+      // cache/localCheckpoint on one branch, or AQE re-planning one side —
+      // the two branches can observe different spark_partition_id
+      // assignments, ranks develop gaps/collisions, and some bracket rank
+      // lo/hi simply never occurs. Healthy ranks are a permutation of
+      // 1..n, so both brackets always match; a missing one must FAIL, not
+      // silently interpolate from null.
       .select(col("l_returnflag"), col("p"),
-        (col("a") + (col("b") - col("a")) * col("gg")).as("q"))
+        when(col("a").isNotNull && col("b").isNotNull,
+          col("a") + (col("b") - col("a")) * col("gg"))
+          .otherwise(raise_error(concat(
+            lit("percentilesOf: rank bracket missing (broken exchange reuse?) group="),
+            col("l_returnflag"), lit(" p="), col("p").cast("string"))))
+          .as("q"))
       .orderBy(col("l_returnflag"), col("p"))
   }
 
@@ -563,27 +577,27 @@ object Aggs {
     "q_profile_table" ->
       """WITH w AS (SELECT
            count(*) AS n_rows,
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_key,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_key,
            count(DISTINCT o_orderkey) AS nd_key,
            CAST(min(o_orderkey) AS VARCHAR) AS mn_key,
            CAST(max(o_orderkey) AS VARCHAR) AS mx_key,
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_cust,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_cust,
            count(DISTINCT o_custkey) AS nd_cust,
            CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
            CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
-           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_status,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_status,
            count(DISTINCT o_orderstatus) AS nd_status,
            min(o_orderstatus) AS mn_status,
            max(o_orderstatus) AS mx_status,
-           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_prio,
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_prio,
            count(DISTINCT o_orderpriority) AS nd_prio,
            min(o_orderpriority) AS mn_prio,
            max(o_orderpriority) AS mx_prio,
-           sum(CASE WHEN CAST(o_orderdate AS DATE) IS NULL THEN 1 ELSE 0 END) AS nn_date,
+           CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_date,
            count(DISTINCT CAST(o_orderdate AS DATE)) AS nd_date,
            CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn_date,
            CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx_date,
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_price,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_price,
            count(DISTINCT o_totalprice) AS nd_price
          FROM orders)
          SELECT col_name, n_rows, n_null, n_distinct, min_v, max_v FROM (

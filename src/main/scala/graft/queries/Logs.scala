@@ -108,7 +108,7 @@ object Logs {
       s"""WITH logs AS ($logsSql)
           SELECT regexp_extract(decoded_event, '"event":"([a-z_]+)"', 1) AS event_name,
                  count(*) AS n,
-                 sum(CAST(regexp_extract(decoded_event, '"k":(-?\\d+)', 1) AS BIGINT)) AS sum_k,
+                 CAST(sum(CAST(regexp_extract(decoded_event, '"k":(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                  min(CAST(regexp_extract(decoded_event, '"k":(-?\\d+)', 1) AS BIGINT)) AS min_k,
                  max(CAST(regexp_extract(decoded_event, '"k":(-?\\d+)', 1) AS BIGINT)) AS max_k
           FROM logs

@@ -82,6 +82,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("percentiles: slice-stats and rank branches share ONE range exchange") {
+    // percentilesOf's ranks are stitched from two branches of the same
+    // repartitionByRange subtree; correctness requires both to observe the
+    // SAME partition assignment, which holds because the planner/AQE dedups
+    // the canonically-identical exchanges. If an edit makes the subtrees
+    // non-canonical (cache, checkpoint, divergent projection), two
+    // independent range exchanges appear — and ranks silently corrupt
+    // (modulo the runtime bracket guard). Pin the reuse here.
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q_agg_percentiles")(spark, sf())
+    df.collect() // AQE: reuse is visible only in the final executed plan
+    // Count only the repartitionByRange exchange (REPARTITION_BY_COL) in
+    // the FINAL adaptive plan — the trailing "== Initial Plan ==" section
+    // legitimately shows two (AQE dedups them at stage submission), and
+    // the output orderBy adds an unrelated ENSURE_REQUIREMENTS range
+    // exchange. Both branches reusing one stage ⇔ a single plan_id.
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val ids = raw"Exchange rangepartitioning\([^)]*\), REPARTITION_BY_COL, \[plan_id=(\d+)\]".r
+      .findAllMatchIn(finalSection).map(_.group(1)).toList
+    assert(ids.nonEmpty && ids.distinct.size == 1,
+      s"expected both branches on ONE range exchange, got plan_ids $ids in:\n$finalSection")
+    assert(finalSection.contains("ReusedExchange"),
+      s"expected a ReusedExchange for the second branch in:\n$finalSection")
+  }
+
   test("curation pipeline plan: no cartesian product, LSH-bounded shuffles") {
     spark.catalog.clearCache()
     val docs = graft.catalog.Tables.documents(spark, sf())

@@ -40,6 +40,22 @@ class MigrationsSpec extends SparkSpec {
     assert(Migrations.migrate(spark, root, all(root)) === Seq(1, 2))
   }
 
+  test("ledger survives a crash mid-swap: .tmp and .bak both readable") {
+    val root = java.nio.file.Files.createTempDirectory("mig4").toString
+    Migrations.migrate(spark, root, all(root))
+    val nio = java.nio.file.Paths.get(root, "_migrations")
+    // crash after dst→bak, before tmp→dst: only the NEW .tmp + old .bak exist
+    java.nio.file.Files.move(nio, nio.resolveSibling("_migrations.bak"))
+    java.nio.file.Files.write(nio.resolveSibling("_migrations.tmp"),
+      "1\n2\n".getBytes("UTF-8"))
+    assert(Migrations.applied(root) === Seq(1, 2), "must read in-flight .tmp")
+    // crash before tmp→dst with no tmp written yet: .bak alone must serve
+    java.nio.file.Files.delete(nio.resolveSibling("_migrations.tmp"))
+    assert(Migrations.applied(root) === Seq(1, 2), "must fall back to .bak")
+    // the recovered ledger prevents any re-run of already-applied ups
+    assert(Migrations.migrate(spark, root, all(root)) === Seq.empty)
+  }
+
   test("rollback of an unregistered applied version fails loudly") {
     val root = java.nio.file.Files.createTempDirectory("mig3").toString
     Migrations.migrate(spark, root, all(root))

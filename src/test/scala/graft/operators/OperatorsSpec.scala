@@ -264,6 +264,26 @@ class OperatorsSpec extends SparkSpec {
     assert(top.forall(r => r.getLong(1) >= 100L && r.getLong(1) < 200L))
   }
 
+  test("kmeans: corpus with fewer distinct directions than k dedups seeds") {
+    import spark.implicits._
+    // 30 points but only 2 distinct directions: requesting k=5 must not
+    // fabricate duplicate centroids (empty clusters + routing ties) —
+    // initSeeds stops when the farthest remaining point coincides with a
+    // chosen seed, and the codebook sizes off the returned seq.
+    val corpus = (0 until 30).map { i =>
+      val axis = i % 2
+      (i.toLong, Seq.tabulate(4)(d => if (d == axis) 1.0f else 0.0f), s"c$axis")
+    }.toDF("vec_id", "embedding", "label")
+    val codebook = Ann.kmeans(corpus, k = 5, iters = 2)
+    assert(codebook.size === 2, s"expected deduped codebook, got $codebook")
+    assert(codebook.map(_._2).distinct.size === codebook.size,
+      "codebook contains duplicate centroids")
+    // routing still covers the corpus: both clusters non-empty
+    val clusters = Ann.assign(corpus, codebook)
+      .select(col("cluster")).distinct().collect().map(_.getInt(0)).toSet
+    assert(clusters === Set(0, 1))
+  }
+
   test("ANN: ivf nprobe=2 recall@1 ≥ nprobe=1, no duplicate candidates") {
     val probes = embs.filter(col("vec_id") < 20)
     val corpus = embs.filter(col("vec_id") >= 20)
