@@ -44,9 +44,11 @@ object SparkEntry {
       (Sim.queries, Sim.oracle),
       (UDx.queries, UDx.oracle),
       (Streams.queries, Streams.oracle),
+      (Behavior.queries, Behavior.oracle),
       (Logs.queries, Logs.oracle),
       (Dedup.queries, Dedup.oracle),
-      (graft.operators.Vocab.queries, graft.operators.Vocab.oracle)
+      (graft.operators.Vocab.queries, graft.operators.Vocab.oracle),
+      (graft.operators.Pack.queries, graft.operators.Pack.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -354,6 +354,25 @@ object Dedup {
         docs.filter(col("doc_id") >= 50 && col("doc_id") < 300),
         docs.filter(col("doc_id") < 50), minShared = 2)
         .orderBy(col("train_id"), col("bench_id"))
+    }),
+
+    // Pairs → clusters: connected components over the q_dedup_minhash edge
+    // list (Components.connectedComponents), every doc labeled with its
+    // cluster's smallest doc_id; the canonical keeper IS that smallest id —
+    // the keep-one-per-near-dup-group step a curation pipeline actually
+    // executes (dropping both ends of every pair over-deletes chains).
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir).filter(col("doc_id") < 500)
+      val pairs = minhashNearDups(docs, 0.5)
+      val comp = Components.connectedComponents(
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      docs.select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -413,6 +432,26 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> lshOracleSql(toksSql, 0.5),
+
+    // Transitive closure over the exact q_dedup_minhash pair list: min
+    // reachable doc_id per node via a recursive CTE (UNION dedup bounds
+    // the walk), singletons keep their own id.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE
+          pairs AS (${lshOracleSql(toksSql, 0.5)}),
+          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                    UNION SELECT d2 AS a, d1 AS b FROM pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+          comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+          SELECT d.doc_id,
+                 coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                 d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+          LEFT JOIN comp c ON c.id = d.doc_id
+          ORDER BY d.doc_id""",
 
     "q_dedup_ngram_lsh" -> lshOracleSql(shingleSql, 0.2),
 

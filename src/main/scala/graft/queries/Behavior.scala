@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+import graft.util.D._
+
+/** User-behavior analytics over the `events` stream — the product-analytics
+  * query family (funnel conversion, cohort retention, slowly-changing
+  * dimension history) layered on the same event model the reference's
+  * realtime feed produces.
+  *
+  * Scale notes (100 TB posture):
+  *   - q_funnel: three join+agg stages keyed on user_id; every stage's
+  *     frame SHRINKS (users who reached the stage), so the joins get
+  *     cheaper monotonically. All shuffles are user_id-hash equi-joins —
+  *     co-partitioned after the first shuffle, no broadcast needed because
+  *     both sides stay keyed on the same column.
+  *   - q_cohort_retention: one min-per-user agg + one self-join on
+  *     user_id + one (cohort, offset) hash agg. count(DISTINCT user_id)
+  *     shuffles (cohort, offset, user_id) — Spark's Expand-based distinct
+  *     keeps it partial-aggregated map-side.
+  *   - q_scd2_intervals: lead() under a user_id-partitioned window —
+  *     parallelism = user count, the natural key grain of dimension
+  *     history. No global sort; the output ORDER BY is presentation-only.
+  */
+object Behavior {
+
+  private val stages = Seq("view", "click", "purchase")
+
+  /** Per-user earliest qualifying timestamp for each funnel stage, each
+    * stage constrained to STRICTLY AFTER the user's previous stage (the
+    * ordered funnel, not a bag-of-events filter). */
+  private def funnelStages(e: DataFrame): Seq[DataFrame] = {
+    val first = e.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    stages.tail.scanLeft(first) { (prev, stage) =>
+      e.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
+        .filter(col("ts") > col("pt"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered conversion funnel view → click → purchase: a user counts at
+    // stage k only with a stage-k event after their stage-(k−1) time.
+    "q_funnel" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      funnelStages(e).zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
+      }.reduce(_ unionAll _).orderBy(col("stage"))
+    }),
+
+    // Weekly cohort retention: users bucketed by first-seen ISO week,
+    // activity counted per (cohort, weeks-since-cohort).
+    "q_cohort_retention" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      val cohorts = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+      e.join(cohorts, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          expr("CAST(datediff(wk, cohort_week) / 7 AS INT)").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // SCD type-2 intervals: each user's event history becomes validity
+    // ranges [valid_from, valid_to) via lead(); open-ended row = current.
+    "q_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      events(s, dir).filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), r4(col("value")).as("value"),
+          col("ts").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         v AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(ts) AS t FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND ts > v.t GROUP BY 1),
+         p AS (SELECT e.user_id, min(ts) AS t FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND ts > c.t GROUP BY 1)
+         SELECT stage, n_users FROM (
+           SELECT '1_view' AS stage, count(*) AS n_users FROM v
+           UNION ALL SELECT '2_click', count(*) FROM c
+           UNION ALL SELECT '3_purchase', count(*) FROM p)
+         ORDER BY stage""",
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+                CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+              FROM events),
+         cohorts AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1)
+         SELECT cohort_week,
+                CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+                count(DISTINCT user_id) AS n_users
+         FROM e JOIN cohorts USING (user_id)
+         GROUP BY 1, 2
+         ORDER BY cohort_week, week_offset""",
+
+    "q_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id,
+                round(CAST(value AS DOUBLE), 4) AS value,
+                CAST(ts AS TIMESTAMP) AS valid_from
+              FROM events WHERE user_id < 50)
+         SELECT user_id, event_id, value, valid_from,
+                lead(valid_from) OVER w AS valid_to,
+                lead(valid_from) OVER w IS NULL AS is_current
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+         ORDER BY user_id, valid_from, event_id"""
+  )
+}

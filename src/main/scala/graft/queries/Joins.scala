@@ -203,10 +203,44 @@ object Joins {
       graft.plans.AsOf.join(p, sg, "user_id", "s_user", "ts", "s_ts")
         .select($"event_id", $"user_id", $"ts", $"s_ts".as("signup_ts"))
         .orderBy($"event_id")
+    }),
+
+    // Salted skew join: the dim side replicates into SALT copies, each fact
+    // row routes to ONE replica by a deterministic in-row salt — a hot join
+    // key's rows spread over SALT shuffle partitions instead of piling on
+    // one. Result ≡ the plain join (oracle is the unsalted SQL); the salt
+    // column never leaves the join. This is the manual form of AQE's
+    // skew-join split for engines/paths where AQE can't see the skew (e.g.
+    // a skewed key INSIDE one input file-split, or bucketed inputs AQE
+    // won't re-split).
+    "q_join_skew_salted" -> ((s, dir) => {
+      import s.implicits._
+      val salts = 8
+      val li = lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .withColumn("salt", pmod($"l_linenumber", lit(salts)))
+      val ords = orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority")
+        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      li.join(ords,
+          $"l_orderkey" === $"o_orderkey" && li("salt") === ords("salt"))
+        .groupBy($"o_orderpriority")
+        .agg(r4(sum(dec4($"l_extendedprice"))).as("sum_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"o_orderpriority")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the UNSALTED join: salting must be result-invariant
+    "q_join_skew_salted" ->
+      """SELECT o_orderpriority,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+                count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
     "q_join_inner_equi" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -108,6 +108,20 @@ object Sim {
           round(sqrt(norm2($"embedding")), 4).as("vnorm"))
         .filter($"vnorm" > 0.7)
         .orderBy($"doc_id")
+    }),
+
+    // Per-label centroid in tall (label, pos, mean) form — the oracle view
+    // of Ann.centroids' per-dimension average (tall output sidesteps
+    // array-of-double comparison; the wide re-assembly is Ann.centroids).
+    // One posexplode + one hash agg: the explode inflation is absorbed by
+    // map-side partial aggregation on (label, pos).
+    "q_embed_centroid" -> ((s, dir) => {
+      import s.implicits._
+      embeddings(s, dir)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"label", $"pos")
+        .agg(round(avg($"x"), 4).as("m"))
+        .orderBy($"label", $"pos")
     })
   )
 
@@ -151,6 +165,17 @@ object Sim {
                   ',') AS q8
          FROM e
          ORDER BY vec_id""",
+
+    // two unnests in one SELECT zip positionally in DuckDB (WITH
+    // ORDINALITY is unsupported in this build)
+    "q_embed_centroid" ->
+      """SELECT label, CAST(pos AS INT) AS pos,
+                round(avg(CAST(x AS DOUBLE)), 4) AS m
+         FROM (SELECT label, unnest(embedding) AS x,
+                      unnest(range(len(embedding))) AS pos
+               FROM embeddings)
+         GROUP BY 1, 2
+         ORDER BY label, pos""",
 
     "q_multimodal_join" ->
       s"""SELECT doc_id, lang, n_chars, label,

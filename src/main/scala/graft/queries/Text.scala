@@ -262,10 +262,70 @@ object Text {
           ($"common".cast("double") / ($"n1" + $"n2" - $"common")).as("jaccard"))
         .filter($"jaccard" >= 0.5)
         .orderBy($"d1", $"d2")
+    }),
+
+    // PII detection + redaction — the privacy pass every training-data
+    // pipeline runs before release. The synthetic corpus carries no PII,
+    // so the fixture deterministically plants emails/IPv4s/phones derived
+    // from doc_id (identical construction in the oracle SQL); the OPERATOR
+    // under test is the detect+redact expression chain: count each class,
+    // then mask in sequence. Narrow per-row codegen'd regexps — no
+    // shuffle, embarrassingly parallel at any scale.
+    "q_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val planted = documents(s, dir)
+        .select($"doc_id", concat($"text",
+          when($"doc_id" % 3 === 0,
+            concat(lit(" contact user"), $"doc_id", lit("@example.com")))
+            .otherwise(lit("")),
+          when($"doc_id" % 5 === 0,
+            concat(lit(" host 10.0."), ($"doc_id" % 256).cast("string"),
+              lit("."), ($"doc_id" % 100).cast("string"))).otherwise(lit("")),
+          when($"doc_id" % 7 === 0,
+            concat(lit(" call +"), ($"doc_id" % 90 + 10).cast("string"),
+              lit("-"), ($"doc_id" % 900 + 100).cast("string"),
+              lit("-"), ($"doc_id" % 9000 + 1000).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      val redacted = Seq(piiEmail -> "<EMAIL>", piiIp -> "<IP>", piiPhone -> "<PHONE>")
+        .foldLeft($"text": org.apache.spark.sql.Column)(
+          (c, p) => regexp_replace(c, p._1, p._2))
+      planted.select($"doc_id",
+          regexp_count($"text", lit(piiEmail)).cast("int").as("n_emails"),
+          regexp_count($"text", lit(piiIp)).cast("int").as("n_ips"),
+          regexp_count($"text", lit(piiPhone)).cast("int").as("n_phones"),
+          md5(redacted).as("clean_md5"))
+        .orderBy($"doc_id")
     })
   )
 
+  /** PII patterns — Java-regex and RE2 (DuckDB) compatible subset: no
+    * backreferences, no lookaround; `\b` and bounded repetition are safe
+    * in both. One definition, interpolated into the oracle SQL. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhone = "\\+\\d{2}-\\d{3}-\\d{4}"
+
   val oracle: Map[String, String] = Map(
+    // same deterministic PII planting, then count + sequential global
+    // redaction ('g' flag: DuckDB defaults to first-match, Spark to all)
+    "q_pii_redact" ->
+      s"""WITH planted AS (
+            SELECT doc_id, text ||
+              CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+              CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0 THEN ' call +' || CAST(doc_id % 90 + 10 AS VARCHAR) || '-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+              AS text
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$piiEmail')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '$piiIp')) AS INT) AS n_ips,
+                 CAST(len(regexp_extract_all(text, '$piiPhone')) AS INT) AS n_phones,
+                 md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '$piiEmail', '<EMAIL>', 'g'),
+                   '$piiIp', '<IP>', 'g'),
+                   '$piiPhone', '<PHONE>', 'g')) AS clean_md5
+          FROM planted ORDER BY doc_id""",
+
     "q_text_wordcount" ->
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
