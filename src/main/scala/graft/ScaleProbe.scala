@@ -91,6 +91,55 @@ object ScaleProbe {
       println(f"""{"probe":"percentiles","mult":$m,"rows":$n,"sec":$tPct%.2f}""")
     }
 
+    // round-4: sequence packing — the distributed-cumsum shape on
+    // N×-replicated docs (remapped ids). Near-linear sec/doc across N is
+    // the evidence the slice-offset prefix sum (not a single global
+    // window) carries the packing at scale.
+    Seq(1, 8, 64).foreach { m =>
+      val docs = (0 until m).map { i =>
+        docs0.select(($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"), $"text")
+      }.reduce(_ unionAll _)
+      val n = docs.count()
+      val t0 = System.nanoTime()
+      graft.operators.Pack.packSequences(docs, 2048L)
+        .agg(max($"seq_id"), sum($"n_tokens")).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"pack","mult":$m,"docs":$n,"sec":$t%.2f}""")
+    }
+
+    // round-4: connected components, DISTRIBUTED path forced (cap=0), on
+    // generated 1000-node chain-cycles (m×100k edges). Diameter-1000
+    // chains are the pointer-jumping stress: plain propagation would need
+    // ~1000 rounds; O(log) rounds + near-linear sec/edge is the scale
+    // evidence. Component count = nodes/1000 checks correctness.
+    Seq(1, 4, 16).foreach { m =>
+      val nEdges = m * 100000L
+      val edges = spark.range(0, nEdges)
+        .select($"id".as("src"),
+          when($"id" % 1000 === 999, $"id" - 999).otherwise($"id" + 1).as("dst"))
+      val t0 = System.nanoTime()
+      val comps = graft.operators.Components
+        .connectedComponents(edges, maxIter = 30, driverEdgeCap = 0L)
+      val nComp = comps.agg(countDistinct($"component")).collect()(0).getLong(0)
+      val t = (System.nanoTime() - t0) / 1e9
+      require(nComp == nEdges / 1000, s"expected ${nEdges / 1000} components, got $nComp")
+      println(f"""{"probe":"components","mult":$m,"edges":$nEdges,"components":$nComp,"sec":$t%.2f}""")
+    }
+
+    // round-4: bloom-prefiltered semi join on N×-unioned lineitem — the
+    // scan-stage prune must keep sec/row flat as the fact side grows (the
+    // bloom build cost is dim-sized and constant across N).
+    Seq(1, 8, 64).foreach { m =>
+      val li = Seq.fill(m)(li0).reduce(_ unionAll _)
+      val dim = orders.filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+      val n = li.count()
+      val t0 = System.nanoTime()
+      graft.operators.Bloom.semiJoin(li, dim, "l_orderkey", "o_orderkey")
+        .agg(count(lit(1))).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"bloom_semijoin","mult":$m,"rows":$n,"sec":$t%.2f}""")
+    }
+
     // hot-key as-of: every row on ONE key — the composable join+max
     // formulation materializes probes × builds intermediate rows; the
     // custom merge operator streams both sides once. This is the skew case

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSim, DotProduct, JaccardSim}
+import graft.functions.{BloomMightContain, CosineSim, DotProduct, JaccardSim}
 
 /** Session extension registering graft's native functions
   * (`spark.sql.extensions=graft.plans.GraftExtensions`, set by
@@ -32,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[JaccardSim], "graft_jaccard",
         "graft_jaccard(a, b) - Jaccard similarity of two distinct string arrays."),
       (children: Seq[Expression]) => JaccardSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      info(classOf[BloomMightContain], "graft_bloom_might_contain",
+        "graft_bloom_might_contain(key, bloomBytes) - probe a serialized bloom filter."),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
   }
 }

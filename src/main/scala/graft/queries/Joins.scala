@@ -215,23 +215,45 @@ object Joins {
     // won't re-split).
     "q_join_skew_salted" -> ((s, dir) => {
       import s.implicits._
-      val salts = 8
       val li = lineitem(s, dir)
-        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
-        .withColumn("salt", pmod($"l_linenumber", lit(salts)))
-      val ords = orders(s, dir)
-        .select($"o_orderkey", $"o_orderpriority")
-        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
-      li.join(ords,
-          $"l_orderkey" === $"o_orderkey" && li("salt") === ords("salt"))
+        .select($"l_orderkey".as("o_orderkey"), $"l_linenumber", $"l_extendedprice")
+      val ords = orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+      graft.operators.Layout
+        .saltedJoin(li, ords, "o_orderkey", salt = 8, saltExpr = $"l_linenumber")
         .groupBy($"o_orderpriority")
         .agg(r4(sum(dec4($"l_extendedprice"))).as("sum_price"),
           count(lit(1)).as("n_items"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // Bloom-prefiltered semi join: the dim key set ships as a serialized
+    // bloom probed inside the fact scan stage (codegen'd custom
+    // Expression); only bloom survivors shuffle into the exact residual
+    // join, so the result is identical to the plain semi join (the oracle).
+    "q_join_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val dim = orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+      graft.operators.Bloom
+        .semiJoin(lineitem(s, dir), dim, "l_orderkey", "o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          r4(sum(dec4($"l_extendedprice"))).as("sum_price"))
+        .orderBy($"l_returnflag")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the UNFILTERED semi join: the bloom prefilter must be result-invariant
+    "q_join_bloom" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+
     // the UNSALTED join: salting must be result-invariant
     "q_join_skew_salted" ->
       """SELECT o_orderpriority,
