@@ -54,12 +54,15 @@ object Components {
 
   private def run(edges: DataFrame, maxIter: Int, driverEdgeCap: Long): (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val raw = edges.select(col("src").as("a"), col("dst").as("b")).localCheckpoint()
+    // union-find is direction-agnostic and dedup-tolerant: the raw edge
+    // list suffices, skipping the symmetrize+distinct shuffle entirely
+    if (raw.count() <= driverEdgeCap / 2) return (unionFind(raw), 1)
     // symmetrize once: min-propagation needs both directions
-    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+    val sym = raw
+      .union(raw.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
-    if (sym.count() <= driverEdgeCap) return (unionFind(sym), 1)
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint()

@@ -9,12 +9,15 @@ import graft.operators.Dedup
   * operators exist for (north star: dedup + quality + similarity +
   * multimodal + reproducible splits at 100 TB):
   *
-  *   quality gate → MinHash-LSH near-dedup (keep lowest doc_id per dup
-  *   cluster) → multimodal feature join → reproducible md5-bucket split.
+  *   quality gate → MinHash-LSH near-dedup (transitive clusters via
+  *   connected components; keep lowest doc_id per cluster) → multimodal
+  *   feature join → reproducible md5-bucket split.
   *
-  * Every stage is a DataFrame transform: the pipeline is one Catalyst plan
-  * per output, shuffles only at the LSH bucket join, the dedup anti-join,
-  * the embedding join, and nothing else. No driver-side loops.
+  * Every stage is a DataFrame transform; shuffles happen only at the LSH
+  * bucket join, the component closure (edge-list-sized — driver union-find
+  * when the verified pair list is broadcast-scale, distributed
+  * pointer-jumping loop otherwise), the dedup anti-join, and the embedding
+  * join. No per-row driver work.
   */
 object TrainingData {
 
@@ -37,15 +40,23 @@ object TrainingData {
         .when(size(split(col("text"), " ")) < minTokens, 0.0)
         .otherwise(Text.qualityExpr(col("text"))))
 
-  /** Near-dup removal: for every verified duplicate pair keep the LOWER
-    * doc_id (deterministic cluster representative); drop the rest via
-    * anti-join. LSH banding bounds the candidate set — no all-pairs — and
-    * the pipeline inherits minhashNearDups' default hot-bucket cap
-    * (Dedup.defaultMaxBucketSize), so a degenerate corpus of near-empty
-    * docs cannot turn the bucket self-join quadratic. */
+  /** Near-dup removal with TRANSITIVE cluster semantics: verified pairs
+    * close into connected components (graft.operators.Components) and only
+    * each cluster's smallest doc_id survives. Pair-local dropping (remove
+    * every d2) looks similar but keeps multiple docs from one cluster
+    * whenever two members never paired directly (a–b and b–c near-dup
+    * with a–c below threshold keeps BOTH a and c); components give the
+    * standard keep-one-canonical-per-group semantics. LSH banding bounds
+    * the candidate set — no all-pairs — the pipeline inherits
+    * minhashNearDups' default hot-bucket cap, and the component step runs
+    * on the EDGE list only (driver union-find under 1M edges, distributed
+    * pointer-jumping loop above). */
   def dropNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val losers = Dedup.minhashNearDups(docs, threshold)
-      .select(col("d2").as("doc_id")).distinct()
+    val pairs = Dedup.minhashNearDups(docs, threshold)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val losers = graft.operators.Components.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 

@@ -247,6 +247,21 @@ object Aggs {
     // null/distinct counts; min/max strings are emitted for the portable
     // types (int/string/date) — float-to-string formatting is
     // engine-specific.
+    // Bitwise aggregates (bit_or/bit_and/bit_xor) over a per-row flag
+    // word — the flag-rollup idiom (permission masks, feature bitsets);
+    // all three fold map-side like any algebraic aggregate.
+    "q_agg_bitwise" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .select($"o_orderpriority", ($"o_orderkey" % 256).as("k"))
+        .groupBy($"o_orderpriority")
+        .agg(expr("bit_or(k)").as("flags_or"),
+          expr("bit_and(k)").as("flags_and"),
+          expr("bit_xor(k)").as("flags_xor"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
     "q_profile_table" -> ((s, dir) => {
       import s.implicits._
       val od = $"o_orderdate".cast("date")
@@ -573,6 +588,16 @@ object Aggs {
            FROM orders GROUP BY o_orderstatus, o_orderpriority)
          WHERE rn = 1
          ORDER BY o_orderstatus""",
+
+    "q_agg_bitwise" ->
+      """SELECT o_orderpriority,
+                CAST(bit_or(k) AS BIGINT) AS flags_or,
+                CAST(bit_and(k) AS BIGINT) AS flags_and,
+                CAST(bit_xor(k) AS BIGINT) AS flags_xor,
+                count(*) AS n
+         FROM (SELECT o_orderpriority, o_orderkey % 256 AS k FROM orders)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
 
     "q_profile_table" ->
       """WITH w AS (SELECT

@@ -118,10 +118,39 @@ object Windows {
           row_number().over(w).as("rn"))
         .filter($"rn" <= 2)
         .orderBy($"o_custkey", $"rn")
+    }),
+
+    // VALUE-based frame (RANGE BETWEEN): per-customer trailing-30-day
+    // order total — the frame is bounded by the ORDER value (day number),
+    // not a row count, so ties and gaps behave calendar-correctly. Same
+    // single per-key window shuffle as the rows-frame queries.
+    "q_win_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"dn")
+        .rangeBetween(-30, Window.currentRow)
+      orders(s, dir)
+        .select($"o_orderkey", $"o_custkey",
+          datediff(to_date($"o_orderdate"), lit("1990-01-01")).as("dn"),
+          $"o_totalprice")
+        .withColumn("sum_30d", r4(sum(dec4($"o_totalprice")).over(w)))
+        .drop("o_totalprice")
+        .orderBy($"o_orderkey")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_range_frame" ->
+      """SELECT o_orderkey, o_custkey, dn,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+                  (PARTITION BY o_custkey ORDER BY dn
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS sum_30d
+         FROM (SELECT o_orderkey, o_custkey,
+                      CAST(date_diff('day', DATE '1990-01-01',
+                        CAST(o_orderdate AS DATE)) AS INT) AS dn,
+                      o_totalprice
+               FROM orders)
+         ORDER BY o_orderkey""",
+
     "q_win_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(row_number() OVER w AS INT) AS rn,

@@ -47,6 +47,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(q(4L) > 0.5)
   }
 
+  test("dropNearDups: transitive chain keeps ONLY the cluster minimum") {
+    import spark.implicits._
+    // a–b and b–c are near-dups, a–c share less: pair-local dropping would
+    // keep both a and c; component semantics keep only a.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (10L, base + " one two three four"), // a
+      (20L, base + " one two three five"), // b: near a and c
+      (30L, base + " one two six five") // c: near b, farther from a
+    ).toDF("doc_id", "text")
+    val cleaned = TrainingData.dropNearDups(docs, 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleaned === Set(10L), s"expected only cluster-min 10, got $cleaned")
+  }
+
   test("curate with benchmark: contaminated docs drop, clean docs survive") {
     import spark.implicits._
     // a benchmark doc whose text is a verbatim slice of one corpus doc
