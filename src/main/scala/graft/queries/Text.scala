@@ -295,6 +295,28 @@ object Text {
           regexp_count($"text", lit(piiPhone)).cast("int").as("n_phones"),
           md5(redacted).as("clean_md5"))
         .orderBy($"doc_id")
+    }),
+
+    // Unigram negative-log-likelihood quality score — the perplexity-proxy
+    // filter (docs of corpus-rare vocabulary score high; boilerplate of
+    // corpus-common tokens scores low) that LLM curation runs when no
+    // model is in the loop. Shape at scale: one token hash agg builds the
+    // unigram table (vocab-sized → broadcast back), one scalar total, one
+    // per-doc agg — the fact rows are touched twice, never shuffled wide.
+    "q_text_unigram_logprob" -> ((s, dir) => {
+      import s.implicits._
+      val tok = documents(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .filter($"term" =!= "")
+      val freqs = tok.groupBy($"term").agg(count(lit(1)).as("tf"))
+      val total = freqs.agg(sum($"tf").as("n"))
+      tok.join(broadcast(freqs), "term")
+        .crossJoin(broadcast(total))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log($"tf".cast("double") / $"n".cast("double"))), 4)
+            .as("avg_nll"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -306,6 +328,18 @@ object Text {
   val piiPhone = "\\+\\d{2}-\\d{3}-\\d{4}"
 
   val oracle: Map[String, String] = Map(
+    "q_text_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+          tok2 AS (SELECT * FROM tok WHERE term <> ''),
+          freqs AS (SELECT term, count(*) AS tf FROM tok2 GROUP BY term),
+          tot AS (SELECT sum(tf) AS n FROM freqs)
+          SELECT doc_id, count(*) AS n_tokens,
+                 round(avg(-ln(CAST(tf AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS avg_nll
+          FROM tok2 JOIN freqs USING (term), tot
+          GROUP BY doc_id
+          ORDER BY doc_id""",
+
     // same deterministic PII planting, then count + sequential global
     // redaction ('g' flag: DuckDB defaults to first-match, Spark to all)
     "q_pii_redact" ->

@@ -62,4 +62,14 @@ object Sources {
     * Quality.expectSchema rather than read-time inference. */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** ORC — the second columnar interchange format (Spark ships native
+    * support); same self-describing contract as parquet. Predicate
+    * pushdown and column pruning work identically (SourcesSpec checks the
+    * round trip; the scan operator is OrcScan). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

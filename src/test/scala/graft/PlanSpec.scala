@@ -108,6 +108,16 @@ class PlanSpec extends SparkSpec {
       s"expected a ReusedExchange for the second branch in:\n$finalSection")
   }
 
+  test("sequence packing: the data-sized running sum is partition-parallel") {
+    val p = plan("q_pack_sequences")
+    // the per-doc cumsum must run under a window PARTITIONED by
+    // spark_partition_id (parallelism = slice count); a bare global window
+    // over the doc frame would serialize the corpus through one task
+    assert(p.contains("windowspecdefinition(pid"),
+      s"expected the doc-frame window keyed by pid in:\n$p")
+    assert(!p.contains("CartesianProduct"), "packing must not cross-join")
+  }
+
   test("curation pipeline plan: no cartesian product, LSH-bounded shuffles") {
     spark.catalog.clearCache()
     val docs = graft.catalog.Tables.documents(spark, sf())

@@ -46,4 +46,20 @@ class SourcesSpec extends SparkSpec {
     assert(quarantine.collect().head.getString(0).contains("oops"))
     read.release() // unpersist the shared parse cache
   }
+
+  test("orc: lossless round trip, filters pushed to the ORC scan") {
+    val dir = Files.createTempDirectory("srcorc").toString + "/t"
+    val orders = graft.catalog.Tables.orders(spark, sf())
+    Sources.writeOrc(orders, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.schema === orders.schema)
+    assert(back.count() === orders.count())
+    assert(back.exceptAll(orders).isEmpty)
+    // pushdown posture survives the format swap
+    val plan = back.filter("o_orderkey = 4242").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,4242)]")
+      || plan.contains("EqualTo(o_orderkey,4242)"),
+      s"expected key pushdown into the ORC scan:\n$plan")
+  }
 }
