@@ -45,6 +45,7 @@ object SparkEntry {
       (UDx.queries, UDx.oracle),
       (Streams.queries, Streams.oracle),
       (Behavior.queries, Behavior.oracle),
+      (Tpch.queries, Tpch.oracle),
       (Logs.queries, Logs.oracle),
       (Dedup.queries, Dedup.oracle),
       (graft.operators.Vocab.queries, graft.operators.Vocab.oracle),

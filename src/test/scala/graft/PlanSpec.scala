@@ -108,6 +108,18 @@ class PlanSpec extends SparkSpec {
       s"expected a ReusedExchange for the second branch in:\n$finalSection")
   }
 
+  test("tpch q3: dim filters reach the scans, broadcast joins, top-k without global sort") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"mktsegment filter must push to the customer scan in:\n$p")
+    assert(p.contains("l_shipdate"), "shipdate predicate missing from plan")
+    assert(p.contains("BroadcastHashJoin"),
+      s"filtered dims must broadcast into the fact join in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT 20 must plan as top-k, not a global sort in:\n$p")
+    assert(p.contains("partial_sum"), "revenue aggregation must partial map-side")
+  }
+
   test("sequence packing: the data-sized running sum is partition-parallel") {
     val p = plan("q_pack_sequences")
     // the per-doc cumsum must run under a window PARTITIONED by
