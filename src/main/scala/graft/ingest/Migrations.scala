@@ -51,20 +51,41 @@ object Migrations {
     * ledger falls back to the in-flight `.tmp` (newest content — a crash
     * landed between the backup and final rename) then the parked `.bak`,
     * so a mid-swap crash never reads as "nothing applied" and re-runs
-    * arbitrary user `up()` functions. */
+    * arbitrary user `up()` functions.
+    *
+    * The `.tmp` candidate is accepted ONLY when complete: a crash can also
+    * land mid-WRITE of tmp (truncating the file), and a torn tmp must lose
+    * to the intact `.bak` behind it — an empty/short read would re-run
+    * ups, and a mid-digit truncation would record a never-applied version.
+    * Completeness = the `#n=<count>` header writeLedger stamps matches the
+    * parsed entry count. dst/.bak need no such check: both only ever exist
+    * as fully-written files moved into place by rename. */
   def applied(root: String): Seq[Int] = {
     val (fs, p) = fsFor(ledgerPath(root))
-    val candidates = p +:
-      Seq(".tmp", ".bak").map(sfx => new HPath(s"${ledgerPath(root)}$sfx"))
-    candidates.find(fs.exists) match {
-      case None => Seq.empty
-      case Some(ledger) =>
-        val in = fs.open(ledger)
-        try {
-          scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-            .filter(_.nonEmpty).map(_.toInt).sorted
-        } finally in.close()
+    def parse(f: HPath, requireComplete: Boolean): Option[Seq[Int]] = {
+      if (!fs.exists(f)) return None
+      val in = fs.open(f)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n", -1).toList
+      val (header, body) = lines.partition(_.startsWith("#"))
+      val versions = body.filter(_.nonEmpty)
+      if (requireComplete) {
+        // torn tmp detection: declared count must match, every entry must
+        // parse, and the write must have finished (trailing newline —
+        // catches a final version truncated mid-digit, which still parses)
+        val declared = header.collectFirst { case s"#n=$n" => n.toIntOption }.flatten
+        if (!declared.contains(versions.size)) return None
+        if (versions.exists(_.toIntOption.isEmpty)) return None
+        if (!text.endsWith("\n")) return None
+      }
+      Some(versions.map(_.toInt).sorted)
     }
+    parse(p, requireComplete = false)
+      .orElse(parse(new HPath(s"${ledgerPath(root)}.tmp"), requireComplete = true))
+      .orElse(parse(new HPath(s"${ledgerPath(root)}.bak"), requireComplete = false))
+      .getOrElse(Seq.empty)
   }
 
   private def writeLedger(root: String, versions: Seq[Int]): Unit = {
@@ -72,7 +93,10 @@ object Migrations {
     fs.mkdirs(rootP)
     val tmp = new HPath(rootP, "_migrations.tmp")
     val out = fs.create(tmp, true)
-    try out.write(versions.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // completeness header first: `applied` only trusts a .tmp whose
+    // declared count matches its parsed entries (see scaladoc above)
+    try out.write(versions.sorted
+      .mkString(s"#n=${versions.size}\n", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     // Hadoop rename won't clobber an existing target, so the swap parks
     // the old ledger at .bak, moves the new one in, then drops the backup.

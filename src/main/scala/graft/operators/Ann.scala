@@ -147,10 +147,17 @@ object Ann {
     * per seed, which dominates init cost at 100 TB. Driver work is
     * O(sample·k·dim) on ≤ 20·k vectors — trivially broadcast-scale. */
   private[operators] def initSeeds(corpus: DataFrame, k: Int): Seq[Seq[Float]] = {
-    val sample = corpus.orderBy(md5(col("vec_id").cast("string")))
+    val rawSample = corpus.orderBy(md5(col("vec_id").cast("string")))
       .limit(math.max(k, 20 * k))
       .select(col("embedding")).collect().map(_.getSeq[Float](0)).toIndexedSeq
-    require(sample.nonEmpty, "kmeans init: empty corpus")
+    // zero vectors have no direction: cos() yields its -2.0 sentinel
+    // against them, which would defeat the duplicate-seed stop below (a
+    // zero head keeps best(idx) at -2.0 forever → k copies of the zero
+    // vector as "centroids"). They can never be meaningful cosine
+    // centroids, so they don't seed.
+    val sample = rawSample.filter(_.exists(_ != 0.0f))
+    require(sample.nonEmpty,
+      "kmeans init: corpus sample has no non-zero embedding to seed from")
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {

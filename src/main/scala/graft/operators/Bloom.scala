@@ -48,8 +48,10 @@ object Bloom {
   def semiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, fpp: Double = 0.01): DataFrame = {
     val bytes = buildBloom(dim.select(col(dimKey)), dimKey, fpp)
+    // no distinct() on the dim: left_semi already emits each fact row at
+    // most once whatever the dim's duplication — deduping a
+    // hundreds-of-millions-key dim would add a full extra exchange+agg
     fact.filter(mightContain(col(factKey), bytes))
-      .join(dim.select(col(dimKey)).distinct(),
-        col(factKey) === col(dimKey), "left_semi")
+      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
   }
 }

@@ -57,7 +57,7 @@ object Components {
     val raw = edges.select(col("src").as("a"), col("dst").as("b")).localCheckpoint()
     // union-find is direction-agnostic and dedup-tolerant: the raw edge
     // list suffices, skipping the symmetrize+distinct shuffle entirely
-    if (raw.count() <= driverEdgeCap / 2) return (unionFind(raw), 1)
+    if (raw.count() <= driverEdgeCap) return (unionFind(raw), 1)
     // symmetrize once: min-propagation needs both directions
     val sym = raw
       .union(raw.select(col("b").as("a"), col("a").as("b")))

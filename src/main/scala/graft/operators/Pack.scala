@@ -65,8 +65,13 @@ object Pack {
   }
 
   /** Fixed-size token windows with overlap: window w starts at token
-    * w·(size−overlap); the last window may be short. Narrow per-row explode
-    * — embarrassingly parallel, the chunk text is fingerprinted (md5) so
+    * w·(size−overlap); the last window may be short. A doc at or under
+    * `width` tokens yields exactly ONE window, and more generally the last
+    * window starts only while previous ones haven't already covered the
+    * doc — the naive `(n−1) div step + 1` count emits a trailing window
+    * fully contained in its predecessor whenever step < n ≤ lastStart +
+    * width, double-indexing the same text. Narrow per-row explode —
+    * embarrassingly parallel, the chunk text is fingerprinted (md5) so
     * downstream dedup/indexing never re-tokenizes. */
   def chunk(docs: DataFrame, width: Int, overlap: Int): DataFrame = {
     require(width >= 1, s"chunk width must be >= 1, got $width")
@@ -76,9 +81,13 @@ object Pack {
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
-      // integer div: split() output is never empty, so n >= 1 always
+      // last id = ceil((n − width)/step), guarded so the div numerator
+      // never goes negative (Java div truncates, DuckDB // floors — they
+      // disagree exactly on negatives)
       .withColumn("chunk_id",
-        explode(sequence(lit(0L), expr(s"(n - 1) div $step"))))
+        explode(sequence(lit(0L),
+          when(col("n") <= width, lit(0L))
+            .otherwise(expr(s"(n - $width + $step - 1) div $step")))))
       .withColumn("chunk_toks",
         slice(col("toks"), (col("chunk_id") * step + 1).cast("int"), lit(width)))
       .select(col("doc_id"), col("chunk_id"),
@@ -124,7 +133,8 @@ object Pack {
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
               FROM documents WHERE doc_id < 200),
           e AS (SELECT doc_id, toks, n,
-                unnest(range(0, (n - 1) // $step + 1)) AS chunk_id
+                unnest(range(0, CASE WHEN n <= $chunkSize THEN 1
+                  ELSE (n - $chunkSize + $step - 1) // $step + 1 END)) AS chunk_id
               FROM t),
           s AS (SELECT doc_id, chunk_id,
                 list_slice(toks, CAST(chunk_id * $step + 1 AS BIGINT),

@@ -74,8 +74,12 @@ object Behavior {
     "q_scd2_intervals" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("valid_from"), col("event_id"))
+      // `value` passes through RAW: both engines read the same parquet
+      // double, so emitting it unrounded is bit-identical — while
+      // round(double, 4) near a .00005 tie is NOT portable between
+      // Spark and DuckDB (r4 is for derived aggregates, not pass-throughs)
       events(s, dir).filter(col("user_id") < 50)
-        .select(col("user_id"), col("event_id"), r4(col("value")).as("value"),
+        .select(col("user_id"), col("event_id"), col("value"),
           col("ts").as("valid_from"))
         .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
         .withColumn("is_current", col("valid_to").isNull)
@@ -110,8 +114,7 @@ object Behavior {
          ORDER BY cohort_week, week_offset""",
 
     "q_scd2_intervals" ->
-      """WITH e AS (SELECT user_id, event_id,
-                round(CAST(value AS DOUBLE), 4) AS value,
+      """WITH e AS (SELECT user_id, event_id, value,
                 CAST(ts AS TIMESTAMP) AS valid_from
               FROM events WHERE user_id < 50)
          SELECT user_id, event_id, value, valid_from,

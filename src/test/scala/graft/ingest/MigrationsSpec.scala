@@ -47,8 +47,13 @@ class MigrationsSpec extends SparkSpec {
     // crash after dst→bak, before tmp→dst: only the NEW .tmp + old .bak exist
     java.nio.file.Files.move(nio, nio.resolveSibling("_migrations.bak"))
     java.nio.file.Files.write(nio.resolveSibling("_migrations.tmp"),
-      "1\n2\n".getBytes("UTF-8"))
-    assert(Migrations.applied(root) === Seq(1, 2), "must read in-flight .tmp")
+      "#n=2\n1\n2\n".getBytes("UTF-8"))
+    assert(Migrations.applied(root) === Seq(1, 2), "must read complete .tmp")
+    // a TORN .tmp (crash mid-write truncated it: header says 2, body has
+    // one entry cut mid-digit) must lose to the intact .bak behind it
+    java.nio.file.Files.write(nio.resolveSibling("_migrations.tmp"),
+      "#n=2\n1".getBytes("UTF-8"))
+    assert(Migrations.applied(root) === Seq(1, 2), "torn .tmp must yield to .bak")
     // crash before tmp→dst with no tmp written yet: .bak alone must serve
     java.nio.file.Files.delete(nio.resolveSibling("_migrations.tmp"))
     assert(Migrations.applied(root) === Seq(1, 2), "must fall back to .bak")

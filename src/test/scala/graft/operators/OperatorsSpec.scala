@@ -284,6 +284,21 @@ class OperatorsSpec extends SparkSpec {
     assert(clusters === Set(0, 1))
   }
 
+  test("kmeans: zero vectors never seed; all-zero corpus fails fast") {
+    import spark.implicits._
+    // zero vectors defeat cosine (the -2.0 sentinel) — mixed corpus seeds
+    // only from directed vectors, all-zero corpus errors instead of
+    // returning k copies of the zero vector as "centroids"
+    val mixed = ((0 until 5).map(i => (i.toLong, Seq.fill(4)(0.0f), "z")) ++
+      Seq((10L, Seq(1.0f, 0f, 0f, 0f), "a"), (11L, Seq(0f, 1.0f, 0f, 0f), "b")))
+      .toDF("vec_id", "embedding", "label")
+    val codebook = Ann.kmeans(mixed, k = 4, iters = 1)
+    assert(codebook.size === 2, s"expected 2 directed seeds, got $codebook")
+    val allZero = (0 until 6).map(i => (i.toLong, Seq.fill(4)(0.0f), "z"))
+      .toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] { Ann.kmeans(allZero, 2, 1) }
+  }
+
   test("ANN: ivf nprobe=2 recall@1 ≥ nprobe=1, no duplicate candidates") {
     val probes = embs.filter(col("vec_id") < 20)
     val corpus = embs.filter(col("vec_id") >= 20)

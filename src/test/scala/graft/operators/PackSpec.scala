@@ -36,6 +36,18 @@ class PackSpec extends SparkSpec {
     assert(few.exceptAll(many).isEmpty && many.exceptAll(few).isEmpty)
   }
 
+  test("chunk: a doc at or under width yields exactly one window (no contained duplicate)") {
+    import spark.implicits._
+    // 25 tokens with width=32/step=24: the old (n-1) div step + 1 formula
+    // emitted a second window (tokens 25..25) fully contained in the first
+    val d = Seq((1L, Seq.fill(25)("tok").mkString(" ")),
+      (2L, Seq.fill(32)("tok").mkString(" ")),
+      (3L, Seq.fill(33)("tok").mkString(" "))).toDF("doc_id", "text")
+    val counts = Pack.chunk(d, 32, 8).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("chunk: windows cover every token and respect width/overlap") {
     val width = 8; val overlap = 3; val step = width - overlap
     val chunks = Pack.chunk(docs.filter(col("doc_id") < 50), width, overlap)
