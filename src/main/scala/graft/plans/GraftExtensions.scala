@@ -37,5 +37,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[BloomMightContain], "graft_bloom_might_contain",
         "graft_bloom_might_contain(key, bloomBytes) - probe a serialized bloom filter."),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
+    // SQL TVF surface over the operator library (literal args → the
+    // operator's analyzed plan, spliced like a named subquery)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_near_dups"),
+      info(GraftTvf.getClass, "graft_near_dups",
+        "graft_near_dups(dir, threshold) - MinHash-LSH verified near-dup pairs over dir's documents."),
+      (children: Seq[Expression]) => GraftTvf.nearDups(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_doc_chunks"),
+      info(GraftTvf.getClass, "graft_doc_chunks",
+        "graft_doc_chunks(dir, width, overlap) - overlapping token windows over dir's documents."),
+      (children: Seq[Expression]) => GraftTvf.docChunks(children)))
   }
 }

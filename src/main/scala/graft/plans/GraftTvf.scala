@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL table-valued functions over the operator library — the plain-SQL
+  * entry point for operators that are DataFrame-first:
+  *
+  *   SELECT * FROM graft_near_dups('/data/sfX', 0.5)
+  *   SELECT * FROM graft_doc_chunks('/data/sfX', 32, 8)
+  *
+  * Registered through `SparkSessionExtensions.injectTableFunction`: the
+  * builder receives the parsed literal arguments and returns the
+  * operator's ANALYZED logical plan, which the resolver splices into the
+  * enclosing query like a named subquery — from there Catalyst optimizes
+  * across the boundary (pushdown into the TVF's scans works).
+  *
+  * Arguments must be literals (standard TVF contract); non-literal input
+  * fails resolution with a clear message. */
+object GraftTvf {
+
+  private def arg(children: Seq[Expression], i: Int, fn: String): Any = {
+    require(i < children.size, s"$fn: missing argument ${i + 1}")
+    val e = children(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a literal")
+    e.eval(null)
+  }
+
+  private def str(children: Seq[Expression], i: Int, fn: String): String =
+    arg(children, i, fn) match {
+      case null => throw new IllegalArgumentException(s"$fn: argument ${i + 1} is null")
+      case v => v.toString
+    }
+
+  private def dbl(children: Seq[Expression], i: Int, fn: String): Double =
+    arg(children, i, fn) match {
+      case d: Double => d
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case v => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be numeric, got $v")
+    }
+
+  private def int(children: Seq[Expression], i: Int, fn: String): Int =
+    arg(children, i, fn) match {
+      case n: Number => n.intValue()
+      case v => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer, got $v")
+    }
+
+  /** graft_near_dups(dir, threshold) — MinHash-LSH verified near-dup pairs
+    * over `dir`'s documents table (Dedup.minhashNearDups). */
+  def nearDups(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_near_dups"
+    require(children.size == 2, s"$fn(dir, threshold) takes 2 arguments")
+    val spark = SparkSession.active
+    graft.operators.Dedup
+      .minhashNearDups(graft.catalog.Tables.documents(spark, str(children, 0, fn)),
+        dbl(children, 1, fn))
+      .queryExecution.analyzed
+  }
+
+  /** graft_doc_chunks(dir, width, overlap) — overlapping token windows
+    * over `dir`'s documents table (Pack.chunk). */
+  def docChunks(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_doc_chunks"
+    require(children.size == 3, s"$fn(dir, width, overlap) takes 3 arguments")
+    val spark = SparkSession.active
+    graft.operators.Pack
+      .chunk(graft.catalog.Tables.documents(spark, str(children, 0, fn)),
+        int(children, 1, fn), int(children, 2, fn))
+      .queryExecution.analyzed
+  }
+}

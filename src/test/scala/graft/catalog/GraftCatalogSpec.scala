@@ -30,6 +30,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("c") === 1.0))
   }
 
+  test("TVF surface: operators callable from plain SQL FROM clauses") {
+    GraftCatalog.registerAll(spark, sf()) // `documents` view for the join below
+    // same relations as the DataFrame API, spliced into SQL
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS n FROM graft_near_dups('${sf()}', 0.5)")
+      .collect()(0).getAs[Long]("n")
+    val viaApi = graft.operators.Dedup
+      .minhashNearDups(Tables.documents(spark, sf()), 0.5).count()
+    assert(viaSql === viaApi)
+    // TVF composes with ordinary SQL (join back to documents, aggregate)
+    val chunks = spark.sql(s"""
+      SELECT d.lang, count(*) AS n_chunks
+      FROM graft_doc_chunks('${sf()}', 32, 8) c
+      JOIN documents d ON c.doc_id = d.doc_id
+      GROUP BY d.lang ORDER BY d.lang""").collect()
+    assert(chunks.nonEmpty)
+    val total = graft.operators.Pack
+      .chunk(Tables.documents(spark, sf()), 32, 8).count()
+    assert(chunks.map(_.getAs[Long]("n_chunks")).sum === total)
+    // non-literal argument fails resolution with the contract message
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_near_dups(substr(rand()::string, 1), 0.5)").collect()
+    }
+    assert(err.getMessage.contains("literal") || err.getMessage.contains("resolve"))
+  }
+
   test("bronze blockchain tables queryable by SQL after ingest") {
     val raw = spark.read.text(getClass.getResource("/blocks/blocks.jsonl").getPath)
     val out = java.nio.file.Files.createTempDirectory("bronze_sql").toString
