@@ -1,38 +1,27 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
-/** Plan inspector: print the formatted physical plan (and optionally time
-  * the execution) of named SparkEntry queries — the ".explain and iterate"
-  * loop as a one-liner.
-  *
-  * Usage: scripts/run.sh graft.Explain <sfDir> <query> [query ...]
-  *        TIME=1 scripts/run.sh graft.Explain <sfDir> <query>
-  */
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev tool: print the formatted physical plan of named SparkEntry
+  * queries (all of them with no args) — the manual half of PlanSpec's
+  * plan-audit loop. `scripts/run.sh graft.Explain q_tpch_q3 ...` */
 object Explain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: graft.Explain <sfDir> <query> [query ...]")
-    val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val b = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-    GraftSession.configs.foreach { case (k, v) => builder.config(k, v) }
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    args.drop(1).foreach { name =>
-      val fn = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-      println(s"===== $name =====")
-      val df = fn(spark, sfDir)
-      df.explain("formatted")
-      if (sys.env.contains("TIME")) {
-        // warm once, then measure
-        df.count()
-        val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
-      }
+    GraftSession.configs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { q =>
+      println(s"===== $q")
+      try println(SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted")))
+      catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()
   }

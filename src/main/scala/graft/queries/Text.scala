@@ -297,6 +297,27 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // Domain-mixing weights: per-language token share and the upsampling
+    // factor that would equalize shares (uniform target) — the numbers a
+    // data-mixing step feeds into q_sample_stratified's per-group rates.
+    // All inputs to the divisions are EXACT integer aggregates, so the
+    // rounded doubles are engine-portable by construction. Two tiny hash
+    // aggs; the per-language frame is broadcast-joined to its own total.
+    "q_mix_weights" -> ((s, dir) => {
+      import s.implicits._
+      val t = documents(s, dir)
+        .select($"lang", size(split($"text", " ")).cast("long").as("n_tokens"))
+      val per = t.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("toks"))
+      val tot = per.agg(sum($"toks").as("total"), count(lit(1)).as("n_langs"))
+      per.crossJoin(broadcast(tot))
+        .select($"lang", $"n_docs", $"toks".as("n_tokens"),
+          round($"toks".cast("double") / $"total", 4).as("token_share"),
+          round($"total".cast("double") / ($"n_langs" * $"toks"), 4)
+            .as("uniform_weight"))
+        .orderBy($"lang")
+    }),
+
     // Unigram negative-log-likelihood quality score — the perplexity-proxy
     // filter (docs of corpus-rare vocabulary score high; boilerplate of
     // corpus-common tokens scores low) that LLM curation runs when no
@@ -328,6 +349,20 @@ object Text {
   val piiPhone = "\\+\\d{2}-\\d{3}-\\d{4}"
 
   val oracle: Map[String, String] = Map(
+    "q_mix_weights" ->
+      """WITH t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+          per AS (SELECT lang, count(*) AS n_docs,
+                         CAST(sum(n_tokens) AS BIGINT) AS toks
+                  FROM t GROUP BY lang),
+          tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
+                         count(*) AS n_langs FROM per)
+          SELECT lang, n_docs, toks AS n_tokens,
+                 round(CAST(toks AS DOUBLE) / total, 4) AS token_share,
+                 round(CAST(total AS DOUBLE) / (n_langs * toks), 4) AS uniform_weight
+          FROM per, tot
+          ORDER BY lang""",
+
     "q_text_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                       FROM documents),

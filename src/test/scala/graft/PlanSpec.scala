@@ -120,13 +120,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "revenue aggregation must partial map-side")
   }
 
-  test("sequence packing: the data-sized running sum is partition-parallel") {
+  test("sequence packing: visible plan is offsets-broadcast, no cross join") {
+    // NOTE the per-doc cumsum window (partitionBy pid) runs BEFORE the
+    // localCheckpoint that pins one pid assignment, so it is not visible
+    // in this explain — its partition-parallel shape is structural in
+    // Pack.packSequences and covered by PackSpec's pathological-partition
+    // equivalence test. What this plan CAN pin: the per-partition offset
+    // frame joins back as a broadcast (never a shuffle of the data side),
+    // the only window left is the tiny slice prefix sum keyed on pid,
+    // and nothing cross-joins.
     val p = plan("q_pack_sequences")
-    // the per-doc cumsum must run under a window PARTITIONED by
-    // spark_partition_id (parallelism = slice count); a bare global window
-    // over the doc frame would serialize the corpus through one task
     assert(p.contains("windowspecdefinition(pid"),
-      s"expected the doc-frame window keyed by pid in:\n$p")
+      s"expected the slice prefix-sum window keyed on pid in:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"per-partition offsets must broadcast back in:\n$p")
     assert(!p.contains("CartesianProduct"), "packing must not cross-join")
   }
 
