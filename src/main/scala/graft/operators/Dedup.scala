@@ -114,6 +114,37 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
+  /** Incremental near-dup detection: a FRESH batch of documents checked
+    * against an already-indexed corpus — the dedup-on-arrival pattern a
+    * production pipeline actually runs (re-LSHing the whole corpus per
+    * batch would make ingest cost corpus-sized instead of batch-sized).
+    * `corpusBuckets` is the stored bucket index ([[lshBuckets]] output,
+    * persisted once and appended to as batches commit); only the fresh
+    * batch is signed and banded here. Candidates come from a
+    * batch-buckets ⋈ corpus-buckets equi-join (never a self-join), then
+    * exact-Jaccard verify against the supplied corpus text. Hot corpus
+    * buckets are capped exactly like the batch path. Output:
+    * (d1 = corpus doc, d2 = fresh doc, jaccard). */
+  def incrementalNearDups(corpus: DataFrame, corpusBuckets: DataFrame,
+      fresh: DataFrame, threshold: Double,
+      maxBucketSize: Int = defaultMaxBucketSize): DataFrame = {
+    val fb = lshBuckets(minhashSignatures(fresh)).localCheckpoint()
+    val cb =
+      if (maxBucketSize == Int.MaxValue) corpusBuckets
+      else {
+        val small = corpusBuckets.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .select(col("band"), col("bh"))
+        corpusBuckets.join(small, Seq("band", "bh"))
+      }
+    val cands = fb.select(col("band"), col("bh"), col("doc_id").as("d2"))
+      .join(cb.select(col("band"), col("bh"), col("doc_id").as("d1")),
+        Seq("band", "bh"))
+      .select("d1", "d2").distinct()
+    verifyJaccard(corpus.unionByName(fresh), cands, threshold)
+  }
+
   /** Exact set Jaccard for a pair set (the verify step after LSH) —
     * token sets by default, any set extractor via `setOf`. */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, threshold: Double,
@@ -356,6 +387,19 @@ object Dedup {
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
+    // Dedup-on-arrival: docs [400, 500) arrive as a fresh batch and are
+    // checked against the stored bucket index of corpus [0, 400) — only
+    // the batch is signed/banded, candidates are a batch⋈corpus bucket
+    // join (batch-sized ingest cost, never corpus×corpus).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val all = documents(s, dir).filter(col("doc_id") < 500)
+      val corpus = all.filter(col("doc_id") < 400)
+      val fresh = all.filter(col("doc_id") >= 400)
+      val corpusIndex = lshBuckets(minhashSignatures(corpus))
+      incrementalNearDups(corpus, corpusIndex, fresh, 0.5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // Pairs → clusters: connected components over the q_dedup_minhash edge
     // list (Components.connectedComponents), every doc labeled with its
     // cluster's smallest doc_id; the canonical keeper IS that smallest id —
@@ -392,8 +436,10 @@ object Dedup {
   private def minhashSql(seed: Int): String = minhashSqlOver(toksSql, seed)
 
   /** MinHash+LSH+verify oracle over an arbitrary set expression — shared by
-    * q_dedup_minhash (token sets) and q_dedup_ngram_lsh (shingles). */
-  private def lshOracleSql(setSql: String, threshold: Double): String = {
+    * q_dedup_minhash (token sets), q_dedup_ngram_lsh (shingles), and
+    * q_dedup_incremental (corpus×fresh candidate predicate). */
+  private def lshOracleSql(setSql: String, threshold: Double,
+      candCond: String = "a.doc_id < b.doc_id"): String = {
     val sigCols = minhashSeeds.map(s => s"${minhashSqlOver("st", s)} AS m$s")
       .mkString(",\n                  ")
     val bandSelects = (0 until bandsOf).map(b =>
@@ -407,7 +453,7 @@ object Dedup {
         bands AS ($bandSelects),
         cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                   FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+                    ON a.band = b.band AND a.bh = b.bh AND $candCond)
         SELECT d1, d2,
                CAST(len(list_intersect(t1.st, t2.st)) AS DOUBLE)
                      / len(list_distinct(list_concat(t1.st, t2.st))) AS jaccard
@@ -432,6 +478,10 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> lshOracleSql(toksSql, 0.5),
+
+    // corpus-side docs pair only with fresh-batch docs
+    "q_dedup_incremental" ->
+      lshOracleSql(toksSql, 0.5, "a.doc_id < 400 AND b.doc_id >= 400"),
 
     // Transitive closure over the exact q_dedup_minhash pair list: min
     // reachable doc_id per node via a recursive CTE (UNION dedup bounds

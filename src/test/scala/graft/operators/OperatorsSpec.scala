@@ -33,6 +33,18 @@ class OperatorsSpec extends SparkSpec {
     assert(viaLsh.join(exact, Seq("d1", "d2"), "left_anti").count() === 0)
   }
 
+  test("incremental near-dups ≡ full-corpus near-dups restricted to cross-set pairs") {
+    val corpus = docs.filter(col("doc_id") < 80)
+    val fresh = docs.filter(col("doc_id") >= 80)
+    val index = Dedup.lshBuckets(Dedup.minhashSignatures(corpus))
+    val inc = Dedup.incrementalNearDups(corpus, index, fresh, 0.5)
+      .select("d1", "d2")
+    val full = Dedup.minhashNearDups(docs, 0.5)
+      .filter(col("d1") < 80 && col("d2") >= 80).select("d1", "d2")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "batch-vs-index dedup must find exactly the cross-set pairs of a full run")
+  }
+
   test("simhash: 32-bit strings, identical docs → identical hashes") {
     val sh = Dedup.simhash(docs)
     assert(sh.filter(length(col("simhash")) =!= 32).count() === 0)
