@@ -247,6 +247,18 @@ object Aggs {
     // null/distinct counts; min/max strings are emitted for the portable
     // types (int/string/date) — float-to-string formatting is
     // engine-specific.
+    // Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP) —
+    // DISTINCT + explicit order makes the concatenation deterministic.
+    "q_agg_listagg" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(expr("listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)")
+          .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Bitwise aggregates (bit_or/bit_and/bit_xor) over a per-row flag
     // word — the flag-rollup idiom (permission masks, feature bitsets);
     // all three fold map-side like any algebraic aggregate.
@@ -588,6 +600,14 @@ object Aggs {
            FROM orders GROUP BY o_orderstatus, o_orderpriority)
          WHERE rn = 1
          ORDER BY o_orderstatus""",
+
+    "q_agg_listagg" ->
+      """SELECT o_orderpriority,
+                string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+                count(*) AS n
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
 
     "q_agg_bitwise" ->
       """SELECT o_orderpriority,

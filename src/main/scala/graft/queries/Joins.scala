@@ -226,6 +226,22 @@ object Joins {
         .orderBy($"o_orderpriority")
     }),
 
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — the per-row
+    // top-1 idiom in its SQL form; Catalyst decorrelates it into a
+    // ranked window join rather than a per-row re-scan.
+    "q_join_lateral" -> ((s, dir) => {
+      graft.catalog.GraftCatalog.registerAll(s, dir)
+      s.sql("""
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM orders o JOIN LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 1) t
+        WHERE o.o_orderkey < 1000
+        ORDER BY o.o_orderkey""")
+    }),
+
     // Bloom-prefiltered semi join: the dim key set ships as a serialized
     // bloom probed inside the fact scan stage (codegen'd custom
     // Expression); only bloom survivors shuffle into the exact residual
@@ -244,6 +260,16 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_lateral" ->
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+         FROM orders o JOIN LATERAL (
+           SELECT l_linenumber, l_extendedprice FROM lineitem
+           WHERE l_orderkey = o.o_orderkey
+           ORDER BY l_extendedprice DESC, l_linenumber
+           LIMIT 1) t ON true
+         WHERE o.o_orderkey < 1000
+         ORDER BY o.o_orderkey""",
+
     // the UNFILTERED semi join: the bloom prefilter must be result-invariant
     "q_join_bloom" ->
       """SELECT l_returnflag, count(*) AS n_items,
