@@ -54,13 +54,23 @@ object Components {
 
   private def run(edges: DataFrame, maxIter: Int, driverEdgeCap: Long): (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val raw = edges.select(col("src").as("a"), col("dst").as("b")).localCheckpoint()
-    // union-find is direction-agnostic and dedup-tolerant: the raw edge
-    // list suffices, skipping the symmetrize+distinct shuffle entirely
-    if (raw.count() <= driverEdgeCap) return (unionFind(raw), 1)
-    // symmetrize once: min-propagation needs both directions
-    val sym = raw
-      .union(raw.select(col("b").as("a"), col("a").as("b")))
+    require(driverEdgeCap < Int.MaxValue, "driverEdgeCap must fit an Int limit")
+    val raw = edges.select(col("src").as("a"), col("dst").as("b"))
+    if (driverEdgeCap > 0) {
+      // probe-and-take in ONE job: collect at most cap+1 edges — if they
+      // all fit, that IS the edge list (union-find is direction-agnostic
+      // and dedup-tolerant, so no symmetrize/distinct/count jobs needed);
+      // if not, nothing is wasted but this single bounded pass
+      val take = raw.limit(driverEdgeCap.toInt + 1).collect()
+      if (take.length <= driverEdgeCap) {
+        return (unionFind(take, edges.sparkSession), 1)
+      }
+    }
+    // distributed path: materialize once, symmetrize once (min-propagation
+    // needs both directions)
+    val chk = raw.localCheckpoint()
+    val sym = chk
+      .union(chk.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
@@ -96,10 +106,11 @@ object Components {
     (labels.select(col("id"), col("lbl").as("component")), it)
   }
 
-  /** Driver union-find (path compression + min-root union) over a
-    * collected edge list — exact same (id, component) contract as the
-    * distributed loop, in one collect + one createDataFrame. */
-  private def unionFind(sym: DataFrame): DataFrame = {
+  /** Driver union-find (path compression + min-root union) over an
+    * already-collected edge list — exact same (id, component) contract as
+    * the distributed loop. */
+  private def unionFind(rows: Array[org.apache.spark.sql.Row],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -108,14 +119,13 @@ object Components {
       while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    sym.select(col("a"), col("b")).collect().foreach { row =>
+    rows.foreach { row =>
       val (x, y) = (row.getLong(0), row.getLong(1))
       parent.getOrElseUpdate(x, x)
       parent.getOrElseUpdate(y, y)
       val (rx, ry) = (find(x), find(y))
       if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
     }
-    val spark = sym.sparkSession
     import spark.implicits._
     parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
   }
