@@ -132,6 +132,51 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming dedup-on-arrival: each micro-batch of documents is
+    * near-dup-checked against the PERSISTED corpus bucket index
+    * (Dedup.incrementalNearDups — batch-sized work per batch, never
+    * corpus×corpus), internally deduped (transitive clusters within the
+    * batch), and only clean docs append to the corpus — with their bucket
+    * keys appended to the index, so the next batch checks against them
+    * too. First batch bootstraps both stores. At-least-once on replay:
+    * a replayed batch's docs collide with their own indexed buckets and
+    * drop, making the corpus append idempotent at the near-dup level. */
+  def dedupOnArrival(docs: DataFrame, corpusDir: String, indexDir: String,
+      checkpointDir: String, threshold: Double = 0.8) =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.{Components, Dedup}
+        val spark = batch.sparkSession
+        // in-batch transitive dedup first (a batch can near-dup itself)
+        val pairs = Dedup.minhashNearDups(batch, threshold)
+          .select(col("d1").as("src"), col("d2").as("dst"))
+        val losers = Components.connectedComponents(pairs)
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+        val selfClean = batch.join(losers, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // read twice below (corpus check + writes)
+        // FS-portable bootstrap probe: a missing store reads as absent
+        // (first batch), not an error — same contract on file:/ or hdfs:/
+        def tryRead(path: String) =
+          try Some(spark.read.parquet(path))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val clean = (tryRead(corpusDir), tryRead(indexDir)) match {
+          case (Some(corpus), Some(index)) =>
+            val dupIds = Dedup
+              .incrementalNearDups(corpus, index, selfClean, threshold)
+              .select(col("d2").as("doc_id")).distinct()
+            selfClean.join(dupIds, Seq("doc_id"), "left_anti")
+          case _ => selfClean
+        }
+        val kept = clean.localCheckpoint()
+        kept.write.mode("append").parquet(corpusDir)
+        Dedup.lshBuckets(Dedup.minhashSignatures(kept))
+          .write.mode("append").parquet(indexDir)
+      }
+      .start()
+
   /** Sink an event stream as parquet with checkpointing (ack analog). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -189,6 +189,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup-on-arrival: later batches drop near-dups of already-kept docs") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_arrival").toString
+    val (corpusDir, indexDir) = (s"$tmp/corpus", s"$tmp/index")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupOnArrival(
+      in.toDF().toDF("doc_id", "text"), corpusDir, indexDir,
+      s"$tmp/ckpt", threshold = 0.6)
+    try {
+      // batch 1: two distinct docs + an in-batch near-dup of doc 1
+      in.addData((1L, base + " one"), (2L, "totally different words entirely here now"),
+        (3L, base + " two"))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(corpusDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(afterB1 === Set(1L, 2L), s"in-batch near-dup must drop: $afterB1")
+      // batch 2: near-dup of kept doc 1 (must drop against the INDEX) +
+      // one genuinely new doc (must survive)
+      in.addData((10L, base + " three"), (11L, "unrelated fresh content with novel tokens"))
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(corpusDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(afterB2 === Set(1L, 2L, 11L),
+        s"cross-batch near-dup must drop against the stored index: $afterB2")
+      // the index covers exactly the kept docs
+      val indexed = spark.read.parquet(indexDir)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexed === afterB2)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: signups within the hour match, older do not") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
