@@ -19,9 +19,18 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { q =>
       println(s"===== $q")
-      try println(SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.explainString(ExplainMode.fromString("formatted")))
-      catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      SparkEntry.queries.get(q) match {
+        case None =>
+          println(s"unknown query '$q' — known: " +
+            SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+        case Some(fn) =>
+          try println(fn(spark, sfDir)
+            .queryExecution.explainString(ExplainMode.fromString("formatted")))
+          catch { case scala.util.control.NonFatal(e) =>
+            println(s"explain failed for $q:")
+            e.printStackTrace(System.out)
+          }
+      }
     }
     spark.stop()
   }

@@ -55,20 +55,23 @@ object Components {
   private def run(edges: DataFrame, maxIter: Int, driverEdgeCap: Long): (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     require(driverEdgeCap < Int.MaxValue, "driverEdgeCap must fit an Int limit")
-    val raw = edges.select(col("src").as("a"), col("dst").as("b"))
+    // materialize the edge list ONCE, then probe it: collecting at most
+    // cap+1 rows from the checkpoint both sizes and fetches the edges (no
+    // separate count job), and an over-cap probe wastes only the bounded
+    // collect — not a re-execution of the upstream pipeline, which for
+    // near-dup edges is the whole minhash/verify chain
+    val chk = edges.select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint()
     if (driverEdgeCap > 0) {
-      // probe-and-take in ONE job: collect at most cap+1 edges — if they
-      // all fit, that IS the edge list (union-find is direction-agnostic
-      // and dedup-tolerant, so no symmetrize/distinct/count jobs needed);
-      // if not, nothing is wasted but this single bounded pass
-      val take = raw.limit(driverEdgeCap.toInt + 1).collect()
+      // union-find is direction-agnostic and dedup-tolerant: the raw edge
+      // list suffices, no symmetrize/distinct needed on this path
+      val take = chk.limit(driverEdgeCap.toInt + 1).collect()
       if (take.length <= driverEdgeCap) {
         return (unionFind(take, edges.sparkSession), 1)
       }
     }
-    // distributed path: materialize once, symmetrize once (min-propagation
-    // needs both directions)
-    val chk = raw.localCheckpoint()
+    // distributed path: symmetrize once (min-propagation needs both
+    // directions)
     val sym = chk
       .union(chk.select(col("b").as("a"), col("a").as("b")))
       .distinct()

@@ -95,8 +95,19 @@ object Dedup {
     * dropped — standard LSH practice: a bucket that big means the band
     * carries no discriminating information, and true near-dup pairs still
     * collide in one of their other b−1 bands. */
-  def lshCandidates(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
-    val mat = buckets.localCheckpoint()
+  def lshCandidates(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    candidatePairs(buckets.localCheckpoint(), maxBucketSize)
+
+  /** As [[lshCandidates]] but WITHOUT the eager localCheckpoint — for
+    * analysis-time consumers (the SQL TVF `graft_near_dups`) where merely
+    * BUILDING the plan (EXPLAIN, view definition) must not run Spark jobs
+    * or pin checkpoint blocks for the session lifetime. The price: the
+    * self-join sides re-execute the banding pipeline at run time. */
+  def lshCandidatesLazy(buckets: DataFrame,
+      maxBucketSize: Int = defaultMaxBucketSize): DataFrame =
+    candidatePairs(buckets, maxBucketSize)
+
+  private def candidatePairs(mat: DataFrame, maxBucketSize: Int): DataFrame = {
     val sized =
       if (maxBucketSize == Int.MaxValue) mat
       else {
@@ -122,27 +133,33 @@ object Dedup {
     * persisted once and appended to as batches commit); only the fresh
     * batch is signed and banded here. Candidates come from a
     * batch-buckets ⋈ corpus-buckets equi-join (never a self-join), then
-    * exact-Jaccard verify against the supplied corpus text. Hot corpus
-    * buckets are capped exactly like the batch path. Output:
-    * (d1 = corpus doc, d2 = fresh doc, jaccard). */
+    * exact-Jaccard verify against the supplied corpus text. The hot-bucket
+    * cap is applied to the COMBINED (corpus + batch) bucket size — the
+    * same population minhashNearDups counts on corpus∪batch, so the
+    * equivalence `incremental ≡ full run restricted to cross-set pairs`
+    * holds cap and all, and a degenerate batch (thousands of near-empty
+    * docs in one bucket) cannot turn the index join quadratic either.
+    * Output: (d1 = corpus doc, d2 = fresh doc, jaccard). */
   def incrementalNearDups(corpus: DataFrame, corpusBuckets: DataFrame,
       fresh: DataFrame, threshold: Double,
       maxBucketSize: Int = defaultMaxBucketSize): DataFrame = {
     val fb = lshBuckets(minhashSignatures(fresh)).localCheckpoint()
-    val cb =
-      if (maxBucketSize == Int.MaxValue) corpusBuckets
+    val fbd = fb.select(col("band"), col("bh"), col("doc_id").as("d2"))
+    val cbd = corpusBuckets.select(col("band"), col("bh"), col("doc_id").as("d1"))
+    val cands =
+      if (maxBucketSize == Int.MaxValue) fbd.join(cbd, Seq("band", "bh"))
       else {
-        val small = corpusBuckets.groupBy(col("band"), col("bh"))
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") <= maxBucketSize)
+        val fn = fb.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("f_n"))
+        val cn = corpusBuckets.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("c_n"))
+        // only buckets present on BOTH sides can produce candidates
+        val ok = fn.join(cn, Seq("band", "bh"))
+          .filter(col("f_n") + col("c_n") <= maxBucketSize)
           .select(col("band"), col("bh"))
-        corpusBuckets.join(small, Seq("band", "bh"))
+        fbd.join(ok, Seq("band", "bh")).join(cbd, Seq("band", "bh"))
       }
-    val cands = fb.select(col("band"), col("bh"), col("doc_id").as("d2"))
-      .join(cb.select(col("band"), col("bh"), col("doc_id").as("d1")),
-        Seq("band", "bh"))
-      .select("d1", "d2").distinct()
-    verifyJaccard(corpus.unionByName(fresh), cands, threshold)
+    verifyJaccard(corpus.unionByName(fresh),
+      cands.select("d1", "d2").distinct(), threshold)
   }
 
   /** Exact set Jaccard for a pair set (the verify step after LSH) —

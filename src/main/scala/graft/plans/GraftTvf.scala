@@ -50,13 +50,20 @@ object GraftTvf {
     }
 
   /** graft_near_dups(dir, threshold) — MinHash-LSH verified near-dup pairs
-    * over `dir`'s documents table (Dedup.minhashNearDups). */
+    * over `dir`'s documents table. Uses the LAZY candidate path
+    * (lshCandidatesLazy): the DataFrame operator eagerly materializes its
+    * bucket frame for self-join reuse, but a TVF builder runs inside the
+    * ANALYZER — an eager checkpoint there would execute the whole banding
+    * pipeline on every EXPLAIN/resolve and pin checkpoint blocks per
+    * statement for the session lifetime. */
   def nearDups(children: Seq[Expression]): LogicalPlan = {
     val fn = "graft_near_dups"
     require(children.size == 2, s"$fn(dir, threshold) takes 2 arguments")
     val spark = SparkSession.active
-    graft.operators.Dedup
-      .minhashNearDups(graft.catalog.Tables.documents(spark, str(children, 0, fn)),
+    val docs = graft.catalog.Tables.documents(spark, str(children, 0, fn))
+    val d = graft.operators.Dedup
+    d.verifyJaccard(docs,
+        d.lshCandidatesLazy(d.lshBuckets(d.minhashSignatures(docs))),
         dbl(children, 1, fn))
       .queryExecution.analyzed
   }

@@ -300,9 +300,11 @@ object Text {
     // Domain-mixing weights: per-language token share and the upsampling
     // factor that would equalize shares (uniform target) — the numbers a
     // data-mixing step feeds into q_sample_stratified's per-group rates.
-    // All inputs to the divisions are EXACT integer aggregates, so the
-    // rounded doubles are engine-portable by construction. Two tiny hash
-    // aggs; the per-language frame is broadcast-joined to its own total.
+    // Both ratios are emitted as RAW doubles: the divisions run on exact
+    // integer aggregates, so the IEEE result is bit-identical in both
+    // engines — while round(double, 4) near a .00005 tie is NOT portable
+    // (the repo's recorded DuckDB↔Spark rounding divergence). Two tiny
+    // hash aggs; the per-language frame is broadcast-joined to its total.
     "q_mix_weights" -> ((s, dir) => {
       import s.implicits._
       val t = documents(s, dir)
@@ -312,8 +314,8 @@ object Text {
       val tot = per.agg(sum($"toks").as("total"), count(lit(1)).as("n_langs"))
       per.crossJoin(broadcast(tot))
         .select($"lang", $"n_docs", $"toks".as("n_tokens"),
-          round($"toks".cast("double") / $"total", 4).as("token_share"),
-          round($"total".cast("double") / ($"n_langs" * $"toks"), 4)
+          ($"toks".cast("double") / $"total").as("token_share"),
+          ($"total".cast("double") / ($"n_langs" * $"toks"))
             .as("uniform_weight"))
         .orderBy($"lang")
     }),
@@ -358,8 +360,8 @@ object Text {
           tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
                          count(*) AS n_langs FROM per)
           SELECT lang, n_docs, toks AS n_tokens,
-                 round(CAST(toks AS DOUBLE) / total, 4) AS token_share,
-                 round(CAST(total AS DOUBLE) / (n_langs * toks), 4) AS uniform_weight
+                 CAST(toks AS DOUBLE) / total AS token_share,
+                 CAST(total AS DOUBLE) / (n_langs * toks) AS uniform_weight
           FROM per, tot
           ORDER BY lang""",
 

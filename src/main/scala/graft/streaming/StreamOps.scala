@@ -138,15 +138,21 @@ object StreamOps {
     * corpus×corpus), internally deduped (transitive clusters within the
     * batch), and only clean docs append to the corpus — with their bucket
     * keys appended to the index, so the next batch checks against them
-    * too. First batch bootstraps both stores. At-least-once on replay:
-    * a replayed batch's docs collide with their own indexed buckets and
-    * drop, making the corpus append idempotent at the near-dup level. */
+    * too. First batch bootstraps both stores. Replays are IDEMPOTENT by
+    * construction, not by collision: both stores write
+    * batch_id-partitioned with dynamic partition overwrite (the
+    * toParquetExactlyOnce pattern), so a crash between the two writes —
+    * or after either and before the offset commit — is healed when the
+    * replayed batch overwrites its own partitions. (A plain append would
+    * duplicate corpus rows on exactly that crash: the replayed docs'
+    * buckets would be missing from the index, so they would NOT collide
+    * with themselves.) */
   def dedupOnArrival(docs: DataFrame, corpusDir: String, indexDir: String,
       checkpointDir: String, threshold: Double = 0.8) =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.{Components, Dedup}
         val spark = batch.sparkSession
         // in-batch transitive dedup first (a batch can near-dup itself)
@@ -164,16 +170,30 @@ object StreamOps {
           catch { case _: org.apache.spark.sql.AnalysisException => None }
         val clean = (tryRead(corpusDir), tryRead(indexDir)) match {
           case (Some(corpus), Some(index)) =>
+            // a replayed batch's own prior partitions are part of the
+            // index here; its docs collide with themselves and drop —
+            // then the partition overwrite below replaces them in place
             val dupIds = Dedup
-              .incrementalNearDups(corpus, index, selfClean, threshold)
+              .incrementalNearDups(
+                corpus.select(selfClean.columns.map(col): _*), // drop batch_id
+                index.select("doc_id", "band", "bh"),
+                selfClean, threshold)
               .select(col("d2").as("doc_id")).distinct()
             selfClean.join(dupIds, Seq("doc_id"), "left_anti")
           case _ => selfClean
         }
         val kept = clean.localCheckpoint()
-        kept.write.mode("append").parquet(corpusDir)
+        kept.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusDir)
         Dedup.lshBuckets(Dedup.minhashSignatures(kept))
-          .write.mode("append").parquet(indexDir)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(indexDir)
       }
       .start()
 
