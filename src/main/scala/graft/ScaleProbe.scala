@@ -126,6 +126,25 @@ object ScaleProbe {
       println(f"""{"probe":"components","mult":$m,"edges":$nEdges,"components":$nComp,"sec":$t%.2f}""")
     }
 
+    // round-4: dedup-on-arrival — a FIXED 5k-doc batch checked against an
+    // N×-growing indexed corpus. The index is built (and checkpointed)
+    // outside the timed region: the measurement is the recurring per-batch
+    // cost, which must grow far slower than the corpus (batch bands probe
+    // the index by equi-join; corpus is never re-signed).
+    Seq(1, 4, 16).foreach { m =>
+      val corpus = replicateDocs(m).localCheckpoint()
+      val nCorpus = corpus.count()
+      val index = graft.operators.Dedup
+        .lshBuckets(graft.operators.Dedup.minhashSignatures(corpus))
+        .localCheckpoint()
+      val batch = docs0.select(($"doc_id" + 90000000L).as("doc_id"), $"text")
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup
+        .incrementalNearDups(corpus, index, batch, 0.5).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"incremental_dedup","mult":$m,"corpus_docs":$nCorpus,"batch_docs":5000,"pairs":$pairs,"sec":$t%.2f}""")
+    }
+
     // round-4: bloom-prefiltered semi join on N×-unioned lineitem — the
     // scan-stage prune must keep sec/row flat as the fact side grows (the
     // bloom build cost is dim-sized and constant across N).

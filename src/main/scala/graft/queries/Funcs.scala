@@ -244,6 +244,27 @@ object Funcs {
         .orderBy($"event_id")
     }),
 
+    // Spark 4 VariantType path: parse the JSON ONCE into the binary
+    // variant encoding, then field-extract from the variant — the
+    // modern replacement for per-path get_json_object re-parsing (each
+    // get_json_object call re-parses the string; variant parses once and
+    // navigates an indexed binary). Output is plain (long, string) so the
+    // DuckDB oracle reads the same JSON with its own json functions.
+    "q_json_variant" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .select($"event_id", parse_json($"props").as("v"))
+        .select($"event_id",
+          variant_get($"v", "$.k", "bigint").as("k_num"),
+          variant_get($"v", "$.k", "string").as("k_str"),
+          variant_get($"v", "$.missing", "string").as("absent"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum($"k_num").as("sum_k"),
+          count($"absent").as("n_absent"),
+          countDistinct($"k_str").as("nd_k"))
+    }),
+
     // A11 as an algebraic law: nest lineitem per order, explode back — the
     // composition is the identity on (orderkey, linenumber, quantity).
     "q_explode_roundtrip" -> ((s, dir) => {
@@ -388,6 +409,13 @@ object Funcs {
          UNION ALL
          SELECT r_regionkey, 'name' AS k, r_name AS v FROM region
          ORDER BY r_regionkey, k""",
+
+    "q_json_variant" ->
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                count(nullif(regexp_extract(props, '"missing":\s*"?([^",}]+)', 1), '')) AS n_absent,
+                count(DISTINCT regexp_extract(props, '"k":\s*(-?\d+)', 1)) AS nd_k
+         FROM events""",
 
     "q_json_extract" ->
       """SELECT event_id,
