@@ -247,6 +247,33 @@ object Aggs {
     // null/distinct counts; min/max strings are emitted for the portable
     // types (int/string/date) — float-to-string formatting is
     // engine-specific.
+    // Per-group z-score outlier detection — the data-quality anomaly scan.
+    // Engine-portable by the q_agg_corr recipe: mean/sd derive from EXACT
+    // decimal sums (value has ≤4 decimals) cast to double once, then one
+    // shared double formula on both sides; the 2σ comparison is the same
+    // IEEE arithmetic in both engines, so the flag can't flip. Stats
+    // broadcast back to the fact rows (two passes, no wide shuffle).
+    "q_outlier_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir).select($"event_type", $"value")
+      val stats = e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec4($"value")).as("sx"),
+          sum(dec4($"value") * dec4($"value")).as("sxx"))
+        .select($"event_type",
+          ($"sx".cast("double") / $"n").as("mean"),
+          sqrt(($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n")
+            / ($"n" - 1)).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs($"value" - $"mean") > lit(2.0) * $"sd", 1L).otherwise(0L))
+            .as("n_outliers"),
+          r4(min($"mean")).as("mean_v"),
+          r4(min($"sd")).as("sd_v"))
+        .orderBy($"event_type")
+    }),
+
     // Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP) —
     // DISTINCT + explicit order makes the concatenation deterministic.
     "q_agg_listagg" -> ((s, dir) => {
@@ -600,6 +627,26 @@ object Aggs {
            FROM orders GROUP BY o_orderstatus, o_orderpriority)
          WHERE rn = 1
          ORDER BY o_orderstatus""",
+
+    "q_outlier_zscore" ->
+      """WITH stats AS (
+           SELECT event_type, count(*) AS n,
+                  sum(CAST(value AS DECIMAL(18,4))) AS sx,
+                  sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS sxx
+           FROM events GROUP BY event_type),
+         s2 AS (
+           SELECT event_type,
+                  CAST(sx AS DOUBLE) / n AS mean,
+                  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                       / (n - 1)) AS sd
+           FROM stats)
+         SELECT e.event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN abs(value - mean) > 2.0 * sd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                round(CAST(min(mean) AS DOUBLE), 4) AS mean_v,
+                round(CAST(min(sd) AS DOUBLE), 4) AS sd_v
+         FROM events e JOIN s2 USING (event_type)
+         GROUP BY e.event_type
+         ORDER BY e.event_type""",
 
     "q_agg_listagg" ->
       """SELECT o_orderpriority,
