@@ -297,6 +297,23 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic weighted sampling WITHOUT replacement
+    // (Efraimidis–Spirakis): each doc draws u from its md5 bucket
+    // (replayable, repartition-stable — no rand()), keys on ln(u)/w with
+    // w = n_chars, and the k largest keys ARE the weighted sample. At
+    // scale this is a TakeOrdered top-k — no shuffle of the corpus, no
+    // per-row state; longer docs win proportionally to their weight.
+    "q_sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .withColumn("u",
+          (hashBucketExpr($"doc_id") + 0.5) / 65536.0)
+        .withColumn("sample_key", log($"u") / $"n_chars")
+        .orderBy($"sample_key".desc, $"doc_id")
+        .limit(50)
+        .select($"doc_id", $"lang", $"n_chars", $"sample_key")
+    }),
+
     // Domain-mixing weights: per-language token share and the upsampling
     // factor that would equalize shares (uniform target) — the numbers a
     // data-mixing step feeds into q_sample_stratified's per-group rates.
@@ -351,6 +368,15 @@ object Text {
   val piiPhone = "\\+\\d{2}-\\d{3}-\\d{4}"
 
   val oracle: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars, sample_key FROM (
+           SELECT doc_id, lang, n_chars,
+                  ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) + 0.5)
+                     / 65536.0) / n_chars AS sample_key
+           FROM documents)
+         ORDER BY sample_key DESC, doc_id
+         LIMIT 50""",
+
     "q_mix_weights" ->
       """WITH t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                     FROM documents),
