@@ -35,25 +35,33 @@ object Dedup {
 
   private def tokens(text: Column): Column = array_distinct(split(text, " "))
 
-  /** One MinHash component: lexicographic min of md5(token ∥ seed). */
-  private def minhash(toks: Column, seed: Int): Column =
+  /** One MinHash component: lexicographic min of md5(token ∥ seed) — the
+    * composable HOF form the DuckDB oracle mirrors; kept as the
+    * bit-parity reference the native kernel is tested against
+    * (HashExprsSpec). The hot path uses graft_minhash instead. */
+  private[operators] def minhashReference(toks: Column, seed: Int): Column =
     array_min(transform(toks, t => md5(concat(t, lit(s"_s$seed")))))
 
   /** doc_id + k MinHash components m0..m7 over `setOf(text)` — token sets
     * by default; pass `shingles3` for the order-sensitive variant.
     *
+    * All k components come from ONE `graft_minhash` kernel pass
+    * (graft.functions.MinHashSignature): the HOF form walks the token
+    * array k times with per-element interpreted eval; the kernel walks it
+    * once with a reused digest, bit-identical output (HashExprsSpec).
     * Two-step projection on purpose: the set expression materializes ONCE
-    * per row and the k minhash columns read the materialized array.
-    * Inlining `setOf(text)` into each minhash column would re-evaluate the
-    * whole tokenize/shingle pipeline k times per row (higher-order
-    * functions are interpreted — no codegen CSE rescues it); Catalyst's
-    * CollapseProject keeps the split because the array is non-cheap and
-    * referenced k times. */
+    * per row and the signature column reads the materialized array —
+    * inlining `setOf(text)` would re-evaluate the tokenize/shingle
+    * pipeline per reference (Catalyst's CollapseProject keeps the split
+    * because the array is non-cheap). */
   def minhashSignatures(docs: DataFrame,
       setOf: Column => Column = tokens): DataFrame =
     docs.select(col("doc_id"), setOf(col("text")).as("st"))
+      .select(col("doc_id"),
+        call_function("graft_minhash", col("st"), lit(minhashSeeds.size)).as("sig"))
       .select(
-        col("doc_id") +: minhashSeeds.map(sd => minhash(col("st"), sd).as(s"m$sd")): _*)
+        col("doc_id") +:
+          minhashSeeds.map(sd => element_at(col("sig"), sd + 1).as(s"m$sd")): _*)
 
   /** (doc_id, band, band_hash) — the LSH bucket keys. */
   def lshBuckets(signatures: DataFrame): DataFrame = {
