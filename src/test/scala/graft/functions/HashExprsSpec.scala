@@ -24,6 +24,17 @@ class HashExprsSpec extends SparkSpec {
     assert(mismatched.count() === 0, "kernel diverged from the HOF reference")
   }
 
+  test("signature kernel evaluates ONCE per row — projection not collapsed") {
+    // the m0..m7 columns each reference the sig array; if CollapseProject
+    // ever inlined the non-cheap kernel call into all eight, the one-pass
+    // win silently became an eight-pass loss (still correct, 8× slower)
+    val plan = graft.operators.Dedup
+      .minhashSignatures(Tables.documents(spark, sf()))
+      .queryExecution.optimizedPlan.toString
+    val n = "graft_minhash".r.findAllIn(plan).size
+    assert(n === 1, s"expected one kernel call in the optimized plan, got $n:\n$plan")
+  }
+
   test("empty / all-null token sets yield null components; singleton matches md5") {
     import spark.implicits._
     val df = Seq(
