@@ -381,6 +381,15 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash PAIR search through the banded path: at maxHamming = 3 the
+    // 4 disjoint 8-char bands make the banding exhaustive by pigeonhole
+    // (≤3 diffs over 4 bands leaves one band identical), so the banded
+    // result provably equals the oracle's all-pairs scan.
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      simhashNearDups(documents(s, dir).filter(col("doc_id") < 100), maxHamming = 3)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // 3-gram shingle Jaccard, bounded pair product.
     "q_dedup_ngram" -> ((s, dir) => {
       ngramNearDups(documents(s, dir).filter(col("doc_id") < 200), 0.2)
@@ -531,6 +540,19 @@ object Dedup {
     "q_dedup_ngram_lsh" -> lshOracleSql(shingleSql, 0.2),
 
     "q_dedup_simhash" -> simhashBitSql,
+
+    // all-pairs hamming over the same fingerprints — the banded Spark
+    // path is exhaustive at maxHamming 3 (see the query comment)
+    "q_dedup_simhash_pairs" ->
+      s"""WITH sh AS (SELECT * FROM ($simhashBitSql) WHERE doc_id < 100)
+          SELECT d1, d2, dist FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(len(list_filter(range(1, 33),
+                     i -> substr(a.simhash, CAST(i AS INT), 1)
+                          <> substr(b.simhash, CAST(i AS INT), 1))) AS INT) AS dist
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE dist <= 3
+          ORDER BY d1, d2""",
 
     "q_decontaminate" ->
       s"""WITH tr AS (SELECT doc_id AS train_id, unnest($shingleSql) AS sh
