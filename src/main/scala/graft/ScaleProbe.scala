@@ -137,12 +137,15 @@ object ScaleProbe {
       val index = graft.operators.Dedup
         .lshBuckets(graft.operators.Dedup.minhashSignatures(corpus))
         .localCheckpoint()
-      val batch = docs0.select(($"doc_id" + 90000000L).as("doc_id"), $"text")
+      // offset far above any replica's (i × 10M): corpus ∪ batch ids must
+      // be disjoint or verifyJaccard's union cross-matches collided ids
+      val batch = docs0.select(($"doc_id" + 900000000L).as("doc_id"), $"text")
+      val nBatch = batch.count()
       val t0 = System.nanoTime()
       val pairs = graft.operators.Dedup
         .incrementalNearDups(corpus, index, batch, 0.5).count()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"""{"probe":"incremental_dedup","mult":$m,"corpus_docs":$nCorpus,"batch_docs":5000,"pairs":$pairs,"sec":$t%.2f}""")
+      println(f"""{"probe":"incremental_dedup","mult":$m,"corpus_docs":$nCorpus,"batch_docs":$nBatch,"pairs":$pairs,"sec":$t%.2f}""")
     }
 
     // round-4: bloom-prefiltered semi join on N×-unioned lineitem — the

@@ -36,10 +36,10 @@ object Dedup {
   private def tokens(text: Column): Column = array_distinct(split(text, " "))
 
   /** One MinHash component: lexicographic min of md5(token ∥ seed) — the
-    * composable HOF form the DuckDB oracle mirrors; kept as the
-    * bit-parity reference the native kernel is tested against
-    * (HashExprsSpec). The hot path uses graft_minhash instead. */
-  private[operators] def minhashReference(toks: Column, seed: Int): Column =
+    * composable HOF form the DuckDB oracle mirrors; the SINGLE bit-parity
+    * reference HashExprsSpec tests the native kernel against. The hot
+    * path uses graft_minhash instead. */
+  private[graft] def minhashReference(toks: Column, seed: Int): Column =
     array_min(transform(toks, t => md5(concat(t, lit(s"_s$seed")))))
 
   /** doc_id + k MinHash components m0..m7 over `setOf(text)` — token sets
@@ -55,13 +55,20 @@ object Dedup {
     * pipeline per reference (Catalyst's CollapseProject keeps the split
     * because the array is non-cheap). */
   def minhashSignatures(docs: DataFrame,
-      setOf: Column => Column = tokens): DataFrame =
+      setOf: Column => Column = tokens): DataFrame = {
+    // the kernel hashes suffixes _s0.._s(k−1) and component i sits at
+    // sig[i+1] — both assume the seed set IS 0 until k; a re-based or
+    // sparse seed set would silently diverge from the oracle (which
+    // interpolates real seed values), so fail loudly instead
+    require(minhashSeeds == (0 until minhashSeeds.size),
+      s"minhashSeeds must be 0 until k for the graft_minhash kernel, got $minhashSeeds")
     docs.select(col("doc_id"), setOf(col("text")).as("st"))
       .select(col("doc_id"),
         call_function("graft_minhash", col("st"), lit(minhashSeeds.size)).as("sig"))
       .select(
         col("doc_id") +:
           minhashSeeds.map(sd => element_at(col("sig"), sd + 1).as(s"m$sd")): _*)
+  }
 
   /** (doc_id, band, band_hash) — the LSH bucket keys. */
   def lshBuckets(signatures: DataFrame): DataFrame = {

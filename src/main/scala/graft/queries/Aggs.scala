@@ -262,8 +262,12 @@ object Aggs {
           sum(dec4($"value") * dec4($"value")).as("sxx"))
         .select($"event_type",
           ($"sx".cast("double") / $"n").as("mean"),
-          sqrt(($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n")
-            / ($"n" - 1)).as("sd"))
+          // greatest(_, 0): a zero-variance group can compute to a tiny
+          // NEGATIVE double through cancellation — Spark's sqrt would give
+          // NaN while DuckDB's sqrt ERRORS on negatives, aborting the
+          // whole oracle run; clamp identically on both sides
+          sqrt(greatest(($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n")
+            / ($"n" - 1), lit(0.0))).as("sd"))
       e.join(broadcast(stats), "event_type")
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -637,8 +641,8 @@ object Aggs {
          s2 AS (
            SELECT event_type,
                   CAST(sx AS DOUBLE) / n AS mean,
-                  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                       / (n - 1)) AS sd
+                  sqrt(greatest((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                       / (n - 1), 0)) AS sd
            FROM stats)
          SELECT e.event_type, count(*) AS n_events,
                 CAST(sum(CASE WHEN abs(value - mean) > 2.0 * sd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,

@@ -305,10 +305,14 @@ object Text {
     // per-row state; longer docs win proportionally to their weight.
     "q_sample_weighted" -> ((s, dir) => {
       import s.implicits._
+      // ln() is NOT bit-identical across math libraries (unlike +−·/ and
+      // sqrt), so the key is rounded to 4 BEFORE ordering: both engines
+      // then rank and cut the top-k on the same values, and a last-ulp
+      // ln divergence cannot flip membership at the boundary.
       documents(s, dir)
         .withColumn("u",
           (hashBucketExpr($"doc_id") + 0.5) / 65536.0)
-        .withColumn("sample_key", log($"u") / $"n_chars")
+        .withColumn("sample_key", round(log($"u") / $"n_chars", 4))
         .orderBy($"sample_key".desc, $"doc_id")
         .limit(50)
         .select($"doc_id", $"lang", $"n_chars", $"sample_key")
@@ -371,8 +375,8 @@ object Text {
     "q_sample_weighted" ->
       """SELECT doc_id, lang, n_chars, sample_key FROM (
            SELECT doc_id, lang, n_chars,
-                  ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) + 0.5)
-                     / 65536.0) / n_chars AS sample_key
+                  round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) + 0.5)
+                     / 65536.0) / n_chars, 4) AS sample_key
            FROM documents)
          ORDER BY sample_key DESC, doc_id
          LIMIT 50""",

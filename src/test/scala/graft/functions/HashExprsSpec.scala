@@ -12,8 +12,8 @@ class HashExprsSpec extends SparkSpec {
   test("graft_minhash ≡ array_min(transform(md5)) reference on the corpus, every seed") {
     val docs = Tables.documents(spark, sf())
     def toks = array_distinct(split(col("text"), " "))
-    def ref(seed: Int) =
-      array_min(transform(toks, t => md5(concat(t, lit(s"_s$seed")))))
+    // the ONE reference definition — Dedup.minhashReference, not a copy
+    def ref(seed: Int) = graft.operators.Dedup.minhashReference(toks, seed)
     val both = docs.select(
       col("doc_id") +:
         ((0 until 8).map(i => element_at(
