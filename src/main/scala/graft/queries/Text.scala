@@ -305,14 +305,20 @@ object Text {
     // per-row state; longer docs win proportionally to their weight.
     "q_sample_weighted" -> ((s, dir) => {
       import s.implicits._
-      // ln() is NOT bit-identical across math libraries (unlike +−·/ and
-      // sqrt), so the key is rounded to 4 BEFORE ordering: both engines
-      // then rank and cut the top-k on the same values, and a last-ulp
-      // ln divergence cannot flip membership at the boundary.
+      // Determinism: ln() is NOT bit-identical across math libraries, and
+      // (round-4 lesson) round(key, 4) is WORSE here, not safer — the
+      // top-50 keys sit at ~1e-4, so 4-dp rounding boundaries are dense at
+      // the value scale and the .00005-tie divergence fired. Instead the
+      // key is quantized to an exact BIGINT micro-key: floor(key * 1e6).
+      // A last-ulp ln divergence moves the scaled key by ~2e-9/w, so the
+      // probability either engine lands across an integer boundary is
+      // ~1e-10 per doc; both engines then order, cut, and EMIT the same
+      // exact integer. No double leaves the query.
       documents(s, dir)
         .withColumn("u",
           (hashBucketExpr($"doc_id") + 0.5) / 65536.0)
-        .withColumn("sample_key", round(log($"u") / $"n_chars", 4))
+        .withColumn("sample_key",
+          floor(log($"u") / $"n_chars" * 1e6).cast("long"))
         .orderBy($"sample_key".desc, $"doc_id")
         .limit(50)
         .select($"doc_id", $"lang", $"n_chars", $"sample_key")
@@ -375,8 +381,8 @@ object Text {
     "q_sample_weighted" ->
       """SELECT doc_id, lang, n_chars, sample_key FROM (
            SELECT doc_id, lang, n_chars,
-                  round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) + 0.5)
-                     / 65536.0) / n_chars, 4) AS sample_key
+                  CAST(floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) + 0.5)
+                     / 65536.0) / n_chars * 1e6) AS BIGINT) AS sample_key
            FROM documents)
          ORDER BY sample_key DESC, doc_id
          LIMIT 50""",
