@@ -50,8 +50,10 @@ object Bloom {
     val bytes = buildBloom(dim.select(col(dimKey)), dimKey, fpp)
     // no distinct() on the dim: left_semi already emits each fact row at
     // most once whatever the dim's duplication — deduping a
-    // hundreds-of-millions-key dim would add a full extra exchange+agg
+    // hundreds-of-millions-key dim would add a full extra exchange+agg.
+    // Alias the dim key so factKey == dimKey can't resolve ambiguously.
+    val dimAliased = dim.select(col(dimKey).as("__graft_dim_key"))
     fact.filter(mightContain(col(factKey), bytes))
-      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+      .join(dimAliased, col(factKey) === col("__graft_dim_key"), "left_semi")
   }
 }

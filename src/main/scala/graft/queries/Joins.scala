@@ -228,14 +228,21 @@ object Joins {
 
     // Correlated LATERAL subquery with ORDER BY + LIMIT — the per-row
     // top-1 idiom in its SQL form; Catalyst decorrelates it into a
-    // ranked window join rather than a per-row re-scan.
+    // ranked window join rather than a per-row re-scan. The outer key
+    // range is REPEATED inside the lateral input: Catalyst doesn't derive
+    // `l_orderkey < 1000` from the correlation + outer filter on its own,
+    // and per-key top-1 is invariant to dropping other keys — so without
+    // it the rank runs over ALL of lineitem and only then joins down to
+    // the matched slice. At 100× the unpruned rank IS the query cost;
+    // with it the predicate reaches the lineitem parquet scan
+    // (PlanSpec guards PushedFilters).
     "q_join_lateral" -> ((s, dir) => {
       graft.catalog.GraftCatalog.registerAll(s, dir)
       s.sql("""
         SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
         FROM orders o JOIN LATERAL (
           SELECT l_linenumber, l_extendedprice FROM lineitem
-          WHERE l_orderkey = o.o_orderkey
+          WHERE l_orderkey = o.o_orderkey AND l_orderkey < 1000
           ORDER BY l_extendedprice DESC, l_linenumber
           LIMIT 1) t
         WHERE o.o_orderkey < 1000

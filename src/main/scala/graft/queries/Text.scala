@@ -360,12 +360,17 @@ object Text {
         .filter($"term" =!= "")
       val freqs = tok.groupBy($"term").agg(count(lit(1)).as("tf"))
       val total = freqs.agg(sum($"tf").as("n"))
+      // Portability hardening (round-4 q_sample_weighted lesson): emit a
+      // floor-quantized BIGINT, not round(double, 4). floor() is identical
+      // in both engines while round() diverges at exact .00005 ties; what
+      // remains is a last-ulp ln() divergence crossing an integer
+      // boundary (~1e-12 per doc) instead of a dense rounding hazard.
       tok.join(broadcast(freqs), "term")
         .crossJoin(broadcast(total))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"),
-          round(avg(-log($"tf".cast("double") / $"n".cast("double"))), 4)
-            .as("avg_nll"))
+          floor(avg(-log($"tf".cast("double") / $"n".cast("double"))) * 1e4)
+            .cast("long").as("avg_nll_e4"))
         .orderBy($"doc_id")
     })
   )
@@ -408,7 +413,7 @@ object Text {
           freqs AS (SELECT term, count(*) AS tf FROM tok2 GROUP BY term),
           tot AS (SELECT sum(tf) AS n FROM freqs)
           SELECT doc_id, count(*) AS n_tokens,
-                 round(avg(-ln(CAST(tf AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS avg_nll
+                 CAST(floor(avg(-ln(CAST(tf AS DOUBLE) / CAST(n AS DOUBLE))) * 1e4) AS BIGINT) AS avg_nll_e4
           FROM tok2 JOIN freqs USING (term), tot
           GROUP BY doc_id
           ORDER BY doc_id""",

@@ -163,11 +163,18 @@ object StreamOps {
           .select(col("id").as("doc_id"))
         val selfClean = batch.join(losers, Seq("doc_id"), "left_anti")
           .localCheckpoint() // read twice below (corpus check + writes)
-        // FS-portable bootstrap probe: a missing store reads as absent
-        // (first batch), not an error — same contract on file:/ or hdfs:/
+        // FS-portable bootstrap probe: ONLY a missing store reads as
+        // absent (first batch) — same contract on file:/ or hdfs:/. Any
+        // other AnalysisException (corruption, permissions, schema)
+        // rethrows: swallowing it would silently skip cross-batch dedup
+        // for this micro-batch and permanently admit near-dups.
         def tryRead(path: String) =
           try Some(spark.read.parquet(path))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
+              None
+          }
         val clean = (tryRead(corpusDir), tryRead(indexDir)) match {
           case (Some(corpus), Some(index)) =>
             // a replayed batch's own prior partitions are part of the

@@ -137,6 +137,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "packing must not cross-join")
   }
 
+  test("lateral join: the outer key range reaches the lineitem scan") {
+    // per-key top-1 is invariant to dropping other keys, so repeating the
+    // outer `o_orderkey < 1000` inside the lateral input is semantics-
+    // preserving — and it turns the rank input from |lineitem| into the
+    // matched slice. Without the pushed filter the rank runs over the
+    // full table and only then joins down: at 100× THAT is the query.
+    val p = plan("q_join_lateral")
+    assert(p.contains("LessThan(l_orderkey,1000)"),
+      s"the key range must reach the lineitem scan in:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"decorrelated per-key top-1 must plan as WindowGroupLimit in:\n$p")
+  }
+
   test("curation pipeline plan: no cartesian product, LSH-bounded shuffles") {
     spark.catalog.clearCache()
     val docs = graft.catalog.Tables.documents(spark, sf())
