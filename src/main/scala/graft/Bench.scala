@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits one JSON line with per-query wall seconds.
+  *
+  * Median-of-3: every query is timed once; queries whose first
+  * measurement is >= `RepThreshold` seconds are re-timed twice more and
+  * the per-query median is reported. Sub-threshold queries carry ~ms
+  * jitter that benchguard's 0.5s absolute slack already absorbs, so a
+  * single sample suffices; the heavy tail is where one GC pause or IO
+  * stall used to turn a 1.2s query into a 5.4s artifact (BENCH_r05).
+  */
 object Bench {
+  private val RepThreshold = 0.5
+  private val Reps = 3
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,30 +31,43 @@ object Bench {
     // charged for session startup (~4s otherwise lands on one query).
     SparkEntry.entry(spark).count()
     // Buffer-pool mode: materialize each benchmark table once up front so
-    // the 76 queries measure compute, not repeated cold scans.
+    // the queries measure compute, not repeated cold scans.
     System.setProperty("graft.cacheTables", "true")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { n =>
       graft.catalog.Tables.t(spark, sfDir, n).count()
     }
     graft.catalog.Tables.events(spark, sfDir).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val first = SparkEntry.queries.map { case (name, fn) => name -> time(fn) }
+    val samples = collection.mutable.Map(first.map { case (k, v) => k -> List(v) }.toSeq: _*)
+    for (_ <- 2 to Reps; (name, fn) <- SparkEntry.queries if first(name) >= RepThreshold)
+      samples(name) = time(fn) :: samples(name)
+    val results = first.map { case (name, _) =>
+      val s = samples(name).sorted
+      name -> s(s.size / 2)
+    }
+
     // 3-dp per-query values: milliseconds resolve fine and the line
     // shrinks ~40%, so more of it survives the driver's tail capture.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: a comma-decimal default locale would emit "0,429"
+    // and break the JSON.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The per-query line above can exceed the driver's tail-capture window,
     // losing its front (BENCH_r01 recorded "parsed": null). Re-emit the
     // headline as a short final line so the total always survives capture.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     // stdout arrives at the driver with sbt's "[info] " prefix, which
     // defeats its JSON line parse (BENCH_r02 "parsed": null), and its tail
     // capture truncates the long line (BENCH_r04 kept ~61/128 entries) —

@@ -273,8 +273,12 @@ object Aggs {
         .agg(count(lit(1)).as("n_events"),
           sum(when(abs($"value" - $"mean") > lit(2.0) * $"sd", 1L).otherwise(0L))
             .as("n_outliers"),
-          r4(min($"mean")).as("mean_v"),
-          r4(min($"sd")).as("sd_v"))
+          // floor-quantized BIGINT micro-key instead of round(double,4):
+          // the doubles are bit-identical on both sides (exact decimal
+          // sums cast to double), so floor(x*1e4) is portable where the
+          // two engines' round() tie-breaking is not
+          floor(min($"mean") * 1e4).cast("long").as("mean_e4"),
+          floor(min($"sd") * 1e4).cast("long").as("sd_e4"))
         .orderBy($"event_type")
     }),
 
@@ -646,8 +650,8 @@ object Aggs {
            FROM stats)
          SELECT e.event_type, count(*) AS n_events,
                 CAST(sum(CASE WHEN abs(value - mean) > 2.0 * sd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-                round(CAST(min(mean) AS DOUBLE), 4) AS mean_v,
-                round(CAST(min(sd) AS DOUBLE), 4) AS sd_v
+                CAST(floor(CAST(min(mean) AS DOUBLE) * 10000) AS BIGINT) AS mean_e4,
+                CAST(floor(CAST(min(sd) AS DOUBLE) * 10000) AS BIGINT) AS sd_e4
          FROM events e JOIN s2 USING (event_type)
          GROUP BY e.event_type
          ORDER BY e.event_type""",

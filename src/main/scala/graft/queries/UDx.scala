@@ -78,7 +78,11 @@ object UDx {
       orders(s, dir)
         .filter($"o_totalprice" > 0)
         .groupBy($"o_orderpriority")
-        .agg(round(geomean($"o_totalprice"), 4).as("geo_price"),
+        // floor(x*1e4) BIGINT micro-key: exp() can differ by an ulp
+        // between the JVM and DuckDB's libm, and round(double,4)
+        // tie-breaking differs between the engines; the floor key has a
+        // single quantization boundary instead of round's two
+        .agg(floor(geomean($"o_totalprice") * 1e4).cast("long").as("geo_price_e4"),
           count(lit(1)).as("n_orders"))
         .orderBy($"o_orderpriority")
     }),
@@ -111,7 +115,7 @@ object UDx {
 
     "q_udaf_geomean" ->
       """SELECT o_orderpriority,
-                round(exp(CAST(sum(CAST(ln(o_totalprice) AS DECIMAL(28,18))) AS DOUBLE) / count(*)), 4) AS geo_price,
+                CAST(floor(exp(CAST(sum(CAST(ln(o_totalprice) AS DECIMAL(28,18))) AS DOUBLE) / count(*)) * 10000) AS BIGINT) AS geo_price_e4,
                 count(*) AS n_orders
          FROM orders
          WHERE o_totalprice > 0

@@ -163,16 +163,22 @@ object StreamOps {
           .select(col("id").as("doc_id"))
         val selfClean = batch.join(losers, Seq("doc_id"), "left_anti")
           .localCheckpoint() // read twice below (corpus check + writes)
-        // FS-portable bootstrap probe: ONLY a missing store reads as
-        // absent (first batch) — same contract on file:/ or hdfs:/. Any
-        // other AnalysisException (corruption, permissions, schema)
-        // rethrows: swallowing it would silently skip cross-batch dedup
-        // for this micro-batch and permanently admit near-dups.
+        // FS-portable bootstrap probe: a missing store reads as absent
+        // (first batch), and so does a store dir that exists but holds no
+        // data files yet — an empty first micro-batch writes only
+        // _SUCCESS, which Spark surfaces as UNABLE_TO_INFER_SCHEMA; if
+        // that rethrew, every replay of the batch would hit the same
+        // state and the stream would crash-loop permanently. Any other
+        // AnalysisException (corruption, permissions, schema) rethrows:
+        // swallowing it would silently skip cross-batch dedup for this
+        // micro-batch and permanently admit near-dups.
+        val bootstrapConditions = Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
         def tryRead(path: String) =
           try Some(spark.read.parquet(path))
           catch {
             case e: org.apache.spark.sql.AnalysisException
-                if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) =>
+                if Option(e.getCondition)
+                  .exists(c => bootstrapConditions.exists(c.startsWith)) =>
               None
           }
         val clean = (tryRead(corpusDir), tryRead(indexDir)) match {

@@ -222,6 +222,53 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup-on-arrival: pre-existing EMPTY store dirs read as bootstrap, not a crash-loop") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_arrival_empty").toString
+    val (corpusDir, indexDir) = (s"$tmp/corpus", s"$tmp/index")
+    // A dir that exists but holds no data files (e.g. an empty first
+    // micro-batch wrote only _SUCCESS) throws UNABLE_TO_INFER_SCHEMA on
+    // read — which must map to bootstrap: a rethrow would fail the batch,
+    // and every checkpoint replay hits the same state forever.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpusDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(corpusDir, "_SUCCESS"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupOnArrival(
+      in.toDF().toDF("doc_id", "text"), corpusDir, indexDir,
+      s"$tmp/ckpt", threshold = 0.6)
+    try {
+      in.addData((1L, "alpha beta gamma delta epsilon"),
+        (2L, "totally different words entirely here now"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(corpusDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("dedup-on-arrival: a CORRUPT store rethrows instead of silently skipping dedup") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_arrival_corrupt").toString
+    val (corpusDir, indexDir) = (s"$tmp/corpus", s"$tmp/index")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpusDir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(corpusDir, "part-00000.snappy.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupOnArrival(
+      in.toDF().toDF("doc_id", "text"), corpusDir, indexDir,
+      s"$tmp/ckpt", threshold = 0.6)
+    try {
+      in.addData((1L, "alpha beta gamma delta epsilon"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: signups within the hour match, older do not") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
