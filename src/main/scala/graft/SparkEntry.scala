@@ -42,6 +42,7 @@ object SparkEntry {
       (Funcs.queries, Funcs.oracle),
       (Text.queries, Text.oracle),
       (Sim.queries, Sim.oracle),
+      (MediaQ.queries, MediaQ.oracle),
       (UDx.queries, UDx.oracle),
       (Streams.queries, Streams.oracle),
       (Behavior.queries, Behavior.oracle),
