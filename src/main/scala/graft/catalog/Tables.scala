@@ -24,7 +24,7 @@ object Tables {
     * minted into the session's conf on first use (identityHashCode is NOT
     * unique — a GC'd session's hash can recur on a successor and revive
     * its dead cache entries). */
-  private def sessionKey(s: SparkSession): String = {
+  private[graft] def sessionKey(s: SparkSession): String = {
     val confKey = "graft.cache.sessionKey"
     s.conf.getOption(confKey).getOrElse {
       val v = java.util.UUID.randomUUID().toString

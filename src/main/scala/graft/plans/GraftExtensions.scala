@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CosineSim, DotProduct, JaccardSim, MinHashSignature}
+import graft.functions.{BloomMightContain, CosineSim, DotProduct, JaccardSim, MinHashShingle3, MinHashSignature}
 
 /** Session extension registering graft's native functions
   * (`spark.sql.extensions=graft.plans.GraftExtensions`, set by
@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[MinHashSignature], "graft_minhash",
         "graft_minhash(tokens, k) - all k MinHash components (min md5(token || '_s<i>')) in one pass."),
       (children: Seq[Expression]) => MinHashSignature(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sh3"),
+      info(classOf[MinHashShingle3], "graft_minhash_sh3",
+        "graft_minhash_sh3(tokens, k) - MinHash over rolling 3-gram shingles, no shingle materialization."),
+      (children: Seq[Expression]) => MinHashShingle3(children(0), children(1))))
     // SQL TVF surface over the operator library (literal args → the
     // operator's analyzed plan, spliced like a named subquery)
     ext.injectTableFunction((
