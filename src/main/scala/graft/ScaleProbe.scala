@@ -162,6 +162,42 @@ object ScaleProbe {
       println(f"""{"probe":"bloom_semijoin","mult":$m,"rows":$n,"sec":$t%.2f}""")
     }
 
+    // round-6: dedup-on-arrival across a STREAM of 12 micro-batches — the
+    // round-4 probe above fixes the batch and grows the corpus 1/4/16×;
+    // this one drives the actual foreachBatch sink end-to-end (in-batch
+    // transitive dedup, cross-batch index probe, idempotent partitioned
+    // writes) so the per-batch wall cost is measured against an index that
+    // GROWS batch by batch, exactly as a production ingest sees it. Each
+    // batch carries a disjoint vocabulary (per-batch token prefix) and
+    // remapped ids, so kept-docs ≈ batch size and the index grows
+    // linearly; flat per-batch cost across 12 batches is the evidence the
+    // arrival path's recurring cost is batch-sized, not corpus-sized.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = spark.sqlContext
+      val tmp = java.nio.file.Files.createTempDirectory("arrival_probe").toString
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.dedupOnArrival(
+        in.toDF().toDF("doc_id", "text"),
+        s"$tmp/corpus", s"$tmp/index", s"$tmp/ckpt", threshold = 0.5)
+      val batch0 = docs0.limit(2000)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      try {
+        (0 until 12).foreach { bIdx =>
+          val data = batch0.map { case (id, text) =>
+            (id + bIdx.toLong * 10000000L,
+              s"b$bIdx" + text.replace(" ", s" b$bIdx"))
+          }
+          val t0 = System.nanoTime()
+          in.addData(data.toIndexedSeq)
+          q.processAllAvailable()
+          val t = (System.nanoTime() - t0) / 1e9
+          val corpusDocs = spark.read.parquet(s"$tmp/corpus").count()
+          println(f"""{"probe":"arrival_stream","batch":$bIdx,"batch_docs":${data.length},"corpus_docs":$corpusDocs,"sec":$t%.2f}""")
+        }
+      } finally q.stop()
+    }
+
     // hot-key as-of: every row on ONE key — the composable join+max
     // formulation materializes probes × builds intermediate rows; the
     // custom merge operator streams both sides once. This is the skew case
