@@ -41,16 +41,32 @@ total_median = medians.pop('_total', None)
 if total_median is None:
     sys.exit(f'{medfile} has no _total entry — refresh medians')
 
+# Environment normalization: sandbox allocations vary >2x in per-core
+# speed (round-6 same-commit A/B: 41.0s vs 94.0s on an identical
+# checkout). Bench emits a fixed single-thread "calib" workload time;
+# medians.json records the calibration of the machine that produced the
+# medians (_calib). Scale the gates UP when this machine is slower, never
+# down (a faster machine must not loosen the gate), and cap at 4x so a
+# broken calibration can't mask a real regression.
+calib_median = medians.pop('_calib', None)
+env = 1.0
+if calib_median and bench.get('calib'):
+    env = min(max(1.0, bench['calib'] / calib_median), 4.0)
+    if env > 1.1:
+        print(f"ENV  this machine is {env:.2f}x slower than the medians' "
+              f"(calib {bench['calib']:.2f}s vs {calib_median:.2f}s) — gates scaled")
+
 fails = []
 for q, t in sorted(bench['queries'].items()):
     m = medians.get(q)
     if m is None:
         print(f'NEW  {q}: {t:.2f}s (no recorded median — refresh medians.json)')
         continue
-    if t > 4 * m and t - m > 0.5:
-        fails.append(f'{q}: {t:.2f}s > 4x median {m:.2f}s')
-if bench['value'] > 2 * total_median:
-    fails.append(f"total: {bench['value']:.1f}s > 2x median {total_median:.1f}s")
+    if t > 4 * m * env and t - m * env > 0.5:
+        fails.append(f'{q}: {t:.2f}s > 4x median {m:.2f}s (env-adjusted x{env:.2f})')
+if bench['value'] > 2 * total_median * env:
+    fails.append(f"total: {bench['value']:.1f}s > 2x median {total_median:.1f}s "
+                 f"(env-adjusted x{env:.2f})")
 
 # A query recorded in the medians but absent from this run means it was
 # dropped from SparkEntry.queries (or renamed) — the per-query gate would

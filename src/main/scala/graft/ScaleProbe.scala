@@ -198,6 +198,29 @@ object ScaleProbe {
       } finally q.stop()
     }
 
+    // round-6: SRP-LSH embedding near-dup on an N×-grown corpus. Replicas
+    // get per-(replica, dim) deterministic sign flips, so each replica is
+    // a fresh pseudo-random direction — bucket DENSITY stays constant and
+    // candidate count grows linearly with the corpus (naive replication
+    // would co-bucket every copy and grow candidates quadratically).
+    // Near-linear sec/vector across N is the evidence the (band, bucket)
+    // equi-join carries embedding near-dup at scale.
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    Seq(1, 4, 16).foreach { m =>
+      val corpus = (0 until m).map { i =>
+        emb0.select(($"vec_id" + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform($"embedding", (x, d) =>
+            (x * when(pmod(d * 2654435761L + lit(i) * 40503L, lit(2)) === 0, 1.0f)
+              .otherwise(-1.0f)).cast("float")).as("embedding"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val n = corpus.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.srpNearDups(corpus, threshold = 0.9).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"srp_neardup","mult":$m,"vectors":$n,"pairs":$pairs,"sec":$t%.2f}""")
+    }
+
     // hot-key as-of: every row on ONE key — the composable join+max
     // formulation materializes probes × builds intermediate rows; the
     // custom merge operator streams both sides once. This is the skew case

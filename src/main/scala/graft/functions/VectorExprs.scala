@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 private[functions] trait FloatArrayPair { self: BinaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult =
@@ -67,6 +67,118 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** graft_srp(vec, bands, bits): banded sign-random-projection LSH signature
+  * — `bands` bucket ids, each from `bits` hyperplane sign bits, in ONE pass
+  * over the vector.
+  *
+  * Hyperplanes are pseudo-random ±1 vectors derived from a fixed 64-bit
+  * integer mix of (hyperplane index, dimension) — fully deterministic, no
+  * stored codebook, identical on every executor. For unit vectors,
+  * P[bit agrees] = 1 − θ/π (Charikar's SRP-LSH), so two near-duplicate
+  * embeddings (cos ≥ 0.9 → θ ≤ 26°) agree on an 8-bit band with
+  * probability ≈ 0.86⁸ ≈ 0.29 and collide in ≥1 of 4 bands with
+  * probability ≈ 0.75; recall vs exact kNN is pinned in OperatorsSpec.
+  *
+  * Per row: dims × bands·bits mixes, one int[bands] output — the candidate
+  * generation cost of embedding near-dup at 100 TB stays a narrow map, and
+  * the pair join downstream is an equi-join on (band, bucket). */
+case class SrpSignature(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: bands/bits must be literals")
+      case (v, b, w) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (ARRAY<FLOAT>, INT bands, INT bits), got $v / $b / $w")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_srp"
+
+  @transient private lazy val bands: Int = {
+    val v = second.eval(null).asInstanceOf[Int]
+    require(v >= 1 && v <= 16, s"$prettyName: bands must be in [1, 16], got $v")
+    v
+  }
+  @transient private lazy val bits: Int = {
+    val v = third.eval(null).asInstanceOf[Int]
+    require(v >= 1 && v <= 30, s"$prettyName: bits must be in [1, 30], got $v")
+    v
+  }
+
+  override def nullSafeEval(v: Any, b: Any, w: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val k = bands * bits
+    val acc = new Array[Double](k)
+    var d = 0
+    while (d < n) {
+      val x = vec.getFloat(d).toDouble
+      var j = 0
+      while (j < k) {
+        // splitmix-style finalizer over (hyperplane, dimension)
+        var h = j.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        if (h >= 0L) acc(j) += x else acc(j) -= x
+        j += 1
+      }
+      d += 1
+    }
+    val out = new Array[Int](bands)
+    var bi = 0
+    while (bi < bands) {
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        if (acc(bi * bits + j) >= 0.0) bucket |= 1 << j
+        j += 1
+      }
+      out(bi) = bucket
+      bi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val k = bands * bits
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val h = ctx.freshName("h")
+      val out = ctx.freshName("out"); val bi = ctx.freshName("bi")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = $v.numElements();
+         |double[] $acc = new double[$k];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $x = (double) $v.getFloat($d);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $h = (long) $j * 0x9E3779B97F4A7C15L + (long) $d * 0xC2B2AE3D27D4EB4FL;
+         |    $h ^= $h >>> 33; $h *= 0xFF51AFD7ED558CCDL; $h ^= $h >>> 33;
+         |    if ($h >= 0L) $acc[$j] += $x; else $acc[$j] -= $x;
+         |  }
+         |}
+         |int[] $out = new int[$bands];
+         |for (int $bi = 0; $bi < $bands; $bi++) {
+         |  int $bucket = 0;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    if ($acc[$bi * $bits + $j] >= 0.0) $bucket |= 1 << $j;
+         |  }
+         |  $out[$bi] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** jaccard(a, b) over two string arrays that are already distinct: one

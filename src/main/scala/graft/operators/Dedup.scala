@@ -383,12 +383,43 @@ object Dedup {
   // ------------------------------------------------------------- embeddings
 
   /** Embedding-cosine near-dups over an explicit pair product (bounded by
-    * caller; the unbounded path is ANN bucketing, graft.operators.Ann). */
+    * caller; the unbounded paths are [[srpNearDups]] and ANN bucketing,
+    * graft.operators.Ann). */
   def embeddingNearDups(embs: DataFrame, threshold: Double): DataFrame = {
     import graft.queries.Sim
     val a = embs.select(col("vec_id").as("d1"), col("embedding").as("v1"))
     val b = embs.select(col("vec_id").as("d2"), col("embedding").as("v2"))
     a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(Sim.cosine(col("v1"), col("v2")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** UNBOUNDED embedding near-dup at scale: banded SRP-LSH candidate
+    * generation (native `graft_srp` kernel — `bands` buckets of `bits`
+    * hyperplane sign bits per vector) + exact-cosine verify within
+    * buckets. The same band/bucket/verify shape as [[minhashNearDups]],
+    * with Charikar's sign-random-projection in place of MinHash: the pair
+    * join is an equi-join on (band, bucket), never all-pairs, so the
+    * candidate count scales with bucket occupancy, not corpus². Recall vs
+    * exact kNN at cos ≥ 0.9 with the default 4×8 bands ≈ 1−(1−p⁸)⁴,
+    * p = 1−θ/π — pinned by OperatorsSpec on planted near-dup pairs. */
+  def srpNearDups(embs: DataFrame, threshold: Double = 0.9,
+      bands: Int = 4, bits: Int = 8): DataFrame = {
+    import graft.queries.Sim
+    val sig = embs.select(col("vec_id"), col("embedding"),
+      posexplode(call_function("graft_srp", col("embedding"), lit(bands), lit(bits)))
+        .as(Seq("band", "bucket")))
+    val a = sig.select(col("band"), col("bucket"),
+      col("vec_id").as("d1"), col("embedding").as("v1"))
+    val b = sig.select(col("band"), col("bucket"),
+      col("vec_id").as("d2"), col("embedding").as("v2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("d1") < col("d2"))
+      // a pair can collide in several bands — dedup BEFORE the verify so
+      // the cosine kernel runs once per candidate pair
+      .select(col("d1"), col("d2"), col("v1"), col("v2"))
+      .dropDuplicates("d1", "d2")
       .select(col("d1"), col("d2"),
         round(Sim.cosine(col("v1"), col("v2")), 4).as("cos"))
       .filter(col("cos") >= threshold)

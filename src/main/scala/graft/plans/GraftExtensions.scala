@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CosineSim, DotProduct, JaccardSim, MinHashShingle3, MinHashSignature}
+import graft.functions.{BloomMightContain, CosineSim, DotProduct, JaccardSim, MinHashShingle3, MinHashSignature, SrpSignature}
 
 /** Session extension registering graft's native functions
   * (`spark.sql.extensions=graft.plans.GraftExtensions`, set by
@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[MinHashShingle3], "graft_minhash_sh3",
         "graft_minhash_sh3(tokens, k) - MinHash over rolling 3-gram shingles, no shingle materialization."),
       (children: Seq[Expression]) => MinHashShingle3(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp"),
+      info(classOf[SrpSignature], "graft_srp",
+        "graft_srp(vec, bands, bits) - banded sign-random-projection LSH buckets of a float array."),
+      (children: Seq[Expression]) => SrpSignature(children(0), children(1), children(2))))
     // SQL TVF surface over the operator library (literal args → the
     // operator's analyzed plan, spliced like a named subquery)
     ext.injectTableFunction((

@@ -122,6 +122,30 @@ object Sim {
         .groupBy($"label", $"pos")
         .agg(round(avg($"x"), 4).as("m"))
         .orderBy($"label", $"pos")
+    }),
+
+    // Sign-LSH candidate pairs: bucket every vector by the sign pattern of
+    // its first 8 dimensions (8 axis-aligned random-hyperplane bits — the
+    // deterministic, oracle-expressible instance of SRP-LSH), then verify
+    // exact cosine ONLY within buckets. This is the embedding near-dup
+    // scale path: the join is an equi-join on the bucket key (hash
+    // partitioned, never all-pairs), candidate count ≈ n²/2^b per bucket
+    // family, and recall against brute force is measured in
+    // OperatorsSpec. At 100 TB the same plan holds — buckets shard across
+    // executors and the exact-cosine verify touches only co-bucketed rows.
+    "q_sim_bucket_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = (0 until 8)
+        .map(i => when(element_at($"embedding", i + 1) >= 0f, 1 << i).otherwise(0))
+        .reduce(_ + _)
+      val b = embeddings(s, dir).select($"vec_id", $"embedding", bucket.as("bucket"))
+      val lhs = b.select($"bucket", $"vec_id".as("id_a"), $"embedding".as("va"))
+      val rhs = b.select($"bucket", $"vec_id".as("id_b"), $"embedding".as("vb"))
+      lhs.join(rhs, "bucket")
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b", round(cosine($"va", $"vb"), 4).as("cos"))
+        .filter($"cos" >= 0.3)
+        .orderBy($"id_a", $"id_b")
     })
   )
 
@@ -183,6 +207,27 @@ object Sim {
           FROM documents JOIN embeddings ON doc_id = vec_id
           WHERE n_chars > 100
             AND round(sqrt(${normSql("embedding")}), 4) > 0.7
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    "q_sim_bucket_pairs" ->
+      s"""WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                 + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                 + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                 + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                 + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+                 + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+            FROM embeddings),
+          pairs AS (
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                   round(${dotSql.format("a.embedding", "b2.embedding")}
+                         / (sqrt(${normSql("a.embedding")}) * sqrt(${normSql("b2.embedding")})), 4) AS cos
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+          SELECT id_a, id_b, cos FROM pairs
+          WHERE cos >= 0.3
+          ORDER BY id_a, id_b"""
   )
 }

@@ -6,18 +6,31 @@ import org.apache.spark.sql.functions._
 import graft.catalog.Tables._
 import graft.util.D._
 
-/** Composite TPC-H-shape analytics (Q3 / Q5 / Q10 adapted to the synthetic
-  * schema) — the end-to-end check that multi-join + filter + agg + top-k
-  * COMPOSITIONS plan well, not just the operators in isolation:
-  * Catalyst's join reordering, filter pushdown through three-to-six-way
-  * joins, partial aggregation over the joined fact, and
-  * TakeOrderedAndProject for the LIMIT — all in one plan per query.
+/** Composite TPC-H-shape analytics (Q3/Q4/Q5/Q6/Q7/Q10/Q14/Q18/Q19/Q21/Q22
+  * adapted to the synthetic schema) — the end-to-end check that multi-join +
+  * filter + agg + top-k COMPOSITIONS plan well, not just the operators in
+  * isolation: Catalyst's join reordering, filter pushdown through
+  * three-to-six-way joins, semi/anti rewrites of EXISTS subqueries, partial
+  * aggregation over the joined fact, and TakeOrderedAndProject for the
+  * LIMIT — all in one plan per query.
+  *
+  * Schema adaptations (the synthetic lineitem has no
+  * commitdate/receiptdate/shipmode and part has no container): Q4's and
+  * Q21's "late" predicate is l_shipdate > o_orderdate + K days, Q19's
+  * disjunction ranges over brand/size/quantity, Q22's "no orders" becomes
+  * "no orders since 2000-06-01" (every synthetic customer has at least one
+  * order, so the literal anti-join would be empty at every SF).
   *
   * Scale notes (100 TB posture): each query filters its dimensions BEFORE
   * the fact join (pushdown puts the mktsegment/region/date predicates at
   * the scans), aggregates with map-side partials, and takes top-k without
-  * a global sort. The revenue algebra is the exact-decimal pipeline of
-  * q_agg_pricing_summary — one shared convention (graft.util.D).
+  * a global sort. EXISTS/NOT-EXISTS shapes run as semi/anti hash joins on
+  * the order key (no correlated per-row subquery execution), and Q21's
+  * double-correlated NOT EXISTS is reformulated as one per-order aggregate
+  * (distinct supplier count + distinct late-supplier count) — one shuffle
+  * of the fact instead of two correlated re-scans. The revenue algebra is
+  * the exact-decimal pipeline of q_agg_pricing_summary — one shared
+  * convention (graft.util.D).
   */
 object Tpch {
 
@@ -75,6 +88,169 @@ object Tpch {
           col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // Q4: order-priority checking — orders in one quarter with at least one
+    // late lineitem (shipped > 90 days after the order date; the synthetic
+    // schema has no commit/receipt dates). EXISTS → left-semi hash join.
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      o.join(lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q6: forecasting revenue change — single-table filter + scalar agg;
+    // the pushdown sanity check of the composite tier (every predicate
+    // must reach the parquet scan).
+    "q_tpch_q6" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(r4(sum(dec4(col("l_extendedprice")) * dec4(col("l_discount"))))
+          .as("revenue"))
+    }),
+
+    // Q7: volume shipping — revenue between two nations by ship year, both
+    // directions. Nation dims broadcast; the pair disjunction prunes after
+    // the two broadcast joins.
+    "q_tpch_q7" -> ((s, dir) => {
+      val n1 = nation(s, dir)
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, dir)
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      supplier(s, dir)
+        .join(lineitem(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .join(orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter(
+          ((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")) &&
+            col("l_shipdate").between(
+              lit("1996-01-01").cast("timestamp"),
+              lit("1997-12-31").cast("timestamp")))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(r4(revenue).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q14: promo revenue share — CASE-sum ratio over one ship month; the
+    // part dim broadcasts, the division happens once on the final row.
+    "q_tpch_q14" -> ((s, dir) => {
+      val disc = dec4(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(r4(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0))).cast("double") /
+          sum(disc).cast("double")).as("promo_revenue"))
+    }),
+
+    // Q18: large-volume customers — orders whose total quantity clears a
+    // threshold (IN-subquery → semi join on the pre-aggregated key), then
+    // re-joined for the customer/order report. Exact-decimal quantity sums.
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec4(col("l_quantity"))).as("sq"))
+        .filter(col("sq") > 300)
+        .select(col("l_orderkey").as("big_okey"))
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+        .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(r4(sum(dec4(col("l_quantity")))).as("sum_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Q19: discounted revenue — three disjunctive brand/size/quantity
+    // blocks (the synthetic part has no container column). The OR of ANDs
+    // exercises CNF conversion: the common l_partkey = p_partkey conjunct
+    // stays a hash-join key, the residual disjunction filters post-join.
+    "q_tpch_q19" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+        .agg(r4(revenue).as("revenue"))
+    }),
+
+    // Q21: suppliers who kept orders waiting — late lineitems (shipped >
+    // 60 days after order) in finished multi-supplier orders where theirs
+    // was the ONLY late supplier. The reference SQL shape is EXISTS +
+    // doubly-correlated NOT EXISTS; here both collapse into one per-order
+    // aggregate (distinct suppliers, distinct late suppliers) — one
+    // shuffle of the fact instead of two correlated re-scans, the plan
+    // you'd want at 100 TB.
+    "q_tpch_q21" -> ((s, dir) => {
+      val lo = lineitem(s, dir)
+        .join(orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .as("late"))
+      val soleLate = lo.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("ns"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("nl"))
+        .filter(col("ns") >= 2 && col("nl") === 1)
+        .select(col("l_orderkey").as("sole_okey"))
+      val natSupp = supplier(s, dir)
+        .join(broadcast(nation(s, dir).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      lo.filter(col("late"))
+        .join(soleLate, col("l_orderkey") === col("sole_okey"), "left_semi")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // Q22: global sales opportunity — lapsed customers (no orders since
+    // 2000-06-01; every synthetic customer has SOME order) with
+    // above-average positive balance, counted per nation. The average
+    // comparison is cross-multiplied into exact decimal algebra
+    // (bal·cnt > total) so no double-precision mean can flip a boundary
+    // row between engines; the one-row stats frame broadcasts.
+    "q_tpch_q22" -> ((s, dir) => {
+      val nations = Seq(1, 2, 3, 4, 5, 6, 7)
+      val c = customer(s, dir).filter(col("c_nationkey").isin(nations: _*))
+      val stats = c.filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("cnt"), sum(dec4(col("c_acctbal"))).as("total"))
+      val recent = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(stats))
+        .filter(dec4(col("c_acctbal")) * col("cnt") > col("total"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          r4(sum(dec4(col("c_acctbal")))).as("totacctbal"))
+        .orderBy(col("cntrycode"))
     })
   )
 
@@ -120,6 +296,114 @@ object Tpch {
             AND o_orderdate < TIMESTAMP '1996-04-01'
           GROUP BY c_custkey, c_name, c_acctbal, n_name
           ORDER BY revenue DESC, c_custkey
-          LIMIT 20"""
+          LIMIT 20""",
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
+    "q_tpch_q6" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+
+    "q_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year, $revSql AS revenue
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+          GROUP BY 1, 2, 3
+          ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q_tpch_q14" ->
+      """SELECT round(CAST(100.0 *
+                CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                         ELSE 0 END) AS DOUBLE)
+              / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                AS DOUBLE), 4) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+           AND l_shipdate < TIMESTAMP '1996-10-01'""",
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+                CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
+
+    "q_tpch_q19" ->
+      s"""SELECT $revSql AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 20""",
+
+    "q_tpch_q22" ->
+      """WITH pos AS (
+           SELECT CAST(count(*) AS BIGINT) AS cnt,
+                  sum(CAST(c_acctbal AS DECIMAL(18,4))) AS total
+           FROM customer
+           WHERE c_nationkey IN (1,2,3,4,5,6,7) AND c_acctbal > 0)
+         SELECT c_nationkey AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS totacctbal
+         FROM customer, pos
+         WHERE c_nationkey IN (1,2,3,4,5,6,7)
+           AND CAST(c_acctbal AS DECIMAL(18,4)) * cnt > total
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-06-01')
+         GROUP BY c_nationkey
+         ORDER BY cntrycode"""
   )
 }

@@ -37,6 +37,23 @@ object Windows {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // Distribution ranks: percent_rank = (rank-1)/(n-1) and cume_dist =
+    // rank_to_last/n are exact small-integer ratios — the division is one
+    // correctly-rounded IEEE op on identical operands in both engines, so
+    // round(·, 6) is portable (unlike ln/exp, where libm implementations
+    // differ). Ordering is tie-broken to the unique order key.
+    "q_win_cume_dist" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      orders(s, dir)
+        .select(
+          $"o_orderpriority", $"o_orderkey", $"o_totalprice",
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    }),
+
     "q_win_running" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey")
@@ -159,6 +176,14 @@ object Windows {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+
+    "q_win_cume_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderpriority, o_orderkey""",
 
     "q_win_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

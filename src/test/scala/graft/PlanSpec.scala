@@ -150,6 +150,40 @@ class PlanSpec extends SparkSpec {
       s"decorrelated per-key top-1 must plan as WindowGroupLimit in:\n$p")
   }
 
+  test("tpch q6: every predicate reaches the lineitem scan, scalar agg partials") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate lower bound must push to the scan in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount") && p.contains("LessThan(l_quantity"),
+      s"discount/quantity range must push to the scan in:\n$p")
+    assert(p.contains("partial_sum"), "scalar agg must partial map-side")
+  }
+
+  test("tpch EXISTS/IN shapes plan as semi joins, NOT EXISTS as anti — never correlated re-scans") {
+    Seq("q_tpch_q4", "q_tpch_q18", "q_tpch_q21").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("LeftSemi"), s"$q: EXISTS/IN must plan as a semi join in:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans an all-pairs product:\n$p")
+    }
+    val p22 = plan("q_tpch_q22")
+    assert(p22.contains("LeftAnti"), s"q_tpch_q22: NOT EXISTS must plan as an anti join in:\n$p22")
+    assert(!p22.contains("CartesianProduct"), s"q_tpch_q22 plans an all-pairs product:\n$p22")
+  }
+
+  test("tpch q7: both nation dims broadcast into the fact join") {
+    val p = plan("q_tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected the two nation dims broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q7 plans an all-pairs product:\n$p")
+  }
+
+  test("sign-LSH pairs: candidate generation is a bucket equi-join, never all-pairs") {
+    val p = plan("q_sim_bucket_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be the bucket equi-join in:\n$p")
+    assert(p.contains("bucket"), s"join must key on the sign bucket in:\n$p")
+  }
+
   test("curation pipeline plan: no cartesian product, LSH-bounded shuffles") {
     spark.catalog.clearCache()
     val docs = graft.catalog.Tables.documents(spark, sf())

@@ -77,4 +77,37 @@ class VectorExprsSpec extends SparkSpec {
     assert(row.getDouble(0) === 11.0)
     assert(row.isNullAt(1))
   }
+
+  test("graft_srp: codegen ≡ interpreted, scale-invariant signs, SQL-reachable") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf()).filter(col("vec_id") < 50)
+    val srp = call_function("graft_srp", col("embedding"), lit(4), lit(8))
+    // codegen path (whole-stage projection over parquet) vs interpreted
+    // path (Literal children → TernaryExpression.eval): identical
+    val fromCodegen = e.select(col("vec_id"), srp.as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    e.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+      val got = SrpSignature(
+        Literal.create(r.getSeq[Float](1), ArrayType(FloatType)),
+        Literal(4), Literal(8)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+      assert(got.toSeq == fromCodegen(r.getLong(0)),
+        s"interp/codegen mismatch for vec ${r.getLong(0)}")
+    }
+    // sign-LSH is scale-invariant: v and 3·v produce identical buckets
+    val scaled = e.select(col("vec_id"),
+      transform(col("embedding"), x => (x * 3.0f).cast("float")).as("embedding"))
+    val sigB = scaled.select(col("vec_id"), srp.as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(fromCodegen == sigB, "buckets must be invariant to vector scale")
+    // 4 bands, each bucket within 8 bits
+    assert(fromCodegen.values.forall(s => s.size == 4 && s.forall(b => b >= 0 && b < 256)))
+    // available from plain SQL via the session extension
+    e.limit(3).createOrReplaceTempView("srp_sql")
+    val n = spark.sql("SELECT size(graft_srp(embedding, 2, 4)) AS s FROM srp_sql")
+      .collect()
+    assert(n.forall(_.getInt(0) == 2))
+  }
 }

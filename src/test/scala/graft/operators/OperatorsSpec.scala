@@ -400,4 +400,27 @@ class OperatorsSpec extends SparkSpec {
     // every probe still gets a result under multi-probe (larger probe set)
     assert(Ann.lshMultiProbeTopK(probes, corpus, 1, nPlanes = 4).count() === 20)
   }
+
+  test("SRP-LSH: planted near-dup recall ≥ 0.95; multi-band hits dedup to one pair") {
+    // Plant 100 near-dup pairs: each fixture vector and a deterministically
+    // perturbed copy (per-dim ±5% multiplicative jitter → cos ≈ 0.9996,
+    // θ ≈ 1.6°). Charikar: per-bit agreement p = 1−θ/π ≈ 0.991 → an 8-bit
+    // band agrees with p⁸ ≈ 0.93 → ≥1 of 4 bands ≈ 0.99998, so a 0.95
+    // recall floor pins the mechanism with huge margin while a broken
+    // hyperplane mix / band packing / bucket join fails it outright.
+    import spark.implicits._
+    val base = embs.filter(col("vec_id") < 100).select(col("vec_id"), col("embedding"))
+    val pert = base.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * (lit(1.0) + (pmod(col("vec_id") * 131 + i * 7919, lit(1000))
+          .cast("double") / 1000.0 - 0.5) * 0.1).cast("float")).cast("float"))
+        .as("embedding"))
+    val pairs = Dedup.srpNearDups(base.unionByName(pert), threshold = 0.95).cache()
+    val planted = pairs.filter(col("d2") === col("d1") + 10000L).count()
+    assert(planted >= 95, s"SRP recall on planted near-dups: $planted/100")
+    // the pair set is deduped across bands (one row per candidate pair)
+    assert(pairs.groupBy("d1", "d2").count().filter(col("count") > 1).count() === 0)
+    // verify step keeps only pairs at/above the threshold
+    assert(pairs.filter(col("cos") < 0.95).count() === 0)
+  }
 }
