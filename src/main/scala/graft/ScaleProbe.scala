@@ -209,9 +209,12 @@ object ScaleProbe {
       .select($"vec_id", $"embedding")
     Seq(1, 4, 16).foreach { m =>
       val corpus = (0 until m).map { i =>
+        // murmur hash of (replica, dim) for the flip bit — a linear form
+        // mod 2 would collapse to (d + i) parity and make same-parity
+        // replicas EXACT duplicates (quadratic true-pair growth)
         emb0.select(($"vec_id" + lit(i.toLong * 10000000L)).as("vec_id"),
           transform($"embedding", (x, d) =>
-            (x * when(pmod(d * 2654435761L + lit(i) * 40503L, lit(2)) === 0, 1.0f)
+            (x * when(pmod(hash(lit(i), d), lit(2)) === 0, 1.0f)
               .otherwise(-1.0f)).cast("float")).as("embedding"))
       }.reduce(_ unionAll _).localCheckpoint()
       val n = corpus.count()

@@ -401,9 +401,12 @@ object Dedup {
     * buckets. The same band/bucket/verify shape as [[minhashNearDups]],
     * with Charikar's sign-random-projection in place of MinHash: the pair
     * join is an equi-join on (band, bucket), never all-pairs, so the
-    * candidate count scales with bucket occupancy, not corpus². Recall vs
-    * exact kNN at cos ≥ 0.9 with the default 4×8 bands ≈ 1−(1−p⁸)⁴,
-    * p = 1−θ/π — pinned by OperatorsSpec on planted near-dup pairs. */
+    * candidate count scales with bucket occupancy, not corpus². Occupancy
+    * is n/2^bits per band — size bits ≈ log₂(n/128) as the corpus grows
+    * (each extra bit halves candidates and costs ~1% recall at cos 0.9;
+    * defaults fit the 10³-10⁵ fixture range). Recall vs exact kNN at
+    * cos ≥ 0.9 with the default 4×8 bands ≈ 1−(1−p⁸)⁴, p = 1−θ/π —
+    * pinned by OperatorsSpec on planted near-dup pairs. */
   def srpNearDups(embs: DataFrame, threshold: Double = 0.9,
       bands: Int = 4, bits: Int = 8): DataFrame = {
     import graft.queries.Sim
@@ -416,13 +419,17 @@ object Dedup {
       col("vec_id").as("d2"), col("embedding").as("v2"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("d1") < col("d2"))
-      // a pair can collide in several bands — dedup BEFORE the verify so
-      // the cosine kernel runs once per candidate pair
-      .select(col("d1"), col("d2"), col("v1"), col("v2"))
-      .dropDuplicates("d1", "d2")
+      // verify INSIDE the bucket-join stage, then dedup: a pair colliding
+      // in several bands recomputes the (cheap, codegen'd) cosine up to
+      // `bands` times, but the dedup shuffle carries only the (d1, d2,
+      // cos) rows that SURVIVED the threshold — never the vectors. The
+      // round-6 ScaleProbe caught the alternative ordering (dedup before
+      // verify) shuffling candidate×vector rows: 4.4 GB and a 70x wall
+      // blowup at 32k vectors (125 per bucket, ~8M candidates).
       .select(col("d1"), col("d2"),
         round(Sim.cosine(col("v1"), col("v2")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+      .groupBy(col("d1"), col("d2")).agg(first(col("cos")).as("cos"))
   }
 
   // ------------------------------------------------------- oracle queries

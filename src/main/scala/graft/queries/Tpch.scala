@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.catalog.Tables._
 import graft.util.D._
 
-/** Composite TPC-H-shape analytics (Q3/Q4/Q5/Q6/Q7/Q10/Q14/Q18/Q19/Q21/Q22
-  * adapted to the synthetic schema) — the end-to-end check that multi-join +
+/** Composite TPC-H-shape analytics (every TPC-H query the synthetic schema
+  * can express: Q3/Q4/Q5/Q6/Q7/Q8/Q10/Q13/Q14/Q15/Q17/Q18/Q19/Q21/Q22 —
+  * Q2/Q9/Q11/Q16/Q20 need partsupp, Q12 needs shipmode, and Q1 is
+  * q_agg_pricing_summary) — the end-to-end check that multi-join +
   * filter + agg + top-k COMPOSITIONS plan well, not just the operators in
   * isolation: Catalyst's join reordering, filter pushdown through
   * three-to-six-way joins, semi/anti rewrites of EXISTS subqueries, partial
@@ -144,6 +146,85 @@ object Tpch {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    // Q8: national market share — one nation's revenue share of a part
+    // type sold into one region, by order year. The widest composite
+    // (8-way join, two nation roles); dims broadcast after their filters,
+    // the CASE-sum ratio divides once per year row.
+    "q_tpch_q8" -> ((s, dir) => {
+      val disc = dec4(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))
+      val suppNat = nation(s, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val custNat = nation(s, dir)
+        .select(col("n_nationkey").as("cnk"), col("n_regionkey").as("crk"))
+      part(s, dir).filter(col("p_type") === "ECONOMY")
+        .join(lineitem(s, dir), col("l_partkey") === col("p_partkey"))
+        .join(orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(custNat), col("c_nationkey") === col("cnk"))
+        .join(broadcast(region(s, dir).filter(col("r_name") === "ASIA")),
+          col("crk") === col("r_regionkey"))
+        .join(supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(suppNat), col("s_nationkey") === col("snk"))
+        .filter(col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(r4(
+          sum(when(col("supp_nation") === "NATION_1", disc).otherwise(lit(0))).cast("double") /
+            sum(disc).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q13: customer order-count distribution — LEFT join keeps the
+    // zero-order customers (count(o_orderkey) skips their null), then the
+    // per-customer counts histogram. Two hash aggs, both map-side partial.
+    "q_tpch_q13" -> ((s, dir) => {
+      val perCust = customer(s, dir)
+        .join(orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q15: top supplier — revenue per supplier for one quarter, keep the
+    // supplier(s) at the maximum. The max is a one-row broadcast; the
+    // equality compares EXACT decimals (rounding to double happens only
+    // at output), so no boundary row can flip between engines.
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(revenue.as("total"))
+      val top = rev.agg(max(col("total")).as("max_total"))
+      supplier(s, dir)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(top))
+        .filter(col("total") === col("max_total"))
+        .select(col("s_suppkey"), col("s_name"),
+          r4(col("total")).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q17: small-quantity-order revenue — lineitems under 20% of their
+    // part's average quantity (the correlated scalar subquery,
+    // decorrelated by hand into a per-part aggregate + join — the same
+    // plan Catalyst's decorrelation produces, stated explicitly).
+    "q_tpch_q17" -> ((s, dir) => {
+      val brandParts = part(s, dir).filter(col("p_brand") === "Brand#5")
+        .select(col("p_partkey"))
+      val li = lineitem(s, dir)
+      val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .join(avgQty, col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(r4(sum(dec4(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
+
     // Q14: promo revenue share — CASE-sum ratio over one ship month; the
     // part dim broadcasts, the division happens once on the final row.
     "q_tpch_q14" -> ((s, dir) => {
@@ -212,9 +293,16 @@ object Tpch {
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
             .as("late"))
-      val soleLate = lo.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("ns"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("nl"))
+      // two distinct-counts over different predicates would plan an
+      // Expand (2x the joined fact) + a two-level aggregate; collapsing
+      // per (order, supplier) first makes both counts plain aggregates of
+      // an already-distinct frame — one map-side-combinable shuffle each,
+      // and the second one runs over at most |suppliers per order| rows
+      val perSupp = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("any_late"))
+      val soleLate = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("ns"),
+          sum(when(col("any_late"), 1).otherwise(0)).as("nl"))
         .filter(col("ns") >= 2 && col("nl") === 1)
         .select(col("l_orderkey").as("sole_okey"))
       val natSupp = supplier(s, dir)
@@ -332,6 +420,60 @@ object Tpch {
             AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
           GROUP BY 1, 2, 3
           ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                round(CAST(
+                  CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                           ELSE 0 END) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                  AS DOUBLE), 4) AS mkt_share
+         FROM part
+         JOIN lineitem ON l_partkey = p_partkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+           AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+         GROUP BY 1
+         ORDER BY o_year""",
+
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey)
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, round(CAST(total AS DOUBLE), 4) AS total_revenue
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total = (SELECT max(total) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q_tpch_q17" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4)
+                AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#5'
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)""",
 
     "q_tpch_q14" ->
       """SELECT round(CAST(100.0 *
