@@ -177,6 +177,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q7 plans an all-pairs product:\n$p")
   }
 
+  test("tpch q8/q13/q15/q17: dims broadcast, scalar subqueries stay one-row broadcasts") {
+    val p8 = plan("q_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p8).size >= 3,
+      s"q8's filtered dims must broadcast in:\n$p8")
+    assert(!p8.contains("CartesianProduct"), s"q8 plans an all-pairs product:\n$p8")
+    val p13 = plan("q_tpch_q13")
+    assert(p13.contains("LeftOuter"), s"q13 must keep zero-order customers in:\n$p13")
+    assert("HashAggregate".r.findAllIn(p13).size >= 2, "q13 aggs must partial map-side")
+    val p15 = plan("q_tpch_q15")
+    // the max(total) scalar lands as a one-row broadcast, not a shuffle
+    assert(p15.contains("BroadcastExchange") || p15.contains("BroadcastNestedLoopJoin"),
+      s"q15's max subquery must broadcast in:\n$p15")
+    assert(!p15.contains("CartesianProduct"), s"q15 plans an all-pairs product:\n$p15")
+    val p17 = plan("q_tpch_q17")
+    assert(p17.contains("EqualTo(p_brand,Brand#5)"),
+      s"q17's brand filter must push to the part scan in:\n$p17")
+    assert(!p17.contains("CartesianProduct"), s"q17 plans an all-pairs product:\n$p17")
+  }
+
   test("sign-LSH pairs: candidate generation is a bucket equi-join, never all-pairs") {
     val p = plan("q_sim_bucket_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
