@@ -47,6 +47,28 @@ object Bench {
     s(1)
   }
 
+  /** Page-fault-path calibration: touch one byte per 4 KiB page of a fresh
+    * 256 MiB off-heap allocation (allocateDirect → malloc → mmap → every
+    * touch faults a new page). Emitted as "calib_fault". This is the term
+    * the ALU probe misses: round 6 observed an allocation mode where
+    * query totals ran 3.3x the medians and a 512 MB numpy fill took
+    * MINUTES while xorshift stayed at 0.66 s and steady-state bandwidth
+    * held 7 GB/s — the collapse was entirely in fresh-page fault
+    * handling, which Spark's task/GC/off-heap churn exercises constantly.
+    * Median-of-3; ~0.1 s nominal, so the artifact cost is negligible. */
+  private def calibrateFaults(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val buf = java.nio.ByteBuffer.allocateDirect(256 << 20)
+      var i = 0
+      while (i < (256 << 20)) { buf.put(i, 1.toByte); i += 4096 }
+      if (buf.get(0) == 42) System.err.println("fault sink")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val s = Seq(once(), once(), once()).sorted
+    s(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -92,13 +114,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val calib = calibrate()
+    val calibFault = calibrateFaults()
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"calib_fault":${fmt(calibFault)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The per-query line above can exceed the driver's tail-capture window,
     // losing its front (BENCH_r01 recorded "parsed": null). Re-emit the
     // headline as a short final line so the total always survives capture.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"calib_fault":${fmt(calibFault)},"sf":"$sfDir"}""")
     // stdout arrives at the driver with sbt's "[info] " prefix, which
     // defeats its JSON line parse (BENCH_r02 "parsed": null), and its tail
     // capture truncates the long line (BENCH_r04 kept ~61/128 entries) —

@@ -118,7 +118,10 @@ object Funcs {
           abs($"o_totalprice" - 100000).as("dist"),
           r4(pow($"o_totalprice", 0.5)).as("pw"),
           r4(sqrt($"o_totalprice")).as("sq"),
-          r4(log($"o_totalprice")).as("lg"),
+          // pow(x, 0.5)/sqrt are correctly-rounded IEEE in both engines'
+          // libms (portable under round); ln is NOT guaranteed to be, so
+          // it follows the floor-quantized BIGINT convention
+          floor(log($"o_totalprice") * 1e4).cast("long").as("lg_e4"),
           ($"o_orderkey" % 7).as("md"),
           signum($"o_totalprice" - 100000).cast("int").as("sg"))
         .orderBy($"o_orderkey")
@@ -338,7 +341,7 @@ object Funcs {
                 abs(o_totalprice - 100000) AS dist,
                 round(CAST(pow(o_totalprice, 0.5) AS DOUBLE), 4) AS pw,
                 round(CAST(sqrt(o_totalprice) AS DOUBLE), 4) AS sq,
-                round(CAST(ln(o_totalprice) AS DOUBLE), 4) AS lg,
+                CAST(floor(ln(o_totalprice) * 1e4) AS BIGINT) AS lg_e4,
                 o_orderkey % 7 AS md,
                 CAST(sign(o_totalprice - 100000) AS INT) AS sg
          FROM orders ORDER BY o_orderkey""",

@@ -237,8 +237,12 @@ object Text {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
         .crossJoin(broadcast(n))
+        // idf runs through ln() — transcendental, libm-dependent in the
+        // last ULP — so the output is the floor-quantized BIGINT
+        // convention (avg_nll_e4 recipe), never round(double, 4)
         .select($"doc_id", $"rn", $"term", $"tf", $"df",
-          round(log($"n_docs".cast("double") / $"df"), 4).as("idf"))
+          floor(log($"n_docs".cast("double") / $"df") * 1e4)
+            .cast("long").as("idf_e4"))
         .orderBy($"doc_id", $"rn")
     }),
 
@@ -548,7 +552,7 @@ object Text {
          df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          n AS (SELECT count(*) AS n_docs FROM documents)
          SELECT doc_id, rn, term, tf, df,
-                round(ln(CAST(n_docs AS DOUBLE) / df), 4) AS idf
+                CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e4) AS BIGINT) AS idf_e4
          FROM (
            SELECT tf.doc_id, tf.term, tf.tf, df.df,
                   CAST(row_number() OVER (PARTITION BY tf.doc_id
