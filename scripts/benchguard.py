@@ -56,13 +56,32 @@ env = 1.0
 for med_key, bench_key in (('_calib', 'calib'), ('_calib_fault', 'calib_fault')):
     base = medians.pop(med_key, None)
     now = bench.get(bench_key)
+    if base is None and now is not None:
+        # the artifact measured this probe but the medians have no baseline
+        # — the normalization for that failure mode is inert (an ADVICE
+        # round-6 finding: fault-collapse runs false-failed the gate)
+        print(f"WARN bench reports {bench_key}={now:.2f}s but {medfile} has no "
+              f"{med_key} baseline — that environment term cannot scale the gate")
+        continue
     if base and now:
         r = min(max(1.0, now / base), 4.0)
+        if now / base > 4.0:
+            print(f"WARN {bench_key} ratio {now / base:.2f}x saturates the 4.0 cap — "
+                  f"calibration may be broken or the machine unusably degraded; "
+                  f"gate failures below may be pure environment")
         if r > env:
             env = r
             if r > 1.1:
                 print(f"ENV  this machine is {r:.2f}x slower than the medians' "
                       f"({bench_key} {now:.2f}s vs {base:.2f}s) — gates scaled")
+
+# A partial artifact (budget/timeout truncation — Bench marks it) has a
+# meaningless total and legitimately missing tail queries: keep the
+# per-query gates for what DID run, skip the total and missing-query gates.
+partial = bool(bench.get('partial'))
+if partial:
+    print(f"WARN partial artifact ({len(bench['queries'])} queries) — "
+          f"total and missing-query gates skipped")
 
 fails = []
 for q, t in sorted(bench['queries'].items()):
@@ -72,7 +91,7 @@ for q, t in sorted(bench['queries'].items()):
         continue
     if t > 4 * m * env and t - m * env > 0.5:
         fails.append(f'{q}: {t:.2f}s > 4x median {m:.2f}s (env-adjusted x{env:.2f})')
-if bench['value'] > 2 * total_median * env:
+if not partial and bench['value'] > 2 * total_median * env:
     fails.append(f"total: {bench['value']:.1f}s > 2x median {total_median:.1f}s "
                  f"(env-adjusted x{env:.2f})")
 
@@ -80,7 +99,7 @@ if bench['value'] > 2 * total_median * env:
 # dropped from SparkEntry.queries (or renamed) — the per-query gate would
 # silently stop guarding it, so fail loudly instead.
 missing = sorted(set(medians) - set(bench['queries']))
-if missing:
+if missing and not partial:
     fails.append(f"missing from bench output (dropped queries?): {', '.join(missing)}")
 
 for f in fails:

@@ -49,6 +49,7 @@ object SparkEntry {
       (Tpch.queries, Tpch.oracle),
       (Logs.queries, Logs.oracle),
       (Dedup.queries, Dedup.oracle),
+      (graft.operators.Ann.queries, graft.operators.Ann.oracle),
       (graft.operators.Vocab.queries, graft.operators.Vocab.oracle),
       (graft.operators.Pack.queries, graft.operators.Pack.oracle)
     )

@@ -23,8 +23,11 @@ object Tables {
     * execution) — each session gets its own cache entries. A UUID is
     * minted into the session's conf on first use (identityHashCode is NOT
     * unique — a GC'd session's hash can recur on a successor and revive
-    * its dead cache entries). */
-  private[graft] def sessionKey(s: SparkSession): String = {
+    * its dead cache entries). Synchronized: Verify runs queries from a
+    * thread pool, and an unsynchronized check-then-set could mint two
+    * keys for one session — splitting its cache and double-persisting
+    * every table. */
+  private[graft] def sessionKey(s: SparkSession): String = synchronized {
     val confKey = "graft.cache.sessionKey"
     s.conf.getOption(confKey).getOrElse {
       val v = java.util.UUID.randomUUID().toString

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * routing. The actual codecs are STUBBED with deterministic fakes (clearly
   * marked below): the container has no image/audio libraries, and the
   * pipeline semantics — batching, schema, partitioning — are what this
-  * module owns. Swapping `StubCodecs` for a real JNI/ffmpeg-backed codec is
-  * a per-function change that touches nothing else.
+  * module owns. The decode boundary is the [[MediaCodec]] trait: every
+  * pipeline function takes a codec parameter (defaulting to [[StubCodecs]],
+  * the test instance), so a real environment swaps in a JNI/ffmpeg-backed
+  * implementation without touching any pipeline code.
   *
   * Scale notes: media blobs never shuffle — every transform here is a
   * narrow per-partition map; only extracted features (small, fixed-width)
@@ -40,12 +42,31 @@ object Media {
     checksum: String,
     feature: Array[Float])
 
-  // ------------------------------------------------------------------ stubs
+  // ----------------------------------------------------------------- codecs
 
-  /** STUB CODECS — deterministic fakes in place of real decoders.
-    * Every function is pure in the payload bytes so the pipeline is
-    * reproducible; replace bodies with real codec calls to go live. */
-  object StubCodecs {
+  /** The pluggable decode boundary: everything the pipeline needs from a
+    * media decoder, and NOTHING else — pipeline code below depends only on
+    * this trait, so a real environment swaps in a JNI/ffmpeg/turbojpeg
+    * implementation without touching any Spark plumbing (schema, batching,
+    * partitioning, modality routing all stay as-is). Serializable because
+    * instances are captured in executor closures; implementations must be
+    * pure in the payload bytes so runs stay reproducible. */
+  trait MediaCodec extends Serializable {
+    /** Decode an image payload into a fixed-width feature/pixel vector. */
+    def decodeImage(bytes: Array[Byte]): Array[Float]
+    /** Resample a decoded image from (w, h) to (tw, th). */
+    def resize(px: Array[Float], w: Int, h: Int, tw: Int, th: Int): Array[Float]
+    /** Decode audio + extract fixed-width features (e.g. MFCCs). */
+    def audioFeatures(bytes: Array[Byte], sampleRate: Int): Array[Float]
+    /** Sample (frame_index, frame_bytes) keyframes from a video payload. */
+    def sampleFrames(bytes: Array[Byte], everyMs: Long, durationMs: Long): Seq[(Int, Array[Byte])]
+  }
+
+  /** STUB CODECS — the deterministic-fake [[MediaCodec]] instance (this
+    * container has no codec libraries). Every function is pure in the
+    * payload bytes so the pipeline is reproducible; a real deployment
+    * passes its own MediaCodec to the pipeline functions instead. */
+  object StubCodecs extends MediaCodec {
     /** ??? real impl: image decode (e.g. via javax.imageio / JNI turbojpeg).
       * Fake: 8 deterministic "pixels" folded from the byte stream. */
     def decodeImage(bytes: Array[Byte]): Array[Float] = {
@@ -87,7 +108,8 @@ object Media {
   /** Batched per-partition feature extraction — the mapInPandas analog:
     * one iterator pass per partition, no per-row task overhead, media bytes
     * stay partition-local. */
-  def extractFeatures(media: Dataset[MediaRec]): Dataset[MediaFeature] = {
+  def extractFeatures(media: Dataset[MediaRec],
+      codec: MediaCodec = StubCodecs): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val digest = java.security.MessageDigest.getInstance("MD5")
@@ -95,11 +117,11 @@ object Media {
         digest.reset()
         val sum = digest.digest(r.bytes).map("%02x".format(_)).mkString
         val feat = r.kind match {
-          case "image" => StubCodecs.decodeImage(r.bytes)
-          case "audio" => StubCodecs.audioFeatures(r.bytes, r.sample_rate)
+          case "image" => codec.decodeImage(r.bytes)
+          case "audio" => codec.audioFeatures(r.bytes, r.sample_rate)
           case "video" =>
-            StubCodecs.decodeImage(
-              StubCodecs.sampleFrames(r.bytes, 1000, r.duration_ms)
+            codec.decodeImage(
+              codec.sampleFrames(r.bytes, 1000, r.duration_ms)
                 .headOption.map(_._2).getOrElse(Array.emptyByteArray))
           case _ => Array.emptyFloatArray
         }
@@ -119,10 +141,11 @@ object Media {
 
   /** Frame sampling: video rows explode into one row per sampled frame —
     * the generator shape of A11 applied to media. */
-  def sampleVideoFrames(media: Dataset[MediaRec], everyMs: Long): DataFrame = {
+  def sampleVideoFrames(media: Dataset[MediaRec], everyMs: Long,
+      codec: MediaCodec = StubCodecs): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      StubCodecs.sampleFrames(r.bytes, everyMs, r.duration_ms).map {
+      codec.sampleFrames(r.bytes, everyMs, r.duration_ms).map {
         case (idx, frame) => (r.media_id, idx, frame, r.width, r.height)
       }
     }.toDF("media_id", "frame_index", "frame_bytes", "width", "height")
@@ -130,8 +153,9 @@ object Media {
 
   /** Join extracted features back to a metadata table — fixed-width columns
     * only; the blob column is pruned before any shuffle. */
-  def featureTable(media: Dataset[MediaRec]): DataFrame =
-    extractFeatures(media).toDF()
+  def featureTable(media: Dataset[MediaRec],
+      codec: MediaCodec = StubCodecs): DataFrame =
+    extractFeatures(media, codec).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
         col("feature"))
 

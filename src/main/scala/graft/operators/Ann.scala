@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.catalog.Tables
 import graft.queries.Sim
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -240,6 +241,102 @@ object Ann {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** Oracle-checkable IVF top-k (q_ann_ivf): the exact [[ivfTopK]] plan
+    * shape — broadcast codebook, narrow routing, cluster equi-join, exact
+    * rank inside routed cells — made engine-portable by quantizing the
+    * codebook to 4 decimal places. round(avg, 4) yields the identical
+    * IEEE double in Spark and DuckDB (proven by q_embed_centroid), so the
+    * routing cosines are computed over bit-identical centroids with the
+    * same left-fold double algebra, and routing is fully deterministic
+    * (rounded score desc, label asc). nprobe=2, k=3: a probe near a
+    * Voronoi boundary also searches the runner-up cell.
+    *
+    * Scale shape: the codebook is k·dim doubles (broadcast by
+    * definition); corpus rows never move — only the tiny routed probe set
+    * is broadcast into the label-partitioned equi-join; the window ranks
+    * within (probe, routed cells) candidate sets, never the corpus. */
+  private def ivfOracleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+    val corpus = e.filter($"vec_id" >= 5)
+      .select($"vec_id".as("cand_id"), $"label", $"embedding".as("cv"))
+    // 4dp-quantized per-label codebook, assembled in dimension order
+    val cents = corpus
+      .select($"label", posexplode($"cv").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"x"), 4).as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"label".as("route"), transform($"pm", _.getField("m")).as("centroid"))
+    // routing cosine over the double-typed centroid: left-fold double
+    // dot (the algebra the DuckDB list_zip/list_sum oracle mirrors) —
+    // the native graft_cosine kernel is float-array-typed, so the HOF
+    // form is the portable one here
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def cosD(a: Column, b: Column): Column =
+      dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+    val wc = Window.partitionBy($"probe_id").orderBy($"ccos".desc, $"route")
+    val routed = probes.crossJoin(broadcast(cents))
+      .select($"probe_id", $"pv", $"route", round(cosD($"pv", $"centroid"), 4).as("ccos"))
+      .withColumn("crn", row_number().over(wc))
+      .filter($"crn" <= 2)
+      .select($"probe_id", $"pv", $"route")
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id")
+    corpus.join(broadcast(routed), $"label" === $"route")
+      .select($"probe_id", $"cand_id", $"label",
+        round(Sim.cosine($"pv", $"cv"), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"probe_id", $"cand_id", $"label", $"cos", $"rn")
+      .orderBy($"probe_id", $"rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivf" -> ((s, dir) => ivfOracleQuery(s, dir))
+  )
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def normSql(v: String) =
+    s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  val oracle: Map[String, String] = Map(
+    "q_ann_ivf" ->
+      s"""WITH probes AS (
+            SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+          corpus AS (
+            SELECT vec_id AS cand_id, label, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+          tall AS (
+            SELECT label, unnest(cv) AS x, unnest(range(len(cv))) AS pos FROM corpus),
+          cent AS (
+            SELECT label AS route, list(m ORDER BY pos) AS centroid
+            FROM (SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS m
+                  FROM tall GROUP BY 1, 2)
+            GROUP BY label),
+          routed AS (
+            SELECT probe_id, pv, route,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, route) AS crn
+            FROM (SELECT p.probe_id, p.pv, c.route,
+                         round(${dotSql.format("p.pv", "c.centroid")}
+                               / (sqrt(${normSql("p.pv")}) * sqrt(${normSql("c.centroid")})), 4) AS ccos
+                  FROM probes p, cent c)),
+          cand AS (
+            SELECT r.probe_id, c.cand_id, c.label,
+                   round(${dotSql.format("r.pv", "c.cv")}
+                         / (sqrt(${normSql("r.pv")}) * sqrt(${normSql("c.cv")})), 4) AS cos
+            FROM routed r JOIN corpus c ON c.label = r.route
+            WHERE r.crn <= 2)
+          SELECT probe_id, cand_id, label, cos, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+            FROM cand)
+          WHERE rn <= 3
+          ORDER BY probe_id, rn"""
+  )
 
   /** Per-label mean vectors — the coarse IVF codebook. */
   def centroids(corpus: DataFrame): DataFrame = {

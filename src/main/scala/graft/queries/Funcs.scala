@@ -120,7 +120,12 @@ object Funcs {
           r4(sqrt($"o_totalprice")).as("sq"),
           // pow(x, 0.5)/sqrt are correctly-rounded IEEE in both engines'
           // libms (portable under round); ln is NOT guaranteed to be, so
-          // it follows the floor-quantized BIGINT convention
+          // it follows the floor-quantized BIGINT convention. NOTE: the
+          // quantization relocates, not removes, the sensitive boundary —
+          // a last-ULP libm difference still flips the BIGINT when
+          // ln(x)*1e4 lands adjacent to an integer, so portability is
+          // probabilistic (no hit observed across sf0.001–0.1), not
+          // guaranteed; kept for consistency with avg_nll_e4.
           floor(log($"o_totalprice") * 1e4).cast("long").as("lg_e4"),
           ($"o_orderkey" % 7).as("md"),
           signum($"o_totalprice" - 100000).cast("int").as("sg"))

@@ -153,62 +153,78 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.operators.{Components, Dedup}
-        val spark = batch.sparkSession
-        // in-batch transitive dedup first (a batch can near-dup itself)
-        val pairs = Dedup.minhashNearDups(batch, threshold)
-          .select(col("d1").as("src"), col("d2").as("dst"))
-        val losers = Components.connectedComponents(pairs)
-          .filter(col("id") =!= col("component"))
-          .select(col("id").as("doc_id"))
-        val selfClean = batch.join(losers, Seq("doc_id"), "left_anti")
-          .localCheckpoint() // read twice below (corpus check + writes)
-        // FS-portable bootstrap probe: a missing store reads as absent
-        // (first batch), and so does a store dir that exists but holds no
-        // data files yet — an empty first micro-batch writes only
-        // _SUCCESS, which Spark surfaces as UNABLE_TO_INFER_SCHEMA; if
-        // that rethrew, every replay of the batch would hit the same
-        // state and the stream would crash-loop permanently. Any other
-        // AnalysisException (corruption, permissions, schema) rethrows:
-        // swallowing it would silently skip cross-batch dedup for this
-        // micro-batch and permanently admit near-dups.
-        val bootstrapConditions = Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-        def tryRead(path: String) =
-          try Some(spark.read.parquet(path))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if Option(e.getCondition)
-                  .exists(c => bootstrapConditions.exists(c.startsWith)) =>
-              None
-          }
-        val clean = (tryRead(corpusDir), tryRead(indexDir)) match {
-          case (Some(corpus), Some(index)) =>
-            // a replayed batch's own prior partitions are part of the
-            // index here; its docs collide with themselves and drop —
-            // then the partition overwrite below replaces them in place
-            val dupIds = Dedup
-              .incrementalNearDups(
-                corpus.select(selfClean.columns.map(col): _*), // drop batch_id
-                index.select("doc_id", "band", "bh"),
-                selfClean, threshold)
-              .select(col("d2").as("doc_id")).distinct()
-            selfClean.join(dupIds, Seq("doc_id"), "left_anti")
-          case _ => selfClean
-        }
-        val kept = clean.localCheckpoint()
-        kept.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(corpusDir)
-        Dedup.lshBuckets(Dedup.minhashSignatures(kept))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(indexDir)
+        dedupBatch(batch, batchId, corpusDir, indexDir, threshold)
       }
       .start()
+
+  /** The dedup-on-arrival foreachBatch body, public so the replay contract
+    * is directly testable (StreamOpsSpec drives it with a deliberately
+    * half-written store to simulate a mid-batch crash) and reusable from a
+    * batch backfill. MUST stay idempotent under re-execution with the same
+    * (batchId, data) against ANY intermediate store state the two
+    * partition-overwrite writes can leave behind — that is the exactly-once
+    * guarantee under at-least-once foreachBatch replays. */
+  def dedupBatch(batch: DataFrame, batchId: Long, corpusDir: String,
+      indexDir: String, threshold: Double): Unit = {
+    import graft.operators.{Components, Dedup}
+    val spark = batch.sparkSession
+    // in-batch transitive dedup first (a batch can near-dup itself)
+    val pairs = Dedup.minhashNearDups(batch, threshold)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val losers = Components.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val selfClean = batch.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // read twice below (corpus check + writes)
+    // FS-portable bootstrap probe: a missing store reads as absent
+    // (first batch), and so does a store dir that exists but holds no
+    // data files yet — an empty first micro-batch writes only
+    // _SUCCESS, which Spark surfaces as UNABLE_TO_INFER_SCHEMA; if
+    // that rethrew, every replay of the batch would hit the same
+    // state and the stream would crash-loop permanently. Any other
+    // AnalysisException (corruption, permissions, schema) rethrows:
+    // swallowing it would silently skip cross-batch dedup for this
+    // micro-batch and permanently admit near-dups.
+    val bootstrapConditions = Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+    def tryRead(path: String) =
+      try Some(spark.read.parquet(path))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition)
+              .exists(c => bootstrapConditions.exists(c.startsWith)) =>
+          None
+      }
+    val clean = (tryRead(corpusDir), tryRead(indexDir)) match {
+      case (Some(corpus), Some(index)) =>
+        // a replayed batch's own prior partitions are part of the
+        // index here; its docs collide with themselves and drop —
+        // then the partition overwrite below replaces them in place.
+        // In the OTHER crash window (corpus written, index not), the
+        // replayed docs' buckets are absent from the index, so they do
+        // NOT self-collide: the full batch re-keeps, and both
+        // overwrites heal the half-written state in place.
+        val dupIds = Dedup
+          .incrementalNearDups(
+            corpus.select(selfClean.columns.map(col): _*), // drop batch_id
+            index.select("doc_id", "band", "bh"),
+            selfClean, threshold)
+          .select(col("d2").as("doc_id")).distinct()
+        selfClean.join(dupIds, Seq("doc_id"), "left_anti")
+      case _ => selfClean
+    }
+    val kept = clean.localCheckpoint()
+    kept.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(corpusDir)
+    Dedup.lshBuckets(Dedup.minhashSignatures(kept))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexDir)
+  }
 
   /** Sink an event stream as parquet with checkpointing (ack analog). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String) =

@@ -42,6 +42,28 @@ class MediaSpec extends SparkSpec {
     assert(byId(5L).feature.isEmpty) // unknown modality → empty features
   }
 
+  test("MediaCodec boundary: a custom codec swaps in without pipeline changes") {
+    // a "real" decoder stand-in: constant-valued features, distinguishable
+    // from StubCodecs output — proves the pipeline routes through the trait
+    object FlatCodec extends Media.MediaCodec {
+      def decodeImage(bytes: Array[Byte]): Array[Float] = Array.fill(4)(7f)
+      def resize(px: Array[Float], w: Int, h: Int, tw: Int, th: Int): Array[Float] = px
+      def audioFeatures(bytes: Array[Byte], sampleRate: Int): Array[Float] = Array.fill(4)(9f)
+      def sampleFrames(bytes: Array[Byte], everyMs: Long, durationMs: Long): Seq[(Int, Array[Byte])] =
+        Seq((0, bytes.take(1)))
+    }
+    val feats = Media.extractFeatures(media, FlatCodec).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).feature.toSeq === Seq(7f, 7f, 7f, 7f))
+    assert(feats(3L).feature.toSeq === Seq(9f, 9f, 9f, 9f))
+    assert(feats(4L).feature.toSeq === Seq(7f, 7f, 7f, 7f)) // video → frame → image decode
+    // checksums are codec-independent (raw payload property)
+    val stub = Media.extractFeatures(media).collect().map(f => f.media_id -> f.checksum).toMap
+    assert(feats.view.mapValues(_.checksum).toMap === stub)
+    val frames = Media.sampleVideoFrames(media, 1000L, FlatCodec).collect()
+    assert(frames.length === 1 && frames.head.getAs[Int]("frame_index") === 0)
+  }
+
   test("resizeImages: only image rows change, payloads untouched") {
     val resized = Media.resizeImages(media, 32, 32).collect()
     val img = resized.find(_.media_id == 1L).get

@@ -222,6 +222,52 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup-on-arrival: an interrupted batch replay against a half-written store heals in place") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_replay").toString
+    val (corpusDir, indexDir) = (s"$tmp/corpus", s"$tmp/index")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def state(dir: String): (Set[Long], Long) = {
+      val df = spark.read.parquet(dir)
+      (df.select("doc_id").distinct().collect().map(_.getLong(0)).toSet, df.count())
+    }
+    // batch 0 bootstraps; batch 1 has a near-dup of a kept doc (drops)
+    // plus two genuinely new docs (kept)
+    val b0 = Seq((1L, base + " one"), (2L, "totally different words entirely here now"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((10L, base + " two"),
+      (11L, "unrelated fresh content with novel tokens"),
+      (12L, "yet another completely distinct document body")).toDF("doc_id", "text")
+    StreamOps.dedupBatch(b0, 0L, corpusDir, indexDir, threshold = 0.6)
+    StreamOps.dedupBatch(b1, 1L, corpusDir, indexDir, threshold = 0.6)
+    val (corpusAfter, corpusRows) = state(corpusDir)
+    val (indexAfter, _) = state(indexDir)
+    val indexRows = spark.read.parquet(indexDir).count()
+    assert(corpusAfter === Set(1L, 2L, 11L, 12L), s"batch-1 dedup: $corpusAfter")
+    assert(indexAfter === corpusAfter)
+    // CRASH WINDOW: batch 1 wrote its corpus partition but died before the
+    // index write — wipe index/batch_id=1 to reproduce that exact state.
+    // The replayed docs' buckets are now MISSING from the index, so they
+    // must not self-collide; the partition overwrites must heal both
+    // stores to the identical pre-crash state, not append duplicates.
+    val p = java.nio.file.Paths.get(indexDir, "batch_id=1")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    StreamOps.dedupBatch(b1, 1L, corpusDir, indexDir, threshold = 0.6)
+    assert(state(corpusDir) === ((corpusAfter, corpusRows)),
+      "half-written replay must reproduce the identical corpus")
+    assert(state(indexDir)._1 === indexAfter)
+    assert(spark.read.parquet(indexDir).count() === indexRows,
+      "index partition must be rebuilt exactly, not appended")
+    // CRASH WINDOW 2: both writes landed but the offset commit didn't —
+    // a full re-execution must be a no-op on the final state.
+    StreamOps.dedupBatch(b1, 1L, corpusDir, indexDir, threshold = 0.6)
+    assert(state(corpusDir) === ((corpusAfter, corpusRows)),
+      "fully-written replay must be idempotent")
+    assert(spark.read.parquet(indexDir).count() === indexRows)
+  }
+
   test("dedup-on-arrival: pre-existing EMPTY store dirs read as bootstrap, not a crash-loop") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
