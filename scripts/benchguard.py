@@ -45,15 +45,24 @@ if total_median is None:
 # speed (round-6 same-commit A/B: 41.0s vs 94.0s on an identical
 # checkout), and separately fall into a page-fault-collapse mode (query
 # totals 3.3x medians while ALU speed is unchanged). Bench emits two
-# fixed workloads: "calib" (single-thread xorshift — clock speed) and
+# fixed workloads: "calib" (single-thread xorshift — clock speed),
 # "calib_fault" (touch fresh mmap pages — the fault path Spark's
-# task/GC churn exercises). medians.json records both for the machine
-# that produced the medians (_calib, _calib_fault). Scale the gates UP
-# by the WORSE ratio when this machine is slower, never down (a faster
-# machine must not loosen the gate), and cap at 4x so a broken
-# calibration can't mask a real regression.
+# task/GC churn exercises), and "calib_spark" (a fixed codegen +
+# hash-agg + shuffle Spark job — the round-7 allocation ran queries 4x
+# slower while the two micro-probes read 1.2x/1.8x; only a Spark-shaped
+# probe feels scheduler/cgroup/bandwidth degradation). medians.json
+# records each for the machine that produced the medians. Scale the
+# gates UP by the WORSE ratio when this machine is slower, never down
+# (a faster machine must not loosen the gate), and cap at 4x so a
+# broken calibration can't mask a real regression.
 env = 1.0
-for med_key, bench_key in (('_calib', 'calib'), ('_calib_fault', 'calib_fault')):
+# calib_spark is probed before AND after the query loop (mid-run drift:
+# round-7 watched the tail run 6-12x while early queries ran 2x) — gate
+# against the WORSE of the two readings.
+if bench.get('calib_spark_end') is not None and bench.get('calib_spark') is not None:
+    bench['calib_spark'] = max(bench['calib_spark'], bench['calib_spark_end'])
+for med_key, bench_key in (('_calib', 'calib'), ('_calib_fault', 'calib_fault'),
+                           ('_calib_spark', 'calib_spark')):
     base = medians.pop(med_key, None)
     now = bench.get(bench_key)
     if base is None and now is not None:

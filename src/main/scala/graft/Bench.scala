@@ -135,6 +135,39 @@ object Bench {
     }
     graft.catalog.Tables.events(spark, sfDir).count()
 
+    // Spark-shaped environment probe: a fixed codegen + hash-agg +
+    // 32-partition shuffle job over generated data (no IO, no data
+    // dependence). The round-7 allocation ran the query surface ~4x
+    // slower than the medians' machine while the ALU probe read 1.2x and
+    // the fault probe 1.8x — whatever degrades Spark's task/codegen/
+    // shuffle path (scheduler noise, cgroup throttling, memory bandwidth)
+    // is invisible to both micro-probes. This probe IS that path, so its
+    // ratio against the _calib_spark baseline recorded with the medians
+    // scales benchguard's gates by the degradation the queries actually
+    // feel. Median-of-3, after warmup so JIT is settled (~1s nominal).
+    // Measured TWICE — before and after the query loop — because the
+    // round-7 full run watched degradation DRIFT mid-run (early queries
+    // ~2x medians, the tail 6-12x): a start-only probe understates the
+    // environment the tail actually ran in. benchguard takes the worse.
+    def probeSpark(): Double = {
+      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // bit_xor, not sum: summing 50M 64-bit hashes overflows Long
+        // under ANSI mode; xor is deterministic and closed over Long
+        spark.range(0, 50000000L, 1, 32)
+          .select(xxhash64(col("id")).as("h"))
+          .groupBy(col("h") % 1024)
+          .agg(bit_xor(col("h")).as("s"))
+          .select(bit_xor(col("s"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s = Seq(once(), once(), once()).sorted
+      s(1)
+    }
+    val calibSpark = probeSpark()
+    System.err.println(f"[bench] calib=$calib%.3fs calib_fault=$calibFault%.3fs calib_spark=$calibSpark%.3fs")
+
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -155,7 +188,8 @@ object Bench {
       (medians.getOrElse(name, Double.MaxValue), name)
     }
 
-    def artifactJson(results: Seq[(String, Double)], partial: Boolean): String = {
+    def artifactJson(results: Seq[(String, Double)], partial: Boolean,
+        endProbe: Option[Double] = None): String = {
       // 3-dp per-query values: milliseconds resolve fine and the line
       // shrinks ~40%, so more of it survives the driver's tail capture.
       // Locale.ROOT: a comma-decimal default locale would emit "0,429"
@@ -164,7 +198,8 @@ object Bench {
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val part = if (partial) "\"partial\":true," else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$part"calib":${fmt(calib)},"calib_fault":${fmt(calibFault)},"queries":$qs,"sf":"$sfDir"}"""
+      val end = endProbe.map(v => s""""calib_spark_end":${fmt(v)},""").getOrElse("")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$part"calib":${fmt(calib)},"calib_fault":${fmt(calibFault)},"calib_spark":${fmt(calibSpark)},$end"queries":$qs,"sf":"$sfDir"}"""
     }
     def writeArtifact(json: String): Unit = try {
       val out = java.nio.file.Paths.get("bench", "last_run.json")
@@ -196,14 +231,19 @@ object Bench {
       }
     }
 
-    val json = artifactJson(results.toSeq, partial = stopped)
+    // Re-probe after the loop: mid-run environment drift (round-7: tail
+    // queries 6-12x while early ones ran 2x) shows up as end >> start.
+    val calibSparkEnd = probeSpark()
+    if (calibSparkEnd > 1.5 * calibSpark) System.err.println(
+      f"[bench] environment degraded mid-run: calib_spark $calibSpark%.2fs -> $calibSparkEnd%.2fs")
+    val json = artifactJson(results.toSeq, partial = stopped, endProbe = Some(calibSparkEnd))
     val total = results.map(_._2).sum
     println(json)
     // The per-query line above can exceed the driver's tail-capture window,
     // losing its front (BENCH_r01 recorded "parsed": null). Re-emit the
     // headline as a short final line so the total always survives capture.
     val part = if (stopped) "\"partial\":true," else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$part"calib":${fmt(calib)},"calib_fault":${fmt(calibFault)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$part"calib":${fmt(calib)},"calib_fault":${fmt(calibFault)},"calib_spark":${fmt(calibSpark)},"calib_spark_end":${fmt(calibSparkEnd)},"sf":"$sfDir"}""")
     // stdout arrives at the driver with sbt's "[info] " prefix, which
     // defeats its JSON line parse (BENCH_r02 "parsed": null), and its tail
     // capture truncates the long line (BENCH_r04 kept ~61/128 entries) —
