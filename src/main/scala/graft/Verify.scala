@@ -97,8 +97,19 @@ object Verify {
             return
           }
           try {
+            // write under a dot-prefixed temp name, then atomic-rename:
+            // a kill mid-write can then never leave a half-visible result
+            // dir — everything the driver's compare can see is complete
+            val tmp = Paths.get(s"$outDir/.tmp_$name")
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
+              .parquet(tmp.toString)
+            val dst = Paths.get(s"$outDir/$name")
+            if (Files.exists(dst)) { // overwrite semantics for re-runs
+              Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => Files.delete(p))
+            }
+            Files.move(tmp, dst,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             System.err.println(s"[verify] ${done.incrementAndGet()}/${ordered.size} $name ok (${elapsedS.round}s)")
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
