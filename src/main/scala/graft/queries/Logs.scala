@@ -79,13 +79,20 @@ object Logs {
 
     // JSON-extract the decoded_event payload: per decoded event name,
     // volume and the sum/extremes of the decoded numeric field. Narrow
-    // extraction + one hash agg.
+    // extraction + one hash agg. from_json with an explicit schema
+    // parses each row ONCE — two get_json_object calls each re-parse the
+    // document, doubling the dominant (allocation-heavy) cost; at 100 TB
+    // the JSON parse IS this query, and the single-parse form also
+    // halved its exposure to this sandbox's page-fault-collapse episodes
+    // (the two-parse form measured 100s+ during them, its neighbors ~3s).
     "q_logs_decoded" -> ((s, dir) => {
       import s.implicits._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event", StringType), StructField("k", LongType)))
       logsFrame(s, dir)
-        .select(
-          get_json_object($"decoded_event", "$.event").as("event_name"),
-          get_json_object($"decoded_event", "$.k").cast("long").as("k"))
+        .select(from_json($"decoded_event", schema).as("j"))
+        .select($"j.event".as("event_name"), $"j.k".as("k"))
         .groupBy($"event_name")
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
           min($"k").as("min_k"), max($"k").as("max_k"))
