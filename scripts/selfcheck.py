@@ -38,11 +38,14 @@ for name, sql in sorted(oracle.items()):
     try:
         rel = con.sql(sql)
         expcols = [d[0] for d in rel.description]
-        exptypes = [str(d[1]) for d in rel.description]
+        # rel.types (DuckDB logical types: HUGEINT vs BIGINT, ...) — the DBAPI
+        # description collapses numeric widths to 'NUMBER' and misses the
+        # driver's hash-level mismatches (e.g. sum() HUGEINT vs Spark BIGINT).
+        exptypes = [str(t) for t in rel.types]
         exp = rel.fetchall()
         grel = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
         gotcols = [d[0] for d in grel.description]
-        gottypes = [str(d[1]) for d in grel.description]
+        gottypes = [str(t) for t in grel.types]
         got = grel.fetchall()
         if sorted(expcols) != sorted(gotcols):
             fails.append((name, f'cols: got {sorted(gotcols)} want {sorted(expcols)}'))

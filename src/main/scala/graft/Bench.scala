@@ -103,7 +103,19 @@ object Bench {
     // sets cannot prevent that. 25min self-truncation guarantees the final
     // JSON line + artifact land BEFORE any plausible external timeout;
     // healthy full-surface runs take ~90s and never hit it.
-    val budgetS = sys.env.get("SPARK_GRAFT_BUDGET_S").map(_.toDouble).orElse(Some(1500.0))
+    // Empty/zero/negative disables the budget; garbage falls back to the
+    // default (with a warning) rather than aborting before any measurement.
+    val budgetS: Option[Double] = sys.env.get("SPARK_GRAFT_BUDGET_S") match {
+      case None => Some(1500.0)
+      case Some(raw) if raw.trim.isEmpty => None
+      case Some(raw) => scala.util.Try(raw.trim.toDouble).toOption match {
+        case Some(v) if v > 0 => Some(v)
+        case Some(_) => None
+        case None =>
+          System.err.println(s"[bench] malformed SPARK_GRAFT_BUDGET_S='$raw' — using default 1500s")
+          Some(1500.0)
+      }
+    }
     val wall0 = System.nanoTime()
     def wallS: Double = (System.nanoTime() - wall0) / 1e9
 
@@ -201,13 +213,27 @@ object Bench {
       val end = endProbe.map(v => s""""calib_spark_end":${fmt(v)},""").getOrElse("")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$part"calib":${fmt(calib)},"calib_fault":${fmt(calibFault)},"calib_spark":${fmt(calibSpark)},$end"queries":$qs,"sf":"$sfDir"}"""
     }
+    // One artifact file per pass (epoch-stamped) ALONGSIDE last_run.json:
+    // round 7's end-of-round snapshot overwrote the full-run artifact with
+    // a later partial, leaving BASELINE.md describing a file that no longer
+    // existed. The stamped copy makes each pass's artifact immutable.
+    val passStamp = System.currentTimeMillis() / 1000
     def writeArtifact(json: String): Unit = try {
-      val out = java.nio.file.Paths.get("bench", "last_run.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val dir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(dir.resolve("runs"))
+      val bytes = (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      for (out <- Seq(dir.resolve("last_run.json"),
+                      dir.resolve("runs").resolve(s"run_$passStamp.json"))) {
+        // temp + ATOMIC_MOVE: an external kill mid-write must truncate the
+        // tail of the run, never leave an unparseable half-written file
+        val tmp = out.resolveSibling("." + out.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     } catch { case e: Throwable =>
-      System.err.println(s"bench/last_run.json write failed: $e")
+      System.err.println(s"bench artifact write failed: $e")
     }
 
     val results = collection.mutable.ArrayBuffer.empty[(String, Double)]

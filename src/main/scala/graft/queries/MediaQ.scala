@@ -63,7 +63,7 @@ object MediaQ {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS kind,
                 count(*) AS n_media,
-                sum(octet_length(encode(text))) AS total_bytes,
+                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                 md5(string_agg(md5(text), '' ORDER BY doc_id)) AS checksum_agg,
                 CAST(count(*) * 8 AS BIGINT) AS n_feature_vals
          FROM documents
