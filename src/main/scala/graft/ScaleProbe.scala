@@ -22,29 +22,36 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // SPARK_GRAFT_PROBE=<name> runs one probe section (fast iteration on a
+    // single scale question); unset runs the full battery.
+    val onlyProbe = sys.env.get("SPARK_GRAFT_PROBE")
+    def want(name: String): Boolean = onlyProbe.forall(_ == name)
+
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     // warmup
     li0.groupBy($"l_returnflag").count().collect()
 
-    val results = mults.map { m =>
-      val li = Seq.fill(m)(li0).reduce(_ unionAll _)
-      val n = li.count()
-      val t0 = System.nanoTime()
-      // flagship hash agg
-      li.groupBy($"l_returnflag", $"l_linestatus")
-        .agg(sum($"l_quantity".cast("decimal(18,4)")).as("q"), count(lit(1)).as("c"))
-        .collect()
-      val tAgg = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      // fact⋈fact shuffle join + agg
-      li.join(orders, $"l_orderkey" === $"o_orderkey")
-        .groupBy($"o_orderpriority").agg(count(lit(1))).collect()
-      val tJoin = (System.nanoTime() - t1) / 1e9
-      (m, n, tAgg, n / tAgg / 1e6, tJoin)
-    }
-    results.foreach { case (m, n, tAgg, mrps, tJoin) =>
-      println(f"""{"mult":$m,"rows":$n,"agg_sec":$tAgg%.2f,"agg_Mrows_per_sec":$mrps%.1f,"join_sec":$tJoin%.2f}""")
+    if (want("agg_join")) {
+      val results = mults.map { m =>
+        val li = Seq.fill(m)(li0).reduce(_ unionAll _)
+        val n = li.count()
+        val t0 = System.nanoTime()
+        // flagship hash agg
+        li.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_quantity".cast("decimal(18,4)")).as("q"), count(lit(1)).as("c"))
+          .collect()
+        val tAgg = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        // fact⋈fact shuffle join + agg
+        li.join(orders, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority").agg(count(lit(1))).collect()
+        val tJoin = (System.nanoTime() - t1) / 1e9
+        (m, n, tAgg, n / tAgg / 1e6, tJoin)
+      }
+      results.foreach { case (m, n, tAgg, mrps, tJoin) =>
+        println(f"""{"mult":$m,"rows":$n,"agg_sec":$tAgg%.2f,"agg_Mrows_per_sec":$mrps%.1f,"join_sec":$tJoin%.2f}""")
+      }
     }
 
     // ---- round-2 heavyweights: time-vs-input growth on N×-unioned inputs.
@@ -64,7 +71,7 @@ object ScaleProbe {
           concat(lit(s"r$i"), regexp_replace($"text", " ", s" r$i")).as("text"))
       }.reduce(_ unionAll _)
     val docMults = Seq(1, 4, 16)
-    docMults.foreach { m =>
+    if (want("docs")) docMults.foreach { m =>
       val docs = replicateDocs(m)
       val nDocs = docs.count()
       val t0 = System.nanoTime()
@@ -82,7 +89,7 @@ object ScaleProbe {
     // percentiles: the q_agg_percentiles single-sort-window shape on
     // N×-unioned lineitem (values unchanged — quantiles of a replicated
     // multiset are the originals; the WORK is the per-group sort).
-    Seq(1, 8, 64).foreach { m =>
+    if (want("percentiles")) Seq(1, 8, 64).foreach { m =>
       val li = Seq.fill(m)(li0).reduce(_ unionAll _)
       val n = li.count()
       val t0 = System.nanoTime()
@@ -95,7 +102,7 @@ object ScaleProbe {
     // N×-replicated docs (remapped ids). Near-linear sec/doc across N is
     // the evidence the slice-offset prefix sum (not a single global
     // window) carries the packing at scale.
-    Seq(1, 8, 64).foreach { m =>
+    if (want("pack")) Seq(1, 8, 64).foreach { m =>
       val docs = (0 until m).map { i =>
         docs0.select(($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"), $"text")
       }.reduce(_ unionAll _)
@@ -112,7 +119,7 @@ object ScaleProbe {
     // chains are the pointer-jumping stress: plain propagation would need
     // ~1000 rounds; O(log) rounds + near-linear sec/edge is the scale
     // evidence. Component count = nodes/1000 checks correctness.
-    Seq(1, 4, 16).foreach { m =>
+    if (want("components")) Seq(1, 4, 16).foreach { m =>
       val nEdges = m * 100000L
       val edges = spark.range(0, nEdges)
         .select($"id".as("src"),
@@ -131,7 +138,7 @@ object ScaleProbe {
     // outside the timed region: the measurement is the recurring per-batch
     // cost, which must grow far slower than the corpus (batch bands probe
     // the index by equi-join; corpus is never re-signed).
-    Seq(1, 4, 16).foreach { m =>
+    if (want("incremental_dedup")) Seq(1, 4, 16).foreach { m =>
       val corpus = replicateDocs(m).localCheckpoint()
       val nCorpus = corpus.count()
       val index = graft.operators.Dedup
@@ -151,7 +158,7 @@ object ScaleProbe {
     // round-4: bloom-prefiltered semi join on N×-unioned lineitem — the
     // scan-stage prune must keep sec/row flat as the fact side grows (the
     // bloom build cost is dim-sized and constant across N).
-    Seq(1, 8, 64).foreach { m =>
+    if (want("bloom_semijoin")) Seq(1, 8, 64).foreach { m =>
       val li = Seq.fill(m)(li0).reduce(_ unionAll _)
       val dim = orders.filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
       val n = li.count()
@@ -172,7 +179,7 @@ object ScaleProbe {
     // remapped ids, so kept-docs ≈ batch size and the index grows
     // linearly; flat per-batch cost across 12 batches is the evidence the
     // arrival path's recurring cost is batch-sized, not corpus-sized.
-    {
+    if (want("arrival_stream")) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sq = spark.sqlContext
       val tmp = java.nio.file.Files.createTempDirectory("arrival_probe").toString
@@ -207,7 +214,7 @@ object ScaleProbe {
     // equi-join carries embedding near-dup at scale.
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"embedding")
-    Seq(1, 4, 16).foreach { m =>
+    if (want("srp_neardup")) Seq(1, 4, 16).foreach { m =>
       val corpus = (0 until m).map { i =>
         // murmur hash of (replica, dim) for the flip bit — a linear form
         // mod 2 would collapse to (d + i) parity and make same-parity
@@ -224,6 +231,29 @@ object ScaleProbe {
       println(f"""{"probe":"srp_neardup","mult":$m,"vectors":$n,"pairs":$pairs,"sec":$t%.2f}""")
     }
 
+    // round-8: kmeans codebook build — Lloyd iterations over the CACHED
+    // assignment input (Ann.kmeans pins the corpus before seeding and
+    // unpersists after). With the cache, each added iteration costs only
+    // its compute (narrow assign + per-dim mean shuffle); without it,
+    // every iteration is a full source re-scan — at 100 TB that multiplies
+    // the dominant IO term by the iteration count. Flat marginal sec per
+    // added iteration is the evidence the cache carries the loop.
+    if (want("kmeans_iters")) {
+      graft.operators.Ann.kmeans(emb0, k = 8, iters = 1) // warm (JIT + parquet footer)
+      val base = {
+        val t0 = System.nanoTime()
+        graft.operators.Ann.kmeans(emb0, k = 8, iters = 1)
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(3, 6).foreach { iters =>
+        val t0 = System.nanoTime()
+        graft.operators.Ann.kmeans(emb0, k = 8, iters = iters)
+        val t = (System.nanoTime() - t0) / 1e9
+        val marginal = (t - base) / (iters - 1)
+        println(f"""{"probe":"kmeans_iters","iters":$iters,"sec":$t%.2f,"first_iter_sec":$base%.2f,"marginal_iter_sec":$marginal%.2f}""")
+      }
+    }
+
     // hot-key as-of: every row on ONE key — the composable join+max
     // formulation materializes probes × builds intermediate rows; the
     // custom merge operator streams both sides once. This is the skew case
@@ -235,16 +265,18 @@ object ScaleProbe {
       .select(lit("hot").as("bk"), ($"id" * 11 % 100000).as("bts"))
     // sum(max) forces the joined values to be computed — a bare count()
     // lets the optimizer eliminate the join entirely.
-    val tc0 = System.nanoTime()
-    hotProbes.join(hotBuilds, $"k" === $"bk" && $"bts" <= $"ts", "left")
-      .groupBy($"event_id").agg(max($"bts").as("m"))
-      .agg(sum($"m")).collect()
-    val tComposed = (System.nanoTime() - tc0) / 1e9
-    val tm0 = System.nanoTime()
-    graft.plans.AsOf.join(hotProbes, hotBuilds, "k", "bk", "ts", "bts")
-      .agg(sum($"bts")).collect()
-    val tMerge = (System.nanoTime() - tm0) / 1e9
-    println(f"""{"asof_hotkey_rows":$hotN,"composed_sec":$tComposed%.2f,"merge_sec":$tMerge%.2f}""")
+    if (want("asof_hotkey")) {
+      val tc0 = System.nanoTime()
+      hotProbes.join(hotBuilds, $"k" === $"bk" && $"bts" <= $"ts", "left")
+        .groupBy($"event_id").agg(max($"bts").as("m"))
+        .agg(sum($"m")).collect()
+      val tComposed = (System.nanoTime() - tc0) / 1e9
+      val tm0 = System.nanoTime()
+      graft.plans.AsOf.join(hotProbes, hotBuilds, "k", "bk", "ts", "bts")
+        .agg(sum($"bts")).collect()
+      val tMerge = (System.nanoTime() - tm0) / 1e9
+      println(f"""{"asof_hotkey_rows":$hotN,"composed_sec":$tComposed%.2f,"merge_sec":$tMerge%.2f}""")
+    }
     spark.stop()
   }
 }

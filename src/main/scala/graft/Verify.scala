@@ -35,7 +35,19 @@ object Verify {
     // clean exit with oracle_sql.json + every finished query's parquet on
     // disk before any plausible external timeout; a healthy full-surface
     // run takes minutes and never hits it.
-    val budgetS = sys.env.get("SPARK_GRAFT_BUDGET_S").map(_.toDouble).orElse(Some(1800.0))
+    // Empty/zero/negative disables the budget; garbage falls back to the
+    // default (with a warning) rather than aborting before any query runs.
+    val budgetS: Option[Double] = sys.env.get("SPARK_GRAFT_BUDGET_S") match {
+      case None => Some(1800.0)
+      case Some(raw) if raw.trim.isEmpty => None
+      case Some(raw) => scala.util.Try(raw.trim.toDouble).toOption match {
+        case Some(v) if v > 0 => Some(v)
+        case Some(_) => None
+        case None =>
+          System.err.println(s"[verify] malformed SPARK_GRAFT_BUDGET_S='$raw' — using default 1800s")
+          Some(1800.0)
+      }
+    }
     val t0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - t0) / 1e9
 
@@ -97,6 +109,11 @@ object Verify {
             return
           }
           try {
+            // Distinct pool per query: under FAIR mode, pools are weighted
+            // equally against each other while the DEFAULT pool's internal
+            // order is FIFO — without this, pool-submitted jobs all land in
+            // the default pool and a long query still starves short ones.
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
             // write under a dot-prefixed temp name, then atomic-rename:
             // a kill mid-write can then never leave a half-visible result
             // dir — everything the driver's compare can see is complete
@@ -118,9 +135,20 @@ object Verify {
       })
     }
     pool.shutdown()
-    // generous hard ceiling; the per-task budget check does the real work
-    pool.awaitTermination(6, TimeUnit.HOURS)
+    // The per-task budget check only gates task STARTS — a degraded or hung
+    // query already in flight would otherwise run to an unbounded ceiling
+    // and hand the artifact to an external kill (the round-6 failure). Wait
+    // until budget + 300s slack, then abandon the stragglers: everything
+    // finished is already atomically on disk, so exiting beats being killed.
+    val ceilingS = budgetS.map(_ + 300.0).getOrElse(6 * 3600.0)
+    val clean = pool.awaitTermination(ceilingS.toLong, TimeUnit.SECONDS)
+    if (!clean) {
+      System.err.println(s"[verify] hard ceiling ${ceilingS.round}s hit — abandoning in-flight queries")
+      pool.shutdownNow()
+      spark.sparkContext.cancelAllJobs()
+    }
     System.err.println(s"[verify] ${done.get()}/${ordered.size} queries written in ${elapsedS.round}s")
     spark.stop()
+    if (!clean) sys.exit(0) // hung query threads must not block JVM exit
   }
 }

@@ -204,20 +204,28 @@ object Ann {
     * without per-seed corpus scans. Empty clusters keep their previous
     * centroid. */
   def kmeans(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
-    var codebook: Seq[(Int, Seq[Float])] = initSeeds(corpus, k).zipWithIndex.map(_.swap)
-    (0 until iters).foreach { _ =>
-      val means = assign(corpus, codebook)
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster"),
-          transform(col("pm"), e => e.getField("m").cast("float")).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
-      codebook = codebook.map { case (i, old) => i -> means.getOrElse(i, old) }
-    }
-    codebook
+    // Lloyd re-reads the assignment input on every iteration; uncached,
+    // each of the `iters` rounds (plus seeding) is a full corpus re-scan
+    // from source — at 100 TB that multiplies the dominant IO term by the
+    // iteration count. cache() = MEMORY_AND_DISK: executors keep what fits
+    // and spill the rest, strictly cheaper than a source re-read.
+    val pinned = corpus.cache()
+    try {
+      var codebook: Seq[(Int, Seq[Float])] = initSeeds(pinned, k).zipWithIndex.map(_.swap)
+      (0 until iters).foreach { _ =>
+        val means = assign(pinned, codebook)
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .groupBy(col("cluster"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cluster"),
+            transform(col("pm"), e => e.getField("m").cast("float")).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+        codebook = codebook.map { case (i, old) => i -> means.getOrElse(i, old) }
+      }
+      codebook
+    } finally corpus.unpersist(blocking = false)
   }
 
   /** IVF over an explicit k-means codebook: corpus rows are routed to their
@@ -331,7 +339,7 @@ object Ann {
                          / (sqrt(${normSql("r.pv")}) * sqrt(${normSql("c.cv")})), 4) AS cos
             FROM routed r JOIN corpus c ON c.label = r.route
             WHERE r.crn <= 2)
-          SELECT probe_id, cand_id, label, cos, rn FROM (
+          SELECT probe_id, cand_id, label, cos, CAST(rn AS INT) AS rn FROM (
             SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
             FROM cand)
           WHERE rn <= 3

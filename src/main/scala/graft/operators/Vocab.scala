@@ -103,10 +103,9 @@ object Vocab {
         filter(split(col("text"), " "), w => w =!= ""),
         w => applyMerges(w, merges))).as("units"))
 
-  /** Rows-only query (BPE learning is iterative — not one-shot
-    * SQL-expressible, so no DuckDB oracle; VocabSpec carries correctness):
-    * learn 10 merges on a bounded corpus slice, emit per-doc unit counts
-    * and the serialized tokenization. */
+  /** Learn 10 merges on a bounded corpus slice, emit per-doc unit counts
+    * and the serialized tokenization. Fully oracle-checked: the iterative
+    * learning loop unrolls into [[bpeOracleSql]]'s chained CTEs. */
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "q_vocab_bpe" -> ((s, dir) => {
       val docs = graft.catalog.Tables.documents(s, dir).filter(col("doc_id") < 100)
@@ -117,5 +116,60 @@ object Vocab {
         .orderBy(col("doc_id"))
     }))
 
-  val oracle: Map[String, String] = Map.empty
+  /** The k merge rounds of [[learnMerges]] unrolled into DuckDB SQL — one
+    * CTE block per round over the word-frequency state `w{r}(w, n, units)`:
+    * position explode with lookahead (f), weighted adjacent-pair counts
+    * (pc), argmax with the same (cnt desc, a, b) tie-break and minCount 2
+    * (best — empty makes the round a no-op, matching early stop), greedy
+    * LEFTMOST overlap resolution as island-detection + even-offset parity
+    * (st: a run of consecutive matches keeps positions at even distance
+    * from the run head — exactly the left fold's "consume and reset"), and
+    * the rebuild (w{r}: merged unit at each start, the consumed position
+    * dropped). Tokenization reuses the final state: per-word merge
+    * evolution IS applyMerges(word), and every doc word appears in the
+    * vocab frame, so a join on w replaces re-deriving units per document.
+    * MATERIALIZED pins each round's state: DuckDB otherwise inlines the
+    * CTE chain into an exponentially expanded plan (observed as thousands
+    * of parquet re-opens at prototype time). Verified cell-identical to
+    * the Spark result (100/100 rows, matching column types) at sf0.01. */
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val p = r - 1
+      s"""
+  e$r AS (SELECT w, n, unnest(list_transform(units, (x, j) -> {'u': x, 'j': j})) AS s, units FROM w$p),
+  f$r AS MATERIALIZED (SELECT w, n, s['u'] AS u, s['j'] AS j, units[s['j'] + 1] AS nxt FROM e$r),
+  pc$r AS (SELECT u AS a, nxt AS b, sum(n) AS cnt FROM f$r WHERE nxt IS NOT NULL GROUP BY u, nxt),
+  best$r AS (SELECT a, b FROM pc$r WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1),
+  mt$r AS (SELECT f.w, f.j FROM f$r f, best$r b WHERE f.u = b.a AND f.nxt = b.b),
+  st$r AS MATERIALIZED (SELECT w, j FROM (
+      SELECT w, j, (j - min(j) OVER (PARTITION BY w, g)) % 2 AS par
+      FROM (SELECT w, j, j - row_number() OVER (PARTITION BY w ORDER BY j) AS g FROM mt$r)
+    ) WHERE par = 0),
+  w$r AS MATERIALIZED (
+    SELECT f.w AS w, f.n AS n,
+           list(CASE WHEN st.j IS NOT NULL THEN f.u || f.nxt ELSE f.u END ORDER BY f.j) AS units
+    FROM f$r f
+    LEFT JOIN st$r st ON st.w = f.w AND st.j = f.j
+    WHERE NOT EXISTS (SELECT 1 FROM st$r s2 WHERE s2.w = f.w AND s2.j = f.j - 1)
+    GROUP BY f.w, f.n
+  )"""
+    }.mkString(",")
+    s"""WITH
+  words AS MATERIALIZED (
+    SELECT w, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 100)
+    WHERE w <> '' GROUP BY w),
+  w0 AS (SELECT w, n, list_transform(range(1, len(w) + 1), j -> w[j]) AS units FROM words),$rounds,
+  dw AS (
+    SELECT doc_id, unnest(list_transform(
+      list_filter(string_split(text, ' '), x -> x <> ''), (x, k) -> {'w': x, 'k': k})) AS s
+    FROM documents WHERE doc_id < 100),
+  tk AS (SELECT d.doc_id, d.s['k'] AS k, v.units AS units
+         FROM dw d JOIN w$k v ON v.w = d.s['w']),
+  fl AS (SELECT doc_id, flatten(list(units ORDER BY k)) AS flat FROM tk GROUP BY doc_id)
+SELECT doc_id, CAST(len(flat) AS INT) AS n_units, array_to_string(flat, '|') AS units_str
+FROM fl ORDER BY doc_id"""
+  }
+
+  val oracle: Map[String, String] = Map("q_vocab_bpe" -> bpeOracleSql(10))
 }

@@ -355,13 +355,23 @@ object Aggs {
         .orderBy($"col_name")
     }),
 
-    // HLL sketch — no exact SQL oracle; driver records a rows-only check.
-    // Unit test asserts ±5% vs exact countDistinct.
+    // HLL sketch with a driver-checkable anchor. The raw estimate has no
+    // cross-engine oracle (sketch internals differ between engines), and
+    // the driver hashes EVERY output column — so the result carries (a)
+    // exact count(DISTINCT), fully hash-checked, and (b) the estimate
+    // folded into a tolerance predicate the oracle pins to literal TRUE:
+    // if the sketch ever drifts past ±5% of exact, approx_ok flips false
+    // and the driver's hash compare fails. AggToleranceSpec still pins the
+    // raw estimate values. At scale both aggregates share one shuffle
+    // (each partial-aggregates map-side per event_type).
     "q_agg_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       events(s, dir)
         .groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id").as("approx_users"))
+        .agg(approx_count_distinct($"user_id").as("approx"),
+          countDistinct($"user_id").as("exact_users"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx" - $"exact_users") <= lit(0.05) * $"exact_users").as("approx_ok"))
         .orderBy($"event_type")
     })
   )
@@ -663,6 +673,17 @@ object Aggs {
          FROM orders
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+
+    // Exact column fully checked; the HLL estimate is oracled THROUGH the
+    // tolerance predicate — TRUE here means "Spark's estimate landed within
+    // ±5% of exact", which DuckDB can assert without reproducing the sketch.
+    "q_agg_approx_distinct" ->
+      """SELECT event_type,
+                count(DISTINCT user_id) AS exact_users,
+                TRUE AS approx_ok
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
 
     "q_agg_bitwise" ->
       """SELECT o_orderpriority,

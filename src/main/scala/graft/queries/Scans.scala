@@ -19,6 +19,30 @@ import graft.catalog.Tables._
   */
 object Scans {
 
+  /** Materialize events partitioned by `event_type` (the bronze layout:
+    * BlockIngest.writeBronze partitions by chain_name the same way) once per
+    * (JVM, source-fingerprint) under java.io.tmpdir, so q_scan_partition_prune
+    * can demonstrate DIRECTORY pruning — not just row-group pruning — end to
+    * end. The fingerprint folds in the source's mtime so a regenerated
+    * testdata set can never be served from a stale copy; the lock makes the
+    * write-once safe under Verify's thread pool. */
+  private val partLock = new Object
+  private[queries] def partitionedEvents(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(path(dir, "events"))
+    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val stamp = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir@$mtime").toLong & 0xffffffffL)
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_events_by_type_$stamp")
+    partLock.synchronized {
+      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+        events(s, dir).write.mode("overwrite")
+          .partitionBy("event_type").parquet(out.toString)
+      }
+    }
+    out.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A3: column pruning decided at the source — 5 of 11 lineitem columns.
     "q_scan_project" -> ((s, dir) => {
@@ -90,6 +114,20 @@ object Scans {
         ORDER BY o_orderkey""")
     }),
 
+    // Partition (directory) pruning on a partitionBy-written table: the
+    // partition predicate resolves against the directory index
+    // (PartitionFilters in the plan, pinned by PlanSpec) — files under the
+    // other event_type directories are never opened. At 100 TB this is the
+    // difference between scanning one chain/type and scanning all of them;
+    // row-group stats pruning (q_scan_filter_pushdown) cannot deliver it.
+    "q_scan_partition_prune" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(partitionedEvents(s, dir))
+        .filter($"event_type" === "click")
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .orderBy($"event_id")
+    }),
+
     // Null semantics: nullif-produced nulls, IS NULL, null-safe equality,
     // 3-valued logic in the predicate. Mirrors Option fields / coalesce
     // defaults in the reference (`evm.rs:38-42`, `evm_consumer.rs:46-48`).
@@ -151,6 +189,15 @@ object Scans {
          WHERE o_orderkey IN (
            SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
          ORDER BY o_orderkey""",
+
+    // The oracle reads the ORIGINAL events table: the partitioned copy is a
+    // Spark-side layout detail; the contract is that pruned reads return
+    // exactly the rows a full-scan filter would.
+    "q_scan_partition_prune" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+         FROM events
+         WHERE event_type = 'click'
+         ORDER BY event_id""",
 
     "q_filter_null_semantics" ->
       """SELECT o_orderkey, st, coalesce(st, 'none') AS st2,

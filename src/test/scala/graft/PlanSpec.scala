@@ -27,6 +27,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_extendedprice"), "unselected column read from parquet")
   }
 
+  test("partition-prune query resolves its predicate against the directory index") {
+    val p = plan("q_scan_partition_prune")
+    assert(p.contains("PartitionFilters: ["), s"expected a partition filter in:\n$p")
+    assert(raw"PartitionFilters: \[[^\]]*event_type[^\]]* = click".r.findFirstIn(p).isDefined,
+      s"the event_type predicate must prune directories, not rows, in:\n$p")
+    // the predicate must NOT degrade to a data filter on the scan output
+    assert(!raw"PushedFilters: \[[^\]]*event_type".r.findFirstIn(p).isDefined,
+      s"event_type must be a partition column, not a data column, in:\n$p")
+  }
+
   test("point lookup pushes the key predicate") {
     val p = plan("q_scan_point_lookup")
     assert(p.contains("EqualTo(o_orderkey,4242)"), s"expected key pushdown in:\n$p")

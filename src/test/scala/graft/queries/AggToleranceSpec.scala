@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.catalog.Tables
 
-/** q_agg_approx_distinct has no SQL oracle (HLL sketch); SURVEY §2B pins a
-  * ±5% tolerance against the exact count instead. */
+/** The raw HLL estimate has no cross-engine SQL oracle (sketch internals
+  * differ); q_agg_approx_distinct folds it into a ±5% tolerance predicate
+  * the DuckDB oracle pins to TRUE, and this spec pins the raw estimate
+  * values behind that predicate. */
 class AggToleranceSpec extends SparkSpec {
 
   test("approx_count_distinct within 5% of exact per event_type") {
