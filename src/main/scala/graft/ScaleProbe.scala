@@ -231,6 +231,45 @@ object ScaleProbe {
       println(f"""{"probe":"srp_neardup","mult":$m,"vectors":$n,"pairs":$pairs,"sec":$t%.2f}""")
     }
 
+    // round-8: interval-overlap join WITHOUT an equi key. The naive theta
+    // form is |a|·|b| nested-loop comparisons; IntervalJoin's bucket
+    // decomposition is an equi-join on time buckets. Intervals are derived
+    // from events replicated with time-SHIFTED replicas (each replica
+    // offset by its own span), so interval density per bucket stays
+    // constant and true pair count grows linearly — near-linear sec across
+    // N is the bucket path's scale evidence. The naive form runs at mult 1
+    // only, for the contrast ratio.
+    if (want("interval_join")) {
+      val ev0 = graft.catalog.Tables.events(spark, sfDir)
+        .select($"event_id", $"ts", $"event_type")
+      val spanSec = {
+        // NTZ has no direct long cast — hop through TimestampType (UTC)
+        val r = ev0.agg((max($"ts").cast("timestamp").cast("long")
+          - min($"ts").cast("timestamp").cast("long")).as("s")).collect()(0)
+        r.getLong(0) + 700L
+      }
+      def iv(df: org.apache.spark.sql.DataFrame, t: String, p: String) =
+        df.filter($"event_type" === t).select(
+          $"event_id".as(s"${p}_id"), $"ts".as(s"${p}_s"),
+          ($"ts" + expr("INTERVAL 10 MINUTES")).as(s"${p}_e"))
+      val tn0 = System.nanoTime()
+      val naivePairs = iv(ev0, "error", "a").crossJoin(iv(ev0, "purchase", "b"))
+        .filter($"a_s" <= $"b_e" && $"b_s" <= $"a_e").count()
+      val tNaive = (System.nanoTime() - tn0) / 1e9
+      Seq(1, 4, 16).foreach { m =>
+        val ev = (0 until m).map { i =>
+          ev0.select(($"event_id" + lit(i.toLong * 10000000L)).as("event_id"),
+            ($"ts" + expr(s"INTERVAL ${i * spanSec} SECONDS")).as("ts"), $"event_type")
+        }.reduce(_ unionAll _)
+        val t0 = System.nanoTime()
+        val pairs = graft.operators.IntervalJoin
+          .overlap(iv(ev, "error", "a"), iv(ev, "purchase", "b"),
+            "a_s", "a_e", "b_s", "b_e", bucketSeconds = 600L).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"interval_join","mult":$m,"pairs":$pairs,"sec":$t%.2f,"naive_mult1_sec":$tNaive%.2f,"naive_mult1_pairs":$naivePairs}""")
+      }
+    }
+
     // round-8: kmeans codebook build — Lloyd iterations over the CACHED
     // assignment input (Ann.kmeans pins the corpus before seeding and
     // unpersists after). With the cache, each added iteration costs only

@@ -263,6 +263,29 @@ object Joins {
         .agg(count(lit(1)).as("n_items"),
           r4(sum(dec4($"l_extendedprice"))).as("sum_price"))
         .orderBy($"l_returnflag")
+    }),
+
+    // INTERVAL overlap with NO equi key: error-event windows × purchase-event
+    // windows (each event spans [ts, ts+10min]). The raw predicate is pure
+    // range — Spark would plan BNL/cartesian — so the query goes through
+    // graft.operators.IntervalJoin: explode to 10-min time buckets, equi-join
+    // on bucket, filter overlap, and attribute each pair to the single
+    // bucket holding max(starts) so no downstream dedup shuffle is needed.
+    // Output = the overlap window bounds (timestamps compare exactly
+    // cross-engine; second-diffs would hit rounding-semantics skew).
+    "q_join_interval" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      def iv(t: String, p: String) = ev.filter($"event_type" === t).select(
+        $"event_id".as(s"${p}_id"), $"ts".as(s"${p}_s"),
+        ($"ts" + expr("INTERVAL 10 MINUTES")).as(s"${p}_e"))
+      graft.operators.IntervalJoin
+        .overlap(iv("error", "a"), iv("purchase", "b"),
+          "a_s", "a_e", "b_s", "b_e", bucketSeconds = 600L)
+        .select($"a_id", $"b_id",
+          greatest($"a_s", $"b_s").as("ov_start"),
+          least($"a_e", $"b_e").as("ov_end"))
+        .orderBy($"a_id", $"b_id")
     })
   )
 
@@ -286,6 +309,20 @@ object Joins {
                               WHERE o_orderpriority = '1-URGENT')
          GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    // the NAIVE theta form: bucket decomposition must be result-invariant
+    "q_join_interval" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+                greatest(a.s, b.s) AS ov_start,
+                least(a.e, b.e) AS ov_end
+         FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS s,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e
+               FROM events WHERE event_type = 'error') a,
+              (SELECT event_id, CAST(ts AS TIMESTAMP) AS s,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e
+               FROM events WHERE event_type = 'purchase') b
+         WHERE a.s <= b.e AND b.s <= a.e
+         ORDER BY a_id, b_id""",
 
     // the UNSALTED join: salting must be result-invariant
     "q_join_skew_salted" ->

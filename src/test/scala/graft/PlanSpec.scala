@@ -214,6 +214,13 @@ class PlanSpec extends SparkSpec {
     assert(!p17.contains("CartesianProduct"), s"q17 plans an all-pairs product:\n$p17")
   }
 
+  test("interval overlap join is a bucket equi-join, never a nested-loop product") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degraded to an all-pairs product in:\n$p")
+    assert(p.contains("gj_bucket"), s"join must key on the time bucket in:\n$p")
+  }
+
   test("sign-LSH pairs: candidate generation is a bucket equi-join, never all-pairs") {
     val p = plan("q_sim_bucket_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
