@@ -55,6 +55,35 @@ object MediaQ {
           // feature; a broken route (→ empty feature) would show up here
           sum(size($"feature")).as("n_feature_vals"))
         .orderBy($"kind")
+    }),
+
+    // Frame sampling (A11's generator shape applied to media): video rows
+    // explode into one row per sampled frame via Media.sampleVideoFrames
+    // (stub codec: every k-th byte window is a "frame" — deterministic, so
+    // DuckDB can recompute the identical slices). The fixture text is pure
+    // ASCII at every SF (verified: octet_length(encode(text)) == len(text)
+    // for all rows), so the oracle's char-based substring equals the
+    // Spark side's byte slicing and md5(VARCHAR) equals md5(payload
+    // bytes); the driver compare would flag any fixture drift. Scale
+    // shape: a narrow flatMap — frames never shuffle; only the id, index,
+    // width and digest columns reach the sort.
+    "q_media_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = documents(s, dir)
+        .filter($"text".isNotNull)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) =>
+          val kind = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          Media.MediaRec(id, kind, text.getBytes("UTF-8"),
+            width = 64, height = 48, sample_rate = 16000, duration_ms = 4000L)
+        }
+      Media.sampleVideoFrames(media, everyMs = 1000L)
+        .select($"media_id", $"frame_index",
+          length($"frame_bytes").as("n_frame_bytes"),
+          md5($"frame_bytes").as("frame_md5"))
+        .orderBy($"media_id", $"frame_index")
     })
   )
 
@@ -69,6 +98,23 @@ object MediaQ {
          FROM documents
          WHERE text IS NOT NULL
          GROUP BY 1
-         ORDER BY kind"""
+         ORDER BY kind""",
+
+    // replicates the stub frame sampler: nFrames = max(1, 4000/1000) = 4,
+    // win = max(1, len/4), frame i = bytes[i*win, (i+1)*win) for
+    // i < min(4, len) — char substring == byte slice on the ASCII fixture
+    "q_media_frames" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_index,
+                CAST(len(fb) AS INT) AS n_frame_bytes,
+                md5(fb) AS frame_md5
+         FROM (
+           SELECT doc_id, i,
+                  substring(text, CAST(i * win + 1 AS INT), CAST(win AS INT)) AS fb
+           FROM (
+             SELECT doc_id, text, greatest(1, len(text) // 4) AS win,
+                    unnest(range(0, least(4, len(text)))) AS i
+             FROM documents
+             WHERE doc_id % 3 = 2 AND text IS NOT NULL))
+         ORDER BY media_id, frame_index"""
   )
 }
