@@ -51,7 +51,8 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracle),
       (graft.operators.Ann.queries, graft.operators.Ann.oracle),
       (graft.operators.Vocab.queries, graft.operators.Vocab.oracle),
-      (graft.operators.Pack.queries, graft.operators.Pack.oracle)
+      (graft.operators.Pack.queries, graft.operators.Pack.oracle),
+      (graft.pipeline.TrainingData.queries, graft.pipeline.TrainingData.oracle)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -555,7 +555,7 @@ object Dedup {
     })
   )
 
-  private val toksSql = "list_distinct(string_split(text, ' '))"
+  private[graft] val toksSql = "list_distinct(string_split(text, ' '))"
 
   /** DuckDB mirror of shingles3 (same as the q_dedup_ngram oracle). */
   private val shingleSql =
@@ -570,17 +570,21 @@ object Dedup {
 
   private def minhashSql(seed: Int): String = minhashSqlOver(toksSql, seed)
 
-  /** MinHash+LSH+verify oracle over an arbitrary set expression — shared by
-    * q_dedup_minhash (token sets), q_dedup_ngram_lsh (shingles), and
-    * q_dedup_incremental (corpus×fresh candidate predicate). */
-  private def lshOracleSql(setSql: String, threshold: Double,
-      candCond: String = "a.doc_id < b.doc_id"): String = {
+  /** The MinHash+LSH+verify CTE chain (docs → sets → sigs → bands → cands →
+    * verified pairs) as a WITH-body fragment, over an arbitrary docs CTE —
+    * reused verbatim by the standalone dedup oracles AND composed into the
+    * end-to-end q_pipeline_curate oracle (where `docsSql` is the
+    * quality-gated subset, mirroring TrainingData.dropNearDups running on
+    * the gated frame). */
+  private[graft] def lshPairsCtes(setSql: String, threshold: Double,
+      candCond: String = "a.doc_id < b.doc_id",
+      docsSql: String = "SELECT doc_id, text FROM documents WHERE doc_id < 500"): String = {
     val sigCols = minhashSeeds.map(s => s"${minhashSqlOver("st", s)} AS m$s")
       .mkString(",\n                  ")
     val bandSelects = (0 until bandsOf).map(b =>
       s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bh FROM sigs")
       .mkString("\n           UNION ALL ")
-    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+    s"""docs AS ($docsSql),
         sets AS (SELECT doc_id, $setSql AS st FROM docs),
         sigs AS (SELECT doc_id,
                 $sigCols
@@ -588,17 +592,26 @@ object Dedup {
         bands AS ($bandSelects),
         cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
                   FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.bh = b.bh AND $candCond)
-        SELECT d1, d2,
-               CAST(len(list_intersect(t1.st, t2.st)) AS DOUBLE)
-                     / len(list_distinct(list_concat(t1.st, t2.st))) AS jaccard
-        FROM cands
-        JOIN sets t1 ON t1.doc_id = d1
-        JOIN sets t2 ON t2.doc_id = d2
-        WHERE CAST(len(list_intersect(t1.st, t2.st)) AS DOUBLE)
-                    / len(list_distinct(list_concat(t1.st, t2.st))) >= $threshold
-        ORDER BY d1, d2"""
+                    ON a.band = b.band AND a.bh = b.bh AND $candCond),
+        lsh_pairs AS (
+          SELECT d1, d2,
+                 CAST(len(list_intersect(t1.st, t2.st)) AS DOUBLE)
+                       / len(list_distinct(list_concat(t1.st, t2.st))) AS jaccard
+          FROM cands
+          JOIN sets t1 ON t1.doc_id = d1
+          JOIN sets t2 ON t2.doc_id = d2
+          WHERE CAST(len(list_intersect(t1.st, t2.st)) AS DOUBLE)
+                      / len(list_distinct(list_concat(t1.st, t2.st))) >= $threshold)"""
   }
+
+  /** MinHash+LSH+verify oracle over an arbitrary set expression — shared by
+    * q_dedup_minhash (token sets), q_dedup_ngram_lsh (shingles), and
+    * q_dedup_incremental (corpus×fresh candidate predicate). */
+  private def lshOracleSql(setSql: String, threshold: Double,
+      candCond: String = "a.doc_id < b.doc_id"): String =
+    s"""WITH ${lshPairsCtes(setSql, threshold, candCond)}
+        SELECT d1, d2, jaccard FROM lsh_pairs
+        ORDER BY d1, d2"""
 
   private val simhashBitSql: String = {
     val bitCases = (0 until simhashBits).map { j =>

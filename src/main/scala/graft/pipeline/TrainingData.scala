@@ -90,4 +90,62 @@ object TrainingData {
       .select("doc_id", "lang", "text", "quality", "embedding", "label",
         "bucket", "split")
   }
+
+  /** The composed pipeline as an oracle-checked query: every stage's algebra
+    * already has a proven DuckDB mirror (q_text_quality's score,
+    * q_dedup_minhash's LSH pair chain, q_dedup_clusters' transitive
+    * closure, q_sample_hash's md5 bucket) — the oracle below is those
+    * mirrors composed in the same order, which checks the STAGE WIRING
+    * (gate before dedup, transitive — not pair-local — dropping, split
+    * assigned after the feature join), not just each stage alone. */
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      DataFrame] = Map(
+    "q_pipeline_curate" -> ((s, dir) => {
+      val docs = graft.catalog.Tables.documents(s, dir)
+      val embs = graft.catalog.Tables.embeddings(s, dir)
+      curate(docs, embs).orderBy(col("doc_id"))
+    }))
+
+  private def qualitySql(col: String): String =
+    s"""CASE WHEN len(trim($col)) = 0 THEN 0.0
+             WHEN len(string_split($col, ' ')) < 3 THEN 0.0
+             ELSE (CAST(len(list_distinct(string_split($col, ' '))) AS DOUBLE)
+                     / len(string_split($col, ' ')))
+                  * (1.0 - CAST(len(list_intersect(list_distinct(string_split($col, ' ')),
+                        ['the','a','an','and','or','of','to','in'])) AS DOUBLE)
+                     / len(string_split($col, ' ')))
+        END"""
+
+  val oracle: Map[String, String] = Map(
+    "q_pipeline_curate" ->
+      s"""WITH RECURSIVE
+          gated AS (
+            SELECT doc_id, lang, text, quality FROM (
+              SELECT doc_id, lang, text, ${qualitySql("text")} AS quality
+              FROM documents)
+            WHERE quality >= 0.3),
+          ${graft.operators.Dedup.lshPairsCtes(
+              graft.operators.Dedup.toksSql, threshold = 0.8,
+              docsSql = "SELECT doc_id, text FROM gated")},
+          edges AS (SELECT d1 AS a, d2 AS b FROM lsh_pairs
+                    UNION SELECT d2 AS a, d1 AS b FROM lsh_pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+          comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          kept AS (
+            SELECT g.* FROM gated g
+            LEFT JOIN comp c ON c.id = g.doc_id
+            WHERE c.cluster_id IS NULL OR c.cluster_id = g.doc_id)
+          SELECT k.doc_id, k.lang, k.text, k.quality, e.embedding, e.label,
+                 bucket,
+                 CASE WHEN bucket < ${Text.trainBucket} THEN 'train'
+                      WHEN bucket < ${Text.valBucket} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT kept.*,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS bucket
+                FROM kept) k
+          LEFT JOIN embeddings e ON e.vec_id = k.doc_id
+          ORDER BY k.doc_id""")
 }

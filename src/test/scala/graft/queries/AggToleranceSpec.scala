@@ -13,8 +13,10 @@ class AggToleranceSpec extends SparkSpec {
 
   test("approx_count_distinct within 5% of exact per event_type") {
     val e = Tables.events(spark, sf())
+    // rsd 0.01, matching the query: at the 0.05 default the 5% bound is
+    // one sigma and fails routinely (observed at sf0.1)
     val approx = e.groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("a"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("a"))
     val exact = e.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("x"))
     val joined = approx.join(exact, "event_type").collect()
