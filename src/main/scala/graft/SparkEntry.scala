@@ -50,6 +50,7 @@ object SparkEntry {
       (Logs.queries, Logs.oracle),
       (Dedup.queries, Dedup.oracle),
       (graft.operators.Ann.queries, graft.operators.Ann.oracle),
+      (graft.operators.Graph.queries, graft.operators.Graph.oracle),
       (graft.operators.Vocab.queries, graft.operators.Vocab.oracle),
       (graft.operators.Pack.queries, graft.operators.Pack.oracle),
       (graft.pipeline.TrainingData.queries, graft.pipeline.TrainingData.oracle)

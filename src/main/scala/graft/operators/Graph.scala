@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+
+/** Link-analysis over an edge list — the iterative-graph workload family
+  * that [[Components]] (min-label propagation) opened, extended to rank:
+  * PageRank as repeated sparse matrix-vector multiply expressed in
+  * DataFrame algebra (join + aggregate per iteration), the Pregel shape.
+  *
+  * Determinism is the design constraint: float PageRank cannot be
+  * hash-compared across engines (summation order changes the low bits), so
+  * ranks here are BIGINT micro-units of a fixed total mass and every step
+  * is integer arithmetic — `div` truncation (= floor for the all-positive
+  * quantities here) matches DuckDB `//` exactly, and integer sums are
+  * associative, so the result is bit-identical regardless of partitioning.
+  * The damping update is the standard r' = 0.15/N + 0.85·Σ r/outdeg with
+  * both products carried through exact integer ops.
+  *
+  * 100 TB posture: the edge frame is materialized ONCE (`localCheckpoint`)
+  * with its out-degrees pre-joined, then every Lloyd-style iteration is one
+  * equi-join shuffle (edges ⋈ ranks on src) + one hash agg on dst — never
+  * an all-pairs product, never a widening lineage (the rank frame, one row
+  * per node, is checkpointed per round so plan size stays constant across
+  * iterations — the same discipline ScaleProbe validated on Components and
+  * that round 7's verdict asked of Ann.kmeans). The node count enters as a
+  * broadcast 1-row aggregate, not a driver-side collect.
+  */
+object Graph {
+
+  /** Fixed-iteration integer PageRank.
+    *
+    * @param edges directed (src BIGINT, dst BIGINT) pairs; every node must
+    *              appear as a src (no dangling nodes) — symmetrized
+    *              undirected graphs satisfy this by construction.
+    * @param iters Jacobi iterations (fixed count, not convergence-tested:
+    *              a fixed count is what an unrolled SQL oracle can mirror).
+    * @param mass  total rank mass in micro-units; per-node ranks are exact
+    *              integer shares of it.
+    * @return (node BIGINT, rank BIGINT) — one row per distinct src node.
+    */
+  def pagerank(edges: DataFrame, iters: Int = 5,
+      mass: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ed = edges.select(col("src"), col("dst"))
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // The big frame is touched 1×/iteration; everything about its layout is
+    // decided HERE, once: degree pre-joined (contributions read rank/outdeg
+    // together), hash-partitioned on dst so the per-iteration contribution
+    // aggregate — the only wide op over edges in the loop — lands on
+    // already-co-located data, then materialized.
+    val withDeg = ed.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    // nodes is read 2×/iteration; left lazy each read re-runs a distinct
+    // over the EDGE frame — materialize the (tiny) node frame once
+    val nodes = withDeg.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val ncnt = nodes.agg(count(lit(1)).as("n"))
+    var rank = nodes.crossJoin(broadcast(ncnt))
+      .select(col("node"), expr(s"$mass div n").as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // rank is node-count-sized (a k-means-codebook-scale frame, not an
+      // edge-scale one): broadcast it so the edge frame never reshuffles
+      // for the join. The agg by dst then runs on the edge frame's own
+      // partitioning. Each round's rank is materialized (21k-row job) —
+      // chained lazily, every broadcast would re-execute all prior rounds.
+      val in = withDeg
+        .join(broadcast(rank.select(col("node").as("src"), col("rank"))), "src")
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      rank = nodes
+        .join(in.select(col("dst").as("node"), col("in_sum")), Seq("node"), "left")
+        .crossJoin(broadcast(ncnt))
+        .select(col("node"),
+          (expr(s"(15 * ($mass div n)) div 100") +
+            expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
+  // ------------------------------------------------------- oracle queries
+
+  private val prIters = 5
+  private val prMass = 1000000000000L
+
+  /** The query's graph: the part↔supplier co-purchase graph from lineitem
+    * (distinct pairs, symmetrized; part nodes even = key*2, supplier nodes
+    * odd = key*2+1 so one BIGINT id space holds both sides). */
+  private def partSupplierEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lineitem(s, dir)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> ((s, dir) =>
+      pagerank(partSupplierEdges(s, dir), prIters, prMass)
+        .select(col("node").as("node_id"),
+          when(pmod(col("node"), lit(2)) === 0, lit("part"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("rank").as("rank_u"))
+        .orderBy(col("rank_u").desc, col("node_id"))
+        .limit(20))
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the unrolled r1..rK CTE chain mirrors the fixed iteration count; AS
+    // MATERIALIZED stops DuckDB inlining the chain exponentially (the
+    // q_vocab_bpe lesson). SUM promotes to HUGEINT mid-chain; `//` on
+    // positives == Spark's `div`, and the final CAST lands both engines on
+    // BIGINT.
+    "q_graph_pagerank" -> {
+      val rounds = (1 to prIters).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT d.src AS node,
+           |         ((15 * ($prMass // (SELECT n FROM nn))) // 100)
+           |         + ((85 * COALESCE(i.s, 0)) // 100) AS rank
+           |    FROM deg d LEFT JOIN (
+           |      SELECT e.dst AS dst, SUM(r.rank // dd.outdeg) AS s
+           |        FROM edges e
+           |        JOIN r${i - 1} r ON e.src = r.node
+           |        JOIN deg dd ON dd.src = e.src
+           |       GROUP BY e.dst) i ON i.dst = d.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |    FROM lineitem),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM pairs
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst FROM pairs),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS MATERIALIZED (
+         |  SELECT src AS node, $prMass // (SELECT n FROM nn) AS rank FROM deg),
+         |$rounds
+         |SELECT CAST(node AS BIGINT) AS node_id,
+         |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+         |       CAST(rank AS BIGINT) AS rank_u
+         |  FROM r$prIters
+         | ORDER BY rank_u DESC, node_id
+         | LIMIT 20""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Integer PageRank: hand-computed exact ranks on a tiny star, a
+  * driver-side reference implementation on a seeded random graph (proving
+  * the DataFrame loop is the same integer recurrence), and the structural
+  * invariants that make the result oracle-comparable. */
+class GraphSpec extends SparkSpec {
+
+  private def edgesDf(es: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+
+  /** Reference single-threaded implementation of the same recurrence. */
+  private def refPagerank(es: Seq[(Long, Long)], iters: Int,
+      mass: Long = 1000000000000L): Map[Long, Long] = {
+    val out = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = out.keys.toSeq.sorted
+    val n = nodes.size
+    var rank = nodes.map(_ -> mass / n).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      es.foreach { case (s, d) => in(d) += rank(s) / out(s) }
+      rank = nodes.map(v => v -> ((15L * (mass / n)) / 100 + (85L * in(v)) / 100)).toMap
+    }
+    rank
+  }
+
+  test("star graph: exact hand-computed ranks after one iteration") {
+    // A=0 center, leaves B=1, C=2; symmetrized: outdeg A=2, B=C=1, N=3
+    val es = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L))
+    val got = Graph.pagerank(edgesDf(es), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // R0 = 1e12/3 = 333333333333; base = 15*R0/100 = 49999999999
+    // in(A) = 2*(R0/1) = 666666666666 -> A = base + 85*in/100 = 616666666665
+    // in(B) = in(C) = R0/2 = 166666666666 -> 49999999999 + 141666666666
+    assert(got === Map(0L -> 616666666665L, 1L -> 191666666665L,
+      2L -> 191666666665L))
+  }
+
+  test("center outranks leaves and total mass stays within floor slack") {
+    val es = (1L to 8L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val ranks = Graph.pagerank(edgesDf(es), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 8L).forall(l => ranks(0L) > ranks(l)))
+    // every div floors, so total only leaks downward, bounded by ~1 unit
+    // per node per arithmetic step per iteration
+    val total = ranks.values.sum
+    assert(total <= 1000000000000L && total > 999999999000L)
+  }
+
+  test("matches the driver reference recurrence on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val es = (raw ++ raw.map(_.swap)).distinct // symmetrize: no dangling nodes
+    val got = Graph.pagerank(edgesDf(es), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPagerank(es, iters = 4))
+  }
+
+  test("q_graph_pagerank: top-20, bipartite id parity, positive ranks") {
+    val df = graft.SparkEntry.queries("q_graph_pagerank")(spark, sf())
+    val rows = df.collect()
+    assert(rows.length === 20)
+    assert(rows.forall(r => r.getLong(2) > 0L))
+    assert(rows.forall { r =>
+      val even = r.getLong(0) % 2 == 0
+      r.getString(1) == (if (even) "part" else "supplier")
+    })
+    // ordered by rank desc
+    val rs = rows.map(_.getLong(2))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a >= b })
+  }
+}
