@@ -293,6 +293,48 @@ object ScaleProbe {
       }
     }
 
+    // round-8: integer PageRank — the corpus graph replicated N× with
+    // DISJOINT node id spaces (replica offsets), so edges grow linearly
+    // while per-copy structure (and the exact per-copy ranks) stay fixed.
+    // Near-linear sec across N is the Pregel shape's scale evidence;
+    // flat marginal sec per ADDED iteration is the evidence the
+    // once-materialized degree-annotated edge frame (not a per-round
+    // rebuild) carries the loop, mirroring the kmeans_iters probe.
+    if (want("pagerank")) {
+      val pairs0 = li0
+        .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct().localCheckpoint()
+      def graphOf(m: Int) = {
+        val oneWay = (0 until m).map { i =>
+          pairs0.select(($"src" + lit(i.toLong * 1000000000L)).as("src"),
+            ($"dst" + lit(i.toLong * 1000000000L)).as("dst"))
+        }.reduce(_ unionAll _)
+        oneWay.union(oneWay.select($"dst".as("src"), $"src".as("dst")))
+      }
+      graft.operators.Graph.pagerank(graphOf(1), 1).count() // warm
+      Seq(1, 4, 16).foreach { m =>
+        val edges = graphOf(m)
+        val n = edges.count()
+        val t0 = System.nanoTime()
+        graft.operators.Graph.pagerank(edges, 5)
+          .agg(sum($"rank")).collect()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"pagerank","mult":$m,"edges":$n,"sec":$t%.2f}""")
+      }
+      val base = {
+        val t0 = System.nanoTime()
+        graft.operators.Graph.pagerank(graphOf(1), 1).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(3, 6).foreach { iters =>
+        val t0 = System.nanoTime()
+        graft.operators.Graph.pagerank(graphOf(1), iters).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val marginal = (t - base) / (iters - 1)
+        println(f"""{"probe":"pagerank_iters","iters":$iters,"sec":$t%.2f,"first_iter_sec":$base%.2f,"marginal_iter_sec":$marginal%.2f}""")
+      }
+    }
+
     // hot-key as-of: every row on ONE key — the composable join+max
     // formulation materializes probes × builds intermediate rows; the
     // custom merge operator streams both sides once. This is the skew case
