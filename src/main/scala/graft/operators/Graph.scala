@@ -19,14 +19,19 @@ import graft.catalog.Tables._
   * The damping update is the standard r' = 0.15/N + 0.85·Σ r/outdeg with
   * both products carried through exact integer ops.
   *
-  * 100 TB posture: the edge frame is materialized ONCE (`localCheckpoint`)
-  * with its out-degrees pre-joined, then every Lloyd-style iteration is one
-  * equi-join shuffle (edges ⋈ ranks on src) + one hash agg on dst — never
-  * an all-pairs product, never a widening lineage (the rank frame, one row
-  * per node, is checkpointed per round so plan size stays constant across
-  * iterations — the same discipline ScaleProbe validated on Components and
-  * that round 7's verdict asked of Ann.kmeans). The node count enters as a
-  * broadcast 1-row aggregate, not a driver-side collect.
+  * 100 TB posture: the edge frame is materialized ONCE (`localCheckpoint`,
+  * out-degrees pre-joined, hash-partitioned on dst), then every iteration
+  * broadcasts the node-count-sized rank frame into the join — edges never
+  * reshuffle in the loop; the only wide op per round is the contribution
+  * aggregate on dst, which lands on the edge frame's own partitioning.
+  * Never an all-pairs product, never a widening lineage (each round's rank
+  * frame — one row per node — is checkpointed, so no round re-executes its
+  * predecessors and plan size stays constant; the same discipline
+  * ScaleProbe validated on Components and Ann.kmeans — see the `pagerank` /
+  * `pagerank_iters` probes). The node count enters as a broadcast 1-row
+  * aggregate, not a driver-side collect. On a cluster where ranks outgrow
+  * the broadcast budget (billions of nodes), flip the loop's join to a
+  * shuffle equi-join on src — the recurrence and oracle are unchanged.
   */
 object Graph {
 

@@ -49,4 +49,57 @@ object Layout {
   /** Replicate `df` `salt` times, tagging copies 0..salt-1 as __salt. */
   def replicate(df: DataFrame, salt: Int): DataFrame =
     df.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+
+  /** Morton (Z-order) key over integer dimensions: each dimension is
+    * scaled into [0, 2^bits) against its [min, max] bounds, then the
+    * dimensions' bits are interleaved (dim 0 in the LOW lane). Rows close
+    * in EVERY dimension land close on the 1-D z axis — the multi-column
+    * clustering that makes min/max-stat data skipping work for filters on
+    * ANY dimension subset, where a lexicographic sort only serves its
+    * leading column. Pure `Column` arithmetic (codegen'd, no UDF).
+    */
+  def zorderKey(dims: Seq[(Column, Long, Long)], bits: Int = 8): Column = {
+    require(dims.nonEmpty, "zorderKey needs at least one dimension")
+    require(bits >= 1 && bits * dims.size <= 62,
+      s"bits*dims must fit a positive Long, got $bits*${dims.size}")
+    val d = dims.size
+    val buckets = dims.map { case (c, mn, mx) =>
+      require(mx >= mn, s"empty dimension bounds [$mn, $mx]")
+      val clamped = least(greatest(c.cast("long"), lit(mn)), lit(mx))
+      // magnitudes here keep the double division exact (< 2^53)
+      floor(((clamped - lit(mn)) * lit(1L << bits)) / lit(mx - mn + 1L))
+        .cast("long")
+    }
+    (for {
+      b <- 0 until bits
+      (bk, di) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * d + di))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` z-order-clustered on `dimCols` (bounds discovered with one
+    * aggregate): range-partition by the z key into `files` output files,
+    * sort by z within each, drop the key. Every file then owns a compact
+    * z-range = a small hyper-rectangle of the dim space, so its per-column
+    * min/max stats (parquet row-group/file footers, or a lakehouse stats
+    * catalog) exclude it for most selective filters on any dim — the
+    * layout does for unpartitioned fact tables what partitionBy does for
+    * low-cardinality keys. LayoutSpec measures the effect directly:
+    * files-touched by box filters, z-order vs single-column sort. */
+  def zorderWrite(df: DataFrame, path: String, dimCols: Seq[String],
+      bits: Int = 8, files: Int = 32): Unit = {
+    val bounds = df.agg(
+      dimCols.flatMap(c => Seq(min(col(c).cast("long")).as(s"mn_$c"),
+        max(col(c).cast("long")).as(s"mx_$c"))).head,
+      dimCols.flatMap(c => Seq(min(col(c).cast("long")).as(s"mn_$c"),
+        max(col(c).cast("long")).as(s"mx_$c"))).tail: _*).collect()(0)
+    val dims = dimCols.zipWithIndex.map { case (c, i) =>
+      (col(c), bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
+    }
+    df.withColumn("__z", zorderKey(dims, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

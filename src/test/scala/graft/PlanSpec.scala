@@ -37,6 +37,17 @@ class PlanSpec extends SparkSpec {
       s"event_type must be a partition column, not a data column, in:\n$p")
   }
 
+  test("zorder box query pushes BOTH dimension predicates to the reader") {
+    val p = plan("q_scan_zorder")
+    // row-group stat skipping needs the range predicates at the parquet
+    // reader — on both clustered dimensions, not just the first
+    assert(raw"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_partkey,100\)".r.findFirstIn(p).isDefined,
+      s"expected l_partkey lower bound pushed in:\n$p")
+    assert(raw"PushedFilters: \[[^\]]*LessThanOrEqual\(l_suppkey,6\)".r.findFirstIn(p).isDefined,
+      s"expected l_suppkey upper bound pushed in:\n$p")
+    assert(!p.contains("l_extendedprice"), "unselected column read from parquet")
+  }
+
   test("point lookup pushes the key predicate") {
     val p = plan("q_scan_point_lookup")
     assert(p.contains("EqualTo(o_orderkey,4242)"), s"expected key pushdown in:\n$p")

@@ -68,4 +68,63 @@ class LayoutSpec extends SparkSpec {
     assert(salted.count() === plain.count())
     assert(salted.select("k", "payload", "v").except(plain.select("k", "payload", "v")).count() === 0)
   }
+
+  test("zorderKey interleaves bits (hand-computed lattice)") {
+    import spark.implicits._
+    // 4x4 lattice at bits=2: z(x,y) = interleave, x in the LOW lane
+    val got = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (1L, 2L), (2L, 1L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.zorderKey(Seq((col("x"), 0L, 3L), (col("y"), 0L, 3L)), bits = 2).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // x=1,y=2: xbits 01, ybits 10 -> z = y1 x1 y0 x0 = 1 0 0 1 = 9
+    assert(got === Map((0L, 0L) -> 0L, (3L, 0L) -> 5L, (0L, 3L) -> 10L,
+      (3L, 3L) -> 15L, (1L, 2L) -> 9L, (2L, 1L) -> 6L))
+  }
+
+  /** Distinct files containing rows matching `cond` — the file-set a
+    * min/max-stat catalog could not exclude (any file with ≥1 matching row
+    * must be read; a clustered layout shrinks exactly this set). */
+  private def filesTouched(path: String, cond: org.apache.spark.sql.Column): Long =
+    spark.read.parquet(path).filter(cond)
+      .select(input_file_name()).distinct().count()
+
+  test("zorder layout: 2-D box filters touch few files on EITHER dimension") {
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    val tmp = java.nio.file.Files.createTempDirectory("zorder_spec")
+    val zPath = s"$tmp/z"
+    val linPath = s"$tmp/lin"
+    try {
+      Layout.zorderWrite(li, zPath, Seq("l_partkey", "l_suppkey"), bits = 8, files = 32)
+      // contrast layout: same file count, lexicographic on l_partkey only
+      li.repartitionByRange(32, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").parquet(linPath)
+
+      // layout preserves content exactly
+      val back = spark.read.parquet(zPath)
+      assert(back.count() === li.count())
+      assert(back.except(li).count() === 0 && li.except(back).count() === 0)
+
+      // partkey box: both layouts cluster it (z uses 8 partkey bits, the
+      // linear sort leads with it) — both should skip most files
+      // matching partkey buckets share p7=p6=0, leaving s7/s6/s5 free in
+      // the top-of-z file selector: ~8 of 32 z-prefix regions (+boundary)
+      val partBox = col("l_partkey").between(100, 120)
+      val zPart = filesTouched(zPath, partBox)
+      assert(zPart <= 12, s"z-order partkey box touched $zPart files")
+      assert(filesTouched(linPath, partBox) <= 4)
+
+      // suppkey box: the linear layout has NO suppkey clustering — every
+      // file contains the whole suppkey range; z-order still confines it
+      val suppBox = col("l_suppkey").between(10, 12)
+      val zSupp = filesTouched(zPath, suppBox)
+      val linSupp = filesTouched(linPath, suppBox)
+      assert(linSupp >= 28, s"expected linear layout to touch ~all 32 files, got $linSupp")
+      assert(zSupp * 2 <= linSupp, s"z-order should halve the file set at worst: $zSupp vs $linSupp")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
 }
