@@ -89,10 +89,48 @@ object Graph {
     rank
   }
 
+  /** Multi-source BFS hop counts: every node reachable from `sources`
+    * within `maxHops`, labeled with its hop distance (0 for sources).
+    *
+    * Delta-frontier form — each round expands ONLY the nodes first reached
+    * last round (classic BFS), not the whole distance table: the frontier
+    * is what a 100 TB traversal can afford to re-touch per round, and on
+    * unweighted graphs it computes exactly the Bellman-Ford fixpoint the
+    * oracle's min-union rounds mirror (hop k is final the round it is
+    * first assigned). Same loop discipline as [[pagerank]]: edge frame
+    * materialized once, frontier broadcast (frontiers only shrink after
+    * the expansion wave peaks; node-count-sized at worst), every frontier
+    * checkpointed so `dist` — a lazy union of checkpointed frontiers —
+    * never re-executes a prior round.
+    *
+    * @param edges   directed (src, dst) BIGINT pairs.
+    * @param sources (node BIGINT) start set; must be distinct.
+    * @return (node BIGINT, hop INT) for reached nodes only.
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint()
+    var dist = sources.select(col("node"), lit(0).as("hop")).localCheckpoint()
+    var frontier = dist.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val reached = ed
+        .join(broadcast(frontier.select(col("node").as("src"))), "src")
+        .select(col("dst").as("node")).distinct()
+      val newFrontier = reached
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hop"))
+        .localCheckpoint()
+      dist = dist.union(newFrontier)
+      frontier = newFrontier.select(col("node"))
+    }
+    dist
+  }
+
   // ------------------------------------------------------- oracle queries
 
   private val prIters = 5
   private val prMass = 1000000000000L
+  private val bfsHopCap = 4
 
   /** The query's graph: the part↔supplier co-purchase graph from lineitem
     * (distinct pairs, symmetrized; part nodes even = key*2, supplier nodes
@@ -113,7 +151,20 @@ object Graph {
             .otherwise(lit("supplier")).as("node_type"),
           col("rank").as("rank_u"))
         .orderBy(col("rank_u").desc, col("node_id"))
-        .limit(20))
+        .limit(20)),
+
+    // Multi-source BFS from the first five part nodes over the same graph:
+    // hop distance per reached node, frontier expansion per round.
+    "q_graph_bfs" -> ((s, dir) => {
+      val sources = lineitem(s, dir).filter(col("l_partkey") < 5)
+        .select((col("l_partkey") * 2).as("node")).distinct()
+      bfsHops(partSupplierEdges(s, dir), sources, bfsHopCap)
+        .select(col("node").as("node_id"),
+          when(pmod(col("node"), lit(2)) === 0, lit("part"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("hop"))
+        .orderBy(col("node_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -153,6 +204,39 @@ object Graph {
          |  FROM r$prIters
          | ORDER BY rank_u DESC, node_id
          | LIMIT 20""".stripMargin
+    },
+
+    // Bellman-Ford min-union rounds: d_k(v) = shortest hop count over
+    // paths of length <= k — on an unweighted graph, identical to the
+    // Spark side's delta-frontier BFS (a node's hop is final the round it
+    // first appears). Same unrolled-MATERIALIZED-CTE discipline as
+    // q_graph_pagerank.
+    "q_graph_bfs" -> {
+      val rounds = (1 to bfsHopCap).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT node, MIN(hop) AS hop FROM (
+           |    SELECT node, hop FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, d.hop + 1 AS hop
+           |      FROM edges e JOIN d${k - 1} d ON e.src = d.node) u
+           |   GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |    FROM lineitem),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM pairs
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst FROM pairs),
+         |d0 AS MATERIALIZED (
+         |  SELECT DISTINCT l_partkey * 2 AS node, 0 AS hop
+         |    FROM lineitem WHERE l_partkey < 5),
+         |$rounds
+         |SELECT CAST(node AS BIGINT) AS node_id,
+         |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+         |       CAST(hop AS INT) AS hop
+         |  FROM d$bfsHopCap
+         | ORDER BY node_id""".stripMargin
     }
   )
 }

@@ -63,6 +63,28 @@ class GraphSpec extends SparkSpec {
     assert(got === refPagerank(es, iters = 4))
   }
 
+  test("bfsHops: hand-checked hops on a path graph, cap respected") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 (symmetrized), source {0}
+    val raw = (0L to 4L).map(i => (i, i + 1))
+    val es = raw ++ raw.map(_.swap)
+    val src = Seq(0L).toDF("node")
+    val got = Graph.bfsHops(edgesDf(es), src, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 4 and 5 are beyond the 3-hop cap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+  }
+
+  test("bfsHops: multi-source takes the nearest source, disconnected stays out") {
+    import spark.implicits._
+    // two components: 0-1-2 and 10-11; sources {2, 10}
+    val raw = Seq((0L, 1L), (1L, 2L), (10L, 11L))
+    val es = raw ++ raw.map(_.swap)
+    val got = Graph.bfsHops(edgesDf(es), Seq(2L, 10L).toDF("node"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(2L -> 0, 1L -> 1, 0L -> 2, 10L -> 0, 11L -> 1))
+  }
+
   test("q_graph_pagerank: top-20, bipartite id parity, positive ranks") {
     val df = graft.SparkEntry.queries("q_graph_pagerank")(spark, sf())
     val rows = df.collect()
