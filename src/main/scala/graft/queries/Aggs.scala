@@ -309,6 +309,36 @@ object Aggs {
         .orderBy($"o_orderpriority")
     }),
 
+    // Key-skew diagnostics — the report that decides whether a join needs
+    // Layout.saltedJoin (or AQE skew splits) BEFORE running it at scale:
+    // per-key counts (ONE shuffle, materialized once for its three small
+    // consumers), then a 1-row reduction + the top heavy hitter. The
+    // heavy-key predicate is exact integer algebra (2·cnt·n_keys >
+    // 3·n_rows ⇔ cnt > 1.5·mean) — no engine-specific double compare
+    // decides membership; the two ratios ride along as round-4 info.
+    "q_profile_skew" -> ((s, dir) => {
+      import s.implicits._
+      val counts = lineitem(s, dir)
+        .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val stats = counts.agg(
+        sum($"cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max($"cnt").as("max_cnt"))
+      val heavy = counts
+        .crossJoin(broadcast(stats.select($"n_rows".as("nr"), $"n_keys".as("nk"))))
+        .filter(lit(2) * $"cnt" * $"nk" > lit(3) * $"nr")
+        .agg(count(lit(1)).as("heavy_keys"))
+      val top = counts.orderBy($"cnt".desc, $"k").limit(1)
+        .select($"k".as("top1_key"), $"cnt".as("top1_cnt"))
+      stats.crossJoin(broadcast(heavy)).crossJoin(broadcast(top))
+        .select($"n_rows", $"n_keys", $"max_cnt",
+          round($"n_rows".cast("double") / $"n_keys", 4).as("mean_cnt"),
+          round($"max_cnt".cast("double") * $"n_keys" / $"n_rows", 4)
+            .as("max_over_mean"),
+          $"heavy_keys", $"top1_key", $"top1_cnt")
+    }),
+
     "q_profile_table" -> ((s, dir) => {
       import s.implicits._
       val od = $"o_orderdate".cast("date")
@@ -700,6 +730,23 @@ object Aggs {
          FROM (SELECT o_orderpriority, o_orderkey % 256 AS k FROM orders)
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+
+    "q_profile_skew" ->
+      """WITH c AS MATERIALIZED (
+           SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+         s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                      COUNT(*) AS n_keys,
+                      CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c),
+         h AS (SELECT COUNT(*) AS heavy_keys FROM c, s
+                WHERE 2 * cnt * n_keys > 3 * n_rows),
+         t AS (SELECT k AS top1_key, CAST(cnt AS BIGINT) AS top1_cnt
+                 FROM c ORDER BY cnt DESC, k LIMIT 1)
+         SELECT s.n_rows, s.n_keys, s.max_cnt,
+                round(CAST(s.n_rows AS DOUBLE) / s.n_keys, 4) AS mean_cnt,
+                round(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows, 4)
+                  AS max_over_mean,
+                h.heavy_keys, t.top1_key, t.top1_cnt
+         FROM s, h, t""",
 
     "q_profile_table" ->
       """WITH w AS (SELECT
