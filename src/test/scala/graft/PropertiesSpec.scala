@@ -157,6 +157,53 @@ class PropertiesSpec extends SparkSpec {
     }, 10)
   }
 
+  test("zorderKey laws: range, monotone per dimension, distance locality") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val gen = for {
+      xs <- Gen.listOfN(40, Gen.choose(0L, 999L))
+      ys <- Gen.listOfN(40, Gen.choose(0L, 999L))
+    } yield xs.zip(ys)
+    check(Prop.forAll(gen) { pts =>
+      val df = pts.toDF("x", "y")
+        .select(col("x"), col("y"),
+          Layout.zorderKey(Seq((col("x"), 0L, 999L), (col("y"), 0L, 999L)), bits = 8).as("z"))
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // 16-bit range
+      val inRange = rows.forall { case (_, _, z) => z >= 0L && z < (1L << 16) }
+      // fixing one dim, z is monotone non-decreasing in the other's BUCKET
+      def bucket(v: Long) = v * 256 / 1000
+      val mono = rows.groupBy(_._2).forall { case (_, g) =>
+        g.sortBy(_._1).map(t => (bucket(t._1), t._3)).toList
+          .sliding(2).forall {
+            case List((_, z1), (_, z2)) => z1 <= z2
+            case _ => true
+          }
+      }
+      inRange && mono
+    }, 10)
+  }
+
+  test("pagerank laws: mass bound and permutation invariance of node ids") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+      .map(_.filter { case (a, b) => a != b }.distinct)
+      .suchThat(_.nonEmpty)
+    check(Prop.forAll(gen) { raw =>
+      val es = (raw ++ raw.map(_.swap)).distinct
+      val ranks = Graph.pagerank(es.toDF("src", "dst"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // floors only leak mass downward, bounded
+      val total = ranks.values.sum
+      // shifting every node id by a constant shifts keys, not rank values
+      val shifted = Graph.pagerank(
+        es.map { case (a, b) => (a + 1000L, b + 1000L) }.toDF("src", "dst"),
+        iters = 3).collect().map(r => (r.getLong(0) - 1000L) -> r.getLong(1)).toMap
+      total <= 1000000000000L && total > 999999000000L && shifted == ranks
+    }, 8)
+  }
+
   test("serialize ∘ parse round trip preserves bronze blocks (A7 ∘ A10 = id)") {
     val raw = spark.read.text(getClass.getResource("/blocks/blocks.jsonl").getPath)
     val parsed = graft.ingest.BlockIngest.parse(raw)
