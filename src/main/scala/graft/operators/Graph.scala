@@ -143,7 +143,84 @@ object Graph {
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Degree-oriented triangle count over an undirected (a < b) edge list.
+    *
+    * The naive wedge enumeration joins each node's neighbor list with
+    * itself, so a degree-d hub contributes C(d,2) wedges — at 100 TB a
+    * single celebrity node can emit more wedges than the rest of the graph
+    * combined. Orienting every edge from its lower-(degree, id) endpoint to
+    * the higher one caps every out-degree at O(√m) [Chiba–Nishizeki], so
+    * the wedge join is bounded by m^1.5 TOTAL and no single key explodes:
+    * each triangle {x,y,z} then materializes exactly once, as the pattern
+    * a→b, a→c (wedge at the triangle's smallest endpoint) closed by the
+    * oriented edge b→c. Both joins are plain equi-joins — shuffle on src /
+    * (src, dst) with partial aggregation — and the count is
+    * orientation-invariant, so an ID-ordered SQL oracle reproduces it
+    * exactly. The orientation tuple (deg, id) is packed into one struct
+    * column so the wedge-endpoint ordering and the closure-edge key agree
+    * byte-for-byte.
+    *
+    * @param edges undirected edges as (a BIGINT, b BIGINT) with a < b,
+    *              distinct.
+    * @return single row (n_nodes, n_edges, n_triangles), all BIGINT.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // The edge list feeds THREE consumers (degree count, orientation join,
+    // edge tally) and the oriented frame two (wedge sides, closure probe);
+    // left lazy, each branch would re-derive them — for a derived edge list
+    // (a self-join distinct here) that's the dominant cost ×3. Materialize
+    // each once, same discipline as pagerank's edge frame.
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient by (deg, id): lower endpoint becomes src
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      struct(
+        when(fwd, col("db")).otherwise(col("da")).as("d"),
+        when(fwd, col("b")).otherwise(col("a")).as("id")).as("dst"))
+      .localCheckpoint()
+    // wedges at src: ordered out-neighbor pairs; closure = oriented edge
+    val e1 = oriented.select(col("src"), col("dst").as("x"))
+    val e2 = oriented.select(col("src"), col("dst").as("y"))
+    val wedges = e1.join(e2, "src").filter(col("x") < col("y"))
+      .select(col("x.id").as("src"), col("y").as("dst"))
+    val closed = wedges.join(oriented, Seq("src", "dst"))
+    // one tagged union + a single scalar aggregate combines the three
+    // counts without any 1-row crossJoin (which would plan nested-loop)
+    def tag(df: DataFrame, n: Int, ed: Int, tr: Int) =
+      df.select(lit(n).as("nn"), lit(ed).as("ne"), lit(tr).as("nt"))
+    tag(deg, 1, 0, 0)
+      .unionAll(tag(e, 0, 1, 0))
+      .unionAll(tag(closed, 0, 0, 1))
+      .agg(sum(col("nn")).as("n_nodes"), sum(col("ne")).as("n_edges"),
+        sum(col("nt")).as("n_triangles"))
+  }
+
+  /** The triangle query's graph: the part co-purchase graph — two parts are
+    * adjacent iff some order (of the %4 slice; keeps the sf0.1 bench run
+    * wedge-bounded) contains both. Basket sizes are small and bounded, so
+    * the per-order pair expansion is ~C(4,2); hub parts are where the
+    * degree orientation earns its keep. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_triangles" -> ((s, dir) =>
+      triangleCount(coPurchaseEdges(s, dir))),
+
     "q_graph_pagerank" -> ((s, dir) =>
       pagerank(partSupplierEdges(s, dir), prIters, prMass)
         .select(col("node").as("node_id"),
@@ -168,6 +245,23 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    // ID-oriented enumeration (e1.b > e1.a wedge + closing edge): the
+    // triangle COUNT is orientation-invariant, so the simple a<b form
+    // checks the degree-oriented Spark plan exactly.
+    "q_graph_triangles" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+           FROM lineitem WHERE l_orderkey % 4 = 0),
+         e AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p)
+         SELECT
+           (SELECT count(*) FROM (SELECT a AS v FROM e UNION SELECT b FROM e)) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*)
+              FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""",
+
     // the unrolled r1..rK CTE chain mirrors the fixed iteration count; AS
     // MATERIALIZED stops DuckDB inlining the chain exponentially (the
     // q_vocab_bpe lesson). SUM promotes to HUGEINT mid-chain; `//` on

@@ -409,6 +409,30 @@ object Aggs {
         .select($"event_type", $"exact_users",
           (abs($"approx" - $"exact_users") <= lit(0.05) * $"exact_users").as("approx_ok"))
         .orderBy($"event_type")
+    }),
+
+    // Mergeable quantile sketch with an exact anchor — the
+    // q_agg_approx_distinct pattern applied to percentile_approx
+    // (KLL-family sketch: one pass, fixed memory, partial-aggregates
+    // map-side; THE production quantile at 100 TB, where the exact
+    // distributed-rank form costs a full range shuffle). The exact median
+    // comes from percentilesOf — already bit-identical to the oracle's
+    // interpolation — and the sketch is oracled through the tolerance
+    // predicate. accuracy 10000 bounds rank error at n/10000; at every
+    // shipped SF the value at rank±n/10000 sits far inside ±1% of the
+    // median for this distribution, so the predicate is stable, not
+    // borderline.
+    "q_agg_approx_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val exact = percentilesOf(lineitem(s, dir), Seq(0.5))
+        .select($"l_returnflag", $"q".as("exact_p50"))
+      val approx = lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx"))
+      exact.join(approx, "l_returnflag")
+        .select($"l_returnflag", $"exact_p50",
+          (abs($"approx" - $"exact_p50") <= lit(0.01) * $"exact_p50").as("approx_ok"))
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -720,6 +744,29 @@ object Aggs {
          FROM events
          GROUP BY event_type
          ORDER BY event_type""",
+
+    // exact median via the q_agg_percentiles interpolation (bit-identical
+    // formula); the sketch estimate is oracled through the tolerance
+    // predicate, which DuckDB asserts as TRUE without reproducing the sketch
+    "q_agg_approx_quantile" ->
+      """WITH ranked AS (
+           SELECT l_returnflag, l_extendedprice AS x,
+                  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn
+           FROM lineitem),
+         counts AS (SELECT l_returnflag, count(*) AS n FROM ranked GROUP BY l_returnflag),
+         pos AS (
+           SELECT l_returnflag, n,
+                  CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 AS lo,
+                  least(CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT) + 2, n) AS hi,
+                  CAST(0.5 AS DOUBLE) * (n - 1) - floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS g
+           FROM counts)
+         SELECT pos.l_returnflag,
+                a.x + (b.x - a.x) * g AS exact_p50,
+                TRUE AS approx_ok
+         FROM pos
+         JOIN ranked a ON a.l_returnflag = pos.l_returnflag AND a.rn = pos.lo
+         JOIN ranked b ON b.l_returnflag = pos.l_returnflag AND b.rn = pos.hi
+         ORDER BY pos.l_returnflag""",
 
     "q_agg_bitwise" ->
       """SELECT o_orderpriority,

@@ -239,6 +239,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bucket"), s"join must key on the sign bucket in:\n$p")
   }
 
+  test("bucketed fact join: no hash exchange on either side, bucketed scans feed the merge") {
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"expected the pinned sort-merge join in:\n$p")
+    // the whole point: both scans expose the bucket layout as their output
+    // partitioning, so neither the join nor the orderkey group-by shuffles
+    assert(!p.toLowerCase.contains("exchange hashpartitioning"),
+      s"bucketed join must not hash-shuffle in:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"expected bucketed scans in:\n$p")
+  }
+
+  test("triangle count: every join is an equi-join, never an all-pairs product") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closure joins must stay equi-joins in:\n$p")
+  }
+
   test("curation pipeline plan: no cartesian product, LSH-bounded shuffles") {
     spark.catalog.clearCache()
     val docs = graft.catalog.Tables.documents(spark, sf())

@@ -85,6 +85,48 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(2L -> 0, 1L -> 1, 0L -> 2, 10L -> 0, 11L -> 1))
   }
 
+  private def triDf(es: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    es.toDF("a", "b")
+  }
+
+  /** Reference O(n^3) triangle count over an undirected a<b edge list. */
+  private def refTriangles(es: Seq[(Long, Long)]): Long = {
+    val set = es.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      if set((nodes(i), nodes(j))) && set((nodes(i), nodes(k))) &&
+        set((nodes(j), nodes(k)))
+    } yield 1).size.toLong
+  }
+
+  test("triangleCount: K4 has 4 triangles, a square has none") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val r = Graph.triangleCount(triDf(k4)).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 6L, 4L)))
+    val square = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
+    val r2 = Graph.triangleCount(triDf(square)).collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((4L, 4L, 0L)))
+  }
+
+  test("triangleCount: hub star plus one chord — exactly the chord's triangle") {
+    // degree orientation must not lose triangles at the hub
+    val star = (1L to 30L).map(l => (0L, l))
+    val r = Graph.triangleCount(triDf(star :+ (7L, 8L))).collect().head
+    assert(r.getLong(2) === 1L)
+  }
+
+  test("triangleCount matches the cubic reference on a seeded random graph") {
+    val rnd = new scala.util.Random(13)
+    val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (x, y) => x != y }
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }.distinct
+    val r = Graph.triangleCount(triDf(es)).collect().head
+    assert(r.getLong(1) === es.size.toLong)
+    assert(r.getLong(2) === refTriangles(es))
+  }
+
   test("q_graph_pagerank: top-20, bipartite id parity, positive ranks") {
     val df = graft.SparkEntry.queries("q_graph_pagerank")(spark, sf())
     val rows = df.collect()

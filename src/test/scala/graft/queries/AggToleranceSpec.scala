@@ -55,4 +55,24 @@ class AggToleranceSpec extends SparkSpec {
     val a = r.getAs[Double]("approx"); val x = r.getAs[Double]("exact")
     assert(math.abs(a - x) / x <= 0.05, s"approx $a vs exact $x")
   }
+
+  test("q_agg_approx_quantile: tolerance predicate true with margin, not borderline") {
+    // the oracle pins approx_ok to TRUE at the query's 1% bound; this spec
+    // pins the raw sketch estimate well inside it (0.2%), so SF growth or a
+    // sketch re-tune shows up here long before the driver compare flips
+    val rows = graft.SparkEntry.queries("q_agg_approx_quantile")(spark, sf())
+      .collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getBoolean(2)), "approx_ok must hold for every group")
+    val approx = Tables.lineitem(spark, sf())
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("a"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("a")).toMap
+    rows.foreach { r =>
+      val exact = r.getDouble(1)
+      val a = approx(r.getString(0))
+      assert(math.abs(a - exact) / exact <= 0.002,
+        s"${r.getString(0)}: sketch $a vs exact $exact drifted past 0.2%")
+    }
+  }
 }
