@@ -335,6 +335,33 @@ object ScaleProbe {
       }
     }
 
+    // round-8 late: degree-oriented triangle count — the co-purchase edge
+    // list replicated N× with DISJOINT node id spaces, so nodes/edges/
+    // wedges/triangles all grow exactly N× while per-copy structure is
+    // fixed. Near-linear sec across N is the wedge-join bound's scale
+    // evidence (an unoriented or hub-exploding plan would grow the wedge
+    // set superlinearly and show here first).
+    if (want("triangles")) {
+      val e0 = {
+        val li = li0.filter($"l_orderkey" % 4 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.p" < $"y.p")
+          .select($"x.p".as("a"), $"y.p".as("b")).distinct().localCheckpoint()
+      }
+      def edgesOf(m: Int) = (0 until m).map { i =>
+        e0.select(($"a" + lit(i.toLong * 1000000000L)).as("a"),
+          ($"b" + lit(i.toLong * 1000000000L)).as("b"))
+      }.reduce(_ unionAll _)
+      graft.operators.Graph.triangleCount(edgesOf(1)).collect() // warm
+      Seq(1, 4, 16).foreach { m =>
+        val t0 = System.nanoTime()
+        val r = graft.operators.Graph.triangleCount(edgesOf(m)).collect().head
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"triangles","mult":$m,"edges":${r.getLong(1)},"tris":${r.getLong(2)},"sec":$t%.2f}""")
+      }
+    }
+
     // hot-key as-of: every row on ONE key — the composable join+max
     // formulation materializes probes × builds intermediate rows; the
     // custom merge operator streams both sides once. This is the skew case

@@ -66,6 +66,29 @@ object Streams {
       e.unionAll(e)
         .dropDuplicates("event_id")
         .orderBy($"event_id")
+    }),
+
+    // Stream-stream interval join, batch-oracle form: purchases matched to
+    // the same user's signups within the preceding hour — the EXACT join
+    // predicate of StreamOps.purchaseSignupJoin (whose streaming semantics
+    // — watermark-bounded state, append emission — StreamOpsSpec covers on
+    // MemoryStream). The range conjunct beside the user equi-key is what
+    // bounds streaming state at 100 TB: each side buffers only rows inside
+    // the watermark+window horizon, and the batch plan is a plain equi-join
+    // on user with the interval as residual — never a time-cross-product.
+    "q_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir)
+      val p = e.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"))
+      val sg = e.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+      p.join(sg,
+          $"user_id" === $"s_user" &&
+            $"s_ts" <= $"p_ts" &&
+            $"s_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
+        .select($"purchase_id", $"user_id", $"p_ts", $"s_ts")
+        .orderBy($"purchase_id", $"s_ts")
     })
   )
 
@@ -114,6 +137,18 @@ object Streams {
          FROM (SELECT event_id, ts, user_id, event_type FROM events
                UNION ALL
                SELECT event_id, ts, user_id, event_type FROM events)
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                CAST(p.ts AS TIMESTAMP) AS p_ts,
+                CAST(s.ts AS TIMESTAMP) AS s_ts
+         FROM events p
+         JOIN events s ON s.user_id = p.user_id
+           AND s.event_type = 'signup'
+           AND CAST(s.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+           AND CAST(s.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+         WHERE p.event_type = 'purchase'
+         ORDER BY purchase_id, s_ts"""
   )
 }
