@@ -18,16 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Write `df` bucketed+sorted by `key` as a managed table. Joins between
-    * tables bucketed the same way (same key, same bucket count) plan as
-    * SortMergeJoin with NO Exchange on either side. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+  /** Write `df` bucketed+sorted by `key` as a catalog table (managed, or
+    * external at `path`). Joins between tables bucketed the same way (same
+    * key, same bucket count) plan as SortMergeJoin with NO Exchange on
+    * either side. The repartition on the bucket key uses the same Murmur3
+    * hash as the bucket-id assignment, so each task holds exactly one
+    * bucket's rows → ONE file per bucket, which is what lets the reader
+    * treat the per-bucket sort as global within the bucket (multi-file
+    * buckets forfeit the read-side sort elimination). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.repartition(buckets, col(key)).write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w.saveAsTable(table))(p => w.option("path", p).saveAsTable(table))
+  }
 
   /** Salted equi-join for skewed keys. The left (skewed) side gets a
     * uniform salt in [0, salt); the right side is replicated `salt` times;

@@ -84,6 +84,36 @@ object Behavior {
         .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
         .withColumn("is_current", col("valid_to").isNull)
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
+    // CDC snapshot diff: previous vs current table version → one row per
+    // changed key tagged insert/delete/update with old/new values. The two
+    // versions are deterministic slices of orders (prev drops %97 keys =
+    // "inserted since"; cur drops %89 keys = "deleted since"; %13 keys
+    // carry a price bump = "updated"), so both engines derive identical
+    // snapshots from one source. Plan: ONE full outer equi-join on the
+    // key, change classification as a post-join projection — at 100 TB
+    // this is the audit/regression-diff between two table versions, a
+    // single co-partitioned shuffle per side (and zero shuffles when both
+    // versions are bucketed on the key — the q_join_bucketed layout).
+    // value compare: +1.0 on a sub-2^52 double is exact in both engines.
+    "q_cdc_diff" -> ((s, dir) => {
+      import s.implicits._
+      val o = orders(s, dir).select($"o_orderkey", $"o_totalprice")
+      val prev = o.filter($"o_orderkey" % 97 =!= 0)
+        .select($"o_orderkey".as("k"),
+          when($"o_orderkey" % 13 === 0, $"o_totalprice" - 1.0)
+            .otherwise($"o_totalprice").as("prev_price"))
+      val cur = o.filter($"o_orderkey" % 89 =!= 0)
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("cur_price"))
+      prev.join(cur, Seq("k"), "full_outer")
+        .withColumn("change",
+          when($"prev_price".isNull, "insert")
+            .when($"cur_price".isNull, "delete")
+            .when($"prev_price" =!= $"cur_price", "update"))
+        .filter($"change".isNotNull)
+        .select($"k".as("o_orderkey"), $"change", $"prev_price", $"cur_price")
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -122,6 +152,26 @@ object Behavior {
                 lead(valid_from) OVER w IS NULL AS is_current
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
-         ORDER BY user_id, valid_from, event_id"""
+         ORDER BY user_id, valid_from, event_id""",
+
+    "q_cdc_diff" ->
+      """WITH prev AS (
+           SELECT o_orderkey AS k,
+                  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice - 1.0
+                       ELSE o_totalprice END AS prev_price
+           FROM orders WHERE o_orderkey % 97 <> 0),
+         cur AS (
+           SELECT o_orderkey AS k, o_totalprice AS cur_price
+           FROM orders WHERE o_orderkey % 89 <> 0),
+         d AS (
+           SELECT COALESCE(prev.k, cur.k) AS o_orderkey,
+                  CASE WHEN prev.k IS NULL THEN 'insert'
+                       WHEN cur.k IS NULL THEN 'delete'
+                       WHEN prev_price <> cur_price THEN 'update' END AS change,
+                  prev_price, cur_price
+           FROM prev FULL OUTER JOIN cur ON prev.k = cur.k)
+         SELECT o_orderkey, change, prev_price, cur_price
+         FROM d WHERE change IS NOT NULL
+         ORDER BY o_orderkey"""
   )
 }

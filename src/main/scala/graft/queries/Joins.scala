@@ -313,16 +313,14 @@ object Joins {
     })
   )
 
-  /** Write orders + lineitem as 8-bucket tables on their join key, once per
+  /** Write orders + lineitem as 8-bucket tables on their join key
+    * (Layout.writeBucketed — one file per bucket), once per
     * (JVM, source-fingerprint) — the write-once discipline of
     * Scans.partitionedEvents, extended to the session catalog (bucket
     * metadata lives in the catalog, so the read must go through
-    * `spark.table`, not a raw parquet path). The repartition(8, key) before
-    * the write makes each task hold exactly one bucket's rows, so every
-    * bucket is ONE file and Spark's reader can treat the per-bucket sort
-    * order as global within the bucket (multi-file buckets forfeit the
-    * sort elimination). Table names carry the fingerprint: a regenerated
-    * source can never be served from a stale catalog entry. */
+    * `spark.table`, not a raw parquet path). Table names carry the
+    * fingerprint: a regenerated source can never be served from a stale
+    * catalog entry. */
   private val bucketLock = new Object
   private[queries] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
     val src = java.nio.file.Paths.get(path(dir, "orders"))
@@ -334,11 +332,7 @@ object Joins {
       def ensure(name: String, df: DataFrame, key: String): Unit =
         if (!s.catalog.tableExists(name)) {
           val loc = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name)
-          df.repartition(8, col(key))
-            .write.format("parquet")
-            .bucketBy(8, key).sortBy(key)
-            .option("path", loc.toString)
-            .mode("overwrite").saveAsTable(name)
+          graft.operators.Layout.writeBucketed(df, name, key, 8, Some(loc.toString))
         }
       ensure(names._1, orders(s, dir), "o_orderkey")
       ensure(names._2, lineitem(s, dir), "l_orderkey")
