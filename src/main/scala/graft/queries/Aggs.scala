@@ -433,6 +433,32 @@ object Aggs {
         .select($"l_returnflag", $"exact_p50",
           (abs($"approx" - $"exact_p50") <= lit(0.01) * $"exact_p50").as("approx_ok"))
         .orderBy($"l_returnflag")
+    }),
+
+    // Sketch ROLLUP — the pattern the one-shot approx_count_distinct can't
+    // do: per-(type, day) HLL sketches materialized first (at 100 TB these
+    // are what a silver layer stores — KB-size mergeable state per
+    // partition), then re-aggregated per type by LOSSLESS sketch union and
+    // only then estimated. Daily counts cannot be summed (users recur
+    // across days); sketch union answers the rolled-up distinct from
+    // pre-aggregated state without re-touching the fact rows. Same
+    // exact-anchor + tolerance-predicate oracle device as
+    // q_agg_approx_distinct (lgConfigK 14 → rsd ~0.4%, 5% bound ~12σ).
+    "q_agg_sketch_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir)
+      val daily = e.groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"),
+          count(lit(1)).as("n_rows"))
+      val rolled = daily.groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est"),
+          count(lit(1)).as("n_days"), sum($"n_rows").as("n_events"))
+      val exact = e.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      rolled.join(exact, "event_type")
+        .select($"event_type", $"n_days", $"n_events", $"exact_users",
+          (abs($"est" - $"exact_users") <= lit(0.05) * $"exact_users").as("approx_ok"))
+        .orderBy($"event_type")
     })
   )
 
@@ -767,6 +793,19 @@ object Aggs {
          JOIN ranked a ON a.l_returnflag = pos.l_returnflag AND a.rn = pos.lo
          JOIN ranked b ON b.l_returnflag = pos.l_returnflag AND b.rn = pos.hi
          ORDER BY pos.l_returnflag""",
+
+    // day-grain + exact columns fully checked; the merged-sketch estimate
+    // is oracled through the tolerance predicate (TRUE ⇔ union-of-daily-
+    // sketches landed within ±5% of exact — assertable without sketches)
+    "q_agg_sketch_rollup" ->
+      """SELECT event_type,
+                count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days,
+                count(*) AS n_events,
+                count(DISTINCT user_id) AS exact_users,
+                TRUE AS approx_ok
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
 
     "q_agg_bitwise" ->
       """SELECT o_orderpriority,

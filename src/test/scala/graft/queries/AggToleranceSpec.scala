@@ -56,6 +56,27 @@ class AggToleranceSpec extends SparkSpec {
     assert(math.abs(a - x) / x <= 0.05, s"approx $a vs exact $x")
   }
 
+  test("q_agg_sketch_rollup: merged daily sketches land well inside the 5% bound") {
+    // union of per-day HLL sketches vs exact distinct — lgConfigK 14 gives
+    // rsd ~0.4%; pin the estimate inside 2% (the query's bound is 5%)
+    val rows = graft.SparkEntry.queries("q_agg_sketch_rollup")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(4)), "approx_ok must hold for every type")
+    val est = Tables.events(spark, sf())
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    rows.foreach { r =>
+      val exact = r.getLong(3).toDouble
+      val e = est(r.getString(0))
+      assert(math.abs(e - exact) / exact <= 0.02,
+        s"${r.getString(0)}: merged estimate $e vs exact $exact past 2%")
+    }
+  }
+
   test("q_agg_approx_quantile: tolerance predicate true with margin, not borderline") {
     // the oracle pins approx_ok to TRUE at the query's 1% bound; this spec
     // pins the raw sketch estimate well inside it (0.2%), so SF growth or a
