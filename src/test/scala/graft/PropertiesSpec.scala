@@ -204,6 +204,29 @@ class PropertiesSpec extends SparkSpec {
     }, 8)
   }
 
+  test("triangle laws: relabel invariance and disjoint-union additivity") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val gen = Gen.listOfN(50, Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+      .map(_.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct)
+      .suchThat(_.nonEmpty)
+    def counts(es: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = Graph.triangleCount(es.toDF("a", "b")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    check(Prop.forAll(gen) { es =>
+      val base = counts(es)
+      // node relabeling (id shift) preserves all three counts — degree
+      // orientation must not depend on the id values beyond tie-breaks
+      val shifted = counts(es.map { case (a, b) => (a + 1000L, b + 1000L) })
+      // two disjoint copies: everything exactly doubles
+      val doubled = counts(es ++ es.map { case (a, b) => (a + 1000L, b + 1000L) })
+      shifted == base &&
+        doubled == ((base._1 * 2, base._2 * 2, base._3 * 2))
+    }, 8)
+  }
+
   test("serialize ∘ parse round trip preserves bronze blocks (A7 ∘ A10 = id)") {
     val raw = spark.read.text(getClass.getResource("/blocks/blocks.jsonl").getPath)
     val parsed = graft.ingest.BlockIngest.parse(raw)
