@@ -255,6 +255,25 @@ class PlanSpec extends SparkSpec {
       s"wedge/closure joins must stay equi-joins in:\n$p")
   }
 
+  test("cdc diff: one full-outer equi-join on the key, classification post-join") {
+    val p = plan("q_cdc_diff")
+    assert(p.contains("FullOuter"), s"expected the full-outer join in:\n$p")
+    // formatted explain prints each node twice (tree + detail): count the
+    // detail headers, one per physical join node
+    assert(raw"\(\d+\) SortMergeJoin".r.findAllIn(p).size === 1,
+      s"diff must be ONE key join, not a cascade, in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"version diff must never plan a product in:\n$p")
+  }
+
+  test("stream join batch form: user equi-join carries the range as residual") {
+    val p = plan("q_stream_join")
+    // the range conjunct must ride the equi-join (join condition/filter),
+    // never degrade the join itself to a nested-loop time product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval conjunct degraded the equi-join in:\n$p")
+  }
+
   test("curation pipeline plan: no cartesian product, LSH-bounded shuffles") {
     spark.catalog.clearCache()
     val docs = graft.catalog.Tables.documents(spark, sf())
