@@ -109,4 +109,30 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-files compaction — the daily maintenance op behind every
+    * streaming/bronze layout: micro-batch sinks (StreamOps.toParquet,
+    * BlockIngest.writeBronze) accrete a file per (batch, task), and at
+    * 100 TB a million 1 MB files cost more in footer reads, scheduler
+    * tasks, and NameNode/liststore pressure than the data itself. Rewrite
+    * to ~`targetFileRows` rows per file; with `sortCols` the rewrite also
+    * re-clusters, so each output file owns a compact key range and
+    * min/max skipping works on the compacted copy (the zorderWrite
+    * argument at 1-D). The row count is one cheap count() action used
+    * only to size the job — the data moves through one range/round-robin
+    * repartition, and maxRecordsPerFile caps any straggler partition. */
+  def compact(df: DataFrame, outPath: String, targetFileRows: Long,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(targetFileRows > 0, s"targetFileRows must be > 0, got $targetFileRows")
+    val n = df.count()
+    val files = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(files, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(files)
+    arranged.write
+      .option("maxRecordsPerFile", targetFileRows)
+      .mode("overwrite").parquet(outPath)
+  }
 }

@@ -127,4 +127,37 @@ class LayoutSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }
+
+  test("compact: small-files table rewritten to the target file count, content exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact")
+    try {
+      val e = Tables.events(spark, sf())
+      val fragPath = tmp.resolve("frag").toString
+      // simulate a micro-batch sink's accretion: 64 task files
+      e.repartition(64).write.mode("overwrite").parquet(fragPath)
+      def files(p: String) = new java.io.File(p).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      val nFrag = files(fragPath)
+      assert(nFrag >= 32, s"expected a fragmented table, got $nFrag files")
+
+      val frag = spark.read.parquet(fragPath)
+      val n = frag.count()
+      val outPath = tmp.resolve("compacted").toString
+      Layout.compact(frag, outPath, targetFileRows = (n + 3) / 4,
+        sortCols = Seq("event_id"))
+      val nOut = files(outPath)
+      assert(nOut <= 5, s"expected ~4 compacted files, got $nOut")
+
+      // content survives exactly, and the sorted rewrite clusters the key:
+      // a point lookup touches one file
+      val back = spark.read.parquet(outPath)
+      assert(back.count() === n)
+      assert(back.except(frag).count() === 0 && frag.except(back).count() === 0)
+      val hit = spark.read.parquet(outPath).filter(col("event_id") === 42)
+        .select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
+      assert(hit === 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
 }
