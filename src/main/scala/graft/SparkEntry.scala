@@ -41,6 +41,8 @@ object SparkEntry {
       (SortsSets.queries, SortsSets.oracle),
       (Funcs.queries, Funcs.oracle),
       (Text.queries, Text.oracle),
+      (Search.queries, Search.oracle),
+      (Drift.queries, Drift.oracle),
       (Sim.queries, Sim.oracle),
       (MediaQ.queries, MediaQ.oracle),
       (UDx.queries, UDx.oracle),

@@ -395,6 +395,39 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Cluster-scoped semantic dedup (SemDeDup shape [Abbas et al. 2023,
+    * arXiv:2303.09540]): candidate pairs are generated ONLY within a
+    * cluster — an equi-join on the cluster id — and a vector is pruned iff
+    * a same-cluster neighbor with a SMALLER id sits at cosine ≥ threshold
+    * (deterministic keep-min-id in place of the paper's keep-farthest-
+    * from-centroid, which ties on identical vectors; the prune RATE is the
+    * same knob). `clustered` must carry (vec_id, cluster, embedding); the
+    * production clustering is the [[graft.operators.Ann.kmeans]] codebook
+    * (routing proven portable by q_ann_ivf), so total pair work is
+    * Σ_c |c|² with |c| ≈ n/k — choose k ∝ n to hold per-cluster size
+    * constant and the join output grows linearly in the corpus, never
+    * corpus². Returns every input vector flagged: (vec_id, cluster,
+    * n_dup_neighbors, pruned). */
+  def semanticDedup(clustered: DataFrame, threshold: Double): DataFrame = {
+    import graft.queries.Sim
+    val a = clustered.select(col("cluster"), col("vec_id").as("d1"),
+      col("embedding").as("v1"))
+    val b = clustered.select(col("cluster"), col("vec_id").as("d2"),
+      col("embedding").as("v2"))
+    // verify INSIDE the join stage (the srpNearDups lesson): only the
+    // surviving (d2, 1) rows reach the count aggregate, vectors dropped
+    val dupCounts = a.join(b, Seq("cluster"))
+      .filter(col("d1") < col("d2") &&
+        round(Sim.cosine(col("v1"), col("v2")), 4) >= threshold)
+      .groupBy(col("d2").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_neighbors"))
+    clustered.select(col("vec_id"), col("cluster"))
+      .join(dupCounts, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dup_neighbors"), lit(0L)).as("n_dup_neighbors"))
+      .withColumn("pruned", col("n_dup_neighbors") > 0)
+  }
+
   /** UNBOUNDED embedding near-dup at scale: banded SRP-LSH candidate
     * generation (native `graft_srp` kernel — `bands` buckets of `bits`
     * hyperplane sign bits per vector) + exact-cosine verify within
@@ -507,6 +540,18 @@ object Dedup {
     "q_dedup_embed" -> ((s, dir) => {
       embeddingNearDups(embeddings(s, dir).filter(col("vec_id") < 100), 0.3)
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    // SemDeDup over the full embeddings table, cluster = the given label
+    // (the deterministic stand-in for a kmeans codebook assignment — the
+    // routing itself is what q_ann_ivf oracle-checks); every vector gets
+    // a keep/prune verdict, prune rate is the curation-budget knob.
+    "q_dedup_semantic" -> ((s, dir) => {
+      semanticDedup(
+        embeddings(s, dir).select(col("vec_id"), col("label").as("cluster"),
+          col("embedding")),
+        threshold = 0.3)
+        .orderBy(col("vec_id"))
     }),
 
     // Benchmark decontamination: docs < 50 play the benchmark set, docs in
@@ -710,6 +755,22 @@ object Dedup {
                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3
-         ORDER BY d1, d2"""
+         ORDER BY d1, d2""",
+
+    "q_dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, label AS cluster, embedding FROM embeddings),
+         dups AS (
+           SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_dup_neighbors
+           FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3
+           GROUP BY 1)
+         SELECT e.vec_id, e.cluster,
+                coalesce(d.n_dup_neighbors, 0) AS n_dup_neighbors,
+                coalesce(d.n_dup_neighbors, 0) > 0 AS pruned
+         FROM e LEFT JOIN dups d ON e.vec_id = d.vec_id
+         ORDER BY e.vec_id"""
   )
 }

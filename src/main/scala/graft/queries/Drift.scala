@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+
+/** Distribution-drift detection between table snapshots (SURVEY.md §2B
+  * LLM-data-pipeline extensions): the data-quality gate a continuously
+  * ingested training corpus runs before each retraining cut — "did this
+  * week's data shift against last week's?".
+  *
+  * Reference analog: none in code; the monitoring side of the reference's
+  * ingestion loop (README's bronze freshness narrative) — *ext*.
+  *
+  * q_drift_psi computes the Population Stability Index between two
+  * deterministic snapshots of orders (orderdate before / from 1998-01-01)
+  * over a fixed-width 10-bucket histogram of o_totalprice:
+  *
+  *   PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+  *
+  * with Laplace smoothing (+0.5 per bucket) so empty buckets stay finite.
+  * Engine parity uses the same discipline as q_search_bm25: bucket counts
+  * are exact integers, each bucket's double-precision PSI term is floored
+  * into 1e-8 units (floor(x·1e8 + 0.5) — identical IEEE expression both
+  * engines), and the cross-bucket total is a BIGINT sum, immune to
+  * addition order. Output: one row per bucket plus a bucket = -1 total
+  * row.
+  *
+  * Scale shape: two map-side-partial hash aggregates over a 10-value
+  * bucket key (a broadcast-sized result regardless of corpus size), one
+  * broadcast of the two scalar totals, and a 10-row final join — the
+  * entire comparison after the scans is constant-size. At 100 TB each
+  * snapshot scan prunes to (o_orderdate, o_totalprice) columns only.
+  */
+object Drift {
+
+  private val BucketWidth = 50000.0
+  private val NBuckets = 10
+
+  /** PSI over a pre-bucketed two-snapshot frame with columns
+    * (bucket: int, is_old: boolean). Returns one row per bucket plus a
+    * bucket = -1 total row: (bucket, n_old, n_new, psi_micro, psi) with
+    * psi_micro in 1e-8 units (BIGINT — the order-independent sum carrier).
+    * `smoothBuckets` is the bucket count the +0.5 Laplace smoothing
+    * normalizes over (pass the histogram's configured bucket count, not
+    * the observed distinct count, so empty buckets don't shift p/q). */
+  def psi(bucketed: DataFrame, smoothBuckets: Int): DataFrame = {
+    // the ONE corpus-sized operation: a (bucket) hash aggregate whose
+    // map-side partial collapses each input partition to ≤ NBuckets rows
+    val hist = bucketed.groupBy(col("bucket"))
+      .agg(
+        sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_new"))
+    // totals via an unpartitioned window — legal precisely because the
+    // frame is histogram-sized (≤ NBuckets rows), so no corpus re-scan
+    // and no second shuffle of the input
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val perBucket = hist
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        ((col("n_old") + 0.5) / (sum(col("n_old")).over(all) + 0.5 * smoothBuckets)).as("p"),
+        ((col("n_new") + 0.5) / (sum(col("n_new")).over(all) + 0.5 * smoothBuckets)).as("q"))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        floor(((col("p") - col("q")) * log(col("p") / col("q"))) * 1e8 + 0.5)
+          .cast("long").as("psi_micro"))
+    // total row: the union's second branch re-aggregates the ≤ NBuckets
+    // frame; its (bucket) exchange subplan is identical to the first
+    // branch's, so ReuseExchange serves both from one corpus scan
+    val total = perBucket.agg(
+      sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
+      sum(col("psi_micro")).as("psi_micro"))
+      .select(lit(-1).as("bucket"), col("n_old"), col("n_new"), col("psi_micro"))
+    perBucket.unionByName(total)
+      .select(col("bucket"), col("n_old"), col("n_new"), col("psi_micro"),
+        round(col("psi_micro") / 1e8, 8).as("psi"))
+      .orderBy(col("bucket"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drift_psi" -> ((s, dir) => {
+      import s.implicits._
+      psi(orders(s, dir).select(
+        least(floor($"o_totalprice" / BucketWidth), lit(NBuckets - 1))
+          .cast("int").as("bucket"),
+        ($"o_orderdate" < "1998-01-01").as("is_old")), NBuckets)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_drift_psi" ->
+      """WITH o AS (
+           SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bucket,
+                  o_orderdate < DATE '1998-01-01' AS is_old
+           FROM orders),
+         hist AS (
+           SELECT bucket,
+                  CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                  CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+           FROM o GROUP BY 1),
+         totals AS (
+           SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+                  CAST(sum(n_new) AS BIGINT) AS tot_new FROM hist),
+         per AS (
+           SELECT bucket, n_old, n_new,
+                  CAST(floor(((p - q) * ln(p / q)) * 1e8 + 0.5) AS BIGINT) AS psi_micro
+           FROM (SELECT bucket, n_old, n_new,
+                        (n_old + 0.5) / (tot_old + 0.5 * 10) AS p,
+                        (n_new + 0.5) / (tot_new + 0.5 * 10) AS q
+                 FROM hist, totals)),
+         unioned AS (
+           SELECT * FROM per
+           UNION ALL
+           SELECT -1 AS bucket, CAST(sum(n_old) AS BIGINT), CAST(sum(n_new) AS BIGINT),
+                  CAST(sum(psi_micro) AS BIGINT) FROM per)
+         SELECT bucket, n_old, n_new, psi_micro,
+                round(psi_micro / 1e8, 8) AS psi
+         FROM unioned
+         ORDER BY bucket"""
+  )
+}

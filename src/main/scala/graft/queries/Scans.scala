@@ -155,6 +155,31 @@ object Scans {
         .orderBy($"event_id")
     }),
 
+    // DYNAMIC partition pruning: the partitions to keep are only known at
+    // RUNTIME — they come from a dim-side predicate on an aggregate
+    // (event types with an even event count), not from any literal the
+    // optimizer could fold into a static PartitionFilter. Spark plants a
+    // dynamicpruningexpression subquery on the fact scan's partition
+    // column (reusing the dim's broadcast exchange — PlanSpec pins it), so
+    // the fact side opens only the surviving type directories. At 100 TB
+    // this is THE mechanism that makes fact⋈filtered-dim joins read a
+    // fraction of a date/chain-partitioned fact table; static pruning
+    // (q_scan_partition_prune) can't express it.
+    "q_scan_dpp" -> ((s, dir) => {
+      import s.implicits._
+      val fact = s.read.parquet(partitionedEvents(s, dir))
+      val dim = events(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_type"))
+        .filter($"n_type" % 2 === 0)
+      fact.join(dim, "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          max($"event_id").as("max_event_id"))
+        .orderBy($"event_type")
+    }),
+
     // 2-D box filter against the z-order-clustered copy: both predicates
     // push to the reader, and the Morton layout confines matching rows to
     // a handful of files on either dimension (LayoutSpec quantifies).
@@ -240,6 +265,21 @@ object Scans {
          FROM events
          WHERE event_type = 'click'
          ORDER BY event_id""",
+
+    // Oracle reads the ORIGINAL events twice (fact + dim): the partitioned
+    // copy and the runtime pruning are Spark-side physical details — the
+    // contract is join-semantics equality.
+    "q_scan_dpp" ->
+      """WITH dim AS (
+           SELECT event_type, count(*) AS n_type FROM events GROUP BY 1)
+         SELECT e.event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+                max(e.event_id) AS max_event_id
+         FROM events e JOIN dim ON e.event_type = dim.event_type
+         WHERE dim.n_type % 2 = 0
+         GROUP BY 1
+         ORDER BY 1""",
 
     // Oracle reads the ORIGINAL lineitem: the z-ordered copy is a layout
     // detail — clustered reads must return exactly what a full scan would.

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+
+/** Retrieval scoring over the documents corpus (SURVEY.md §2B
+  * LLM-data-pipeline extensions): the inverted-index/BM25 shape that a
+  * training-data pipeline uses for corpus search, hard-negative mining and
+  * retrieval-based filtering.
+  *
+  * Reference analog: none (the reference's query surface stops at the
+  * bronze tables; retrieval is part of the *ext* LLM-curation north star,
+  * like q_text_top_terms' tf/idf).
+  *
+  * Engine-parity design (the q_graph_pagerank lesson, applied to floats):
+  * every input to the scoring formula is an exact integer (tf, dl, df, N)
+  * or a ratio of exact integers (avgdl), and the per-(doc, term)
+  * double-precision BM25 term is converted to integer MICRO-UNITS with an
+  * explicit floor(x·1e6 + 0.5) before the per-doc sum — so the only
+  * cross-engine float operations are single expressions with identical
+  * IEEE semantics (ln, ·, /), and the SUM is over BIGINTs, immune to
+  * addition-order differences between Spark partial aggregation and
+  * DuckDB's scan order. Ranking ties break on doc_id.
+  *
+  * Scale shape: tokenize → explode feeds a (doc, term) hash aggregate
+  * (map-side partial absorbs the explode inflation); the query-term list
+  * and its df/idf table are broadcast by construction (|terms| rows); dl
+  * is a narrow size(split) — no second pass over tokens; the final top-k
+  * is TakeOrderedAndProject, never a global sort. At 100 TB the only
+  * corpus-sized shuffle is the (doc, term) tf aggregate restricted to
+  * query terms — i.e. proportional to postings of the query, which is the
+  * inverted-index access pattern an external index would serve.
+  */
+object Search {
+
+  /** BM25 hyperparameters (standard Robertson defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Fixed query-term set — present in the synthetic vocab at every SF. */
+  private[queries] val queryTerms = Seq("spark", "join", "stream", "vector", "agg")
+
+  private def microBm25(tf: Column, dl: Column, idf: Column, avgdl: Column): Column =
+    floor(
+      idf * (tf * lit(K1 + 1.0)) / (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl)) * 1e6 + 0.5
+    ).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 top-10 docs for a fixed 5-term disjunctive query.
+    "q_search_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir).filter($"text".isNotNull)
+        .select($"doc_id", split($"text", " ").as("toks"))
+      // per-doc length (narrow — no token shuffle) and the corpus scalars
+      val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).as("n_docs"),
+        (sum($"dl") / count(lit(1))).as("avgdl"))
+      // postings restricted to the query terms BEFORE the aggregate: the
+      // shuffle carries only matching (doc, term) rows
+      val tf = docs
+        .select($"doc_id", explode($"toks").as("term"))
+        .filter($"term".isin(queryTerms: _*))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).cast("long").as("tf"))
+      val idf = tf.groupBy($"term")
+        .agg(countDistinct($"doc_id").cast("long").as("df"))
+        .crossJoin(broadcast(stats))
+        .select($"term", $"df",
+          log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)).as("idf"),
+          $"avgdl")
+      tf.join(broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select($"doc_id",
+          microBm25($"tf", $"dl", $"idf", $"avgdl").as("micro"))
+        .groupBy($"doc_id")
+        .agg(sum($"micro").as("score_micro"), count(lit(1)).as("n_terms"))
+        .select($"doc_id", $"n_terms",
+          round($"score_micro" / 1e6, 6).as("score"), $"score_micro")
+        .orderBy($"score_micro".desc, $"doc_id")
+        .limit(10)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_search_bm25" -> {
+      val terms = queryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL),
+          dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+          stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+            WHERE term IN ($terms)
+            GROUP BY 1, 2),
+          idf AS (
+            SELECT term, df, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+            FROM (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM tf GROUP BY 1), stats),
+          scored AS (
+            SELECT tf.doc_id,
+                   CAST(floor(idf.idf * (tf.tf * (1.2 + 1.0))
+                              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / idf.avgdl))
+                              * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                 round(sum(micro) / 1e6, 6) AS score,
+                 CAST(sum(micro) AS BIGINT) AS score_micro
+          FROM scored
+          GROUP BY doc_id
+          ORDER BY score_micro DESC, doc_id
+          LIMIT 10"""
+    }
+  )
+}

@@ -37,6 +37,21 @@ class PlanSpec extends SparkSpec {
       s"event_type must be a partition column, not a data column, in:\n$p")
   }
 
+  test("dpp query plants a runtime pruning subquery on the fact's partition column") {
+    val p = plan("q_scan_dpp")
+    // the surviving event_type set is only known after the dim aggregate
+    // runs: Catalyst must plant a dynamic pruning expression in the fact
+    // scan's PartitionFilters — not a static literal, not a row filter
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression on the partitioned scan in:\n$p")
+    assert(raw"PartitionFilters: \[[^\]]*dynamicpruning".r
+      .findFirstIn(p.toLowerCase.replace("partitionfilters", "PartitionFilters")).isDefined ||
+      p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"the pruning must sit in PartitionFilters in:\n$p")
+    // dim side stays a broadcast (DPP reuses that exchange; no extra scan)
+    assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast in:\n$p")
+  }
+
   test("zorder box query pushes BOTH dimension predicates to the reader") {
     val p = plan("q_scan_zorder")
     // row-group stat skipping needs the range predicates at the parquet

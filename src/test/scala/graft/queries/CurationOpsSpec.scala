@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.Tables
+import graft.operators.Dedup
+
+/** Unit tests for the round-8 curation additions: BM25 retrieval scoring
+  * (driver-side independent recompute), PSI drift (hand-computed algebra +
+  * invariants), and SemDeDup cluster-scoped pruning (consistency with the
+  * exact pair operator, scoping, threshold monotonicity). */
+class CurationOpsSpec extends SparkSpec {
+
+  // ---------- BM25 ----------
+
+  test("bm25: top-10 matches an independent driver-side recompute") {
+    val rows = Tables.documents(spark, sf()).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = rows.length.toLong
+    val avgdl = rows.map(_._2.size.toLong).sum.toDouble / n
+    val terms = Seq("spark", "join", "stream", "vector", "agg")
+    val df = terms.map(t => t -> rows.count(_._2.contains(t)).toLong).toMap
+    val idf = terms.map(t => t -> math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))).toMap
+    val scored = rows.flatMap { case (id, toks) =>
+      val dl = toks.size.toLong
+      val micro = terms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) 0L
+        else math.floor(
+          idf(t) * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) * 1e6 + 0.5
+        ).toLong
+      }.sum
+      if (micro > 0) Some(id -> micro) else None
+    }
+    val expected = scored.sortBy { case (id, m) => (-m, id) }.take(10).toSeq
+    val got = SparkEntry_q("q_search_bm25")
+      .select(col("doc_id"), col("score_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got === expected, s"BM25 top-10 mismatch:\n got $got\n exp $expected")
+  }
+
+  test("bm25: every returned doc contains at least one query term") {
+    val out = SparkEntry_q("q_search_bm25")
+    assert(out.filter(col("n_terms") < 1 || col("n_terms") > 5).count() === 0)
+    assert(out.filter(col("score_micro") <= 0).count() === 0,
+      "BM25 scores of matching docs must be strictly positive")
+  }
+
+  private def SparkEntry_q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf())
+
+  // ---------- PSI ----------
+
+  test("psi: identical snapshot distributions yield exactly zero drift") {
+    import spark.implicits._
+    // both snapshots hold 5 rows in each of the 4 buckets
+    val sym = Seq.tabulate(40)(i => (i % 4, i < 20)).toDF("bucket", "is_old")
+    val out = Drift.psi(sym, smoothBuckets = 4).collect()
+    assert(out.forall(_.getLong(3) == 0L),
+      s"identical p/q must floor to 0 micro in every row: ${out.mkString(",")}")
+  }
+
+  test("psi: hand-computed two-bucket example, exact micro units") {
+    import spark.implicits._
+    // old: 3 in b0, 1 in b1; new: 1 in b0, 3 in b1; smoothing over 2
+    val rows = Seq.fill(3)((0, true)) ++ Seq((1, true)) ++
+      Seq((0, false)) ++ Seq.fill(3)((1, false))
+    val out = Drift.psi(rows.toDF("bucket", "is_old"), smoothBuckets = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    def term(po: Double, qo: Double): Long =
+      math.floor((po - qo) * math.log(po / qo) * 1e8 + 0.5).toLong
+    val p0 = (3 + 0.5) / (4 + 0.5 * 2); val q0 = (1 + 0.5) / (4 + 0.5 * 2)
+    val exp0 = term(p0, q0); val exp1 = term(q0, p0)
+    assert(out(0) === exp0 && out(1) === exp1 && out(-1) === exp0 + exp1,
+      s"psi micro mismatch: $out vs ($exp0, $exp1)")
+  }
+
+  test("psi: per-bucket terms are non-negative ((p-q)ln(p/q) >= 0), total = sum") {
+    val out = graft.SparkEntry.queries("q_drift_psi")(spark, sf()).collect()
+    val buckets = out.filter(_.getInt(0) >= 0)
+    assert(buckets.forall(_.getLong(3) >= 0L),
+      "every PSI contribution is mathematically non-negative")
+    assert(out.find(_.getInt(0) == -1).get.getLong(3) === buckets.map(_.getLong(3)).sum)
+  }
+
+  // ---------- SemDeDup ----------
+
+  private def clustered = Tables.embeddings(spark, sf())
+    .select(col("vec_id"), col("label").as("cluster"), col("embedding"))
+
+  test("semantic dedup: pruned iff a smaller-id same-cluster neighbor at cos >= t") {
+    // independent recompute via the exact pair operator, restricted per cluster
+    val pairs = Dedup.embeddingNearDups(
+      Tables.embeddings(spark, sf()).select(col("vec_id"), col("embedding")), 0.3)
+      .join(clustered.select(col("vec_id").as("d1"), col("cluster").as("c1")), "d1")
+      .join(clustered.select(col("vec_id").as("d2"), col("cluster").as("c2")), "d2")
+      .filter(col("c1") === col("c2"))
+    val expectedPruned = pairs.select(col("d2").as("vec_id")).distinct()
+    val got = Dedup.semanticDedup(clustered, 0.3)
+    val gotPruned = got.filter(col("pruned")).select(col("vec_id"))
+    assert(gotPruned.exceptAll(expectedPruned).isEmpty &&
+      expectedPruned.exceptAll(gotPruned).isEmpty,
+      "pruned set must equal the cluster-restricted exact-pair d2 set")
+    // every input vector is flagged exactly once
+    assert(got.count() === clustered.count())
+    assert(got.select(col("vec_id")).distinct().count() === clustered.count())
+  }
+
+  test("semantic dedup: clusters isolate — identical vectors in different clusters survive") {
+    import spark.implicits._
+    val v = Seq.fill(8)(1.0f)
+    val e = Seq(
+      (1L, 0, v), (2L, 1, v),          // identical, different clusters
+      (10L, 2, v), (11L, 2, v)         // identical, same cluster
+    ).toDF("vec_id", "cluster", "embedding")
+    val out = Dedup.semanticDedup(e, 0.9).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!out(1L) && !out(2L), "cross-cluster twins must both survive")
+    assert(!out(10L) && out(11L), "in-cluster twin keeps the min id only")
+  }
+
+  test("semantic dedup: higher threshold prunes a subset") {
+    val loose = Dedup.semanticDedup(clustered, 0.2)
+      .filter(col("pruned")).select("vec_id")
+    val strict = Dedup.semanticDedup(clustered, 0.5)
+      .filter(col("pruned")).select("vec_id")
+    assert(strict.exceptAll(loose).isEmpty,
+      "vectors pruned at 0.5 must also be pruned at 0.2")
+  }
+}
