@@ -362,6 +362,81 @@ object ScaleProbe {
       }
     }
 
+    // round-8 continuation: SemDeDup — embeddings replicated N× with
+    // fresh pseudo-random directions (the srp_neardup flip trick) and
+    // per-replica cluster ids (cluster = label + 10·replica), modeling
+    // k ∝ n codebook sizing: per-cluster occupancy stays constant, so the
+    // Σ|c|² pair work should grow LINEARLY in the corpus. Near-linear sec
+    // across N is the cluster-scoping claim's evidence; a plan that paired
+    // across clusters (or a k held fixed while n grows) would go
+    // quadratic and show here first.
+    if (want("semdedup")) {
+      val embL0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"label", $"embedding")
+      def clusteredOf(m: Int) = (0 until m).map { i =>
+        embL0.select(
+          ($"vec_id" + lit(i.toLong * 10000000L)).as("vec_id"),
+          ($"label" + lit(i * 10)).as("cluster"),
+          transform($"embedding", (x, d) =>
+            (x * when(pmod(hash(lit(i), d), lit(2)) === 0, 1.0f)
+              .otherwise(-1.0f)).cast("float")).as("embedding"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      graft.operators.Dedup.semanticDedup(clusteredOf(1), 0.3).count() // warm
+      Seq(1, 4, 16).foreach { m =>
+        val c = clusteredOf(m)
+        val n = c.count()
+        val t0 = System.nanoTime()
+        val pruned = graft.operators.Dedup.semanticDedup(c, 0.3)
+          .filter($"pruned").count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"semdedup","mult":$m,"vectors":$n,"pruned":$pruned,"sec":$t%.2f}""")
+      }
+    }
+
+    // round-8 continuation: BM25 — documents replicated N× verbatim with
+    // remapped ids (no disjoint-vocab prefixing: retrieval doesn't pair
+    // docs, and the postings of the fixed query must grow with the
+    // corpus). The only corpus-sized stage is the postings-restricted
+    // (doc, term) aggregate, so sec should track the corpus near-linearly
+    // with a small constant — the inverted-index access pattern's cost
+    // envelope, not an all-terms tf materialization (which would show as
+    // a large constant here).
+    if (want("bm25")) {
+      def docsOf(m: Int) = (0 until m).map { i =>
+        docs0.select(($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"), $"text")
+      }.reduce(_ unionAll _)
+      def bm25Count(docs: org.apache.spark.sql.DataFrame): Long = {
+        val toks = docs.filter($"text".isNotNull)
+          .select($"doc_id", split($"text", " ").as("toks"))
+        val dl = toks.select($"doc_id", size($"toks").cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          (sum($"dl") / count(lit(1))).as("avgdl"))
+        val tf = toks.select($"doc_id", explode($"toks").as("term"))
+          .filter($"term".isin("spark", "join", "stream", "vector", "agg"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).cast("long").as("tf"))
+        val idf = tf.groupBy($"term")
+          .agg(countDistinct($"doc_id").cast("long").as("df"))
+          .crossJoin(broadcast(stats))
+          .select($"term",
+            log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)).as("idf"),
+            $"avgdl")
+        tf.join(broadcast(idf), "term").join(dl, "doc_id")
+          .select($"doc_id",
+            ($"idf" * ($"tf" * 2.2) / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))).as("s"))
+          .groupBy($"doc_id").agg(sum($"s").as("score"))
+          .orderBy($"score".desc, $"doc_id").limit(10).count()
+      }
+      bm25Count(docsOf(1)) // warm
+      Seq(1, 8, 64).foreach { m =>
+        val docs = docsOf(m).localCheckpoint()
+        val n = docs.count()
+        val t0 = System.nanoTime()
+        bm25Count(docs)
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"bm25","mult":$m,"docs":$n,"sec":$t%.2f}""")
+      }
+    }
+
     // hot-key as-of: every row on ONE key — the composable join+max
     // formulation materializes probes × builds intermediate rows; the
     // custom merge operator streams both sides once. This is the skew case
