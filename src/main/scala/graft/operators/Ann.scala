@@ -304,8 +304,93 @@ object Ann {
       .orderBy($"probe_id", $"rn")
   }
 
+  /** Product-quantization ANN (q_ann_pq) — the memory-scale path BEYOND
+    * IVF: candidates are stored as M=4 one-byte codes (one per 16-dim
+    * subspace) instead of 64 floats (64× compression at real codebook
+    * sizes), and probe↔candidate scores are reconstructed via a LOOKUP
+    * TABLE, never a full-vector dot [Jégou et al., PAMI 2011].
+    *
+    * Structure (engine-portable by the q_ann_ivf devices):
+    *  1. per-(subspace, label) codebook = 4dp-quantized mean subvector —
+    *     round(avg, 4) is bit-identical cross-engine;
+    *  2. ENCODE: each corpus subvector → argmin 4dp-rounded L2 distance
+    *     (tie on label) — a broadcast-codebook join + in-group rank, the
+    *     narrow pass that would run once at ingest;
+    *  3. ADC: each probe precomputes micro-unit (floor(dot·1e6 + 0.5))
+    *     inner products against ALL M·k codebook entries — a
+    *     probes × (M·k)-row broadcast LUT — and a candidate's score is
+    *     the BIGINT SUM of M lut hits on its codes: addition-order-proof,
+    *     and the scan touches only (cand, m, code) ints, never vectors;
+    *  4. top-3 per probe by (score_micro desc, cand_id).
+    *
+    * Scale shape: the codebook (M·k subvectors) and the LUT (probes·M·k
+    * longs) are broadcast by construction; the per-candidate work is M
+    * integer lookups + a 4-term integer sum — the PQ scan is bounded by
+    * code bytes, not embedding bytes, which is the entire point at 100 TB
+    * (the 64-float corpus never moves after encode). */
+  def pqTopK(probes: DataFrame, corpus: DataFrame,
+      mSub: Int, subDim: Int, k: Int): DataFrame = {
+    val subIdx = (0 until mSub).map(m => slice(col("embedding"), m * subDim + 1, subDim))
+    def tall(df: DataFrame) = df
+      .select(col("vec_id"), col("label"),
+        posexplode(array(subIdx: _*)).as(Seq("m", "sub")))
+    val corpusTall = tall(corpus)
+    val probeTall = tall(probes)
+      .select(col("vec_id").as("probe_id"), col("m"), col("sub").as("pv"))
+    // 1. codebook: per-(m, label) 4dp mean subvector
+    val cents = corpusTall
+      .select(col("m"), col("label"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("label"), col("pos"))
+      .agg(round(avg(col("x")), 4).as("c"))
+      .groupBy(col("m"), col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("m"), col("label").as("code"),
+        transform(col("pc"), _.getField("c")).as("cent"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, c) => {
+        val d = x.cast("double") - c.cast("double"); d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    // 2. encode: nearest codebook entry per (candidate, subspace)
+    val wEnc = Window.partitionBy(col("cand_id"), col("m"))
+      .orderBy(col("dist"), col("code"))
+    val codes = corpusTall.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id").as("cand_id"), col("m"), col("code"),
+        round(sqDist(col("sub"), col("cent")), 4).as("dist"))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("cand_id"), col("m"), col("code"))
+    // 3. ADC lookup table: micro-unit probe·centroid inner products
+    val lut = probeTall.join(broadcast(cents), Seq("m"))
+      .select(col("probe_id"), col("m"), col("code"),
+        floor(dotD(col("pv"), col("cent")) * 1e6 + 0.5).cast("long").as("dot_micro"))
+    // 4. code scan: M integer lookups + BIGINT sum per (probe, candidate)
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score_micro").desc, col("cand_id"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("dot_micro")).as("score_micro"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("rn"),
+        col("score_micro"), round(col("score_micro") / 1e6, 6).as("score"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /** q_ann_pq: [[pqTopK]] on the shared fixture split (probes = vec_id<5,
+    * corpus = the rest), M=4 subspaces × 16 dims, top-3. */
+  private def pqOracleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    pqTopK(e.filter($"vec_id" < 5), e.filter($"vec_id" >= 5),
+      mSub = 4, subDim = 16, k = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_ivf" -> ((s, dir) => ivfOracleQuery(s, dir))
+    "q_ann_ivf" -> ((s, dir) => ivfOracleQuery(s, dir)),
+    "q_ann_pq" -> ((s, dir) => pqOracleQuery(s, dir))
   )
 
   private val dotSql =
@@ -343,7 +428,48 @@ object Ann {
             SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
             FROM cand)
           WHERE rn <= 3
-          ORDER BY probe_id, rn"""
+          ORDER BY probe_id, rn""",
+
+    "q_ann_pq" ->
+      """WITH sub AS (
+           SELECT vec_id, label, m, embedding[m*16+1:(m+1)*16] AS sub
+           FROM embeddings, (SELECT unnest(range(4)) AS m)),
+         corpus AS (SELECT * FROM sub WHERE vec_id >= 5),
+         probes AS (SELECT vec_id AS probe_id, m, sub AS pv FROM sub WHERE vec_id < 5),
+         tallc AS (
+           SELECT m, label, unnest(sub) AS x, unnest(range(len(sub))) AS pos
+           FROM corpus),
+         cents AS (
+           SELECT m, label AS code, list(c ORDER BY pos) AS cent
+           FROM (SELECT m, label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS c
+                 FROM tallc GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+         enc AS (
+           SELECT vec_id AS cand_id, m, code,
+                  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+           FROM (SELECT c.vec_id, c.m, ct.code,
+                        round(list_sum(list_transform(list_zip(c.sub, ct.cent),
+                          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                             * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS dist
+                 FROM corpus c JOIN cents ct ON c.m = ct.m)),
+         codes AS (SELECT cand_id, m, code FROM enc WHERE rn = 1),
+         lut AS (
+           SELECT p.probe_id, p.m, ct.code,
+                  CAST(floor(list_sum(list_transform(list_zip(p.pv, ct.cent),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) * 1e6 + 0.5)
+                       AS BIGINT) AS dot_micro
+           FROM probes p JOIN cents ct ON p.m = ct.m),
+         scored AS (
+           SELECT l.probe_id, c.cand_id, CAST(sum(l.dot_micro) AS BIGINT) AS score_micro
+           FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+           GROUP BY 1, 2)
+         SELECT probe_id, cand_id, CAST(rn AS INT) AS rn, score_micro,
+                round(score_micro / 1e6, 6) AS score
+         FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                          ORDER BY score_micro DESC, cand_id) AS rn
+               FROM scored)
+         WHERE rn <= 3
+         ORDER BY probe_id, rn"""
   )
 
   /** Per-label mean vectors — the coarse IVF codebook. */

@@ -77,7 +77,56 @@ object Drift {
       .orderBy(col("bucket"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic over a bucketed pair of
+    * snapshots ((bucket: int, is_old: boolean)) — EXACT integer form: the
+    * empirical-CDF gap at bucket b is |cumA/totA − cumB/totB|, compared
+    * across buckets by cross-multiplication, so the maximum (and its
+    * argmax bucket) is decided in BIGINT arithmetic with no float
+    * comparison anywhere; the double `ks` value is derived once at
+    * output. Returns ONE row: (at_bucket, d_num, tot_old, tot_new, ks)
+    * where ks = d_num / (tot_old·tot_new).
+    *
+    * Scale shape: identical to [[psi]] — one map-side-partial hash agg on
+    * the bucket key, then windows over the bucket-count-sized frame; the
+    * cross-multiplied counts stay under 2⁶³ for corpora up to ~3·10⁹ rows
+    * per snapshot (document larger corpora would switch to DECIMAL(38)). */
+  def ks(bucketed: DataFrame): DataFrame = {
+    val hist = bucketed.groupBy(col("bucket"))
+      .agg(
+        sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_new"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val cdf = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("bucket"))
+      .rowsBetween(Long.MinValue, 0)
+    hist
+      .select(col("bucket"),
+        sum(col("n_old")).over(cdf).as("cum_old"),
+        sum(col("n_new")).over(cdf).as("cum_new"),
+        sum(col("n_old")).over(all).as("tot_old"),
+        sum(col("n_new")).over(all).as("tot_new"))
+      .select(col("bucket").as("at_bucket"),
+        abs(col("cum_old") * col("tot_new") - col("cum_new") * col("tot_old"))
+          .as("d_num"),
+        col("tot_old"), col("tot_new"))
+      .orderBy(col("d_num").desc, col("at_bucket"))
+      .limit(1)
+      .select(col("at_bucket"), col("d_num"), col("tot_old"), col("tot_new"),
+        round(col("d_num") / (col("tot_old") * col("tot_new")), 8).as("ks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drift_ks" -> ((s, dir) => {
+      import s.implicits._
+      // finer buckets than PSI (width 10 000 → 50 cells): KS is a sup over
+      // the CDF, so resolution matters; still a broadcast-sized histogram
+      ks(orders(s, dir).select(
+        least(floor($"o_totalprice" / 10000.0), lit(49))
+          .cast("int").as("bucket"),
+        ($"o_orderdate" < "1998-01-01").as("is_old")))
+    }),
+
     "q_drift_psi" -> ((s, dir) => {
       import s.implicits._
       psi(orders(s, dir).select(
@@ -88,6 +137,32 @@ object Drift {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_drift_ks" ->
+      """WITH o AS (
+           SELECT CAST(least(floor(o_totalprice / 10000.0), 49) AS INT) AS bucket,
+                  o_orderdate < DATE '1998-01-01' AS is_old
+           FROM orders),
+         hist AS (
+           SELECT bucket,
+                  CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                  CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+           FROM o GROUP BY 1),
+         cdf AS (
+           SELECT bucket,
+                  CAST(sum(n_old) OVER (ORDER BY bucket) AS BIGINT) AS cum_old,
+                  CAST(sum(n_new) OVER (ORDER BY bucket) AS BIGINT) AS cum_new,
+                  CAST(sum(n_old) OVER () AS BIGINT) AS tot_old,
+                  CAST(sum(n_new) OVER () AS BIGINT) AS tot_new
+           FROM hist)
+         SELECT bucket AS at_bucket,
+                abs(cum_old * tot_new - cum_new * tot_old) AS d_num,
+                tot_old, tot_new,
+                round(abs(cum_old * tot_new - cum_new * tot_old)
+                      / (tot_old * tot_new), 8) AS ks
+         FROM cdf
+         ORDER BY d_num DESC, at_bucket
+         LIMIT 1""",
+
     "q_drift_psi" ->
       """WITH o AS (
            SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bucket,

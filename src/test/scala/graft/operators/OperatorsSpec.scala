@@ -423,4 +423,77 @@ class OperatorsSpec extends SparkSpec {
     // verify step keeps only pairs at/above the threshold
     assert(pairs.filter(col("cos") < 0.95).count() === 0)
   }
+
+  test("ANN: pq ADC is exact when quantization is lossless (cluster-degenerate corpus)") {
+    // All members of a label share ONE vector → the per-(subspace, label)
+    // centroid IS the member subvector, encoding is lossless, and the ADC
+    // score reconstructs the exact inner product (up to the ±0.5 micro
+    // flooring per subspace). Top-k and scores must match the exact IP
+    // ranking outright — the law that separates a broken LUT join /
+    // encode argmin from mere quantization error.
+    import spark.implicits._
+    val dim = 64
+    def vec(c: Int): Seq[Float] = Seq.tabulate(dim)(d => if (d / 8 == c) 1.0f else 0.0f)
+    val corpus = (0 until 8).flatMap(c => Seq(c * 10L, c * 10L + 1L).map(id =>
+      (id, vec(c), s"c$c"))).toDF("vec_id", "embedding", "label")
+    val probes = Seq((1000L, vec(2), "p")).toDF("vec_id", "embedding", "label")
+    val top = Ann.pqTopK(probes, corpus, mSub = 4, subDim = 16, k = 3).collect()
+    // label-2 members carry IP = 8.0 (8 shared ones), everything else 0 →
+    // top-2 are cand 20, 21 at exactly 8e6 micro; rank 3 is the smallest
+    // zero-score id (cand 0)
+    assert(top.map(_.getLong(1)).toSeq === Seq(20L, 21L, 0L))
+    assert(top(0).getLong(3) === 8000000L && top(1).getLong(3) === 8000000L)
+    assert(top(2).getLong(3) === 0L)
+  }
+
+  test("ANN: pq ADC top-10 stays in the probe's home cluster on clustered data") {
+    // With real jitter the within-cluster ADC ordering collapses (all
+    // members share codes — ties break on cand_id), so recall@10 against
+    // the exact ranking is NOT the right law; cluster-membership precision
+    // is: every ADC top-10 candidate must come from the probe's home
+    // cluster, because any cross-cluster hit means the encode argmin or
+    // the LUT routed mass to the wrong cell.
+    import spark.implicits._
+    val dim = 64
+    def jitter(i: Long, d: Int): Float =
+      ((((i * 1315423911L + d * 2654435761L) % 1000L) / 1000.0) - 0.5).toFloat * 0.1f
+    def vec(i: Long): Seq[Float] = {
+      val c = (i % 8).toInt
+      Seq.tabulate(dim)(d => (if (d / 8 == c) 1.0f else 0.0f) + jitter(i, d))
+    }
+    val corpus = (0L until 200L).map(i => (i, vec(i), s"c${i % 8}"))
+      .toDF("vec_id", "embedding", "label")
+    val probes = (1000L until 1016L).map(i => (i, vec(i), s"c${i % 8}"))
+      .toDF("vec_id", "embedding", "label")
+    val top = Ann.pqTopK(probes, corpus, mSub = 4, subDim = 16, k = 10)
+    val offCluster = top.filter((col("probe_id") % 8) =!= (col("cand_id") % 8)).count()
+    assert(offCluster === 0, s"$offCluster ADC top-10 hits outside the home cluster")
+    assert(top.count() === 160)
+  }
+
+  test("ANN: pq ADC ranks above random on the structureless fixture embeddings") {
+    // The fixture is near-random: ADC cannot recover the exact top-k
+    // (documented, same as the ivf degenerate test) — but its picks must
+    // still concentrate in the upper tail of the exact-IP distribution.
+    // Measured mean percentile ≈ 0.76; 0.60 leaves margin while failing
+    // any sign/argmin/join regression that decorrelates scores.
+    val probes = embs.filter(col("vec_id") < 5)
+    val corpus = embs.filter(col("vec_id") >= 5)
+    val top = Ann.pqTopK(probes, corpus, mSub = 4, subDim = 16, k = 3)
+      .select(col("probe_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = corpus.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val pvecs = probes.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def ip(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val pct = top.map { case (p, c) =>
+      val all = vecs.values.map(v => ip(pvecs(p), v)).toSeq.sorted
+      val mine = ip(pvecs(p), vecs(c))
+      all.count(_ < mine).toDouble / all.size
+    }
+    val mean = pct.sum / pct.length
+    assert(mean >= 0.60, f"ADC mean exact-IP percentile $mean%.3f < 0.60 (measured 0.76)")
+  }
 }

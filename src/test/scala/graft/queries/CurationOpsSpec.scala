@@ -85,6 +85,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.find(_.getInt(0) == -1).get.getLong(3) === buckets.map(_.getLong(3)).sum)
   }
 
+  test("ks: identical distributions → 0; disjoint → 1; exact integer argmax") {
+    import spark.implicits._
+    val same = Seq.tabulate(40)(i => (i % 4, i < 20)).toDF("bucket", "is_old")
+    assert(Drift.ks(same).collect().head.getLong(1) === 0L)
+    // old all in bucket 0, new all in bucket 1 → sup gap = 1 at bucket 0
+    val disj = (Seq.fill(7)((0, true)) ++ Seq.fill(5)((1, false)))
+      .toDF("bucket", "is_old")
+    val d = Drift.ks(disj).collect().head
+    assert(d.getInt(0) === 0 && d.getLong(1) === 7L * 5L && d.getDouble(4) === 1.0)
+    // hand case: old (2,1,1) new (1,1,2) over buckets 0..2, tot 4 each:
+    // cum_old·tot_new − cum_new·tot_old = 8−4=4 at b0, 12−8=4 at b1, 0 at b2
+    // → max 4 at bucket 0 (ties break on the smaller bucket)
+    val hand = (Seq.fill(2)((0, true)) ++ Seq((1, true), (2, true)) ++
+      Seq((0, false), (1, false)) ++ Seq.fill(2)((2, false)))
+      .toDF("bucket", "is_old")
+    val h = Drift.ks(hand).collect().head
+    assert(h.getInt(0) === 0 && h.getLong(1) === 4L && h.getDouble(4) === 0.25)
+  }
+
   // ---------- SemDeDup ----------
 
   private def clustered = Tables.embeddings(spark, sf())
