@@ -81,6 +81,28 @@ object Search {
           round($"score_micro" / 1e6, 6).as("score"), $"score_micro")
         .orderBy($"score_micro".desc, $"doc_id")
         .limit(10)
+    }),
+
+    // Positional-postings phrase search: docs containing the exact bigram
+    // "stream join", ranked by occurrence count. The positional-index
+    // shape: per-term postings carry token positions, and phrase matching
+    // is an EQUI-join on (doc, adjacent-position) — the second term's
+    // postings are shifted by one so adjacency needs no residual
+    // predicate. Term filters run BEFORE the join, so the shuffle carries
+    // only the two terms' postings (postings-sized, like q_search_bm25),
+    // never the full token stream.
+    "q_search_phrase" -> ((s, dir) => {
+      import s.implicits._
+      val tok = documents(s, dir).filter($"text".isNotNull)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "term")))
+      val first = tok.filter($"term" === "stream").select($"doc_id", $"pos")
+      val second = tok.filter($"term" === "join")
+        .select($"doc_id", ($"pos" - 1).as("pos"))
+      first.join(second, Seq("doc_id", "pos"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_phrase"), min($"pos").as("first_pos"))
+        .orderBy($"n_phrase".desc, $"doc_id")
+        .limit(10)
     })
   )
 
@@ -116,6 +138,25 @@ object Search {
           GROUP BY doc_id
           ORDER BY score_micro DESC, doc_id
           LIMIT 10"""
-    }
+    },
+
+    // generate_subscripts is 1-based where posexplode is 0-based; the
+    // adjacency join and min-position output are made offset-invariant
+    // (b.pos = a.pos + 1; first_pos emitted 0-based on both sides)
+    "q_search_phrase" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split(text, ' ')) AS term,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents WHERE text IS NOT NULL)
+         SELECT a.doc_id,
+                CAST(count(*) AS BIGINT) AS n_phrase,
+                CAST(min(a.pos) - 1 AS INT) AS first_pos
+         FROM tok a JOIN tok b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         WHERE a.term = 'stream' AND b.term = 'join'
+         GROUP BY a.doc_id
+         ORDER BY n_phrase DESC, a.doc_id
+         LIMIT 10"""
   )
 }

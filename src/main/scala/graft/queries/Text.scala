@@ -376,6 +376,46 @@ object Text {
           floor(avg(-log($"tf".cast("double") / $"n".cast("double"))) * 1e4)
             .cast("long").as("avg_nll_e4"))
         .orderBy($"doc_id")
+    }),
+
+    // Interpolated BIGRAM negative log-likelihood — the next quality-filter
+    // tier above q_text_unigram_logprob (a KenLM-shaped fluency score
+    // without a model artifact): p(w2|w1) = 0.8·c12/c1 + 0.2·c2/Nb, all
+    // counts from the corpus's own bigram table. Per-bigram NLL terms are
+    // floored into 1e-6 integer units BEFORE the per-doc sum (the
+    // q_search_bm25 discipline — strictly addition-order-proof where the
+    // unigram query's avg-of-doubles accepts a last-ulp hazard). Scale
+    // shape: one explode → (w1, w2) hash agg for the LM table; scoring
+    // joins the doc bigram stream to the table on the bigram key (vocab²-
+    // bounded — broadcast here, a key-shuffle at open-vocab scale); the
+    // per-doc result is a map-side-absorbable hash agg.
+    "q_text_bigram_logprob" -> ((s, dir) => {
+      import s.implicits._
+      val toks = documents(s, dir).filter($"text".isNotNull)
+        .select($"doc_id", split($"text", " ").as("toks"))
+      val big = toks
+        .select($"doc_id", explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+        .filter($"w1" =!= "" && $"w2" =!= "")
+      val c12 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val c2 = big.groupBy($"w2").agg(count(lit(1)).as("c2"))
+      val nb = big.agg(count(lit(1)).as("nb"))
+      val lm = c12.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(nb))
+        .select($"w1", $"w2",
+          floor(-log(lit(0.8) * ($"c12".cast("double") / $"c1".cast("double"))
+            + lit(0.2) * ($"c2".cast("double") / $"nb".cast("double"))) * 1e6 + 0.5)
+            .cast("long").as("nll_micro"))
+      big.join(broadcast(lm), Seq("w1", "w2"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum($"nll_micro").as("nll_micro_sum"))
+        .select($"doc_id", $"n_bigrams", $"nll_micro_sum",
+          round($"nll_micro_sum" / $"n_bigrams" / 1e6, 6).as("avg_nll"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -421,6 +461,31 @@ object Text {
           FROM tok2 JOIN freqs USING (term), tot
           GROUP BY doc_id
           ORDER BY doc_id""",
+
+    "q_text_bigram_logprob" ->
+      """WITH big AS (
+           SELECT doc_id, u[1] AS w1, u[2] AS w2
+           FROM (SELECT doc_id,
+                        unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS u
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE text IS NOT NULL))
+           WHERE u[1] <> '' AND u[2] <> ''),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+         c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM big),
+         lm AS (
+           SELECT w1, w2,
+                  CAST(floor(-ln(0.8 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                                 + 0.2 * (CAST(c2 AS DOUBLE) / CAST(nb AS DOUBLE)))
+                             * 1e6 + 0.5) AS BIGINT) AS nll_micro
+           FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), nb)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum,
+                round(CAST(sum(nll_micro) AS BIGINT) / count(*) / 1e6, 6) AS avg_nll
+         FROM big JOIN lm USING (w1, w2)
+         GROUP BY doc_id
+         ORDER BY doc_id""",
 
     // same deterministic PII planting, then count + sequential global
     // redaction ('g' flag: DuckDB defaults to first-match, Spark to all)

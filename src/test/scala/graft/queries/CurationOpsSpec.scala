@@ -51,6 +51,49 @@ class CurationOpsSpec extends SparkSpec {
   private def SparkEntry_q(name: String) =
     graft.SparkEntry.queries(name)(spark, sf())
 
+  test("phrase search: top-10 matches a driver-side sliding-window recompute") {
+    val rows = graft.catalog.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val expected = rows.flatMap { case (id, toks) =>
+      val hits = toks.sliding(2).zipWithIndex
+        .collect { case (Seq("stream", "join"), i) => i }.toSeq
+      if (hits.nonEmpty) Some((id, hits.size.toLong, hits.min)) else None
+    }.sortBy { case (id, n, _) => (-n, id) }.take(10).toSeq
+    val got = SparkEntry_q("q_search_phrase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === expected, s"phrase mismatch:\n got $got\n exp $expected")
+  }
+
+  test("bigram logprob: per-doc sums match a driver-side LM recompute") {
+    val rows = graft.catalog.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val bigs = rows.flatMap { case (id, toks) =>
+      toks.sliding(2).collect {
+        case Seq(a, b) if a.nonEmpty && b.nonEmpty => (id, a, b)
+      }
+    }
+    val c12 = bigs.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bigs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val c2 = bigs.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val nb = bigs.size.toLong
+    def nllMicro(a: String, b: String): Long =
+      math.floor(-math.log(
+        0.8 * (c12((a, b)).toDouble / c1(a)) + 0.2 * (c2(b).toDouble / nb)
+      ) * 1e6 + 0.5).toLong
+    val expected = bigs.groupBy(_._1).map { case (id, bs) =>
+      id -> ((bs.size.toLong, bs.map(t => nllMicro(t._2, t._3)).sum))
+    }
+    val got = SparkEntry_q("q_text_bigram_logprob").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected,
+      s"bigram LM mismatch on ${got.keySet.diff(expected.keySet)} / value diffs: " +
+        got.collect { case (k, v) if expected.get(k).exists(_ != v) => (k, v, expected(k)) }.take(3))
+  }
+
   // ---------- PSI ----------
 
   test("psi: identical snapshot distributions yield exactly zero drift") {
