@@ -64,16 +64,20 @@ object Drift {
       .select(col("bucket"), col("n_old"), col("n_new"),
         floor(((col("p") - col("q")) * log(col("p") / col("q"))) * 1e8 + 0.5)
           .cast("long").as("psi_micro"))
-    // total row: the union's second branch re-aggregates the ≤ NBuckets
-    // frame; its (bucket) exchange subplan is identical to the first
-    // branch's, so ReuseExchange serves both from one corpus scan
-    val total = perBucket.agg(
-      sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
-      sum(col("psi_micro")).as("psi_micro"))
-      .select(lit(-1).as("bucket"), col("n_old"), col("n_new"), col("psi_micro"))
-    perBucket.unionByName(total)
-      .select(col("bucket"), col("n_old"), col("n_new"), col("psi_micro"),
-        round(col("psi_micro") / 1e8, 8).as("psi"))
+    // total row WITHOUT a second plan branch: a union's total branch would
+    // re-plan (and statically re-scan) the corpus aggregate, betting on
+    // runtime exchange reuse — instead each of the ≤ NBuckets rows fans
+    // out to (its bucket, -1) and one tiny re-aggregation yields the
+    // per-bucket rows (singleton groups) AND the total in a single
+    // pipeline: the corpus is scanned exactly once by construction
+    perBucket
+      .select(explode(array(col("bucket"), lit(-1))).as("out_bucket"),
+        col("n_old"), col("n_new"), col("psi_micro"))
+      .groupBy(col("out_bucket"))
+      .agg(sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
+        sum(col("psi_micro")).as("psi_micro"))
+      .select(col("out_bucket").as("bucket"), col("n_old"), col("n_new"),
+        col("psi_micro"), round(col("psi_micro") / 1e8, 8).as("psi"))
       .orderBy(col("bucket"))
   }
 

@@ -25,12 +25,14 @@ import graft.catalog.Tables._
   * DuckDB's scan order. Ranking ties break on doc_id.
   *
   * Scale shape: tokenize → explode feeds a (doc, term) hash aggregate
-  * (map-side partial absorbs the explode inflation); the query-term list
-  * and its df/idf table are broadcast by construction (|terms| rows); dl
-  * is a narrow size(split) — no second pass over tokens; the final top-k
-  * is TakeOrderedAndProject, never a global sort. At 100 TB the only
-  * corpus-sized shuffle is the (doc, term) tf aggregate restricted to
-  * query terms — i.e. proportional to postings of the query, which is the
+  * (map-side partial absorbs the explode inflation) with the doc length
+  * CARRIED THROUGH it (max of a doc-functional value), so scoring needs
+  * no corpus-sized dl join; the query-term df/idf table is broadcast by
+  * construction (|terms| rows); the final top-k is
+  * TakeOrderedAndProject, never a global sort. At 100 TB the only
+  * corpus-sized work is two scans (a scalar length agg + the postings
+  * scan) and the only shuffle is the (doc, term) tf aggregate restricted
+  * to query terms — proportional to the query's postings, which is the
   * inverted-index access pattern an external index would serve.
   */
 object Search {
@@ -53,26 +55,32 @@ object Search {
       import s.implicits._
       val docs = documents(s, dir).filter($"text".isNotNull)
         .select($"doc_id", split($"text", " ").as("toks"))
-      // per-doc length (narrow — no token shuffle) and the corpus scalars
-      val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
-      val stats = dl.agg(
-        count(lit(1)).as("n_docs"),
-        (sum($"dl") / count(lit(1))).as("avgdl"))
-      // postings restricted to the query terms BEFORE the aggregate: the
-      // shuffle carries only matching (doc, term) rows
+      // corpus scalars: ONE narrow scalar-agg scan (map-side partials, no
+      // data shuffle beyond the single-row combine)
+      val stats = docs.select(size($"toks").cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum($"dl") / count(lit(1))).as("avgdl"))
+      // postings restricted to the query terms BEFORE the aggregate, and
+      // the doc length CARRIED THROUGH it (dl is doc-functional, so
+      // max(dl) reconstructs it) — the scoring side needs no corpus-sized
+      // dl join, so after this shuffle everything is postings-sized
       val tf = docs
-        .select($"doc_id", explode($"toks").as("term"))
+        .select($"doc_id", size($"toks").cast("long").as("dl"),
+          explode($"toks").as("term"))
         .filter($"term".isin(queryTerms: _*))
         .groupBy($"doc_id", $"term")
-        .agg(count(lit(1)).cast("long").as("tf"))
+        .agg(count(lit(1)).cast("long").as("tf"), max($"dl").as("dl"))
+      // df/idf re-aggregates the tf subtree; its (doc, term) exchange is
+      // identical to the scoring branch's, so the shuffle write is shared
+      // at runtime (AQE stage reuse) — and the frame is postings-sized
+      // regardless
       val idf = tf.groupBy($"term")
-        .agg(countDistinct($"doc_id").cast("long").as("df"))
+        .agg(count(lit(1)).cast("long").as("df"))
         .crossJoin(broadcast(stats))
         .select($"term", $"df",
           log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)).as("idf"),
           $"avgdl")
       tf.join(broadcast(idf), "term")
-        .join(dl, "doc_id")
         .select($"doc_id",
           microBm25($"tf", $"dl", $"idf", $"avgdl").as("micro"))
         .groupBy($"doc_id")

@@ -52,6 +52,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast in:\n$p")
   }
 
+  test("psi drift: single corpus scan — the total row re-aggregates the bucket frame") {
+    val p = plan("q_drift_psi")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 2,
+      s"psi must scan orders exactly once (formatted plans list each scan twice) in:\n$p")
+    // only the two consumed columns reach the reader
+    assert(!p.contains("o_custkey"), "unselected column read from parquet")
+  }
+
+  test("bm25: postings-sized shuffles, broadcast idf, top-k without global sort") {
+    val p = plan("q_search_bm25")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"idf join must broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "scoring must not need a corpus-sized sort-merge join (dl rides the tf aggregate)")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+    // stats scan + the shared tf subtree's two consumers = 3 static scans
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 6,
+      s"documents scanned more than 3 times in:\n$p")
+  }
+
+  test("semantic dedup and pq ANN never plan an all-pairs product") {
+    Seq("q_dedup_semantic", "q_ann_pq").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop:\n$p")
+    }
+  }
+
   test("zorder box query pushes BOTH dimension predicates to the reader") {
     val p = plan("q_scan_zorder")
     // row-group stat skipping needs the range predicates at the parquet
