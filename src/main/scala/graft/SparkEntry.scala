@@ -55,6 +55,7 @@ object SparkEntry {
       (graft.operators.Graph.queries, graft.operators.Graph.oracle),
       (graft.operators.Vocab.queries, graft.operators.Vocab.oracle),
       (graft.operators.Pack.queries, graft.operators.Pack.oracle),
+      (graft.operators.Merge.queries, graft.operators.Merge.oracle),
       (graft.pipeline.TrainingData.queries, graft.pipeline.TrainingData.oracle)
     )
 

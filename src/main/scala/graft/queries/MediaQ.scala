@@ -57,6 +57,42 @@ object MediaQ {
         .orderBy($"kind")
     }),
 
+    // Content-addressable media dedup: the binary-column analog of
+    // q_dedup_exact — duplicate payloads are found by md5 checksum
+    // equi-grouping (the per-partition digest from extractFeatures), never
+    // by comparing blobs: payloads stay where they were read, only
+    // (media_id, 32-char checksum) rows shuffle. Duplicates are planted
+    // deterministically (docs < 50 re-ingested under media_id + 10000 —
+    // the re-upload scenario); keeper = min media_id per digest group.
+    "q_media_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = documents(s, dir)
+        .filter($"text".isNotNull)
+        .select($"doc_id", $"text")
+      val replayed = base.filter($"doc_id" < 50)
+        .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+      val media = base.unionByName(replayed).as[(Long, String)]
+        .map { case (id, text) =>
+          val kind = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          Media.MediaRec(id, kind, text.getBytes("UTF-8"),
+            width = 64, height = 48, sample_rate = 16000, duration_ms = 4000L)
+        }
+      Media.extractFeatures(media).toDF()
+        .groupBy($"checksum")
+        .agg(count(lit(1)).as("n_copies"),
+          min($"media_id").as("keeper"),
+          sum($"n_bytes").as("total_bytes"),
+          max($"n_bytes").as("one_size"))
+        .filter($"n_copies" > 1)
+        // identical digests ⇒ identical payloads ⇒ reclaim = total − one
+        // copy (pure integer arithmetic — no division to diverge on)
+        .select($"checksum", $"n_copies", $"keeper",
+          ($"total_bytes" - $"one_size").cast("long").as("reclaimable_bytes"))
+        .orderBy($"checksum")
+    }),
+
     // Frame sampling (A11's generator shape applied to media): video rows
     // explode into one row per sampled frame via Media.sampleVideoFrames
     // (stub codec: every k-th byte window is a "frame" — deterministic, so
@@ -99,6 +135,23 @@ object MediaQ {
          WHERE text IS NOT NULL
          GROUP BY 1
          ORDER BY kind""",
+
+    "q_media_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         media AS (
+           SELECT doc_id AS media_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 10000 AS media_id, text FROM base WHERE doc_id < 50)
+         SELECT md5(text) AS checksum,
+                CAST(count(*) AS BIGINT) AS n_copies,
+                min(media_id) AS keeper,
+                CAST(sum(octet_length(encode(text))) -
+                     max(octet_length(encode(text))) AS BIGINT) AS reclaimable_bytes
+         FROM media
+         GROUP BY 1
+         HAVING count(*) > 1
+         ORDER BY checksum""",
 
     // replicates the stub frame sampler: nFrames = max(1, 4000/1000) = 4,
     // win = max(1, len/4), frame i = bytes[i*win, (i+1)*win) for

@@ -378,6 +378,42 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // DSIR-shaped importance weighting [Xie et al. 2023, arXiv:2302.03169]:
+    // per-doc importance = Σ_tokens ln(p_target(w) / p_base(w)), target =
+    // the 'en' slice, base = the whole corpus, both unigram LMs Laplace-
+    // smoothed over the base vocab (+0.5 / +0.5·V — OOV-proof for tokens
+    // the target never saw). The data-selection primitive: pick raw-pool
+    // docs that look most like the target domain. Per-token log-ratios are
+    // floored into 1e-6 integer units; per-doc sums are BIGINT
+    // (order-proof); top-50 by (weight desc, doc_id). Scale shape: two
+    // vocab-bounded term aggregates (broadcast at closed vocab, key
+    // shuffle at open), one token-stream join, TakeOrdered — the same
+    // envelope as q_text_unigram_logprob plus one broadcast.
+    "q_sample_dsir" -> ((s, dir) => {
+      import s.implicits._
+      val tok = documents(s, dir).filter($"text".isNotNull)
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("term"))
+        .filter($"term" =!= "")
+      val base = tok.groupBy($"term").agg(count(lit(1)).as("cb"))
+      val tgt = tok.filter($"lang" === "en")
+        .groupBy($"term").agg(count(lit(1)).as("ct"))
+      val scal = base.agg(count(lit(1)).as("v"), sum($"cb").as("nb"))
+        .crossJoin(tok.filter($"lang" === "en").agg(count(lit(1)).as("nt")))
+      val ratio = base.join(tgt, Seq("term"), "left")
+        .crossJoin(broadcast(scal))
+        .select($"term",
+          floor((log((coalesce($"ct", lit(0L)) + 0.5) / ($"nt" + $"v" * 0.5))
+            - log(($"cb" + 0.5) / ($"nb" + $"v" * 0.5))) * 1e6 + 0.5)
+            .cast("long").as("lr_micro"))
+      tok.join(broadcast(ratio), "term")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"lr_micro").as("weight_micro"))
+        .select($"doc_id", $"n_tokens", $"weight_micro",
+          round($"weight_micro" / 1e6, 6).as("weight"))
+        .orderBy($"weight_micro".desc, $"doc_id")
+        .limit(50)
+    }),
+
     // Interpolated BIGRAM negative log-likelihood — the next quality-filter
     // tier above q_text_unigram_logprob (a KenLM-shaped fluency score
     // without a model artifact): p(w2|w1) = 0.8·c12/c1 + 0.2·c2/Nb, all
@@ -461,6 +497,32 @@ object Text {
           FROM tok2 JOIN freqs USING (term), tot
           GROUP BY doc_id
           ORDER BY doc_id""",
+
+    "q_sample_dsir" ->
+      """WITH tok AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+           FROM documents WHERE text IS NOT NULL),
+         tok2 AS (SELECT * FROM tok WHERE term <> ''),
+         base AS (SELECT term, CAST(count(*) AS BIGINT) AS cb FROM tok2 GROUP BY 1),
+         tgt AS (SELECT term, CAST(count(*) AS BIGINT) AS ct
+                 FROM tok2 WHERE lang = 'en' GROUP BY 1),
+         scal AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS v,
+                  (SELECT CAST(sum(cb) AS BIGINT) FROM base) AS nb,
+                  (SELECT CAST(count(*) AS BIGINT) FROM tok2 WHERE lang = 'en') AS nt),
+         ratio AS (
+           SELECT term,
+                  CAST(floor((ln((coalesce(ct, 0) + 0.5) / (nt + v * 0.5))
+                              - ln((cb + 0.5) / (nb + v * 0.5))) * 1e6 + 0.5)
+                       AS BIGINT) AS lr_micro
+           FROM base LEFT JOIN tgt USING (term), scal)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(lr_micro) AS BIGINT) AS weight_micro,
+                round(CAST(sum(lr_micro) AS BIGINT) / 1e6, 6) AS weight
+         FROM tok2 JOIN ratio USING (term)
+         GROUP BY doc_id
+         ORDER BY weight_micro DESC, doc_id
+         LIMIT 50""",
 
     "q_text_bigram_logprob" ->
       """WITH big AS (

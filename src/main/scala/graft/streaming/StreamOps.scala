@@ -262,4 +262,39 @@ object StreamOps {
           .parquet(outDir)
       }
       .start()
+
+  /** Drift-on-arrival: per micro-batch, the arriving rows' bucket
+    * histogram is compared against a STATIC reference histogram with
+    * [[graft.queries.Drift.psi]] and one (batch_id, n_ref, n_batch,
+    * psi_micro, psi) row is appended per batch — the monitoring gate a
+    * continuously ingested training corpus runs to catch a shifted
+    * upstream BEFORE the data lands in a retraining cut (the streaming
+    * form of q_drift_psi, as dedupOnArrival is of q_dedup_incremental).
+    *
+    * `stream` must carry an int `bucket` column (bucketing is the
+    * caller's narrow projection); `reference` is a static bucketed frame.
+    * The per-batch cost is batch-sized + the (tiny) reference aggregate;
+    * the batch_id-partitioned dynamic-overwrite write makes replays
+    * idempotent (the toParquetExactlyOnce pattern). */
+  def driftOnArrival(stream: DataFrame, reference: DataFrame, outDir: String,
+      checkpointDir: String, smoothBuckets: Int) = {
+    val ref = reference.select(col("bucket"), lit(true).as("is_old"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.queries.Drift.psi(
+            ref.unionByName(batch.select(col("bucket"), lit(false).as("is_old"))),
+            smoothBuckets)
+          .filter(col("bucket") === -1)
+          .select(col("n_old").as("n_ref"), col("n_new").as("n_batch"),
+            col("psi_micro"), col("psi"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+  }
 }

@@ -94,6 +94,41 @@ class CurationOpsSpec extends SparkSpec {
         got.collect { case (k, v) if expected.get(k).exists(_ != v) => (k, v, expected(k)) }.take(3))
   }
 
+  test("dsir: top-50 importance weights match a driver-side recompute") {
+    val rows = graft.catalog.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).toSeq.filter(_.nonEmpty)))
+    val cb = rows.flatMap(_._3).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ct = rows.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val v = cb.size.toLong
+    val nb = cb.values.sum
+    val nt = rows.filter(_._2 == "en").map(_._3.size.toLong).sum
+    def lrMicro(t: String): Long = math.floor((
+      math.log((ct.getOrElse(t, 0L) + 0.5) / (nt + v * 0.5))
+        - math.log((cb(t) + 0.5) / (nb + v * 0.5))) * 1e6 + 0.5).toLong
+    val expected = rows.map { case (id, _, toks) =>
+      (id, toks.map(lrMicro).sum)
+    }.sortBy { case (id, w) => (-w, id) }.take(50).toSeq
+    val got = SparkEntry_q("q_sample_dsir")
+      .select(col("doc_id"), col("weight_micro")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected, s"dsir mismatch:\n got ${got.take(5)}\n exp ${expected.take(5)}")
+  }
+
+  test("media dedup: exactly the planted replays dedup, keeper is the original") {
+    val out = SparkEntry_q("q_media_dedup").collect()
+    // docs < 50 are re-ingested once → 50 groups of 2 copies (unless two
+    // fixture texts collide, which md5 grouping would surface as n>2)
+    assert(out.length === 50, s"expected 50 dup groups, got ${out.length}")
+    assert(out.forall(_.getLong(1) === 2L))
+    assert(out.forall(r => r.getLong(2) < 50L),
+      "keeper must be the original (smaller) media_id")
+    assert(out.forall(_.getLong(3) > 0L))
+  }
+
   // ---------- PSI ----------
 
   test("psi: identical snapshot distributions yield exactly zero drift") {

@@ -19,6 +19,30 @@ class StreamOpsSpec extends SparkSpec {
   private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click"): Event =
     Event(id, ts(minute), user, typ, 1.0)
 
+  test("drift-on-arrival: matching batch scores ~0, shifted batch scores high") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    val in = MemoryStream[Int]
+    val reference = (0 until 4).flatMap(b => Seq.fill(25)(b)).toDF("bucket")
+    val q = StreamOps.driftOnArrival(in.toDF().select($"value".as("bucket")),
+      reference, s"$tmp/out", s"$tmp/ck", smoothBuckets = 4)
+    try {
+      in.addData((0 until 4).flatMap(b => Seq.fill(10)(b)): _*) // uniform
+      q.processAllAvailable()
+      in.addData(Seq.fill(40)(0): _*)                           // collapsed
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out").collect()
+        .map(r => r.getAs[Int]("batch_id") ->
+          ((r.getAs[Long]("n_batch"), r.getAs[Long]("psi_micro")))).toMap
+      assert(out(0)._1 === 40L && out(1)._1 === 40L)
+      assert(out(0)._2 === 0L, s"uniform batch must score zero drift: ${out(0)}")
+      // all mass in one of four buckets vs a uniform reference: PSI well
+      // above the conventional 0.25 action threshold
+      assert(out(1)._2 > 25000000L, s"collapsed batch must alarm: ${out(1)}")
+    } finally q.stop()
+  }
+
   test("watermark drops late rows; append emits only closed windows") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
