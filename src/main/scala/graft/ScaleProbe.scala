@@ -437,6 +437,35 @@ object ScaleProbe {
       }
     }
 
+    // round-8 continuation: MERGE INTO — the q_merge_upsert scenario on an
+    // N×-replicated orders snapshot with DISJOINT key spaces, so target,
+    // source, and every action class grow exactly N×. One full-outer
+    // equi-join per merge: near-linear sec across N is the evidence a CDC
+    // batch lands in one key-shuffle pass (and would land shuffle-FREE on
+    // the bucketed layout).
+    if (want("merge")) {
+      val o0 = orders.select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      def snapOf(m: Int) = (0 until m).map { i =>
+        o0.select(($"o_orderkey" + lit(i.toLong * 1000000000L)).as("o_orderkey"),
+          $"o_totalprice", $"o_orderstatus")
+      }.reduce(_ unionAll _)
+      Seq(1, 4, 16).foreach { m =>
+        val o = snapOf(m).localCheckpoint()
+        val target = o.filter($"o_orderkey" % 7 =!= 0)
+        val source = o
+          .filter($"o_orderkey" % 3 === 0 || $"o_orderkey" % 7 === 0 ||
+            $"o_orderkey" % 11 === 0)
+          .select($"o_orderkey",
+            when($"o_orderkey" % 7 =!= 0 && $"o_orderkey" % 3 === 0,
+              $"o_totalprice" + 100.0).otherwise($"o_totalprice").as("o_totalprice"),
+            $"o_orderstatus", ($"o_orderkey" % 11 === 0).as("is_delete"))
+        val t0 = System.nanoTime()
+        val n = graft.operators.Merge.merge(target, source, Seq("o_orderkey")).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"merge","mult":$m,"merged_rows":$n,"sec":$t%.2f}""")
+      }
+    }
+
     // hot-key as-of: every row on ONE key — the composable join+max
     // formulation materializes probes × builds intermediate rows; the
     // custom merge operator streams both sides once. This is the skew case

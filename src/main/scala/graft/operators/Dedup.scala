@@ -428,6 +428,24 @@ object Dedup {
       .withColumn("pruned", col("n_dup_neighbors") > 0)
   }
 
+  /** The PRODUCTION SemDeDup path: cluster assignment comes from a learned
+    * [[graft.operators.Ann.kmeans]] codebook (broadcast argmax routing —
+    * narrow), then [[semanticDedup]] prunes within the learned cells.
+    * Size k ∝ corpus so per-cell occupancy stays constant and total pair
+    * work stays linear (the `semdedup` ScaleProbe measures exactly this
+    * at fixed cells). The q_dedup_semantic oracle query uses the label
+    * clustering instead only because a lossy learned clustering has no
+    * cross-engine mirror; the routing itself is what q_ann_ivf checks. */
+  def semanticDedupKmeans(embs: DataFrame, threshold: Double,
+      k: Int, iters: Int = 3): DataFrame = {
+    import graft.operators.Ann
+    val codebook = Ann.kmeans(embs, k, iters)
+    semanticDedup(
+      Ann.assign(embs, codebook)
+        .select(col("vec_id"), col("cluster"), col("embedding")),
+      threshold)
+  }
+
   /** UNBOUNDED embedding near-dup at scale: banded SRP-LSH candidate
     * generation (native `graft_srp` kernel — `bands` buckets of `bits`
     * hyperplane sign bits per vector) + exact-cosine verify within

@@ -218,6 +218,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out(10L) && out(11L), "in-cluster twin keeps the min id only")
   }
 
+  test("semantic dedup over a learned kmeans clustering prunes planted twins") {
+    import spark.implicits._
+    // 8 well-separated directions + an exact twin per tenth vector: the
+    // learned cells must co-locate each twin pair, so every twin (larger
+    // id) is pruned and originals survive. Jitter is wide (±0.25) so
+    // same-cluster NON-twins stay well below the 0.999 threshold — only
+    // the exact copies (cos = 1) may prune.
+    val dim = 64
+    def jitter(i: Long, d: Int): Float =
+      ((((i * 1315423911L + d * 2654435761L) % 1000L) / 1000.0) - 0.5).toFloat * 0.5f
+    def vec(i: Long): Seq[Float] = {
+      val c = (i % 8).toInt
+      Seq.tabulate(dim)(d => (if (d / 8 == c) 1.0f else 0.0f) + jitter(i, d))
+    }
+    val base = (0L until 100L).map(i => (i, vec(i), s"c${i % 8}"))
+    val twins = (0L until 100L by 10L).map(i => (i + 5000L, vec(i), "t"))
+    val embs = (base ++ twins).toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDedupKmeans(embs, threshold = 0.999, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    (0L until 100L by 10L).foreach { i =>
+      assert(out(i + 5000L), s"twin of $i must be pruned")
+      assert(!out(i), s"original $i must survive (keep-min-id)")
+    }
+  }
+
   test("semantic dedup: higher threshold prunes a subset") {
     val loose = Dedup.semanticDedup(clustered, 0.2)
       .filter(col("pruned")).select("vec_id")
