@@ -388,9 +388,91 @@ object Ann {
       mSub = 4, subDim = 16, k = 3)
   }
 
+  /** IVF × PQ (q_ann_ivfpq) — the composed production ANN: coarse IVF
+    * routing bounds WHICH candidates are scored (nprobe=2 of the 10
+    * cells), PQ-ADC bounds WHAT is read per candidate (4 code ints +
+    * broadcast LUT, never the 64-float vector). This is the
+    * standard IVFADC layout [Jégou PAMI'11 §IV]: at 100 TB the scan cost
+    * is (corpus/cells)·nprobe candidates × 4 integer lookups, with the
+    * full-precision vectors touched zero times after encode. Cells and PQ
+    * codebooks both derive from the label clustering (4dp-quantized means
+    * — the engine-portable device shared by q_ann_ivf / q_ann_pq). */
+  private def ivfpqOracleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 4; val subDim = 16
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter($"vec_id" < 5)
+    val corpus = e.filter($"vec_id" >= 5)
+    // coarse routing: full-dim 4dp centroids, nprobe=2 (the ivf device)
+    val cents = corpus
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"x"), 4).as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"label".as("route"), transform($"pm", _.getField("m")).as("centroid"))
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def cosD(a: Column, b: Column): Column =
+      dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+    val wc = Window.partitionBy($"probe_id").orderBy($"ccos".desc, $"route")
+    val routed = probes.select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+      .crossJoin(broadcast(cents))
+      .select($"probe_id", $"route",
+        round(cosD($"pv", $"centroid"), 4).as("ccos"))
+      .withColumn("crn", row_number().over(wc))
+      .filter($"crn" <= 2)
+      .select($"probe_id", $"route")
+    // fine scoring: PQ codes + ADC LUT (the pq devices), with the cell
+    // restriction applied BEFORE the ADC aggregation — candidates outside
+    // a probe's routed cells are never looked up, which is the IVFADC
+    // cost bound ((corpus/cells)·nprobe lookups, not corpus)
+    val subIdx = (0 until M).map(m => slice($"embedding", m * subDim + 1, subDim))
+    def tall(df: DataFrame) = df
+      .select($"vec_id", $"label", posexplode(array(subIdx: _*)).as(Seq("m", "sub")))
+    val subCents = tall(corpus)
+      .select($"m", $"label", posexplode($"sub").as(Seq("pos", "x")))
+      .groupBy($"m", $"label", $"pos")
+      .agg(round(avg($"x"), 4).as("c"))
+      .groupBy($"m", $"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"m", $"label".as("code"), transform($"pc", _.getField("c")).as("cent"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, c) => {
+        val d = x.cast("double") - c.cast("double"); d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val wEnc = Window.partitionBy($"cand_id", $"m").orderBy($"dist", $"code")
+    val codes = tall(corpus).join(broadcast(subCents), Seq("m"))
+      .select($"vec_id".as("cand_id"), $"label", $"m", $"code",
+        round(sqDist($"sub", $"cent"), 4).as("dist"))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter($"rn" === 1)
+      .select($"cand_id", $"label", $"m", $"code")
+    val lut = tall(probes)
+      .select($"vec_id".as("probe_id"), $"m", $"sub".as("pv"))
+      .join(broadcast(subCents), Seq("m"))
+      .select($"probe_id", $"m", $"code",
+        floor(dotD($"pv", $"cent") * 1e6 + 0.5).cast("long").as("dot_micro"))
+    val wTop = Window.partitionBy($"probe_id")
+      .orderBy($"score_micro".desc, $"cand_id")
+    codes
+      .join(broadcast(routed), $"label" === $"route")
+      .drop("route")
+      .join(broadcast(lut), Seq("probe_id", "m", "code"))
+      .groupBy($"probe_id", $"cand_id", $"label")
+      .agg(sum($"dot_micro").as("score_micro"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= 3)
+      .select($"probe_id", $"cand_id", $"label", $"rn",
+        $"score_micro", round($"score_micro" / 1e6, 6).as("score"))
+      .orderBy($"probe_id", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> ((s, dir) => ivfOracleQuery(s, dir)),
-    "q_ann_pq" -> ((s, dir) => pqOracleQuery(s, dir))
+    "q_ann_pq" -> ((s, dir) => pqOracleQuery(s, dir)),
+    "q_ann_ivfpq" -> ((s, dir) => ivfpqOracleQuery(s, dir))
   )
 
   private val dotSql =
@@ -464,6 +546,72 @@ object Ann {
            FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
            GROUP BY 1, 2)
          SELECT probe_id, cand_id, CAST(rn AS INT) AS rn, score_micro,
+                round(score_micro / 1e6, 6) AS score
+         FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                          ORDER BY score_micro DESC, cand_id) AS rn
+               FROM scored)
+         WHERE rn <= 3
+         ORDER BY probe_id, rn""",
+
+    "q_ann_ivfpq" ->
+      """WITH probes AS (
+           SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+         corpusf AS (
+           SELECT vec_id AS cand_id, label, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+         tallf AS (
+           SELECT label, unnest(cv) AS x, unnest(range(len(cv))) AS pos FROM corpusf),
+         centf AS (
+           SELECT label AS route, list(m ORDER BY pos) AS centroid
+           FROM (SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS m
+                 FROM tallf GROUP BY 1, 2)
+           GROUP BY label),
+         routed AS (
+           SELECT probe_id, route FROM (
+             SELECT p.probe_id, c.route,
+                    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                      round(list_sum(list_transform(list_zip(p.pv, c.centroid),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                            / (sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+                      DESC, c.route) AS crn
+             FROM probes p, centf c)
+           WHERE crn <= 2),
+         sub AS (
+           SELECT vec_id, label, m, embedding[m*16+1:(m+1)*16] AS sub
+           FROM embeddings, (SELECT unnest(range(4)) AS m)),
+         corpus AS (SELECT * FROM sub WHERE vec_id >= 5),
+         probesub AS (SELECT vec_id AS probe_id, m, sub AS pv FROM sub WHERE vec_id < 5),
+         tallc AS (
+           SELECT m, label, unnest(sub) AS x, unnest(range(len(sub))) AS pos
+           FROM corpus),
+         cents AS (
+           SELECT m, label AS code, list(c ORDER BY pos) AS cent
+           FROM (SELECT m, label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS c
+                 FROM tallc GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+         enc AS (
+           SELECT vec_id AS cand_id, label, m, code,
+                  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+           FROM (SELECT c.vec_id, c.label, c.m, ct.code,
+                        round(list_sum(list_transform(list_zip(c.sub, ct.cent),
+                          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                             * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 4) AS dist
+                 FROM corpus c JOIN cents ct ON c.m = ct.m)),
+         codes AS (SELECT cand_id, label, m, code FROM enc WHERE rn = 1),
+         lut AS (
+           SELECT p.probe_id, p.m, ct.code,
+                  CAST(floor(list_sum(list_transform(list_zip(p.pv, ct.cent),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) * 1e6 + 0.5)
+                       AS BIGINT) AS dot_micro
+           FROM probesub p JOIN cents ct ON p.m = ct.m),
+         scored AS (
+           SELECT r.probe_id, c.cand_id, c.label,
+                  CAST(sum(l.dot_micro) AS BIGINT) AS score_micro
+           FROM codes c
+           JOIN routed r ON c.label = r.route
+           JOIN lut l ON l.probe_id = r.probe_id AND l.m = c.m AND l.code = c.code
+           GROUP BY 1, 2, 3)
+         SELECT probe_id, cand_id, label, CAST(rn AS INT) AS rn, score_micro,
                 round(score_micro / 1e6, 6) AS score
          FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
                           ORDER BY score_micro DESC, cand_id) AS rn

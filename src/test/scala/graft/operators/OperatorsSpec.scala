@@ -471,6 +471,23 @@ class OperatorsSpec extends SparkSpec {
     assert(top.count() === 160)
   }
 
+  test("ANN: ivfpq agrees with pq on shared candidates and emits 3 per probe") {
+    val ivfpq = graft.SparkEntry.queries("q_ann_ivfpq")(spark, sf()).collect()
+    assert(ivfpq.length === 15 &&
+      ivfpq.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    // the ADC score of a candidate is routing-independent: wherever a
+    // (probe, cand) pair appears in both the cell-restricted and the
+    // global ranking, the micro score must be identical
+    val pq = graft.SparkEntry.queries("q_ann_pq")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    ivfpq.foreach { r =>
+      pq.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(s === r.getLong(4),
+          s"ADC score diverged for (${r.getLong(0)}, ${r.getLong(1)})")
+      }
+    }
+  }
+
   test("ANN: pq ADC ranks above random on the structureless fixture embeddings") {
     // The fixture is near-random: ADC cannot recover the exact top-k
     // (documented, same as the ivf degenerate test) — but its picks must
