@@ -598,6 +598,47 @@ object Dedup {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // Global LINE-level exact dedup (the C4/RefinedWeb repeated-span
+    // remover): docs explode into fixed 10-token "lines", a line survives
+    // only at its FIRST corpus occurrence (min (doc_id, idx) — one
+    // window over the line key, i.e. one corpus shuffle on the line
+    // hash), and surviving lines REASSEMBLE into the cleaned doc in
+    // original order (sorted collect per doc — bounded by doc length).
+    // Duplication is planted: docs < 50 replayed under doc_id + 10000
+    // with their first line + a unique marker tail, so replays lose
+    // exactly their first line and keep the marker — partial removal and
+    // reassembly both exercised, originals untouched.
+    "q_dedup_lines" -> ((s, dir) => {
+      val base = documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val replayed = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(array_join(slice(split(col("text"), " "), 1, 10), " "),
+            lit(" uniq"), col("doc_id").cast("string")).as("text"))
+      val toks = base.unionByName(replayed)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val lines = toks.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, (size(toks)-1) div 10), i -> array_join(slice(toks, i*10+1, 10), ' '))"
+        )).as(Seq("idx", "line")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("line")).orderBy(col("doc_id"), col("idx"))
+      val kept = lines.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val agg = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(encode(array_join(
+            transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+              x => x.getField("line")), " "), "UTF-8")).as("clean_md5"))
+      toks.select(col("doc_id"),
+          (floor((size(col("toks")) - 1) / 10) + 1).cast("long").as("n_lines"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_md5"), md5(encode(lit(""), "UTF-8"))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Entity resolution / record linkage: typo-tolerant matching of part
     // NAMES under multi-pass blocking. The scale device: candidate
     // pairing runs on the DISTINCT-name dictionary (vocab-bounded — the
@@ -807,6 +848,38 @@ object Dedup {
                      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3
          ORDER BY d1, d2""",
+
+    "q_dedup_lines" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         corpus AS (
+           SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 10000 AS doc_id,
+                  array_to_string(string_split(text, ' ')[1:10], ' ')
+                    || ' uniq' || CAST(doc_id AS VARCHAR) AS text
+           FROM base WHERE doc_id < 50),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         lines AS (
+           SELECT doc_id, CAST(i AS INT) AS idx,
+                  array_to_string(toks[i*10+1:(i+1)*10], ' ') AS line
+           FROM toks, LATERAL (SELECT unnest(range((len(toks)-1)//10 + 1)) AS i)),
+         kept AS (
+           SELECT doc_id, idx, line FROM (
+             SELECT doc_id, idx, line,
+                    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+             FROM lines)
+           WHERE rn = 1),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  md5(string_agg(line, ' ' ORDER BY idx)) AS clean_md5
+           FROM kept GROUP BY 1)
+         SELECT t.doc_id,
+                CAST((len(t.toks)-1)//10 + 1 AS BIGINT) AS n_lines,
+                coalesce(a.n_kept, 0) AS n_kept,
+                coalesce(a.clean_md5, md5('')) AS clean_md5
+         FROM toks t LEFT JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id""",
 
     "q_er_blocking" ->
       """WITH names AS (

@@ -208,6 +208,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(guaranteed.subsetOf(got), s"blocked pairs missed: ${guaranteed.diff(got).take(3)}")
   }
 
+  test("line dedup: kept-line conservation, replay stripping, first-doc identity") {
+    import spark.implicits._
+    val out = SparkEntry_q("q_dedup_lines").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // conservation: Σ n_kept over the corpus == number of DISTINCT lines
+    // (each distinct line survives exactly once, by definition)
+    val docs = graft.catalog.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def linesOf(text: String): Seq[String] =
+      text.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+    val corpus = docs ++ docs.filter(_._1 < 50).map { case (id, t) =>
+      (id + 10000L) -> (linesOf(t).head + s" uniq$id")
+    }
+    val distinctLines = corpus.flatMap { case (_, t) => linesOf(t) }.distinct.size.toLong
+    assert(out.values.map(_._2).sum === distinctLines,
+      "every distinct line must survive exactly once")
+    // replays share their first line with an earlier doc → stripped; the
+    // unique marker line survives
+    corpus.collect { case (id, _) if id >= 10000L =>
+      val (nLines, nKept, _) = out(id)
+      assert(nKept < nLines || nLines == 1L, s"replay $id kept all its lines")
+      assert(nKept >= 1L, s"replay $id lost its unique marker line")
+    }
+    // doc 0 is globally first: reassembly must reproduce its text verbatim
+    val md0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(docs.toMap.apply(0L).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0L)._3 === md0)
+  }
+
   // ---------- SemDeDup ----------
 
   private def clustered = Tables.embeddings(spark, sf())
