@@ -80,6 +80,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("line dedup: keep-first plans as WindowGroupLimit (partial top-1 below the shuffle)") {
+    val p = plan("q_dedup_lines")
+    // Spark rewrites the rn=1 filter into WindowGroupLimit, which prunes
+    // each map partition to its per-line minimum BEFORE the line-key
+    // exchange — the difference between shuffling every line occurrence
+    // and shuffling one candidate per (partition, line)
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("er blocking: dictionary-sized passes broadcast; no sort-merge, no product") {
+    val p = plan("q_er_blocking")
+    assert(p.contains("BroadcastHashJoin"), s"blocking joins must broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"distinct-name dictionary must never shuffle or cross in:\n$p")
+  }
+
+  test("merge upsert: ONE full-outer sort-merge join on the key") {
+    val p = plan("q_merge_upsert")
+    assert("SortMergeJoin FullOuter".r.findAllIn(p).size === 1,
+      s"expected exactly one full-outer join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("zorder box query pushes BOTH dimension predicates to the reader") {
     val p = plan("q_scan_zorder")
     // row-group stat skipping needs the range predicates at the parquet
