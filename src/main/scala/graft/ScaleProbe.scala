@@ -466,6 +466,36 @@ object ScaleProbe {
       }
     }
 
+    // round-8 continuation: global line-level dedup — docs replicated N×
+    // with disjoint vocab (the `docs` probe trick), PLUS one verbatim
+    // replay of the docs<50 slice per replica so the keep-first window
+    // always has real duplicate work. Lines/distinct-lines both grow
+    // linearly; near-linear sec across N is the WindowGroupLimit +
+    // single-line-key-shuffle plan's evidence (a keep-first that shuffled
+    // every occurrence would inflate with duplication factor instead).
+    if (want("lines")) Seq(1, 4, 16).foreach { m =>
+      val docs = (0 until m).flatMap { i =>
+        val rep = docs0.select(
+          ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
+          concat(lit(s"r$i"), regexp_replace($"text", " ", s" r$i")).as("text"))
+        Seq(rep,
+          rep.filter($"doc_id" % 10000000L < 50)
+            .select(($"doc_id" + 5000000L).as("doc_id"), $"text"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val n = docs.count()
+      val t0 = System.nanoTime()
+      val lines = docs.select($"doc_id",
+        posexplode(expr(
+          "transform(sequence(0, (size(split(text, ' '))-1) div 10), i -> array_join(slice(split(text, ' '), i*10+1, 10), ' '))"
+        )).as(Seq("idx", "line")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"line").orderBy($"doc_id", $"idx")
+      val kept = lines.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"lines","mult":$m,"docs":$n,"kept_lines":$kept,"sec":$t%.2f}""")
+    }
+
     // hot-key as-of: every row on ONE key — the composable join+max
     // formulation materializes probes × builds intermediate rows; the
     // custom merge operator streams both sides once. This is the skew case
