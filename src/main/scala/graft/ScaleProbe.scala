@@ -496,6 +496,45 @@ object ScaleProbe {
       println(f"""{"probe":"lines","mult":$m,"docs":$n,"kept_lines":$kept,"sec":$t%.2f}""")
     }
 
+    // round-8 continuation: AQE skew-join — the AUTOMATIC half of the
+    // skew story (q_join_skew_salted is the manual half). One key carries
+    // half of a fact side joined to a dim replicated per key; with AQE
+    // skewJoin on, the runtime splits the hot partition into subpartitions
+    // and wall-clock stays near the uniform case; with it OFF, the hot
+    // partition serializes on one core. Prints both timings — the ratio
+    // is the feature's measured value, and the probe fails loudly (ratio
+    // printed < 1 would mean AQE regressed).
+    if (want("aqe_skew")) {
+      val nRows = 24000000L
+      // key 0 carries half the rows; keys 1..999 share the rest; a wide
+      // payload column makes the hot partition's bytes (not just rows)
+      // dominate, which is what the byte-threshold detector sees
+      val fact = spark.range(0, nRows)
+        .select(when($"id" % 2 === 0, 0L).otherwise($"id" % 999 + 1).as("k"),
+          ($"id" * 31 % 1000).as("v"),
+          md5($"id".cast("string")).as("pad"))
+      val dim = spark.range(0, 1000)
+        .select($"id".as("k"), md5($"id".cast("string")).as("tag"))
+      def run(skewOn: Boolean): Double = {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+        // hint both sides large so the dim isn't broadcast away
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val t0 = System.nanoTime()
+        fact.join(dim, Seq("k")).agg(sum($"v"), count(lit(1))).collect()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        t
+      }
+      run(skewOn = true) // warm
+      val tOn = run(skewOn = true)
+      val tOff = run(skewOn = false)
+      println(f"""{"probe":"aqe_skew","skew_on_sec":$tOn%.2f,"skew_off_sec":$tOff%.2f,"speedup":${tOff / tOn}%.2f}""")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", true)
+    }
+
     // hot-key as-of: every row on ONE key — the composable join+max
     // formulation materializes probes × builds intermediate rows; the
     // custom merge operator streams both sides once. This is the skew case
