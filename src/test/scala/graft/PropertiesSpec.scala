@@ -239,4 +239,52 @@ class PropertiesSpec extends SparkSpec {
     val cols = Seq("block_number", "hash", "gas_used", "tx_count").map(col)
     assert(reparsed.select(cols: _*).except(bronze.select(cols: _*)).count() === 0)
   }
+
+  test("psi laws on generated two-snapshot histograms: zero iff identical, always ≥ 0") {
+    import spark.implicits._
+    // arbitrary bucket multisets for the two snapshots over 4 buckets
+    val gen = Gen.listOfN(24, Gen.choose(0, 3))
+    check(Prop.forAll(gen, gen) { (oldB: List[Int], newB: List[Int]) =>
+      val rows = oldB.map((_, true)) ++ newB.map((_, false))
+      val out = graft.queries.Drift.psi(rows.toDF("bucket", "is_old"), 4).collect()
+      val perBucket = out.filter(_.getInt(0) >= 0)
+      val total = out.find(_.getInt(0) == -1).get.getLong(3)
+      val nonNeg = perBucket.forall(_.getLong(3) >= 0L)
+      val additive = total == perBucket.map(_.getLong(3)).sum
+      val zeroIffSame =
+        if (oldB.sorted == newB.sorted) total == 0L else true
+      nonNeg && additive && zeroIffSame
+    }, n = 12)
+  }
+
+  test("ks laws on generated histograms: bounded by [0, 1], symmetric") {
+    import spark.implicits._
+    val gen = Gen.listOfN(20, Gen.choose(0, 3))
+    check(Prop.forAll(gen, Gen.listOfN(15, Gen.choose(0, 3))) {
+      (oldB: List[Int], newB: List[Int]) =>
+        val rows = oldB.map((_, true)) ++ newB.map((_, false))
+        val d = graft.queries.Drift.ks(rows.toDF("bucket", "is_old")).collect().head
+        val ks = d.getDouble(4)
+        // swapping the snapshots flips every CDF difference's sign but not
+        // its magnitude → identical statistic
+        val sw = oldB.map((_, false)) ++ newB.map((_, true))
+        val ks2 = graft.queries.Drift.ks(sw.toDF("bucket", "is_old")).collect().head.getDouble(4)
+        ks >= 0.0 && ks <= 1.0 && ks == ks2
+    }, n = 12)
+  }
+
+  test("merge absorbs a no-change source: merging a target subset changes no values") {
+    import spark.implicits._
+    // source = an arbitrary subset of target rows, unchanged, no deletes →
+    // the snapshot's VALUES are invariant (only _action flips to update)
+    val gen = Gen.listOfN(8, Gen.choose(1L, 12L)).map(_.distinct)
+    check(Prop.forAll(gen) { keys: List[Long] =>
+      val target = (1L to 12L).map(k => (k, s"v$k", k * 1.5)).toSeq
+        .toDF("k", "v", "x")
+      val source = keys.map(k => (k, s"v$k", k * 1.5, false)).toSeq
+        .toDF("k", "v", "x", "is_delete")
+      val out = graft.operators.Merge.merge(target, source, Seq("k")).drop("_action")
+      out.exceptAll(target).isEmpty && target.exceptAll(out).isEmpty
+    }, n = 10)
+  }
 }
