@@ -79,6 +79,45 @@ object StreamOps {
       }
   }
 
+  /** Per-user rate gate on Spark 4's transformWithState — the arbitrary-
+    * state API that SUPERSEDES mapGroupsWithState: typed per-key
+    * `ValueState` handles, DECLARATIVE TTL (the unbounded-keyspace
+    * hygiene [[runningUserCounts]] would need manual timeout plumbing
+    * for; TTL requires TimeMode.ProcessingTime, whose wall-clock trigger
+    * treadmill is wrong for a data-driven test — production would run it
+    * with a real trigger interval), schema evolution, and timers.
+    * Emits one (user, running n, flagged) row per key per batch; `flagged`
+    * trips when the running count exceeds `limit` — the abuse/velocity
+    * gate in front of an ingestion pipeline. Requires the RocksDB state
+    * store provider (TTL state is a RocksDB-backend feature), which is
+    * how a 1000-executor cluster holds billions of keys anyway —
+    * StreamOpsSpec sets it for the MemoryStream drive. */
+  class RateProcessor(limit: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserCount] {
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCount] = {
+      val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      // reuse UserCount: last_epoch_s carries the flag (1 = over limit)
+      Iterator(UserCount(user, n, if (n > limit) 1L else 0L))
+    }
+  }
+
+  def rateGate(events: Dataset[Event], limit: Long): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RateProcessor(limit),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Stream-stream interval join: purchases matched to the same user's
     * signups within [p.ts − window, p.ts]. Both sides carry watermarks so
     * the join state is bounded — the range condition inside the join is

@@ -43,6 +43,48 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate gate (transformWithState): running counts persist across batches, flag trips") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the checksum checkpoint manager's async writer deadlocks under the
+    // test-fork's thread budget (observed: stream hangs in
+    // RocksDBFileManager.zipToDfsFile → ChecksumCheckpointFileManager
+    // .awaitResult); integrity checksums add nothing on a local tmpdir
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // each state partition is a full RocksDB instance whose checkpoint
+    // runs shell-exec'd local-FS ops — 32 of them per micro-batch is
+    // minutes of pure fork/exec in this sandbox; 2 keeps the semantics
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val in = MemoryStream[Event]
+    val q = StreamOps.rateGate(in.toDS(), limit = 4)
+      .writeStream.format("memory").queryName("rategate")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1 to 3).map(i => ev(i, i, user = 1L)) :+ ev(10, 4, user = 2L): _*)
+      q.processAllAvailable()
+      in.addData((4 to 6).map(i => ev(i, 10 + i, user = 1L)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM rategate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // batch 1: user 1 at 3 (not flagged), user 2 at 1
+      assert(rows.contains((1L, 3L, 0L)) && rows.contains((2L, 1L, 0L)))
+      // batch 2: user 1's state persisted → 6, over the limit of 4
+      assert(rows.contains((1L, 6L, 1L)),
+        s"state must persist across batches and trip the flag: ${rows.mkString(",")}")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark drops late rows; append emits only closed windows") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
