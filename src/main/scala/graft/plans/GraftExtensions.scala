@@ -64,5 +64,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftTvf.getClass, "graft_doc_chunks",
         "graft_doc_chunks(dir, width, overlap) - overlapping token windows over dir's documents."),
       (children: Seq[Expression]) => GraftTvf.docChunks(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bm25"),
+      info(GraftTvf.getClass, "graft_bm25",
+        "graft_bm25(dir, query, k) - BM25 top-k docs for a space-separated query string."),
+      (children: Seq[Expression]) => GraftTvf.bm25(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_semantic_dedup"),
+      info(GraftTvf.getClass, "graft_semantic_dedup",
+        "graft_semantic_dedup(dir, threshold) - SemDeDup keep/prune verdicts over dir's embeddings."),
+      (children: Seq[Expression]) => GraftTvf.semanticDedup(children)))
   }
 }

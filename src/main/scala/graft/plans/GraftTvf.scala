@@ -79,4 +79,34 @@ object GraftTvf {
         int(children, 1, fn), int(children, 2, fn))
       .queryExecution.analyzed
   }
+
+  /** graft_bm25(dir, query, k) — BM25 top-k over `dir`'s documents for a
+    * space-separated query string (Search.bm25). */
+  def bm25(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_bm25"
+    require(children.size == 3, s"$fn(dir, query, k) takes 3 arguments")
+    val spark = SparkSession.active
+    val terms = str(children, 1, fn).split("\\s+").toSeq.filter(_.nonEmpty)
+    graft.queries.Search
+      .bm25(graft.catalog.Tables.documents(spark, str(children, 0, fn))
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")),
+        terms, int(children, 2, fn))
+      .queryExecution.analyzed
+  }
+
+  /** graft_semantic_dedup(dir, threshold) — SemDeDup keep/prune verdicts
+    * over `dir`'s embeddings with label clusters (Dedup.semanticDedup). */
+  def semanticDedup(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_semantic_dedup"
+    require(children.size == 2, s"$fn(dir, threshold) takes 2 arguments")
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    graft.operators.Dedup
+      .semanticDedup(
+        graft.catalog.Tables.embeddings(spark, str(children, 0, fn))
+          .select(col("vec_id"), col("label").as("cluster"), col("embedding")),
+        dbl(children, 1, fn))
+      .queryExecution.analyzed
+  }
 }

@@ -49,47 +49,57 @@ object Search {
       idf * (tf * lit(K1 + 1.0)) / (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl)) * 1e6 + 0.5
     ).cast("long")
 
+  /** BM25 top-k over a (doc_id, text) frame for an arbitrary term set —
+    * the reusable operator behind q_search_bm25 and the graft_bm25 SQL
+    * TVF. See the object scaladoc for the scale shape and the integer
+    * micro-unit portability discipline. */
+  def bm25(input: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val s = input.sparkSession
+    import s.implicits._
+    require(terms.nonEmpty, "bm25: empty query")
+    val docs = input.filter($"text".isNotNull)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    // corpus scalars: ONE narrow scalar-agg scan (map-side partials, no
+    // data shuffle beyond the single-row combine)
+    val stats = docs.select(size($"toks").cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"dl") / count(lit(1))).as("avgdl"))
+    // postings restricted to the query terms BEFORE the aggregate, and
+    // the doc length CARRIED THROUGH it (dl is doc-functional, so
+    // max(dl) reconstructs it) — the scoring side needs no corpus-sized
+    // dl join, so after this shuffle everything is postings-sized
+    val tf = docs
+      .select($"doc_id", size($"toks").cast("long").as("dl"),
+        explode($"toks").as("term"))
+      .filter($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).cast("long").as("tf"), max($"dl").as("dl"))
+    // df/idf re-aggregates the tf subtree; its (doc, term) exchange is
+    // identical to the scoring branch's, so the shuffle write is shared
+    // at runtime (AQE stage reuse) — and the frame is postings-sized
+    // regardless
+    val idf = tf.groupBy($"term")
+      .agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(stats))
+      .select($"term", $"df",
+        log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)).as("idf"),
+        $"avgdl")
+    tf.join(broadcast(idf), "term")
+      .select($"doc_id",
+        microBm25($"tf", $"dl", $"idf", $"avgdl").as("micro"))
+      .groupBy($"doc_id")
+      .agg(sum($"micro").as("score_micro"), count(lit(1)).as("n_terms"))
+      .select($"doc_id", $"n_terms",
+        round($"score_micro" / 1e6, 6).as("score"), $"score_micro")
+      .orderBy($"score_micro".desc, $"doc_id")
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 top-10 docs for a fixed 5-term disjunctive query.
-    "q_search_bm25" -> ((s, dir) => {
-      import s.implicits._
-      val docs = documents(s, dir).filter($"text".isNotNull)
-        .select($"doc_id", split($"text", " ").as("toks"))
-      // corpus scalars: ONE narrow scalar-agg scan (map-side partials, no
-      // data shuffle beyond the single-row combine)
-      val stats = docs.select(size($"toks").cast("long").as("dl"))
-        .agg(count(lit(1)).as("n_docs"),
-          (sum($"dl") / count(lit(1))).as("avgdl"))
-      // postings restricted to the query terms BEFORE the aggregate, and
-      // the doc length CARRIED THROUGH it (dl is doc-functional, so
-      // max(dl) reconstructs it) — the scoring side needs no corpus-sized
-      // dl join, so after this shuffle everything is postings-sized
-      val tf = docs
-        .select($"doc_id", size($"toks").cast("long").as("dl"),
-          explode($"toks").as("term"))
-        .filter($"term".isin(queryTerms: _*))
-        .groupBy($"doc_id", $"term")
-        .agg(count(lit(1)).cast("long").as("tf"), max($"dl").as("dl"))
-      // df/idf re-aggregates the tf subtree; its (doc, term) exchange is
-      // identical to the scoring branch's, so the shuffle write is shared
-      // at runtime (AQE stage reuse) — and the frame is postings-sized
-      // regardless
-      val idf = tf.groupBy($"term")
-        .agg(count(lit(1)).cast("long").as("df"))
-        .crossJoin(broadcast(stats))
-        .select($"term", $"df",
-          log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)).as("idf"),
-          $"avgdl")
-      tf.join(broadcast(idf), "term")
-        .select($"doc_id",
-          microBm25($"tf", $"dl", $"idf", $"avgdl").as("micro"))
-        .groupBy($"doc_id")
-        .agg(sum($"micro").as("score_micro"), count(lit(1)).as("n_terms"))
-        .select($"doc_id", $"n_terms",
-          round($"score_micro" / 1e6, 6).as("score"), $"score_micro")
-        .orderBy($"score_micro".desc, $"doc_id")
-        .limit(10)
-    }),
+    "q_search_bm25" -> ((s, dir) =>
+      bm25(documents(s, dir).select(col("doc_id"), col("text")),
+        queryTerms, k = 10)),
 
     // Positional-postings phrase search: docs containing the exact bigram
     // "stream join", ranked by occurrence count. The positional-index

@@ -56,6 +56,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("literal") || err.getMessage.contains("resolve"))
   }
 
+  test("TVF surface: bm25 and semantic dedup callable from plain SQL") {
+    // parameterized BM25: arbitrary query string, arbitrary k — must agree
+    // with the DataFrame operator on the same terms
+    val viaSql = spark.sql(
+      s"SELECT doc_id, score_micro FROM graft_bm25('${sf()}', 'spark table', 5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaApi = graft.queries.Search.bm25(
+        Tables.documents(spark, sf()).select(col("doc_id"), col("text")),
+        Seq("spark", "table"), 5)
+      .select(col("doc_id"), col("score_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql === viaApi && viaSql.size === 5)
+    // semantic dedup verdicts compose with SQL aggregation
+    val pruned = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_semantic_dedup('${sf()}', 0.3)
+          WHERE pruned""").collect()(0).getAs[Long]("n")
+    val prunedApi = graft.operators.Dedup.semanticDedup(
+        Tables.embeddings(spark, sf())
+          .select(col("vec_id"), col("label").as("cluster"), col("embedding")), 0.3)
+      .filter(col("pruned")).count()
+    assert(pruned === prunedApi)
+  }
+
   test("bronze blockchain tables queryable by SQL after ingest") {
     val raw = spark.read.text(getClass.getResource("/blocks/blocks.jsonl").getPath)
     val out = java.nio.file.Files.createTempDirectory("bronze_sql").toString
