@@ -169,6 +169,33 @@ object Aggs {
         .orderBy($"l_returnflag")
     }),
 
+    // Per-group OLS regression (price ~ quantity): the regr_slope/
+    // regr_intercept surface, engine-portable via the q_agg_corr
+    // discipline — exact DECIMAL sums end the associative part, then ONE
+    // shared double formula (cross-products of Σ-terms would overflow
+    // DECIMAL(38), so the decimal domain must end before them). Same ONE
+    // map-side-partial hash agg as every sums-family query.
+    "q_agg_regression" -> ((s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec4($"l_quantity")).as("sx"),
+          sum(dec4($"l_extendedprice")).as("sy"),
+          sum(dec4($"l_quantity") * dec4($"l_extendedprice")).as("sxy"),
+          sum(dec4($"l_quantity") * dec4($"l_quantity")).as("sxx"))
+        .select($"l_returnflag", $"n", $"n".cast("double").as("nd"),
+          $"sx".cast("double").as("sxd"), $"sy".cast("double").as("syd"),
+          $"sxy".cast("double").as("sxyd"), $"sxx".cast("double").as("sxxd"))
+        .select($"l_returnflag", $"n",
+          round(($"nd" * $"sxyd" - $"sxd" * $"syd") /
+            ($"nd" * $"sxxd" - $"sxd" * $"sxd"), 4).as("slope"),
+          round(($"syd" - ($"nd" * $"sxyd" - $"sxd" * $"syd") /
+            ($"nd" * $"sxxd" - $"sxd" * $"sxd") * $"sxd") / $"nd", 4).as("intercept"))
+        .orderBy($"l_returnflag")
+    }),
+
     // pivot: one column per linestatus value (values pinned explicitly —
     // implicit value discovery would scan twice and order arbitrarily).
     "q_agg_pivot" -> ((s, dir) => {
@@ -696,6 +723,21 @@ object Aggs {
                   CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxyd,
                   CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxxd,
                   CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syyd
+           FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+
+    "q_agg_regression" ->
+      """SELECT l_returnflag, n,
+                round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 4) AS slope,
+                round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd, 4) AS intercept
+         FROM (
+           SELECT l_returnflag,
+                  count(*) AS n,
+                  CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxd,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syd,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxyd,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxxd
            FROM lineitem GROUP BY l_returnflag)
          ORDER BY l_returnflag""",
 

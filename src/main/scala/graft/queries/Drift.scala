@@ -121,6 +121,43 @@ object Drift {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Welch's two-sample t-test on order value between the snapshot
+    // halves — the parametric member of the drift family (PSI = binned
+    // distribution, KS = CDF sup, t = mean shift): "did average order
+    // value move, and is the move outside noise?". Engine parity via the
+    // q_agg_corr discipline: ONE scalar hash aggregate of exact DECIMAL
+    // sums (count/Σx/Σx² per side, conditional), then one shared double
+    // formula for mean/variance/t/Welch-dof. One corpus scan, map-side
+    // partials, single-row result.
+    "q_drift_ttest" -> ((s, dir) => {
+      import s.implicits._
+      import graft.util.D.dec4
+      val o = orders(s, dir).select($"o_totalprice".as("x"),
+        ($"o_orderdate" < "1998-01-01").as("is_old"))
+      o.agg(
+          sum(when($"is_old", 1L).otherwise(0L)).as("n1"),
+          sum(when(!$"is_old", 1L).otherwise(0L)).as("n2"),
+          sum(when($"is_old", dec4($"x"))).as("s1"),
+          sum(when(!$"is_old", dec4($"x"))).as("s2"),
+          sum(when($"is_old", dec4($"x") * dec4($"x"))).as("q1"),
+          sum(when(!$"is_old", dec4($"x") * dec4($"x"))).as("q2"))
+        .select($"n1", $"n2",
+          $"n1".cast("double").as("nd1"), $"n2".cast("double").as("nd2"),
+          $"s1".cast("double").as("sd1"), $"s2".cast("double").as("sd2"),
+          $"q1".cast("double").as("qd1"), $"q2".cast("double").as("qd2"))
+        .select($"n1", $"n2",
+          round($"sd1" / $"nd1", 4).as("mean_old"),
+          round($"sd2" / $"nd2", 4).as("mean_new"),
+          (($"qd1" - $"sd1" * $"sd1" / $"nd1") / ($"nd1" - 1.0) / $"nd1").as("se1"),
+          (($"qd2" - $"sd2" * $"sd2" / $"nd2") / ($"nd2" - 1.0) / $"nd2").as("se2"),
+          $"nd1", $"nd2", $"sd1", $"sd2")
+        .select($"n1", $"n2", $"mean_old", $"mean_new",
+          round(($"sd1" / $"nd1" - $"sd2" / $"nd2") / sqrt($"se1" + $"se2"), 4).as("t"),
+          round(($"se1" + $"se2") * ($"se1" + $"se2") /
+            ($"se1" * $"se1" / ($"nd1" - 1.0) + $"se2" * $"se2" / ($"nd2" - 1.0)), 4)
+            .as("welch_dof"))
+    }),
+
     "q_drift_ks" -> ((s, dir) => {
       import s.implicits._
       // finer buckets than PSI (width 10 000 → 50 cells): KS is a sup over
@@ -141,6 +178,35 @@ object Drift {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_drift_ttest" ->
+      """WITH sums AS (
+           SELECT CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN is_old THEN CAST(x AS DECIMAL(18,4)) END) AS DOUBLE) AS sd1,
+                  CAST(sum(CASE WHEN NOT is_old THEN CAST(x AS DECIMAL(18,4)) END) AS DOUBLE) AS sd2,
+                  CAST(sum(CASE WHEN is_old THEN CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)) END) AS DOUBLE) AS qd1,
+                  CAST(sum(CASE WHEN NOT is_old THEN CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4)) END) AS DOUBLE) AS qd2
+           FROM (SELECT o_totalprice AS x,
+                        o_orderdate < DATE '1998-01-01' AS is_old
+                 FROM orders)),
+         d AS (
+           SELECT n1, n2,
+                  CAST(n1 AS DOUBLE) AS nd1, CAST(n2 AS DOUBLE) AS nd2,
+                  sd1, sd2, qd1, qd2 FROM sums),
+         se AS (
+           SELECT n1, n2, nd1, nd2, sd1, sd2,
+                  round(sd1 / nd1, 4) AS mean_old,
+                  round(sd2 / nd2, 4) AS mean_new,
+                  ((qd1 - sd1 * sd1 / nd1) / (nd1 - 1.0) / nd1) AS se1,
+                  ((qd2 - sd2 * sd2 / nd2) / (nd2 - 1.0) / nd2) AS se2
+           FROM d)
+         SELECT n1, n2, mean_old, mean_new,
+                round((sd1 / nd1 - sd2 / nd2) / sqrt(se1 + se2), 4) AS t,
+                round((se1 + se2) * (se1 + se2)
+                      / (se1 * se1 / (nd1 - 1.0) + se2 * se2 / (nd2 - 1.0)), 4)
+                  AS welch_dof
+         FROM se""",
+
     "q_drift_ks" ->
       """WITH o AS (
            SELECT CAST(least(floor(o_totalprice / 10000.0), 49) AS INT) AS bucket,
