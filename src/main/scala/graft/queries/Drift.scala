@@ -158,6 +158,46 @@ object Drift {
             .as("welch_dof"))
     }),
 
+    // Chi-square independence test on the event_type × snapshot-half
+    // contingency table — the CATEGORICAL drift member (PSI bins numerics,
+    // KS sups a CDF, t tests a mean; chi-square tests a discrete
+    // distribution). All table cells and margins are exact BIGINTs from
+    // ONE (event_type, is_old) hash aggregate; the statistic is a shared
+    // double formula over them: χ² = Σ (o − e)²/e with e = row·col/total.
+    // Output: per-category contributions + a '_total' row with the
+    // statistic and dof — the explode-to-total device from psi, single
+    // corpus scan.
+    "q_drift_chisq" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir).select($"event_type",
+        (Text.hashBucketExpr($"event_id") < 32768).as("is_old"))
+      val cells = e.groupBy($"event_type")
+        .agg(sum(when($"is_old", 1L).otherwise(0L)).as("n_old"),
+          sum(when(!$"is_old", 1L).otherwise(0L)).as("n_new"))
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val contrib = cells
+        .select($"event_type", $"n_old", $"n_new",
+          sum($"n_old").over(all).cast("double").as("co"),
+          sum($"n_new").over(all).cast("double").as("cn"))
+        .select($"event_type", $"n_old", $"n_new",
+          (($"n_old" + $"n_new").cast("double") * $"co" / ($"co" + $"cn")).as("eo"),
+          (($"n_old" + $"n_new").cast("double") * $"cn" / ($"co" + $"cn")).as("en"))
+        .select($"event_type", $"n_old", $"n_new",
+          floor((($"n_old" - $"eo") * ($"n_old" - $"eo") / $"eo"
+            + ($"n_new" - $"en") * ($"n_new" - $"en") / $"en") * 1e8 + 0.5)
+            .cast("long").as("chisq_micro"))
+      contrib
+        .select(explode(array($"event_type", lit("_total"))).as("category"),
+          $"n_old", $"n_new", $"chisq_micro")
+        .groupBy($"category")
+        .agg(sum($"n_old").as("n_old"), sum($"n_new").as("n_new"),
+          sum($"chisq_micro").as("chisq_micro"))
+        .select($"category", $"n_old", $"n_new", $"chisq_micro",
+          round($"chisq_micro" / 1e8, 8).as("chisq"))
+        .orderBy($"category")
+    }),
+
     "q_drift_ks" -> ((s, dir) => {
       import s.implicits._
       // finer buckets than PSI (width 10 000 → 50 cells): KS is a sup over
@@ -206,6 +246,38 @@ object Drift {
                       / (se1 * se1 / (nd1 - 1.0) + se2 * se2 / (nd2 - 1.0)), 4)
                   AS welch_dof
          FROM se""",
+
+    "q_drift_chisq" ->
+      """WITH e AS (
+           SELECT event_type,
+                  CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS INT) < 32768 AS is_old
+           FROM events),
+         cells AS (
+           SELECT event_type,
+                  CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                  CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+           FROM e GROUP BY 1),
+         contrib AS (
+           SELECT event_type, n_old, n_new,
+                  CAST(floor(((n_old - eo) * (n_old - eo) / eo
+                              + (n_new - en) * (n_new - en) / en) * 1e8 + 0.5)
+                       AS BIGINT) AS chisq_micro
+           FROM (SELECT event_type, n_old, n_new,
+                        (CAST(n_old + n_new AS DOUBLE) * co / (co + cn)) AS eo,
+                        (CAST(n_old + n_new AS DOUBLE) * cn / (co + cn)) AS en
+                 FROM (SELECT event_type, n_old, n_new,
+                              CAST(sum(n_old) OVER () AS DOUBLE) AS co,
+                              CAST(sum(n_new) OVER () AS DOUBLE) AS cn
+                       FROM cells))),
+         unioned AS (
+           SELECT event_type AS category, n_old, n_new, chisq_micro FROM contrib
+           UNION ALL
+           SELECT '_total', CAST(sum(n_old) AS BIGINT), CAST(sum(n_new) AS BIGINT),
+                  CAST(sum(chisq_micro) AS BIGINT) FROM contrib)
+         SELECT category, n_old, n_new, chisq_micro,
+                round(chisq_micro / 1e8, 8) AS chisq
+         FROM unioned
+         ORDER BY category""",
 
     "q_drift_ks" ->
       """WITH o AS (
