@@ -70,7 +70,54 @@ object Scans {
     out.toString
   }
 
+  /** Materialize events as JSONL once per (JVM, source-fingerprint) — the
+    * same write-once discipline as [[partitionedEvents]]. Timestamps ride
+    * as epoch-micros longs so the round trip has no timezone/format
+    * surface. Serves q_scan_jsonl: the format-conversion contract (a
+    * JSONL export re-read through the explicit-schema quarantine reader
+    * answers queries exactly like the parquet original). */
+  private val jsonlLock = new Object
+  private[queries] def jsonlEvents(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(path(dir, "events"))
+    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val stamp = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"jsonl:$dir@$mtime").toLong & 0xffffffffL)
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_events_jsonl_$stamp")
+    jsonlLock.synchronized {
+      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+        events(s, dir)
+          .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").json(out.toString)
+      }
+    }
+    out.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Format round-trip through the JSON source path (A7/A10's quarantine
+    // reader on an explicit schema — never inferred): a JSONL export of
+    // events re-read and aggregated must answer exactly like the parquet
+    // original (the oracle reads the ORIGINAL table). Integer-only
+    // aggregates: double `value` passes through the round trip bit-exactly
+    // but its SUM would be addition-order-dependent.
+    "q_scan_jsonl" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts_us", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val read = graft.sources.Sources.readJson(s, jsonlEvents(s, dir), schema)
+      read.clean
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // A3: column pruning decided at the source — 5 of 11 lineitem columns.
     "q_scan_project" -> ((s, dir) => {
       import s.implicits._
@@ -256,6 +303,19 @@ object Scans {
          WHERE o_orderkey IN (
            SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
          ORDER BY o_orderkey""",
+
+    // The oracle reads the ORIGINAL events table: the JSONL export is a
+    // Spark-side format detail — the round trip must preserve semantics.
+    "q_scan_jsonl" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+                epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
+         FROM events
+         GROUP BY 1
+         ORDER BY 1""",
 
     // The oracle reads the ORIGINAL events table: the partitioned copy is a
     // Spark-side layout detail; the contract is that pruned reads return
