@@ -70,30 +70,57 @@ object Scans {
     out.toString
   }
 
-  /** Materialize events as JSONL once per (JVM, source-fingerprint) — the
-    * same write-once discipline as [[partitionedEvents]]. Timestamps ride
-    * as epoch-micros longs so the round trip has no timezone/format
-    * surface. Serves q_scan_jsonl: the format-conversion contract (a
-    * JSONL export re-read through the explicit-schema quarantine reader
+  /** Materialize events in an interchange format once per (JVM,
+    * source-fingerprint) — the same write-once discipline as
+    * [[partitionedEvents]]. Timestamps ride as epoch-micros longs so the
+    * round trip has no timezone/format surface. Serves the
+    * q_scan_{jsonl,csv,orc} family: the format-conversion contract (an
+    * export re-read through the explicit-schema quarantine readers
     * answers queries exactly like the parquet original). */
-  private val jsonlLock = new Object
-  private[queries] def jsonlEvents(s: SparkSession, dir: String): String = {
+  private val exportLock = new Object
+  private[queries] def exportedEvents(s: SparkSession, dir: String,
+      format: String): String = {
     val src = java.nio.file.Paths.get(path(dir, "events"))
     val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
     val stamp = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"jsonl:$dir@$mtime").toLong & 0xffffffffL)
+      scala.util.hashing.MurmurHash3.stringHash(s"$format:$dir@$mtime").toLong & 0xffffffffL)
     val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_events_jsonl_$stamp")
-    jsonlLock.synchronized {
+      sys.props("java.io.tmpdir"), s"graft_events_${format}_$stamp")
+    exportLock.synchronized {
       if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
-        events(s, dir)
+        val flat = events(s, dir)
           .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
             col("user_id"), col("event_type"), col("value"))
-          .write.mode("overwrite").json(out.toString)
+        val w = flat.write.mode("overwrite")
+        format match {
+          case "jsonl" => w.json(out.toString)
+          case "csv" => w.option("header", "true").csv(out.toString)
+          case "orc" => w.orc(out.toString)
+        }
       }
     }
     out.toString
   }
+
+  private[queries] val eventExportSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+  }
+
+  /** The shared round-trip aggregate — integer-only (a double SUM would be
+    * addition-order-dependent); identical for every export format, so all
+    * three format queries share one DuckDB oracle body. */
+  private def exportAgg(read: DataFrame): DataFrame =
+    read
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+        min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
+      .orderBy(col("event_type"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Format round-trip through the JSON source path (A7/A10's quarantine
@@ -102,21 +129,20 @@ object Scans {
     // original (the oracle reads the ORIGINAL table). Integer-only
     // aggregates: double `value` passes through the round trip bit-exactly
     // but its SUM would be addition-order-dependent.
-    "q_scan_jsonl" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts_us", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType)))
-      val read = graft.sources.Sources.readJson(s, jsonlEvents(s, dir), schema)
-      read.clean
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("n_users"),
-          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
-          min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
-        .orderBy(col("event_type"))
-    }),
+    "q_scan_jsonl" -> ((s, dir) => exportAgg(
+      graft.sources.Sources.readJson(s, exportedEvents(s, dir, "jsonl"),
+        eventExportSchema).clean)),
+
+    // CSV sibling: header + typed explicit schema through the same
+    // quarantine reader; text-format number/string round trip.
+    "q_scan_csv" -> ((s, dir) => exportAgg(
+      graft.sources.Sources.readCsv(s, exportedEvents(s, dir, "csv"),
+        eventExportSchema).clean)),
+
+    // ORC sibling: the columnar interchange format (self-describing, so
+    // no quarantine split — Sources.readOrc like parquet).
+    "q_scan_orc" -> ((s, dir) => exportAgg(
+      graft.sources.Sources.readOrc(s, exportedEvents(s, dir, "orc")))),
 
     // A3: column pruning decided at the source — 5 of 11 lineitem columns.
     "q_scan_project" -> ((s, dir) => {
@@ -306,6 +332,28 @@ object Scans {
 
     // The oracle reads the ORIGINAL events table: the JSONL export is a
     // Spark-side format detail — the round trip must preserve semantics.
+    "q_scan_csv" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+                epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
+         FROM events
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "q_scan_orc" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+                epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
+         FROM events
+         GROUP BY 1
+         ORDER BY 1""",
+
     "q_scan_jsonl" ->
       """SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n,
