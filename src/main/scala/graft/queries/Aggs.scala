@@ -196,6 +196,42 @@ object Aggs {
         .orderBy($"l_returnflag")
     }),
 
+    // Higher central moments — skewness + excess kurtosis per order
+    // priority, completing the moments family (mean/var → corr →
+    // regression → m3/m4) under the exact-sums discipline. x =
+    // floor(o_totalprice) (BIGINT dollars — floor is truncation in both
+    // engines, no decimal-cast tie rounding); Σx..Σx⁴ accumulate in
+    // DECIMAL(38,0) (x⁴ ≤ 6.3e22 — 23 digits, exact) ⇔ DuckDB HUGEINT;
+    // the central-moment expansion and the g1/g2 ratios are one shared
+    // double formula over the exact sums. ONE hash agg, map-side partials.
+    "q_agg_moments" -> ((s, dir) => {
+      import s.implicits._
+      val x = floor($"o_totalprice").cast("decimal(38,0)")
+      orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("s1"), sum(x * x).as("s2"),
+          sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+        .select($"o_orderpriority", $"n",
+          $"n".cast("double").as("nd"),
+          $"s1".cast("double").as("d1"), $"s2".cast("double").as("d2"),
+          $"s3".cast("double").as("d3"), $"s4".cast("double").as("d4"))
+        .select($"o_orderpriority", $"n", $"nd",
+          ($"d1" / $"nd").as("mu"), $"d1", $"d2", $"d3", $"d4")
+        .select($"o_orderpriority", $"n", $"nd", $"mu",
+          ($"d2" / $"nd" - $"mu" * $"mu").as("m2"),
+          ($"d3" / $"nd" - lit(3.0) * $"mu" * ($"d2" / $"nd")
+            + lit(2.0) * $"mu" * $"mu" * $"mu").as("m3"),
+          ($"d4" / $"nd" - lit(4.0) * $"mu" * ($"d3" / $"nd")
+            + lit(6.0) * $"mu" * $"mu" * ($"d2" / $"nd")
+            - lit(3.0) * $"mu" * $"mu" * $"mu" * $"mu").as("m4"))
+        .select($"o_orderpriority", $"n",
+          round($"mu", 4).as("mean"),
+          round($"m3" / pow($"m2", 1.5), 6).as("skewness"),
+          round($"m4" / ($"m2" * $"m2") - 3.0, 6).as("kurtosis"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // pivot: one column per linestatus value (values pinned explicitly —
     // implicit value discovery would scan twice and order arbitrarily).
     "q_agg_pivot" -> ((s, dir) => {
@@ -740,6 +776,32 @@ object Aggs {
                   CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxxd
            FROM lineitem GROUP BY l_returnflag)
          ORDER BY l_returnflag""",
+
+    "q_agg_moments" ->
+      """SELECT o_orderpriority, n,
+                round(mu, 4) AS mean,
+                round(m3 / pow(m2, 1.5), 6) AS skewness,
+                round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+         FROM (
+           SELECT o_orderpriority, n, nd, mu,
+                  d2 / nd - mu * mu AS m2,
+                  d3 / nd - 3.0 * mu * (d2 / nd) + 2.0 * mu * mu * mu AS m3,
+                  d4 / nd - 4.0 * mu * (d3 / nd) + 6.0 * mu * mu * (d2 / nd)
+                    - 3.0 * mu * mu * mu * mu AS m4
+           FROM (
+             SELECT o_orderpriority, n, nd, d1 / nd AS mu, d1, d2, d3, d4
+             FROM (
+               SELECT o_orderpriority,
+                      count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+                      CAST(sum(x) AS DOUBLE) AS d1,
+                      CAST(sum(x * x) AS DOUBLE) AS d2,
+                      CAST(sum(x * x * x) AS DOUBLE) AS d3,
+                      CAST(sum(x * x * x * x) AS DOUBLE) AS d4
+               FROM (SELECT o_orderpriority,
+                            CAST(floor(o_totalprice) AS HUGEINT) AS x
+                     FROM orders)
+               GROUP BY 1)))
+         ORDER BY o_orderpriority""",
 
     "q_agg_pivot" ->
       """SELECT l_returnflag,

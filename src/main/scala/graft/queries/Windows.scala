@@ -24,6 +24,29 @@ object Windows {
   /** Deterministic window ordering: tie-break every orderBy to a unique key
     * so rank/lag values don't depend on partition-internal arrival order. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gaps-and-islands STREAKS: longest run of consecutive active DAYS per
+    // user — the date − row_number() constant-per-island device (distinct
+    // from q_scd2_intervals' lead() validity ranges and q_stream_session's
+    // gap windows: islands group by arithmetic, not adjacency joins). All
+    // arithmetic is exact integer/date; the window partitions by user so
+    // state is bounded per key.
+    "q_win_streaks" -> ((s, dir) => {
+      import s.implicits._
+      val days = events(s, dir)
+        .select($"user_id", to_date($"ts").as("d")).distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"d")
+      val islands = days
+        .select($"user_id", $"d",
+          date_sub($"d", row_number().over(w)).as("grp"))
+        .groupBy($"user_id", $"grp")
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy($"user_id")
+        .agg(max($"len").as("longest_streak"),
+          sum($"len").as("n_active_days"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy($"user_id")
+    }),
+
     "q_win_rank" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey")
@@ -156,6 +179,24 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         islands AS (
+           SELECT user_id,
+                  d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+           FROM days),
+         lens AS (
+           SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+           FROM islands GROUP BY 1, 2)
+         SELECT user_id,
+                max(len) AS longest_streak,
+                CAST(sum(len) AS BIGINT) AS n_active_days,
+                CAST(count(*) AS BIGINT) AS n_streaks
+         FROM lens
+         GROUP BY user_id
+         ORDER BY user_id""",
+
     "q_win_range_frame" ->
       """SELECT o_orderkey, o_custkey, dn,
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
