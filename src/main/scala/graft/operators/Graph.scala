@@ -217,9 +217,54 @@ object Graph {
       .distinct()
   }
 
+  /** Per-node local clustering coefficient c(v) = 2·tri(v)/(d(v)·(d(v)−1))
+    * over nodes with degree ≥ 2, top-k by (rounded coefficient, id) — the
+    * node-granular member of the motif tier ([[triangleCount]] is the
+    * global count). Same Chiba–Nishizeki oriented wedge join with the
+    * wedge APEX carried through, so each triangle surfaces exactly once
+    * as an (apex, src, third) triple and explodes to its 3 vertices for
+    * the per-node tally; the O(√m) out-degree cap still bounds the wedge
+    * set, and the coefficient is derived from exact integers (tri, d) in
+    * one shared double expression. */
+  def localClusteringTopK(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      struct(
+        when(fwd, col("db")).otherwise(col("da")).as("d"),
+        when(fwd, col("b")).otherwise(col("a")).as("id")).as("dst"))
+      .localCheckpoint()
+    val e1 = oriented.select(col("src").as("apex"), col("dst").as("x"))
+    val e2 = oriented.select(col("src").as("apex"), col("dst").as("y"))
+    val wedges = e1.join(e2, "apex").filter(col("x") < col("y"))
+      .select(col("apex"), col("x.id").as("src"), col("y").as("dst"))
+    val closed = wedges.join(oriented, Seq("src", "dst"))
+      .select(col("apex"), col("src"), col("dst.id").as("third"))
+    val triPerNode = closed
+      .select(explode(array(col("apex"), col("src"), col("third"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("d") >= 2)
+      .join(triPerNode, Seq("v"), "left")
+      .select(col("v"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff",
+        round(lit(2.0) * col("n_tri") / (col("d") * (col("d") - 1)), 6))
+      .orderBy(col("coeff").desc, col("v"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> ((s, dir) =>
       triangleCount(coPurchaseEdges(s, dir))),
+
+    "q_graph_clustercoef" -> ((s, dir) =>
+      localClusteringTopK(coPurchaseEdges(s, dir), k = 20)),
 
     "q_graph_pagerank" -> ((s, dir) =>
       pagerank(partSupplierEdges(s, dir), prIters, prMass)
@@ -261,6 +306,30 @@ object Graph {
            (SELECT count(*)
               FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
                         JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""",
+
+    "q_graph_clustercoef" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+           FROM lineitem WHERE l_orderkey % 4 = 0),
+         e AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         deg AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS d
+           FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         tris AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         pern AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+           FROM (SELECT unnest([x, y, z]) AS v FROM tris) GROUP BY 1)
+         SELECT v, d, coalesce(n_tri, 0) AS n_tri,
+                round(2.0 * coalesce(n_tri, 0) / (d * (d - 1)), 6) AS coeff
+         FROM deg LEFT JOIN pern USING (v)
+         WHERE d >= 2
+         ORDER BY coeff DESC, v
+         LIMIT 20""",
 
     // the unrolled r1..rK CTE chain mirrors the fixed iteration count; AS
     // MATERIALIZED stops DuckDB inlining the chain exponentially (the

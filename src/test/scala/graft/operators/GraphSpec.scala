@@ -127,6 +127,23 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(2) === refTriangles(es))
   }
 
+  test("localClustering: K4 all 1.0; per-node tallies sum to 3x the global count") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val cc = Graph.localClusteringTopK(triDf(k4), k = 10).collect()
+    assert(cc.length === 4 && cc.forall(_.getDouble(3) === 1.0))
+    // conservation vs the global count on a seeded random graph: every
+    // triangle contributes to exactly its 3 corners
+    val rnd = new scala.util.Random(13)
+    val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (x, y) => x != y }
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }.distinct
+    val global = Graph.triangleCount(triDf(es)).collect().head.getLong(2)
+    val perNode = Graph.localClusteringTopK(triDf(es), k = 1000).collect()
+      .map(_.getLong(2)).sum
+    assert(perNode === 3L * global,
+      s"per-node triangle tallies $perNode != 3 x global $global")
+  }
+
   test("q_graph_pagerank: top-20, bipartite id parity, positive ranks") {
     val df = graft.SparkEntry.queries("q_graph_pagerank")(spark, sf())
     val rows = df.collect()
