@@ -48,6 +48,7 @@ object SparkEntry {
       (UDx.queries, UDx.oracle),
       (Streams.queries, Streams.oracle),
       (Behavior.queries, Behavior.oracle),
+      (Timeseries.queries, Timeseries.oracle),
       (Tpch.queries, Tpch.oracle),
       (Logs.queries, Logs.oracle),
       (Dedup.queries, Dedup.oracle),

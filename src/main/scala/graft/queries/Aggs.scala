@@ -345,6 +345,27 @@ object Aggs {
         .orderBy($"event_type")
     }),
 
+    // Robust (MAD-based) outlier scan — the heavy-tail-safe sibling of
+    // q_outlier_zscore: med/MAD instead of mean/sd, so a few huge values
+    // can't inflate the threshold and mask each other. Two tiny per-type
+    // median aggregates broadcast back to the fact rows (same two-pass,
+    // no-wide-shuffle shape as zscore). Both engines interpolate the
+    // even-count median of raw doubles identically; value-med and the
+    // 0.6745·d/mad score are plain IEEE double ops shared verbatim.
+    "q_outlier_mad" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir).select($"event_id", $"event_type", $"value")
+      val med = e.groupBy($"event_type").agg(median($"value").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .select($"event_id", $"event_type", $"value", ($"value" - $"med").as("d"))
+      val mad = dev.groupBy($"event_type").agg(median(abs($"d")).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(abs(lit(0.6745) * $"d" / $"mad") > 3.5)
+        .select($"event_id", $"event_type", r4($"value").as("value"),
+          r4(lit(0.6745) * $"d" / $"mad").as("rz"))
+        .orderBy($"event_id")
+    }),
+
     // Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP) —
     // DISTINCT + explicit order makes the concatenation deterministic.
     "q_agg_listagg" -> ((s, dir) => {
@@ -855,6 +876,18 @@ object Aggs {
          FROM events e JOIN s2 USING (event_type)
          GROUP BY e.event_type
          ORDER BY e.event_type""",
+
+    "q_outlier_mad" ->
+      """WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+         dev AS (SELECT e.event_id, e.event_type, e.value, e.value - m.med AS d
+                 FROM events e JOIN med m USING (event_type)),
+         madt AS (SELECT event_type, median(abs(d)) AS mad FROM dev GROUP BY 1)
+         SELECT d.event_id, d.event_type,
+                round(CAST(d.value AS DOUBLE), 4) AS value,
+                round(CAST(0.6745 * d.d / m.mad AS DOUBLE), 4) AS rz
+         FROM dev d JOIN madt m USING (event_type)
+         WHERE abs(0.6745 * d.d / m.mad) > 3.5
+         ORDER BY d.event_id""",
 
     "q_agg_listagg" ->
       """SELECT o_orderpriority,

@@ -96,6 +96,8 @@ object Scans {
           case "jsonl" => w.json(out.toString)
           case "csv" => w.option("header", "true").csv(out.toString)
           case "orc" => w.orc(out.toString)
+          case "xml" => w.option("rowTag", "event").option("rootTag", "events")
+            .xml(out.toString)
         }
       }
     }
@@ -143,6 +145,12 @@ object Scans {
     // no quarantine split — Sources.readOrc like parquet).
     "q_scan_orc" -> ((s, dir) => exportAgg(
       graft.sources.Sources.readOrc(s, exportedEvents(s, dir, "orc")))),
+
+    // XML sibling (Spark 4 native xml source): tagged-text round trip
+    // through the same quarantine reader + explicit schema.
+    "q_scan_xml" -> ((s, dir) => exportAgg(
+      graft.sources.Sources.readXml(s, exportedEvents(s, dir, "xml"),
+        eventExportSchema, rowTag = "event").clean)),
 
     // A3: column pruning decided at the source — 5 of 11 lineitem columns.
     "q_scan_project" -> ((s, dir) => {
@@ -344,6 +352,17 @@ object Scans {
          ORDER BY 1""",
 
     "q_scan_orc" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+                epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
+         FROM events
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "q_scan_xml" ->
       """SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

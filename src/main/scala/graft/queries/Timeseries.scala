@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables._
+import graft.util.D._
+
+/** Event-time series analytics over `events` — batch sessionization,
+  * exponentially-weighted smoothing, and bar/OHLC resampling: the
+  * time-series family a realtime ingestion feed (the reference's
+  * block/transaction stream, `/root/reference/src/streams/producers/
+  * evm_producer.rs:33-55`) is queried with downstream. q_stream_session
+  * covers the *streaming* session window; q_sessionize_gap is its batch
+  * replay twin over the full history.
+  *
+  * Scale notes (100 TB posture):
+  *   - q_sessionize_gap: ONE shuffle on user_id. The lag window, the
+  *     running-sum window, and the (user_id, session_no) aggregate all
+  *     cluster by user_id, and HashPartitioning(user_id) satisfies
+  *     ClusteredDistribution(user_id, session_no), so Catalyst plans the
+  *     whole query on a single exchange (pinned in PlanSpec). Parallelism
+  *     = user count — the natural grain; no global sort anywhere (the
+  *     output ORDER BY is presentation-only).
+  *   - q_timeseries_ewma: the smoothing runs on the DAILY aggregate, not
+  *     the raw events — at 100 TB the band self-join touches one row per
+  *     (key, day), orders of magnitude below the fact table, and the
+  *     20-day horizon bounds the join fan-out to exactly 20x that. An
+  *     unbounded-history recursive EWMA would need a sequential scan per
+  *     key; the truncated form keeps the whole plan a bounded range
+  *     equi-join ((1-α)^20 ≈ 1.2% residual weight at α=0.2).
+  *   - q_timeseries_resample: one window + one aggregate over the same
+  *     (event_type, week) keys — the window's hash partitioning is reused
+  *     by the aggregate, single exchange. open/close via frame-ordered
+  *     first/last_value (ties broken by event_id) — no argmin UDF, stays
+  *     in whole-stage codegen.
+  */
+object Timeseries {
+
+  /** 30-minute inactivity gap, in microseconds (timestamps are µs-exact
+    * in both engines, so the gap comparison is exact integer math). */
+  private val GapUs = 1800L * 1000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gap-based batch sessionization: a new session starts when the user
+    // is idle > 30 min. lag → boundary flag → running sum = session id,
+    // then per-session stats. All integer/µs arithmetic — no doubles.
+    "q_sessionize_gap" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts".cast("timestamp")).as("ts_us"))
+        .withColumn("new_s",
+          when(lag($"ts_us", 1).over(w).isNull ||
+               $"ts_us" - lag($"ts_us", 1).over(w) > GapUs, 1L).otherwise(0L))
+        .withColumn("session_no", sum($"new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_no")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+          (max($"ts_us") - min($"ts_us")).as("dur_us"))
+        .orderBy($"user_id", $"session_no")
+    }),
+
+    // Truncated EWMA (α=0.2, 20-day horizon) of the daily event count per
+    // type, as a band self-join on the daily frame: weight (1-α)^(Δdays),
+    // ewma = Σ w·x / Σ w. Daily x is an exact BIGINT count, so the only
+    // float math is the 20-term weighted sum — identical IEEE doubles on
+    // both engines under r4.
+    "q_timeseries_ewma" -> ((s, dir) => {
+      import s.implicits._
+      val daily = events(s, dir)
+        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val a = daily.select($"event_type", $"day", $"x")
+      val b = daily.select($"event_type".as("bt"), $"day".as("bday"), $"x".as("bx"))
+      a.join(b,
+          $"event_type" === $"bt" && $"bday" <= $"day" &&
+          date_add($"bday", 20) > $"day")
+        .groupBy($"event_type", $"day")
+        .agg(r4(sum(pow(lit(0.8), datediff($"day", $"bday")) * $"bx") /
+                sum(pow(lit(0.8), datediff($"day", $"bday")))).as("ewma"))
+        .orderBy($"event_type", $"day")
+    }),
+
+    // Weekly OHLC bars per event type: open/close = first/last value in
+    // the week (frame-ordered by ts, event_id), high/low = max/min. The
+    // value doubles pass through untouched (no cross-row float sums).
+    "q_timeseries_resample" -> ((s, dir) => {
+      import s.implicits._
+      val wk = Window.partitionBy($"event_type", $"week")
+        .orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, dir)
+        .select($"event_type",
+          date_trunc("week", $"ts".cast("timestamp")).cast("date").as("week"),
+          unix_micros($"ts".cast("timestamp")).as("ts_us"), $"event_id", $"value")
+        .withColumn("o", first($"value").over(wk))
+        .withColumn("c", last($"value").over(wk))
+        .groupBy($"event_type", $"week")
+        .agg(count(lit(1)).as("n"),
+          r4(min($"o")).as("open"), r4(max($"value")).as("high"),
+          r4(min($"value")).as("low"), r4(min($"c")).as("close"))
+        .orderBy($"event_type", $"week")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sessionize_gap" ->
+      """WITH flags AS (
+           SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP))
+                            - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts_us,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_no
+           FROM flags)
+         SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                CAST(count(*) AS BIGINT) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us,
+                max(ts_us) - min(ts_us) AS dur_us
+         FROM sess GROUP BY 1, 2
+         ORDER BY user_id, session_no""",
+
+    "q_timeseries_ewma" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2)
+         SELECT a.event_type, a.day,
+                round(CAST(sum(power(0.8, date_diff('day', b.day, a.day)) * b.x) /
+                      sum(power(0.8, date_diff('day', b.day, a.day))) AS DOUBLE), 4) AS ewma
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND b.day <= a.day AND b.day + 20 > a.day
+         GROUP BY 1, 2
+         ORDER BY a.event_type, a.day""",
+
+    "q_timeseries_resample" ->
+      """WITH w AS (
+           SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week, value,
+                  first_value(value) OVER (PARTITION BY event_type, date_trunc('week', ts)
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+                  last_value(value) OVER (PARTITION BY event_type, date_trunc('week', ts)
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+           FROM events)
+         SELECT event_type, week, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(min(o) AS DOUBLE), 4) AS open,
+                round(CAST(max(value) AS DOUBLE), 4) AS high,
+                round(CAST(min(value) AS DOUBLE), 4) AS low,
+                round(CAST(min(c) AS DOUBLE), 4) AS close
+         FROM w GROUP BY 1, 2
+         ORDER BY event_type, week"""
+  )
+}

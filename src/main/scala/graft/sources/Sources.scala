@@ -58,6 +58,18 @@ object Sources {
       .option("columnNameOfCorruptRecord", corruptCol)
       .csv(path))
 
+  /** XML with explicit schema + row tag — Spark 4 ships the (formerly
+    * spark-xml) datasource natively in spark-sql. Same PERMISSIVE
+    * quarantine split as JSON/CSV. */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String = "row"): SourceRead =
+    split(spark.read
+      .schema(withCorrupt(schema))
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .xml(path))
+
   /** Parquet is self-describing; validation happens via
     * Quality.expectSchema rather than read-time inference. */
   def readParquet(spark: SparkSession, path: String): DataFrame =

@@ -353,4 +353,36 @@ class PlanSpec extends SparkSpec {
     val exchanges = "\\+- Exchange".r.findAllIn(plan).size
     assert(exchanges <= 14, s"unexpected shuffle cascade ($exchanges) in curate")
   }
+
+  test("sessionize: lag window, running sum, and session agg share ONE user_id shuffle") {
+    val p = plan("q_sessionize_gap")
+    // HashPartitioning(user_id) satisfies the (user_id, session_no)
+    // aggregate's clustering, so the whole query runs on a single hash
+    // exchange (+ one range exchange for the presentation sort); formatted
+    // explain puts the partitioning on the detail Arguments line
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"expected exactly one hash shuffle, got $hashEx in:\n$p")
+  }
+
+  test("resample: OHLC window and weekly aggregate share ONE (type, week) shuffle") {
+    val p = plan("q_timeseries_resample")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"expected exactly one hash shuffle, got $hashEx in:\n$p")
+  }
+
+  test("ewma: band self-join runs on the daily aggregate, never the raw events product") {
+    val p = plan("q_timeseries_ewma")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product in ewma:\n$p")
+    // the join keys on event_type with the day band as residual — an
+    // equi-join (broadcast or sort-merge), not a nested loop
+    assert(p.contains("Join") && (p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+      s"expected an equi-join in:\n$p")
+  }
+
+  test("outlier_mad: per-type medians broadcast back — no wide fact shuffle") {
+    val p = plan("q_outlier_mad")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"both median frames must broadcast in:\n$p")
+  }
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.Tables
+
+/** Semantics of the time-series family (q_sessionize_gap,
+  * q_timeseries_ewma, q_timeseries_resample) + q_outlier_mad + the XML
+  * round trip — invariants the DuckDB oracle can't see (partition-count
+  * properties, window-input bounds, quarantine behavior). */
+class TimeseriesSpec extends SparkSpec {
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf())
+
+  test("sessionize: sessions partition the events exactly") {
+    val total = Tables.events(spark, sf()).count()
+    val sess = q("q_sessionize_gap").cache()
+    assert(sess.agg(sum(col("n_events"))).head.getLong(0) === total)
+    // session ids are 1..k contiguous per user
+    val bad = sess.groupBy(col("user_id"))
+      .agg(min(col("session_no")).as("lo"), max(col("session_no")).as("hi"),
+        count(lit(1)).as("k"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("k"))
+    assert(bad.isEmpty, "session_no must be dense 1..k per user")
+    sess.unpersist()
+  }
+
+  test("sessionize: consecutive sessions of a user are > 30 min apart, events inside <= 30 min") {
+    val sess = q("q_sessionize_gap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_no"))
+    val gaps = sess
+      .withColumn("prev_end", lag(col("end_us"), 1).over(w))
+      .filter(col("prev_end").isNotNull)
+      .filter(col("start_us") - col("prev_end") <= 1800L * 1000000L)
+    assert(gaps.isEmpty, "adjacent sessions must be separated by more than the gap")
+  }
+
+  test("ewma: first day equals the raw count; all values within window min/max") {
+    val daily = Tables.events(spark, sf())
+      .groupBy(col("event_type"), col("ts").cast("timestamp").cast("date").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val firstDay = daily.groupBy(col("event_type")).agg(min(col("day")).as("day"))
+      .join(daily, Seq("event_type", "day"))
+    val ew = q("q_timeseries_ewma")
+    val head = ew.join(firstDay, Seq("event_type", "day"))
+      .filter(abs(col("ewma") - col("x")) > 1e-9)
+    assert(head.isEmpty, "EWMA with a single observation must equal it")
+    // a weighted mean can't leave the [min, max] of its inputs
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val out = ew.join(bounds, "event_type")
+      .filter(col("ewma") < col("lo") - 1e-9 || col("ewma") > col("hi") + 1e-9)
+    assert(out.isEmpty)
+  }
+
+  test("resample: bars partition events; high/low bound open/close") {
+    val total = Tables.events(spark, sf()).count()
+    val bars = q("q_timeseries_resample").cache()
+    assert(bars.agg(sum(col("n"))).head.getLong(0) === total)
+    val bad = bars.filter(
+      col("open") > col("high") || col("open") < col("low") ||
+      col("close") > col("high") || col("close") < col("low"))
+    assert(bad.isEmpty)
+    bars.unpersist()
+  }
+
+  test("outlier_mad: flags agree with an independent percentile_cont recomputation") {
+    val e = Tables.events(spark, sf())
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(med, "event_type")
+      .select(col("event_id"), col("event_type"), (col("value") - col("med")).as("d"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(d), 0.5)").as("mad"))
+    val expect = dev.join(mad, "event_type")
+      .filter(abs(lit(0.6745) * col("d") / col("mad")) > 3.5)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val got = q("q_outlier_mad").select(col("event_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture should contain robust outliers")
+  }
+
+  test("xml round trip: clean rows = all rows, quarantine empty") {
+    val p = Scans.exportedEvents(spark, sf(), "xml")
+    val r = graft.sources.Sources.readXml(spark, p, Scans.eventExportSchema,
+      rowTag = "event")
+    assert(r.clean.count() === Tables.events(spark, sf()).count())
+    assert(r.quarantine.isEmpty)
+    r.release()
+  }
+}
