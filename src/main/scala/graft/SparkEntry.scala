@@ -53,6 +53,7 @@ object SparkEntry {
       (Logs.queries, Logs.oracle),
       (Dedup.queries, Dedup.oracle),
       (graft.operators.Ann.queries, graft.operators.Ann.oracle),
+      (graft.operators.Freq.queries, graft.operators.Freq.oracle),
       (graft.operators.Graph.queries, graft.operators.Graph.oracle),
       (graft.operators.Vocab.queries, graft.operators.Vocab.oracle),
       (graft.operators.Pack.queries, graft.operators.Pack.oracle),

@@ -266,6 +266,19 @@ object Graph {
     "q_graph_clustercoef" -> ((s, dir) =>
       localClusteringTopK(coPurchaseEdges(s, dir), k = 20)),
 
+    // Degree distribution of the co-purchase graph: (degree, n_nodes) —
+    // the first diagnostic run on any production graph (hub detection,
+    // power-law check, orientation-threshold sizing for the triangle
+    // tier). One explode + two hash aggs; output cardinality = number of
+    // DISTINCT degrees, which stays tiny even at 100 TB.
+    "q_graph_degree_dist" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .groupBy(col("d").as("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
     "q_graph_pagerank" -> ((s, dir) =>
       pagerank(partSupplierEdges(s, dir), prIters, prMass)
         .select(col("node").as("node_id"),
@@ -306,6 +319,20 @@ object Graph {
            (SELECT count(*)
               FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
                         JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""",
+
+    "q_graph_degree_dist" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+           FROM lineitem WHERE l_orderkey % 4 = 0),
+         e AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+         deg AS (
+           SELECT v, count(*) AS d
+           FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+           GROUP BY v)
+         SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg GROUP BY d ORDER BY degree""",
 
     "q_graph_clustercoef" ->
       """WITH li AS MATERIALIZED (

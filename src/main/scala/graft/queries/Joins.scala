@@ -174,6 +174,31 @@ object Joins {
         .orderBy($"event_id")
     }),
 
+    // NEAREST as-of: each purchase matched to the same user's signup
+    // closest in time in EITHER direction (q_join_asof is backward-only),
+    // ties to the earlier signup — the sensor-alignment join. Two-phase
+    // min instead of a rank window over the fan-out: min(|Δt|) per
+    // purchase, then min(signup_ts) among the achievers — both plain hash
+    // aggs on the (user-equi, bounded-fanout) join, all integer µs math.
+    "q_join_asof_nearest" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("ts_us"))
+      val sg = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), unix_micros($"ts".cast("timestamp")).as("s_ts_us"))
+      val f = p.join(sg, $"user_id" === $"s_user")
+        .select($"event_id", $"ts_us", $"s_ts_us",
+          abs($"ts_us" - $"s_ts_us").as("diff"))
+      val md = f.groupBy($"event_id").agg(min($"diff").as("md"))
+      val res = f.join(md, Seq("event_id"))
+        .filter($"diff" === $"md")
+        .groupBy($"event_id").agg(min($"s_ts_us").as("nearest_us"))
+      p.join(res, Seq("event_id"), "left")
+        .select($"event_id", $"user_id", $"ts_us", $"nearest_us")
+        .orderBy($"event_id")
+    }),
+
     // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys MATCH
     // each other, unlike = which drops them under 3-valued logic. nullif
     // manufactures null keys on both sides ('P' status) so the null
@@ -483,6 +508,26 @@ object Joins {
            ON a.st IS NOT DISTINCT FROM b.st AND a.k < b.k
          GROUP BY a.st
          ORDER BY a_st NULLS FIRST""",
+
+    "q_join_asof_nearest" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+         sg AS (
+           SELECT user_id AS s_user, epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts_us
+           FROM events WHERE event_type = 'signup'),
+         f AS (
+           SELECT p.event_id, p.ts_us, sg.s_ts_us,
+                  abs(p.ts_us - sg.s_ts_us) AS diff
+           FROM p JOIN sg ON p.user_id = sg.s_user),
+         md AS (SELECT event_id, min(diff) AS md FROM f GROUP BY 1),
+         res AS (
+           SELECT f.event_id, min(f.s_ts_us) AS nearest_us
+           FROM f JOIN md ON f.event_id = md.event_id AND f.diff = md.md
+           GROUP BY 1)
+         SELECT p.event_id, p.user_id, p.ts_us, res.nearest_us
+         FROM p LEFT JOIN res ON p.event_id = res.event_id
+         ORDER BY p.event_id""",
 
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,

@@ -68,6 +68,31 @@ object Streams {
         .orderBy($"event_id")
     }),
 
+    // Late-data accounting, batch-oracle form: each event gets a
+    // deterministic synthetic ARRIVAL time (ts + (event_id mod 7) hours —
+    // out-of-orderness without rand()), and an event is DROPPED when it
+    // arrives more than the 2h allowed lateness after its 1h event-time
+    // window closed — the decision Structured Streaming's watermark makes
+    // (the real withWatermark mechanism is MemoryStream-tested in
+    // StreamOpsSpec; this query is the replay-auditable batch form that
+    // quantifies the drop). All integer µs arithmetic; one (window) hash
+    // agg — embarrassingly parallel, no global arrival-order scan.
+    "q_stream_late" -> ((s, dir) => {
+      import s.implicits._
+      val hourUs = 3600L * 1000000L
+      events(s, dir)
+        .select($"event_id", unix_micros($"ts".cast("timestamp")).as("ts_us"))
+        .withColumn("arr_us", $"ts_us" + ($"event_id" % 7) * hourUs)
+        .withColumn("ws_us", ($"ts_us" - pmod($"ts_us", lit(hourUs))).as("ws_us"))
+        .withColumn("late",
+          when($"arr_us" > $"ws_us" + hourUs + lit(2L * hourUs), 1L).otherwise(0L))
+        .groupBy($"ws_us")
+        .agg(count(lit(1)).as("n_all"),
+          sum(lit(1L) - $"late").as("n_ontime"),
+          sum($"late").as("n_late"))
+        .orderBy($"ws_us")
+    }),
+
     // Stream-stream interval join, batch-oracle form: purchases matched to
     // the same user's signups within the preceding hour — the EXACT join
     // predicate of StreamOps.purchaseSignupJoin (whose streaming semantics
@@ -93,6 +118,21 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_late" ->
+      """WITH e AS (
+           SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                  epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 7) * 3600000000 AS arr_us
+           FROM events),
+         w AS (
+           SELECT ts_us - (ts_us % 3600000000) AS ws_us, arr_us,
+                  CASE WHEN arr_us > ts_us - (ts_us % 3600000000)
+                       + 3600000000 + 7200000000 THEN 1 ELSE 0 END AS late
+           FROM e)
+         SELECT ws_us, CAST(count(*) AS BIGINT) AS n_all,
+                CAST(sum(1 - late) AS BIGINT) AS n_ontime,
+                CAST(sum(late) AS BIGINT) AS n_late
+         FROM w GROUP BY 1 ORDER BY ws_us""",
+
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
                 date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS we,

@@ -380,6 +380,23 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join in:\n$p")
   }
 
+  test("heavy hitters: candidate semi-join broadcasts, top-m is TakeOrdered") {
+    val p = plan("q_agg_heavy_hitters")
+    // the exact-count aggregate must run AFTER the broadcast candidate
+    // filter (map-side drop of non-candidates before the only exchange)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate filter must be a broadcast semi-join in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-m must not global-sort in:\n$p")
+  }
+
+  test("asof nearest: both phases are user/event equi-joins, no rank window over the fan-out") {
+    val p = plan("q_join_asof_nearest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest lookup degraded to a product in:\n$p")
+    assert(!p.contains("Window"), s"two-phase min must avoid the rank window in:\n$p")
+  }
+
   test("outlier_mad: per-type medians broadcast back — no wide fact shuffle") {
     val p = plan("q_outlier_mad")
     assert("BroadcastExchange".r.findAllIn(p).size >= 2,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Misra–Gries heavy-hitters contract: the candidate superset guarantee on
+  * adversarial skewed data, the bounded candidate cardinality, and
+  * exactness of the final top-m when the margin holds. */
+class FreqSpec extends SparkSpec {
+
+  /** Zipf-ish skew: item i contributes ~N/i copies, interleaved (round-
+    * robin by rank) so heavy items are NOT clustered in one partition —
+    * the layout that stresses per-partition summaries hardest. */
+  private def zipfItems(n: Int, distinct: Int) = {
+    // row r maps to item (r mod H) where H grows with r: early items
+    // recur throughout the stream, tail items appear once (`div` = integer
+    // division; Column./ would be double)
+    spark.range(n.toLong)
+      .select(expr(s"concat('w', id % (id div $distinct + 1))").as("item"))
+      .repartition(7)
+  }
+
+  test("candidates are a superset of every item with freq > n/k") {
+    val items = zipfItems(20000, 400).cache()
+    val n = items.count()
+    val k = 50
+    val heavy = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > n / k)
+      .collect().map(_.getString(0)).toSet
+    assert(heavy.nonEmpty, "fixture must contain heavy items")
+    val cand = Freq.candidates(items, k).collect().map(_.getString(0)).toSet
+    assert(heavy.subsetOf(cand),
+      s"missing heavy items: ${heavy -- cand}")
+    items.unpersist()
+  }
+
+  test("candidate cardinality is bounded by partitions x k") {
+    val items = zipfItems(20000, 400)
+    val k = 20
+    val parts = items.rdd.getNumPartitions
+    val c = Freq.candidates(items, k).count()
+    assert(c <= parts.toLong * k, s"$c candidates > $parts x $k")
+  }
+
+  test("heavyHitters equals the exact top-m when the m-th count clears n/k") {
+    val items = zipfItems(20000, 400).cache()
+    val exact = items.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val mg = Freq.heavyHitters(items, m = 5, k = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(mg === exact)
+    items.unpersist()
+  }
+
+  test("fixture words: q_agg_heavy_hitters margin holds (c_m > n/k)") {
+    val words = graft.catalog.Tables.documents(spark, sf())
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("item"))
+      .cache()
+    val n = words.count()
+    val cm = words.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("item")).limit(10)
+      .collect().map(_.getLong(1)).min
+    assert(cm > n / 64, s"10th word count $cm must exceed n/k = ${n / 64}")
+    words.unpersist()
+  }
+}
