@@ -558,6 +558,27 @@ object ScaleProbe {
       val tMerge = (System.nanoTime() - tm0) / 1e9
       println(f"""{"asof_hotkey_rows":$hotN,"composed_sec":$tComposed%.2f,"merge_sec":$tMerge%.2f}""")
     }
+    // ---- heavy hitters: fixed row count, GROWING distinct-key domain.
+    // The exact plan's exchange carries one partial row per (partition,
+    // distinct key) — it grows with D; the MG path's exchange carries only
+    // candidate partials (bounded by partitions·k regardless of D). Flat
+    // MG wall vs growing exact wall across D is the 100 TB argument made
+    // measurable (plus the candidate count printed to show the bound).
+    if (want("heavy_hitters")) Seq(10000, 100000, 1000000).foreach { d =>
+      val n = 8000000L
+      val items = spark.range(n).select(
+        when(pmod($"id", lit(20)) < 2, concat(lit("h"), pmod($"id", lit(2))))
+          .otherwise(concat(lit("t"), pmod($"id", lit(d)))).as("item"))
+      val te0 = System.nanoTime()
+      items.groupBy($"item").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"item").limit(10).collect()
+      val tExact = (System.nanoTime() - te0) / 1e9
+      val tm0 = System.nanoTime()
+      val mg = graft.operators.Freq.heavyHitters(items, m = 10, k = 64).collect()
+      val tMg = (System.nanoTime() - tm0) / 1e9
+      val nCand = graft.operators.Freq.candidates(items, 64).count()
+      println(f"""{"hh_distinct":$d,"rows":$n,"exact_sec":$tExact%.2f,"mg_sec":$tMg%.2f,"mg_top":${mg.length},"candidates":$nCand}""")
+    }
     spark.stop()
   }
 }

@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   *      non-candidate row BEFORE the exchange, so the shuffle carries
   *      ≤ partitions·candidates partial sums.
   *
+  * Cost shape (ScaleProbe "heavy_hitters", 8M rows, D = 1e4→1e6): the
+  * candidate set stays bounded (29 → 110 items for 100× the domain, vs
+  * the partitions·k = 2048 ceiling) and the MG wall is flat; the exact
+  * plan is still FASTER at D ≤ 1e6 on local[32] because its shuffle isn't
+  * yet the bottleneck there. MG trades a second source scan for the
+  * shuffle: exact = 1 scan + a one-row-per-distinct-key exchange, MG =
+  * 2 scans + a candidates-only exchange. The crossover is where the key
+  * domain stops fitting comfortably in the exchange — exactly the 100 TB
+  * token/URL regime this operator exists for, and why it is NOT the
+  * default top-k (q_topk_global / q_text_top_terms stay exact).
+  *
   * Correctness: MG guarantees any item with global frequency > n/k
   * survives in at least one partition's summary (pigeonhole over the
   * per-partition guarantee freq_p > n_p/k ⇒ kept), so the candidate set
