@@ -543,6 +543,35 @@ object Aggs {
         .select($"event_type", $"n_days", $"n_events", $"exact_users",
           (abs($"est" - $"exact_users") <= lit(0.05) * $"exact_users").as("approx_ok"))
         .orderBy($"event_type")
+    }),
+
+    // Sketch SET ALGEBRA: |clickers ∩ purchasers| estimated by
+    // inclusion-exclusion over mergeable HLL state (est_A + est_B −
+    // est_A∪B) — the overlap question a silver layer answers from stored
+    // KB-size sketches without re-touching fact rows (set INTERSECT at
+    // 100 TB shuffles both distinct user sets). Exact columns are the
+    // oracle anchor; the estimate lands through the tolerance predicate
+    // (overlap ≈ union here, so inclusion-exclusion compounds the ~0.4%
+    // per-sketch rsd to ~1%, well inside 5%).
+    "q_agg_sketch_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir)
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_type", $"user_id")
+      val sk = e.groupBy($"event_type")
+        .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+      val est = sk.agg(
+        sum(hll_sketch_estimate($"sk")).as("est_sum"),
+        hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est_union"))
+      val a = e.filter($"event_type" === "click").select($"user_id").distinct()
+      val b = e.filter($"event_type" === "purchase").select($"user_id").distinct()
+      val nA = a.agg(count(lit(1)).as("n_click"))
+      val nB = b.agg(count(lit(1)).as("n_purchase"))
+      val nBoth = a.intersect(b).agg(count(lit(1)).as("n_both"))
+      nA.crossJoin(nB).crossJoin(nBoth).crossJoin(est)
+        .select($"n_click", $"n_purchase", $"n_both",
+          (abs(($"est_sum" - $"est_union") - $"n_both") <= lit(0.05) * $"n_both")
+            .as("approx_ok"))
     })
   )
 
@@ -934,6 +963,20 @@ object Aggs {
     // day-grain + exact columns fully checked; the merged-sketch estimate
     // is oracled through the tolerance predicate (TRUE ⇔ union-of-daily-
     // sketches landed within ±5% of exact — assertable without sketches)
+    "q_agg_sketch_intersect" ->
+      """SELECT CAST(a.n AS BIGINT) AS n_click,
+                CAST(b.n AS BIGINT) AS n_purchase,
+                CAST(c.n AS BIGINT) AS n_both,
+                TRUE AS approx_ok
+         FROM (SELECT count(DISTINCT user_id) AS n FROM events
+               WHERE event_type = 'click') a,
+              (SELECT count(DISTINCT user_id) AS n FROM events
+               WHERE event_type = 'purchase') b,
+              (SELECT count(*) AS n FROM (
+                 SELECT user_id FROM events WHERE event_type = 'click'
+                 INTERSECT
+                 SELECT user_id FROM events WHERE event_type = 'purchase')) c""",
+
     "q_agg_sketch_rollup" ->
       """SELECT event_type,
                 count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days,

@@ -112,6 +112,33 @@ object Scans {
       StructField("value", DoubleType)))
   }
 
+  /** Per-doc blob export for the binaryFile source (one .bin per doc_id
+    * < 100, raw UTF-8 text bytes; written driver-side — Spark has no
+    * binary-file WRITER, and 100 bounded fixture files are not a
+    * distributed write). Same mtime-stamped tmp-dir caching as
+    * [[exportedEvents]]. */
+  private[queries] def exportedDocBlobs(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(path(dir, "documents"))
+    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val stamp = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"blobs:$dir@$mtime").toLong & 0xffffffffL)
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_doc_blobs_$stamp")
+    exportLock.synchronized {
+      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+        java.nio.file.Files.createDirectories(out)
+        documents(s, dir).filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text")).collect().foreach { r =>
+            java.nio.file.Files.write(
+              out.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        java.nio.file.Files.write(out.resolve("_SUCCESS"), Array.emptyByteArray)
+      }
+    }
+    out.toString
+  }
+
   /** The shared round-trip aggregate — integer-only (a double SUM would be
     * addition-order-dependent); identical for every export format, so all
     * three format queries share one DuckDB oracle body. */
@@ -151,6 +178,22 @@ object Scans {
     "q_scan_xml" -> ((s, dir) => exportAgg(
       graft.sources.Sources.readXml(s, exportedEvents(s, dir, "xml"),
         eventExportSchema, rowTag = "event").clean)),
+
+    // binaryFile source — the multimodal INGESTION path (one row per
+    // opaque blob file: path, length, content bytes). The oracle never
+    // touches the files: identity is proven against the ORIGINAL table
+    // (length = octet_length(text), md5(content) = md5 of the same UTF-8
+    // bytes) — the same round-trip-to-source discipline as the format
+    // queries above. At 100 TB this is how image/audio corpora enter
+    // (Media.scala consumes exactly this shape).
+    "q_scan_binaryfile" -> ((s, dir) => {
+      import s.implicits._
+      s.read.format("binaryFile").load(exportedDocBlobs(s, dir))
+        .select(
+          regexp_extract($"path", "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          $"length", md5($"content").as("md5"))
+        .orderBy($"doc_id")
+    }),
 
     // A3: column pruning decided at the source — 5 of 11 lineitem columns.
     "q_scan_project" -> ((s, dir) => {
@@ -372,6 +415,14 @@ object Scans {
          FROM events
          GROUP BY 1
          ORDER BY 1""",
+
+    "q_scan_binaryfile" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS length,
+                md5(text) AS md5
+         FROM documents
+         WHERE doc_id < 100
+         ORDER BY doc_id""",
 
     "q_scan_jsonl" ->
       """SELECT event_type,

@@ -140,6 +140,25 @@ object Text {
 
     // document fingerprint: canonicalize (distinct tokens, sorted) + hash.
     // Exact-dedup key that survives token reordering/repetition.
+    // Feature hashing (the HashingVectorizer trick): token → fixed 64-dim
+    // bucket by the md5 recipe behind hashBucketExpr, per-doc sparse
+    // (bucket, count) vectors — bounded-width features with NO vocabulary
+    // pass, the property that matters at 100 TB (a vocab dictionary is a
+    // full extra aggregate + broadcast; the hash needs neither). Same
+    // conv(md5) ⇔ CAST('0x'||…) portability as q_sample_hash.
+    "q_text_hash_vectorize" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .filter($"doc_id" < 50)
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+        .filter($"token" =!= "")
+        .withColumn("bucket",
+          pmod(conv(substring(md5($"token"), 1, 4), 16, 10).cast("int"), lit(64)))
+        .groupBy($"doc_id", $"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"doc_id", $"bucket")
+    }),
+
     "q_text_fingerprint" -> ((s, dir) => {
       import s.implicits._
       val canon = array_join(array_sort(array_distinct(split($"text", " "))), " ")
@@ -614,6 +633,18 @@ object Text {
                   t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_units,
                 CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS vocab
          FROM documents ORDER BY doc_id""",
+
+    "q_text_hash_vectorize" ->
+      """SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(token), 1, 4) AS INT) % 64 AS bucket
+           FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents WHERE doc_id < 50)
+           WHERE token <> '')
+         GROUP BY doc_id, bucket
+         ORDER BY doc_id, bucket""",
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

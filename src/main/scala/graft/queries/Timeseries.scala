@@ -84,6 +84,35 @@ object Timeseries {
         .orderBy($"event_type", $"day")
     }),
 
+    // Lag-k autocorrelation (k = 1..3) of the daily event count per type —
+    // the periodicity diagnostic (weekly seasonality shows as an ACF bump
+    // at lag 7). Pairs come from lag-shifted equi-joins ON THE DAILY
+    // AGGREGATE (like q_timeseries_ewma, never raw facts); all six
+    // correlation sums are exact BIGINT products of integer counts, and
+    // the Pearson formula is ONE shared double expression — the
+    // q_agg_corr portability recipe.
+    "q_timeseries_acf" -> ((s, dir) => {
+      import s.implicits._
+      val daily = events(s, dir)
+        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val pairs = Seq(1, 2, 3).map { l =>
+        daily.join(
+            daily.select($"event_type", date_add($"day", l).as("day"), $"x".as("y")),
+            Seq("event_type", "day"))
+          .select($"event_type", lit(l).as("lag"), $"x", $"y")
+      }.reduce(_ unionAll _)
+      pairs.groupBy($"event_type", $"lag")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+        .select($"event_type", $"lag", $"n",
+          r4(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+             sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+                  ($"n" * $"syy" - $"sy" * $"sy").cast("double"))).as("acf"))
+        .orderBy($"event_type", $"lag")
+    }),
+
     // Weekly OHLC bars per event type: open/close = first/last value in
     // the week (frame-ordered by ts, event_id), high/low = max/min. The
     // value doubles pass through untouched (no cross-row float sums).
@@ -138,6 +167,28 @@ object Timeseries {
            ON a.event_type = b.event_type AND b.day <= a.day AND b.day + 20 > a.day
          GROUP BY 1, 2
          ORDER BY a.event_type, a.day""",
+
+    "q_timeseries_acf" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.event_type, l.lag, a.x, b.x AS y
+           FROM daily a
+           CROSS JOIN (VALUES (1), (2), (3)) l(lag)
+           JOIN daily b
+             ON b.event_type = a.event_type AND b.day + l.lag = a.day),
+         sums AS (
+           SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+                  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                  sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM pairs GROUP BY 1, 2)
+         SELECT event_type, CAST(lag AS INT) AS lag, n,
+                round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                           CAST(n * syy - sy * sy AS DOUBLE)), 4) AS acf
+         FROM sums
+         ORDER BY event_type, lag""",
 
     "q_timeseries_resample" ->
       """WITH w AS (

@@ -90,6 +90,22 @@ object Windows {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // Share-of-total (ratio_to_report): each order's fraction of its
+    // priority class's spend — the contribution/market-share window. The
+    // denominator is an EXACT decimal window sum (order-insensitive
+    // across partials); numerator and denominator cast to double once,
+    // one shared division under r4 on both engines.
+    "q_win_share" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+      orders(s, dir)
+        .select(
+          $"o_orderpriority", $"o_orderkey", $"o_totalprice",
+          r4(dec4($"o_totalprice").cast("double") /
+             sum(dec4($"o_totalprice")).over(w).cast("double")).as("share"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    }),
+
     "q_win_lead_lag" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
@@ -224,6 +240,14 @@ object Windows {
                 round(cume_dist() OVER w, 6) AS cd
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderpriority, o_orderkey""",
+
+    "q_win_share" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+                round(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) /
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                           OVER (PARTITION BY o_orderpriority) AS DOUBLE), 4) AS share
+         FROM orders
          ORDER BY o_orderpriority, o_orderkey""",
 
     "q_win_running" ->

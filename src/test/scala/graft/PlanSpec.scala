@@ -397,6 +397,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"two-phase min must avoid the rank window in:\n$p")
   }
 
+  test("win share: window and presentation sort are the only exchanges") {
+    val p = plan("q_win_share")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"expected exactly one hash shuffle, got $hashEx in:\n$p")
+  }
+
+  test("acf: lag joins run on the daily aggregate as equi-joins, never a product") {
+    val p = plan("q_timeseries_acf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lag join degraded to a product in:\n$p")
+  }
+
   test("outlier_mad: per-type medians broadcast back — no wide fact shuffle") {
     val p = plan("q_outlier_mad")
     assert("BroadcastExchange".r.findAllIn(p).size >= 2,
