@@ -58,6 +58,7 @@ object SparkEntry {
       (graft.operators.Vocab.queries, graft.operators.Vocab.oracle),
       (graft.operators.Pack.queries, graft.operators.Pack.oracle),
       (graft.operators.Merge.queries, graft.operators.Merge.oracle),
+      (graft.operators.Quality.queries, graft.operators.Quality.oracle),
       (graft.pipeline.TrainingData.queries, graft.pipeline.TrainingData.oracle)
     )
 

@@ -79,4 +79,116 @@ object Quality {
       nullChecked.map(c => sum(col(c).isNull.cast("long")).as(s"${c}_nulls"))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** In-table rule set evaluated in ONE scan of `df`: each rule is a
+    * violation predicate folded into `sum(when(...))`, then unpivoted to
+    * the tall (rule, n_checked, n_violations) report — the Deequ-style
+    * analysis discipline (at 100 TB a rule suite must not scan the fact
+    * table once per rule). */
+  def checkRules(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    val aggs = count(lit(1)).as("n_checked") +:
+      rules.map { case (name, bad) => sum(when(bad, 1L).otherwise(0L)).as(name) }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map { case (name, _) => s"'$name', $name" }.mkString(", ")
+    wide.select(
+      expr(s"stack(${rules.size}, $stackArgs) as (rule, n_violations)"),
+      col("n_checked"))
+      .select(col("rule"), col("n_checked"), col("n_violations"))
+  }
+
+  // ---- driver contract ----------------------------------------------------
+
+  /** The engine's data-quality suite over the fixture warehouse: per-table
+    * rule scans (one pass each), an FK-orphan anti-join, a cross-table
+    * temporal consistency join, and a uniqueness check — the dbt-test /
+    * Deequ surface as ONE tall oracle-checked report. Two rules fire on
+    * the fixtures by design (discount policy, ship-before-order), so the
+    * counting path is exercised, not just the all-zeroes happy path. */
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "q_dq_checks" -> ((s, dir) => {
+      import graft.catalog.Tables
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val e = Tables.events(s, dir)
+      val ordersRules = checkRules(o, Seq(
+        "orders_totalprice_nonneg" -> (col("o_totalprice") < 0),
+        "orders_date_in_range" ->
+          (col("o_orderdate") < lit("1995-01-01").cast("timestamp") ||
+           col("o_orderdate") >= lit("2002-01-01").cast("timestamp")),
+        "orders_status_domain" -> !col("o_orderstatus").isin("O", "F", "P")))
+      val liRules = checkRules(li, Seq(
+        "lineitem_quantity_range" ->
+          (col("l_quantity") < 1 || col("l_quantity") > 50),
+        "lineitem_discount_policy" -> (col("l_discount") > 0.08)))
+      val eventRules = checkRules(e, Seq(
+        "events_value_range" ->
+          (col("value").isNull || col("value") < 0 || col("value") > 400),
+        "events_type_domain" ->
+          !col("event_type").isin("view", "click", "purchase", "signup", "error")))
+      val fkOrphans = o.agg(count(lit(1)).as("n_checked")).crossJoin(
+        checkFk(o, Tables.customer(s, dir), Seq("o_custkey"), Seq("c_custkey"))
+          .agg(count(lit(1)).as("n_violations")))
+        .select(lit("orders_custkey_fk").as("rule"), col("n_checked"), col("n_violations"))
+      val shipOrder = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+            .as("n_violations"))
+        .select(lit("lineitem_ship_not_before_order").as("rule"),
+          col("n_checked"), col("n_violations"))
+      val unique = e.agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("event_id"))).as("n_violations"))
+        .select(lit("events_event_id_unique").as("rule"),
+          col("n_checked"), col("n_violations"))
+      Seq(ordersRules, liRules, eventRules, fkOrphans, shipOrder, unique)
+        .reduce(_ unionAll _)
+        .orderBy(col("rule"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_dq_checks" ->
+      """SELECT rule, n_checked, CAST(n_violations AS BIGINT) AS n_violations FROM (
+           SELECT 'orders_totalprice_nonneg' AS rule,
+                  (SELECT count(*) FROM orders) AS n_checked,
+                  (SELECT count(*) FROM orders WHERE o_totalprice < 0) AS n_violations
+           UNION ALL SELECT 'orders_date_in_range',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1995-01-01'
+                      OR o_orderdate >= TIMESTAMP '2002-01-01')
+           UNION ALL SELECT 'orders_status_domain',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM orders
+                   WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+           UNION ALL SELECT 'lineitem_quantity_range',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_quantity < 1 OR l_quantity > 50)
+           UNION ALL SELECT 'lineitem_discount_policy',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem WHERE l_discount > 0.08)
+           UNION ALL SELECT 'events_value_range',
+                  (SELECT count(*) FROM events),
+                  (SELECT count(*) FROM events
+                   WHERE value IS NULL OR value < 0 OR value > 400)
+           UNION ALL SELECT 'events_type_domain',
+                  (SELECT count(*) FROM events),
+                  (SELECT count(*) FROM events
+                   WHERE event_type NOT IN ('view','click','purchase','signup','error'))
+           UNION ALL SELECT 'orders_custkey_fk',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM orders
+                   WHERE o_custkey IS NOT NULL
+                     AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+           UNION ALL SELECT 'lineitem_ship_not_before_order',
+                  (SELECT count(*) FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey),
+                  (SELECT count(*) FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey
+                   WHERE l.l_shipdate < o.o_orderdate)
+           UNION ALL SELECT 'events_event_id_unique',
+                  (SELECT count(*) FROM events),
+                  (SELECT count(*) - count(DISTINCT event_id) FROM events))
+         ORDER BY rule"""
+  )
 }

@@ -75,4 +75,32 @@ class QualitySpec extends SparkSpec {
     assert(metrics("n_rows") === n)
     assert(metrics("l_quantity_nulls") === 0L)
   }
+
+  test("checkRules: one scan, every rule a column — counts match per-rule filters") {
+    val o = Tables.orders(spark, sf())
+    val rules = Seq(
+      "neg_price" -> (org.apache.spark.sql.functions.col("o_totalprice") < 0),
+      "big_price" -> (org.apache.spark.sql.functions.col("o_totalprice") > 100000))
+    val report = Quality.checkRules(o, rules)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = o.count()
+    val big = o.filter(org.apache.spark.sql.functions.col("o_totalprice") > 100000).count()
+    assert(report("neg_price") === (n, 0L))
+    assert(report("big_price") === (n, big))
+    assert(big > 0, "fixture should have expensive orders")
+    // one scan: the aggregate plan reads orders exactly once
+    val p = Quality.checkRules(o, rules).queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"rule suite must evaluate in one scan:\n$p")
+  }
+
+  test("q_dq_checks: firing rules fire, passing rules pass") {
+    val report = graft.SparkEntry.queries("q_dq_checks")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(report("orders_totalprice_nonneg") === 0L)
+    assert(report("orders_custkey_fk") === 0L)
+    assert(report("events_event_id_unique") === 0L)
+    assert(report("lineitem_discount_policy") > 0L, "policy rule should fire on fixtures")
+    assert(report("lineitem_ship_not_before_order") > 0L, "temporal rule should fire")
+  }
 }
