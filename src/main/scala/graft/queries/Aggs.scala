@@ -545,6 +545,67 @@ object Aggs {
         .orderBy($"event_type")
     }),
 
+    // Shannon entropy of the per-type user distribution — the
+    // concentration/diversity profiling metric (a type whose events come
+    // from few users scores low). H = ln N − (Σ c·ln c)/N from EXACT
+    // integer counts; ln() is libm-dependent in the last ULP, so the
+    // output is the floor-quantized BIGINT convention (unigram_logprob
+    // recipe), never round(double, 4).
+    "q_agg_entropy" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("c"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"), sum($"c").as("n"),
+          sum($"c".cast("double") * log($"c".cast("double"))).as("clc"))
+        .select($"event_type", $"n_users", $"n",
+          floor((log($"n".cast("double")) - $"clc" / $"n") * 1e4)
+            .cast("long").as("entropy_e4"))
+        .orderBy($"event_type")
+    }),
+
+    // Gini coefficient of order spend per priority class — the inequality
+    // profiling metric. Needs a per-row global rank WITHIN group; a
+    // group-partitioned window caps parallelism at the group count (5), so
+    // the rank comes from the q_agg_percentiles distributed-rank shape:
+    // range-repartition by (group, x), slice stats from a sort-free hash
+    // agg, narrow in-partition sort + ordinal. Ranks permute only among
+    // equal x, and Σ rank·x is invariant under that permutation, so the
+    // result is deterministic. All sums exact decimals; the Gini formula
+    // (2·Σrx − (n+1)·Σx)/(n·Σx) is one shared double expression.
+    "q_agg_gini" -> ((s, dir) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val ranged = orders(s, dir)
+        .select($"o_orderpriority".as("g"), dec4($"o_totalprice").as("x"))
+        .repartitionByRange($"g", $"x")
+        .withColumn("pid", spark_partition_id())
+      val wOff = W.partitionBy($"g").orderBy($"pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val wStart = W.partitionBy($"pid").orderBy($"g")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val slices = ranged.groupBy($"g", $"pid")
+        .agg(count(lit(1)).as("slice_n"))
+        .withColumn("rank_off", coalesce(sum($"slice_n").over(wOff), lit(0L)))
+        .withColumn("start_ord", coalesce(sum($"slice_n").over(wStart), lit(0L)))
+        .select($"g", $"pid", $"rank_off", $"start_ord")
+      ranged
+        .sortWithinPartitions($"g", $"x")
+        .withColumn("ord",
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+        .join(broadcast(slices), Seq("g", "pid"))
+        .withColumn("rn", $"ord" - $"start_ord" + 1 + $"rank_off")
+        .groupBy($"g")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"),
+          sum($"rn".cast("decimal(18,0)") * $"x").as("srx"))
+        .select($"g".as("o_orderpriority"), $"n",
+          r4((lit(2.0) * $"srx".cast("double") -
+              ($"n" + 1).cast("double") * $"sx".cast("double")) /
+             ($"n".cast("double") * $"sx".cast("double"))).as("gini"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Sketch SET ALGEBRA: |clickers ∩ purchasers| estimated by
     // inclusion-exclusion over mergeable HLL state (est_A + est_B −
     // est_A∪B) — the overlap question a silver layer answers from stored
@@ -963,6 +1024,40 @@ object Aggs {
     // day-grain + exact columns fully checked; the merged-sketch estimate
     // is oracled through the tolerance predicate (TRUE ⇔ union-of-daily-
     // sketches landed within ±5% of exact — assertable without sketches)
+    "q_agg_entropy" ->
+      """WITH cu AS (
+           SELECT event_type, user_id, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         agg AS (
+           SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(sum(c) AS BIGINT) AS n,
+                  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+           FROM cu GROUP BY 1)
+         SELECT event_type, n_users, n,
+                CAST(floor((ln(CAST(n AS DOUBLE)) - clc / n) * 10000) AS BIGINT)
+                  AS entropy_e4
+         FROM agg
+         ORDER BY event_type""",
+
+    "q_agg_gini" ->
+      """WITH ranked AS (
+           SELECT o_orderpriority AS g,
+                  CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice) AS rn
+           FROM orders),
+         sums AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+                  sum(CAST(rn AS DECIMAL(18,0)) * x) AS srx
+           FROM ranked GROUP BY g)
+         SELECT g AS o_orderpriority, n,
+                round((2.0 * CAST(srx AS DOUBLE) -
+                       CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS gini
+         FROM sums
+         ORDER BY o_orderpriority""",
+
     "q_agg_sketch_intersect" ->
       """SELECT CAST(a.n AS BIGINT) AS n_click,
                 CAST(b.n AS BIGINT) AS n_purchase,

@@ -94,6 +94,32 @@ object Behavior {
 
     // SCD type-2 intervals: each user's event history becomes validity
     // ranges [valid_from, valid_to) via lead(); open-ended row = current.
+    // Path analysis: each user's first five event types in time order as
+    // a ">"-joined path string, top-20 paths by user count — the "what do
+    // users DO first" product-analytics view (distinct from the funnel,
+    // which tests ONE fixed ordering). One user_id window for the first-5
+    // filter, then path-string hash agg + TakeOrdered; the per-user state
+    // is capped at 5 structs regardless of history length — the property
+    // that keeps the collect bounded at 100 TB.
+    "q_path_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .groupBy($"user_id")
+        // collect_list is partition-order-dependent: sort the (rn, type)
+        // structs before joining so the path is rank-ordered
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"rn", $"event_type"))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"path")
+        .limit(20)
+    }),
+
     "q_scd2_intervals" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("valid_from"), col("event_id"))
@@ -180,6 +206,18 @@ object Behavior {
          FROM e JOIN cohorts USING (user_id)
          GROUP BY 1, 2
          ORDER BY cohort_week, week_offset""",
+
+    "q_path_sequences" ->
+      """WITH seq AS (
+           SELECT user_id,
+                  array_to_string(
+                    (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+           FROM events GROUP BY user_id)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_users
+         FROM seq
+         GROUP BY path
+         ORDER BY n_users DESC, path
+         LIMIT 20""",
 
     "q_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, value,
