@@ -112,6 +112,31 @@ object Scans {
       StructField("value", DoubleType)))
   }
 
+  /** Two-version parquet export for schema-evolution-on-read: v1 files
+    * carry (event_id, user_id) — the schema before `value` existed — and
+    * v2 files carry all three columns. Same mtime-stamped caching as the
+    * format exports. */
+  private[queries] def exportedEvolvedEvents(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(path(dir, "events"))
+    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val stamp = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"evolve:$dir@$mtime").toLong & 0xffffffffL)
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_events_evolve_$stamp")
+    exportLock.synchronized {
+      if (!java.nio.file.Files.exists(out.resolve("_DONE"))) {
+        val e = events(s, dir)
+        e.filter(col("event_id") < 5000).select(col("event_id"), col("user_id"))
+          .write.mode("overwrite").parquet(out.resolve("v1").toString)
+        e.filter(col("event_id") >= 5000)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .write.mode("overwrite").parquet(out.resolve("v2").toString)
+        java.nio.file.Files.write(out.resolve("_DONE"), Array.emptyByteArray)
+      }
+    }
+    out.toString
+  }
+
   /** Per-doc blob export for the binaryFile source (one .bin per doc_id
     * < 100, raw UTF-8 text bytes; written driver-side — Spark has no
     * binary-file WRITER, and 100 bounded fixture files are not a
@@ -178,6 +203,23 @@ object Scans {
     "q_scan_xml" -> ((s, dir) => exportAgg(
       graft.sources.Sources.readXml(s, exportedEvents(s, dir, "xml"),
         eventExportSchema, rowTag = "event").clean)),
+
+    // Schema evolution ON READ: a directory whose older parquet files
+    // predate the `value` column, unioned with newer ones via
+    // mergeSchema=true — old rows surface the added column as null, no
+    // rewrite of historical files (the lakehouse add-column path; without
+    // mergeSchema the footer of one file dictates and the column is
+    // silently dropped or the read fails). Oracle derives the same nulls
+    // from the ORIGINAL table by the version split predicate.
+    "q_scan_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val root = exportedEvolvedEvents(s, dir)
+      s.read.option("mergeSchema", "true").parquet(s"$root/v1", s"$root/v2")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"value").as("n_with_value"),
+          min($"event_id").as("min_id"), max($"event_id").as("max_id"),
+          min($"value").as("min_value"), max($"value").as("max_value"))
+    }),
 
     // binaryFile source — the multimodal INGESTION path (one row per
     // opaque blob file: path, length, content bytes). The oracle never
@@ -415,6 +457,15 @@ object Scans {
          FROM events
          GROUP BY 1
          ORDER BY 1""",
+
+    "q_scan_schema_evolution" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(CASE WHEN event_id >= 5000 THEN value END) AS BIGINT)
+                  AS n_with_value,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                min(CASE WHEN event_id >= 5000 THEN value END) AS min_value,
+                max(CASE WHEN event_id >= 5000 THEN value END) AS max_value
+         FROM events""",
 
     "q_scan_binaryfile" ->
       """SELECT doc_id,

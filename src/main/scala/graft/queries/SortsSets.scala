@@ -26,6 +26,21 @@ import graft.util.D._
 object SortsSets {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Schema-evolution union: two snapshots whose column sets diverged
+    // (an added column, a dropped one) aligned BY NAME with missing
+    // columns null-filled — the append across schema versions every
+    // long-lived lakehouse table eventually needs (positional UNION
+    // would silently mis-align). DuckDB mirrors with UNION ALL BY NAME.
+    "q_set_union_by_name" -> ((s, dir) => {
+      import s.implicits._
+      val v1 = orders(s, dir).filter($"o_orderkey" < 1000)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      val v2 = orders(s, dir).filter($"o_orderkey" >= 1000 && $"o_orderkey" < 2000)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy($"o_orderkey")
+    }),
+
     // Multi-key sort, mixed direction, explicit null placement. nullif()
     // manufactures nulls so NULLS FIRST/LAST is actually exercised.
     "q_sort_multi" -> ((s, dir) => {
@@ -140,6 +155,16 @@ object SortsSets {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_set_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+         FROM (
+           SELECT o_orderkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey < 1000
+           UNION ALL BY NAME
+           SELECT o_orderkey, o_orderpriority, o_totalprice
+           FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000)
+         ORDER BY o_orderkey""",
+
     "q_sort_multi" ->
       """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st, o_totalprice
          FROM orders

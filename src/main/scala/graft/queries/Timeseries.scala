@@ -84,6 +84,34 @@ object Timeseries {
         .orderBy($"event_type", $"day")
     }),
 
+    // Forward-fill imputation (LOCF): daily per-type count of high-value
+    // events (value > 250 — 96 of the 150 (type, day) cells are empty at
+    // sf0.01), date-spined so gaps surface as nulls, then last-observation-
+    // carried-forward via last_value(IGNORE NULLS) over the type-keyed
+    // window. The window runs on the AGGREGATED date-grain series (≤ a few
+    // thousand rows per key even for decades of days), partitioned by the
+    // series key — never an unpartitioned scan of fact rows. Leading nulls
+    // (before the first observation) stay null on both engines.
+    "q_timeseries_ffill" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir)
+      val daily = e.filter($"value" > 250)
+        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_critical"))
+      val bounds = e.agg(
+        min($"ts".cast("timestamp").cast("date")).as("d0"),
+        max($"ts".cast("timestamp").cast("date")).as("d1"))
+      val spine = bounds
+        .select(explode(sequence($"d0", $"d1", expr("INTERVAL 1 DAY"))).as("day"))
+        .crossJoin(e.select($"event_type").distinct())
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", $"day", $"n_critical",
+          last($"n_critical", ignoreNulls = true).over(w).as("n_filled"))
+        .orderBy($"event_type", $"day")
+    }),
+
     // Lag-k autocorrelation (k = 1..3) of the daily event count per type —
     // the periodicity diagnostic (weekly seasonality shows as an ACF bump
     // at lag 7). Pairs come from lag-shifted equi-joins ON THE DAILY
@@ -167,6 +195,27 @@ object Timeseries {
            ON a.event_type = b.event_type AND b.day <= a.day AND b.day + 20 > a.day
          GROUP BY 1, 2
          ORDER BY a.event_type, a.day""",
+
+    "q_timeseries_ffill" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n_critical
+           FROM events WHERE value > 250 GROUP BY 1, 2),
+         bounds AS (
+           SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+           FROM events),
+         spine AS (
+           SELECT t.event_type, CAST(s.day AS DATE) AS day
+           FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                 FROM bounds) s
+           CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+         SELECT s.event_type, s.day, d.n_critical,
+                last_value(d.n_critical IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled
+         FROM spine s LEFT JOIN daily d
+           ON s.event_type = d.event_type AND s.day = d.day
+         ORDER BY s.event_type, s.day""",
 
     "q_timeseries_acf" ->
       """WITH daily AS (

@@ -83,6 +83,21 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain robust outliers")
   }
 
+  test("ffill: gaps exist, filled value equals most recent observation, leading nulls stay") {
+    val r = q("q_timeseries_ffill").collect()
+    assert(r.exists(x => x.isNullAt(2)), "fixture must have gap cells")
+    assert(r.exists(x => x.isNullAt(2) && !x.isNullAt(3)), "some gap must be filled")
+    // replay LOCF row by row per type and compare
+    r.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      var lastSeen: Option[Long] = None
+      rows.sortBy(_.getDate(1).toString).foreach { row =>
+        if (!row.isNullAt(2)) lastSeen = Some(row.getLong(2))
+        val filled = if (row.isNullAt(3)) None else Some(row.getLong(3))
+        assert(filled === lastSeen, s"LOCF mismatch at $row")
+      }
+    }
+  }
+
   test("xml round trip: clean rows = all rows, quarantine empty") {
     val p = Scans.exportedEvents(spark, sf(), "xml")
     val r = graft.sources.Sources.readXml(spark, p, Scans.eventExportSchema,
