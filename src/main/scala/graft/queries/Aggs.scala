@@ -545,6 +545,32 @@ object Aggs {
         .orderBy($"event_type")
     }),
 
+    // Incremental aggregate MAINTENANCE: yesterday's stored per-type
+    // rollup (rows with event_id < 8000) combined with today's delta
+    // batch (>= 8000) by merging ALGEBRAIC partial states — counts/sums
+    // add, min/max fold, avg derives from (sum, n) at the end. The oracle
+    // is the FULL recompute over all events: passing proves the
+    // incremental path is exactly equivalent, which is what lets a 100 TB
+    // silver layer absorb a daily batch without rescanning history (the
+    // non-algebraic distinct goes through mergeable HLL state instead —
+    // q_agg_sketch_rollup).
+    "q_agg_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir).select($"event_type", $"event_id", $"value")
+      def partial(f: DataFrame) = f.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum(dec4($"value")).as("s"),
+          min($"value").as("lo"), max($"value").as("hi"))
+      partial(e.filter($"event_id" < 8000))
+        .unionAll(partial(e.filter($"event_id" >= 8000)))
+        .groupBy($"event_type")
+        .agg(sum($"n").as("n"), sum($"s").as("s"),
+          min($"lo").as("lo"), max($"hi").as("hi"))
+        .select($"event_type", $"n", r4($"s").as("sum_value"),
+          r4($"s".cast("double") / $"n").as("avg_value"),
+          r4($"lo").as("min_value"), r4($"hi").as("max_value"))
+        .orderBy($"event_type")
+    }),
+
     // Shannon entropy of the per-type user distribution — the
     // concentration/diversity profiling metric (a type whose events come
     // from few users scores low). H = ln N − (Σ c·ln c)/N from EXACT
@@ -1024,6 +1050,17 @@ object Aggs {
     // day-grain + exact columns fully checked; the merged-sketch estimate
     // is oracled through the tolerance predicate (TRUE ⇔ union-of-daily-
     // sketches landed within ±5% of exact — assertable without sketches)
+    "q_agg_incremental" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value,
+                round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                      / count(*), 4) AS avg_value,
+                round(CAST(min(value) AS DOUBLE), 4) AS min_value,
+                round(CAST(max(value) AS DOUBLE), 4) AS max_value
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
+
     "q_agg_entropy" ->
       """WITH cu AS (
            SELECT event_type, user_id, count(*) AS c
