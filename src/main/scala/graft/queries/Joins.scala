@@ -199,6 +199,36 @@ object Joins {
         .orderBy($"event_id")
     }),
 
+    // POINT-IN-TIME (SCD2) dimension join — the feature-store correctness
+    // op: each purchase joined to the dimension version VALID AT ITS
+    // EVENT TIME (the signup-derived plan history: each signup opens an
+    // interval closed by the user's next signup). Intervals partition
+    // time per user, so each fact row matches at most once with no
+    // dedup pass; the interval predicate rides the user equi-join as a
+    // residual (never a time product), and pre-purchase facts keep a
+    // null dimension (left join) — using the CURRENT version instead
+    // would be the train-serve leakage this join exists to prevent.
+    "q_join_scd2_pit" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"from_us", $"event_id")
+      val dim = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"event_id",
+          $"value".as("plan_value"),
+          unix_micros($"ts".cast("timestamp")).as("from_us"))
+        .withColumn("to_us", lead($"from_us", 1).over(w))
+        .select($"user_id".as("d_user"), $"plan_value", $"from_us", $"to_us")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("ts_us"))
+      p.join(dim,
+          $"user_id" === $"d_user" && $"ts_us" >= $"from_us" &&
+          ($"to_us".isNull || $"ts_us" < $"to_us"), "left")
+        .select($"event_id", $"user_id", $"ts_us",
+          $"from_us".as("plan_from_us"), $"plan_value")
+        .orderBy($"event_id")
+    }),
+
     // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys MATCH
     // each other, unlike = which drops them under 3-valued logic. nullif
     // manufactures null keys on both sides ('P' status) so the null
@@ -508,6 +538,24 @@ object Joins {
            ON a.st IS NOT DISTINCT FROM b.st AND a.k < b.k
          GROUP BY a.st
          ORDER BY a_st NULLS FIRST""",
+
+    "q_join_scd2_pit" ->
+      """WITH dim AS (
+           SELECT user_id AS d_user, value AS plan_value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS from_us,
+                  lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS to_us
+           FROM events WHERE event_type = 'signup'),
+         p AS (
+           SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts_us,
+                dim.from_us AS plan_from_us, dim.plan_value
+         FROM p LEFT JOIN dim
+           ON p.user_id = dim.d_user AND p.ts_us >= dim.from_us
+          AND (dim.to_us IS NULL OR p.ts_us < dim.to_us)
+         ORDER BY p.event_id""",
 
     "q_join_asof_nearest" ->
       """WITH p AS (

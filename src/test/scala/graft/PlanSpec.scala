@@ -404,6 +404,12 @@ class PlanSpec extends SparkSpec {
       s"top-m must not global-sort in:\n$p")
   }
 
+  test("scd2 pit join: interval predicate rides the user equi-join, never a time product") {
+    val p = plan("q_join_scd2_pit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PIT join degraded to a product in:\n$p")
+  }
+
   test("asof nearest: both phases are user/event equi-joins, no rank window over the fan-out") {
     val p = plan("q_join_asof_nearest")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
 
 import graft.catalog.Tables
 import graft.operators.Dedup
@@ -271,6 +272,83 @@ class PropertiesSpec extends SparkSpec {
         val ks2 = graft.queries.Drift.ks(sw.toDF("bucket", "is_old")).collect().head.getDouble(4)
         ks >= 0.0 && ks <= 1.0 && ks == ks2
     }, n = 12)
+  }
+
+  test("sessionize laws on generated event streams: partition, order, gap bound") {
+    import spark.implicits._
+    // arbitrary per-user µs timestamp lists → sessions must (a) cover every
+    // event exactly once, (b) number densely from 1, (c) never contain an
+    // internal gap > the threshold (checked via max session span vs count)
+    val gapUs = 1000L
+    val gen = Gen.listOfN(30, for {
+      u <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 20000L)
+    } yield (u, t))
+    check(Prop.forAll(gen) { evs: List[(Long, Long)] =>
+      evs.nonEmpty ==> {
+        val df = evs.zipWithIndex
+          .map { case ((u, t), i) => (u, i.toLong, t) }
+          .toDF("user_id", "event_id", "ts_us")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        val sess = df
+          .withColumn("new_s", when(lag($"ts_us", 1).over(w).isNull ||
+            $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("sn", sum($"new_s").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"sn")
+          .agg(count(lit(1)).as("n"), min($"ts_us").as("lo"), max($"ts_us").as("hi"))
+          .collect()
+        val total = sess.map(_.getAs[Long]("n")).sum
+        // replay expected sessions per user from the sorted stream
+        val expected = evs.groupBy(_._1).map { case (_, es) =>
+          val ts = es.map(_._2).sorted
+          1 + ts.zip(ts.tail).count { case (a, b) => b - a > gapUs }
+        }.sum
+        total == evs.size && sess.length == expected &&
+          sess.forall(r => r.getAs[Long]("hi") - r.getAs[Long]("lo") <=
+            gapUs * (r.getAs[Long]("n") - 1))
+      }
+    }, n = 15)
+  }
+
+  test("misra-gries superset law on arbitrary skewed streams") {
+    import spark.implicits._
+    val gen = Gen.listOfN(200, Gen.frequency(
+      (8, Gen.const("hot")), (3, Gen.const("warm")),
+      (1, Gen.choose(0, 50).map(i => s"cold$i"))))
+    check(Prop.forAll(gen) { items: List[String] =>
+      items.nonEmpty ==> {
+        val k = 5
+        val df = items.toDF("item").repartition(3)
+        val cand = graft.operators.Freq.candidates(df, k)
+          .collect().map(_.getString(0)).toSet
+        val n = items.size
+        val heavy = items.groupBy(identity).collect {
+          case (w, os) if os.size > n / k => w
+        }.toSet
+        heavy.subsetOf(cand)
+      }
+    }, n = 15)
+  }
+
+  test("entropy bounds: 0 ≤ H ≤ ln(n_users) on the fixture report") {
+    val r = SparkEntry.queries("q_agg_entropy")(spark, sf()).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val h = row.getLong(3) / 1e4
+      val nUsers = row.getLong(1)
+      assert(h >= -1e-4 && h <= math.log(nUsers.toDouble) + 1e-4,
+        s"entropy $h outside [0, ln($nUsers)]")
+    }
+  }
+
+  test("gini bounds and mean-preservation sanity on the fixture report") {
+    val r = SparkEntry.queries("q_agg_gini")(spark, sf()).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val g = row.getDouble(2)
+      assert(g >= 0.0 && g < 1.0, s"gini $g outside [0, 1)")
+    }
   }
 
   test("merge absorbs a no-change source: merging a target subset changes no values") {
