@@ -348,21 +348,40 @@ object Aggs {
     // Robust (MAD-based) outlier scan — the heavy-tail-safe sibling of
     // q_outlier_zscore: med/MAD instead of mean/sd, so a few huge values
     // can't inflate the threshold and mask each other. Two tiny per-type
-    // median aggregates broadcast back to the fact rows (same two-pass,
-    // no-wide-shuffle shape as zscore). Both engines interpolate the
-    // even-count median of raw doubles identically; value-med and the
-    // 0.6745·d/mad score are plain IEEE double ops shared verbatim.
+    // LOWER-median aggregates broadcast back to the fact rows (same
+    // two-pass, no-wide-shuffle shape as zscore). The lower median (the
+    // ACTUAL data value at rank ⌈n/2⌉, rank-selected, no interpolation)
+    // is the portability fix: engine-interpolated median() — Spark's
+    // a + (b−a)·g vs DuckDB's (a+b)/2 — differs in the last ULP and
+    // flipped a round(·,4) boundary at sf0.1. With exact data values for
+    // med/mad, d and 0.6745·d/mad are identical IEEE doubles on both
+    // engines. Ties in the rank window don't matter: the value AT rank k
+    // is the same however equal values order.
     "q_outlier_mad" -> ((s, dir) => {
       import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
       val e = events(s, dir).select($"event_id", $"event_type", $"value")
-      val med = e.groupBy($"event_type").agg(median($"value").as("med"))
+      val cnt = e.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val wv = W.partitionBy($"event_type").orderBy($"value", $"event_id")
+      val med = e.withColumn("rn", row_number().over(wv))
+        .join(broadcast(cnt), "event_type")
+        .filter($"rn" === expr("(n + 1) div 2"))
+        .select($"event_type", $"value".as("med"))
       val dev = e.join(broadcast(med), "event_type")
         .select($"event_id", $"event_type", $"value", ($"value" - $"med").as("d"))
-      val mad = dev.groupBy($"event_type").agg(median(abs($"d")).as("mad"))
+      val wd = W.partitionBy($"event_type").orderBy(abs($"d"), $"event_id")
+      val mad = dev.withColumn("rn", row_number().over(wd))
+        .join(broadcast(cnt), "event_type")
+        .filter($"rn" === expr("(n + 1) div 2"))
+        .select($"event_type", abs($"d").as("mad"))
       dev.join(broadcast(mad), "event_type")
         .filter(abs(lit(0.6745) * $"d" / $"mad") > 3.5)
-        .select($"event_id", $"event_type", r4($"value").as("value"),
-          r4(lit(0.6745) * $"d" / $"mad").as("rz"))
+        // value passes through RAW (same parquet double both sides); the
+        // score is floor-quantized e4 — round() is NOT portable here
+        // (DuckDB rounds 3.85224999… to 3.8523, Spark to 3.8522; floor of
+        // the bit-identical double is safe — the zscore convention)
+        .select($"event_id", $"event_type", $"value",
+          floor(lit(0.6745) * $"d" / $"mad" * 1e4).cast("long").as("rz_e4"))
         .orderBy($"event_id")
     }),
 
@@ -994,16 +1013,32 @@ object Aggs {
          ORDER BY e.event_type""",
 
     "q_outlier_mad" ->
-      """WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      """WITH cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+         med AS (
+           SELECT r.event_type, r.value AS med FROM (
+             SELECT event_type, value,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY value, event_id) AS rn
+             FROM events) r JOIN cnt USING (event_type)
+           WHERE r.rn = (cnt.n + 1) // 2),
          dev AS (SELECT e.event_id, e.event_type, e.value, e.value - m.med AS d
                  FROM events e JOIN med m USING (event_type)),
-         madt AS (SELECT event_type, median(abs(d)) AS mad FROM dev GROUP BY 1)
-         SELECT d.event_id, d.event_type,
-                round(CAST(d.value AS DOUBLE), 4) AS value,
-                round(CAST(0.6745 * d.d / m.mad AS DOUBLE), 4) AS rz
-         FROM dev d JOIN madt m USING (event_type)
-         WHERE abs(0.6745 * d.d / m.mad) > 3.5
-         ORDER BY d.event_id""",
+         madt AS (
+           SELECT r.event_type, abs(r.d) AS mad FROM (
+             SELECT event_type, event_id, d,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY abs(d), event_id) AS rn
+             FROM dev) r JOIN cnt USING (event_type)
+           WHERE r.rn = (cnt.n + 1) // 2),
+         flagged AS (
+           SELECT d.event_id, d.event_type, d.value,
+                  0.6745 * d.d / m.mad AS rz
+           FROM dev d JOIN madt m USING (event_type))
+         SELECT event_id, event_type, value,
+                CAST(floor(rz * 10000) AS BIGINT) AS rz_e4
+         FROM flagged
+         WHERE abs(rz) > 3.5
+         ORDER BY event_id""",
 
     "q_agg_listagg" ->
       """SELECT o_orderpriority,

@@ -19,6 +19,15 @@ import org.apache.spark.sql.types._
   *     precision differs (38 vs 28) — a schema-compare hazard.
   *   - Counts stay BIGINT on both sides (DuckDB `sum(int)` is HUGEINT → the
   *     oracle SQL must CAST ... AS BIGINT).
+  *   - CAVEAT (round-9 sf0.1 sweep): round() of the SAME double can differ
+  *     between engines when its exact decimal sits just under a half
+  *     boundary — 3.8522499999999997 rounds to 3.8522 in Spark
+  *     (BigDecimal.valueOf sees …2499…) but 3.8523 in DuckDB. r4 remains
+  *     fine for derived aggregates (boundary hits are measure-zero and
+  *     none have occurred there), but for per-row SCORES over many rows
+  *     prefer the floor-quantized BIGINT convention
+  *     (`floor(x*1e4).cast("long")` ⇔ `CAST(floor(x*10000) AS BIGINT)`) —
+  *     floor of a bit-identical double is always portable.
   */
 object D {
   /** Exact money/quantity input representation. */

@@ -66,17 +66,19 @@ class TimeseriesSpec extends SparkSpec {
     bars.unpersist()
   }
 
-  test("outlier_mad: flags agree with an independent percentile_cont recomputation") {
+  test("outlier_mad: flags agree with a driver-side lower-median recomputation") {
     val e = Tables.events(spark, sf())
-    val med = e.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    val dev = e.join(med, "event_type")
-      .select(col("event_id"), col("event_type"), (col("value") - col("med")).as("d"))
-    val mad = dev.groupBy(col("event_type"))
-      .agg(expr("percentile(abs(d), 0.5)").as("mad"))
-    val expect = dev.join(mad, "event_type")
-      .filter(abs(lit(0.6745) * col("d") / col("mad")) > 3.5)
-      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+    def lowerMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.size + 1) / 2 - 1)
+    }
+    val expect = e.groupBy(_.getString(1)).toSeq.flatMap { case (_, rows) =>
+      val vals = rows.map(_.getDouble(2)).toSeq
+      val med = lowerMedian(vals)
+      val mad = lowerMedian(vals.map(v => math.abs(v - med)))
+      rows.filter(r => math.abs(0.6745 * (r.getDouble(2) - med) / mad) > 3.5)
+        .map(_.getLong(0)).toSeq
+    }.toSet
     val got = q("q_outlier_mad").select(col("event_id"))
       .collect().map(_.getLong(0)).toSet
     assert(got === expect)
