@@ -564,6 +564,45 @@ object Aggs {
         .orderBy($"event_type")
     }),
 
+    // WEIGHTED (lower) median: smallest x whose cumulative weight reaches
+    // half the group total — the location estimate for importance-weighted
+    // corpora (q_sample_dsir weights, mixture weights), where the plain
+    // median ignores the weights entirely. Same range-repartition
+    // discipline as q_agg_percentiles/q_agg_gini, generalized from row
+    // counts to WEIGHT SUMS: slice weight totals give each partition's
+    // cumulative offset, only the ONE crossing slice per group is
+    // re-touched (its rows ≤ n/partitions), and the in-slice cumulative
+    // runs under a RANGE frame so equal values aggregate together —
+    // making the crossing x insensitive to how ties split across
+    // partitions. The 2·cum ≥ W predicate is exact integer math; the
+    // median itself is a raw parquet double (pass-through, no rounding).
+    "q_agg_weighted_median" -> ((s, dir) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val t = lineitem(s, dir)
+        .select($"l_returnflag".as("g"), $"l_extendedprice".as("x"),
+          $"l_quantity".cast("long").as("w"))
+        .repartitionByRange($"g", $"x")
+        .withColumn("pid", spark_partition_id())
+      val wOff = W.partitionBy($"g").orderBy($"pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val wTot = W.partitionBy($"g")
+      val slices = t.groupBy($"g", $"pid").agg(sum($"w").as("slice_w"))
+        .withColumn("w_off", coalesce(sum($"slice_w").over(wOff), lit(0L)))
+        .withColumn("tot_w", sum($"slice_w").over(wTot))
+        // the one slice per group where the cumulative weight crosses W/2
+        .filter(lit(2) * $"w_off" < $"tot_w" &&
+          lit(2) * ($"w_off" + $"slice_w") >= $"tot_w")
+        .select($"g", $"pid", $"w_off", $"tot_w")
+      val wCum = W.partitionBy($"g").orderBy($"x") // RANGE frame: ties together
+      t.join(broadcast(slices), Seq("g", "pid"))
+        .withColumn("cum", $"w_off" + sum($"w").over(wCum))
+        .filter(lit(2) * $"cum" >= $"tot_w")
+        .groupBy($"g")
+        .agg(min($"tot_w").as("total_weight"), min($"x").as("weighted_median"))
+        .orderBy($"g")
+    }),
+
     // Incremental aggregate MAINTENANCE: yesterday's stored per-type
     // rollup (rows with event_id < 8000) combined with today's delta
     // batch (>= 8000) by merging ALGEBRAIC partial states — counts/sums
@@ -1085,6 +1124,24 @@ object Aggs {
     // day-grain + exact columns fully checked; the merged-sketch estimate
     // is oracled through the tolerance predicate (TRUE ⇔ union-of-daily-
     // sketches landed within ±5% of exact — assertable without sketches)
+    "q_agg_weighted_median" ->
+      """WITH t AS (
+           SELECT l_returnflag AS g, l_extendedprice AS x,
+                  CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem),
+         cum AS (
+           SELECT g, x,
+                  sum(w) OVER (PARTITION BY g ORDER BY x
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                  sum(w) OVER (PARTITION BY g) AS tot_w
+           FROM t)
+         SELECT g, CAST(min(tot_w) AS BIGINT) AS total_weight,
+                min(x) AS weighted_median
+         FROM cum
+         WHERE 2 * c >= tot_w
+         GROUP BY g
+         ORDER BY g""",
+
     "q_agg_incremental" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                 round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value,

@@ -210,6 +210,20 @@ class PlanSpec extends SparkSpec {
       s"expected a ReusedExchange for the slice branch in:\n$finalSection")
   }
 
+  test("weighted median: slice-offset and crossing branches share ONE range exchange") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q_agg_weighted_median")(spark, sf())
+    df.collect()
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val ids = raw"Exchange rangepartitioning\([^)]*\), REPARTITION_BY_COL, \[plan_id=(\d+)\]".r
+      .findAllMatchIn(finalSection).map(_.group(1)).toList
+    assert(ids.nonEmpty && ids.distinct.size == 1,
+      s"expected both branches on ONE range exchange, got plan_ids $ids in:\n$finalSection")
+    assert(finalSection.contains("ReusedExchange"),
+      s"expected a ReusedExchange for the slice branch in:\n$finalSection")
+  }
+
   test("tpch q3: dim filters reach the scans, broadcast joins, top-k without global sort") {
     val p = plan("q_tpch_q3")
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
