@@ -288,6 +288,19 @@ object Graph {
         .orderBy(col("rank_u").desc, col("node_id"))
         .limit(20)),
 
+    // The SQL-surface twin of q_graph_bfs: the SAME multi-source hop walk
+    // as a Spark 4 WITH RECURSIVE query (hop-capped; per-iteration
+    // DISTINCT keeps the working table node-bounded instead of
+    // path-multiplicity-bounded — on a dense graph UNION ALL without it
+    // accumulates one row per PATH and explodes combinatorially). The
+    // oracle runs the IDENTICAL SQL text in DuckDB; the delta-frontier
+    // operator (bfsHops) remains the scale path — a recursive CTE
+    // re-derives the edge subquery every iteration.
+    "q_sql_recursive" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("lineitem_rec")
+      s.sql(recursiveBfsSql("lineitem_rec"))
+    }),
+
     // Multi-source BFS from the first five part nodes over the same graph:
     // hop distance per reached node, frontier expansion per round.
     "q_graph_bfs" -> ((s, dir) => {
@@ -302,7 +315,30 @@ object Graph {
     })
   )
 
+  /** The hop-walk recursive CTE, parameterized only by the lineitem table
+    * name — Spark runs it via spark.sql on a temp view, the oracle runs
+    * the IDENTICAL text against DuckDB's `lineitem` view. */
+  private def recursiveBfsSql(table: String): String =
+    s"""WITH RECURSIVE walk(node, hop) AS (
+         SELECT DISTINCT l_partkey * 2 AS node, 0 AS hop
+         FROM $table WHERE l_partkey < 5
+         UNION ALL
+         SELECT DISTINCT e.dst, w.hop + 1
+         FROM walk w
+         JOIN (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+               FROM $table
+               UNION ALL
+               SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+               FROM $table) e
+           ON e.src = w.node
+         WHERE w.hop < 2)
+       SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+       GROUP BY hop ORDER BY hop"""
+
   val oracle: Map[String, String] = Map(
+    "q_sql_recursive" -> recursiveBfsSql("lineitem"),
+
     // ID-oriented enumeration (e1.b > e1.a wedge + closing edge): the
     // triangle COUNT is orientation-invariant, so the simple a<b form
     // checks the degree-oriented Spark plan exactly.
