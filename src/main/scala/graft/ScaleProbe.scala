@@ -558,6 +558,36 @@ object ScaleProbe {
       val tMerge = (System.nanoTime() - tm0) / 1e9
       println(f"""{"asof_hotkey_rows":$hotN,"composed_sec":$tComposed%.2f,"merge_sec":$tMerge%.2f}""")
     }
+    // ---- sessionize: events replicated N× with DISJOINT user ids (per-
+    // user density constant, so the semantic output grows linearly and
+    // measured growth is the PLAN's). The whole query is one user_id hash
+    // exchange + two windows + one agg — wall should track rows ~linearly.
+    if (want("sessionize")) Seq(1, 4, 16).foreach { m =>
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+        .select($"event_id", $"user_id", $"ts")
+      val ev = (0 until m).map { i =>
+        ev0.select(
+          ($"event_id" + lit(i.toLong * 100000000L)).as("event_id"),
+          ($"user_id" + lit(i.toLong * 10000000L)).as("user_id"), $"ts")
+      }.reduce(_ unionAll _)
+      val n = ev.count()
+      val gapUs = 1800L * 1000000L
+      val t0 = System.nanoTime()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val sessions = ev
+        .select($"user_id", $"event_id",
+          unix_micros($"ts".cast("timestamp")).as("ts_us"))
+        .withColumn("new_s", when(lag($"ts_us", 1).over(w).isNull ||
+          $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("sn", sum($"new_s").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sn").agg(count(lit(1)).as("n_events"))
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"sessionize_mult":$m,"rows":$n,"sessions":$sessions,"sec":$sec%.2f}""")
+    }
+
     // ---- heavy hitters: fixed row count, GROWING distinct-key domain.
     // The exact plan's exchange carries one partial row per (partition,
     // distinct key) — it grows with D; the MG path's exchange carries only

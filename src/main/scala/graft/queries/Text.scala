@@ -212,6 +212,28 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // Class-balanced downsampling: every event_type thinned toward the
+    // MINORITY class size by a per-class md5-bucket threshold
+    // (65536·n_min div n_c, exact integer math). Threshold balancing is
+    // the 100 TB shape — one broadcast of per-class thresholds, no
+    // per-class rank window; class sizes land within binomial noise of
+    // n_min (exact-count balancing would need the distributed-rank
+    // machinery, q_agg_gini's shape). Deterministic: the kept set is a
+    // pure predicate of (event_id, event_type).
+    "q_sample_class_balance" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir).select($"event_id", $"event_type")
+      val counts = e.groupBy($"event_type").agg(count(lit(1)).as("n_c"))
+      val thr = counts
+        .crossJoin(broadcast(counts.agg(min($"n_c").as("n_min"))))
+        .select($"event_type", expr("(65536 * n_min) div n_c").as("thr"))
+      e.withColumn("bucket", hashBucketExpr($"event_id"))
+        .join(broadcast(thr), "event_type")
+        .filter($"bucket" < $"thr")
+        .select($"event_id", $"event_type")
+        .orderBy($"event_id")
+    }),
+
     // intra-document repetition signals — the "remove repetitive documents"
     // quality filter: adjacent duplicate tokens and the repeated-phrase
     // fraction (1 − distinct 3-grams / total 3-grams). Raw double division
@@ -672,6 +694,22 @@ object Text {
                FROM documents)
          WHERE bucket < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END) * 65536
          ORDER BY doc_id""",
+
+    "q_sample_class_balance" ->
+      """WITH counts AS (
+           SELECT event_type, count(*) AS n_c FROM events GROUP BY 1),
+         thr AS (
+           SELECT event_type,
+                  (65536 * (SELECT min(n_c) FROM counts)) // n_c AS thr
+           FROM counts)
+         SELECT e.event_id, e.event_type
+         FROM (SELECT event_id, event_type,
+                      CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS INT)
+                        AS bucket
+               FROM events) e
+         JOIN thr USING (event_type)
+         WHERE e.bucket < thr.thr
+         ORDER BY e.event_id""",
 
     "q_text_repetition" ->
       """SELECT doc_id,

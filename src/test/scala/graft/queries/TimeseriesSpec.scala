@@ -85,6 +85,21 @@ class TimeseriesSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain robust outliers")
   }
 
+  test("sessionize batch ≡ session_window streaming operator (independent implementations)") {
+    // q_sessionize_gap (lag + running sum) and q_stream_session
+    // (session_window) implement the SAME 30-min-gap semantics through
+    // disjoint code paths — their session inventories must agree exactly.
+    val batch = q("q_sessionize_gap")
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sw = graft.SparkEntry.queries("q_stream_session")(spark, sf())
+      .select(col("user_id"),
+        unix_micros(col("first_ts").cast("timestamp")),
+        unix_micros(col("last_ts").cast("timestamp")), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch === sw)
+  }
+
   test("ffill: gaps exist, filled value equals most recent observation, leading nulls stay") {
     val r = q("q_timeseries_ffill").collect()
     assert(r.exists(x => x.isNullAt(2)), "fixture must have gap cells")
