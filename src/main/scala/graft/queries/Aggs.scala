@@ -564,6 +564,23 @@ object Aggs {
         .orderBy($"event_type")
     }),
 
+    // Boolean aggregate surface (SQL:2023 EVERY/SOME + count_if): per
+    // priority, did every order ship under 500k, did any exceed 400k, how
+    // many were urgent-and-large — predicates folded map-side like any
+    // algebraic aggregate. Exact threshold comparisons on raw doubles —
+    // identical 3-valued logic both engines.
+    "q_agg_bool" -> ((s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(every($"o_totalprice" < 500000).as("all_under_500k"),
+          some($"o_totalprice" > 400000).as("any_over_400k"),
+          count_if($"o_totalprice" > 300000 && $"o_orderstatus" === "O")
+            .as("n_large_open"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // WEIGHTED (lower) median: smallest x whose cumulative weight reaches
     // half the group total — the location estimate for importance-weighted
     // corpora (q_sample_dsir weights, mixture weights), where the plain
@@ -1124,6 +1141,17 @@ object Aggs {
     // day-grain + exact columns fully checked; the merged-sketch estimate
     // is oracled through the tolerance predicate (TRUE ⇔ union-of-daily-
     // sketches landed within ±5% of exact — assertable without sketches)
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+                bool_and(o_totalprice < 500000) AS all_under_500k,
+                bool_or(o_totalprice > 400000) AS any_over_400k,
+                CAST(count(*) FILTER (o_totalprice > 300000 AND o_orderstatus = 'O')
+                  AS BIGINT) AS n_large_open,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
     "q_agg_weighted_median" ->
       """WITH t AS (
            SELECT l_returnflag AS g, l_extendedprice AS x,

@@ -90,6 +90,26 @@ object Windows {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // Moving MEDIAN (7-row trailing window) of daily order counts — the
+    // robust smoother (one spike day shifts a moving average but not the
+    // median). The window value list is collected frame-ordered, sorted,
+    // and the LOWER median element picked — an actual data value, so no
+    // interpolation/rounding portability hazards; the frame is ≤7 rows
+    // regardless of scale, and the window runs on the date-grain daily
+    // aggregate, never fact rows.
+    "q_win_moving_median" -> ((s, dir) => {
+      import s.implicits._
+      val daily = orders(s, dir)
+        .groupBy($"o_orderdate".cast("date").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val w = Window.orderBy($"day").rowsBetween(-6, 0)
+      daily
+        .withColumn("win", sort_array(collect_list($"n_orders").over(w)))
+        .select($"day", $"n_orders",
+          element_at($"win", expr("(size(win) + 1) div 2").cast("int")).as("mov_median"))
+        .orderBy($"day")
+    }),
+
     // Share-of-total (ratio_to_report): each order's fraction of its
     // priority class's spend — the contribution/market-share window. The
     // denominator is an EXACT decimal window sum (order-insensitive
@@ -241,6 +261,19 @@ object Windows {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_orderpriority, o_orderkey""",
+
+    "q_win_moving_median" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+         w AS (
+           SELECT day, n_orders,
+                  list_sort(list(n_orders) OVER win) AS arr
+           FROM daily
+           WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT day, n_orders, arr[(len(arr) + 1) // 2] AS mov_median
+         FROM w ORDER BY day""",
 
     "q_win_share" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
