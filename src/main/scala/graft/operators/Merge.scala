@@ -59,7 +59,55 @@ object Merge {
         action.as("_action"): _*)
   }
 
+  /** SCD2-maintaining merge: apply a batch of new dimension versions to an
+    * interval-closed history — each user's OPEN row is closed at their
+    * first batch timestamp, batch rows chain among themselves (lead), the
+    * last stays open; closed history and untouched users are carried
+    * unchanged. Equivalence law: applying any time-split batch must
+    * reproduce the FULL rebuild exactly — which is what q_merge_scd2's
+    * oracle checks (the full lead() rebuild over all versions), the same
+    * incremental ≡ recompute proof shape as q_agg_incremental.
+    *
+    * Frames: (user_id, event_id, plan_value, from_us[, to_us]). Cost: one
+    * user-keyed window per side + one broadcast-scale join of per-user
+    * first-batch timestamps — the history is never rewritten, only its
+    * open rows touched. */
+  def applyScd2(target: DataFrame, batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("from_us"), col("event_id"))
+    val closedBatch = batch
+      .withColumn("to_us", lead(col("from_us"), 1).over(w))
+    val firstBatch = batch.groupBy(col("user_id"))
+      .agg(min(col("from_us")).as("nb_ts"))
+    val appliedTarget = target
+      .join(broadcast(firstBatch), Seq("user_id"), "left")
+      .withColumn("to_us",
+        when(col("to_us").isNull && col("nb_ts").isNotNull, col("nb_ts"))
+          .otherwise(col("to_us")))
+      .drop("nb_ts")
+    appliedTarget.unionByName(closedBatch)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD2 MERGE: history built from pre-cutoff versions, then the
+    // post-cutoff batch applied incrementally; the oracle is the FULL
+    // rebuild over all versions — passing proves the apply path is
+    // exactly equivalent (no rewritten history, only open rows closed).
+    "q_merge_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z
+      val sg = graft.catalog.Tables.events(s, dir)
+        .filter($"event_type" === "signup")
+        .select($"user_id", $"event_id", $"value".as("plan_value"),
+          unix_micros($"ts".cast("timestamp")).as("from_us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"from_us", $"event_id")
+      val target = sg.filter($"from_us" < cutUs)
+        .withColumn("to_us", lead($"from_us", 1).over(w))
+      applyScd2(target, sg.filter($"from_us" >= cutUs))
+        .orderBy($"user_id", $"from_us", $"event_id")
+    }),
+
     // Deterministic MERGE scenario over orders: target = keys not
     // divisible by 7; source = updates (key%3==0, price+100, status 'U'),
     // inserts (key%7==0, status 'I'), deletes (key%11==0) — overlapping
@@ -86,6 +134,16 @@ object Merge {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_merge_scd2" ->
+      """SELECT user_id, event_id, value AS plan_value,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS from_us,
+                lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                  PARTITION BY user_id
+                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS to_us
+         FROM events
+         WHERE event_type = 'signup'
+         ORDER BY user_id, from_us, event_id""",
+
     "q_merge_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
          target AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),

@@ -199,6 +199,23 @@ object Joins {
         .orderBy($"event_id")
     }),
 
+    // EXISTENCE (mark) join: EXISTS in the SELECT list — every probe row
+    // kept, annotated with a boolean instead of filtered (semi join
+    // keeps-and-drops, anti drops-and-keeps; the mark join keeps ALL and
+    // FLAGS). Catalyst plans ExistenceJoin (PlanSpec-pinned): one hash
+    // join emitting the exists bit, not a correlated re-scan per row.
+    "q_join_existence" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("orders_ex")
+      lineitem(s, dir).createOrReplaceTempView("lineitem_ex")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice,
+               EXISTS (SELECT 1 FROM lineitem_ex l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_quantity > 45) AS has_big_item
+        FROM orders_ex o
+        ORDER BY o_orderkey""")
+    }),
+
     // POINT-IN-TIME (SCD2) dimension join — the feature-store correctness
     // op: each purchase joined to the dimension version VALID AT ITS
     // EVENT TIME (the signup-derived plan history: each signup opens an
@@ -538,6 +555,14 @@ object Joins {
            ON a.st IS NOT DISTINCT FROM b.st AND a.k < b.k
          GROUP BY a.st
          ORDER BY a_st NULLS FIRST""",
+
+    "q_join_existence" ->
+      """SELECT o_orderkey, o_totalprice,
+                EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_quantity > 45) AS has_big_item
+         FROM orders o
+         ORDER BY o_orderkey""",
 
     "q_join_scd2_pit" ->
       """WITH dim AS (

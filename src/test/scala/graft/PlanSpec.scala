@@ -418,6 +418,12 @@ class PlanSpec extends SparkSpec {
       s"top-m must not global-sort in:\n$p")
   }
 
+  test("existence query plans as an ExistenceJoin mark join, not a correlated re-scan") {
+    val p = plan("q_join_existence")
+    assert(p.contains("ExistenceJoin"), s"expected ExistenceJoin in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"mark join degraded to a product in:\n$p")
+  }
+
   test("scd2 pit join: interval predicate rides the user equi-join, never a time product") {
     val p = plan("q_join_scd2_pit")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -351,6 +351,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("scd2 apply ≡ full rebuild for ARBITRARY batch cutoffs") {
+    import spark.implicits._
+    val sg = Tables.events(spark, sf()).filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("value").as("plan_value"),
+        unix_micros(col("ts").cast("timestamp")).as("from_us"))
+      .cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("from_us"), col("event_id"))
+    val full = sg.withColumn("to_us", lead(col("from_us"), 1).over(w))
+    val tsBounds = sg.agg(min(col("from_us")), max(col("from_us"))).head
+    val (lo, hi) = (tsBounds.getLong(0), tsBounds.getLong(1))
+    check(Prop.forAll(Gen.choose(0.0, 1.0)) { f: Double =>
+      val cut = lo + ((hi - lo) * f).toLong
+      val target = sg.filter(col("from_us") < cut)
+        .withColumn("to_us", lead(col("from_us"), 1).over(w))
+      val applied = graft.operators.Merge.applyScd2(
+        target, sg.filter(col("from_us") >= cut))
+      applied.exceptAll(full).isEmpty && full.exceptAll(applied).isEmpty
+    }, n = 8)
+    sg.unpersist()
+  }
+
   test("merge absorbs a no-change source: merging a target subset changes no values") {
     import spark.implicits._
     // source = an arbitrary subset of target rows, unchanged, no deletes →
