@@ -206,15 +206,20 @@ object Graph {
     * wedge-bounded) contains both. Basket sizes are small and bounded, so
     * the per-order pair expansion is ~C(4,2); hub parts are where the
     * degree orientation earns its keep. */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchasePairCounts(s, dir).select(col("a"), col("b"))
+
+  /** Co-purchase pairs WITH their support (distinct co-occurring orders) —
+    * the count feeds q_graph_components' ≥ 2-support denoised edge rule. */
+  private def coPurchasePairCounts(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir)
       .filter(col("l_orderkey") % 4 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
     li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-      .distinct()
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("c"))
   }
 
   /** Per-node local clustering coefficient c(v) = 2·tri(v)/(d(v)·(d(v)−1))
@@ -265,6 +270,23 @@ object Graph {
 
     "q_graph_clustercoef" -> ((s, dir) =>
       localClusteringTopK(coPurchaseEdges(s, dir), k = 20)),
+
+    // Node-granular connected components over the REPEAT-co-purchase
+    // graph (pairs co-occurring in ≥ 2 distinct orders — the denoised
+    // edge rule that fragments the giant component into product
+    // families: 154 components at sf0.01). Runs the DISTRIBUTED
+    // min-label + pointer-jumping path (driverEdgeCap = 0 — the
+    // union-find fast path is covered elsewhere); the oracle is a
+    // DuckDB recursive CTE propagating labels with the l < dst prune
+    // (the component minimum always passes it, larger labels are
+    // redundant), so the operator's fixpoint is checked row by row.
+    "q_graph_components" -> ((s, dir) => {
+      val pairs = coPurchasePairCounts(s, dir).filter(col("c") >= 2)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      Components.connectedComponents(edges, driverEdgeCap = 0L)
+        .select(col("id").as("node"), col("component"))
+        .orderBy(col("node"))
+    }),
 
     // Degree distribution of the co-purchase graph: (degree, n_nodes) —
     // the first diagnostic run on any production graph (hub detection,
@@ -338,6 +360,36 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q_sql_recursive" -> recursiveBfsSql("lineitem"),
+
+    "q_graph_components" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+           SELECT a AS src, b AS dst FROM (
+             SELECT x.p AS a, y.p AS b, count(*) AS c
+             FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                   FROM lineitem WHERE l_orderkey % 4 = 0) x
+             JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                   FROM lineitem WHERE l_orderkey % 4 = 0) y
+               ON x.ok = y.ok AND x.p < y.p
+             GROUP BY 1, 2)
+           WHERE c >= 2
+           UNION ALL
+           SELECT b, a FROM (
+             SELECT x.p AS a, y.p AS b, count(*) AS c
+             FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                   FROM lineitem WHERE l_orderkey % 4 = 0) x
+             JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                   FROM lineitem WHERE l_orderkey % 4 = 0) y
+               ON x.ok = y.ok AND x.p < y.p
+             GROUP BY 1, 2)
+           WHERE c >= 2),
+         lbl(node, l) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, lbl.l
+           FROM lbl JOIN e ON e.src = lbl.node
+           WHERE lbl.l < e.dst)
+         SELECT node, min(l) AS component
+         FROM lbl GROUP BY node ORDER BY node""",
 
     // ID-oriented enumeration (e1.b > e1.a wedge + closing edge): the
     // triangle COUNT is orientation-invariant, so the simple a<b form
