@@ -212,6 +212,37 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // Collocation extraction via pointwise mutual information: adjacent
+    // word pairs scored by PMI = ln(n_bigrams·c_ab / (c_a·c_b)) — the
+    // "which words belong together" corpus statistic (phrase induction,
+    // tokenizer merge candidates). All counts exact integers from two
+    // hash aggs (bigrams, unigrams) + two broadcast-scale joins on the
+    // vocab-sized frames; ln() is libm-ULP-dependent so the score is
+    // floor-quantized e4 (unigram_logprob recipe). Support ≥ 20 keeps
+    // the report to statistically meaningful pairs.
+    "q_text_collocations" -> ((s, dir) => {
+      import s.implicits._
+      val toks = documents(s, dir)
+        .select(filter(split(lower($"text"), " "), w => w =!= "").as("ws"))
+      val bi = toks.select(explode(zip_with(
+          slice($"ws", lit(1), size($"ws") - 1),
+          slice($"ws", lit(2), size($"ws") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .groupBy($"p.w1", $"p.w2").agg(count(lit(1)).as("c_ab"))
+      val uni = toks.select(explode($"ws").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val nBi = bi.agg(sum($"c_ab").as("n"))
+      bi.filter($"c_ab" >= 20)
+        .join(broadcast(uni.select($"w".as("w1"), $"c".as("c_a"))), "w1")
+        .join(broadcast(uni.select($"w".as("w2"), $"c".as("c_b"))), "w2")
+        .crossJoin(broadcast(nBi))
+        .select($"w1", $"w2", $"c_ab",
+          floor(log($"n".cast("double") * $"c_ab" / ($"c_a" * $"c_b")) * 1e4)
+            .cast("long").as("pmi_e4"))
+        .orderBy($"pmi_e4".desc, $"w1", $"w2")
+        .limit(30)
+    }),
+
     // Class-balanced downsampling: every event_type thinned toward the
     // MINORITY class size by a per-class md5-bucket threshold
     // (65536·n_min div n_c, exact integer math). Threshold balancing is
@@ -694,6 +725,29 @@ object Text {
                FROM documents)
          WHERE bucket < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END) * 65536
          ORDER BY doc_id""",
+
+    "q_text_collocations" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+           FROM documents),
+         bi AS (
+           SELECT ws[i] AS w1, ws[i + 1] AS w2
+           FROM toks, unnest(generate_series(1, len(ws) - 1)) t(i)),
+         bic AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+         unic AS (
+           SELECT w, count(*) AS c
+           FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+         nbi AS (SELECT sum(c_ab) AS n FROM bic)
+         SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
+                CAST(floor(ln(CAST(n.n AS DOUBLE) * b.c_ab / (a.c * c.c)) * 10000)
+                  AS BIGINT) AS pmi_e4
+         FROM bic b
+         JOIN unic a ON a.w = b.w1
+         JOIN unic c ON c.w = b.w2
+         CROSS JOIN nbi n
+         WHERE b.c_ab >= 20
+         ORDER BY pmi_e4 DESC, w1, w2
+         LIMIT 30""",
 
     "q_sample_class_balance" ->
       """WITH counts AS (
