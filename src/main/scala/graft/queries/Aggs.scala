@@ -70,6 +70,15 @@ object Aggs {
         .orderBy($"gr", $"gn", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
     }),
 
+    // GROUPING() flags over a CUBE — the disambiguator between "null
+    // because this row aggregates that column away" and "null in the
+    // data", without which a cube over nullable keys is unreadable. The
+    // SAME SQL text runs on both engines (GROUPING is SQL standard).
+    "q_agg_grouping_id" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("orders_gid")
+      s.sql(groupingIdSql("orders_gid"))
+    }),
+
     "q_agg_cube" -> ((s, dir) => {
       import s.implicits._
       lineitem(s, dir)
@@ -868,7 +877,22 @@ object Aggs {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** The GROUPING()-flagged cube, parameterized only by the table name —
+    * Spark runs it on a temp view, the oracle the identical text on
+    * DuckDB's `orders` view. */
+  private def groupingIdSql(table: String): String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+              CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+              CAST(count(*) AS BIGINT) AS n
+       FROM $table
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY g_status, g_prio,
+                o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
   val oracle: Map[String, String] = Map(
+    "q_agg_grouping_id" -> groupingIdSql("orders"),
+
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
