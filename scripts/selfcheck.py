@@ -47,6 +47,15 @@ for name, sql in sorted(oracle.items()):
         gotcols = [d[0] for d in grel.description]
         gottypes = [str(t) for t in grel.types]
         got = grel.fetchall()
+        # Driver parity: its pandas sort_values canonicalization throws on
+        # array/struct/map cells (unhashable ndarray — bit q_pipeline_curate
+        # in r9, type-width bit q_media_features in r7). Any nested-typed
+        # result column must fail HERE, before the driver sees it.
+        nested = [(c, t) for c, t in zip(gotcols, gottypes)
+                  if any(k in t for k in ('[]', 'STRUCT', 'MAP'))]
+        if nested:
+            fails.append((name, f'nested result columns (driver cannot sort): {nested}'))
+            continue
         if sorted(expcols) != sorted(gotcols):
             fails.append((name, f'cols: got {sorted(gotcols)} want {sorted(expcols)}'))
             continue

@@ -103,7 +103,15 @@ object TrainingData {
     "q_pipeline_curate" -> ((s, dir) => {
       val docs = graft.catalog.Tables.documents(s, dir)
       val embs = graft.catalog.Tables.embeddings(s, dir)
-      curate(docs, embs).orderBy(col("doc_id"))
+      // The raw embedding array stays internal: result rows carry an
+      // integer digest (Σ floor(x·1e4), order-independent, float→double
+      // exact) so the result is scalar-sortable downstream while the
+      // feature join is still fully witnessed.
+      curate(docs, embs)
+        .withColumn("emb_digest", expr(
+          "aggregate(embedding, 0L, (s, x) -> s + CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"))
+        .drop("embedding")
+        .orderBy(col("doc_id"))
     }))
 
   private def qualitySql(col: String): String =
@@ -138,7 +146,11 @@ object TrainingData {
             SELECT g.* FROM gated g
             LEFT JOIN comp c ON c.id = g.doc_id
             WHERE c.cluster_id IS NULL OR c.cluster_id = g.doc_id)
-          SELECT k.doc_id, k.lang, k.text, k.quality, e.embedding, e.label,
+          SELECT k.doc_id, k.lang, k.text, k.quality,
+                 CAST(list_sum(list_transform(e.embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)))
+                      AS BIGINT) AS emb_digest,
+                 e.label,
                  bucket,
                  CASE WHEN bucket < ${Text.trainBucket} THEN 'train'
                       WHEN bucket < ${Text.valBucket} THEN 'val'

@@ -384,7 +384,14 @@ object Aggs {
         .filter($"rn" === expr("(n + 1) div 2"))
         .select($"event_type", abs($"d").as("mad"))
       dev.join(broadcast(mad), "event_type")
-        .filter(abs(lit(0.6745) * $"d" / $"mad") > 3.5)
+        // mad > 0 guard: on a degenerate distribution (>half the values
+        // equal the median) Spark's non-ANSI 0-divisor Divide yields NULL
+        // (rows silently dropped) while DuckDB's IEEE division yields ±inf
+        // (every row flagged) — the engines would diverge instead of
+        // failing loudly. Pinning mad > 0 on BOTH sides gives the
+        // degenerate case one defined, portable behavior: no robust score
+        // exists when the scale estimate is zero.
+        .filter($"mad" > 0 && abs(lit(0.6745) * $"d" / $"mad") > 3.5)
         // value passes through RAW (same parquet double both sides); the
         // score is floor-quantized e4 — round() is NOT portable here
         // (DuckDB rounds 3.85224999… to 3.8523, Spark to 3.8522; floor of
@@ -1113,7 +1120,8 @@ object Aggs {
          flagged AS (
            SELECT d.event_id, d.event_type, d.value,
                   0.6745 * d.d / m.mad AS rz
-           FROM dev d JOIN madt m USING (event_type))
+           FROM dev d JOIN madt m USING (event_type)
+           WHERE m.mad > 0)
          SELECT event_id, event_type, value,
                 CAST(floor(rz * 10000) AS BIGINT) AS rz_e4
          FROM flagged

@@ -44,8 +44,14 @@ object Timeseries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gap-based batch sessionization: a new session starts when the user
-    // is idle > 30 min. lag → boundary flag → running sum = session id,
+    // is idle >= 30 min. lag → boundary flag → running sum = session id,
     // then per-session stats. All integer/µs arithmetic — no doubles.
+    // The boundary is >= (not >) to match session_window's half-open
+    // [start, last+gap) semantics exactly — an event at precisely
+    // last_ts + 30:00.000000 falls OUTSIDE the streaming window and must
+    // open a new session here too, or the batch/stream equivalence in
+    // TimeseriesSpec would hold only while no fixture has a gap of
+    // exactly 1,800.000000 s.
     "q_sessionize_gap" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
@@ -53,7 +59,7 @@ object Timeseries {
         .select($"user_id", $"event_id", unix_micros($"ts".cast("timestamp")).as("ts_us"))
         .withColumn("new_s",
           when(lag($"ts_us", 1).over(w).isNull ||
-               $"ts_us" - lag($"ts_us", 1).over(w) > GapUs, 1L).otherwise(0L))
+               $"ts_us" - lag($"ts_us", 1).over(w) >= GapUs, 1L).otherwise(0L))
         .withColumn("session_no", sum($"new_s").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy($"user_id", $"session_no")
@@ -169,7 +175,7 @@ object Timeseries {
            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
                   CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
                          OR epoch_us(CAST(ts AS TIMESTAMP))
-                            - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+                            - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w >= 1800000000
                        THEN 1 ELSE 0 END AS new_s
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

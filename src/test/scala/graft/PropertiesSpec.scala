@@ -292,7 +292,7 @@ class PropertiesSpec extends SparkSpec {
           .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
         val sess = df
           .withColumn("new_s", when(lag($"ts_us", 1).over(w).isNull ||
-            $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+            $"ts_us" - lag($"ts_us", 1).over(w) >= gapUs, 1L).otherwise(0L))
           .withColumn("sn", sum($"new_s").over(
             w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
           .groupBy($"user_id", $"sn")
@@ -302,7 +302,7 @@ class PropertiesSpec extends SparkSpec {
         // replay expected sessions per user from the sorted stream
         val expected = evs.groupBy(_._1).map { case (_, es) =>
           val ts = es.map(_._2).sorted
-          1 + ts.zip(ts.tail).count { case (a, b) => b - a > gapUs }
+          1 + ts.zip(ts.tail).count { case (a, b) => b - a >= gapUs }
         }.sum
         total == evs.size && sess.length == expected &&
           sess.forall(r => r.getAs[Long]("hi") - r.getAs[Long]("lo") <=

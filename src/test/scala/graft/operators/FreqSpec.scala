@@ -54,15 +54,23 @@ class FreqSpec extends SparkSpec {
     items.unpersist()
   }
 
-  test("fixture words: q_agg_heavy_hitters margin holds (c_m > n/k)") {
-    val words = graft.catalog.Tables.documents(spark, sf())
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("item"))
-      .cache()
-    val n = words.count()
-    val cm = words.groupBy(col("item")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("item")).limit(10)
-      .collect().map(_.getLong(1)).min
-    assert(cm > n / 64, s"10th word count $cm must exceed n/k = ${n / 64}")
-    words.unpersist()
+  test("fixture words: q_agg_heavy_hitters margin holds (c_m > n/k) at EVERY harness sf") {
+    // The query equals its exact oracle only while the 10th word frequency
+    // clears n/k — a precondition of the data, not the code. English Zipf
+    // puts rank-10 frequency near the 1/64 line, so pin the margin at all
+    // three scale factors the verification harness runs: a violation at a
+    // new sf must surface HERE as a precondition failure, not as an
+    // inscrutable oracle mismatch in CORRECTNESS_rN.
+    for (sfDir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val words = graft.catalog.Tables.documents(spark, sf(sfDir))
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("item"))
+        .cache()
+      val n = words.count()
+      val cm = words.groupBy(col("item")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("item")).limit(10)
+        .collect().map(_.getLong(1)).min
+      assert(cm > n / 64, s"[$sfDir] 10th word count $cm must exceed n/k = ${n / 64}")
+      words.unpersist()
+    }
   }
 }

@@ -35,6 +35,58 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketed MERGE + CDC diff: zero exchanges when both versions share the layout") {
+    // SURVEY §2B pins this claim for q_merge_upsert and q_cdc_diff: the
+    // full-outer key join is the whole plan, so when both snapshots carry
+    // the bucketed layout the merge/diff runs with NO shuffle at all —
+    // exactly how a compacted lakehouse table absorbs a CDC batch.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Layout.writeBucketed(o.filter(col("o_orderkey") % 7 =!= 0), "merge_tgt_b", "o_orderkey", 4)
+      Layout.writeBucketed(
+        o.filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 11 === 0)
+          .withColumn("is_delete", col("o_orderkey") % 11 === 0),
+        "merge_src_b", "o_orderkey", 4)
+      val merged = Merge.merge(spark.table("merge_tgt_b"), spark.table("merge_src_b"),
+        Seq("o_orderkey"))
+      val mPlan = merged.queryExecution.executedPlan.toString
+      assert(mPlan.contains("SortMergeJoin"), s"expected sort-merge merge join:\n$mPlan")
+      assert(!mPlan.contains("Exchange"), s"bucketed MERGE must not shuffle:\n$mPlan")
+      // and the merge result matches the un-bucketed path exactly
+      val plain = Merge.merge(
+        o.filter(col("o_orderkey") % 7 =!= 0),
+        o.filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 11 === 0)
+          .withColumn("is_delete", col("o_orderkey") % 11 === 0),
+        Seq("o_orderkey"))
+      assert(merged.except(plain).count() === 0 && plain.except(merged).count() === 0)
+
+      // CDC diff: same layout claim on the read-direction sibling
+      Layout.writeBucketed(
+        o.filter(col("o_orderkey") % 97 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("prev_price")),
+        "cdc_prev_b", "k", 4)
+      Layout.writeBucketed(
+        o.filter(col("o_orderkey") % 89 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("cur_price")),
+        "cdc_cur_b", "k", 4)
+      val diff = spark.table("cdc_prev_b")
+        .join(spark.table("cdc_cur_b"), Seq("k"), "full_outer")
+        .withColumn("change",
+          when(col("prev_price").isNull, "insert")
+            .when(col("cur_price").isNull, "delete")
+            .when(col("prev_price") =!= col("cur_price"), "update"))
+        .filter(col("change").isNotNull)
+      val dPlan = diff.queryExecution.executedPlan.toString
+      assert(!dPlan.contains("Exchange"), s"bucketed CDC diff must not shuffle:\n$dPlan")
+      assert(diff.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      Seq("merge_tgt_b", "merge_src_b", "cdc_prev_b", "cdc_cur_b")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("salted join ≡ plain join (skewed fact against unique dim)") {
     val li = Tables.lineitem(spark, sf()).select("l_orderkey", "l_linenumber", "l_quantity")
     val ord = Tables.orders(spark, sf())

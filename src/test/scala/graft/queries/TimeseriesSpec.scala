@@ -26,15 +26,18 @@ class TimeseriesSpec extends SparkSpec {
     sess.unpersist()
   }
 
-  test("sessionize: consecutive sessions of a user are > 30 min apart, events inside <= 30 min") {
+  test("sessionize: consecutive sessions of a user are >= 30 min apart, events inside < 30 min") {
+    // boundary is session_window's half-open semantics: a gap of exactly
+    // 30:00.000000 SPLITS (so adjacent sessions are >= gap apart, and
+    // within-session inter-event gaps are strictly < gap)
     val sess = q("q_sessionize_gap")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("session_no"))
     val gaps = sess
       .withColumn("prev_end", lag(col("end_us"), 1).over(w))
       .filter(col("prev_end").isNotNull)
-      .filter(col("start_us") - col("prev_end") <= 1800L * 1000000L)
-    assert(gaps.isEmpty, "adjacent sessions must be separated by more than the gap")
+      .filter(col("start_us") - col("prev_end") < 1800L * 1000000L)
+    assert(gaps.isEmpty, "adjacent sessions must be separated by at least the gap")
   }
 
   test("ewma: first day equals the raw count; all values within window min/max") {
