@@ -485,6 +485,46 @@ object Dedup {
 
   // ------------------------------------------------------- oracle queries
 
+  /** Exact-substring dedup core (Lee et al. 2021 ExactSubstr, hash-window
+    * form — see the q_dedup_substring entry for the full rationale): mark
+    * every token of `docs` covered by a w-token sliding window whose
+    * content hash occurred earlier in (doc_id, pos) order, drop covered
+    * tokens, reassemble survivors. Input: (doc_id, text); output one row
+    * per doc: (doc_id, n_toks, n_kept, clean_md5). Cost: one row_number
+    * shuffle keyed on the 32-byte window digest (~n_tokens rows), one
+    * doc-keyed anti-join + reassembly aggregate — corpus-linear
+    * (ScaleProbe "substring"). */
+  def substringDedup(docs: DataFrame, w: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // sequence(0, n) is DESCENDING for n < 0, so short docs are filtered
+    // out of window generation instead of generating garbage positions
+    val wins = toks.filter(size(col("toks")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $w), " +
+          s"i -> md5(encode(array_join(slice(toks, i + 1, $w), ' '), 'UTF-8')))"
+      )).as(Seq("pos", "wh")))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wh")).orderBy(col("doc_id"), col("pos"))
+    val dupPos = wins.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("tok_idx"))
+      .distinct()
+    val tokens = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("tok_idx", "tok")))
+    val kept = tokens.join(dupPos, Seq("doc_id", "tok_idx"), "left_anti")
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(encode(array_join(
+          transform(array_sort(collect_list(struct(col("tok_idx"), col("tok")))),
+            x => x.getField("tok")), " "), "UTF-8")).as("clean_md5"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(encode(lit(""), "UTF-8"))).as("clean_md5"))
+  }
+
   /** Bench buffer-pool memo (active only under -Dgraft.cacheTables=true,
     * like [[graft.catalog.Tables.t]]): q_dedup_minhash, q_dedup_clusters
     * and q_dedup_incremental all derive from the SAME signature→band
@@ -636,6 +676,42 @@ object Dedup {
         .select(col("doc_id"), col("n_lines"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("clean_md5"), md5(encode(lit(""), "UTF-8"))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact-substring dedup (Lee et al. 2021 "Deduplicating Training Data
+    // Makes Language Models Better" — the ExactSubstr tier RefinedWeb runs
+    // beside line dedup; arXiv:2107.06499 uses a corpus suffix array, we
+    // use its scalable hash twin): every W=10-token sliding window is
+    // keyed by its content hash; a window whose key occurred EARLIER in
+    // corpus order (row_number over the key — the only corpus-wide
+    // shuffle, carrying a 32-byte digest per position, never the text)
+    // marks its whole token span as duplicated; tokens covered by any
+    // duplicated window are removed and the survivors reassemble in
+    // order (same shape as q_dedup_lines, which removes aligned blocks —
+    // this tier removes UNALIGNED repeats a block grid can't see).
+    // Duplication is planted: docs < 50 replay their first 30 tokens
+    // under doc_id + 20000 with a unique marker tail — replays lose
+    // exactly the copied span (the original, earlier in (doc_id, pos)
+    // order, keeps it) and keep the marker, exercising partial mid-doc
+    // removal and reassembly. 100 TB posture: windows never materialize
+    // corpus×W text — the transform emits one md5 per position (a
+    // production run would swap in xxhash64: same plan, 8-byte key;
+    // md5 here because the oracle must compute the identical key) —
+    // and the span-union, anti-join, and reassembly are all narrow or
+    // doc-keyed. Suffix arrays find UNBOUNDED-length repeats; the fixed-W
+    // window form finds every repeat >= W tokens (any such repeat
+    // contains a duplicated W-window at each offset), which is the
+    // deployed configuration anyway (W = 50 BPE tokens in the paper).
+    "q_dedup_substring" -> ((s, dir) => {
+      val base = documents(s, dir)
+        .filter(col("doc_id") < 500 && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val replayed = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(array_join(slice(split(col("text"), " "), 1, 30), " "),
+            lit(" uniq"), col("doc_id").cast("string")).as("text"))
+      substringDedup(base.unionByName(replayed), w = 10)
         .orderBy(col("doc_id"))
     }),
 
@@ -876,6 +952,49 @@ object Dedup {
            FROM kept GROUP BY 1)
          SELECT t.doc_id,
                 CAST((len(t.toks)-1)//10 + 1 AS BIGINT) AS n_lines,
+                coalesce(a.n_kept, 0) AS n_kept,
+                coalesce(a.clean_md5, md5('')) AS clean_md5
+         FROM toks t LEFT JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id""",
+
+    "q_dedup_substring" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id < 500 AND text IS NOT NULL),
+         corpus AS (
+           SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 20000 AS doc_id,
+                  array_to_string(string_split(text, ' ')[1:30], ' ')
+                    || ' uniq' || CAST(doc_id AS VARCHAR) AS text
+           FROM base WHERE doc_id < 50),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         wins AS (
+           SELECT doc_id, CAST(i AS INT) AS pos,
+                  md5(array_to_string(
+                    toks[CAST(i AS INT)+1:CAST(i AS INT)+10], ' ')) AS wh
+           FROM toks, LATERAL (SELECT unnest(range(len(toks)-10+1)) AS i)),
+         dup AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+             FROM wins)
+           WHERE rn > 1),
+         dupt AS (
+           SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS tok_idx
+           FROM dup, LATERAL (SELECT unnest(range(10)) AS j)),
+         tokens AS (
+           SELECT doc_id, CAST(i AS INT) AS tok_idx, toks[CAST(i AS INT)+1] AS tok
+           FROM toks, LATERAL (SELECT unnest(range(len(toks))) AS i)),
+         kept AS (
+           SELECT t.doc_id, t.tok_idx, t.tok FROM tokens t
+           LEFT JOIN dupt d ON d.doc_id = t.doc_id AND d.tok_idx = t.tok_idx
+           WHERE d.doc_id IS NULL),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  md5(string_agg(tok, ' ' ORDER BY tok_idx)) AS clean_md5
+           FROM kept GROUP BY 1)
+         SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
                 coalesce(a.n_kept, 0) AS n_kept,
                 coalesce(a.clean_md5, md5('')) AS clean_md5
          FROM toks t LEFT JOIN agg a USING (doc_id)

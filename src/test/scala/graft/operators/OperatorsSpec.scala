@@ -488,6 +488,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("exact-substring dedup agrees with a driver-side brute-force replay") {
+    // Independent reimplementation: build the same corpus (originals < 500
+    // + 30-token replays), mark every token covered by a 10-token window
+    // whose exact text occurred earlier in (doc_id, pos) order, reassemble
+    // — then compare doc-by-doc against the operator's output.
+    val W = 10
+    val rows = graft.SparkEntry.queries("q_dedup_substring")(spark, sf())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val base = Tables.documents(spark, sf())
+      .filter(col("doc_id") < 500 && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = (base ++ base.filter(_._1 < 50).map { case (id, t) =>
+      (id + 20000L, t.split(" ").take(30).mkString(" ") + " uniq" + id)
+    }).sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val expected = corpus.map { case (id, text) =>
+      val toks = text.split(" ")
+      val dup = Array.fill(toks.length)(false)
+      for (i <- 0 to toks.length - W) {
+        val win = toks.slice(i, i + W).mkString(" ")
+        if (!seen.add(win)) (i until i + W).foreach(dup(_) = true)
+      }
+      val kept = toks.indices.filterNot(dup).map(toks)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      id -> ((toks.length.toLong, kept.length.toLong, md))
+    }.toMap
+    assert(rows.keySet === expected.keySet)
+    val bad = rows.filter { case (id, got) => expected(id) != got }
+    assert(bad.isEmpty, s"mismatched docs: ${bad.take(5)}")
+    // the planted replays must lose exactly the copied span
+    assert(rows.filter(_._1 >= 20000L).forall(_._2._2 == 1L),
+      "every replay must keep only its uniq marker token")
+  }
+
   test("ANN: pq ADC ranks above random on the structureless fixture embeddings") {
     // The fixture is near-random: ADC cannot recover the exact top-k
     // (documented, same as the ivf degenerate test) — but its picks must
