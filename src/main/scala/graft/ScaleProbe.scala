@@ -86,6 +86,22 @@ object ScaleProbe {
       println(f"""{"probe":"docs","mult":$m,"docs":$nDocs,"shingle_lsh_sec":$tLsh%.2f,"near_dups":$nearDups,"decontaminate_sec":$tDecon%.2f,"contaminated":$contaminated}""")
     }
 
+    // round-10: exact-substring dedup on N×-replicated docs (disjoint
+    // vocabularies, so replicas never share a window across replicas and
+    // the duplicated-window structure per replica is identical — output
+    // grows exactly linearly). The probe question: does the window-hash
+    // row_number shuffle (the only corpus-wide stage) stay corpus-linear,
+    // or does the span-explode/anti-join tail grow superlinearly?
+    if (want("substring")) docMults.foreach { m =>
+      val docs = replicateDocs(m)
+      val n = docs.count()
+      val t0 = System.nanoTime()
+      val out = graft.operators.Dedup.substringDedup(docs, w = 10)
+        .agg(sum($"n_toks"), sum($"n_kept")).collect()(0)
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"substring","mult":$m,"docs":$n,"sec":$t%.2f,"toks":${out.getLong(0)},"kept":${out.getLong(1)}}""")
+    }
+
     // percentiles: the q_agg_percentiles single-sort-window shape on
     // N×-unioned lineitem (values unchanged — quantiles of a replicated
     // multiset are the originals; the WORK is the per-group sort).
@@ -332,6 +348,40 @@ object ScaleProbe {
         val t = (System.nanoTime() - t0) / 1e9
         val marginal = (t - base) / (iters - 1)
         println(f"""{"probe":"pagerank_iters","iters":$iters,"sec":$t%.2f,"first_iter_sec":$base%.2f,"marginal_iter_sec":$marginal%.2f}""")
+      }
+    }
+
+    // round-10: the pagerank broadcast-ceiling fallback. Same generator as
+    // the pagerank probe, at up to 64× edges: both rank-distribution
+    // strategies (broadcast vs shuffle-join) on identical graphs. The
+    // question is the PRICE of the fallback a billions-of-nodes cluster
+    // must take when ranks outgrow the broadcast budget — near-linear
+    // growth for both paths plus a bounded broadcast/shuffle gap is the
+    // evidence the flagged path is deployable, not a cliff.
+    if (want("pagerank_fallback")) {
+      val pairs0 = li0
+        .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct().localCheckpoint()
+      def graphOf(m: Int) = {
+        val oneWay = (0 until m).map { i =>
+          pairs0.select(($"src" + lit(i.toLong * 1000000000L)).as("src"),
+            ($"dst" + lit(i.toLong * 1000000000L)).as("dst"))
+        }.reduce(_ unionAll _)
+        oneWay.union(oneWay.select($"dst".as("src"), $"src".as("dst")))
+      }
+      graft.operators.Graph.pagerank(graphOf(1), 1).count() // warm
+      Seq(1, 16, 64).foreach { m =>
+        val edges = graphOf(m).localCheckpoint()
+        val n = edges.count()
+        val times = Seq(true, false).map { bc =>
+          val t0 = System.nanoTime()
+          val mass = graft.operators.Graph.pagerank(edges, 3, broadcastRanks = bc)
+            .agg(sum($"rank")).collect()(0).getLong(0)
+          ((System.nanoTime() - t0) / 1e9, mass)
+        }
+        assert(times(0)._2 == times(1)._2,
+          s"broadcast and shuffle paths must conserve the same mass at mult=$m")
+        println(f"""{"probe":"pagerank_fallback","mult":$m,"edges":$n,"broadcast_sec":${times(0)._1}%.2f,"shuffle_sec":${times(1)._1}%.2f}""")
       }
     }
 

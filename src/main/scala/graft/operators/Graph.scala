@@ -44,21 +44,35 @@ object Graph {
     *              a fixed count is what an unrolled SQL oracle can mirror).
     * @param mass  total rank mass in micro-units; per-node ranks are exact
     *              integer shares of it.
+    * @param broadcastRanks rank-distribution strategy for the loop join.
+    *              `true` (default): broadcast the node-count-sized rank
+    *              frame each round — edges NEVER move after the one-time
+    *              layout; right whenever ranks fit the broadcast budget
+    *              (up to hundreds of millions of nodes on big executors).
+    *              `false`: the billions-of-nodes fallback — edges are laid
+    *              out by src instead, the rank frame shuffle-joins onto
+    *              that fixed layout (rank is the small side: only IT
+    *              moves for the join), and the per-round contribution
+    *              aggregate pays the one edge-sized exchange to dst that
+    *              broadcasting avoided. Identical recurrence, identical
+    *              output (unit-pinned); ScaleProbe "pagerank_fallback"
+    *              measures the crossover evidence at 64× edges.
     * @return (node BIGINT, rank BIGINT) — one row per distinct src node.
     */
   def pagerank(edges: DataFrame, iters: Int = 5,
-      mass: Long = 1000000000000L): DataFrame = {
+      mass: Long = 1000000000000L, broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val ed = edges.select(col("src"), col("dst"))
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // The big frame is touched 1×/iteration; everything about its layout is
     // decided HERE, once: degree pre-joined (contributions read rank/outdeg
-    // together), hash-partitioned on dst so the per-iteration contribution
-    // aggregate — the only wide op over edges in the loop — lands on
-    // already-co-located data, then materialized.
+    // together), then hash-partitioned on the loop's join-free side — dst
+    // under broadcastRanks (the contribution aggregate lands on co-located
+    // data), src under the shuffle fallback (the rank join lands on
+    // co-located data and only the rank frame moves) — and materialized.
     val withDeg = ed.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(col("dst"))
+      .repartition(if (broadcastRanks) col("dst") else col("src"))
       .localCheckpoint()
     // nodes is read 2×/iteration; left lazy each read re-runs a distinct
     // over the EDGE frame — materialize the (tiny) node frame once
@@ -71,13 +85,16 @@ object Graph {
     for (_ <- 1 to iters) {
       // rank is node-count-sized (a k-means-codebook-scale frame, not an
       // edge-scale one): broadcast it so the edge frame never reshuffles
-      // for the join. The agg by dst then runs on the edge frame's own
-      // partitioning. Each round's rank is materialized (21k-row job) —
-      // chained lazily, every broadcast would re-execute all prior rounds.
-      val in = withDeg
-        .join(broadcast(rank.select(col("node").as("src"), col("rank"))), "src")
+      // for the join; the agg by dst then runs on the edge frame's own
+      // partitioning. Fallback: shuffle-join rank onto the src-partitioned
+      // edge layout (rank alone moves) and pay the dst exchange in the
+      // aggregate. Each round's rank is materialized (21k-row job) —
+      // chained lazily, every round would re-execute all prior rounds.
+      val rankAsSrc = rank.select(col("node").as("src"), col("rank"))
+      val contrib = (if (broadcastRanks) withDeg.join(broadcast(rankAsSrc), "src")
+                     else withDeg.join(rankAsSrc, "src"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      val in = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
       rank = nodes
         .join(in.select(col("dst").as("node"), col("in_sum")), Seq("node"), "left")
         .crossJoin(broadcast(ncnt))

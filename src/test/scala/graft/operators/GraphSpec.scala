@@ -63,6 +63,31 @@ class GraphSpec extends SparkSpec {
     assert(got === refPagerank(es, iters = 4))
   }
 
+  test("shuffle-join rank fallback (broadcastRanks=false) is bit-identical to broadcast") {
+    // The billions-of-nodes path: ranks distributed by shuffle equi-join
+    // onto the src-partitioned edge layout instead of broadcast. Same
+    // integer recurrence — the whole rank map must match exactly, with
+    // auto-broadcast disabled so the fallback genuinely exercises the
+    // shuffle join rather than being silently re-broadcast by the planner.
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val es = (raw ++ raw.map(_.swap)).distinct
+    val viaBroadcast = Graph.pagerank(edgesDf(es), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold -1 forbids planner-chosen broadcasts, and the fallback path
+    // carries no broadcast() hint — so every loop join genuinely shuffles
+    // during pagerank()'s eager per-round materialization (the returned
+    // frame is a checkpoint, so asserting on ITS plan would be vacuous).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaShuffle = Graph.pagerank(edgesDf(es), iters = 4, broadcastRanks = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaShuffle === viaBroadcast)
+      assert(viaBroadcast === refPagerank(es, iters = 4))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("bfsHops: hand-checked hops on a path graph, cap respected") {
     import spark.implicits._
     // path 0-1-2-3-4-5 (symmetrized), source {0}
