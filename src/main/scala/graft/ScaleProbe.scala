@@ -371,7 +371,10 @@ object ScaleProbe {
       }
       graft.operators.Graph.pagerank(graphOf(1), 1).count() // warm
       Seq(1, 16, 64).foreach { m =>
-        val edges = graphOf(m).localCheckpoint()
+        // NOT checkpointed here: pagerank persists (and releases) its own
+        // degree-annotated copy; pinning a second 75M-row copy in the
+        // probe harness is what OOM'd the 8 GB heap at mult 64
+        val edges = graphOf(m)
         val n = edges.count()
         val times = Seq(true, false).map { bc =>
           val t0 = System.nanoTime()

@@ -70,10 +70,19 @@ object Graph {
     // under broadcastRanks (the contribution aggregate lands on co-located
     // data), src under the shuffle fallback (the rank join lands on
     // co-located data and only the rank frame moves) — and materialized.
+    // persist, NOT localCheckpoint: the edge frame is the big one, and a
+    // checkpoint's RDD storage is unreleasable through the Dataset API —
+    // back-to-back pagerank calls in one session would accrete pinned
+    // edge copies until executors OOM (the pagerank_fallback probe hit
+    // exactly that at 64× edges in an 8 GB heap). A persisted frame reads
+    // identically in the loop (columnar-compressed, cheaper than row
+    // storage) and is unpersisted before return. Lineage truncation is
+    // only needed on the per-round RANK frame, which keeps localCheckpoint
+    // below.
     val withDeg = ed.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
       .repartition(if (broadcastRanks) col("dst") else col("src"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // nodes is read 2×/iteration; left lazy each read re-runs a distinct
     // over the EDGE frame — materialize the (tiny) node frame once
     val nodes = withDeg.select(col("src").as("node")).distinct()
@@ -103,6 +112,9 @@ object Graph {
             expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
         .localCheckpoint()
     }
+    // the returned rank is an eagerly materialized checkpoint — it no
+    // longer references the edge frame, so release the pinned storage now
+    withDeg.unpersist(blocking = false)
     rank
   }
 
