@@ -679,6 +679,38 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-free train/val/test split: the md5-bucket split assigned by
+    // near-dup CLUSTER, not by doc — the standard fix for eval leakage
+    // through near-duplicates (a doc and its 0.8-Jaccard twin landing in
+    // train and test makes the test set partially memorized; GPT-3's
+    // dedup postmortem and every serious data card since treat this as a
+    // split-time invariant, not a cleanup). Same cluster frame as
+    // q_dedup_clusters (LSH-banded pairs → connected components), split
+    // key = the cluster's canonical min doc_id, bucket = the q_sample_hash
+    // md5 recipe on THAT key — so entire near-dup groups move between
+    // splits atomically, singletons degrade to exactly q_sample_hash's
+    // per-doc assignment. Cost over plain hash split: the pair pipeline
+    // (banded, never all-pairs) + component closure — both probe-measured
+    // sublinear; the split itself stays one narrow projection.
+    "q_split_leakage_free" -> ((s, dir) => {
+      val docs = documents(s, dir).filter(col("doc_id") < 500)
+      val pairs = minhashPairs500(s, dir)
+      val comp = Components.connectedComponents(
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      docs.select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("bucket",
+          graft.queries.Text.hashBucketExpr(col("cluster_id")))
+        .withColumn("split",
+          when(col("bucket") < graft.queries.Text.trainBucket, "train")
+            .when(col("bucket") < graft.queries.Text.valBucket, "val")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact-substring dedup (Lee et al. 2021 "Deduplicating Training Data
     // Makes Language Models Better" — the ExactSubstr tier RefinedWeb runs
     // beside line dedup; arXiv:2107.06499 uses a corpus suffix array, we
@@ -863,6 +895,32 @@ object Dedup {
           FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
           LEFT JOIN comp c ON c.id = d.doc_id
           ORDER BY d.doc_id""",
+
+    "q_split_leakage_free" ->
+      s"""WITH RECURSIVE
+          pairs AS (${lshOracleSql(toksSql, 0.5)}),
+          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                    UNION SELECT d2 AS a, d1 AS b FROM pairs),
+          reach(id, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+          comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+          keyed AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+            LEFT JOIN comp c ON c.id = d.doc_id),
+          bucketed AS (
+            SELECT doc_id, cluster_id,
+                   CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS INT) AS bucket
+            FROM keyed)
+          SELECT doc_id, cluster_id, bucket,
+                 CASE WHEN bucket < 52429 THEN 'train'
+                      WHEN bucket < 58982 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM bucketed
+          ORDER BY doc_id""",
 
     "q_dedup_ngram_lsh" -> lshOracleSql(shingleSql, 0.2),
 

@@ -101,6 +101,48 @@ object Search {
       bm25(documents(s, dir).select(col("doc_id"), col("text")),
         queryTerms, k = 10)),
 
+    // Hybrid retrieval via reciprocal-rank fusion: the lexical arm (BM25
+    // top-50 for the fixed 5-term query) and the semantic arm (embedding
+    // cosine vs the vec_id-0 probe, top-50) fused by
+    // RRF(d) = Σ_arms 1/(60 + rank_arm(d)) — the standard
+    // score-scale-free fusion (Cormack et al., and what production
+    // retrieval stacks run ahead of reranking / hard-negative mining;
+    // k=60 is the canonical constant). Entirely integer arithmetic:
+    // ranks are row_numbers over total orders, each arm's contribution is
+    // floor(1e9/(60+r)) in BIGINT division, absent arms contribute 0 —
+    // no float ever crosses engines.
+    //
+    // Scale shape: each arm ends in orderBy().limit(50), which Spark
+    // plans as TakeOrderedAndProject — a per-partition partial top-k +
+    // single tiny merge, never a global sort — and the rank windows +
+    // full-outer fusion join then run on ≤50-row frames. The corpus-wide
+    // work is exactly one postings-sized BM25 agg and one broadcast-probe
+    // cosine scan.
+    "q_search_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val lexTop = bm25(documents(s, dir).select($"doc_id", $"text"),
+        queryTerms, k = 50).select($"doc_id", $"score_micro")
+      val lexRank = lexTop.select($"doc_id",
+        row_number().over(W.orderBy($"score_micro".desc, $"doc_id"))
+          .cast("long").as("r_lex"))
+      val e = embeddings(s, dir)
+      val probe = e.filter($"vec_id" === 0).select($"embedding".as("pv"))
+      val semTop = e.crossJoin(broadcast(probe))
+        .select($"vec_id".as("doc_id"),
+          floor(Sim.cosine($"pv", $"embedding") * 1e6).cast("long").as("cos_e6"))
+        .orderBy($"cos_e6".desc, $"doc_id").limit(50)
+      val semRank = semTop.select($"doc_id",
+        row_number().over(W.orderBy($"cos_e6".desc, $"doc_id"))
+          .cast("long").as("r_sem"))
+      lexRank.join(semRank, Seq("doc_id"), "full_outer")
+        .select($"doc_id", $"r_lex", $"r_sem",
+          (coalesce(expr("1000000000L div (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000000L div (60 + r_sem)"), lit(0L))).as("rrf_e9"))
+        .orderBy($"rrf_e9".desc, $"doc_id")
+        .limit(10)
+    }),
+
     // Positional-postings phrase search: docs containing the exact bigram
     // "stream join", ranked by occurrence count. The positional-index
     // shape: per-term postings carry token positions, and phrase matching
@@ -156,6 +198,58 @@ object Search {
           GROUP BY doc_id
           ORDER BY score_micro DESC, doc_id
           LIMIT 10"""
+    },
+
+    "q_search_hybrid_rrf" -> {
+      val terms = queryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL),
+          dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+          stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+            WHERE term IN ($terms)
+            GROUP BY 1, 2),
+          idf AS (
+            SELECT term, df, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+            FROM (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM tf GROUP BY 1), stats),
+          scored AS (
+            SELECT tf.doc_id,
+                   CAST(floor(idf.idf * (tf.tf * (1.2 + 1.0))
+                              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / idf.avgdl))
+                              * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)),
+          lextop AS (
+            SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+            FROM scored GROUP BY doc_id
+            ORDER BY score_micro DESC, doc_id LIMIT 50),
+          lexr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r_lex
+            FROM lextop),
+          cos AS (
+            SELECT c.vec_id AS doc_id,
+                   CAST(floor(${Sim.dotSql.format("p.embedding", "c.embedding")}
+                         / (sqrt(${Sim.normSql("p.embedding")})
+                            * sqrt(${Sim.normSql("c.embedding")})) * 1e6) AS BIGINT) AS cos_e6
+            FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) p),
+          semtop AS (
+            SELECT doc_id, cos_e6 FROM cos ORDER BY cos_e6 DESC, doc_id LIMIT 50),
+          semr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos_e6 DESC, doc_id) AS r_sem
+            FROM semtop)
+          SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                 l.r_lex, s.r_sem,
+                 CAST(coalesce(1000000000 // (60 + l.r_lex), 0)
+                      + coalesce(1000000000 // (60 + s.r_sem), 0) AS BIGINT) AS rrf_e9
+          FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+          ORDER BY rrf_e9 DESC, doc_id LIMIT 10"""
     },
 
     // generate_subscripts is 1-based where posexplode is 0-based; the

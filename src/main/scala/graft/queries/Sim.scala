@@ -149,9 +149,9 @@ object Sim {
     })
   )
 
-  private val dotSql =
+  private[queries] val dotSql =
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-  private def normSql(v: String) =
+  private[queries] def normSql(v: String) =
     s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
   val oracle: Map[String, String] = Map(

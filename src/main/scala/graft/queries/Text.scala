@@ -184,6 +184,48 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // Token-budget selection: keep the highest-quality docs whose
+    // CUMULATIVE token count fits a global budget — the data-mixing
+    // primitive behind "take the best N tokens of this source" curation
+    // (quality-ranked greedy selection; DoReMi/mix-weight pipelines
+    // execute exactly this per source). Semantics = prefix of the
+    // (quality desc, doc_id) ordering under a running-token-sum cap.
+    //
+    // Scale shape — NOT the oracle's single global ORDER BY window (a
+    // one-partition sort at 100 TB): quality is floor-e4 quantized, so
+    // the score domain is ≤ 10001 values. A vocab-bounded hash agg
+    // builds per-score token totals, ONE tiny window over that ≤
+    // 10001-row frame computes each score group's preceding cumulative
+    // (broadcast back), and the per-doc running sum is a window WITHIN
+    // each score group (group prefix + in-group prefix = the exact
+    // global prefix sum). Wide work: one hash agg + one score-keyed
+    // window over the docs — same decomposition as Pack's distributed
+    // cumsum, keyed by score instead of range. Boundary docs inside one
+    // score group tie-break by doc_id, so the result is deterministic.
+    "q_sample_budget" -> ((s, dir) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val budget = 10000L
+      val scored = documents(s, dir).select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        floor((when(length(trim($"text")) === 0, 0.0)
+          .when(size(split($"text", " ")) < 3, 0.0)
+          .otherwise(qualityExpr($"text"))) * 1e4).cast("long").as("q_e4"))
+      val groupTot = scored.groupBy($"q_e4").agg(sum($"n_tokens").as("g_tok"))
+      val wg = W.orderBy($"q_e4".desc)
+        .rowsBetween(W.unboundedPreceding, -1)
+      val groupPre = groupTot
+        .withColumn("pre", coalesce(sum($"g_tok").over(wg), lit(0L)))
+        .select($"q_e4", $"pre")
+      val wd = W.partitionBy($"q_e4").orderBy($"doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      scored.join(broadcast(groupPre), Seq("q_e4"))
+        .withColumn("cum_tokens", $"pre" + sum($"n_tokens").over(wd))
+        .filter($"cum_tokens" <= budget)
+        .select($"doc_id", $"n_tokens", $"q_e4", $"cum_tokens")
+        .orderBy($"doc_id")
+    }),
+
     // normalization pass: markup strip + email mask + whitespace collapse
     // + lowercase/trim, fingerprinted so the output stays small while the
     // whole cleaned string is still value-checked (md5).
@@ -716,6 +758,31 @@ object Text {
                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS bucket
              FROM documents))
          WHERE split <> 'train'
+         ORDER BY doc_id""",
+
+    // oracle = the straightforward single global cumsum; the engine's
+    // score-group decomposition must reproduce its prefix sums exactly
+    "q_sample_budget" ->
+      """WITH scored AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(floor(10000 * CASE
+                    WHEN len(trim(text)) = 0 THEN 0.0
+                    WHEN len(string_split(text, ' ')) < 3 THEN 0.0
+                    ELSE (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                         * (1.0 - CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                               ['the','a','an','and','or','of','to','in'])) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                    END) AS BIGINT) AS q_e4
+           FROM documents),
+         cum AS (
+           SELECT doc_id, n_tokens, q_e4,
+                  sum(n_tokens) OVER (ORDER BY q_e4 DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM scored)
+         SELECT doc_id, n_tokens, q_e4, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM cum WHERE cum_tokens <= 10000
          ORDER BY doc_id""",
 
     "q_sample_stratified" ->

@@ -344,6 +344,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), s"expected bucketed scans in:\n$p")
   }
 
+  test("hybrid RRF: both arms take-ordered (partial top-k), never a global sort") {
+    val p = plan("q_search_hybrid_rrf")
+    // each arm's top-50 must plan as TakeOrderedAndProject (per-partition
+    // heap + tiny merge), not Sort + Limit over a global exchange; the
+    // final fused top-10 adds a third
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
+      s"expected take-ordered arms + fusion in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product allowed in:\n$p")
+  }
+
   test("triangle count: every join is an equi-join, never an all-pairs product") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

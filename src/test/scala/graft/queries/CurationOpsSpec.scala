@@ -307,4 +307,118 @@ class CurationOpsSpec extends SparkSpec {
     assert(strict.exceptAll(loose).isEmpty,
       "vectors pruned at 0.5 must also be pruned at 0.2")
   }
+
+  // ---------- leakage-free split ----------
+
+  test("leakage-free split: no near-dup pair straddles splits; naive split WOULD leak") {
+    val split = graft.SparkEntry.queries("q_split_leakage_free")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    // the invariant the operator exists for: both ends of every verified
+    // near-dup pair carry the same split label
+    val docs = Tables.documents(spark, sf()).filter(col("doc_id") < 500)
+    val pairs = Dedup.minhashNearDups(docs, 0.5)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    val leaked = pairs.filter { case (a, b) => split(a)._3 != split(b)._3 }
+    assert(leaked.isEmpty, s"pairs straddling splits: ${leaked.take(5).toSeq}")
+    // and the per-doc naive assignment WOULD have leaked on this fixture —
+    // the operator changes an outcome, it isn't vacuously agreeing
+    def naive(id: Long): String = {
+      val b = Integer.parseInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(2)
+        .map("%02x".format(_)).mkString, 16)
+      if (b < graft.queries.Text.trainBucket) "train"
+      else if (b < graft.queries.Text.valBucket) "val" else "test"
+    }
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "fixture should exhibit naive-split leakage (else this test is vacuous)")
+    // singletons (docs in no pair) degrade to exactly the naive assignment
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val singles = split.keySet -- paired
+    assert(singles.nonEmpty)
+    singles.foreach { d =>
+      assert(split(d)._1 == d, s"singleton $d must be its own cluster")
+      assert(split(d)._3 == naive(d), s"singleton $d must match q_sample_hash's split")
+    }
+  }
+
+  // ---------- hybrid RRF retrieval ----------
+
+  test("hybrid RRF equals a driver-side fusion of the two arms' rankings") {
+    val got = graft.SparkEntry.queries("q_search_hybrid_rrf")(spark, sf())
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3)))
+    // lexical arm ranking from the already-proven BM25 operator
+    val lex = graft.queries.Search.bm25(
+      Tables.documents(spark, sf()).select(col("doc_id"), col("text")),
+      Seq("spark", "join", "stream", "vector", "agg"), k = 50)
+      .select(col("doc_id"), col("score_micro")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, s) => (-s, id) }.map(_._1)
+    // semantic arm recomputed driver-side
+    val vecs = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val pv = vecs(0L)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sem = vecs.toSeq.map { case (id, v) => (id, math.floor(cos(pv, v) * 1e6).toLong) }
+      .sortBy { case (id, c) => (-c, id) }.take(50).map(_._1)
+    val rLex = lex.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val rSem = sem.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val expected = (rLex.keySet ++ rSem.keySet).toSeq.map { id =>
+      val s = rLex.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+        rSem.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+      (id, rLex.get(id), rSem.get(id), s)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+    assert(got.toSeq === expected)
+    // fusion sanity: a doc ranked by BOTH arms must outscore one ranked
+    // only by the weaker arm at the same positions — implied by the sum
+    // construction, so just pin that both arms actually contributed
+    assert(got.exists(_._2.isDefined) && got.exists(_._3.isDefined),
+      "both retrieval arms must contribute to the fused top-10")
+  }
+
+  // ---------- token-budget selection ----------
+
+  test("budget selection equals the greedy prefix of the (quality desc, id) order") {
+    val got = graft.SparkEntry.queries("q_sample_budget")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver-side replay: score every doc, sort, take the prefix under budget
+    val scored = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val q =
+          if (r.getString(1).trim.isEmpty || toks.length < 3) 0.0
+          else {
+            val uniq = toks.distinct
+            (uniq.length.toDouble / toks.length) *
+              (1.0 - uniq.count(graft.queries.Text.stopwords.contains).toDouble / toks.length)
+          }
+        (r.getLong(0), toks.length.toLong, math.floor(q * 1e4).toLong)
+      }
+    val expected = {
+      var cum = 0L
+      scored.sortBy { case (id, _, q) => (-q, id) }.flatMap { case (id, n, q) =>
+        cum += n
+        if (cum <= 10000L) Some((id, n, q, cum)) else None
+      }
+    }
+    // the flatMap above keeps scanning after the budget trips; entries past
+    // the first overflow must not re-enter even if a later small doc fits —
+    // replicate the oracle exactly: prefix sums, keep rows with cum <= B
+    assert(got.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
+    assert(got.map(_._2).sum <= 10000L, "selected tokens must fit the budget")
+    assert(got.nonEmpty)
+  }
 }
