@@ -91,6 +91,50 @@ object Freq {
   def candidates(items: DataFrame, k: Int): DataFrame =
     mgPartials(items, k).select(col("item")).distinct()
 
+  // ---- Count-Min Sketch ----------------------------------------------------
+
+  /** Count-Min Sketch (Cormode & Muthukrishnan 2005) of a string `item`
+    * column: d independent md5-derived hash rows × w buckets, cell =
+    * number of items hashing there. THE mergeable frequency summary —
+    * cells are plain sums, so partial aggregation folds map-side and
+    * sketches of disjoint corpus shards merge by elementwise addition
+    * (CmsSpec pins sketch(A⊎B) = sketch(A) + sketch(B)), which is what a
+    * 100 TB ingest needs: per-partition/per-day sketches roll up without
+    * ever re-touching the data — the frequency-tier sibling of the HLL
+    * rollup (q_agg_sketch_rollup). Memory is a FIXED d·w grid regardless
+    * of key cardinality — the regime beyond even Misra–Gries (whose
+    * candidate set grows with partitions·k): point-query estimates
+    * min_j cell[j][h_j(t)] and overestimates only (collisions add,
+    * never subtract) with ε = e/w under the standard analysis. The md5
+    * recipe makes every cell index engine-portable (q_sample_hash's
+    * conv ⇔ CAST('0x'…) bridge). */
+  def cmsSketch(items: DataFrame, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 1 && d <= 8, s"need 1 <= d <= 8 and w >= 1, got d=$d w=$w")
+    items.select(md5(col("item")).as("h"))
+      .select(posexplode(cmsBuckets(col("h"), d, w)).as(Seq("j", "b")))
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The d bucket indices of a 32-hex-char md5 digest: row j reads hex
+    * chars [4j+1, 4j+4] (disjoint 16-bit slices of the 128-bit digest —
+    * ONE hash evaluation per item instead of d; the slices are
+    * independent uniform fields, the standard digest-splitting
+    * construction) mod w. */
+  private def cmsBuckets(h: org.apache.spark.sql.Column, d: Int, w: Int)
+      : org.apache.spark.sql.Column =
+    array((0 until d).map(j =>
+      pmod(conv(substring(h, 4 * j + 1, 4), 16, 10).cast("int"), lit(w))): _*)
+
+  /** CMS point-query estimates for `terms`: (item, est_n) with
+    * est_n = min over the d cells the term hashes to. */
+  def cmsEstimate(sketch: DataFrame, terms: DataFrame, d: Int, w: Int): DataFrame =
+    terms.select(col("item"), md5(col("item")).as("h"))
+      .select(col("item"), posexplode(cmsBuckets(col("h"), d, w)).as(Seq("j", "b")))
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy(col("item"))
+      .agg(min(col("c")).as("est_n"))
+
   // ---- driver contract ----------------------------------------------------
 
   private def words(s: SparkSession, dir: String): DataFrame =
@@ -101,10 +145,46 @@ object Freq {
     // Exact-counted top-10 words through the MG candidate path. The oracle
     // is the plain exact top-10: identical output, different plan — the
     // sketch prunes the key domain before the only wide shuffle.
-    "q_agg_heavy_hitters" -> ((s, dir) => heavyHitters(words(s, dir), m = 10, k = 64))
+    "q_agg_heavy_hitters" -> ((s, dir) => heavyHitters(words(s, dir), m = 10, k = 64)),
+
+    // CMS point queries for the exact top-10 words beside their true
+    // counts: the full sketch path (hash grid build → min-cell estimate)
+    // is what crosses engines; est_n >= n always, with equality whenever
+    // the term's d cells are collision-free.
+    "q_agg_countmin" -> ((s, dir) => {
+      val ws = words(s, dir)
+      val sketch = cmsSketch(ws, d = 4, w = 256)
+      val top10 = ws.groupBy(col("item")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("item")).limit(10)
+      top10.join(cmsEstimate(sketch, top10.select(col("item")), d = 4, w = 256),
+          Seq("item"))
+        .select(col("item"), col("n"), col("est_n"))
+        .orderBy(col("n").desc, col("item"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_countmin" ->
+      """WITH words AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS item
+           FROM documents),
+         hashed AS (
+           SELECT CAST(j AS INT) AS j,
+                  CAST('0x' || substr(md5(item), CAST(1 + 4*j AS INT), 4) AS INT) % 256 AS b
+           FROM words, LATERAL (SELECT unnest(range(4)) AS j)),
+         sketch AS (
+           SELECT j, b, CAST(count(*) AS BIGINT) AS c FROM hashed GROUP BY 1, 2),
+         top10 AS (
+           SELECT item, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY 1
+           ORDER BY n DESC, item LIMIT 10),
+         probes AS (
+           SELECT t.item, t.n, CAST(j AS INT) AS j,
+                  CAST('0x' || substr(md5(t.item), CAST(1 + 4*j AS INT), 4) AS INT) % 256 AS b
+           FROM top10 t, LATERAL (SELECT unnest(range(4)) AS j))
+         SELECT p.item, p.n, min(s.c) AS est_n
+         FROM probes p JOIN sketch s ON s.j = p.j AND s.b = p.b
+         GROUP BY p.item, p.n
+         ORDER BY p.n DESC, p.item""",
     "q_agg_heavy_hitters" ->
       """SELECT w AS item, CAST(count(*) AS BIGINT) AS n
          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w

@@ -54,6 +54,44 @@ class FreqSpec extends SparkSpec {
     items.unpersist()
   }
 
+  test("CMS: estimates overestimate-only, exact when collision-free (adversarial Zipf)") {
+    val items = zipfItems(20000, 400).cache()
+    val d = 4; val w = 64 // narrow grid so collisions actually occur
+    val sketch = Freq.cmsSketch(items, d, w).cache()
+    val truth = items.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val est = Freq.cmsEstimate(sketch, truth.select(col("item")), d, w)
+    val joined = truth.join(est, "item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(joined.nonEmpty)
+    // the CMS contract: never underestimates
+    val under = joined.filter { case (_, n, e) => e < n }
+    assert(under.isEmpty, s"CMS underestimated: ${under.take(5).toSeq}")
+    // and the grid is genuinely bounded
+    assert(sketch.count() <= d.toLong * w)
+    // total mass conservation per row j: cells of each row sum to |items|
+    val n = items.count()
+    val rows = sketch.groupBy(col("j")).agg(sum(col("c")).as("s")).collect()
+    assert(rows.length === d && rows.forall(_.getLong(1) == n))
+    items.unpersist(); sketch.unpersist()
+  }
+
+  test("CMS merge law: sketch of a disjoint union = elementwise sum of shard sketches") {
+    val all = zipfItems(20000, 400).cache()
+    val a = all.limit(9000) // deterministic split of the generated frame
+    // exceptAll is multiset subtraction, so b = all ⊎ -a exactly
+    val b = all.exceptAll(a)
+    val d = 4; val w = 64
+    def grid(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+      Freq.cmsSketch(df, d, w).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ga = grid(a); val gb = grid(b); val gAll = grid(all)
+    val merged = (ga.keySet ++ gb.keySet).map { k =>
+      k -> (ga.getOrElse(k, 0L) + gb.getOrElse(k, 0L))
+    }.toMap
+    assert(merged === gAll, "shard sketches must merge to the union's sketch")
+    all.unpersist()
+  }
+
   test("fixture words: q_agg_heavy_hitters margin holds (c_m > n/k) at EVERY harness sf") {
     // The query equals its exact oracle only while the 10th word frequency
     // clears n/k — a precondition of the data, not the code. English Zipf
