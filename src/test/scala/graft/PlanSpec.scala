@@ -344,6 +344,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), s"expected bucketed scans in:\n$p")
   }
 
+  test("substring dedup: window-hash key join path, never a product") {
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span marking must stay equi-keyed in:\n$p")
+    // the one corpus-wide stage: the first-occurrence window keys on the
+    // window digest (formatted explain puts partitioning on Arguments:)
+    assert(p.contains("hashpartitioning(wh"),
+      s"expected the window-digest shuffle in:\n$p")
+  }
+
+  test("budget selection: score-group windows, docs never globally sorted for ranking") {
+    val p = plan("q_sample_budget")
+    // the per-doc running sum partitions by the quantized score…
+    assert(p.contains("hashpartitioning(q_e4"),
+      s"expected the score-group window partitioning in:\n$p")
+    // …and the tiny score-frame prefix is broadcast back, not joined wide
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the broadcast score-prefix join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("hybrid RRF: both arms take-ordered (partial top-k), never a global sort") {
     val p = plan("q_search_hybrid_rrf")
     // each arm's top-50 must plan as TakeOrderedAndProject (per-partition

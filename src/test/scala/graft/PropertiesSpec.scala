@@ -274,6 +274,35 @@ class PropertiesSpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("substring dedup law: engine == sequential replay on adversarial tiny-alphabet corpora") {
+    import spark.implicits._
+    // 2-letter alphabet + W=3 makes window collisions pervasive — the
+    // regime where first-occurrence bookkeeping and span-union logic can
+    // actually go wrong (the fixture's wide vocab rarely collides).
+    val W = 3
+    val gen = Gen.listOfN(8, Gen.listOfN(12, Gen.oneOf("a", "b")))
+    check(Prop.forAll(gen) { docsRaw: List[List[String]] =>
+      docsRaw.nonEmpty ==> {
+        val docs = docsRaw.zipWithIndex
+          .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        val got = Dedup.substringDedup(docs.toDF("doc_id", "text"), w = W)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        // sequential replay, global first-occurrence in (doc_id, pos) order
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        val expected = docs.map { case (id, text) =>
+          val toks = text.split(" ")
+          val dup = Array.fill(toks.length)(false)
+          for (i <- 0 to toks.length - W) {
+            val win = toks.slice(i, i + W).mkString(" ")
+            if (!seen.add(win)) (i until i + W).foreach(dup(_) = true)
+          }
+          id -> ((toks.length.toLong, toks.indices.count(!dup(_)).toLong))
+        }.toMap
+        got == expected
+      }
+    }, n = 15)
+  }
+
   test("sessionize laws on generated event streams: partition, order, gap bound") {
     import spark.implicits._
     // arbitrary per-user µs timestamp lists → sessions must (a) cover every
