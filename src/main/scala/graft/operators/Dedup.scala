@@ -803,7 +803,7 @@ object Dedup {
   private[graft] val toksSql = "list_distinct(string_split(text, ' '))"
 
   /** DuckDB mirror of shingles3 (same as the q_dedup_ngram oracle). */
-  private val shingleSql =
+  private[graft] val shingleSql =
     """list_distinct(list_transform(
       |  range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
       |  i -> concat(string_split(text, ' ')[i], ' ',

@@ -184,6 +184,36 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // Per-doc n-gram NOVELTY: the fraction of a doc's 3-gram shingles
+    // whose global FIRST occurrence (min doc_id) is this doc — the
+    // diversity/novelty score data-selection uses to prefer documents
+    // that add new content over ones re-treading the corpus (the scoring
+    // complement of the dedup tier: dedup REMOVES repeats, novelty
+    // QUANTIFIES contribution). One shuffle on the shingle key builds
+    // the first-occurrence index (one row per distinct shingle); the
+    // per-doc tally joins against that index — shingle-stream-sized,
+    // never doc×doc. Score is exact integer permille-e4
+    // (n_novel·10000 div n_shingles): no float anywhere.
+    "q_text_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+      val shg = docs.select($"doc_id",
+        explode(graft.operators.Dedup.shingles3($"text")).as("sh"))
+      val firstOcc = shg.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+      val perDoc = shg.join(firstOcc, "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      docs.select($"doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+          coalesce($"n_novel", lit(0L)).as("n_novel"),
+          when(coalesce($"n_shingles", lit(0L)) === 0, lit(null).cast("long"))
+            .otherwise(expr("n_novel * 10000 div n_shingles")).as("novelty_e4"))
+        .orderBy($"doc_id")
+    }),
+
     // Token-budget selection: keep the highest-quality docs whose
     // CUMULATIVE token count fits a global budget — the data-mixing
     // primitive behind "take the best N tokens of this source" curation
@@ -759,6 +789,23 @@ object Text {
              FROM documents))
          WHERE split <> 'train'
          ORDER BY doc_id""",
+
+    "q_text_novelty" ->
+      s"""WITH shg AS (
+            SELECT doc_id, unnest(${graft.operators.Dedup.shingleSql}) AS sh
+            FROM documents),
+          first_occ AS (SELECT sh, min(doc_id) AS first_doc FROM shg GROUP BY 1),
+          per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM shg JOIN first_occ USING (sh) GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(p.n_shingles, 0) AS n_shingles,
+                 coalesce(p.n_novel, 0) AS n_novel,
+                 CAST(CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN NULL
+                      ELSE p.n_novel * 10000 // p.n_shingles END AS BIGINT) AS novelty_e4
+          FROM documents d LEFT JOIN per_doc p USING (doc_id)
+          ORDER BY d.doc_id""",
 
     // oracle = the straightforward single global cumsum; the engine's
     // score-group decomposition must reproduce its prefix sums exactly

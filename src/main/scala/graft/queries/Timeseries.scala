@@ -118,6 +118,38 @@ object Timeseries {
         .orderBy($"event_type", $"day")
     }),
 
+    // Rolling anomaly detection: days whose count leaves the PRIOR week's
+    // ±2σ band, per event type — the monitoring primitive on any ingest
+    // metric (the streaming drift gates test DISTRIBUTIONS; this flags
+    // individual points against their own trailing baseline, which the
+    // point itself does not contaminate: frame = 7 PRECEDING .. 1
+    // PRECEDING). ENTIRELY integer: |x−μ| > 2s cross-multiplies to
+    // (n·x − Σx)²·(n−1) > 4·n·(n·Σx² − (Σx)²), so no division, sqrt, or
+    // float ever happens — engine-identical by construction, no r4/ULP
+    // caveats at all. Windows run on the daily aggregate (one row per
+    // (type, day)); the first 7 days of each series are excluded
+    // (baseline not yet full). Witness sums are emitted so the oracle
+    // checks the algebra, not just the verdict bit.
+    "q_timeseries_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val daily = events(s, dir)
+        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(-7, -1)
+      val wn = Window.partitionBy($"event_type").orderBy($"day")
+      val framed = daily.select($"event_type", $"day", $"x",
+        count(lit(1)).over(w).as("n"),
+        sum($"x").over(w).as("sx"),
+        sum($"x" * $"x").over(w).as("sxx"),
+        row_number().over(wn).as("rn"))
+      framed.filter($"rn" >= 8)
+        .filter(($"n" * $"x" - $"sx") * ($"n" * $"x" - $"sx") * ($"n" - 1) >
+          lit(4) * $"n" * ($"n" * $"sxx" - $"sx" * $"sx"))
+        .select($"event_type", $"day", $"x", $"sx", $"sxx")
+        .orderBy($"event_type", $"day")
+    }),
+
     // Lag-k autocorrelation (k = 1..3) of the daily event count per type —
     // the periodicity diagnostic (weekly seasonality shows as an ACF bump
     // at lag 7). Pairs come from lag-shifted equi-joins ON THE DAILY
@@ -189,6 +221,26 @@ object Timeseries {
                 max(ts_us) - min(ts_us) AS dur_us
          FROM sess GROUP BY 1, 2
          ORDER BY user_id, session_no""",
+
+    "q_timeseries_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         framed AS (
+           SELECT event_type, day, x,
+                  CAST(count(*) OVER w AS BIGINT) AS n,
+                  sum(x) OVER w AS sx,
+                  sum(x*x) OVER w AS sxx,
+                  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, x, CAST(sx AS BIGINT) AS sx, CAST(sxx AS BIGINT) AS sxx
+         FROM framed
+         WHERE rn >= 8
+           AND (n*x - sx)*(n*x - sx)*(n-1) > 4*n*(n*sxx - sx*sx)
+         ORDER BY event_type, day""",
 
     "q_timeseries_ewma" ->
       """WITH daily AS (

@@ -344,6 +344,28 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------- n-gram novelty ----------
+
+  test("novelty: conservation and replay laws") {
+    val rows = graft.SparkEntry.queries("q_text_novelty")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // per-doc sanity: novel ⊆ shingles; e4 score consistent
+    rows.foreach { case (id, nSh, nNov, e4) =>
+      assert(nNov <= nSh, s"doc $id: novel $nNov > shingles $nSh")
+      assert(e4 === (if (nSh == 0) None else Some(nNov * 10000 / nSh)), s"doc $id score")
+    }
+    // the smallest doc_id with shingles is fully novel by definition
+    val first = rows.filter(_._2 > 0).minBy(_._1)
+    assert(first._3 === first._2, s"first doc must be fully novel: $first")
+    // conservation: every distinct shingle is novel in exactly one doc
+    val distinctShingles = Tables.documents(spark, sf())
+      .select(explode(Dedup.shingles3(col("text"))).as("sh"))
+      .distinct().count()
+    assert(rows.map(_._3).sum === distinctShingles,
+      "sum of per-doc novel counts must equal the distinct shingle count")
+  }
+
   // ---------- hybrid RRF retrieval ----------
 
   test("hybrid RRF equals a driver-side fusion of the two arms' rankings") {

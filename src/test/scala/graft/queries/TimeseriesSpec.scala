@@ -103,6 +103,28 @@ class TimeseriesSpec extends SparkSpec {
     assert(batch === sw)
   }
 
+  test("anomaly: integer verdict ⇔ float |x−μ|>2s on a driver-side replay; all flagged, only flagged") {
+    val daily = Tables.events(spark, sf())
+      .groupBy(col("event_type"), col("ts").cast("timestamp").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val flagged = q("q_timeseries_anomaly").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(flagged.nonEmpty, "fixture must contain anomalies")
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val xs = rows.sortBy(_._2).map(x => (x._2, x._3))
+      xs.zipWithIndex.drop(7).flatMap { case ((day, x), i) =>
+        val base = xs.slice(i - 7, i).map(_._2)
+        val n = base.length.toDouble
+        val mu = base.sum / n
+        val s2 = base.map(v => (v - mu) * (v - mu)).sum / (n - 1)
+        if (math.abs(x - mu) > 2 * math.sqrt(s2)) Some((t, day)) else None
+      }
+    }.toSet
+    assert(flagged === expected,
+      s"flag set mismatch: only-engine=${(flagged -- expected).take(3)} only-replay=${(expected -- flagged).take(3)}")
+  }
+
   test("ffill: gaps exist, filled value equals most recent observation, leading nulls stay") {
     val r = q("q_timeseries_ffill").collect()
     assert(r.exists(x => x.isNullAt(2)), "fixture must have gap cells")
