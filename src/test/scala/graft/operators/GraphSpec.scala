@@ -88,6 +88,32 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q_graph_jaccard: matches a driver-side neighbor-set replay on the fixture graph") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q_graph_jaccard")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // rebuild the co-purchase graph driver-side
+    val li = graft.catalog.Tables.lineitem(spark, sf())
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => nbrs(a) += b; nbrs(b) += a }
+    val expected = (for {
+      (v1, n1) <- nbrs.toSeq; (v2, n2) <- nbrs.toSeq if v1 < v2
+      common = (n1 & n2).size.toLong if common >= 2
+    } yield {
+      val union = n1.size + n2.size - common
+      (v1, v2, common, n1.size.toLong, n2.size.toLong, common * 10000 / union)
+    }).sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(50)
+    assert(got === expected)
+  }
+
   test("bfsHops: hand-checked hops on a path graph, cap respected") {
     import spark.implicits._
     // path 0-1-2-3-4-5 (symmetrized), source {0}

@@ -344,6 +344,30 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------- keyword extraction ----------
+
+  test("keywords: per-doc top-3 matches a driver-side TF-IDF replay") {
+    val got = graft.SparkEntry.queries("q_text_keywords")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val docs = Tables.documents(spark, sf()).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toSeq)
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => (id, t, o.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, rs) => t -> rs.size.toLong }
+    val n = docs.length.toDouble
+    val idfE4 = df.map { case (t, d) => t -> math.floor(math.log(n / d) * 1e4).toLong }
+    val expected = tf.groupBy(_._1).toSeq.flatMap { case (id, rs) =>
+      rs.map { case (_, t, f) => (id, t, f, df(t), f * idfE4(t)) }
+        .sortBy { case (_, t, _, _, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((_, t, f, d, s), i) => (id, i + 1, t, f, d, s) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got === expected)
+  }
+
   // ---------- n-gram novelty ----------
 
   test("novelty: conservation and replay laws") {
