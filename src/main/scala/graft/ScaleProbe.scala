@@ -632,7 +632,7 @@ object ScaleProbe {
         .select($"user_id", $"event_id",
           unix_micros($"ts".cast("timestamp")).as("ts_us"))
         .withColumn("new_s", when(lag($"ts_us", 1).over(w).isNull ||
-          $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+          $"ts_us" - lag($"ts_us", 1).over(w) >= gapUs, 1L).otherwise(0L))
         .withColumn("sn", sum($"new_s").over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .groupBy($"user_id", $"sn").agg(count(lit(1)).as("n_events"))

@@ -116,6 +116,20 @@ object Freq {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** [[cmsSketch]] from an already-aggregated (item, n) count frame:
+    * cell[j][b] = Σ n over items hashing there — identical grid (FreqSpec
+    * pins the equality law), but the corpus is touched ZERO extra times
+    * when exact counts already exist for another purpose (q_agg_countmin
+    * shares one tokenize+agg between the sketch and its exact anchor;
+    * the two consumers reuse the same exchange). */
+  def cmsSketchFromCounts(counts: DataFrame, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 1 && d <= 8, s"need 1 <= d <= 8 and w >= 1, got d=$d w=$w")
+    counts.select(md5(col("item")).as("h"), col("n"))
+      .select(col("n"), posexplode(cmsBuckets(col("h"), d, w)).as(Seq("j", "b")))
+      .groupBy(col("j"), col("b"))
+      .agg(sum(col("n")).as("c"))
+  }
+
   /** The d bucket indices of a 32-hex-char md5 digest: row j reads hex
     * chars [4j+1, 4j+4] (disjoint 16-bit slices of the 128-bit digest —
     * ONE hash evaluation per item instead of d; the slices are
@@ -127,13 +141,18 @@ object Freq {
       pmod(conv(substring(h, 4 * j + 1, 4), 16, 10).cast("int"), lit(w))): _*)
 
   /** CMS point-query estimates for `terms`: (item, est_n) with
-    * est_n = min over the d cells the term hashes to. */
+    * est_n = min over the d cells the term hashes to. LEFT join + zero
+    * coalesce: the sketch frame is sparse (empty cells have no row), and
+    * an empty cell means COUNT ZERO — an inner join would silently drop
+    * never-seen terms and take the min over only the collided cells,
+    * overestimating against the documented min_j cell[j][h_j(t)]
+    * contract (FreqSpec pins the absent-term → 0 path). */
   def cmsEstimate(sketch: DataFrame, terms: DataFrame, d: Int, w: Int): DataFrame =
     terms.select(col("item"), md5(col("item")).as("h"))
       .select(col("item"), posexplode(cmsBuckets(col("h"), d, w)).as(Seq("j", "b")))
-      .join(broadcast(sketch), Seq("j", "b"))
+      .join(broadcast(sketch), Seq("j", "b"), "left")
       .groupBy(col("item"))
-      .agg(min(col("c")).as("est_n"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
 
   // ---- driver contract ----------------------------------------------------
 
@@ -150,12 +169,13 @@ object Freq {
     // CMS point queries for the exact top-10 words beside their true
     // counts: the full sketch path (hash grid build → min-cell estimate)
     // is what crosses engines; est_n >= n always, with equality whenever
-    // the term's d cells are collision-free.
+    // the term's d cells are collision-free. ONE corpus tokenize: the
+    // exact counts feed both the top-10 anchor and the sketch grid
+    // (cmsSketchFromCounts), sharing the item exchange.
     "q_agg_countmin" -> ((s, dir) => {
-      val ws = words(s, dir)
-      val sketch = cmsSketch(ws, d = 4, w = 256)
-      val top10 = ws.groupBy(col("item")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("item")).limit(10)
+      val counts = words(s, dir).groupBy(col("item")).agg(count(lit(1)).as("n"))
+      val sketch = cmsSketchFromCounts(counts, d = 4, w = 256)
+      val top10 = counts.orderBy(col("n").desc, col("item")).limit(10)
       top10.join(cmsEstimate(sketch, top10.select(col("item")), d = 4, w = 256),
           Seq("item"))
         .select(col("item"), col("n"), col("est_n"))

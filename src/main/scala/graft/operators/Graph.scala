@@ -88,6 +88,7 @@ object Graph {
     val nodes = withDeg.select(col("src").as("node")).distinct()
       .localCheckpoint()
     val ncnt = nodes.agg(count(lit(1)).as("n"))
+    try {
     var rank = nodes.crossJoin(broadcast(ncnt))
       .select(col("node"), expr(s"$mass div n").as("rank"))
       .localCheckpoint()
@@ -112,10 +113,13 @@ object Graph {
             expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
         .localCheckpoint()
     }
-    // the returned rank is an eagerly materialized checkpoint — it no
-    // longer references the edge frame, so release the pinned storage now
-    withDeg.unpersist(blocking = false)
     rank
+    // finally, not success-path-only: a failure mid-loop (task OOM, kill)
+    // must still release the edge-scale cache, or repeated calls in one
+    // session accrete pinned copies — the exact accretion this
+    // persist/unpersist design exists to prevent. The returned rank is an
+    // eagerly materialized checkpoint, independent of the edge frame.
+    } finally withDeg.unpersist(blocking = false)
   }
 
   /** Multi-source BFS hop counts: every node reachable from `sources`

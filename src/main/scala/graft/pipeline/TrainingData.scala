@@ -30,15 +30,13 @@ object TrainingData {
     trainBucket: Int = Text.trainBucket, // ~80% of 65536
     valBucket: Int = Text.valBucket) // next ~10%; rest = test
 
-  /** Per-doc quality score — Text.qualityExpr (the q_text_quality algebra,
-    * ONE definition) with a degenerate-document guard: empty or <minTokens
-    * docs would otherwise score a perfect 1.0 (uniq 1/1, stop 0/1), waving
-    * exactly the lowest-value inputs through the gate. They score 0. */
+  /** Per-doc quality score — Text.guardedQualityExpr (the q_text_quality
+    * algebra + degenerate-document guard, ONE definition shared with
+    * q_sample_budget): empty or <minTokens docs would otherwise score a
+    * perfect 1.0 (uniq 1/1, stop 0/1), waving exactly the lowest-value
+    * inputs through the gate. They score 0. */
   def withQuality(docs: DataFrame, minTokens: Int = 3): DataFrame =
-    docs.withColumn("quality",
-      when(length(trim(col("text"))) === 0, 0.0)
-        .when(size(split(col("text"), " ")) < minTokens, 0.0)
-        .otherwise(Text.qualityExpr(col("text"))))
+    docs.withColumn("quality", Text.guardedQualityExpr(col("text"), minTokens))
 
   /** Near-dup removal with TRANSITIVE cluster semantics: verified pairs
     * close into connected components (graft.operators.Components) and only
@@ -122,15 +120,7 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }))
 
-  private def qualitySql(col: String): String =
-    s"""CASE WHEN len(trim($col)) = 0 THEN 0.0
-             WHEN len(string_split($col, ' ')) < 3 THEN 0.0
-             ELSE (CAST(len(list_distinct(string_split($col, ' '))) AS DOUBLE)
-                     / len(string_split($col, ' ')))
-                  * (1.0 - CAST(len(list_intersect(list_distinct(string_split($col, ' ')),
-                        ['the','a','an','and','or','of','to','in'])) AS DOUBLE)
-                     / len(string_split($col, ' ')))
-        END"""
+  private def qualitySql(col: String): String = Text.guardedQualitySql(col)
 
   val oracle: Map[String, String] = Map(
     "q_pipeline_curate" ->

@@ -166,10 +166,14 @@ object Search {
     })
   )
 
-  val oracle: Map[String, String] = Map(
-    "q_search_bm25" -> {
-      val terms = queryTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH docs AS (
+  /** The shared DuckDB BM25 CTE chain (docs → dl → stats → tf → idf →
+    * scored, one micro-unit row per (doc, matched term)) — ONE definition
+    * feeding both the q_search_bm25 oracle and q_search_hybrid_rrf's
+    * lexical arm, so the k1/b constants and the floor(x·1e6+0.5)
+    * micro-rounding can never silently desynchronize between them. */
+  private def bm25CtesSql: String = {
+    val terms = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""docs AS (
             SELECT doc_id, string_split(text, ' ') AS toks
             FROM documents WHERE text IS NOT NULL),
           dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
@@ -190,40 +194,22 @@ object Search {
                    CAST(floor(idf.idf * (tf.tf * (1.2 + 1.0))
                               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / idf.avgdl))
                               * 1e6 + 0.5) AS BIGINT) AS micro
-            FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
+            FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_search_bm25" ->
+      s"""WITH $bm25CtesSql
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
                  round(sum(micro) / 1e6, 6) AS score,
                  CAST(sum(micro) AS BIGINT) AS score_micro
           FROM scored
           GROUP BY doc_id
           ORDER BY score_micro DESC, doc_id
-          LIMIT 10"""
-    },
+          LIMIT 10""",
 
     "q_search_hybrid_rrf" -> {
-      val terms = queryTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH docs AS (
-            SELECT doc_id, string_split(text, ' ') AS toks
-            FROM documents WHERE text IS NOT NULL),
-          dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
-          stats AS (
-            SELECT count(*) AS n_docs,
-                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-          tf AS (
-            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-            FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
-            WHERE term IN ($terms)
-            GROUP BY 1, 2),
-          idf AS (
-            SELECT term, df, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
-            FROM (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-                  FROM tf GROUP BY 1), stats),
-          scored AS (
-            SELECT tf.doc_id,
-                   CAST(floor(idf.idf * (tf.tf * (1.2 + 1.0))
-                              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / idf.avgdl))
-                              * 1e6 + 0.5) AS BIGINT) AS micro
-            FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)),
+      s"""WITH $bm25CtesSql,
           lextop AS (
             SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
             FROM scored GROUP BY doc_id

@@ -37,6 +37,27 @@ object Text {
           size(toks))
   }
 
+  /** [[qualityExpr]] with the degenerate-document guard (empty or
+    * < minTokens docs score 0, not a perfect 1.0) — ONE definition shared
+    * by the curation gate (TrainingData.withQuality) and q_sample_budget;
+    * [[guardedQualitySql]] is its DuckDB mirror. */
+  def guardedQualityExpr(text: org.apache.spark.sql.Column,
+      minTokens: Int = 3): org.apache.spark.sql.Column =
+    when(length(trim(text)) === 0, 0.0)
+      .when(size(split(text, " ")) < minTokens, 0.0)
+      .otherwise(qualityExpr(text))
+
+  /** DuckDB mirror of [[guardedQualityExpr]] over a column reference. */
+  def guardedQualitySql(col: String, minTokens: Int = 3): String =
+    s"""CASE WHEN len(trim($col)) = 0 THEN 0.0
+             WHEN len(string_split($col, ' ')) < $minTokens THEN 0.0
+             ELSE (CAST(len(list_distinct(string_split($col, ' '))) AS DOUBLE)
+                     / len(string_split($col, ' ')))
+                  * (1.0 - CAST(len(list_intersect(list_distinct(string_split($col, ' ')),
+                        ['the','a','an','and','or','of','to','in'])) AS DOUBLE)
+                     / len(string_split($col, ' ')))
+        END"""
+
   /** Corpus text normalization — the cleaning pass that precedes every
     * dedup/quality stage in a training-data pipeline: strip markup, mask
     * emails, collapse whitespace, lowercase, trim. Composed from
@@ -267,11 +288,14 @@ object Text {
       import s.implicits._
       val W = org.apache.spark.sql.expressions.Window
       val budget = 10000L
-      val scored = documents(s, dir).select($"doc_id",
-        size(split($"text", " ")).cast("long").as("n_tokens"),
-        floor((when(length(trim($"text")) === 0, 0.0)
-          .when(size(split($"text", " ")) < 3, 0.0)
-          .otherwise(qualityExpr($"text"))) * 1e4).cast("long").as("q_e4"))
+      // text IS NOT NULL pinned on BOTH sides: a null text scores q_e4
+      // NULL, which the score-group equi-join would silently drop while
+      // the oracle's cumsum scan carries the row — only unscoreable docs
+      // are out of scope, explicitly, not accidentally
+      val scored = documents(s, dir).filter($"text".isNotNull)
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tokens"),
+          floor(guardedQualityExpr($"text") * 1e4).cast("long").as("q_e4"))
       val groupTot = scored.groupBy($"q_e4").agg(sum($"n_tokens").as("g_tok"))
       val wg = W.orderBy($"q_e4".desc)
         .rowsBetween(W.unboundedPreceding, -1)
@@ -864,19 +888,11 @@ object Text {
     // oracle = the straightforward single global cumsum; the engine's
     // score-group decomposition must reproduce its prefix sums exactly
     "q_sample_budget" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
            SELECT doc_id,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                  CAST(floor(10000 * CASE
-                    WHEN len(trim(text)) = 0 THEN 0.0
-                    WHEN len(string_split(text, ' ')) < 3 THEN 0.0
-                    ELSE (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                            / len(string_split(text, ' ')))
-                         * (1.0 - CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
-                               ['the','a','an','and','or','of','to','in'])) AS DOUBLE)
-                            / len(string_split(text, ' ')))
-                    END) AS BIGINT) AS q_e4
-           FROM documents),
+                  CAST(floor(10000 * ${guardedQualitySql("text")}) AS BIGINT) AS q_e4
+           FROM documents WHERE text IS NOT NULL),
          cum AS (
            SELECT doc_id, n_tokens, q_e4,
                   sum(n_tokens) OVER (ORDER BY q_e4 DESC, doc_id

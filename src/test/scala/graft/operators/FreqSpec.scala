@@ -75,6 +75,29 @@ class FreqSpec extends SparkSpec {
     items.unpersist(); sketch.unpersist()
   }
 
+  test("CMS: never-seen terms estimate 0 (empty cells are zero, not absent)") {
+    import spark.implicits._
+    val items = Seq("a").toDF("item")
+    val d = 4; val w = 65536 // wide grid: "zz" almost surely misses all of a's cells
+    val sketch = Freq.cmsSketch(items, d, w)
+    val est = Freq.cmsEstimate(sketch, Seq("zz").toDF("item"), d, w)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.get("zz").contains(0L),
+      s"a term hashing to empty cells must estimate 0, got $est")
+  }
+
+  test("CMS: counts-based sketch equals the item-stream sketch exactly") {
+    val items = zipfItems(20000, 400).cache()
+    val d = 4; val w = 64
+    val fromItems = Freq.cmsSketch(items, d, w).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val counts = items.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val fromCounts = Freq.cmsSketchFromCounts(counts, d, w).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fromItems === fromCounts)
+    items.unpersist()
+  }
+
   test("CMS merge law: sketch of a disjoint union = elementwise sum of shard sketches") {
     val all = zipfItems(20000, 400).cache()
     val a = all.limit(9000) // deterministic split of the generated frame

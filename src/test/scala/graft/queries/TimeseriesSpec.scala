@@ -111,14 +111,29 @@ class TimeseriesSpec extends SparkSpec {
     val flagged = q("q_timeseries_anomaly").collect()
       .map(r => (r.getString(0), r.getDate(1).toString)).toSet
     assert(flagged.nonEmpty, "fixture must contain anomalies")
+    // expected set from the exact integer predicate (same algebra, so the
+    // set compare can't flake on a boundary); the float formula is then
+    // cross-checked on every NON-boundary day — asserting the
+    // cross-multiplication really is |x−μ| > 2s, without letting an
+    // exact-equality day (where sqrt rounding could disagree with the
+    // engine's strict integer >) poison the comparison
+    var boundary = 0
     val expected = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
       val xs = rows.sortBy(_._2).map(x => (x._2, x._3))
       xs.zipWithIndex.drop(7).flatMap { case ((day, x), i) =>
         val base = xs.slice(i - 7, i).map(_._2)
-        val n = base.length.toDouble
-        val mu = base.sum / n
-        val s2 = base.map(v => (v - mu) * (v - mu)).sum / (n - 1)
-        if (math.abs(x - mu) > 2 * math.sqrt(s2)) Some((t, day)) else None
+        val n = base.length.toLong
+        val sx = base.sum
+        val sxx = base.map(v => v * v).sum
+        val lhs = (n * x - sx) * (n * x - sx) * (n - 1)
+        val rhs = 4 * n * (n * sxx - sx * sx)
+        if (lhs != rhs) {
+          val mu = sx.toDouble / n
+          val s2 = (n * sxx - sx * sx).toDouble / (n * (n - 1))
+          assert((math.abs(x - mu) > 2 * math.sqrt(s2)) === (lhs > rhs),
+            s"integer and float verdicts disagree off-boundary at ($t, $day)")
+        } else boundary += 1
+        if (lhs > rhs) Some((t, day)) else None
       }
     }.toSet
     assert(flagged === expected,
