@@ -415,6 +415,41 @@ object ScaleProbe {
       }
     }
 
+    // round-11: neighbor-Jaccard hub safety — the fixture slice graph
+    // plus ONE synthetic hub whose degree grows m·500 while everything
+    // else stays fixed (the Zipf-apex shape: one celebrity node). Exact
+    // wedge volume at the hub is C(m·500, 2) — QUADRATIC in m, and all of
+    // it explodes out of a single grouped adjacency row — so the uncapped
+    // path's wall must blow up with m while maxDegree=256 (hub always
+    // over cap) and the minhash-LSH path (hub cost = 8 signature
+    // components, not C(deg,2) pairs) stay flat. This is the verdict-10
+    // obligation: the hub mitigation measured in code, not comments.
+    if (want("jaccard_hub")) {
+      val e0 = {
+        val li = li0.filter($"l_orderkey" % 16 === 0)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        li.as("x").join(li.as("y"),
+            $"x.ok" === $"y.ok" && $"x.p" < $"y.p")
+          .select($"x.p".as("a"), $"y.p".as("b")).distinct().localCheckpoint()
+      }
+      def hubOf(m: Int) = e0.unionAll(
+        spark.range(m * 500L)
+          .select(($"id" + 500000000L).as("a"), lit(900000000L).as("b")))
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      graft.operators.Graph.jaccardTopK(hubOf(1), 50, 2L, 256).collect() // warm
+      Seq(1, 4, 16).foreach { m =>
+        val g = hubOf(m).localCheckpoint()
+        val hubDeg = m * 500
+        val tCap = time(graft.operators.Graph.jaccardTopK(g, 50, 2L, 256).collect())
+        val tApx = time(graft.operators.Graph.jaccardTopKApprox(g, 50).collect())
+        val tExact = time(
+          graft.operators.Graph.jaccardTopK(g, 50, 2L, Int.MaxValue).collect())
+        println(f"""{"probe":"jaccard_hub","mult":$m,"hub_degree":$hubDeg,"capped_sec":$tCap%.2f,"approx_sec":$tApx%.2f,"exact_sec":$tExact%.2f}""")
+      }
+    }
+
     // round-8 continuation: SemDeDup — embeddings replicated N× with
     // fresh pseudo-random directions (the srp_neardup flip trick) and
     // per-replica cluster ids (cluster = label + 10·replica), modeling

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Tables._
@@ -297,6 +297,166 @@ object Graph {
       .limit(k)
   }
 
+  // ------------------------------------------------- neighbor-set Jaccard
+
+  /** id-domain bound of the packed pair key: v1·packBase + v2 holds two
+    * ids losslessly only while every id lies in [0, packBase). */
+  private val packBase = 1000000000L
+
+  /** Default apex-degree cap for [[jaccardTopK]]: C(4096, 2) ≈ 8.4M pairs
+    * is the most any single grouped adjacency row may explode to — bounded
+    * straggler work per task — while orders of magnitude above any
+    * real degree on the fixture graphs (max 44 at sf0.1), so the checked
+    * query runs the capped code path with provably uncapped semantics. */
+  val jaccardMaxDegree: Int = 4096
+
+  /** Loud per-row id-domain guard for the packed pair key: an id ≥ 1e9
+    * would silently ALIAS distinct pairs (corrupting common-neighbor
+    * counts with no runtime signal), so packing refuses it instead. Lives
+    * in the data path (when/otherwise), not a droppable side column. */
+  private def guardId(c: Column): Column =
+    when(c >= 0 && c < packBase, c)
+      .otherwise(raise_error(concat(
+        lit("jaccard pair-pack id outside [0, 1e9): "), c.cast("string"))))
+
+  /** Guarded, symmetrized, grouped adjacency (a, ns = sorted neighbor
+    * array), materialized once — read twice by every consumer (pair
+    * stream/signatures + degrees) and tiny (one row per node). */
+  private def jaccardAdjacency(edges: DataFrame): DataFrame = {
+    val e = edges.select(guardId(col("a")).as("a"), guardId(col("b")).as("b"))
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    sym.groupBy(col("a"))
+      .agg(sort_array(collect_set(col("b"))).as("ns"))
+      .localCheckpoint()
+  }
+
+  /** Shared scoring tail: join true degrees, exact integer e4 score
+    * (union = d1 + d2 − common), deterministic top-k. */
+  private def jaccardRank(common: DataFrame, deg: DataFrame, k: Int): DataFrame =
+    common
+      .join(deg.select(col("v").as("v1"), col("d").as("d1")), "v1")
+      .join(deg.select(col("v").as("v2"), col("d").as("d2")), "v2")
+      .select(col("v1"), col("v2"), col("common"), col("d1"), col("d2"),
+        expr("common * 10000 div (d1 + d2 - common)").as("jaccard_e4"))
+      .orderBy(col("jaccard_e4").desc, col("v1"), col("v2"))
+      .limit(k)
+
+  /** Neighbor-set Jaccard link prediction: top-k node pairs by
+    * |N(a)∩N(b)| / |N(a)∪N(b)| (common ≥ minCommon) over an undirected
+    * edge list — the classic "customers who bought these also bought"
+    * similarity and the standard link-prediction baseline.
+    *
+    * Common-neighbor counts come from wedge enumeration, but NOT as the
+    * naive apex self-join (which streams deg² rows per apex and discards
+    * half): adjacency lists are grouped once and an indexed-transform
+    * explode emits each ORDERED neighbor pair exactly once —
+    * deg·(deg−1)/2 rows, no join — and the degree frame falls out of the
+    * same grouped frame for free. Union size is d1 + d2 − common, so the
+    * score is EXACT integer e4 (common·10000 div union). The pair key is
+    * PACKED into one long (v1·1e9 + v2) before the count: the group
+    * domain is ~wedge-sized and almost all keys are unique, so partial
+    * aggregation can't shrink the exchange — a single-long key is the
+    * remaining lever (measured ~25% off the struct-keyed agg); ids are
+    * guarded in the plan ([[guardId]]) so a domain violation fails
+    * loudly instead of aliasing pairs.
+    *
+    * 100 TB posture — the hub cure in code, not comments: pair volume is
+    * Σ_n C(deg(n), 2), and unlike the triangle tier (out-degree capped at
+    * O(√m) by orientation) Jaccard needs FULL neighbor sets, so one
+    * power-law hub of degree 1e5 would emit ~5e9 pairs from a single
+    * grouped row — a straggler no partitioning fixes. `maxDegree` bounds
+    * it: apexes past the cap do not expand (their wedges drop — the
+    * band-stop filter standard in co-occurrence mining: a node adjacent
+    * to everything mediates no DISCRIMINATING overlap, exactly the
+    * hot-bucket rationale of Dedup.lshCandidates). Per-apex pair volume
+    * is then ≤ C(maxDegree, 2) whatever the skew; degrees stay TRUE
+    * degrees (from the uncapped adjacency), so reported unions are exact
+    * even where a hub was skipped. maxDegree = Int.MaxValue is the
+    * uncapped exact path. Where capped-exact still scores too much,
+    * [[jaccardTopKApprox]] bounds the CANDIDATE set by minhash-LSH
+    * instead. ScaleProbe "jaccard_hub" measures the cap holding
+    * wall-time flat on a hub graph whose exact pair volume grows
+    * quadratically; GraphSpec pins capped ≡ uncapped on the fixture.
+    *
+    * @param edges     undirected (a BIGINT, b BIGINT), a < b, distinct;
+    *                  ids must lie in [0, 1e9) (guarded in-plan).
+    * @param k         result size.
+    * @param minCommon minimum common-neighbor count to qualify.
+    * @param maxDegree apexes with more neighbors than this do not expand.
+    */
+  def jaccardTopK(edges: DataFrame, k: Int, minCommon: Long = 2L,
+      maxDegree: Int = jaccardMaxDegree): DataFrame = {
+    val adj = jaccardAdjacency(edges)
+    val deg = adj.select(col("a").as("v"), size(col("ns")).cast("long").as("d"))
+    val apex = if (maxDegree == Int.MaxValue) adj
+               else adj.filter(size(col("ns")) <= maxDegree)
+    val common = apex.select(explode(expr(
+        s"flatten(transform(ns, (x, i) -> " +
+          s"transform(slice(ns, i + 2, size(ns)), y -> x * ${packBase}L + y)))"
+      )).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .select(expr(s"pk div ${packBase}L").as("v1"),
+        expr(s"pk % ${packBase}L").as("v2"), col("common"))
+    jaccardRank(common, deg, k)
+  }
+
+  /** Minhash-LSH approximate Jaccard: the path for graphs where even
+    * capped-exact wedge enumeration scores too many pairs. Candidate
+    * pairs come from banded MinHash signatures OVER THE ADJACENCY LISTS
+    * — Dedup's machinery applied verbatim to neighbor sets (node = doc,
+    * neighbor ids = tokens): one `graft_minhash` kernel pass per node,
+    * 4 bands × 2 rows, hot-bucket cap — then ONLY candidates are scored,
+    * EXACTLY, from their two sorted neighbor arrays (verify-inside-the-
+    * join, the dedup tier's ordering, so every emitted score is true).
+    * Cost: signature pass + bucket equi-join + per-candidate O(d1+d2)
+    * array intersect — never Σ C(deg, 2): a degree-1e5 hub contributes
+    * 8 signature components and its bucket-capped collisions, not 5e9
+    * wedge pairs.
+    *
+    * Banding is b=8 SINGLE-component bands (P(candidate) = 1−(1−j)⁸),
+    * NOT the dedup tier's 4×2 (P = 1−(1−j²)⁴): near-dup detection hunts
+    * j ≥ 0.8 where two-row bands filter noise cheaply, but link
+    * prediction's interesting pairs live around j ≈ 0.5 — where 4×2
+    * recalls only ~0.60 (measured 29/50 on the fixture) while 8×1
+    * recalls ~0.99. The extra false candidates single-component bands
+    * admit are exactly-verified away; the hot-bucket cap bounds their
+    * volume. GraphSpec pins the fixture recall floor vs the exact
+    * top-k. */
+  def jaccardTopKApprox(edges: DataFrame, k: Int, minCommon: Long = 2L,
+      maxBucketSize: Int = Dedup.defaultMaxBucketSize): DataFrame = {
+    val adj = jaccardAdjacency(edges)
+    val deg = adj.select(col("a").as("v"), size(col("ns")).cast("long").as("d"))
+    val sigs = Dedup.minhashSignatures(
+      adj.select(col("a").as("doc_id"), col("ns").as("text")),
+      setOf = c => transform(c, _.cast("string")))
+    val oneRowBands = Dedup.minhashSeeds.map(sd =>
+      struct(lit(sd).as("band"), col(s"m$sd").as("bh")))
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(oneRowBands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cand = Dedup.lshCandidates(buckets, maxBucketSize)
+    val common = cand
+      .join(adj.select(col("a").as("d1"), col("ns").as("ns1")), "d1")
+      .join(adj.select(col("a").as("d2"), col("ns").as("ns2")), "d2")
+      .select(col("d1").as("v1"), col("d2").as("v2"),
+        size(array_intersect(col("ns1"), col("ns2"))).cast("long").as("common"))
+      .filter(col("common") >= minCommon)
+    jaccardRank(common, deg, k)
+  }
+
+  /** q_graph_jaccard's graph: %16-slice co-purchase edges (a < b,
+    * distinct) — see the query comment for the slice rationale. */
+  private def jaccardSliceEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> ((s, dir) =>
       triangleCount(coPurchaseEdges(s, dir))),
@@ -334,64 +494,22 @@ object Graph {
         .orderBy(col("degree"))
     }),
 
-    // Link prediction via neighbor-set Jaccard: the top-50 node pairs by
-    // |N(a)∩N(b)| / |N(a)∪N(b)| over the co-purchase graph —
-    // the classic "customers who bought these also bought" similarity and
-    // the standard link-prediction baseline. Common-neighbor counts come
-    // from wedge enumeration, but NOT as the naive apex self-join (which
-    // streams deg² rows per apex and discards half): adjacency lists are
-    // grouped once, and an indexed-transform explode emits each ORDERED
-    // neighbor pair exactly once — deg·(deg−1)/2 rows, no join, and the
-    // degree frame falls out of the same grouped frame for free. Union
-    // size is d1 + d2 − common, so the score is EXACT integer e4
-    // (common·10000 div union). 100 TB posture: pair volume is
-    // Σ_n C(deg(n), 2) — the same bound as the triangle tier's wedge set;
-    // on a hub-skewed graph a production run splits hot apexes (the
-    // q_join_skew_salted device) or approximates neighbor sets with
-    // minhash (the q_dedup_minhash machinery applies verbatim to
-    // adjacency lists). Full co-purchase graph (support ≥ 1): the
-    // ≥2-support denoised rule leaves no pair with ≥2 common neighbors
-    // at sf0.01+, and empty results check nothing; common ≥ 2 is the
-    // meaningful-overlap floor.
-    "q_graph_jaccard" -> ((s, dir) => {
-      // %16 order slice (the triangle tier's %4 device, two notches
-      // tighter): wedge volume ∝ deg², so each halving of the basket count
-      // quarters the pair stream — the sf0.1 run aggregates ~620k wedge
-      // pairs instead of the %4 slice's 10M, with 69k qualifying pairs
-      // still feeding the top-50.
-      // The pair key is PACKED into one long (v1·1e9 + v2; partkeys ≪ 1e9)
-      // before the count: the group domain is ~wedge-sized and almost all
-      // keys are unique, so partial aggregation can't shrink the exchange
-      // — a single-long key is the remaining lever (measured ~25% off the
-      // struct-keyed agg).
-      val li = lineitem(s, dir)
-        .filter(col("l_orderkey") % 16 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-      val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-      val adj = sym.groupBy(col("a"))
-        .agg(sort_array(collect_set(col("b"))).as("ns"))
-        .localCheckpoint() // read twice (pairs + degrees); tiny (1 row/node)
-      val deg = adj.select(col("a").as("v"), size(col("ns")).cast("long").as("d"))
-      val common = adj.select(explode(expr(
-          "flatten(transform(ns, (x, i) -> " +
-            "transform(slice(ns, i + 2, size(ns)), y -> x * 1000000000L + y)))"
-        )).as("pk"))
-        .groupBy(col("pk")).agg(count(lit(1)).as("common"))
-        .filter(col("common") >= 2)
-        .select(expr("pk div 1000000000L").as("v1"),
-          expr("pk % 1000000000L").as("v2"), col("common"))
-      common
-        .join(deg.select(col("v").as("v1"), col("d").as("d1")), "v1")
-        .join(deg.select(col("v").as("v2"), col("d").as("d2")), "v2")
-        .select(col("v1"), col("v2"), col("common"), col("d1"), col("d2"),
-          expr("common * 10000 div (d1 + d2 - common)").as("jaccard_e4"))
-        .orderBy(col("jaccard_e4").desc, col("v1"), col("v2"))
-        .limit(50)
-    }),
+    // Link prediction via neighbor-set Jaccard — see [[jaccardTopK]] for
+    // the plan and its hub posture. %16 order slice (the triangle tier's
+    // %4 device, two notches tighter): wedge volume ∝ deg², so each
+    // halving of the basket count quarters the pair stream — the sf0.1
+    // run aggregates ~620k wedge pairs instead of the %4 slice's 10M,
+    // with 69k qualifying pairs still feeding the top-50. Full
+    // co-purchase graph (support ≥ 1): the ≥2-support denoised rule
+    // leaves no pair with ≥2 common neighbors at sf0.01+, and empty
+    // results check nothing; common ≥ 2 is the meaningful-overlap floor.
+    // The default maxDegree cap (4096) is a proven no-op here — the
+    // slice graph's max degree is 44 at sf0.1 (GraphSpec pins capped ≡
+    // uncapped on the fixture), so the oracle checks the exact algebra
+    // while the query runs the SAME capped code path a hub-skewed
+    // production graph needs.
+    "q_graph_jaccard" -> ((s, dir) =>
+      jaccardTopK(jaccardSliceEdges(s, dir), k = 50)),
 
     "q_graph_pagerank" -> ((s, dir) =>
       pagerank(partSupplierEdges(s, dir), prIters, prMass)

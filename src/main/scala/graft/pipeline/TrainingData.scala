@@ -99,13 +99,15 @@ object TrainingData {
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       DataFrame] = Map(
     "q_pipeline_curate" -> ((s, dir) => {
-      // doc_id < 1000 bounds the ORACLE, not the engine: sf0.001/sf0.01
-      // have exactly 500 docs (no-op), while sf0.1's 5000 small-vocab docs
-      // form a 2.26M-pair near-clique at Jaccard 0.8 whose transitive
-      // closure no DuckDB recursion finishes (>30 min even min-label
-      // pruned) — the engine itself runs the UNBOUNDED corpus in ~2 s via
-      // pointer-jumping components, which is exactly the scale story the
-      // curate() operator (corpus-general, probe-measured) carries.
+      // doc_id < 1000 bounds BOTH sides of this checked pair — it has to,
+      // or the hashes couldn't match: sf0.001/sf0.01 have exactly 500 docs
+      // (no-op), while sf0.1's 5000 small-vocab docs form a 2.26M-pair
+      // near-clique at Jaccard 0.8 whose transitive closure no DuckDB
+      // recursion finishes (>30 min even min-label pruned). The bound
+      // exists for ORACLE tractability only; the unbounded-corpus path is
+      // covered by the curate() operator itself (corpus-general,
+      // pointer-jumping components, ~2 s on the full sf0.1 corpus —
+      // measured by the ScaleProbe battery, not by this checked query).
       val docs = graft.catalog.Tables.documents(s, dir)
         .filter(col("doc_id") < 1000)
       val embs = graft.catalog.Tables.embeddings(s, dir)

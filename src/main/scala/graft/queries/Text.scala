@@ -217,14 +217,21 @@ object Text {
     "q_text_keywords" -> ((s, dir) => {
       import s.implicits._
       val docs = documents(s, dir).filter($"text".isNotNull)
-      val nDocs = docs.count() // scalar, computed once at plan build
+      // n_docs stays INSIDE the plan (a broadcast 1-row aggregate crossed
+      // into the vocab-sized df frame — the oracle's `n` CTE, exactly):
+      // a driver-side docs.count() here would run a full corpus scan every
+      // time the plan is BUILT, including plan-only inspection (PlanSpec /
+      // EXPLAIN), and a second one when it runs.
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val tf = docs
         .select($"doc_id",
           explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
         .withColumn("idf_e4",
-          floor(log(lit(nDocs.toDouble) / $"df") * 1e4).cast("long"))
+          floor(log($"n_docs".cast("double") / $"df") * 1e4).cast("long"))
+        .drop("n_docs")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id")
         .orderBy(($"tf" * $"idf_e4").desc, $"term")

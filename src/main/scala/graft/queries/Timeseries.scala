@@ -126,7 +126,13 @@ object Timeseries {
     // PRECEDING). ENTIRELY integer: |x−μ| > 2s cross-multiplies to
     // (n·x − Σx)²·(n−1) > 4·n·(n·Σx² − (Σx)²), so no division, sqrt, or
     // float ever happens — engine-identical by construction, no r4/ULP
-    // caveats at all. Windows run on the daily aggregate (one row per
+    // caveats at all. The squared terms are carried in DECIMAL(38,0):
+    // BIGINT wraps silently (non-ANSI Spark) once daily counts reach
+    // ~5e8 ((n·x−Σx)² passes Long.Max), while DuckDB's HUGEINT keeps
+    // going — decimal(38,0) (≈1e38 < 2^127) keeps both engines exact up
+    // to daily counts of ~1e8·√n ≈ 1e9, far past any real per-day count;
+    // the witness columns stay BIGINT. Windows run on the daily
+    // aggregate (one row per
     // (type, day)); the first 7 days of each series are excluded
     // (baseline not yet full). Witness sums are emitted so the oracle
     // checks the algebra, not just the verdict bit.
@@ -143,9 +149,10 @@ object Timeseries {
         sum($"x").over(w).as("sx"),
         sum($"x" * $"x").over(w).as("sxx"),
         row_number().over(wn).as("rn"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       framed.filter($"rn" >= 8)
-        .filter(($"n" * $"x" - $"sx") * ($"n" * $"x" - $"sx") * ($"n" - 1) >
-          lit(4) * $"n" * ($"n" * $"sxx" - $"sx" * $"sx"))
+        .filter((dec($"n" * $"x" - $"sx") * dec($"n" * $"x" - $"sx")) * dec($"n" - 1) >
+          dec(lit(4) * $"n") * (dec($"n") * dec($"sxx") - dec($"sx") * dec($"sx")))
         .select($"event_type", $"day", $"x", $"sx", $"sxx")
         .orderBy($"event_type", $"day")
     }),

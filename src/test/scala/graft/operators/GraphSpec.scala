@@ -114,6 +114,86 @@ class GraphSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  /** The fixture slice graph as an (a, b) edge frame — the same edges
+    * q_graph_jaccard builds internally (rebuilt here because the query's
+    * builder is private to the operator). */
+  private def fixtureJaccardEdges() = {
+    val li = graft.catalog.Tables.lineitem(spark, sf())
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+  }
+
+  private def pairRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+
+  test("jaccardTopK: the default maxDegree cap is a no-op on the fixture graph") {
+    // the checked query runs the CAPPED code path; this pin is what makes
+    // its oracle (exact algebra) legitimate — capped ≡ uncapped here
+    val e = fixtureJaccardEdges()
+    assert(pairRows(Graph.jaccardTopK(e, k = 50)) ===
+      pairRows(Graph.jaccardTopK(e, k = 50, maxDegree = Int.MaxValue)))
+  }
+
+  test("jaccardTopK: maxDegree drops hub-mediated wedges, keeps true degrees") {
+    import spark.implicits._
+    // hub 100 adjacent to 1..8 (degree 8); besides the hub, nodes 1 and 2
+    // share real neighbors {3, 4}: edges 1-3, 1-4, 2-3, 2-4
+    val base = (1L to 8L).map(i => (i, 100L)) ++
+      Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    val e = base.toDF("a", "b")
+    // uncapped: (1,2) see hub + {3,4} → common 3; (3,4) common {1,2,100}
+    val exact = pairRows(Graph.jaccardTopK(e, k = 100, minCommon = 1L,
+      maxDegree = Int.MaxValue)).map(t => (t._1, t._2) -> t).toMap
+    assert(exact((1L, 2L))._3 === 3L)
+    // capped at 4: the hub (deg 8) does not expand — (1,2) keep only their
+    // REAL shared neighbors {3,4}, and their degrees stay the TRUE ones
+    val capped = pairRows(Graph.jaccardTopK(e, k = 100, minCommon = 1L,
+      maxDegree = 4)).map(t => (t._1, t._2) -> t).toMap
+    val (_, _, common12, d1, d2, j12) = capped((1L, 2L))
+    assert(common12 === 2L) // hub-mediated wedge gone
+    assert((d1, d2) === (3L, 3L)) // degrees from the UNCAPPED adjacency
+    assert(j12 === 2L * 10000 / (3 + 3 - 2))
+    // pairs mediated ONLY by the hub (e.g. 5,6) vanish under the cap
+    assert(exact.contains((5L, 6L)) && !capped.contains((5L, 6L)))
+  }
+
+  test("jaccardTopKApprox: every emitted score is exact; fixture recall >= 0.90") {
+    val e = fixtureJaccardEdges()
+    val exactAll = pairRows(Graph.jaccardTopK(e, k = Int.MaxValue,
+      maxDegree = Int.MaxValue)).map(t => (t._1, t._2) -> t).toMap
+    val approx = pairRows(Graph.jaccardTopKApprox(e, k = 50))
+    // verify-inside-the-join: a candidate's score comes from its real
+    // neighbor arrays, so every approx row must equal the exact row
+    approx.foreach { t =>
+      assert(exactAll((t._1, t._2)) === t,
+        s"approx row $t diverges from exact scoring") }
+    // recall of the exact top-50 pair set (deterministic md5 minhash —
+    // this is a fixed number on the fixture, not a statistical bound;
+    // b=8 r=1 banding curve P = 1-(1-j)^8 over top scores 0.45..0.75)
+    val exactTop = pairRows(Graph.jaccardTopK(e, k = 50,
+      maxDegree = Int.MaxValue)).map(t => (t._1, t._2)).toSet
+    val hit = approx.count(t => exactTop((t._1, t._2)))
+    info(s"approx recall on fixture top-50: $hit/50")
+    assert(hit >= 45, s"recall $hit/50 under the pinned 0.90 floor")
+  }
+
+  test("jaccardTopK: pair-pack id guard fails loudly outside [0, 1e9)") {
+    import spark.implicits._
+    val bad = Seq((1L, 2000000000L)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      Graph.jaccardTopK(bad, k = 10, minCommon = 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("pair-pack")),
+      s"expected the pair-pack guard message, got: ${ex.getMessage}")
+  }
+
   test("bfsHops: hand-checked hops on a path graph, cap respected") {
     import spark.implicits._
     // path 0-1-2-3-4-5 (symmetrized), source {0}
