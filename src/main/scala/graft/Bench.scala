@@ -180,10 +180,40 @@ object Bench {
     val calibSpark = probeSpark()
     System.err.println(f"[bench] calib=$calib%.3fs calib_fault=$calibFault%.3fs calib_spark=$calibSpark%.3fs")
 
+    // localCheckpoint block release between measurements. Checkpointed
+    // frames (loop-operator rounds, LSH bucket materializations, ...) pin
+    // their blocks until the DRIVER GC runs and the ContextCleaner notices
+    // — in a 128 GiB single JVM running 224 queries back-to-back that GC
+    // rarely happens, so blocks accrete for the whole run and the tail
+    // queries execute under maximal block-manager pressure (BENCH_r11:
+    // pagerank 3.46→5.22s, dedup_incremental 0.55→1.58s on unchanged
+    // code, both late in the cheapest-first order). Between queries every
+    // checkpointed frame is dead by construction (results are fully
+    // consumed), so release them eagerly. `isLocallyCheckpointed` is the
+    // exact discriminator: deliberate caches (Tables buffer pool, Dedup
+    // benchMemo — CacheManager persists) must survive, and they are
+    // regular persists, never local checkpoints. Cleanup runs OUTSIDE the
+    // timed region. SPARK_GRAFT_NO_CLEANUP=1 disables it (diagnosis mode).
+    val noCleanup = sys.env.get("SPARK_GRAFT_NO_CLEANUP").contains("1")
+    def releaseCheckpoints(): Unit = if (!noCleanup)
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(org.apache.spark.rdd.RddIntrospect.isLocalCheckpoint)
+        .foreach(_.unpersist(blocking = false))
+    // Accretion instrumentation (judge-prescribed): pinned-RDD count and
+    // cached bytes per query. Under NO_CLEANUP the curve is the accretion
+    // evidence; with cleanup on it must stay flat (the proof it works).
+    def storageLine(): String = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val mb = infos.map(i => i.memSize + i.diskSize).sum >> 20
+      s""","rdds":${infos.length},"cachedMB":$mb"""
+    }
+
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val t = (System.nanoTime() - t0) / 1e9
+      releaseCheckpoints()
+      if (ok) t else -1.0
     }
 
     // Cheapest-first by recorded medians: a timeout kills the expensive
@@ -196,9 +226,15 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (medians.getOrElse(name, Double.MaxValue), name)
-    }
+    // SPARK_GRAFT_ONLY="a,b,c": spot-measure a subset (per-addition median
+    // recording / regression triage) without paying the full surface.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy { case (name, _) =>
+        (medians.getOrElse(name, Double.MaxValue), name)
+      }
 
     def artifactJson(results: Seq[(String, Double)], partial: Boolean,
         endProbe: Option[Double] = None): String = {
@@ -218,7 +254,9 @@ object Bench {
     // a later partial, leaving BASELINE.md describing a file that no longer
     // existed. The stamped copy makes each pass's artifact immutable.
     val passStamp = System.currentTimeMillis() / 1000
-    def writeArtifact(json: String): Unit = try {
+    // Spot mode must never overwrite the full-run artifact the driver and
+    // benchguard read — stderr lines are the spot record.
+    def writeArtifact(json: String): Unit = if (only.isEmpty) try {
       val dir = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(dir.resolve("runs"))
       val bytes = (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -267,7 +305,7 @@ object Bench {
         results += name -> med
         // one short line per query, to stderr, the moment it finishes —
         // a kill leaves a parseable per-query record in the driver's log
-        System.err.println(s"""{"q":"$name","sec":${fmt(med)}}""")
+        System.err.println(s"""{"q":"$name","sec":${fmt(med)}${storageLine()}}""")
         writeArtifact(artifactJson(results.toSeq, partial = true))
       }
     }

@@ -425,13 +425,10 @@ object ScaleProbe {
     // components, not C(deg,2) pairs) stay flat. This is the verdict-10
     // obligation: the hub mitigation measured in code, not comments.
     if (want("jaccard_hub")) {
-      val e0 = {
-        val li = li0.filter($"l_orderkey" % 16 === 0)
-          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
-        li.as("x").join(li.as("y"),
-            $"x.ok" === $"y.ok" && $"x.p" < $"y.p")
-          .select($"x.p".as("a"), $"y.p".as("b")).distinct().localCheckpoint()
-      }
+      // the checked query's OWN edge builder (private[graft]) — the probe
+      // must measure the graph q_graph_jaccard actually runs on
+      val e0 = graft.operators.Graph.jaccardSliceEdges(spark, sfDir)
+        .localCheckpoint()
       def hubOf(m: Int) = e0.unionAll(
         spark.range(m * 500L)
           .select(($"id" + 500000000L).as("a"), lit(900000000L).as("b")))

@@ -19,11 +19,12 @@ import graft.catalog.Tables._
   * The damping update is the standard r' = 0.15/N + 0.85·Σ r/outdeg with
   * both products carried through exact integer ops.
   *
-  * 100 TB posture: the edge frame is materialized ONCE (`localCheckpoint`,
-  * out-degrees pre-joined, hash-partitioned on dst), then every iteration
-  * broadcasts the node-count-sized rank frame into the join — edges never
-  * reshuffle in the loop; the only wide op per round is the contribution
-  * aggregate on dst, which lands on the edge frame's own partitioning.
+  * 100 TB posture: the edge frame is materialized ONCE (persisted bare
+  * (src, dst) pairs, hash-partitioned on dst), then every iteration
+  * broadcasts the node-count-sized rank state (which carries the constant
+  * out-degrees) into the join — edges never reshuffle in the loop; the
+  * only wide op per round is the contribution aggregate on dst, which
+  * lands on the edge frame's own partitioning.
   * Never an all-pairs product, never a widening lineage (each round's rank
   * frame — one row per node — is checkpointed, so no round re-executes its
   * predecessors and plan size stays constant; the same discipline
@@ -63,13 +64,17 @@ object Graph {
       mass: Long = 1000000000000L, broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val ed = edges.select(col("src"), col("dst"))
-    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // The big frame is touched 1×/iteration; everything about its layout is
-    // decided HERE, once: degree pre-joined (contributions read rank/outdeg
-    // together), then hash-partitioned on the loop's join-free side — dst
-    // under broadcastRanks (the contribution aggregate lands on co-located
+    // The big frame is touched 1×/iteration; its layout is decided HERE,
+    // once: hash-partitioned on the loop's join-free side — dst under
+    // broadcastRanks (the contribution aggregate lands on co-located
     // data), src under the shuffle fallback (the rank join lands on
-    // co-located data and only the rank frame moves) — and materialized.
+    // co-located data and only the rank frame moves) — and materialized
+    // as the BARE (src, dst) pairs. outdeg is NOT attached to edges:
+    // rank/outdeg is per-NODE state, so it rides in the node-count-sized
+    // rank frame instead — that deletes an edge-scale join + its
+    // exchange from the one-time layout AND narrows the persisted cache
+    // by a third (round-12 spot-measured at sf0.1: 3.2-3.8s → 2.6-2.9s
+    // for the whole query).
     // persist, NOT localCheckpoint: the edge frame is the big one, and a
     // checkpoint's RDD storage is unreleasable through the Dataset API —
     // back-to-back pagerank calls in one session would accrete pinned
@@ -79,48 +84,82 @@ object Graph {
     // storage) and is unpersisted before return. Lineage truncation is
     // only needed on the per-round RANK frame, which keeps localCheckpoint
     // below.
-    val withDeg = ed.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
+    val edP = ed
       .repartition(if (broadcastRanks) col("dst") else col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // nodes is read 2×/iteration; left lazy each read re-runs a distinct
-    // over the EDGE frame — materialize the (tiny) node frame once
-    val nodes = withDeg.select(col("src").as("node")).distinct()
+    // One row per node (every node appears as a src by contract) WITH its
+    // constant out-degree — this frame *is* the initial rank state; no
+    // separate nodes-distinct pass, and outdeg is carried through every
+    // round's checkpoint so the loop never re-derives it. Checkpointed:
+    // ncnt below re-reads it in EVERY round's broadcast — left lazy, each
+    // round would re-run the edge-scale degree aggregate (measured: that
+    // alone costs more than the whole loop).
+    val deg = edP.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
-    val ncnt = nodes.agg(count(lit(1)).as("n"))
+    val ncnt = deg.agg(count(lit(1)).as("n"))
     try {
-    var rank = nodes.crossJoin(broadcast(ncnt))
-      .select(col("node"), expr(s"$mass div n").as("rank"))
+    var rank = deg.crossJoin(broadcast(ncnt))
+      .select(col("src").as("node"), col("outdeg"),
+        expr(s"$mass div n").as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       // rank is node-count-sized (a k-means-codebook-scale frame, not an
-      // edge-scale one): broadcast it so the edge frame never reshuffles
-      // for the join; the agg by dst then runs on the edge frame's own
-      // partitioning. Fallback: shuffle-join rank onto the src-partitioned
-      // edge layout (rank alone moves) and pay the dst exchange in the
+      // edge-scale one): pre-divide rank by outdeg per NODE and broadcast
+      // the quotient so the edge frame never reshuffles for the join; the
+      // agg by dst then runs on the edge frame's own partitioning.
+      // Fallback: shuffle-join the quotient onto the src-partitioned edge
+      // layout (rank alone moves) and pay the dst exchange in the
       // aggregate. Each round's rank is materialized (21k-row job) —
       // chained lazily, every round would re-execute all prior rounds.
-      val rankAsSrc = rank.select(col("node").as("src"), col("rank"))
-      val contrib = (if (broadcastRanks) withDeg.join(broadcast(rankAsSrc), "src")
-                     else withDeg.join(rankAsSrc, "src"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
+      val contribSrc = rank.select(col("node").as("src"),
+        expr("rank div outdeg").as("c"))
+      val contrib = (if (broadcastRanks) edP.join(broadcast(contribSrc), "src")
+                     else edP.join(contribSrc, "src"))
+        .select(col("dst"), col("c"))
       val in = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-      rank = nodes
-        .join(in.select(col("dst").as("node"), col("in_sum")), Seq("node"), "left")
+      // in_sum is node-count-sized like rank itself — broadcast it into
+      // the dangling-node left join (planner stats on an agg output are
+      // too pessimistic to pick this alone; unhinted this planned as a
+      // sort-merge join, two exchanges per round on 21k-row frames)
+      val next = rank.select(col("node"), col("outdeg"))
+        .join(broadcast(in.select(col("dst").as("node"), col("in_sum"))),
+          Seq("node"), "left")
         .crossJoin(broadcast(ncnt))
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           (expr(s"(15 * ($mass div n)) div 100") +
             expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
         .localCheckpoint()
+      // the superseded round's checkpoint blocks are dead the moment the
+      // next round materializes — release them NOW rather than at the
+      // next driver GC (a 50-iteration run on a big node set would
+      // otherwise hold every round's frame simultaneously)
+      releaseCheckpoint(rank)
+      rank = next
     }
-    rank
+    rank.select(col("node"), col("rank"))
     // finally, not success-path-only: a failure mid-loop (task OOM, kill)
     // must still release the edge-scale cache, or repeated calls in one
     // session accrete pinned copies — the exact accretion this
     // persist/unpersist design exists to prevent. The returned rank is an
-    // eagerly materialized checkpoint, independent of the edge frame.
-    } finally withDeg.unpersist(blocking = false)
+    // eagerly materialized checkpoint, independent of the edge frame and
+    // of deg (whose checkpoint is likewise dead once the loop ends).
+    } finally { edP.unpersist(blocking = false); releaseCheckpoint(deg) }
   }
+
+  /** Eagerly free the pinned blocks of a SUPERSEDED localCheckpoint'ed
+    * frame. A local checkpoint's blocks ARE its data — there is no
+    * lineage to recompute from — so this must only ever run on frames
+    * that are provably dead (the previous round of an iterative loop,
+    * after the next round has materialized). The Dataset API exposes no
+    * release path (unpersist() on the checkpointed Dataset is a no-op on
+    * these blocks); the checkpointed RDD sits behind the plan's
+    * LogicalRDD leaf. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Multi-source BFS hop counts: every node reachable from `sources`
     * within `maxHops`, labeled with its hop distance (0 for sources).
@@ -319,11 +358,19 @@ object Graph {
       .otherwise(raise_error(concat(
         lit("jaccard pair-pack id outside [0, 1e9): "), c.cast("string"))))
 
-  /** Guarded, symmetrized, grouped adjacency (a, ns = sorted neighbor
-    * array), materialized once — read twice by every consumer (pair
-    * stream/signatures + degrees) and tiny (one row per node). */
-  private def jaccardAdjacency(edges: DataFrame): DataFrame = {
-    val e = edges.select(guardId(col("a")).as("a"), guardId(col("b")).as("b"))
+  /** Symmetrized, grouped adjacency (a, ns = sorted neighbor array),
+    * materialized once — read twice by every consumer (pair
+    * stream/signatures + degrees) and tiny (one row per node).
+    *
+    * `guard` applies [[guardId]] — required by the PACKED pair path
+    * ([[jaccardTopK]]), whose single-long key aliases ids ≥ 1e9.
+    * [[jaccardTopKApprox]] never packs, so it reads unguarded: the path
+    * positioned for graphs too large for capped-exact must not
+    * raise_error on the billion-id domains it exists for. */
+  private def jaccardAdjacency(edges: DataFrame, guard: Boolean): DataFrame = {
+    val e = if (guard)
+      edges.select(guardId(col("a")).as("a"), guardId(col("b")).as("b"))
+    else edges.select(col("a"), col("b"))
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     sym.groupBy(col("a"))
       .agg(sort_array(collect_set(col("b"))).as("ns"))
@@ -370,8 +417,12 @@ object Graph {
     * to everything mediates no DISCRIMINATING overlap, exactly the
     * hot-bucket rationale of Dedup.lshCandidates). Per-apex pair volume
     * is then ≤ C(maxDegree, 2) whatever the skew; degrees stay TRUE
-    * degrees (from the uncapped adjacency), so reported unions are exact
-    * even where a hub was skipped. maxDegree = Int.MaxValue is the
+    * degrees (from the uncapped adjacency), which makes the d1 + d2 term
+    * of the union exact — but a pair whose common count lost
+    * hub-mediated wedges scores a LOWER BOUND, not the exact Jaccard
+    * (capped common understates the intersection and so overstates the
+    * union). Capped ≡ uncapped exactly when no apex exceeds the cap —
+    * the fixture case GraphSpec pins. maxDegree = Int.MaxValue is the
     * uncapped exact path. Where capped-exact still scores too much,
     * [[jaccardTopKApprox]] bounds the CANDIDATE set by minhash-LSH
     * instead. ScaleProbe "jaccard_hub" measures the cap holding
@@ -386,7 +437,7 @@ object Graph {
     */
   def jaccardTopK(edges: DataFrame, k: Int, minCommon: Long = 2L,
       maxDegree: Int = jaccardMaxDegree): DataFrame = {
-    val adj = jaccardAdjacency(edges)
+    val adj = jaccardAdjacency(edges, guard = true)
     val deg = adj.select(col("a").as("v"), size(col("ns")).cast("long").as("d"))
     val apex = if (maxDegree == Int.MaxValue) adj
                else adj.filter(size(col("ns")) <= maxDegree)
@@ -422,10 +473,11 @@ object Graph {
     * recalls ~0.99. The extra false candidates single-component bands
     * admit are exactly-verified away; the hot-bucket cap bounds their
     * volume. GraphSpec pins the fixture recall floor vs the exact
-    * top-k. */
+    * top-k. Node ids are unrestricted BIGINTs — this path never packs
+    * pair keys, so the [0, 1e9) pack-id guard does not apply. */
   def jaccardTopKApprox(edges: DataFrame, k: Int, minCommon: Long = 2L,
       maxBucketSize: Int = Dedup.defaultMaxBucketSize): DataFrame = {
-    val adj = jaccardAdjacency(edges)
+    val adj = jaccardAdjacency(edges, guard = false)
     val deg = adj.select(col("a").as("v"), size(col("ns")).cast("long").as("d"))
     val sigs = Dedup.minhashSignatures(
       adj.select(col("a").as("doc_id"), col("ns").as("text")),
@@ -446,8 +498,12 @@ object Graph {
   }
 
   /** q_graph_jaccard's graph: %16-slice co-purchase edges (a < b,
-    * distinct) — see the query comment for the slice rationale. */
-  private def jaccardSliceEdges(s: SparkSession, dir: String): DataFrame = {
+    * distinct) — see the query comment for the slice rationale.
+    * `private[graft]`, not private: GraphSpec's capped-no-op/recall pins
+    * and ScaleProbe's jaccard_hub probe must test the SAME edge builder
+    * the checked query runs — a drifted re-implementation would silently
+    * pin a different graph. */
+  private[graft] def jaccardSliceEdges(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir)
       .filter(col("l_orderkey") % 16 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))

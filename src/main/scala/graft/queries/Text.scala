@@ -281,38 +281,46 @@ object Text {
     // (quality desc, doc_id) ordering under a running-token-sum cap.
     //
     // Scale shape — NOT the oracle's single global ORDER BY window (a
-    // one-partition sort at 100 TB): quality is floor-e4 quantized, so
-    // the score domain is ≤ 10001 values. A vocab-bounded hash agg
-    // builds per-score token totals, ONE tiny window over that ≤
-    // 10001-row frame computes each score group's preceding cumulative
-    // (broadcast back), and the per-doc running sum is a window WITHIN
-    // each score group (group prefix + in-group prefix = the exact
-    // global prefix sum). Wide work: one hash agg + one score-keyed
-    // window over the docs — same decomposition as Pack's distributed
-    // cumsum, keyed by score instead of range. Boundary docs inside one
-    // score group tie-break by doc_id, so the result is deterministic.
+    // one-partition sort at 100 TB), and NOT a per-score-group window
+    // either (partitionBy(q_e4) serializes each score value through ONE
+    // task — a boilerplate-heavy corpus concentrating one quantized
+    // score becomes a single-task straggler). Pack's distributed cumsum
+    // applied to the full selection ordering (q_e4 desc, doc_id):
+    // range-repartition on that ordering — the range partitioner splits
+    // on BOTH keys, so a heavy score group spreads across partitions —
+    // per-slice running sums under a window partitioned by
+    // spark_partition_id (parallelism = slice count, never score
+    // cardinality), then per-slice totals (≤ #partitions rows)
+    // prefix-summed and broadcast back as slice offsets. Slice prefix +
+    // in-slice prefix = the exact global prefix sum; ties inside one
+    // score break by doc_id, so the result is deterministic. The slice
+    // frame is localCheckpoint'ed for the same reason as Pack's: pids
+    // from a sampled repartitionByRange are nondeterministic between
+    // re-executions, and both the totals branch and the join branch must
+    // observe ONE assignment.
     "q_sample_budget" -> ((s, dir) => {
       import s.implicits._
       val W = org.apache.spark.sql.expressions.Window
       val budget = 10000L
-      // text IS NOT NULL pinned on BOTH sides: a null text scores q_e4
-      // NULL, which the score-group equi-join would silently drop while
-      // the oracle's cumsum scan carries the row — only unscoreable docs
-      // are out of scope, explicitly, not accidentally
+      // text IS NOT NULL pinned explicitly: only unscoreable docs are out
+      // of scope — by rule, not as a join-semantics accident.
       val scored = documents(s, dir).filter($"text".isNotNull)
         .select($"doc_id",
           size(split($"text", " ")).cast("long").as("n_tokens"),
           floor(guardedQualityExpr($"text") * 1e4).cast("long").as("q_e4"))
-      val groupTot = scored.groupBy($"q_e4").agg(sum($"n_tokens").as("g_tok"))
-      val wg = W.orderBy($"q_e4".desc)
-        .rowsBetween(W.unboundedPreceding, -1)
-      val groupPre = groupTot
-        .withColumn("pre", coalesce(sum($"g_tok").over(wg), lit(0L)))
-        .select($"q_e4", $"pre")
-      val wd = W.partitionBy($"q_e4").orderBy($"doc_id")
+      val ranged = scored.repartitionByRange($"q_e4".desc, $"doc_id")
+        .withColumn("pid", spark_partition_id())
+      val wLocal = W.partitionBy($"pid").orderBy($"q_e4".desc, $"doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
-      scored.join(broadcast(groupPre), Seq("q_e4"))
-        .withColumn("cum_tokens", $"pre" + sum($"n_tokens").over(wd))
+      val local = ranged
+        .withColumn("local_cum", sum($"n_tokens").over(wLocal))
+        .localCheckpoint()
+      val wOff = W.orderBy($"pid").rowsBetween(W.unboundedPreceding, -1)
+      val offs = local.groupBy($"pid").agg(sum($"n_tokens").as("pn"))
+        .withColumn("p_off", coalesce(sum($"pn").over(wOff), lit(0L)))
+        .select($"pid", $"p_off")
+      local.join(broadcast(offs), "pid")
+        .withColumn("cum_tokens", $"local_cum" + $"p_off")
         .filter($"cum_tokens" <= budget)
         .select($"doc_id", $"n_tokens", $"q_e4", $"cum_tokens")
         .orderBy($"doc_id")
@@ -893,7 +901,7 @@ object Text {
           ORDER BY d.doc_id""",
 
     // oracle = the straightforward single global cumsum; the engine's
-    // score-group decomposition must reproduce its prefix sums exactly
+    // range-slice decomposition must reproduce its prefix sums exactly
     "q_sample_budget" ->
       s"""WITH scored AS (
            SELECT doc_id,

@@ -114,18 +114,10 @@ class GraphSpec extends SparkSpec {
     assert(got === expected)
   }
 
-  /** The fixture slice graph as an (a, b) edge frame — the same edges
-    * q_graph_jaccard builds internally (rebuilt here because the query's
-    * builder is private to the operator). */
-  private def fixtureJaccardEdges() = {
-    val li = graft.catalog.Tables.lineitem(spark, sf())
-      .filter(col("l_orderkey") % 16 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
-    li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-  }
+  /** The fixture slice graph as an (a, b) edge frame — the EXACT builder
+    * q_graph_jaccard runs (shared via private[graft], so the capped-no-op
+    * and recall pins can never silently test a different graph). */
+  private def fixtureJaccardEdges() = Graph.jaccardSliceEdges(spark, sf())
 
   private def pairRows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
