@@ -154,6 +154,35 @@ object Freq {
       .groupBy(col("item"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
 
+  // ---- fixed-grid histogram sketches (mergeable quantiles) ---------------
+
+  /** Per-key fixed-grid histogram sketch of a BIGINT value column:
+    * (key, b, cnt) with b = v div width. THE mergeable quantile summary
+    * the sketch tier was missing: HLL (distinct) and CMS (frequency)
+    * cells are plain sums and roll up by elementwise addition — so does
+    * this grid (FreqSpec pins sketch(A⊎B) = sketch(A) + sketch(B)),
+    * which is what the silver layer needs to absorb a day of percentile
+    * state without rescanning facts: per-day sketches merge by bucket
+    * addition ([[gridMerge]]) and any quantile is read off the merged
+    * grid's cumulative counts with error bounded by ONE grid cell
+    * (the rank-q element provably lies in the selected bucket — exact
+    * cumulative counts locate exact ranks; only the position WITHIN the
+    * cell is unknown). width is the resolution/size trade: the sketch
+    * is ≤ domain/width rows per key regardless of row count. Fixed,
+    * data-independent grid — sketches built on different days merge
+    * without re-bucketing (a data-dependent grid could not). */
+  def gridSketch(vals: DataFrame, width: Long): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    vals.select(col("day"), expr(s"v div $width").as("b"))
+      .groupBy(col("day"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge per-key grid sketches into one global grid: elementwise
+    * (bucket-wise) addition — touches only sketch rows, never facts. */
+  def gridMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("b")).agg(sum(col("cnt")).as("cnt"))
+
   // ---- driver contract ----------------------------------------------------
 
   private def words(s: SparkSession, dir: String): DataFrame =
@@ -180,10 +209,88 @@ object Freq {
           Seq("item"))
         .select(col("item"), col("n"), col("est_n"))
         .orderBy(col("n").desc, col("item"))
+    }),
+
+    // Mergeable-quantile rollup: per-SHIP-DAY grid sketches of the cent
+    // price (the silver-layer state a 100 TB pipeline would persist),
+    // merged by bucket addition, p50/p90/p99 read off the merged grid's
+    // cumulative counts — beside the EXACT value-at-rank anchor from a
+    // distributed rank pass, with the one-cell containment predicate
+    // (`ok`) checking the two computation paths against each other.
+    // Exact anchor shape = percentilesOf's slice decomposition
+    // (range-repartition, per-slice ordinals, slice offsets broadcast
+    // back) simplified to discrete single-group value-at-rank; the
+    // sliced frame is localCheckpoint'ed (Pack's discipline) so the
+    // offsets branch and the rank branch observe ONE pid assignment.
+    // The two global windows run on grid-/slice-count-bounded frames
+    // (≤ domain/width and ≤ #partitions rows), never on facts.
+    "q_agg_quantile_rollup" -> ((s, dir) => {
+      val width = 16384L
+      val qs = Seq(50, 90, 99)
+      val W = org.apache.spark.sql.expressions.Window
+      val vals = graft.catalog.Tables.lineitem(s, dir).select(
+        col("l_shipdate").cast("date").as("day"),
+        floor(col("l_extendedprice") * 100).cast("long").as("v"))
+      // grid-sized (≤ domain/width rows); checkpointed because BOTH the
+      // total and the cumulative branch read it — lazy, each would
+      // re-run the fact-scale sketch build
+      val merged = gridMerge(gridSketch(vals, width)).localCheckpoint()
+      val n = merged.agg(sum(col("cnt")).as("n"))
+      val wCum = W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, -1)
+      val cum = merged
+        .withColumn("cum_lo", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      val ranks = n
+        .select(explode(array(qs.map(lit): _*)).as("q_pct"), col("n"))
+        .withColumn("r", expr("(n * q_pct + 99) div 100"))
+      val est = ranks.join(broadcast(cum),
+          col("r") > col("cum_lo") && col("r") <= col("cum_lo") + col("cnt"))
+        .select(col("q_pct"), col("n"), col("r"),
+          (col("b") * width).as("est_lo"))
+      val ranged = vals.select(col("v"))
+        .repartitionByRange(col("v")).withColumn("pid", spark_partition_id())
+      val local = ranged.sortWithinPartitions(col("v"))
+        .withColumn("ord",
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+        .localCheckpoint()
+      val wOff = W.orderBy(col("pid")).rowsBetween(W.unboundedPreceding, -1)
+      val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+        .withColumn("rank_off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+        .select(col("pid"), col("rank_off"))
+      val exact = local.join(broadcast(offs), "pid")
+        .withColumn("rn", col("ord") + 1 + col("rank_off"))
+        .join(broadcast(ranks.select(col("q_pct"), col("r"))),
+          col("rn") === col("r"))
+        .select(col("q_pct"), col("v").as("exact_v"))
+      est.join(exact, Seq("q_pct"))
+        .select(col("q_pct"), col("n"), col("r"), col("est_lo"), col("exact_v"),
+          (col("exact_v") >= col("est_lo") &&
+            col("exact_v") < col("est_lo") + width).as("ok"))
+        .orderBy(col("q_pct"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_quantile_rollup" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+                  CAST(l_shipdate AS DATE) AS day FROM lineitem),
+         sk AS (SELECT day, v // 16384 AS b, count(*) AS cnt FROM v GROUP BY 1, 2),
+         merged AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cnt FROM sk GROUP BY 1),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM merged),
+         cum AS (SELECT b, cnt,
+                 CAST(coalesce(sum(cnt) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_lo
+                 FROM merged),
+         ranks AS (SELECT q_pct, n, (n * q_pct + 99) // 100 AS r
+                   FROM (SELECT unnest([50, 90, 99]) AS q_pct), n),
+         est AS (SELECT r.q_pct, r.n, r.r, c.b * 16384 AS est_lo
+                 FROM ranks r JOIN cum c ON r.r > c.cum_lo AND r.r <= c.cum_lo + c.cnt),
+         ordered AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+         exact AS (SELECT r.q_pct, o.v AS exact_v FROM ranks r JOIN ordered o ON o.rn = r.r)
+         SELECT e.q_pct, e.n, CAST(e.r AS BIGINT) AS r,
+                CAST(e.est_lo AS BIGINT) AS est_lo, x.exact_v,
+                (x.exact_v >= e.est_lo AND x.exact_v < e.est_lo + 16384) AS ok
+         FROM est e JOIN exact x USING (q_pct) ORDER BY q_pct""",
+
     "q_agg_countmin" ->
       """WITH words AS (
            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS item

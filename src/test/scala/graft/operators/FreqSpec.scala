@@ -115,6 +115,50 @@ class FreqSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("grid merge law: per-key sketches merge by bucket addition to the union's grid") {
+    // two "days" with overlapping value ranges and different shapes
+    val a = spark.range(0L, 5000L)
+      .select(lit("d1").as("day"), (col("id") * 3 % 7919).as("v"))
+    val b = spark.range(0L, 3000L)
+      .select(lit("d2").as("day"), (col("id") * 11 % 4096).as("v"))
+    val width = 64L
+    def grid(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Freq.gridMerge(Freq.gridSketch(df, width)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ga = grid(a); val gb = grid(b)
+    val merged = (ga.keySet ++ gb.keySet).map { k =>
+      k -> (ga.getOrElse(k, 0L) + gb.getOrElse(k, 0L))
+    }.toMap
+    assert(merged === grid(a.unionAll(b)),
+      "per-day grids must merge to the union corpus's grid")
+    // and the per-day sketch of the union IS the two days' sketches side
+    // by side (day is a key, not an aggregation casualty)
+    val perDay = Freq.gridSketch(a.unionAll(b), width)
+    assert(perDay.filter(col("day") === "d1").count() === ga.size)
+    assert(perDay.filter(col("day") === "d2").count() === gb.size)
+  }
+
+  test("grid quantile containment: the rank-q element lies in the selected bucket") {
+    // adversarially clumped values: heavy spike in one bucket + sparse tail
+    val vals = spark.range(0L, 10000L)
+      .select(lit("d").as("day"),
+        when(col("id") < 9000, col("id") % 10 + 1000).otherwise(col("id")).as("v"))
+    val width = 64L
+    val g = Freq.gridMerge(Freq.gridSketch(vals, width)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = g.map(_._2).sum
+    val sorted = vals.select(col("v")).collect().map(_.getLong(0)).sorted
+    for (q <- Seq(50, 90, 99)) {
+      val r = (n * q + 99) / 100
+      // grid pick: first bucket whose cumulative reaches r
+      var cum = 0L
+      val bkt = g.find { case (_, c) => cum += c; cum >= r }.get._1
+      val exact = sorted((r - 1).toInt)
+      assert(exact >= bkt * width && exact < (bkt + 1) * width,
+        s"p$q: exact $exact outside bucket $bkt (width $width)")
+    }
+  }
+
   test("fixture words: q_agg_heavy_hitters margin holds (c_m > n/k) at EVERY harness sf") {
     // The query equals its exact oracle only while the 10th word frequency
     // clears n/k — a precondition of the data, not the code. English Zipf
