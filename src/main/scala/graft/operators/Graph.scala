@@ -146,20 +146,8 @@ object Graph {
     } finally { edP.unpersist(blocking = false); releaseCheckpoint(deg) }
   }
 
-  /** Eagerly free the pinned blocks of a SUPERSEDED localCheckpoint'ed
-    * frame. A local checkpoint's blocks ARE its data — there is no
-    * lineage to recompute from — so this must only ever run on frames
-    * that are provably dead (the previous round of an iterative loop,
-    * after the next round has materialized). The Dataset API exposes no
-    * release path (unpersist() on the checkpointed Dataset is a no-op on
-    * these blocks); the checkpointed RDD sits behind the plan's
-    * LogicalRDD leaf. */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.util.Frames.releaseCheckpoint(df)
 
   /** Multi-source BFS hop counts: every node reachable from `sources`
     * within `maxHops`, labeled with its hop distance (0 for sources).

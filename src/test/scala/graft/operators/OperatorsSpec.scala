@@ -386,6 +386,80 @@ class OperatorsSpec extends SparkSpec {
     assert(r6 >= 0.85, f"ivf recall@10 = $r6%.3f < 0.85 at nprobe=6 (measured 0.895)")
   }
 
+  private def graphFixture() = {
+    val probes = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val corpus = embs.filter(col("vec_id") >= 5 && col("vec_id") < 500)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    (probes, corpus)
+  }
+
+  test("ANN: graph search output is dup-free, rn-contiguous, exactly scored") {
+    import graft.queries.Sim
+    val (probes, corpus) = graphFixture()
+    val res = Ann.graphAnnSearch(probes, corpus, Ann.graphAnnIndex(corpus, 12),
+      Seq(5L, 128L, 256L, 384L), beam = 16, hops = 4, k = 3).cache()
+    assert(res.groupBy("probe_id", "cand_id").count()
+      .filter(col("count") > 1).count() === 0, "duplicate (probe, cand) rows")
+    // every probe gets rn exactly 1..3
+    assert(res.groupBy("probe_id")
+      .agg(count(lit(1)).as("n"), sum(col("rn")).as("s"))
+      .filter(col("n") =!= 3 || col("s") =!= 6).count() === 0)
+    // verify-scored: each emitted cos IS the exact 4dp cosine — the graph
+    // approximates WHICH candidates are seen, never their scores
+    val rescored = res
+      .join(corpus, "cand_id").join(probes, "probe_id")
+      .filter(col("cos") =!= round(Sim.cosine(col("pv"), col("cv")), 4))
+    assert(rescored.count() === 0, "graph search emitted a non-exact score")
+  }
+
+  test("ANN: q_ann_graph fixture recall@3 ≥ 0.85 vs exact top-k (measured 14-15/15)") {
+    val (probes, corpus) = graphFixture()
+    val exact = Ann.bruteForceTopK(
+      embs.filter(col("vec_id") < 5),
+      embs.filter(col("vec_id") >= 5 && col("vec_id") < 500), 3)
+      .select(col("probe_id"), col("cand_id"))
+    val got = Ann.graphAnnSearch(probes, corpus, Ann.graphAnnIndex(corpus, 12),
+      Seq(5L, 128L, 256L, 384L), beam = 16, hops = 4, k = 3)
+      .select(col("probe_id"), col("cand_id"))
+    val nExact = exact.count()
+    val hit = exact.join(got, Seq("probe_id", "cand_id")).count()
+    assert(hit.toDouble / nExact >= 0.85,
+      s"graph-ANN fixture recall $hit/$nExact < 0.85")
+  }
+
+  test("ANN: graph search recall@10 ≥ 0.9 on clusterable data with cluster-covering entries") {
+    // The mechanism test (ivf's clustered-corpus analog): on a corpus
+    // with 8 well-separated directions the kNN graph is 8 disconnected
+    // near-cliques — navigability REQUIRES the entry set to cover the
+    // clusters (HNSW buys this with upper layers, DiskANN with long
+    // alpha-pruned links; here: one entry per cluster, ids 0..7). Given
+    // coverage, beam descent must converge to the true neighbors.
+    import spark.implicits._
+    val dim = 64
+    def jitter(i: Long, d: Int): Float =
+      ((((i * 1315423911L + d * 2654435761L) % 1000L) / 1000.0) - 0.5).toFloat * 0.1f
+    def vec(i: Long): Seq[Float] = {
+      val c = (i % 8).toInt
+      Seq.tabulate(dim)(d => (if (d / 8 == c) 1.0f else 0.0f) + jitter(i, d))
+    }
+    val corpus = (0L until 200L).map(i => (i, vec(i)))
+      .toDF("cand_id", "cv")
+    val probes = (1000L until 1020L).map(i => (i, vec(i)))
+      .toDF("probe_id", "pv")
+    val exact = Ann.bruteForceTopK(
+      probes.select(col("probe_id").as("vec_id"), col("pv").as("embedding")),
+      corpus.select(col("cand_id").as("vec_id"), col("cv").as("embedding")), 10)
+      .select(col("probe_id"), col("cand_id"))
+    val got = Ann.graphAnnSearch(probes, corpus, Ann.graphAnnIndex(corpus, 12),
+      entries = (0L until 8L).toSeq, beam = 16, hops = 4, k = 10)
+      .select(col("probe_id"), col("cand_id"))
+    val nExact = exact.count()
+    val hit = exact.join(got, Seq("probe_id", "cand_id")).count()
+    assert(hit.toDouble / nExact >= 0.9,
+      s"clustered graph-ANN recall $hit/$nExact < 0.9")
+  }
+
   test("ANN: multi-probe recall@1 ≥ single-probe recall@1") {
     val probes = embs.filter(col("vec_id") < 20)
     val corpus = embs.filter(col("vec_id") >= 20)
