@@ -447,6 +447,77 @@ object ScaleProbe {
       }
     }
 
+    // round-12: hybrid-RRF fusion at scale — both arms must STAY
+    // TakeOrderedAndProject (per-partition partial top-k + tiny merge,
+    // never a global sort) as the corpus grows, and wall time must track
+    // the corpus-wide work (one postings-sized BM25 agg + one
+    // broadcast-probe cosine scan); the fusion join itself runs on
+    // ≤50-row frames at every scale. Disjoint-vocab doc replication (r0-
+    // prefixed probe terms hit only replica 0, so the postings stay
+    // constant-size while the corpus-wide agg grows) + remapped-id
+    // embedding replication.
+    if (want("rrf")) {
+      val W = org.apache.spark.sql.expressions.Window
+      def replicateEmb(m: Int) = (0 until m).map { i =>
+        emb0.select(($"vec_id" + lit(i.toLong * 10000000L)).as("vec_id"),
+          $"embedding")
+      }.reduce(_ unionAll _)
+      def fused(m: Int) = {
+        val docs = replicateDocs(m)
+        val terms = Seq("r0spark", "r0join", "r0stream", "r0vector", "r0agg")
+        val lexTop = graft.queries.Search.bm25(
+          docs.select($"doc_id", $"text"), terms, k = 50)
+          .select($"doc_id", $"score_micro")
+        val lexRank = lexTop.select($"doc_id",
+          row_number().over(W.orderBy($"score_micro".desc, $"doc_id"))
+            .cast("long").as("r_lex"))
+        val probe = emb0.filter($"vec_id" === 0).select($"embedding".as("pv"))
+        val semTop = replicateEmb(m).crossJoin(broadcast(probe))
+          .select($"vec_id".as("doc_id"),
+            floor(graft.queries.Sim.cosine($"pv", $"embedding") * 1e6)
+              .cast("long").as("cos_e6"))
+          .orderBy($"cos_e6".desc, $"doc_id").limit(50)
+        val semRank = semTop.select($"doc_id",
+          row_number().over(W.orderBy($"cos_e6".desc, $"doc_id"))
+            .cast("long").as("r_sem"))
+        lexRank.join(semRank, Seq("doc_id"), "full_outer")
+          .select($"doc_id",
+            (coalesce(expr("1000000000L div (60 + r_lex)"), lit(0L)) +
+              coalesce(expr("1000000000L div (60 + r_sem)"), lit(0L))).as("rrf_e9"))
+          .orderBy($"rrf_e9".desc, $"doc_id").limit(10)
+      }
+      fused(1).collect() // warm
+      Seq(1, 4, 16).foreach { m =>
+        val q = fused(m)
+        val plan = q.queryExecution.executedPlan.toString
+        val nTop = "TakeOrderedAndProject".r.findAllIn(plan).length
+        val t0 = System.nanoTime()
+        val n = q.collect().length
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"rrf","mult":$m,"rows":$n,"take_ordered_ops":$nTop,"sec":$t%.2f}""")
+      }
+    }
+
+    // round-12: token-budget selection under total score skew — EVERY doc
+    // carries the same text, so the whole corpus quantizes to ONE q_e4
+    // value. The old per-score-group window would serialize all rows
+    // through a single task; budgetSelect's range-slice cumsum must
+    // spread them (slices split on doc_id inside the single score) and
+    // scale near-linearly. Budget = huge so the filter keeps everything
+    // (worst case: the full corpus flows through the cumsum).
+    if (want("budget_skew")) {
+      val text = "the quick brown fox jumps over the lazy dog again and again"
+      def skewed(m: Int) = spark.range(m * 100000L)
+        .select($"id".as("doc_id"), lit(text).as("text"))
+      graft.queries.Text.budgetSelect(skewed(1), Long.MaxValue).count() // warm
+      Seq(1, 4, 16).foreach { m =>
+        val t0 = System.nanoTime()
+        val kept = graft.queries.Text.budgetSelect(skewed(m), Long.MaxValue).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"budget_skew","mult":$m,"docs":${m * 100000L},"kept":$kept,"sec":$t%.2f}""")
+      }
+    }
+
     // round-8 continuation: SemDeDup — embeddings replicated N× with
     // fresh pseudo-random directions (the srp_neardup flip trick) and
     // per-replica cluster ids (cluster = label + 10·replica), modeling

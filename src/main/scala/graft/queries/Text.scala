@@ -58,6 +58,54 @@ object Text {
                      / len(string_split($col, ' ')))
         END"""
 
+  /** Token-budget selection (q_sample_budget's operator, reusable so
+    * ScaleProbe can replay it on adversarially skewed corpora): keep the
+    * highest-quality docs whose cumulative token count fits `budget` —
+    * prefix of the (quality desc, doc_id) ordering under a running-sum
+    * cap. Docs with null text are out of scope (unscoreable), by rule.
+    *
+    * Scale shape — NOT a single global ORDER BY window (one-partition
+    * sort at 100 TB), and NOT a per-score-group window either
+    * (partitionBy(q_e4) serializes each score value through ONE task; a
+    * boilerplate-heavy corpus concentrating one quantized score becomes
+    * a single-task straggler). Pack's distributed cumsum applied to the
+    * full selection ordering (q_e4 desc, doc_id): range-repartition on
+    * that ordering — the range partitioner splits on BOTH keys, so a
+    * heavy score group spreads across partitions — per-slice running
+    * sums under a window partitioned by spark_partition_id (parallelism
+    * = slice count, never score cardinality), then per-slice totals
+    * (≤ #partitions rows) prefix-summed and broadcast back as slice
+    * offsets. Slice prefix + in-slice prefix = the exact global prefix
+    * sum; ties inside one score break by doc_id, so the result is
+    * deterministic. The slice frame is localCheckpoint'ed for Pack's
+    * reason: pids from a sampled repartitionByRange are nondeterministic
+    * between re-executions, and both the totals branch and the join
+    * branch must observe ONE assignment. ScaleProbe "budget_skew"
+    * measures the de-skewed plan on an all-one-score corpus. */
+  def budgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        floor(guardedQualityExpr(col("text")) * 1e4).cast("long").as("q_e4"))
+    val ranged = scored.repartitionByRange(col("q_e4").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = W.partitionBy(col("pid")).orderBy(col("q_e4").desc, col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val local = ranged
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      .localCheckpoint()
+    val wOff = W.orderBy(col("pid")).rowsBetween(W.unboundedPreceding, -1)
+    val offs = local.groupBy(col("pid")).agg(sum(col("n_tokens")).as("pn"))
+      .withColumn("p_off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+      .select(col("pid"), col("p_off"))
+    local.join(broadcast(offs), "pid")
+      .withColumn("cum_tokens", col("local_cum") + col("p_off"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("q_e4"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus text normalization — the cleaning pass that precedes every
     * dedup/quality stage in a training-data pipeline: strip markup, mask
     * emails, collapse whitespace, lowercase, trim. Composed from
@@ -273,58 +321,12 @@ object Text {
         .orderBy($"doc_id")
     }),
 
-    // Token-budget selection: keep the highest-quality docs whose
-    // CUMULATIVE token count fits a global budget — the data-mixing
-    // primitive behind "take the best N tokens of this source" curation
-    // (quality-ranked greedy selection; DoReMi/mix-weight pipelines
-    // execute exactly this per source). Semantics = prefix of the
-    // (quality desc, doc_id) ordering under a running-token-sum cap.
-    //
-    // Scale shape — NOT the oracle's single global ORDER BY window (a
-    // one-partition sort at 100 TB), and NOT a per-score-group window
-    // either (partitionBy(q_e4) serializes each score value through ONE
-    // task — a boilerplate-heavy corpus concentrating one quantized
-    // score becomes a single-task straggler). Pack's distributed cumsum
-    // applied to the full selection ordering (q_e4 desc, doc_id):
-    // range-repartition on that ordering — the range partitioner splits
-    // on BOTH keys, so a heavy score group spreads across partitions —
-    // per-slice running sums under a window partitioned by
-    // spark_partition_id (parallelism = slice count, never score
-    // cardinality), then per-slice totals (≤ #partitions rows)
-    // prefix-summed and broadcast back as slice offsets. Slice prefix +
-    // in-slice prefix = the exact global prefix sum; ties inside one
-    // score break by doc_id, so the result is deterministic. The slice
-    // frame is localCheckpoint'ed for the same reason as Pack's: pids
-    // from a sampled repartitionByRange are nondeterministic between
-    // re-executions, and both the totals branch and the join branch must
-    // observe ONE assignment.
-    "q_sample_budget" -> ((s, dir) => {
-      import s.implicits._
-      val W = org.apache.spark.sql.expressions.Window
-      val budget = 10000L
-      // text IS NOT NULL pinned explicitly: only unscoreable docs are out
-      // of scope — by rule, not as a join-semantics accident.
-      val scored = documents(s, dir).filter($"text".isNotNull)
-        .select($"doc_id",
-          size(split($"text", " ")).cast("long").as("n_tokens"),
-          floor(guardedQualityExpr($"text") * 1e4).cast("long").as("q_e4"))
-      val ranged = scored.repartitionByRange($"q_e4".desc, $"doc_id")
-        .withColumn("pid", spark_partition_id())
-      val wLocal = W.partitionBy($"pid").orderBy($"q_e4".desc, $"doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      val local = ranged
-        .withColumn("local_cum", sum($"n_tokens").over(wLocal))
-        .localCheckpoint()
-      val wOff = W.orderBy($"pid").rowsBetween(W.unboundedPreceding, -1)
-      val offs = local.groupBy($"pid").agg(sum($"n_tokens").as("pn"))
-        .withColumn("p_off", coalesce(sum($"pn").over(wOff), lit(0L)))
-        .select($"pid", $"p_off")
-      local.join(broadcast(offs), "pid")
-        .withColumn("cum_tokens", $"local_cum" + $"p_off")
-        .filter($"cum_tokens" <= budget)
-        .select($"doc_id", $"n_tokens", $"q_e4", $"cum_tokens")
-        .orderBy($"doc_id")
-    }),
+    // Token-budget selection — the data-mixing primitive behind "take
+    // the best N tokens of this source" curation (quality-ranked greedy
+    // selection; DoReMi/mix-weight pipelines execute exactly this per
+    // source). Plan and de-skew rationale: [[budgetSelect]].
+    "q_sample_budget" -> ((s, dir) =>
+      budgetSelect(documents(s, dir), budget = 10000L)),
 
     // normalization pass: markup strip + email mask + whitespace collapse
     // + lowercase/trim, fingerprinted so the output stays small while the

@@ -344,6 +344,22 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("leakage-free split: the straddle invariant also holds at sf0.1") {
+    // round-10 verdict residue: the invariant was proven at fixture sf
+    // only. Same assertion against the sf0.1 corpus (different first-500
+    // doc population → different near-dup pair structure): both ends of
+    // every verified near-dup pair must carry one split label.
+    val split = graft.SparkEntry.queries("q_split_leakage_free")(spark, sf("sf0.1"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val docs = Tables.documents(spark, sf("sf0.1")).filter(col("doc_id") < 500)
+    val pairs = Dedup.minhashNearDups(docs, 0.5)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "sf0.1 corpus must contain near-dup pairs")
+    val leaked = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(leaked.isEmpty, s"pairs straddling splits at sf0.1: ${leaked.take(5).toSeq}")
+  }
+
   // ---------- keyword extraction ----------
 
   test("keywords: per-doc top-3 matches a driver-side TF-IDF replay") {
