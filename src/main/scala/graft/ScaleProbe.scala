@@ -498,6 +498,35 @@ object ScaleProbe {
       }
     }
 
+    // round-12: graph-ANN build growth split — the exact kNN build is
+    // n² score pairs by construction; NN-descent bounds each round at
+    // n·(2r)² equi-join candidates. Replicas are re-signed to fresh
+    // pseudo-random directions (the srp_neardup device) so the vector
+    // population stays non-degenerate as it grows. Expected: exact wall
+    // grows ~quadratically with corpus size, descent ~linearly.
+    if (want("ann_descent")) {
+      def corpusOf(m: Int) = (0 until m).map { i =>
+        emb0.select(($"vec_id" + lit(i.toLong * 10000000L)).as("cand_id"),
+          transform($"embedding", (x, d) =>
+            (x * when(pmod(hash(lit(i), d), lit(2)) === 0, 1.0f)
+              .otherwise(-1.0f)).cast("float")).as("cv"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      graft.operators.Ann.graphAnnIndexDescent(corpusOf(1), 12, 2).count() // warm
+      Seq(1, 4, 16).foreach { m =>
+        val c = corpusOf(m)
+        val n = c.count()
+        val tDesc = time(graft.operators.Ann.graphAnnIndexDescent(c, 12, 2).count())
+        // exact build at 16× is ~1e9 kernel cosines — measured only where
+        // it stays sane; -1 marks "not measured", the growth is the point
+        val tExact = if (m <= 4)
+          time(graft.operators.Ann.graphAnnIndex(c, 12).count()) else -1.0
+        println(f"""{"probe":"ann_descent","mult":$m,"vectors":$n,"descent_sec":$tDesc%.2f,"exact_sec":$tExact%.2f}""")
+      }
+    }
+
     // round-12: token-budget selection under total score skew — EVERY doc
     // carries the same text, so the whole corpus quantizes to ONE q_e4
     // value. The old per-score-group window would serialize all rows

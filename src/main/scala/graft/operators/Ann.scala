@@ -495,6 +495,82 @@ object Ann {
       .select(col("src"), col("dst"))
   }
 
+  /** NN-Descent proximity-graph build [Dong et al., WWW'11] — the
+    * at-scale builder behind [[graphAnnSearch]] (which is
+    * builder-agnostic). The exact [[graphAnnIndex]] is O(n²) score pairs;
+    * NN-descent's invariant is "a neighbor of a neighbor is likely a
+    * neighbor": start from a deterministic connected seed graph, then
+    * each round scores only current edges ∪ reversed edges ∪
+    * neighbor-of-neighbor pairs — ≤ n·(2r)² candidates per round instead
+    * of n² — and keeps each node's top-r. Every join is a plain
+    * equi-join on node id; nothing in the loop ever materializes the
+    * corpus product.
+    *
+    *   - Seed: node at sorted position i links to positions
+    *     (i + 2^j) mod n, j < r — a ring with doubling strides (finger-
+    *     table shape): connected with log-diameter by construction, so
+    *     descent never starts from disconnected islands. Positions come
+    *     from the slice-rank decomposition (range-repartition, per-slice
+    *     ordinals, broadcast offsets) — never a one-partition sort.
+    *   - Rounds: candidates re-score prior edges each round (the kernel
+    *     cosine is cheap next to the join that carries it; caching
+    *     scores across rounds would trade a wider shuffle for it).
+    *   - Loop discipline: per-round edge frames are checkpointed and the
+    *     superseded round released eagerly (pagerank's contract).
+    *
+    * OperatorsSpec pins edge recall vs the exact build and search recall
+    * through the descent-built graph; ScaleProbe "ann_descent" measures
+    * the n·r² vs n² growth split. */
+  def graphAnnIndexDescent(corpus: DataFrame, r: Int, rounds: Int): DataFrame = {
+    require(r >= 1 && rounds >= 1, s"need r/rounds >= 1, got $r $rounds")
+    val ranged = corpus.select(col("cand_id"), col("cv"))
+      .repartitionByRange(col("cand_id")).withColumn("pid", spark_partition_id())
+    val local = ranged.sortWithinPartitions(col("cand_id"))
+      .withColumn("ord",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint()
+    val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .withColumn("off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    val idx = local.join(broadcast(offs), "pid")
+      .select(col("cand_id"), col("cv"), (col("ord") + col("off")).as("i"))
+      .localCheckpoint()
+    graft.util.Frames.releaseCheckpoint(local)
+    val ncnt = idx.agg(count(lit(1)).as("n"))
+    val strides = array((0 until r).map(j => lit(1L << j)): _*)
+    val init = idx.select(col("cand_id").as("src"), col("i"))
+      .crossJoin(broadcast(ncnt))
+      .select(col("src"), explode(strides).as("s"), col("i"), col("n"))
+      .select(col("src"), pmod(col("i") + col("s"), col("n")).as("ti"))
+      .join(idx.select(col("cand_id").as("dst"), col("i").as("ti")), "ti")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val wr = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    var edges = init.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+      val und = edges.unionAll(rev)
+      val nn = und.select(col("src").as("u"), col("dst").as("w"))
+        .join(und.select(col("src").as("w"), col("dst").as("v")), "w")
+        .select(col("u").as("src"), col("v").as("dst"))
+      val cand = und.unionAll(nn)
+        .filter(col("src") =!= col("dst")).distinct()
+      val scored = cand
+        .join(idx.select(col("cand_id").as("src"), col("cv").as("sv")), "src")
+        .join(idx.select(col("cand_id").as("dst"), col("cv").as("dv")), "dst")
+        .select(col("src"), col("dst"),
+          round(Sim.cosine(col("sv"), col("dv")), 4).as("cos"))
+      val next = scored.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= r).select(col("src"), col("dst"))
+        .localCheckpoint()
+      graft.util.Frames.releaseCheckpoint(edges)
+      edges = next
+    }
+    graft.util.Frames.releaseCheckpoint(idx)
+    edges
+  }
+
   /** Best-first graph search as bulk-synchronous delta-frontier expansion
     * — [[Graph.bfsHops]]'s loop discipline applied to a proximity graph,
     * with the frontier PRUNED to the `beam` best new candidates per probe

@@ -354,14 +354,21 @@ class PlanSpec extends SparkSpec {
       s"expected the window-digest shuffle in:\n$p")
   }
 
-  test("budget selection: score-group windows, docs never globally sorted for ranking") {
+  test("budget selection: range-slice cumsum, no score-keyed window partitioning") {
     val p = plan("q_sample_budget")
-    // the per-doc running sum partitions by the quantized score…
-    assert(p.contains("hashpartitioning(q_e4"),
-      s"expected the score-group window partitioning in:\n$p")
-    // …and the tiny score-frame prefix is broadcast back, not joined wide
+    // round 12 de-skewed the running sum: the slice frame is checkpointed
+    // (the range-repartition + pid-window stage sits behind the Scan
+    // ExistingRDD boundary — ScaleProbe "budget_skew" measures that stage
+    // flat on an all-one-score corpus), slice offsets come back through a
+    // broadcast join, and NOTHING downstream partitions a window by the
+    // quantized score — the single-task-per-score straggler shape must
+    // not reappear
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed slice frame in:\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      s"expected the broadcast score-prefix join in:\n$p")
+      s"expected the broadcast slice-offset join in:\n$p")
+    assert(!p.contains("hashpartitioning(q_e4"),
+      s"score-keyed window partitioning reappeared in:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

@@ -428,6 +428,35 @@ class OperatorsSpec extends SparkSpec {
       s"graph-ANN fixture recall $hit/$nExact < 0.85")
   }
 
+  test("ANN: NN-descent build converges to the exact kNN graph and carries search") {
+    // the at-scale builder's contract: ≤ n·(2r)² candidate scores per
+    // round (never the n² product) must still recover most exact kNN
+    // edges — measured on the fixture: rounds 1/2/3/4 → edge recall
+    // 0.39/0.73/0.87/0.91 — and the descent-built graph must carry
+    // graphAnnSearch at full quality (measured 15/15 at rounds=3).
+    val (probes, corpus) = graphFixture()
+    val exact = Ann.graphAnnIndex(corpus, 12).cache()
+    val descent = Ann.graphAnnIndexDescent(corpus, 12, rounds = 3).cache()
+    val nEx = exact.count()
+    val edgeHits = exact.join(descent, Seq("src", "dst")).count()
+    assert(edgeHits.toDouble / nEx >= 0.8,
+      f"descent edge recall ${edgeHits.toDouble / nEx}%.3f < 0.8 (measured 0.87)")
+    // degree contract: never more than r out-edges per node
+    assert(descent.groupBy("src").count().filter(col("count") > 12).count() === 0)
+    val ex3 = Ann.bruteForceTopK(
+      embs.filter(col("vec_id") < 5),
+      embs.filter(col("vec_id") >= 5 && col("vec_id") < 500), 3)
+      .select(col("probe_id"), col("cand_id"))
+    val got = Ann.graphAnnSearch(probes, corpus, descent,
+      Seq(5L, 128L, 256L, 384L), beam = 16, hops = 4, k = 3)
+      .select(col("probe_id"), col("cand_id"))
+    val n3 = ex3.count()
+    val hit3 = ex3.join(got, Seq("probe_id", "cand_id")).count()
+    assert(hit3.toDouble / n3 >= 0.85,
+      s"search recall through descent graph $hit3/$n3 < 0.85 (measured 15/15)")
+    exact.unpersist(); descent.unpersist()
+  }
+
   test("ANN: graph search recall@10 ≥ 0.9 on clusterable data with cluster-covering entries") {
     // The mechanism test (ivf's clustered-corpus analog): on a corpus
     // with 8 well-separated directions the kNN graph is 8 disconnected
