@@ -50,7 +50,7 @@ object ScaleProbe {
         (m, n, tAgg, n / tAgg / 1e6, tJoin)
       }
       results.foreach { case (m, n, tAgg, mrps, tJoin) =>
-        println(f"""{"mult":$m,"rows":$n,"agg_sec":$tAgg%.2f,"agg_Mrows_per_sec":$mrps%.1f,"join_sec":$tJoin%.2f}""")
+        println(f"""{"probe":"agg_join","mult":$m,"rows":$n,"agg_sec":$tAgg%.2f,"agg_Mrows_per_sec":$mrps%.1f,"join_sec":$tJoin%.2f}""")
       }
     }
 
@@ -741,7 +741,7 @@ object ScaleProbe {
       graft.plans.AsOf.join(hotProbes, hotBuilds, "k", "bk", "ts", "bts")
         .agg(sum($"bts")).collect()
       val tMerge = (System.nanoTime() - tm0) / 1e9
-      println(f"""{"asof_hotkey_rows":$hotN,"composed_sec":$tComposed%.2f,"merge_sec":$tMerge%.2f}""")
+      println(f"""{"probe":"asof_hotkey","rows":$hotN,"composed_sec":$tComposed%.2f,"merge_sec":$tMerge%.2f}""")
     }
     // ---- sessionize: events replicated N× with DISJOINT user ids (per-
     // user density constant, so the semantic output grows linearly and
@@ -770,7 +770,7 @@ object ScaleProbe {
         .groupBy($"user_id", $"sn").agg(count(lit(1)).as("n_events"))
         .count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"sessionize_mult":$m,"rows":$n,"sessions":$sessions,"sec":$sec%.2f}""")
+      println(f"""{"probe":"sessionize","mult":$m,"rows":$n,"sessions":$sessions,"sec":$sec%.2f}""")
     }
 
     // ---- heavy hitters: fixed row count, GROWING distinct-key domain.
@@ -792,7 +792,7 @@ object ScaleProbe {
       val mg = graft.operators.Freq.heavyHitters(items, m = 10, k = 64).collect()
       val tMg = (System.nanoTime() - tm0) / 1e9
       val nCand = graft.operators.Freq.candidates(items, 64).count()
-      println(f"""{"hh_distinct":$d,"rows":$n,"exact_sec":$tExact%.2f,"mg_sec":$tMg%.2f,"mg_top":${mg.length},"candidates":$nCand}""")
+      println(f"""{"probe":"heavy_hitters","distinct":$d,"rows":$n,"exact_sec":$tExact%.2f,"mg_sec":$tMg%.2f,"mg_top":${mg.length},"candidates":$nCand}""")
     }
     spark.stop()
   }
