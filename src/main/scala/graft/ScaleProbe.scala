@@ -515,15 +515,26 @@ object ScaleProbe {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       graft.operators.Ann.graphAnnIndexDescent(corpusOf(1), 12, 2).count() // warm
+      val probes = emb0.filter($"vec_id" < 5)
+        .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
       Seq(1, 4, 16).foreach { m =>
         val c = corpusOf(m)
         val n = c.count()
-        val tDesc = time(graft.operators.Ann.graphAnnIndexDescent(c, 12, 2).count())
+        val t0 = System.nanoTime()
+        val index = graft.operators.Ann.graphAnnIndexDescent(c, 12, 2)
+        index.count()
+        val tDesc = (System.nanoTime() - t0) / 1e9
         // exact build at 16× is ~1e9 kernel cosines — measured only where
         // it stays sane; -1 marks "not measured", the growth is the point
         val tExact = if (m <= 4)
           time(graft.operators.Ann.graphAnnIndex(c, 12).count()) else -1.0
-        println(f"""{"probe":"ann_descent","mult":$m,"vectors":$n,"descent_sec":$tDesc%.2f,"exact_sec":$tExact%.2f}""")
+        // THE graph-tier headline: search cost is parameter-bounded
+        // (entries + hops·beam·degree candidate scores per probe), so
+        // search wall must stay ~FLAT while the corpus grows 16×
+        // (entries are replica-0 ids — present at every mult)
+        val tSearch = time(graft.operators.Ann.graphAnnSearch(
+          probes, c, index, Seq(5L, 128L, 256L, 384L), 16, 4, 3).count())
+        println(f"""{"probe":"ann_descent","mult":$m,"vectors":$n,"descent_sec":$tDesc%.2f,"exact_sec":$tExact%.2f,"search_sec":$tSearch%.2f}""")
       }
     }
 
