@@ -372,6 +372,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("quantile rollup: broadcast grid/rank joins, no product, no fact-scale window") {
+    val p = plan("q_agg_quantile_rollup")
+    // grid cum + rank lookups come back through broadcast joins; the
+    // heavy frames (merged grid, sliced ranks) sit behind checkpoint
+    // boundaries — nothing here may plan a product or a corpus window
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast grid/rank joins in:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed grid/slice frames in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product allowed in:\n$p")
+  }
+
+  test("graph ANN: search result reads checkpointed deltas, no product, no corpus window") {
+    val p = plan("q_ann_graph")
+    // the returned plan is the union of the per-hop checkpointed deltas
+    // under the final per-probe rank — the corpus itself appears nowhere
+    // (neither a scan nor a product); building the frame already ran the
+    // bounded search (eager checkpoints), which is the operator contract
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected checkpointed search deltas in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product in the result plan:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the result plan must not rescan the corpus:\n$p")
+  }
+
   test("hybrid RRF: both arms take-ordered (partial top-k), never a global sort") {
     val p = plan("q_search_hybrid_rrf")
     // each arm's top-50 must plan as TakeOrderedAndProject (per-partition
