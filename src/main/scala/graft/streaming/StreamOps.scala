@@ -265,6 +265,124 @@ object StreamOps {
       .parquet(indexDir)
   }
 
+  /** Streaming ANN index maintenance — the arrival path of the graph-ANN
+    * tier (the vector analog of [[dedupOnArrival]]): each micro-batch of
+    * new vectors is LINKED INTO the existing proximity graph by searching
+    * it (the standard incremental-insert of graph-ANN systems: a new
+    * node's neighbors are what best-first search finds for it), then both
+    * stores grow by one idempotent batch partition. Per-batch cost is
+    * batch-sized — |batch| parameter-bounded searches + |batch|·r new
+    * edges — NEVER corpus-sized: the accumulated index is read, not
+    * rebuilt (the ann_descent probe's flat-search row is exactly the
+    * recurring cost here).
+    *
+    * Store layout: `vecDir` (cand_id, cv, batch_id) and `edgeDir`
+    * (src, dst, batch_id) — each batch writes ONLY its own partition
+    * (src = this batch's new nodes), so old partitions are immutable and
+    * replays heal in place. Old nodes never gain out-edges; the read
+    * path ([[annIncrementalSearch]]) symmetrizes edges instead, which
+    * preserves navigability INTO new nodes without mutating history —
+    * the append-only alternative to HNSW's in-place reverse-link
+    * pruning, chosen because immutable partitions are what make the
+    * exactly-once replay contract of this sink possible at all. */
+  def annIngestOnArrival(vecs: DataFrame, vecDir: String, edgeDir: String,
+      checkpointDir: String, r: Int = 12) =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annIngestBatch(batch, batchId, vecDir, edgeDir, r)
+      }
+      .start()
+
+  /** The ANN-ingest foreachBatch body, public for the same reason as
+    * [[dedupBatch]]: the replay contract is directly testable and the
+    * same body serves a batch backfill. Idempotent under re-execution
+    * with the same (batchId, data) against any intermediate store state
+    * the two partition overwrites can leave behind: vectors are written
+    * FIRST, and the corpus read for linking anti-joins the batch's own
+    * ids out — a replayed batch never links to its own half-written
+    * vectors, so the recomputed edges equal the originals. */
+  def annIngestBatch(batch: DataFrame, batchId: Long, vecDir: String,
+      edgeDir: String, r: Int): Unit = {
+    import graft.operators.Ann
+    val spark = batch.sparkSession
+    val b = batch.select(col("cand_id"), col("cv")).localCheckpoint()
+    val bootstrapConditions = Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+    def tryRead(path: String) =
+      try Some(spark.read.parquet(path))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition)
+              .exists(c => bootstrapConditions.exists(c.startsWith)) =>
+          None
+      }
+    // corpus = everything indexed BEFORE this batch (a replay's own
+    // prior partition is excluded by the anti-join, restoring the
+    // pre-batch view)
+    val corpus = tryRead(vecDir).map(
+      _.select(col("cand_id"), col("cv"))
+        .join(b.select(col("cand_id")), Seq("cand_id"), "left_anti")
+        .localCheckpoint())
+      .filter(_.limit(1).count() > 0)
+    val newEdges = corpus match {
+      case None =>
+        // bootstrap: the first batch indexes itself with the at-scale
+        // builder (no graph exists to search yet)
+        Ann.graphAnnIndexDescent(b, r, rounds = 2)
+      case Some(c) =>
+        // link-by-search: new vectors probe the EXISTING symmetrized
+        // graph; their top-r results become their out-edges. Entries =
+        // the corpus's smallest ids (deterministic, codebook-scale).
+        val edges = tryRead(edgeDir) match {
+          case Some(e) =>
+            // replay window: this batch's own half-written edges (if
+            // any) are excluded with its vectors
+            e.select(col("src"), col("dst"))
+              .join(b.select(col("cand_id").as("src")), Seq("src"), "left_anti")
+          case None =>
+            // crash window on the very first batch (vectors landed,
+            // edges did not): re-derive the bootstrap graph
+            Ann.graphAnnIndexDescent(c, r, rounds = 2)
+        }
+        val sym = edges.unionAll(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        val entries = c.select(col("cand_id")).orderBy(col("cand_id"))
+          .limit(4).collect().map(_.getLong(0)).toSeq
+        Ann.graphAnnSearch(
+            b.select(col("cand_id").as("probe_id"), col("cv").as("pv")),
+            c, sym, entries, beam = 16, hops = 4, k = r)
+          .select(col("probe_id").as("src"), col("cand_id").as("dst"))
+    }
+    val ne = newEdges.localCheckpoint() // pin before the vec write lands
+    b.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(vecDir)
+    ne.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(edgeDir)
+  }
+
+  /** Search the incrementally-built store: reads both partitions-of-
+    * batches stores, symmetrizes the append-only edge list (old nodes
+    * have no out-edges toward newer ones on disk — the flip restores
+    * them), and runs the standard parameter-bounded beam search. */
+  def annIncrementalSearch(probes: DataFrame, vecDir: String, edgeDir: String,
+      beam: Int = 16, hops: Int = 4, k: Int = 3): DataFrame = {
+    import graft.operators.Ann
+    val spark = probes.sparkSession
+    val corpus = spark.read.parquet(vecDir).select(col("cand_id"), col("cv"))
+    val e = spark.read.parquet(edgeDir).select(col("src"), col("dst"))
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val entries = corpus.select(col("cand_id")).orderBy(col("cand_id"))
+      .limit(4).collect().map(_.getLong(0)).toSeq
+    Ann.graphAnnSearch(probes, corpus, sym, entries, beam, hops, k)
+  }
+
   /** Sink an event stream as parquet with checkpointing (ack analog). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -381,6 +381,97 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---------- ANN ingest on arrival ----------
+
+  private def embSlices(): (Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float])],
+      Seq[(Long, Seq[Float])], org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val e = graft.catalog.Tables.embeddings(spark, sf())
+    val rows = e.filter(col("vec_id") >= 5).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    (rows.slice(0, 165).toSeq, rows.slice(165, 330).toSeq,
+      rows.slice(330, 495).toSeq, probes)
+  }
+
+  test("ann-ingest-on-arrival: batches link into the growing graph; search spans all batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_arrival").toString
+    val (vecDir, edgeDir) = (s"$tmp/vecs", s"$tmp/edges")
+    val (b1, b2, b3, probes) = embSlices()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.annIngestOnArrival(
+      in.toDF().toDF("cand_id", "cv"), vecDir, edgeDir, s"$tmp/ckpt", r = 12)
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // store invariants: every vector landed once; per-batch edge
+    // partitions bounded by |batch|·r; later batches' edges point only
+    // at PRIOR corpus (append-only src discipline)
+    val vecs = spark.read.parquet(vecDir)
+    assert(vecs.count() === 495)
+    val edges = spark.read.parquet(edgeDir)
+    // partition-column values read back as INT — cast for stable reads
+    val perBatch = edges.groupBy(col("batch_id").cast("long").as("b"))
+      .count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBatch.keySet === Set(0L, 1L, 2L))
+    assert(perBatch(1L) <= 165L * 12 && perBatch(2L) <= 165L * 12)
+    val b2ids = b2.map(_._1).toSet
+    val srcs2 = edges.filter(col("batch_id") === 1L)
+      .select("src").distinct().collect().map(_.getLong(0)).toSet
+    assert(srcs2.subsetOf(b2ids), "batch 2 edges must originate in batch 2")
+    // search quality across the incremental store: recall vs exact over
+    // the FULL accumulated corpus (a search reaching only early batches
+    // would miss late-arriving true neighbors)
+    val e = graft.catalog.Tables.embeddings(spark, sf())
+    val exact = graft.operators.Ann.bruteForceTopK(
+      e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5), 3)
+      .select(col("probe_id"), col("cand_id"))
+    val got = StreamOps.annIncrementalSearch(probes, vecDir, edgeDir, k = 3)
+      .select(col("probe_id"), col("cand_id"))
+    val nEx = exact.count()
+    val hit = exact.join(got, Seq("probe_id", "cand_id")).count()
+    // measured 14/15 on the fixture store (13/15 at the sf0.1 corpus)
+    assert(hit.toDouble / nEx >= 0.8,
+      s"incremental-store search recall $hit/$nEx below floor")
+  }
+
+  test("ann-ingest: replaying a batch (intact and after a vec-only crash window) heals in place") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_replay").toString
+    val (vecDir, edgeDir) = (s"$tmp/vecs", s"$tmp/edges")
+    val (b1, b2, _, _) = embSlices()
+    def edgeSet(): Set[(Long, Long)] = spark.read.parquet(edgeDir)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    StreamOps.annIngestBatch(b1.toDF("cand_id", "cv"), 0L, vecDir, edgeDir, 12)
+    StreamOps.annIngestBatch(b2.toDF("cand_id", "cv"), 1L, vecDir, edgeDir, 12)
+    val afterB2 = edgeSet()
+    val vecsAfterB2 = spark.read.parquet(vecDir).count()
+    // full replay of batch 2 (same id, same data): stores unchanged
+    StreamOps.annIngestBatch(b2.toDF("cand_id", "cv"), 1L, vecDir, edgeDir, 12)
+    assert(edgeSet() === afterB2, "intact replay must be a no-op on edges")
+    assert(spark.read.parquet(vecDir).count() === vecsAfterB2)
+    // crash window: batch 2's vectors landed but its edges did not —
+    // delete the edge partition and replay; the batch must not link to
+    // its own half-written vectors, reproducing the original edges
+    val p = java.nio.file.Paths.get(edgeDir, "batch_id=1")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    assert(edgeSet() !== afterB2) // the window is real
+    StreamOps.annIngestBatch(b2.toDF("cand_id", "cv"), 1L, vecDir, edgeDir, 12)
+    assert(edgeSet() === afterB2, "crash-window replay must reproduce the edges")
+  }
+
   test("stream-stream interval join: signups within the hour match, older do not") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
