@@ -94,10 +94,11 @@ object Graph {
     // ncnt below re-reads it in EVERY round's broadcast — left lazy, each
     // round would re-run the edge-scale degree aggregate (measured: that
     // alone costs more than the whole loop).
+    try {
     val deg = edP.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
-    val ncnt = deg.agg(count(lit(1)).as("n"))
     try {
+    val ncnt = deg.agg(count(lit(1)).as("n"))
     var rank = deg.crossJoin(broadcast(ncnt))
       .select(col("src").as("node"), col("outdeg"),
         expr(s"$mass div n").as("rank"))
@@ -137,13 +138,15 @@ object Graph {
       rank = next
     }
     rank.select(col("node"), col("rank"))
-    // finally, not success-path-only: a failure mid-loop (task OOM, kill)
+    // Nested finallys, not success-path-only: a failure at ANY point —
+    // including deg's own eager checkpoint, which the outer try covers —
     // must still release the edge-scale cache, or repeated calls in one
     // session accrete pinned copies — the exact accretion this
     // persist/unpersist design exists to prevent. The returned rank is an
     // eagerly materialized checkpoint, independent of the edge frame and
     // of deg (whose checkpoint is likewise dead once the loop ends).
-    } finally { edP.unpersist(blocking = false); releaseCheckpoint(deg) }
+    } finally releaseCheckpoint(deg)
+    } finally edP.unpersist(blocking = false)
   }
 
   private def releaseCheckpoint(df: DataFrame): Unit =
