@@ -190,10 +190,15 @@ object Bench {
     // code, both late in the cheapest-first order). Between queries every
     // checkpointed frame is dead by construction (results are fully
     // consumed), so release them eagerly. `isLocallyCheckpointed` is the
-    // exact discriminator: deliberate caches (Tables buffer pool, Dedup
-    // benchMemo — CacheManager persists) must survive, and they are
-    // regular persists, never local checkpoints. Cleanup runs OUTSIDE the
-    // timed region. SPARK_GRAFT_NO_CLEANUP=1 disables it (diagnosis mode).
+    // discriminator: deliberate caches (Tables buffer pool, the operator
+    // benchMemos — CacheManager persists) must survive, and they are
+    // regular persists. COROLLARY CONTRACT on the memo build sites: a
+    // memoized plan must not EMBED a localCheckpoint (the release would
+    // leave the cache unrecoverable on recompute, since a checkpoint has
+    // no lineage) — Dedup.minhashPairs500 switches to the checkpoint-free
+    // candidates variant under the memo for exactly this reason. Cleanup
+    // runs OUTSIDE the timed region. SPARK_GRAFT_NO_CLEANUP=1 disables it
+    // (diagnosis mode).
     val noCleanup = sys.env.get("SPARK_GRAFT_NO_CLEANUP").contains("1")
     def releaseCheckpoints(): Unit = if (!noCleanup)
       spark.sparkContext.getPersistentRDDs.values

@@ -532,15 +532,12 @@ object Dedup {
     * pairs frame are computed once per (session, dir) and persisted, the
     * in-session analog of the persisted bucket index that
     * incrementalNearDups reuses across arrival batches. Off (pure
-    * recompute) for Verify and tests, so correctness runs stay cold. */
-  private val benchMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+    * recompute) for Verify and tests, so correctness runs stay cold.
+    * Implementation: the shared [[graft.util.Memo]] (one copy of the
+    * gating/keying contract for every operator-level cache). */
   private def memo(s: SparkSession, dir: String, what: String)
       (build: => DataFrame): DataFrame =
-    if (java.lang.Boolean.getBoolean("graft.cacheTables"))
-      benchMemo.getOrElseUpdate(
-        (graft.catalog.Tables.sessionKey(s), dir, what), build.persist())
-    else build
+    graft.util.Memo.benchMemo(s, dir, "dedup:" + what)(build)
 
   /** Banded LSH buckets of docs<500 — bucket filters for subsets (e.g. the
     * <400 corpus of q_dedup_incremental) are row filters on this frame,
@@ -555,8 +552,19 @@ object Dedup {
     * by q_dedup_minhash (emits them) and q_dedup_clusters (clusters them). */
   private def minhashPairs500(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "pairs500") {
-      verifyJaccard(documents(s, dir).filter(col("doc_id") < 500),
-        lshCandidates(buckets500(s, dir)), 0.5)
+      // Under the memo, the checkpoint inside lshCandidates would EMBED a
+      // checkpoint RDD into the PERSISTED plan — the bench harness's
+      // between-queries checkpoint release would then leave this cache
+      // unrecoverable on a recompute path (a local checkpoint has no
+      // lineage). The persist itself materializes the pipeline exactly
+      // once, so the lazy variant loses nothing there; the cold path
+      // keeps the checkpointed form (its self-join would otherwise
+      // re-execute the banding pipeline per side).
+      val cands =
+        if (java.lang.Boolean.getBoolean("graft.cacheTables"))
+          lshCandidatesLazy(buckets500(s, dir))
+        else lshCandidates(buckets500(s, dir))
+      verifyJaccard(documents(s, dir).filter(col("doc_id") < 500), cands, 0.5)
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -156,8 +156,10 @@ object Freq {
 
   // ---- fixed-grid histogram sketches (mergeable quantiles) ---------------
 
-  /** Per-key fixed-grid histogram sketch of a BIGINT value column:
-    * (key, b, cnt) with b = v div width. THE mergeable quantile summary
+  /** Per-day fixed-grid histogram sketch of a BIGINT value column `v`
+    * keyed by a `day` column (fixed input schema (day, v) → output
+    * (day, b, cnt) with b = v div width; rename upstream for other key
+    * domains). THE mergeable quantile summary
     * the sketch tier was missing: HLL (distinct) and CMS (frequency)
     * cells are plain sums and roll up by elementwise addition — so does
     * this grid (FreqSpec pins sketch(A⊎B) = sketch(A) + sketch(B)),
@@ -217,11 +219,9 @@ object Freq {
     // cumulative counts — beside the EXACT value-at-rank anchor from a
     // distributed rank pass, with the one-cell containment predicate
     // (`ok`) checking the two computation paths against each other.
-    // Exact anchor shape = percentilesOf's slice decomposition
-    // (range-repartition, per-slice ordinals, slice offsets broadcast
-    // back) simplified to discrete single-group value-at-rank; the
-    // sliced frame is localCheckpoint'ed (Pack's discipline) so the
-    // offsets branch and the rank branch observe ONE pid assignment.
+    // Exact anchor = Slices.globalOrdinal (the shared slice-rank
+    // decomposition) read at the three target ranks — discrete
+    // single-group value-at-rank, never a one-partition sort.
     // The two global windows run on grid-/slice-count-bounded frames
     // (≤ domain/width and ≤ #partitions rows), never on facts.
     "q_agg_quantile_rollup" -> ((s, dir) => {
@@ -246,18 +246,9 @@ object Freq {
           col("r") > col("cum_lo") && col("r") <= col("cum_lo") + col("cnt"))
         .select(col("q_pct"), col("n"), col("r"),
           (col("b") * width).as("est_lo"))
-      val ranged = vals.select(col("v"))
-        .repartitionByRange(col("v")).withColumn("pid", spark_partition_id())
-      val local = ranged.sortWithinPartitions(col("v"))
-        .withColumn("ord",
-          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-        .localCheckpoint()
-      val wOff = W.orderBy(col("pid")).rowsBetween(W.unboundedPreceding, -1)
-      val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
-        .withColumn("rank_off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
-        .select(col("pid"), col("rank_off"))
-      val exact = local.join(broadcast(offs), "pid")
-        .withColumn("rn", col("ord") + 1 + col("rank_off"))
+      val exact = Slices.globalOrdinal(vals.select(col("v")),
+          Seq(col("v")), "p0")
+        .withColumn("rn", col("p0") + 1)
         .join(broadcast(ranks.select(col("q_pct"), col("r"))),
           col("rn") === col("r"))
         .select(col("q_pct"), col("v").as("exact_v"))

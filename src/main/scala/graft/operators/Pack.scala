@@ -38,27 +38,15 @@ object Pack {
     size(split(text, " ")).cast("long")
 
   /** (doc_id, n_tokens, start_offset, seq_id, offset_in_seq) for every doc:
-    * global concat-and-chunk packing at `budget` tokens per sequence. */
+    * global concat-and-chunk packing at `budget` tokens per sequence.
+    * The distributed cumsum is [[Slices.globalCumsum]] (this operator
+    * introduced the decomposition; the shared helper now carries it);
+    * start_offset = the EXCLUSIVE prefix = inclusive cum − own tokens. */
   def packSequences(docs: DataFrame, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val toks = docs.select(col("doc_id"), nTokens(col("text")).as("n_tokens"))
-    val ranged = toks.repartitionByRange(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // 4 narrow columns per doc — cheap to materialize even at corpus scale,
-    // and it pins ONE pid assignment for both readers (see class doc)
-    val local = ranged
-      .withColumn("local_off", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-      .localCheckpoint()
-    // per-partition totals: ≤ #partitions rows, so the single-partition
-    // prefix-sum window below is a driver-scale frame, not a data frame
-    val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offs = local.groupBy(col("pid")).agg(sum(col("n_tokens")).as("pn"))
-      .withColumn("p_off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
-      .select(col("pid"), col("p_off"))
-    local.join(broadcast(offs), "pid")
-      .withColumn("start_offset", col("local_off") + col("p_off"))
+    Slices.globalCumsum(toks, Seq(col("doc_id")), col("n_tokens"), "cum")
+      .withColumn("start_offset", col("cum") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("start_offset"),
         expr(s"start_offset div $budget").as("seq_id"),
         (col("start_offset") % budget).as("offset_in_seq"))

@@ -68,39 +68,19 @@ object Text {
     * sort at 100 TB), and NOT a per-score-group window either
     * (partitionBy(q_e4) serializes each score value through ONE task; a
     * boilerplate-heavy corpus concentrating one quantized score becomes
-    * a single-task straggler). Pack's distributed cumsum applied to the
-    * full selection ordering (q_e4 desc, doc_id): range-repartition on
-    * that ordering — the range partitioner splits on BOTH keys, so a
-    * heavy score group spreads across partitions — per-slice running
-    * sums under a window partitioned by spark_partition_id (parallelism
-    * = slice count, never score cardinality), then per-slice totals
-    * (≤ #partitions rows) prefix-summed and broadcast back as slice
-    * offsets. Slice prefix + in-slice prefix = the exact global prefix
-    * sum; ties inside one score break by doc_id, so the result is
-    * deterministic. The slice frame is localCheckpoint'ed for Pack's
-    * reason: pids from a sampled repartitionByRange are nondeterministic
-    * between re-executions, and both the totals branch and the join
-    * branch must observe ONE assignment. ScaleProbe "budget_skew"
-    * measures the de-skewed plan on an all-one-score corpus. */
+    * a single-task straggler). [[graft.operators.Slices.globalCumsum]]
+    * applied to the full selection ordering (q_e4 desc, doc_id): the
+    * range partitioner splits on BOTH keys, so a heavy score group
+    * spreads across slices; ties inside one score break by doc_id, so
+    * the result is deterministic. ScaleProbe "budget_skew" measures the
+    * de-skewed plan on an all-one-score corpus. */
   def budgetSelect(docs: DataFrame, budget: Long): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val scored = docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         floor(guardedQualityExpr(col("text")) * 1e4).cast("long").as("q_e4"))
-    val ranged = scored.repartitionByRange(col("q_e4").desc, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val wLocal = W.partitionBy(col("pid")).orderBy(col("q_e4").desc, col("doc_id"))
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    val local = ranged
-      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
-      .localCheckpoint()
-    val wOff = W.orderBy(col("pid")).rowsBetween(W.unboundedPreceding, -1)
-    val offs = local.groupBy(col("pid")).agg(sum(col("n_tokens")).as("pn"))
-      .withColumn("p_off", coalesce(sum(col("pn")).over(wOff), lit(0L)))
-      .select(col("pid"), col("p_off"))
-    local.join(broadcast(offs), "pid")
-      .withColumn("cum_tokens", col("local_cum") + col("p_off"))
+    graft.operators.Slices.globalCumsum(scored,
+        Seq(col("q_e4").desc, col("doc_id")), col("n_tokens"), "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("n_tokens"), col("q_e4"), col("cum_tokens"))
       .orderBy(col("doc_id"))

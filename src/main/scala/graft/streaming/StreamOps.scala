@@ -365,6 +365,18 @@ object StreamOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(edgeDir)
+    // Release every checkpoint this batch pinned: the batch frame, the
+    // pre-batch corpus view, the per-hop search deltas backing newEdges'
+    // lazy plan (or the bootstrap build's final frame), and ne itself —
+    // its parquet partition is the durable copy. A driver running
+    // thousands of micro-batches rarely GCs its 100+ GiB heap, so left
+    // to the ContextCleaner these frames accrete in the block manager —
+    // the same disease the bench harness's between-queries release
+    // prevents on the batch side.
+    graft.util.Frames.releaseCheckpoint(newEdges)
+    corpus.foreach(graft.util.Frames.releaseCheckpoint)
+    graft.util.Frames.releaseCheckpoint(b)
+    graft.util.Frames.releaseCheckpoint(ne)
   }
 
   /** Search the incrementally-built store: reads both partitions-of-

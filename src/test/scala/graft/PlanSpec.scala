@@ -246,8 +246,8 @@ class PlanSpec extends SparkSpec {
     // the only window left is the tiny slice prefix sum keyed on pid,
     // and nothing cross-joins.
     val p = plan("q_pack_sequences")
-    assert(p.contains("windowspecdefinition(pid"),
-      s"expected the slice prefix-sum window keyed on pid in:\n$p")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"expected the slice prefix-sum window keyed on _pid in:\n$p")
     assert(p.contains("BroadcastExchange"),
       s"per-partition offsets must broadcast back in:\n$p")
     assert(!p.contains("CartesianProduct"), "packing must not cross-join")
