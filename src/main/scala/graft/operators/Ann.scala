@@ -656,7 +656,11 @@ object Ann {
     * recurring workload the bench measures is search-over-built-index;
     * the build cost itself is what ScaleProbe "ann_descent" measures.
     * The memoized frame is the ~n·r-row edge list (tiny); what the
-    * persist skips is the O(n²) fixture build behind it. */
+    * persist skips is the O(n²) build behind it. Measured ~neutral at
+    * fixture scale (the kernel-cosine build is ~0.5 s, inside rep
+    * noise) — the memo's value grows with the build cost, i.e. with
+    * corpus size; it is kept for the architectural contract, not a
+    * fixture win. */
   private def memo(s: SparkSession, dir: String, what: String)
       (build: => DataFrame): DataFrame =
     graft.util.Memo.benchMemo(s, dir, "ann:" + what)(build)
