@@ -686,11 +686,34 @@ object Ann {
     graphAnnSearch(probes, corpus, index, gEntries, gBeam, gHops, gK)
   }
 
+  private val dR = 8; private val dRounds = 2
+
+  /** q_ann_descent: [[graphAnnIndexDescent]] itself as a CHECKED query —
+    * the at-scale builder is fully deterministic (ring-with-strides
+    * seed from sorted positions, 4dp kernel cosines, dst tie-breaks),
+    * so its ENTIRE fixpoint — seed graph, two rounds of
+    * neighbor-of-neighbor candidate generation, per-node top-r keeps —
+    * is reproduced by an unrolled-CTE oracle generated from the same
+    * parameters. Corpus bounded to vec_id ∈ [5, 500) on the oracle's
+    * account (the engine side is unbounded; ScaleProbe ann_descent
+    * measures it at 32k vectors). r=8 here (vs the checked search's
+    * exact R=12 build) keeps the oracle's candidate volume at
+    * ~n·(2r)² ≈ 130k cosines per round. */
+  private def descentOracleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir)
+      .filter($"vec_id" >= 5 && $"vec_id" < 500)
+      .select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    graphAnnIndexDescent(corpus, dR, dRounds)
+      .orderBy(col("src"), col("dst"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> ((s, dir) => ivfOracleQuery(s, dir)),
     "q_ann_pq" -> ((s, dir) => pqOracleQuery(s, dir)),
     "q_ann_ivfpq" -> ((s, dir) => ivfpqOracleQuery(s, dir)),
-    "q_ann_graph" -> ((s, dir) => graphAnnOracleQuery(s, dir))
+    "q_ann_graph" -> ((s, dir) => graphAnnOracleQuery(s, dir)),
+    "q_ann_descent" -> ((s, dir) => descentOracleQuery(s, dir))
   )
 
   private val dotSql =
@@ -736,7 +759,40 @@ object Ann {
      WHERE rn <= $gK ORDER BY probe_id, rn"""
   }
 
+  /** q_ann_descent's oracle: the descent fixpoint unrolled round by
+    * round (rounds is a compile-time constant), generated from the
+    * query's own parameters so engine and oracle cannot drift. */
+  private def descentSql: String = {
+    def cos(a: String, b: String) =
+      s"round(${dotSql.format(a, b)} / (sqrt(${normSql(a)}) * sqrt(${normSql(b)})), 4)"
+    val strides = (0 until dR).map(j => (1L << j).toString).mkString(", ")
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "corpus AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 5 AND vec_id < 500)",
+      "pos AS (SELECT cand_id, cv, row_number() OVER (ORDER BY cand_id) - 1 AS i FROM corpus)",
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pos)",
+      s"""e0 AS (SELECT DISTINCT p.cand_id AS src, q.cand_id AS dst
+         FROM pos p, n, (SELECT unnest([$strides]) AS s) st
+         JOIN pos q ON q.i = (p.i + st.s) % n.n
+         WHERE p.cand_id <> q.cand_id)""")
+    for (h <- 1 to dRounds) {
+      ctes += s"u$h AS (SELECT src, dst FROM e${h - 1} UNION ALL SELECT dst, src FROM e${h - 1})"
+      ctes += s"""c$h AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM u$h
+         UNION ALL
+         SELECT a.src AS src, b.dst AS dst FROM u$h a JOIN u$h b ON a.dst = b.src)
+         WHERE src <> dst)"""
+      ctes += s"""e$h AS (SELECT src, dst FROM (
+         SELECT c.src, c.dst,
+                row_number() OVER (PARTITION BY c.src ORDER BY ${cos("x.cv", "y.cv")} DESC, c.dst) AS rn
+         FROM c$h c JOIN pos x ON x.cand_id = c.src JOIN pos y ON y.cand_id = c.dst)
+         WHERE rn <= $dR)"""
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT src, dst FROM e$dRounds ORDER BY src, dst"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_ann_descent" -> descentSql,
     "q_ann_graph" -> graphAnnSql,
     "q_ann_ivf" ->
       s"""WITH probes AS (
