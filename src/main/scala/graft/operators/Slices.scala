@@ -51,7 +51,7 @@ object Slices {
       .select(col("_pid"), col("_off"))
     local.join(broadcast(offs), "_pid")
       .withColumn(posName, col("_ord") + col("_off"))
-      .drop("_pid", "_ord")
+      .drop("_pid", "_ord", "_off")
   }
 
   /** Input columns + `cumName` = INCLUSIVE global running sum of `value`
@@ -74,6 +74,6 @@ object Slices {
       .select(col("_pid"), col("_off"))
     local.join(broadcast(offs), "_pid")
       .withColumn(cumName, col("_lcum") + col("_off"))
-      .drop("_pid", "_lcum", "_val")
+      .drop("_pid", "_lcum", "_val", "_off")
   }
 }

@@ -215,25 +215,12 @@ object StreamOps {
       .select(col("id").as("doc_id"))
     val selfClean = batch.join(losers, Seq("doc_id"), "left_anti")
       .localCheckpoint() // read twice below (corpus check + writes)
-    // FS-portable bootstrap probe: a missing store reads as absent
-    // (first batch), and so does a store dir that exists but holds no
-    // data files yet — an empty first micro-batch writes only
-    // _SUCCESS, which Spark surfaces as UNABLE_TO_INFER_SCHEMA; if
-    // that rethrew, every replay of the batch would hit the same
-    // state and the stream would crash-loop permanently. Any other
-    // AnalysisException (corruption, permissions, schema) rethrows:
-    // swallowing it would silently skip cross-batch dedup for this
-    // micro-batch and permanently admit near-dups.
-    val bootstrapConditions = Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-    def tryRead(path: String) =
-      try Some(spark.read.parquet(path))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if Option(e.getCondition)
-              .exists(c => bootstrapConditions.exists(c.startsWith)) =>
-          None
-      }
-    val clean = (tryRead(corpusDir), tryRead(indexDir)) match {
+    // Bootstrap probe: [[tryReadParquet]] (shared with the ANN ingest
+    // sink). Rethrowing on anything but the two bootstrap conditions
+    // matters doubly here: swallowing would silently skip cross-batch
+    // dedup for this micro-batch and permanently admit near-dups.
+    val clean = (tryReadParquet(spark, corpusDir),
+        tryReadParquet(spark, indexDir)) match {
       case (Some(corpus), Some(index)) =>
         // a replayed batch's own prior partitions are part of the
         // index here; its docs collide with themselves and drop —
@@ -308,47 +295,42 @@ object StreamOps {
     import graft.operators.Ann
     val spark = batch.sparkSession
     val b = batch.select(col("cand_id"), col("cv")).localCheckpoint()
-    val bootstrapConditions = Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-    def tryRead(path: String) =
-      try Some(spark.read.parquet(path))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if Option(e.getCondition)
-              .exists(c => bootstrapConditions.exists(c.startsWith)) =>
-          None
-      }
-    // corpus = everything indexed BEFORE this batch (a replay's own
+    // corpusCk = everything indexed BEFORE this batch (a replay's own
     // prior partition is excluded by the anti-join, restoring the
-    // pre-batch view)
-    val corpus = tryRead(vecDir).map(
+    // pre-batch view). The checkpoint handle is kept SEPARATE from the
+    // emptiness-filtered Option: an empty frame (bootstrap replay after
+    // a vec-only crash) still materialized blocks that must be released.
+    val corpusCk = tryReadParquet(spark, vecDir).map(
       _.select(col("cand_id"), col("cv"))
         .join(b.select(col("cand_id")), Seq("cand_id"), "left_anti")
         .localCheckpoint())
-      .filter(_.limit(1).count() > 0)
-    val newEdges = corpus match {
-      case None =>
+    val corpus = corpusCk.filter(_.limit(1).count() > 0)
+    val newEdges = (corpus, corpus.flatMap(_ => tryReadParquet(spark, edgeDir))) match {
+      case (None, _) =>
         // bootstrap: the first batch indexes itself with the at-scale
         // builder (no graph exists to search yet)
         Ann.graphAnnIndexDescent(b, r, rounds = 2)
-      case Some(c) =>
+      case (Some(c), None) =>
+        // Defensive path — reachable only through store damage or a
+        // backfill against a vec-only store (normal streaming replays
+        // of batch 1 hit the bootstrap case above: the anti-join empties
+        // the corpus). The edge store is gone while vectors exist, so
+        // REBUILD over corpus ∪ batch and write it ALL under this
+        // batch's partition: that heals the store in one idempotent
+        // write (subsequent batches find a full graph and return to
+        // batch-sized cost) instead of paying a corpus-sized rebuild
+        // every batch and never persisting it. This partition's srcs
+        // span older nodes — the read path doesn't care (it symmetrizes
+        // whatever edges exist); only the normal-path src discipline is
+        // bent, by a recovery.
+        Ann.graphAnnIndexDescent(c.unionAll(b), r, rounds = 2)
+      case (Some(c), Some(e0)) =>
         // link-by-search: new vectors probe the EXISTING symmetrized
-        // graph; their top-r results become their out-edges. Entries =
-        // the corpus's smallest ids (deterministic, codebook-scale).
-        val edges = tryRead(edgeDir) match {
-          case Some(e) =>
-            // replay window: this batch's own half-written edges (if
-            // any) are excluded with its vectors
-            e.select(col("src"), col("dst"))
-              .join(b.select(col("cand_id").as("src")), Seq("src"), "left_anti")
-          case None =>
-            // crash window on the very first batch (vectors landed,
-            // edges did not): re-derive the bootstrap graph
-            Ann.graphAnnIndexDescent(c, r, rounds = 2)
-        }
-        val sym = edges.unionAll(
-          edges.select(col("dst").as("src"), col("src").as("dst")))
-        val entries = c.select(col("cand_id")).orderBy(col("cand_id"))
-          .limit(4).collect().map(_.getLong(0)).toSeq
+        // graph; their top-r results become their out-edges. A replay's
+        // own half-written edges (if any) are excluded with its vectors.
+        val edges = e0.select(col("src"), col("dst"))
+          .join(b.select(col("cand_id").as("src")), Seq("src"), "left_anti")
+        val (sym, entries) = symmetrizedWithEntries(c, edges)
         Ann.graphAnnSearch(
             b.select(col("cand_id").as("probe_id"), col("cv").as("pv")),
             c, sym, entries, beam = 16, hops = 4, k = r)
@@ -374,9 +356,42 @@ object StreamOps {
     // the same disease the bench harness's between-queries release
     // prevents on the batch side.
     graft.util.Frames.releaseCheckpoint(newEdges)
-    corpus.foreach(graft.util.Frames.releaseCheckpoint)
+    corpusCk.foreach(graft.util.Frames.releaseCheckpoint)
     graft.util.Frames.releaseCheckpoint(b)
     graft.util.Frames.releaseCheckpoint(ne)
+  }
+
+  /** FS-portable bootstrap probe shared by the arrival sinks: a missing
+    * store reads as absent (first batch), and so does a dir holding no
+    * data files yet (an empty first micro-batch writes only _SUCCESS —
+    * UNABLE_TO_INFER_SCHEMA; rethrowing would crash-loop every replay).
+    * Any other AnalysisException (corruption, permissions, schema)
+    * rethrows — swallowing it would silently skip the store check. */
+  private def tryReadParquet(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val bootstrapConditions = Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition)
+            .exists(c => bootstrapConditions.exists(c.startsWith)) =>
+        None
+    }
+  }
+
+  /** The incremental graph's read-side derivations, shared by the ingest
+    * link-by-search branch and [[annIncrementalSearch]] so the two can
+    * never drift: symmetrize the append-only edge list (old nodes have
+    * no on-disk out-edges toward newer ones — the flip restores
+    * navigability into them) and take the corpus's smallest 4 ids as the
+    * deterministic entry set (codebook-scale collect). */
+  private def symmetrizedWithEntries(corpus: DataFrame,
+      edges: DataFrame): (DataFrame, Seq[Long]) = {
+    val sym = edges.unionAll(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val entries = corpus.select(col("cand_id")).orderBy(col("cand_id"))
+      .limit(4).collect().map(_.getLong(0)).toSeq
+    (sym, entries)
   }
 
   /** Search the incrementally-built store: reads both partitions-of-
@@ -389,9 +404,7 @@ object StreamOps {
     val spark = probes.sparkSession
     val corpus = spark.read.parquet(vecDir).select(col("cand_id"), col("cv"))
     val e = spark.read.parquet(edgeDir).select(col("src"), col("dst"))
-    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-    val entries = corpus.select(col("cand_id")).orderBy(col("cand_id"))
-      .limit(4).collect().map(_.getLong(0)).toSeq
+    val (sym, entries) = symmetrizedWithEntries(corpus, e)
     Ann.graphAnnSearch(probes, corpus, sym, entries, beam, hops, k)
   }
 

@@ -70,6 +70,14 @@ class SlicesSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("output schema contract: exactly input columns + the named column") {
+    val df = rows(50, 3)
+    assert(Slices.globalOrdinal(df, Seq(col("id")), "p").columns.toSet ===
+      (df.columns.toSet + "p"), "globalOrdinal leaked internal columns")
+    assert(Slices.globalCumsum(df, Seq(col("id")), col("v"), "c").columns.toSet ===
+      (df.columns.toSet + "c"), "globalCumsum leaked internal columns")
+  }
+
   test("globalOrdinal is a permutation of 0..n-1 consistent with the sort") {
     val df = rows(700, 5)
     val got = Slices.globalOrdinal(df, Seq(col("k"), col("id")), "p")

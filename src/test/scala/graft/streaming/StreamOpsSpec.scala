@@ -470,6 +470,17 @@ class StreamOpsSpec extends SparkSpec {
     assert(edgeSet() !== afterB2) // the window is real
     StreamOps.annIngestBatch(b2.toDF("cand_id", "cv"), 1L, vecDir, edgeDir, 12)
     assert(edgeSet() === afterB2, "crash-window replay must reproduce the edges")
+    // store-damage healing: the WHOLE edge store lost while vectors
+    // remain — the defensive path rebuilds a full graph over corpus ∪
+    // batch and writes it in one idempotent partition, so successors
+    // return to batch-sized cost and every stored node has out-edges
+    java.nio.file.Files.walk(java.nio.file.Paths.get(edgeDir))
+      .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    StreamOps.annIngestBatch(b2.toDF("cand_id", "cv"), 1L, vecDir, edgeDir, 12)
+    val healedSrcs = spark.read.parquet(edgeDir)
+      .select("src").distinct().count()
+    assert(healedSrcs === 330,
+      s"healed graph must cover all stored nodes, got $healedSrcs")
   }
 
   test("stream-stream interval join: signups within the hour match, older do not") {
