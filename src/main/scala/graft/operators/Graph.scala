@@ -194,6 +194,35 @@ object Graph {
   private val prIters = 5
   private val prMass = 1000000000000L
   private val bfsHopCap = 4
+  private val kcoreK = 3
+  private val kcoreRounds = 4
+
+  /** q_graph_kcore's oracle: the peel unrolled round by round (rounds is
+    * a compile-time constant; every CTE MATERIALIZED — the peel chain
+    * references each prior round three times, and un-materialized
+    * inlining would explode 3^rounds copies of the edge build). */
+  private def kcoreSql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e0 AS MATERIALIZED (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) x
+        JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) y
+          ON x.ok = y.ok AND x.p < y.p)""")
+    for (h <- 1 to kcoreRounds) {
+      ctes += s"""k$h AS MATERIALIZED (SELECT v FROM (
+        SELECT v, count(*) AS d
+        FROM (SELECT a AS v FROM e${h - 1} UNION ALL SELECT b FROM e${h - 1})
+        GROUP BY v) WHERE d >= $kcoreK)"""
+      ctes += s"""e$h AS MATERIALIZED (SELECT e.a, e.b FROM e${h - 1} e
+        JOIN k$h x ON x.v = e.a JOIN k$h y ON y.v = e.b)"""
+    }
+    "WITH " + ctes.mkString(",\n") + s"""
+     SELECT node, CAST(count(*) AS BIGINT) AS deg
+     FROM (SELECT a AS node FROM e$kcoreRounds UNION ALL SELECT b FROM e$kcoreRounds)
+     GROUP BY node ORDER BY node"""
+  }
 
   /** The query's graph: the part↔supplier co-purchase graph from lineitem
     * (distinct pairs, symmetrized; part nodes even = key*2, supplier nodes
@@ -325,6 +354,46 @@ object Graph {
         round(lit(2.0) * col("n_tri") / (col("d") * (col("d") - 1)), 6))
       .orderBy(col("coeff").desc, col("v"))
       .limit(k)
+  }
+
+  /** Round-capped k-core peel: `rounds` iterations of "drop every node
+    * with degree < k (and its edges)" over an undirected (a < b) edge
+    * list — the standard graph-denoising pass (the k-core is where
+    * cohesive structure lives; degree-1 tendrils and sparse fringe fall
+    * away) that precedes motif/community analysis on noisy co-occurrence
+    * graphs. Fixed round count, not convergence-tested: a fixed count is
+    * what an unrolled SQL oracle can mirror exactly, convergence or not
+    * (same contract as pagerank's fixed Jacobi iterations); at the
+    * fixture's k=3 the peel stabilizes well inside 6 rounds.
+    *
+    * Loop discipline = pagerank's: each round is ONE degree aggregate
+    * over the (shrinking) edge frame plus two broadcast semi-joins
+    * against the node-count-sized keep set — both broadcasts carry the
+    * IDENTICAL keep plan, so the exchange is built once and reused —
+    * and each round's edge frame is checkpointed with the superseded
+    * round released eagerly. Nodes-too-big-to-broadcast flips the keep
+    * joins to shuffle joins on the edge frame's own layout, pagerank's
+    * documented fallback.
+    *
+    * @return (node, deg) for surviving nodes — deg is the node's degree
+    *         WITHIN the peeled subgraph, ordered by node. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k/rounds >= 1, got $k $rounds")
+    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("v"))
+      val next = e
+        .join(broadcast(keep), col("a") === col("v")).drop("v")
+        .join(broadcast(keep), col("b") === col("v")).drop("v")
+        .localCheckpoint()
+      releaseCheckpoint(e)
+      e = next
+    }
+    e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("node"))
   }
 
   // ------------------------------------------------- neighbor-set Jaccard
@@ -558,6 +627,13 @@ object Graph {
     "q_graph_jaccard" -> ((s, dir) =>
       jaccardTopK(jaccardSliceEdges(s, dir), k = 50)),
 
+    // k-core denoising of the %16-slice co-purchase graph (the SAME
+    // edge builder as q_graph_jaccard): 4 peel rounds at k=3 — surviving
+    // nodes with their in-core degrees. 144/1540/15368 core nodes at
+    // sf0.001/0.01/0.1.
+    "q_graph_kcore" -> ((s, dir) =>
+      kcorePeel(jaccardSliceEdges(s, dir), kcoreK, kcoreRounds)),
+
     "q_graph_pagerank" -> ((s, dir) =>
       pagerank(partSupplierEdges(s, dir), prIters, prMass)
         .select(col("node").as("node_id"),
@@ -617,6 +693,8 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q_sql_recursive" -> recursiveBfsSql("lineitem"),
+
+    "q_graph_kcore" -> kcoreSql,
 
     "q_graph_jaccard" ->
       """WITH e AS MATERIALIZED (

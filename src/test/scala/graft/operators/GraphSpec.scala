@@ -186,6 +186,24 @@ class GraphSpec extends SparkSpec {
       s"expected the pair-pack guard message, got: ${ex.getMessage}")
   }
 
+  test("kcorePeel: cascading peel strips the tail, keeps the triangle, degrees are in-core") {
+    import spark.implicits._
+    // triangle {1,2,3} with a 2-hop tail 3-4-5: k=2 peel must CASCADE —
+    // round 1 drops 5 (deg 1), round 2 drops 4 (deg 1 after 5 left) —
+    // and node 3's reported degree is its IN-CORE degree (2, not 3)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.kcorePeel(e, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+    // one round is NOT enough on this graph (4 still present) — the
+    // cascade is what the rounds exist for
+    val oneRound = Graph.kcorePeel(e, k = 2, rounds = 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(oneRound === Set(1L, 2L, 3L, 4L))
+    // k above the max degree empties the graph
+    assert(Graph.kcorePeel(e, k = 4, rounds = 3).count() === 0)
+  }
+
   test("bfsHops: hand-checked hops on a path graph, cap respected") {
     import spark.implicits._
     // path 0-1-2-3-4-5 (symmetrized), source {0}
