@@ -366,13 +366,18 @@ object Graph {
     * (same contract as pagerank's fixed Jacobi iterations); at the
     * fixture's k=3 the peel stabilizes well inside 6 rounds.
     *
-    * Loop discipline = pagerank's: each round is ONE degree aggregate
-    * over the (shrinking) edge frame plus two broadcast semi-joins
-    * against the node-count-sized keep set — both broadcasts carry the
-    * IDENTICAL keep plan, so the exchange is built once and reused —
-    * and each round's edge frame is checkpointed with the superseded
-    * round released eagerly. Nodes-too-big-to-broadcast flips the keep
-    * joins to shuffle joins on the edge frame's own layout, pagerank's
+    * Loop discipline = pagerank's: each round filters the (shrinking)
+    * edge frame through two broadcast joins against the
+    * node-count-sized keep set, and each round's edge frame is
+    * checkpointed with the superseded round released eagerly. The two
+    * broadcasts do NOT share one exchange (measured: per-reference
+    * re-aliasing of the agg subtree defeats ReuseExchange, 2
+    * BroadcastExchanges in the round plan even post-AQE) — the keep
+    * aggregate therefore runs twice per round, which is acceptable
+    * because it reads the round's CHECKPOINTED edge frame: the
+    * duplicate is one cheap materialized-scan agg, not a pipeline
+    * re-execution. Nodes-too-big-to-broadcast flips the keep joins to
+    * shuffle joins on the edge frame's own layout, pagerank's
     * documented fallback.
     *
     * @return (node, deg) for surviving nodes — deg is the node's degree
