@@ -447,6 +447,45 @@ object ScaleProbe {
       }
     }
 
+    // round-13: k-core peel under hub skew — the fixture slice graph,
+    // replicated with disjoint id spaces so edges grow m×, PLUS one
+    // synthetic hub whose degree grows m·500 (the jaccard_hub Zipf-apex
+    // shape). The skew-exposed step is the per-round keep aggregate: the
+    // explode puts every hub edge into a single degree key, so a plan
+    // whose per-round cost grew with the hub's key share (instead of the
+    // edge total) would show superlinear growth here first. Both keep
+    // strategies run on identical graphs per mult — near-linear growth on
+    // both plus a bounded broadcast/shuffle gap is the evidence the
+    // kcorePeel broadcastKeep=false fallback is deployable, not a cliff.
+    if (want("kcore_fallback")) {
+      val e0 = graft.operators.Graph.jaccardSliceEdges(spark, sfDir)
+        .localCheckpoint()
+      def hubGraph(m: Int) = {
+        val copies = (0 until m).map { i =>
+          e0.select(($"a" + lit(i.toLong * 1000000L)).as("a"),
+            ($"b" + lit(i.toLong * 1000000L)).as("b"))
+        }.reduce(_ unionAll _)
+        copies.unionAll(spark.range(m * 500L)
+          .select(($"id" + 500000000L).as("a"), lit(900000000L).as("b")))
+      }
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      graft.operators.Graph.kcorePeel(hubGraph(1), 3, 4).count() // warm
+      Seq(1, 4, 16).foreach { m =>
+        val g = hubGraph(m).localCheckpoint()
+        val n = g.count()
+        val (tBc, survBc) = time(
+          graft.operators.Graph.kcorePeel(g, 3, 4, broadcastKeep = true).count())
+        val (tSh, survSh) = time(
+          graft.operators.Graph.kcorePeel(g, 3, 4, broadcastKeep = false).count())
+        assert(survBc == survSh,
+          s"broadcast and shuffle peels must agree at mult=$m: $survBc vs $survSh")
+        println(f"""{"probe":"kcore_fallback","mult":$m,"edges":$n,"hub_degree":${m * 500},"survivors":$survBc,"broadcast_sec":$tBc%.2f,"shuffle_sec":$tSh%.2f}""")
+      }
+    }
+
     // round-12: hybrid-RRF fusion at scale — both arms must STAY
     // TakeOrderedAndProject (per-partition partial top-k + tiny merge,
     // never a global sort) as the corpus grows, and wall time must track

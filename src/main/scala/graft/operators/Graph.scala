@@ -366,34 +366,48 @@ object Graph {
     * (same contract as pagerank's fixed Jacobi iterations); at the
     * fixture's k=3 the peel stabilizes well inside 6 rounds.
     *
-    * Loop discipline = pagerank's: each round filters the (shrinking)
-    * edge frame through two broadcast joins against the
-    * node-count-sized keep set, and each round's edge frame is
-    * checkpointed with the superseded round released eagerly. The two
-    * broadcasts do NOT share one exchange (measured: per-reference
-    * re-aliasing of the agg subtree defeats ReuseExchange, 2
-    * BroadcastExchanges in the round plan even post-AQE) — the keep
-    * aggregate therefore runs twice per round, which is acceptable
-    * because it reads the round's CHECKPOINTED edge frame: the
-    * duplicate is one cheap materialized-scan agg, not a pipeline
-    * re-execution. Nodes-too-big-to-broadcast flips the keep joins to
-    * shuffle joins on the edge frame's own layout, pagerank's
-    * documented fallback.
+    * Loop discipline = pagerank's: each round computes the
+    * node-count-sized keep set ONCE (checkpointed, so both joins read
+    * the same materialized frame instead of re-running the degree
+    * aggregate per reference — per-reference re-aliasing of a lazy agg
+    * subtree defeats ReuseExchange, measured as 2 BroadcastExchanges in
+    * the round plan even post-AQE), filters the (shrinking) edge frame
+    * through two joins against it, and checkpoints each round's edge
+    * frame with the superseded round — and the superseded keep —
+    * released eagerly.
     *
+    * @param broadcastKeep keep-set join strategy, pagerank's
+    *        `broadcastRanks` mirror. `true` (default): broadcast the
+    *        node-count-sized keep set into both edge joins — edges
+    *        never shuffle; right whenever surviving nodes fit the
+    *        broadcast budget. `false`: the nodes-too-big-to-broadcast
+    *        fallback — both keep joins run as shuffle joins where the
+    *        keep frame is the small side; the edge frame pays the
+    *        exchange the broadcast avoided, but nothing node-domain-
+    *        sized ever lands on the driver. Identical peel, identical
+    *        output (GraphSpec-pinned); ScaleProbe "kcore_fallback"
+    *        measures both arms under hub skew.
     * @return (node, deg) for surviving nodes — deg is the node's degree
     *         WITHIN the peeled subgraph, ordered by node. */
-  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int,
+      broadcastKeep: Boolean = true): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k/rounds >= 1, got $k $rounds")
     var e = edges.select(col("a"), col("b")).localCheckpoint()
     for (_ <- 1 to rounds) {
+      // Materialized once per round: node-count-sized (tiny next to the
+      // edge frame), read by BOTH joins below — the checkpoint is what
+      // makes "one keep computation per round" true in the executed plan.
       val keep = e.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("v"))
+        .localCheckpoint()
+      val keepJ = if (broadcastKeep) broadcast(keep) else keep
       val next = e
-        .join(broadcast(keep), col("a") === col("v")).drop("v")
-        .join(broadcast(keep), col("b") === col("v")).drop("v")
+        .join(keepJ, col("a") === col("v")).drop("v")
+        .join(keepJ, col("b") === col("v")).drop("v")
         .localCheckpoint()
       releaseCheckpoint(e)
+      releaseCheckpoint(keep)
       e = next
     }
     e.select(explode(array(col("a"), col("b"))).as("node"))

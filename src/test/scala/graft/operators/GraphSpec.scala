@@ -204,6 +204,24 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kcorePeel(e, k = 4, rounds = 3).count() === 0)
   }
 
+  test("kcorePeel: broadcastKeep=false shuffle fallback peels identically") {
+    import spark.implicits._
+    // dense-ish random graph so several rounds actually drop nodes on
+    // both arms; equality is row-for-row, not just count
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val e = raw.toDF("a", "b")
+    val bc = Graph.kcorePeel(e, k = 3, rounds = 4, broadcastKeep = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sh = Graph.kcorePeel(e, k = 3, rounds = 4, broadcastKeep = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bc.nonEmpty, "fixture should retain a core at k=3")
+    assert(bc === sh, "broadcast and shuffle arms must peel identically")
+  }
+
   test("bfsHops: hand-checked hops on a path graph, cap respected") {
     import spark.implicits._
     // path 0-1-2-3-4-5 (symmetrized), source {0}
