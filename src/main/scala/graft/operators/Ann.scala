@@ -483,17 +483,127 @@ object Ann {
     * @param corpus (cand_id BIGINT, cv ARRAY<FLOAT>)
     * @return (src, dst) — r rows per src, exact kNN, degree-capped. */
   def graphAnnIndex(corpus: DataFrame, r: Int): DataFrame = {
-    val a = corpus.select(col("cand_id").as("src"), col("cv").as("sv"))
-    val b = corpus.select(col("cand_id").as("dst"), col("cv").as("dv"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    b.crossJoin(broadcast(a))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        round(Sim.cosine(col("sv"), col("dv")), 4).as("cos"))
+    graphAnnScored(corpus)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= r)
       .select(col("src"), col("dst"))
   }
+
+  /** Exact all-pairs scored edges (src, dst, cos) — the shared front of
+    * [[graphAnnIndex]] and [[graphAnnIndexDiversified]]. O(n²) by
+    * declared fixture choice; the at-scale candidate generator is
+    * [[graphAnnIndexDescent]]. */
+  private def graphAnnScored(corpus: DataFrame): DataFrame = {
+    val a = corpus.select(col("cand_id").as("src"), col("cv").as("sv"))
+    val b = corpus.select(col("cand_id").as("dst"), col("cv").as("dv"))
+    b.crossJoin(broadcast(a))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(Sim.cosine(col("sv"), col("dv")), 4).as("cos"))
+  }
+
+  /** Integer e4 units of a 4dp-rounded cosine — the exactly-portable
+    * form for the prune inequality below (double comparisons at the
+    * decision boundary are the one thing the DuckDB oracle could
+    * disagree on; integers cannot). floor(x·10⁴ + 0.5) is round-half-up
+    * of a value already within 1e-9 of an integer, so it recovers that
+    * integer for either sign. */
+  private def cosE4(c: Column): Column =
+    floor(c * lit(10000) + lit(0.5)).cast("long")
+
+  /** α-occlusion diversification [RNG rule: Toussaint '80; α-relaxed:
+    * DiskANN, NeurIPS'19; kNN-graph post-pass: NSG, VLDB'19] — prune
+    * each node's candidate list so no kept edge is "occluded" by a
+    * closer candidate: drop c when some candidate a with higher rank
+    * satisfies α·d(a,c) ≤ d(src,c) (d = 1 − cos). A pure top-r keep
+    * clusters a node's edges inside its own tight neighborhood; the
+    * occlusion rule spends the same degree budget on SPREAD — each kept
+    * edge must cover direction-space no closer edge already covers —
+    * which is what keeps best-first search navigable as the corpus
+    * grows (the round-12 measured regression: fixed-entry recall
+    * 14/15 → 13/15 at 4× corpus).
+    *
+    * This is the NSG shape — diversify a finished kNN graph in one
+    * post-pass — deliberately NOT DiskANN's in-loop prune: the descent
+    * builder's contract ("converges to the exact kNN graph",
+    * OperatorsSpec-pinned, oracle-checked fixpoint) is exactly what an
+    * in-loop prune would destroy. Build the kNN graph with the builder
+    * of your scale (exact or descent), then diversify it here.
+    *
+    * The variant implemented prunes against ALL closer candidates (the
+    * candidate-set-restricted RNG rule), not DiskANN's greedy
+    * accepted-only scan: the greedy form is inherently sequential per
+    * node (each decision depends on every earlier accept), while the
+    * all-closer form is one self-join — SQL-expressible, so the checked
+    * query's unrolled-CTE oracle can reproduce it bit-for-bit. It
+    * over-prunes slightly (a pruned candidate may still occlude),
+    * which costs recall nothing here: the final keep tops up to r from
+    * the survivor list, and survivors are diverse by construction.
+    *
+    * Scale shape: candidates are first capped to the top-`window` per
+    * src (row_number over a shuffle by src), so the pair stage is a
+    * bounded self-join — n·C(window,2) occlusion cosines, never n².
+    * Vectors ride in via two equi-joins on the corpus frame.
+    *
+    * @param scored (src, dst, cos) — pre-scored candidate edges (cos to
+    *               src already 4dp-rounded, e.g. [[graphAnnScored]] or a
+    *               search's visited pool).
+    * @param corpus (cand_id, cv) — supplies candidate-candidate vectors.
+    * @param r        max out-degree after pruning.
+    * @param alphaPct α·100 (120 = DiskANN's customary 1.2); 100 = strict
+    *                 RNG rule, larger keeps more long edges.
+    * @param window   candidate cap per src before the pair stage.
+    * @return (src, dst) — ≤ r diverse out-edges per src. */
+  def alphaPrune(scored: DataFrame, corpus: DataFrame, r: Int,
+      alphaPct: Int = 120, window: Int = 24): DataFrame = {
+    require(r >= 1 && window >= r && alphaPct >= 100,
+      s"need r >= 1, window >= r, alphaPct >= 100, got $r $window $alphaPct")
+    val w = Window.partitionBy(col("src")).orderBy(col("ce4").desc, col("dst"))
+    // checkpointed: read three times below (a-side, c-side, final keep)
+    val base = scored
+      .select(col("src"), col("dst"), cosE4(col("cos")).as("ce4"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= window)
+      .localCheckpoint()
+    val cvx = corpus.select(col("cand_id"), col("cv"))
+    val occluded = base.select(col("src"), col("dst").as("a_dst"), col("rn").as("a_rn"))
+      .join(base.select(col("src"), col("dst").as("c_dst"),
+        col("ce4").as("c_e4"), col("rn").as("c_rn")), "src")
+      .filter(col("a_rn") < col("c_rn"))
+      .join(cvx.select(col("cand_id").as("a_dst"), col("cv").as("av")), "a_dst")
+      .join(cvx.select(col("cand_id").as("c_dst"), col("cv").as("bv")), "c_dst")
+      .filter(lit(alphaPct.toLong) *
+          (lit(10000L) - cosE4(round(Sim.cosine(col("av"), col("bv")), 4)))
+        <= lit(100L) * (lit(10000L) - col("c_e4")))
+      .select(col("src"), col("c_dst").as("dst")).distinct()
+    val out = base.join(occluded, Seq("src", "dst"), "left_anti")
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("ce4").desc, col("dst"))))
+      .filter(col("rn2") <= r)
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    graft.util.Frames.releaseCheckpoint(base)
+    out
+  }
+
+  /** Exact kNN build + α-occlusion diversification in one call — the
+    * fixture-scale diversified builder behind q_ann_graph (at scale:
+    * [[graphAnnIndexDescent]] then [[alphaPrune]]). */
+  def graphAnnIndexDiversified(corpus: DataFrame, r: Int,
+      alphaPct: Int = 120, window: Int = 24): DataFrame =
+    alphaPrune(graphAnnScored(corpus), corpus, r, alphaPct, window)
+
+  /** Attach 4dp kernel cosines to a bare (src, dst) edge list — the
+    * adapter from score-less builders ([[graphAnnIndexDescent]]'s
+    * output, a stored edge partition) to [[alphaPrune]]'s scored input.
+    * Two equi-joins on the corpus; |edges| kernel cosines. */
+  def rescoreEdges(edges: DataFrame, corpus: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .join(corpus.select(col("cand_id").as("src"), col("cv").as("sv")), "src")
+      .join(corpus.select(col("cand_id").as("dst"), col("cv").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        round(Sim.cosine(col("sv"), col("dv")), 4).as("cos"))
 
   /** NN-Descent proximity-graph build [Dong et al., WWW'11] — the
     * at-scale builder behind [[graphAnnSearch]] (which is
@@ -598,9 +708,28 @@ object Ann {
     * @return (probe_id, cand_id, cos, rn) — top-k per probe, rn 1..k. */
   def graphAnnSearch(probes: DataFrame, corpus: DataFrame, edges: DataFrame,
       entries: Seq[Long], beam: Int, hops: Int, k: Int): DataFrame = {
-    require(entries.nonEmpty && beam >= 1 && hops >= 0 && k >= 1,
-      s"need entries nonempty, beam >= 1, hops >= 0, k >= 1, " +
-        s"got $entries $beam $hops $k")
+    require(entries.nonEmpty,
+      s"need a nonempty entry set, got $entries")
+    graphAnnSearch(probes, corpus, edges,
+      corpus.filter(col("cand_id").isin(entries: _*))
+        .crossJoin(probes.select(col("probe_id")))
+        .select(col("probe_id"), col("cand_id")),
+      beam, hops, k)
+  }
+
+  /** [[graphAnnSearch]] with PER-PROBE entry routing: `entries`
+    * (probe_id, cand_id) seeds each probe's frontier individually —
+    * the bulk form of HNSW's upper-layer descent, with the router
+    * (IVF centroids → medoids, [[routedEntries]]) standing in for the
+    * layer hierarchy. Fixed global entries force every probe to walk
+    * from the same corner of the graph — the measured failure mode as
+    * the corpus grows (round-12: 14/15 → 13/15 recall at 4×); routed
+    * entries start each probe inside its own nearest cells, so hops
+    * spend on refinement, not on crossing the corpus. */
+  def graphAnnSearch(probes: DataFrame, corpus: DataFrame, edges: DataFrame,
+      entries: DataFrame, beam: Int, hops: Int, k: Int): DataFrame = {
+    require(beam >= 1 && hops >= 0 && k >= 1,
+      s"need beam >= 1, hops >= 0, k >= 1, got $beam $hops $k")
     val ed = edges.localCheckpoint()
     val p = broadcast(probes.select(col("probe_id"), col("pv")))
     def score(cands: DataFrame): DataFrame = corpus
@@ -617,10 +746,7 @@ object Ann {
     // analysis cost grows exponentially in hops and swamps the hops+1
     // job overheads the fusion was meant to save. The checkpoint cuts
     // the lineage at each round, keeping every plan round-sized.
-    var visited = score(
-      corpus.filter(col("cand_id").isin(entries: _*))
-        .crossJoin(probes.select(col("probe_id")))
-        .select(col("probe_id"), col("cand_id")))
+    var visited = score(entries.select(col("probe_id"), col("cand_id")))
       .localCheckpoint()
     var frontier = visited.select(col("probe_id"), col("cand_id"))
     val wb = Window.partitionBy(col("probe_id"))
@@ -646,9 +772,42 @@ object Ann {
       .orderBy(col("probe_id"), col("rn"))
   }
 
-  private val gR = 12; private val gBeam = 16; private val gHops = 4
+  /** Per-probe routed entry set from a k-means codebook — the IVF
+    * centroid machinery applied as graph-search entry router (the
+    * verdict-12 upgrade over fixed spread ids): each centroid's MEDOID
+    * (the corpus vector most similar to it — an actual graph node, which
+    * a centroid is not) becomes the entry for every probe routed to that
+    * cell. Narrow per-row scoring against the broadcast codebook on both
+    * sides; the medoid rank is one k-partition window over n·k rows.
+    *
+    * @return (probe_id, cand_id) — ≤ nprobe entries per probe (distinct:
+    *         two cells can share a medoid). */
+  def codebookEntries(probes: DataFrame, corpus: DataFrame,
+      codebook: Seq[(Int, Seq[Float])], nprobe: Int): DataFrame = {
+    require(codebook.nonEmpty && nprobe >= 1 && nprobe <= codebook.size,
+      s"need 1 <= nprobe <= |codebook|, got $nprobe of ${codebook.size}")
+    def scoresFor(vec: Column) = array(codebook.map { case (id, v) =>
+      struct(coalesce(Sim.cosine(vec, typedlit(v)), lit(-2.0)).as("cos"),
+        lit(id).as("cluster"))
+    }: _*)
+    val med = corpus
+      .select(col("cand_id"), explode(scoresFor(col("cv"))).as("s"))
+      .select(col("cand_id"), col("s.cluster").as("cluster"), col("s.cos").as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("ccos").desc, col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("cand_id"))
+    probes
+      .withColumn("rt",
+        explode(slice(reverse(array_sort(scoresFor(col("pv")))), 1, nprobe)))
+      .select(col("probe_id"), col("rt.cluster").as("cluster"))
+      .join(broadcast(med), "cluster")
+      .select(col("probe_id"), col("cand_id")).distinct()
+  }
+
+  private val gR = 24; private val gBeam = 32; private val gHops = 4
   private val gK = 3
-  private val gEntries = Seq(5L, 128L, 256L, 384L)
+  private val gWindow = 48; private val gAlpha = 120; private val gNprobe = 4
 
   /** Bench buffer-pool memo for the PERSISTED ANN index (the shared
     * [[graft.util.Memo]] contract): a production ANN system builds the
@@ -665,25 +824,59 @@ object Ann {
       (build: => DataFrame): DataFrame =
     graft.util.Memo.benchMemo(s, dir, "ann:" + what)(build)
 
-  /** q_ann_graph: [[graphAnnIndex]] + [[graphAnnSearch]] on the shared
-    * fixture split, corpus bounded to vec_id ∈ [5, 500) on the ORACLE's
-    * account (a no-op at sf ≤ 0.01; DuckDB pays the full O(n²) build —
-    * the engine does too here, by choice of builder, but its search cost
-    * is parameter-bounded). Scores ride the graft_cosine kernel at 4dp —
-    * the q_sim_knn-proven portable recipe — so the unrolled-CTE oracle
-    * reproduces build, hops, beam pruning, and rerank hash-exactly.
-    * AnnSpec pins the recall floor vs the exact top-k (14/15 at sf0.01:
-    * approximation error lives in the checked output, measured, not
-    * hidden). */
+  /** q_ann_graph: diversified build ([[graphAnnIndexDiversified]]:
+    * exact kNN window → α-occlusion prune) + per-probe routed entries
+    * (per-label 4dp centroids → medoids — the q_ann_ivf router reused
+    * as the entry layer) + [[graphAnnSearch]], on the shared fixture
+    * split; corpus bounded to vec_id ∈ [5, 500) on the ORACLE's account
+    * (a no-op at sf ≤ 0.01; DuckDB pays the full O(n²) build — the
+    * engine does too here, by choice of builder, but its search cost is
+    * parameter-bounded). Scores ride the graft_cosine kernel at 4dp and
+    * the prune inequality is pure e4-integer arithmetic — so the
+    * unrolled-CTE oracle reproduces build, prune, routing, hops, beam
+    * pruning, and rerank hash-exactly. AnnSpec pins the recall floor vs
+    * the exact top-k (15/15 at sf0.001 post-diversification, up from
+    * 14/15 with fixed entries). */
   private def graphAnnOracleQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
     val probes = e.filter($"vec_id" < 5)
       .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
-    val corpus = e.filter($"vec_id" >= 5 && $"vec_id" < 500)
-      .select($"vec_id".as("cand_id"), $"embedding".as("cv"))
-    val index = memo(s, dir, "graphAnnEdges")(graphAnnIndex(corpus, gR))
-    graphAnnSearch(probes, corpus, index, gEntries, gBeam, gHops, gK)
+    val corpusL = e.filter($"vec_id" >= 5 && $"vec_id" < 500)
+      .select($"vec_id".as("cand_id"), $"label", $"embedding".as("cv"))
+    val corpus = corpusL.select($"cand_id", $"cv")
+    val index = memo(s, dir, "graphAnnEdgesDiv")(
+      graphAnnIndexDiversified(corpus, gR, gAlpha, gWindow))
+    // per-label 4dp centroids + per-label medoids — the same portable
+    // centroid recipe q_ann_ivf proves (round(avg, 4) is bit-identical
+    // across engines; routing cosines via the double HOF fold)
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def cosD(a: Column, b: Column): Column =
+      dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+    val cents = corpusL
+      .select($"label", posexplode($"cv").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(round(avg($"x"), 4).as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"label".as("route"), transform($"pm", _.getField("m")).as("centroid"))
+    val med = corpusL.join(broadcast(cents), $"label" === $"route")
+      .select($"route", $"cand_id", round(cosD($"cv", $"centroid"), 4).as("mcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"route").orderBy($"mcos".desc, $"cand_id")))
+      .filter($"rn" === 1)
+      .select($"route", $"cand_id")
+    val routed = probes.crossJoin(broadcast(cents))
+      .select($"probe_id", $"route", round(cosD($"pv", $"centroid"), 4).as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"ccos".desc, $"route")))
+      .filter($"crn" <= gNprobe)
+      .select($"probe_id", $"route")
+    val entries = routed.join(broadcast(med), "route")
+      .select($"probe_id", $"cand_id").distinct()
+    graphAnnSearch(probes, corpus, index, entries, gBeam, gHops, gK)
   }
 
   private val dR = 8; private val dRounds = 2
@@ -721,24 +914,51 @@ object Ann {
   private def normSql(v: String) =
     s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
-  /** q_ann_graph's oracle: the SAME build/search unrolled hop by hop into
-    * CTEs (hops is a compile-time constant, so the unrolled text is the
-    * exact dataflow; NOT EXISTS ⇔ left_anti, DISTINCT ⇔ the frontier
-    * dedup, per-hop rn ≤ beam ⇔ the pruned frontier). Generated from the
-    * same parameters the query runs, so they cannot drift apart. */
+  /** q_ann_graph's oracle: the SAME build/prune/route/search unrolled
+    * into CTEs (hops is a compile-time constant, so the unrolled text is
+    * the exact dataflow; NOT EXISTS ⇔ left_anti, DISTINCT ⇔ the frontier
+    * dedup, per-hop rn ≤ beam ⇔ the pruned frontier; the α-occlusion
+    * inequality is e4-integer arithmetic on both sides). Generated from
+    * the same parameters the query runs, so they cannot drift apart. */
   private def graphAnnSql: String = {
     def cos(a: String, b: String) =
       s"round(${dotSql.format(a, b)} / (sqrt(${normSql(a)}) * sqrt(${normSql(b)})), 4)"
-    val entries = gEntries.mkString("(", ", ", ")")
+    def e4(x: String) = s"CAST(floor(($x) * 10000 + 0.5) AS BIGINT)"
     val ctes = scala.collection.mutable.ArrayBuffer(
       "probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5)",
-      "corpus AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 5 AND vec_id < 500)",
+      "corpusl AS (SELECT vec_id AS cand_id, label, embedding AS cv FROM embeddings WHERE vec_id >= 5 AND vec_id < 500)",
+      "corpus AS (SELECT cand_id, cv FROM corpusl)",
+      s"""base AS (SELECT src, dst, ce4, rn FROM (
+         SELECT src, dst, ce4, row_number() OVER (PARTITION BY src ORDER BY ce4 DESC, dst) AS rn
+         FROM (SELECT a.cand_id AS src, b.cand_id AS dst, ${e4(cos("a.cv", "b.cv"))} AS ce4
+               FROM corpus a JOIN corpus b ON a.cand_id <> b.cand_id))
+         WHERE rn <= $gWindow)""",
+      s"""occl AS (SELECT DISTINCT c.src, c.dst
+         FROM base a JOIN base c ON a.src = c.src AND a.rn < c.rn
+         JOIN corpus x ON x.cand_id = a.dst JOIN corpus y ON y.cand_id = c.dst
+         WHERE $gAlpha * (10000 - ${e4(cos("x.cv", "y.cv"))}) <= 100 * (10000 - c.ce4))""",
       s"""edges AS (SELECT src, dst FROM (
-         SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-         FROM (SELECT a.cand_id AS src, b.cand_id AS dst, ${cos("a.cv", "b.cv")} AS cos
-               FROM corpus a JOIN corpus b ON a.cand_id <> b.cand_id)) WHERE rn <= $gR)""",
-      s"""v0 AS (SELECT p.probe_id, c.cand_id, ${cos("p.pv", "c.cv")} AS cos
-         FROM probes p JOIN corpus c ON c.cand_id IN $entries)""",
+         SELECT b.src, b.dst, row_number() OVER (PARTITION BY b.src ORDER BY b.ce4 DESC, b.dst) AS rn2
+         FROM base b WHERE NOT EXISTS (SELECT 1 FROM occl o WHERE o.src = b.src AND o.dst = b.dst))
+         WHERE rn2 <= $gR)""",
+      """cent AS (SELECT label AS route, list(m ORDER BY pos) AS centroid
+         FROM (SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS m
+               FROM (SELECT label, unnest(cv) AS x, unnest(range(len(cv))) AS pos FROM corpusl)
+               GROUP BY 1, 2)
+         GROUP BY label)""",
+      s"""med AS (SELECT route, cand_id FROM (
+         SELECT ct.route, c.cand_id,
+                row_number() OVER (PARTITION BY ct.route ORDER BY ${cos("c.cv", "ct.centroid")} DESC, c.cand_id) AS rn
+         FROM corpusl c JOIN cent ct ON c.label = ct.route)
+         WHERE rn = 1)""",
+      s"""routed AS (SELECT probe_id, route FROM (
+         SELECT p.probe_id, ct.route,
+                row_number() OVER (PARTITION BY p.probe_id ORDER BY ${cos("p.pv", "ct.centroid")} DESC, ct.route) AS crn
+         FROM probes p, cent ct)
+         WHERE crn <= $gNprobe)""",
+      "entries AS (SELECT DISTINCT r.probe_id, m.cand_id FROM routed r JOIN med m USING (route))",
+      s"""v0 AS (SELECT en.probe_id, en.cand_id, ${cos("p.pv", "c.cv")} AS cos
+         FROM entries en JOIN corpus c USING (cand_id) JOIN probes p USING (probe_id))""",
       "f0 AS (SELECT probe_id, cand_id FROM v0)")
     for (h <- 1 to gHops) {
       ctes += s"""s$h AS (SELECT n.probe_id, n.cand_id, ${cos("p.pv", "c.cv")} AS cos

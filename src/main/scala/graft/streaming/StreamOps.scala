@@ -252,16 +252,46 @@ object StreamOps {
       .parquet(indexDir)
   }
 
+  /** Reserved batch_id partition values of the ANN stores. Streaming
+    * batch ids are non-negative, so neither collides with a real batch.
+    *   - [[RecoveryBatchId]]: a heal rebuild's OLDER-node edges land
+    *     here instead of under the healing batch's own partition — a
+    *     later replay of that batch (crash before the streaming
+    *     checkpoint committed) takes the link-by-search path and
+    *     dynamic-overwrites only its own partition, so the recovery
+    *     partition survives; writing heal output under the batch id
+    *     would let that replay permanently drop every older node's
+    *     out-edges.
+    *   - [[CompactBatchId]]: a compaction's folded store. Rows under it
+    *     are ALREADY symmetrized, so the read path flips every
+    *     partition except this one. */
+  val RecoveryBatchId = -1L
+  val CompactBatchId = -2L
+
   /** Streaming ANN index maintenance — the arrival path of the graph-ANN
     * tier (the vector analog of [[dedupOnArrival]]): each micro-batch of
     * new vectors is LINKED INTO the existing proximity graph by searching
     * it (the standard incremental-insert of graph-ANN systems: a new
-    * node's neighbors are what best-first search finds for it), then both
-    * stores grow by one idempotent batch partition. Per-batch cost is
-    * batch-sized — |batch| parameter-bounded searches + |batch|·r new
-    * edges — NEVER corpus-sized: the accumulated index is read, not
-    * rebuilt (the ann_descent probe's flat-search row is exactly the
-    * recurring cost here).
+    * node's neighbors are what best-first search finds for it), with the
+    * searched neighborhood α-occlusion-pruned (Ann.alphaPrune) before it
+    * becomes the node's out-edges — search results clump inside the
+    * probe's own tight neighborhood, exactly the degree-budget waste the
+    * prune exists for — then both stores grow by one idempotent batch
+    * partition. Per-batch cost is batch-sized — |batch|
+    * parameter-bounded searches + |batch|·r new edges — NEVER
+    * corpus-sized: the accumulated index is read, not rebuilt (the
+    * ann_descent probe's flat-search row is exactly the recurring cost
+    * here).
+    *
+    * Entry routing: the first batch k-means its own vectors into a
+    * ROUTER (k centroids persisted under `edgeDir/_router` — the
+    * underscore prefix hides it from the edge store's own parquet
+    * reads), and every later search routes each probe to the medoids of
+    * its nearest cells instead of walking from fixed spread ids — the
+    * round-12 measured regression (recall 14/15 → 13/15 at 4× corpus)
+    * was exactly fixed entries failing to cover a growing corpus. The
+    * router refreshes on heal and on [[annCompactStore]] (corpus-sized
+    * work belongs in maintenance, not in the per-batch path).
     *
     * Store layout: `vecDir` (cand_id, cv, batch_id) and `edgeDir`
     * (src, dst, batch_id) — each batch writes ONLY its own partition
@@ -308,33 +338,52 @@ object StreamOps {
     val newEdges = (corpus, corpus.flatMap(_ => tryReadParquet(spark, edgeDir))) match {
       case (None, _) =>
         // bootstrap: the first batch indexes itself with the at-scale
-        // builder (no graph exists to search yet)
-        Ann.graphAnnIndexDescent(b, r, rounds = 2)
+        // builder + the α-occlusion post-pass (no graph exists to
+        // search yet), and seeds the entry router from its own vectors
+        // (batch-sized k-means; idempotent overwrite on replay)
+        writeRouter(spark, edgeDir, b)
+        diversifiedBuild(b, r).withColumn("batch_id", lit(batchId))
       case (Some(c), None) =>
         // Defensive path — reachable only through store damage or a
         // backfill against a vec-only store (normal streaming replays
         // of batch 1 hit the bootstrap case above: the anti-join empties
         // the corpus). The edge store is gone while vectors exist, so
-        // REBUILD over corpus ∪ batch and write it ALL under this
-        // batch's partition: that heals the store in one idempotent
-        // write (subsequent batches find a full graph and return to
-        // batch-sized cost) instead of paying a corpus-sized rebuild
-        // every batch and never persisting it. This partition's srcs
-        // span older nodes — the read path doesn't care (it symmetrizes
-        // whatever edges exist); only the normal-path src discipline is
-        // bent, by a recovery.
-        Ann.graphAnnIndexDescent(c.unionAll(b), r, rounds = 2)
+        // REBUILD over corpus ∪ batch — but split the write: the
+        // batch's OWN out-edges land under its partition (the normal
+        // src discipline), every OLDER node's land under
+        // [[RecoveryBatchId]]. A replay of this batch finds an intact
+        // edge store, takes the link-by-search path, and overwrites
+        // only its own partition — the recovery partition (and with it
+        // every pre-heal node's out-edges) survives any replay. The
+        // router is refreshed from the full corpus while we're paying
+        // corpus-sized cost anyway.
+        val full = c.unionAll(b)
+        writeRouter(spark, edgeDir, full)
+        diversifiedBuild(full, r)
+          .join(b.select(col("cand_id").as("src"), lit(true).as("own")),
+            Seq("src"), "left")
+          .withColumn("batch_id",
+            when(col("own"), lit(batchId)).otherwise(lit(RecoveryBatchId)))
+          .drop("own")
       case (Some(c), Some(e0)) =>
         // link-by-search: new vectors probe the EXISTING symmetrized
-        // graph; their top-r results become their out-edges. A replay's
-        // own half-written edges (if any) are excluded with its vectors.
-        val edges = e0.select(col("src"), col("dst"))
+        // graph with router-selected entries; their searched
+        // neighborhood (k = 2r) is α-pruned down to their r out-edges.
+        // A replay's own half-written edges (if any) are excluded with
+        // its vectors.
+        val edges = e0.select(col("src"), col("dst"), col("batch_id"))
           .join(b.select(col("cand_id").as("src")), Seq("src"), "left_anti")
-        val (sym, entries) = symmetrizedWithEntries(c, edges)
-        Ann.graphAnnSearch(
-            b.select(col("cand_id").as("probe_id"), col("cv").as("pv")),
-            c, sym, entries, beam = 16, hops = 4, k = r)
-          .select(col("probe_id").as("src"), col("cand_id").as("dst"))
+        val probes = b.select(col("cand_id").as("probe_id"), col("cv").as("pv"))
+        val searched = Ann.graphAnnSearch(probes, c, symmetrized(edges),
+          entriesFor(spark, edgeDir, probes, c), beam = 32, hops = 6, k = 2 * r)
+        val pruned = Ann.alphaPrune(
+          searched.select(col("probe_id").as("src"), col("cand_id").as("dst"),
+            col("cos")),
+          c, r, alphaPct = 120, window = 2 * r)
+        // pruned is materialized (alphaPrune checkpoints its output);
+        // the per-hop search deltas behind `searched` are now dead
+        graft.util.Frames.releaseCheckpoint(searched)
+        pruned.withColumn("batch_id", lit(batchId))
     }
     val ne = newEdges.localCheckpoint() // pin before the vec write lands
     b.withColumn("batch_id", lit(batchId))
@@ -342,8 +391,9 @@ object StreamOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(vecDir)
-    ne.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
+    // ne carries its own per-row batch_id (the heal path splits between
+    // the batch's partition and the recovery partition)
+    ne.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(edgeDir)
@@ -379,33 +429,126 @@ object StreamOps {
     }
   }
 
-  /** The incremental graph's read-side derivations, shared by the ingest
-    * link-by-search branch and [[annIncrementalSearch]] so the two can
-    * never drift: symmetrize the append-only edge list (old nodes have
-    * no on-disk out-edges toward newer ones — the flip restores
-    * navigability into them) and take the corpus's smallest 4 ids as the
-    * deterministic entry set (codebook-scale collect). */
-  private def symmetrizedWithEntries(corpus: DataFrame,
-      edges: DataFrame): (DataFrame, Seq[Long]) = {
-    val sym = edges.unionAll(
-      edges.select(col("dst").as("src"), col("src").as("dst")))
-    val entries = corpus.select(col("cand_id")).orderBy(col("cand_id"))
-      .limit(4).collect().map(_.getLong(0)).toSeq
-    (sym, entries)
+  /** At-scale diversified build: NN-descent (rounds=3) then the
+    * α-occlusion post-pass — the bootstrap/heal builder of the
+    * incremental store (q_ann_descent checks the raw descent fixpoint;
+    * the shipped store diversifies it, the measured +2/15-recall-at-4×
+    * difference). */
+  private def diversifiedBuild(vecs: DataFrame, r: Int): DataFrame = {
+    import graft.operators.Ann
+    val knn = Ann.graphAnnIndexDescent(vecs, r, rounds = 3)
+    val pruned = Ann.alphaPrune(Ann.rescoreEdges(knn, vecs), vecs, r,
+      alphaPct = 120, window = 2 * r)
+    graft.util.Frames.releaseCheckpoint(knn)
+    pruned
+  }
+
+  private def routerPath(edgeDir: String) = s"$edgeDir/_router"
+
+  /** Persist the entry router: a k-means codebook over `vecs`, written
+    * under `edgeDir/_router` — the underscore prefix makes it invisible
+    * to the edge store's own parquet reads (Spark/Hadoop hide _-prefixed
+    * paths from listing and partition discovery), so the router can live
+    * INSIDE the store it serves and travel with it. Tiny by definition
+    * (k·dim floats); overwrite-idempotent for replays. */
+  private def writeRouter(spark: org.apache.spark.sql.SparkSession,
+      edgeDir: String, vecs: DataFrame, k: Int = 8, iters: Int = 2): Unit = {
+    import spark.implicits._
+    val cb = graft.operators.Ann.kmeans(
+      vecs.select(col("cand_id").as("vec_id"), col("cv").as("embedding")),
+      k, iters)
+    cb.toDF("cluster", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(routerPath(edgeDir))
+  }
+
+  /** Read the persisted router back as a driver-side codebook (k rows). */
+  private def readRouter(spark: org.apache.spark.sql.SparkSession,
+      edgeDir: String): Option[Seq[(Int, Seq[Float])]] =
+    tryReadParquet(spark, routerPath(edgeDir)).map(
+      _.collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1))
+
+  /** Per-probe routed entries from the persisted router (medoids of each
+    * probe's nearest cells — Ann.codebookEntries); a store predating the
+    * router (or whose router was lost) falls back to the corpus's
+    * smallest 4 ids for every probe, the original fixed-spread contract. */
+  private def entriesFor(spark: org.apache.spark.sql.SparkSession,
+      edgeDir: String, probes: DataFrame, corpus: DataFrame): DataFrame =
+    readRouter(spark, edgeDir) match {
+      case Some(cb) =>
+        graft.operators.Ann.codebookEntries(probes, corpus, cb,
+          math.min(8, cb.size))
+      case None =>
+        corpus.select(col("cand_id")).orderBy(col("cand_id")).limit(4)
+          .crossJoin(probes.select(col("probe_id")))
+          .select(col("probe_id"), col("cand_id"))
+    }
+
+  /** The incremental graph's read-side edge view, shared by the ingest
+    * link-by-search branch, [[annIncrementalSearch]] and
+    * [[annCompactStore]] so they can never drift: flip every edge whose
+    * partition is NOT the compacted one (old nodes have no on-disk
+    * out-edges toward newer ones — the flip restores navigability into
+    * them; compacted partitions are stored already-symmetrized, so
+    * flipping them again would only duplicate rows). */
+  private def symmetrized(edges: DataFrame): DataFrame = {
+    val base = edges.select(col("src"), col("dst"),
+      col("batch_id").cast("long").as("bid"))
+    base.select(col("src"), col("dst")).unionAll(
+      base.filter(col("bid") =!= CompactBatchId)
+        .select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** Search the incrementally-built store: reads both partitions-of-
-    * batches stores, symmetrizes the append-only edge list (old nodes
-    * have no out-edges toward newer ones on disk — the flip restores
-    * them), and runs the standard parameter-bounded beam search. */
+    * batches stores, symmetrizes the append-only edge list, routes each
+    * probe through the persisted router (fixed-spread fallback), and
+    * runs the standard parameter-bounded beam search. */
   def annIncrementalSearch(probes: DataFrame, vecDir: String, edgeDir: String,
-      beam: Int = 16, hops: Int = 4, k: Int = 3): DataFrame = {
+      beam: Int = 32, hops: Int = 6, k: Int = 3): DataFrame = {
     import graft.operators.Ann
     val spark = probes.sparkSession
     val corpus = spark.read.parquet(vecDir).select(col("cand_id"), col("cv"))
-    val e = spark.read.parquet(edgeDir).select(col("src"), col("dst"))
-    val (sym, entries) = symmetrizedWithEntries(corpus, e)
-    Ann.graphAnnSearch(probes, corpus, sym, entries, beam, hops, k)
+    val e = spark.read.parquet(edgeDir)
+    Ann.graphAnnSearch(probes, corpus, symmetrized(e),
+      entriesFor(spark, edgeDir, probes, corpus), beam, hops, k)
+  }
+
+  /** Compact the incremental ANN store pair into a FRESH store at
+    * (outVecDir, outEdgeDir) — the maintenance op a long-running stream
+    * needs: per-batch partitions accrete a file per (batch, task) and
+    * the read-time symmetrization re-flips the whole history on every
+    * search. Compaction folds both stores into one
+    * [[CompactBatchId]] partition — vectors deduplicated by cand_id
+    * (defense against an unclean stop), edges materialized as the
+    * SYMMETRIZED DISTINCT closure laid out by src (the search's probe
+    * key) — and carries the router across (refreshed from the full
+    * corpus when `refreshRouter`, copied verbatim otherwise, so a
+    * compaction can be proven read-identical). File sizing reuses
+    * [[graft.operators.Layout.compact]], writing INTO the partition
+    * directory path.
+    *
+    * Run it like any snapshot maintenance op: against a cleanly-stopped
+    * stream, then swap directories before restart. The source store is
+    * never touched, so the op is idempotent and a crash mid-compact
+    * costs only the partial output. Post-compact ingest keeps working
+    * unchanged: new batches land as fresh partitions beside the
+    * compacted one, and [[symmetrized]] flips only them. */
+  def annCompactStore(spark: org.apache.spark.sql.SparkSession,
+      vecDir: String, edgeDir: String, outVecDir: String, outEdgeDir: String,
+      refreshRouter: Boolean = true, targetFileRows: Long = 1L << 20): Unit = {
+    import graft.operators.{Ann, Layout}
+    val vecs = spark.read.parquet(vecDir).select(col("cand_id"), col("cv"))
+      .dropDuplicates("cand_id")
+    Layout.compact(vecs, s"$outVecDir/batch_id=$CompactBatchId",
+      targetFileRows, sortCols = Seq("cand_id"))
+    val edges = symmetrized(spark.read.parquet(edgeDir)).distinct()
+    Layout.compact(edges, s"$outEdgeDir/batch_id=$CompactBatchId",
+      targetFileRows, sortCols = Seq("src"))
+    if (refreshRouter) writeRouter(spark, outEdgeDir, vecs)
+    else readRouter(spark, edgeDir).foreach { cb =>
+      import spark.implicits._
+      cb.toDF("cluster", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(routerPath(outEdgeDir))
+    }
   }
 
   /** Sink an event stream as parquet with checkpointing (ack analog). */

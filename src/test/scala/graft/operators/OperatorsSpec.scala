@@ -413,19 +413,20 @@ class OperatorsSpec extends SparkSpec {
     assert(rescored.count() === 0, "graph search emitted a non-exact score")
   }
 
-  test("ANN: q_ann_graph fixture recall@3 ≥ 0.85 vs exact top-k (measured 14-15/15)") {
-    val (probes, corpus) = graphFixture()
+  test("ANN: q_ann_graph (diversified + label-routed) fixture recall@3 ≥ 14/15 vs exact") {
+    // pins the CHECKED query's recall directly (diversified 48→24 build,
+    // per-label centroid→medoid routed entries, beam 32): measured 15/15,
+    // up from the round-12 fixed-entry recipe's 14/15
     val exact = Ann.bruteForceTopK(
       embs.filter(col("vec_id") < 5),
       embs.filter(col("vec_id") >= 5 && col("vec_id") < 500), 3)
       .select(col("probe_id"), col("cand_id"))
-    val got = Ann.graphAnnSearch(probes, corpus, Ann.graphAnnIndex(corpus, 12),
-      Seq(5L, 128L, 256L, 384L), beam = 16, hops = 4, k = 3)
+    val got = Ann.queries("q_ann_graph")(spark, sf())
       .select(col("probe_id"), col("cand_id"))
     val nExact = exact.count()
     val hit = exact.join(got, Seq("probe_id", "cand_id")).count()
-    assert(hit.toDouble / nExact >= 0.85,
-      s"graph-ANN fixture recall $hit/$nExact < 0.85")
+    assert(hit.toDouble / nExact >= 14.0 / 15.0,
+      s"q_ann_graph fixture recall $hit/$nExact < 14/15 (measured 15/15)")
   }
 
   test("ANN: NN-descent build converges to the exact kNN graph and carries search") {
@@ -652,5 +653,96 @@ class OperatorsSpec extends SparkSpec {
     }
     val mean = pct.sum / pct.length
     assert(mean >= 0.60, f"ADC mean exact-IP percentile $mean%.3f < 0.60 (measured 0.76)")
+  }
+
+  test("ANN: alphaPrune keeps the closest edge, caps degree, and every kept edge is unoccluded") {
+    import spark.implicits._
+    import graft.queries.Sim
+    val (_, corpus) = graphFixture()
+    val scored = Ann.rescoreEdges(Ann.graphAnnIndex(corpus, 48), corpus)
+      .cache()
+    val pruned = Ann.alphaPrune(scored, corpus, r = 24, alphaPct = 120,
+      window = 48).cache()
+    // degree cap and top-up: never more than r, and the rank-1 candidate
+    // (nothing ranks above it, so nothing can occlude it) always survives
+    assert(pruned.groupBy("src").count().filter(col("count") > 24).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val top1 = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("src"), col("dst"))
+    assert(top1.join(pruned, Seq("src", "dst"), "left_anti").count() === 0,
+      "a rank-1 candidate was pruned")
+    // the occlusion law, re-checked from scratch: no kept edge (src, c)
+    // has a kept-or-candidate a ranked above it with
+    // alpha·d(a,c) <= d(src,c) among the SURVIVORS (the all-closer rule
+    // guarantees the stronger candidate-set property; survivors are a
+    // subset, so pairwise-survivor occlusion must also be absent)
+    def e4(c: org.apache.spark.sql.Column) =
+      floor(c * lit(10000) + lit(0.5)).cast("long")
+    val ps = pruned.join(scored, Seq("src", "dst"))
+      .select(col("src"), col("dst"), e4(col("cos")).as("ce4"))
+    val viol = ps.as("a").join(ps.as("c"), "src")
+      .filter(col("a.ce4") > col("c.ce4") ||
+        (col("a.ce4") === col("c.ce4") && col("a.dst") < col("c.dst")))
+      .join(corpus.select(col("cand_id").as("a_dst"), col("cv").as("av")),
+        col("a.dst") === col("a_dst"))
+      .join(corpus.select(col("cand_id").as("c_dst"), col("cv").as("bv")),
+        col("c.dst") === col("c_dst"))
+      .filter(lit(120L) * (lit(10000L) - e4(round(Sim.cosine(col("av"), col("bv")), 4)))
+        <= lit(100L) * (lit(10000L) - col("c.ce4")))
+    assert(viol.count() === 0, "a kept edge is occluded by a closer kept edge")
+    scored.unpersist(); pruned.unpersist()
+  }
+
+  test("ANN: codebookEntries routes every probe to ≤ nprobe distinct corpus medoids") {
+    val (probes, corpus) = graphFixture()
+    val cb = Ann.kmeans(
+      corpus.select(col("cand_id").as("vec_id"), col("cv").as("embedding")), 8, 2)
+    val entries = Ann.codebookEntries(probes, corpus, cb, nprobe = 4).cache()
+    val perProbe = entries.groupBy("probe_id").count().collect()
+    assert(perProbe.length === 5 && perProbe.forall(_.getLong(1) <= 4),
+      "every probe needs 1..nprobe entries")
+    // entries are corpus members (medoids are actual nodes, not centroids)
+    assert(entries.join(corpus, Seq("cand_id"), "left_anti").count() === 0)
+    entries.unpersist()
+  }
+
+  test("ANN: diversified+routed recipe at the 4× sf0.1 corpus holds the fixture recall floor") {
+    // The round-12 verdict's measured regression: fixed-entry search fell
+    // 14/15 → 13/15 at 4× corpus. The shipped at-scale recipe — NN-descent
+    // r=24×3 rounds, α-occlusion prune, router-medoid entries, beam 32 —
+    // must hold ≥ 14/15 AT the 4× corpus (measured 15/15; re-signed
+    // replicas per the ann_descent probe construction, so added replicas
+    // are decorrelated rather than duplicated).
+    import spark.implicits._
+    val emb1 = Tables.embeddings(spark, sf("sf0.1"))
+    val corpus = (0 until 4).map { i =>
+      emb1.filter(col("vec_id") >= 5)
+        .select((col("vec_id") + lit(i.toLong * 10000000L)).as("cand_id"),
+          transform(col("embedding"), (x, d) =>
+            (x * when(pmod(hash(lit(i), d), lit(2)) === 0, 1.0f)
+              .otherwise(-1.0f)).cast("float")).as("cv"))
+    }.reduce(_ unionAll _).localCheckpoint()
+    val probes = emb1.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val knn = Ann.graphAnnIndexDescent(corpus, 24, rounds = 4)
+    val index = Ann.alphaPrune(Ann.rescoreEdges(knn, corpus), corpus,
+      r = 24, alphaPct = 120, window = 48)
+    graft.util.Frames.releaseCheckpoint(knn)
+    val cb = Ann.kmeans(
+      corpus.select(col("cand_id").as("vec_id"), col("cv").as("embedding")), 8, 2)
+    val entries = Ann.codebookEntries(probes, corpus, cb, nprobe = 8)
+    val got = Ann.graphAnnSearch(probes, corpus, index, entries,
+      beam = 32, hops = 6, k = 3).select(col("probe_id"), col("cand_id"))
+    val exact = Ann.bruteForceTopK(
+      probes.select(col("probe_id").as("vec_id"), col("pv").as("embedding")),
+      corpus.select(col("cand_id").as("vec_id"), col("cv").as("embedding")), 3)
+      .select(col("probe_id"), col("cand_id"))
+    val nEx = exact.count()
+    val hit = exact.join(got, Seq("probe_id", "cand_id")).count()
+    graft.util.Frames.releaseCheckpoint(index)
+    graft.util.Frames.releaseCheckpoint(corpus)
+    assert(hit.toDouble / nEx >= 14.0 / 15.0,
+      s"4× diversified+routed recall $hit/$nEx below the fixture floor (measured 15/15)")
   }
 }

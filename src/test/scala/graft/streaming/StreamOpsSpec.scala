@@ -438,9 +438,49 @@ class StreamOpsSpec extends SparkSpec {
       .select(col("probe_id"), col("cand_id"))
     val nEx = exact.count()
     val hit = exact.join(got, Seq("probe_id", "cand_id")).count()
-    // measured 14/15 on the fixture store (13/15 at the sf0.1 corpus)
+    // measured 15/15 with routing+prune (round-12 fixed-entry: 14/15)
     assert(hit.toDouble / nEx >= 0.8,
       s"incremental-store search recall $hit/$nEx below floor")
+    // ---- compaction: fold the per-batch store, search must be IDENTICAL
+    // (router copied verbatim so entries cannot move), file count bounded
+    StreamOps.annCompactStore(spark, vecDir, edgeDir,
+      s"$tmp/vecs_c", s"$tmp/edges_c", refreshRouter = false)
+    val gotC = StreamOps.annIncrementalSearch(probes, s"$tmp/vecs_c", s"$tmp/edges_c", k = 3)
+      .select(col("probe_id"), col("cand_id"), col("cos")).collect().toSet
+    val gotFull = StreamOps.annIncrementalSearch(probes, vecDir, edgeDir, k = 3)
+      .select(col("probe_id"), col("cand_id"), col("cos")).collect().toSet
+    assert(gotC === gotFull, "compaction changed search results")
+    import scala.jdk.CollectionConverters._
+    def nParquet(d: String) = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(nParquet(s"$tmp/vecs_c") <= 2 && nParquet(s"$tmp/edges_c") <= 3,
+      s"compacted store not bounded: ${nParquet(s"$tmp/vecs_c")} vec / ${nParquet(s"$tmp/edges_c")} edge files")
+    assert(nParquet(vecDir) > nParquet(s"$tmp/vecs_c"),
+      "compaction should shrink the vec store's file count")
+    // a router REFRESH (kmeans over the full corpus) may move entries —
+    // recall stays at/above the floor
+    StreamOps.annCompactStore(spark, vecDir, edgeDir,
+      s"$tmp/vecs_r", s"$tmp/edges_r", refreshRouter = true)
+    val gotR = StreamOps.annIncrementalSearch(probes, s"$tmp/vecs_r", s"$tmp/edges_r", k = 3)
+      .select(col("probe_id"), col("cand_id"))
+    val hitR = exact.join(gotR, Seq("probe_id", "cand_id")).count()
+    assert(hitR.toDouble / nEx >= 0.8,
+      s"post-refresh-compaction recall $hitR/$nEx below floor")
+    // post-compact ingest keeps working: a fresh batch lands beside the
+    // compacted partition and is immediately searchable
+    val extra = (900L to 905L).map { i =>
+      (i, Seq.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat / 6f))
+    }
+    StreamOps.annIngestBatch(extra.toDF("cand_id", "cv"), 7L,
+      s"$tmp/vecs_c", s"$tmp/edges_c", 12)
+    val vecsC = spark.read.parquet(s"$tmp/vecs_c")
+    assert(vecsC.count() === 495 + 6)
+    val probeNew = extra.take(1).map { case (i, v) => (i + 5000, v) }
+      .toDF("probe_id", "pv")
+    val gotNew = StreamOps.annIncrementalSearch(probeNew, s"$tmp/vecs_c", s"$tmp/edges_c", k = 3)
+      .select(col("cand_id")).collect().map(_.getLong(0)).toSet
+    assert(gotNew.exists(extra.map(_._1).toSet),
+      "a probe equal to a post-compact vector must find its own batch")
   }
 
   test("ann-ingest: replaying a batch (intact and after a vec-only crash window) heals in place") {
@@ -481,6 +521,62 @@ class StreamOpsSpec extends SparkSpec {
       .select("src").distinct().count()
     assert(healedSrcs === 330,
       s"healed graph must cover all stored nodes, got $healedSrcs")
+    // the heal's split-write discipline: older nodes' edges live in the
+    // RECOVERY partition, the batch's own in its partition
+    val healed = spark.read.parquet(edgeDir)
+    assert(healed.filter(col("batch_id").cast("long") === StreamOps.RecoveryBatchId)
+      .select("src").distinct().count() === 165)
+    // advice-12 regression: REPLAYING the heal batch (crash before the
+    // streaming checkpoint committed) takes the link-by-search path and
+    // dynamic-overwrites ONLY its own partition — the recovery
+    // partition, and with it every older node's out-edges, must survive
+    StreamOps.annIngestBatch(b2.toDF("cand_id", "cv"), 1L, vecDir, edgeDir, 12)
+    val afterHealReplay = spark.read.parquet(edgeDir)
+    assert(afterHealReplay.select("src").distinct().count() === 330,
+      "a heal-batch replay clobbered the older nodes' out-edges")
+    assert(afterHealReplay.filter(
+        col("batch_id").cast("long") === StreamOps.RecoveryBatchId).count() > 0,
+      "the recovery partition did not survive the replay")
+  }
+
+  test("ann-ingest: incremental store at the 4× sf0.1 corpus holds the fixture recall floor") {
+    // The round-12 verdict's ONLY measured quality regression: the
+    // incremental store's recall fell 14/15 → 13/15 at 4× corpus under
+    // fixed entries. With router-medoid entries + α-pruned linking the
+    // same construction measures 15/15 — pinned here at ≥ 14/15. Corpus
+    // = re-signed sf0.1 replicas (the ann_descent probe construction),
+    // ingested as 3 batches so two of them take the link-by-search path.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb1 = graft.catalog.Tables.embeddings(spark, sf("sf0.1"))
+    val corpus = (0 until 4).map { i =>
+      emb1.filter(col("vec_id") >= 5)
+        .select((col("vec_id") + lit(i.toLong * 10000000L)).as("cand_id"),
+          transform(col("embedding"), (x, d) =>
+            (x * when(pmod(hash(lit(i), d), lit(2)) === 0, 1.0f)
+              .otherwise(-1.0f)).cast("float")).as("cv"))
+    }.reduce(_ unionAll _).localCheckpoint()
+    val probes = emb1.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val all = corpus.orderBy(col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val tmp = java.nio.file.Files.createTempDirectory("ann_4x").toString
+    val (vecDir, edgeDir) = (s"$tmp/vecs", s"$tmp/edges")
+    all.grouped((all.length + 2) / 3).zipWithIndex.foreach { case (sl, i) =>
+      StreamOps.annIngestBatch(sl.toSeq.toDF("cand_id", "cv"), i.toLong,
+        vecDir, edgeDir, 24)
+    }
+    val got = StreamOps.annIncrementalSearch(probes, vecDir, edgeDir, k = 3)
+      .select(col("probe_id"), col("cand_id"))
+    val exact = graft.operators.Ann.bruteForceTopK(
+      probes.select(col("probe_id").as("vec_id"), col("pv").as("embedding")),
+      corpus.select(col("cand_id").as("vec_id"), col("cv").as("embedding")), 3)
+      .select(col("probe_id"), col("cand_id"))
+    val nEx = exact.count()
+    val hit = exact.join(got, Seq("probe_id", "cand_id")).count()
+    graft.util.Frames.releaseCheckpoint(corpus)
+    assert(hit.toDouble / nEx >= 14.0 / 15.0,
+      s"4× incremental recall $hit/$nEx below the fixture floor (measured 15/15)")
   }
 
   test("stream-stream interval join: signups within the hour match, older do not") {
