@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate heavy hitters (frequent items) via the Misra–Gries summary —
@@ -175,9 +176,81 @@ object Freq {
     * without re-bucketing (a data-dependent grid could not). */
   def gridSketch(vals: DataFrame, width: Long): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")
-    vals.select(col("day"), expr(s"v div $width").as("b"))
+    // FLOOR division, not `div` (which truncates toward zero): under
+    // `div` every v in (-width, width) would share bucket 0 — a
+    // double-width cell that breaks the one-cell quantile containment
+    // bound for negative domains, and diverges from the floor-division
+    // the DuckDB oracle's `//` computes. (v - pmod(v, width)) is the
+    // largest width-multiple ≤ v for either sign, so the `div` below is
+    // exact — all-BIGINT, no double roundtrip.
+    vals.select(col("day"), expr(s"(v - pmod(v, $width)) div $width").as("b"))
       .groupBy(col("day"), col("b"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  // ---- domain-free mergeable quantile summaries (block compaction) -------
+
+  /** Per-day ε-approximate quantile summary WITHOUT a priori domain
+    * bounds — the [[gridSketch]] sibling for arbitrary metrics (a grid
+    * needs the value domain fixed at write time; a silver layer over
+    * open-ended metrics does not have one). Deterministic single-level
+    * block compaction (the collapse step of Manku-Rajagopalan-Lindsay
+    * [SIGMOD'98], the deterministic ancestor of KLL): each day's sorted
+    * values split into ≤ k blocks of step = ⌈n_day/k⌉ consecutive ranks;
+    * each block is represented by its LAST value carrying the block
+    * size as weight. Deterministic — not KLL's coin-flip compaction —
+    * because the checked query's DuckDB oracle must reproduce the
+    * summary bit-for-bit; the price is the weaker (but still
+    * domain-free and mergeable) MRL bound instead of KLL's randomized
+    * one. Σw = n_day exactly, and any prefix-by-value's summarized
+    * rank differs from its true rank by < step_day, so a merged read
+    * across days errs by < Σ_d step_d ≤ N/k + D ranks — the tolerance
+    * the checked query's `ok` predicate verifies against the exact
+    * anchor.
+    *
+    * Summaries MERGE BY CONCATENATION (they are (value, weight) rows;
+    * [[quantileMergedRead]] just unions them into one weighted rank
+    * scan) — no re-bucketing, no shared domain, the property that lets
+    * per-day sketches absorb a quantile workload without rescanning
+    * facts. Value ties need no tie-break: any rank order among equal
+    * values yields the identical (v, w) multiset.
+    *
+    * Scale shape: the per-day rank runs day-partitioned (the build is
+    * per-ingest-slice by design — the same assumption every per-key
+    * GK/KLL build makes; a pathologically heavy single key takes the
+    * Slices decomposition instead), and the output is ≤ k+1 rows per
+    * day regardless of row count.
+    *
+    * @param vals (day, v BIGINT)
+    * @return (day, v, rnk, w) — ≤ k+1 rows per day, Σw = n_day. */
+  def quantileSummary(vals: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wD = Window.partitionBy(col("day")).orderBy(col("v"))
+    vals.select(col("day"), col("v"))
+      .withColumn("rnk", row_number().over(wD))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("day"))))
+      .withColumn("step", expr(s"(nd + ${k - 1}) div $k"))
+      .filter(expr("rnk % step = 0 OR rnk = nd"))
+      .select(col("day"), col("v"), col("rnk"),
+        (col("rnk") - expr("((rnk - 1) div step) * step")).as("w"))
+  }
+
+  /** Read quantiles off a UNION of [[quantileSummary]] frames: one
+    * weighted cumulative rank over the summary rows (≤ D·(k+1) rows —
+    * sketch-bounded, never fact-bounded; the single-partition window is
+    * the same size class as [[gridMerge]]'s grid) picks, for each target
+    * rank r, the summary row whose cumulative weight interval contains
+    * r. Deterministic: cumulation ordered by (v, day, rnk).
+    *
+    * @param summaries unioned (day, v, rnk, w) summary rows.
+    * @param ranks     (q_pct, r) target ranks — broadcast-sized.
+    * @return (q_pct, r, est_v). */
+  def quantileMergedRead(summaries: DataFrame, ranks: DataFrame): DataFrame = {
+    val wC = Window.orderBy(col("v"), col("day"), col("rnk"))
+    summaries.withColumn("cw", sum(col("w")).over(wC))
+      .join(broadcast(ranks),
+        col("cw") >= col("r") && col("cw") - col("w") < col("r"))
+      .select(col("q_pct"), col("r"), col("v").as("est_v"))
   }
 
   /** Merge per-key grid sketches into one global grid: elementwise
@@ -257,10 +330,89 @@ object Freq {
           (col("exact_v") >= col("est_lo") &&
             col("exact_v") < col("est_lo") + width).as("ok"))
         .orderBy(col("q_pct"))
+    }),
+
+    // Domain-FREE mergeable quantiles (the gridSketch sibling for
+    // metrics without a priori bounds): per-ship-day block-compaction
+    // summaries ([[quantileSummary]], k=64) of the cent price, merged
+    // by weighted-rank concatenation ([[quantileMergedRead]]),
+    // p50/p90/p99 read off the merge — beside the EXACT value-at-rank
+    // anchor (Slices.globalOrdinal) and the PROVABLE tolerance
+    // predicate: the merged read errs by < Σ_d ⌈n_d/k⌉ ≤ n/k + D
+    // ranks, so `ok` pins est_v between the exact values at ranks
+    // r ∓ (n div k + D). n and D come off the summary itself (Σw = n
+    // exactly) — the anchor's ordinal pass is the only second fact
+    // scan, and it IS the anchor, not the sketch.
+    "q_agg_quantile_sketch" -> ((s, dir) => {
+      val k = 64
+      val qs = Seq(50, 90, 99)
+      val vals = graft.catalog.Tables.lineitem(s, dir).select(
+        col("l_shipdate").cast("date").as("day"),
+        floor(col("l_extendedprice") * 100).cast("long").as("v"))
+      // summary-sized (≤ D·(k+1) rows); checkpointed: the n/D aggregate
+      // and the merged read both consume it — lazy, each would re-run
+      // the fact-scale per-day rank
+      val summ = quantileSummary(vals, k).localCheckpoint()
+      val nd = summ.agg(sum(col("w")).as("n"), countDistinct(col("day")).as("d"))
+      val ranks = nd
+        .select(explode(array(qs.map(lit): _*)).as("q_pct"), col("n"), col("d"))
+        .withColumn("r", expr("(n * q_pct + 99) div 100"))
+        .withColumn("tol", expr(s"n div $k + d"))
+      val est = quantileMergedRead(summ, ranks.select(col("q_pct"), col("r")))
+      val lookups = ranks.select(col("q_pct"), col("n"), col("r"), col("tol"),
+          explode(array(
+            struct(lit("exact").as("kind"), col("r").as("tr")),
+            struct(lit("lo").as("kind"),
+              greatest(lit(1L), col("r") - col("tol")).as("tr")),
+            struct(lit("hi").as("kind"),
+              least(col("n"), col("r") + col("tol")).as("tr")))).as("lk"))
+        .select(col("q_pct"), col("n"), col("r"), col("tol"),
+          col("lk.kind").as("kind"), col("lk.tr").as("tr"))
+      val looked = Slices.globalOrdinal(vals.select(col("v")), Seq(col("v")), "p0")
+        .withColumn("rn", col("p0") + 1)
+        .join(broadcast(lookups), col("rn") === col("tr"))
+        .groupBy(col("q_pct"), col("n"), col("r"), col("tol"))
+        .agg(max(when(col("kind") === "exact", col("v"))).as("exact_v"),
+          max(when(col("kind") === "lo", col("v"))).as("lo_v"),
+          max(when(col("kind") === "hi", col("v"))).as("hi_v"))
+      looked.join(est.select(col("q_pct"), col("est_v")), Seq("q_pct"))
+        .select(col("q_pct"), col("n"), col("r"), col("tol"), col("est_v"),
+          col("exact_v"), col("lo_v"), col("hi_v"),
+          (col("est_v") >= col("lo_v") && col("est_v") <= col("hi_v")).as("ok"))
+        .orderBy(col("q_pct"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_quantile_sketch" ->
+      """WITH v AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+         ranked AS (SELECT day, v, row_number() OVER (PARTITION BY day ORDER BY v) AS rnk,
+                  count(*) OVER (PARTITION BY day) AS nd FROM v),
+         summ AS (SELECT day, v, rnk, CAST(rnk - ((rnk - 1) // step) * step AS BIGINT) AS w
+                  FROM (SELECT day, v, rnk, nd, (nd + 63) // 64 AS step FROM ranked)
+                  WHERE rnk % step = 0 OR rnk = nd),
+         nd AS (SELECT CAST(sum(w) AS BIGINT) AS n, count(DISTINCT day) AS d FROM summ),
+         ranks AS (SELECT q_pct, n, d, CAST((n * q_pct + 99) // 100 AS BIGINT) AS r,
+                  CAST(n // 64 + d AS BIGINT) AS tol
+                  FROM (SELECT unnest([50, 90, 99]) AS q_pct), nd),
+         cum AS (SELECT v, day, rnk, w,
+                 CAST(sum(w) OVER (ORDER BY v, day, rnk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+                 FROM summ),
+         est AS (SELECT r.q_pct, c.v AS est_v FROM ranks r
+                 JOIN cum c ON c.cw >= r.r AND c.cw - c.w < r.r),
+         ord AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+         looked AS (SELECT r.q_pct, r.n, r.r, r.tol,
+                  max(CASE WHEN o.rn = r.r THEN o.v END) AS exact_v,
+                  max(CASE WHEN o.rn = greatest(1, r.r - r.tol) THEN o.v END) AS lo_v,
+                  max(CASE WHEN o.rn = least(r.n, r.r + r.tol) THEN o.v END) AS hi_v
+                  FROM ranks r JOIN ord o
+                    ON o.rn IN (r.r, greatest(1, r.r - r.tol), least(r.n, r.r + r.tol))
+                  GROUP BY 1, 2, 3, 4)
+         SELECT l.q_pct, l.n, l.r, l.tol, e.est_v, l.exact_v, l.lo_v, l.hi_v,
+                (e.est_v >= l.lo_v AND e.est_v <= l.hi_v) AS ok
+         FROM looked l JOIN est e USING (q_pct) ORDER BY q_pct""",
+
     "q_agg_quantile_rollup" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
                   CAST(l_shipdate AS DATE) AS day FROM lineitem),

@@ -186,4 +186,91 @@ class FreqSpec extends SparkSpec {
       }
     }
   }
+
+  test("grid sketch buckets by FLOOR division: negatives get their own cells") {
+    // advice-12 regression: `div` truncates toward zero, so every v in
+    // (-width, width) shared bucket 0 — a double-width cell breaking the
+    // one-cell containment bound for negative domains (and diverging
+    // from the oracle's floor `//`)
+    import spark.implicits._
+    val vals = Seq(-25L, -10L, -1L, 0L, 1L, 9L, 10L, 25L)
+      .map(("d1", _)).toDF("day", "v")
+    val got = Freq.gridSketch(vals, width = 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // floor semantics: -25,-21..? → bucket -3 {-25}, -2 {-10..-11}? exact:
+    // -25/10 floor = -3; -10 → -1? floor(-10/10) = -1; -1 → -1; 0,1,9 → 0;
+    // 10 → 1; 25 → 2
+    assert(got === Map(-3L -> 1L, -1L -> 2L, 0L -> 3L, 1L -> 1L, 2L -> 1L),
+      s"got $got")
+  }
+
+  test("quantile summary: Σw = n per day, ≤ k+1 rows, weights bounded by step") {
+    import spark.implicits._
+    // adversarial mix: one heavily-skewed day (power-law), one uniform,
+    // one tiny (n < k: every row its own block)
+    val rows =
+      (1 to 997).map(i => ("skew", (math.pow(i, 3) / 7).toLong)) ++
+      (1 to 640).map(i => ("unif", i.toLong * 13 % 1000)) ++
+      (1 to 5).map(i => ("tiny", i.toLong))
+    val vals = rows.toDF("day", "v")
+    val summ = Freq.quantileSummary(vals, k = 64).cache()
+    val perDay = summ.groupBy("day")
+      .agg(sum(col("w")).as("sw"), count(lit(1)).as("rows"), max(col("w")).as("mw"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(perDay("skew")._1 === 997L && perDay("unif")._1 === 640L
+      && perDay("tiny")._1 === 5L, s"per-day weights must sum to n: $perDay")
+    assert(perDay("skew")._2 <= 65 && perDay("unif")._2 <= 65)
+    assert(perDay("tiny")._2 === 5, "n < k day keeps every row at weight 1")
+    assert(perDay("skew")._3 <= 16 && perDay("tiny")._3 === 1L)
+    summ.unpersist()
+  }
+
+  test("quantile merged read: rank error within n/k + D on an adversarial union") {
+    import spark.implicits._
+    val rows =
+      (1 to 997).map(i => ("skew", (math.pow(i, 3) / 7).toLong)) ++
+      (1 to 640).map(i => ("unif", i.toLong * 13 % 1000))
+    val vals = rows.toDF("day", "v").cache()
+    val n = rows.length
+    val k = 64
+    val tol = n / k + 2 // D = 2 days
+    val summ = Freq.quantileSummary(vals, k)
+    val sorted = rows.map(_._2).sorted
+    for (q <- Seq(10, 50, 90, 99)) {
+      val r = (n.toLong * q + 99) / 100
+      val est = Freq.quantileMergedRead(summ,
+          Seq((q, r)).toDF("q_pct", "r"))
+        .collect()(0).getLong(2)
+      val lo = sorted((math.max(1L, r - tol) - 1).toInt)
+      val hi = sorted((math.min(n.toLong, r + tol) - 1).toInt)
+      assert(est >= lo && est <= hi,
+        s"q$q: est $est outside exact-rank tolerance [$lo, $hi] (r=$r tol=$tol)")
+    }
+    vals.unpersist()
+  }
+
+  test("quantile summaries merge by concatenation: disjoint halves ≡ one sketch of the union, within bound") {
+    import spark.implicits._
+    // the mergeability law the operator exists for: sketch each half
+    // under DIFFERENT day keys, union the summary ROWS (no re-bucketing,
+    // no shared domain), and the merged read must still land within the
+    // documented rank tolerance of the union's exact quantile
+    val h1 = (1 to 800).map(i => ("a", i.toLong * 7 % 2000))
+    val h2 = (1 to 700).map(i => ("b", 100000L + i.toLong * 11 % 3000))
+    val s1 = Freq.quantileSummary(h1.toDF("day", "v"), 64)
+    val s2 = Freq.quantileSummary(h2.toDF("day", "v"), 64)
+    val merged = s1.unionAll(s2)
+    val n = h1.length + h2.length
+    val tol = n / 64 + 2
+    val sorted = (h1 ++ h2).map(_._2).sorted
+    for (q <- Seq(50, 95)) {
+      val r = (n.toLong * q + 99) / 100
+      val est = Freq.quantileMergedRead(merged, Seq((q, r)).toDF("q_pct", "r"))
+        .collect()(0).getLong(2)
+      val lo = sorted((math.max(1L, r - tol) - 1).toInt)
+      val hi = sorted((math.min(n.toLong, r + tol) - 1).toInt)
+      assert(est >= lo && est <= hi,
+        s"q$q: merged-half est $est outside [$lo, $hi]")
+    }
+  }
 }
