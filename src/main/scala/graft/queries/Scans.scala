@@ -98,6 +98,9 @@ object Scans {
           case "orc" => w.orc(out.toString)
           case "xml" => w.option("rowTag", "event").option("rootTag", "events")
             .xml(out.toString)
+          // no spark-avro datasource in this distribution — the engine's
+          // own container-file sink (per-partition imperative encoder)
+          case "avro" => graft.sources.AvroSource.write(flat, out.toString)
         }
       }
     }
@@ -203,6 +206,16 @@ object Scans {
     "q_scan_xml" -> ((s, dir) => exportAgg(
       graft.sources.Sources.readXml(s, exportedEvents(s, dir, "xml"),
         eventExportSchema, rowTag = "event").clean)),
+
+    // Avro sibling — the row-oriented binary interchange format,
+    // round-tripped through the engine's OWN container-file source
+    // (AvroSource: avro core is on the classpath, the spark-avro
+    // datasource module is not — see AvroSource scaladoc). Explicit
+    // schema picks fields by name from each file's self-describing
+    // writer schema.
+    "q_scan_avro" -> ((s, dir) => exportAgg(
+      graft.sources.AvroSource.read(s, exportedEvents(s, dir, "avro"),
+        eventExportSchema))),
 
     // Schema evolution ON READ: a directory whose older parquet files
     // predate the `value` column, unioned with newer ones via
@@ -448,6 +461,17 @@ object Scans {
          ORDER BY 1""",
 
     "q_scan_xml" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+                epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
+         FROM events
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "q_scan_avro" ->
       """SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

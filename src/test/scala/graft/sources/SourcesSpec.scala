@@ -62,4 +62,34 @@ class SourcesSpec extends SparkSpec {
       || plan.contains("EqualTo(o_orderkey,4242)"),
       s"expected key pushdown into the ORC scan:\n$plan")
   }
+
+  test("avro: lossless round trip incl. nulls; by-name projection and add-column evolution") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("avro_rt").toString
+    val df = Seq(
+      (1L, Some(1.5), "a", Some(true)),
+      (2L, None, "b", Some(false)),
+      (3L, Some(-0.25), "", None))
+      .toDF("id", "score", "tag", "flag")
+    graft.sources.AvroSource.write(df, s"$dir/t1")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t1/_SUCCESS")))
+    val back = graft.sources.AvroSource.read(spark, s"$dir/t1", df.schema)
+    assert(back.schema === df.schema)
+    assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet,
+      "avro round trip must be lossless, nulls included")
+    // by-name projection: a narrower reader schema reads only its fields
+    val narrow = StructType(Seq(StructField("tag", StringType),
+      StructField("id", LongType)))
+    val proj = graft.sources.AvroSource.read(spark, s"$dir/t1", narrow)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(proj === Set(("a", 1L), ("b", 2L), ("", 3L)))
+    // add-column evolution: a reader schema with a field the writer never
+    // had surfaces it as null (the mergeSchema analog, by name)
+    val wider = StructType(df.schema.fields :+ StructField("added", LongType))
+    val evo = graft.sources.AvroSource.read(spark, s"$dir/t1", wider)
+    assert(evo.filter(org.apache.spark.sql.functions.col("added").isNotNull)
+      .count() === 0)
+    assert(evo.count() === 3)
+  }
 }
