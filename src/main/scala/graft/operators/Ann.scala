@@ -837,6 +837,29 @@ object Ann {
     * pruning, and rerank hash-exactly. AnnSpec pins the recall floor vs
     * the exact top-k (15/15 at sf0.001 post-diversification, up from
     * 14/15 with fixed entries). */
+  /** Double-fold cosine over (float array, double array) — the portable
+    * routing algebra the DuckDB list_zip/list_sum oracle mirrors (the
+    * native graft_cosine kernel is float-array-typed on both sides). */
+  private def cosD(a: Column, b: Column): Column = {
+    def dotD(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+  }
+
+  /** Per-label 4dp centroids (route, centroid) — the portable codebook
+    * recipe q_ann_ivf proves (round(avg, 4) is bit-identical across
+    * engines), shared by the routed-entry and filtered-search queries. */
+  private def labelCents(corpusL: DataFrame): DataFrame =
+    corpusL
+      .select(col("label"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 4).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("route"),
+        transform(col("pm"), _.getField("m")).as("centroid"))
+
   private def graphAnnOracleQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
@@ -847,21 +870,7 @@ object Ann {
     val corpus = corpusL.select($"cand_id", $"cv")
     val index = memo(s, dir, "graphAnnEdgesDiv")(
       graphAnnIndexDiversified(corpus, gR, gAlpha, gWindow))
-    // per-label 4dp centroids + per-label medoids — the same portable
-    // centroid recipe q_ann_ivf proves (round(avg, 4) is bit-identical
-    // across engines; routing cosines via the double HOF fold)
-    def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    def cosD(a: Column, b: Column): Column =
-      dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
-    val cents = corpusL
-      .select($"label", posexplode($"cv").as(Seq("pos", "x")))
-      .groupBy($"label", $"pos")
-      .agg(round(avg($"x"), 4).as("m"))
-      .groupBy($"label")
-      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-      .select($"label".as("route"), transform($"pm", _.getField("m")).as("centroid"))
+    val cents = labelCents(corpusL)
     val med = corpusL.join(broadcast(cents), $"label" === $"route")
       .select($"route", $"cand_id", round(cosD($"cv", $"centroid"), 4).as("mcos"))
       .withColumn("rn", row_number().over(
@@ -877,6 +886,55 @@ object Ann {
     val entries = routed.join(broadcast(med), "route")
       .select($"probe_id", $"cand_id").distinct()
     graphAnnSearch(probes, corpus, index, entries, gBeam, gHops, gK)
+  }
+
+  /** q_ann_filtered: metadata-FILTERED vector search — the similarity
+    * tier's real-workload composition (every production vector store
+    * serves "nearest neighbors WHERE predicate"): each probe searches
+    * only candidates whose label satisfies a per-probe predicate
+    * (label ≡ probe_id mod 2 here — a per-tenant/per-language filter
+    * shape). The predicate composes with IVF routing as CELL-LEVEL
+    * PRUNING: because the filter is on the partition key (label = the
+    * routing cell), disallowed cells are dropped BEFORE routing ranks
+    * them — the pre-filter strategy, strictly cheaper than post-filter
+    * over-fetch whenever the predicate aligns with the coarse quantizer
+    * (at 100 TB: the filter never touches a disallowed cell's data at
+    * all; a non-aligned predicate would instead push into the candidate
+    * scan below, still ahead of the rank). Exact cosine rank inside the
+    * routed cells, top-3 per probe. */
+  private def filteredOracleQuery(s: SparkSession, dir: String): DataFrame =
+    filteredSearch(s, dir, nprobe = 2)
+
+  /** The filtered-search pipeline with the recall lever exposed:
+    * OperatorsSpec pins that at nprobe = #allowed cells the result
+    * EQUALS the filtered brute force (the cell partition is exhaustive,
+    * so full routing is exact — the approximation lives entirely in
+    * WHICH cells are probed, never in the in-cell rank). */
+  private[operators] def filteredSearch(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+    val corpusL = e.filter($"vec_id" >= 5)
+      .select($"vec_id".as("cand_id"), $"label", $"embedding".as("cv"))
+    val cents = labelCents(corpusL)
+    val routed = probes.crossJoin(broadcast(cents))
+      .filter(pmod($"route", lit(2)) === pmod($"probe_id", lit(2)))
+      .select($"probe_id", $"pv", $"route",
+        round(cosD($"pv", $"centroid"), 4).as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"ccos".desc, $"route")))
+      .filter($"crn" <= nprobe)
+      .select($"probe_id", $"pv", $"route")
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id")
+    corpusL.join(broadcast(routed), $"label" === $"route")
+      .select($"probe_id", $"cand_id", $"label",
+        round(Sim.cosine($"pv", $"cv"), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"probe_id", $"cand_id", $"label", $"cos", $"rn".cast("int").as("rn"))
+      .orderBy($"probe_id", $"rn")
   }
 
   private val dR = 8; private val dRounds = 2
@@ -906,7 +964,8 @@ object Ann {
     "q_ann_pq" -> ((s, dir) => pqOracleQuery(s, dir)),
     "q_ann_ivfpq" -> ((s, dir) => ivfpqOracleQuery(s, dir)),
     "q_ann_graph" -> ((s, dir) => graphAnnOracleQuery(s, dir)),
-    "q_ann_descent" -> ((s, dir) => descentOracleQuery(s, dir))
+    "q_ann_descent" -> ((s, dir) => descentOracleQuery(s, dir)),
+    "q_ann_filtered" -> ((s, dir) => filteredOracleQuery(s, dir))
   )
 
   private val dotSql =
@@ -1014,6 +1073,37 @@ object Ann {
   val oracle: Map[String, String] = Map(
     "q_ann_descent" -> descentSql,
     "q_ann_graph" -> graphAnnSql,
+    "q_ann_filtered" ->
+      s"""WITH probes AS (
+            SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+          corpus AS (
+            SELECT vec_id AS cand_id, label, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+          tall AS (
+            SELECT label, unnest(cv) AS x, unnest(range(len(cv))) AS pos FROM corpus),
+          cent AS (
+            SELECT label AS route, list(m ORDER BY pos) AS centroid
+            FROM (SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 4) AS m
+                  FROM tall GROUP BY 1, 2)
+            GROUP BY label),
+          routed AS (
+            SELECT probe_id, pv, route,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, route) AS crn
+            FROM (SELECT p.probe_id, p.pv, c.route,
+                         round(${dotSql.format("p.pv", "c.centroid")}
+                               / (sqrt(${normSql("p.pv")}) * sqrt(${normSql("c.centroid")})), 4) AS ccos
+                  FROM probes p, cent c
+                  WHERE c.route % 2 = p.probe_id % 2)),
+          cand AS (
+            SELECT r.probe_id, c.cand_id, c.label,
+                   round(${dotSql.format("r.pv", "c.cv")}
+                         / (sqrt(${normSql("r.pv")}) * sqrt(${normSql("c.cv")})), 4) AS cos
+            FROM routed r JOIN corpus c ON c.label = r.route
+            WHERE r.crn <= 2)
+          SELECT probe_id, cand_id, label, cos, CAST(rn AS INT) AS rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+            FROM cand)
+          WHERE rn <= 3
+          ORDER BY probe_id, rn""",
     "q_ann_ivf" ->
       s"""WITH probes AS (
             SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),

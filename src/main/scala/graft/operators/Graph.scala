@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Tables._
@@ -415,6 +416,83 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Fixed-round synchronous label propagation [Raghavan et al., Phys.
+    * Rev. E'07] — community detection as the graph tier's clustering
+    * member (components finds CONNECTED structure; LPA finds DENSE
+    * structure inside one component): every node starts as its own
+    * label, and each round adopts the most frequent label among its
+    * neighbors (ties → smallest label — fully deterministic, so the
+    * rule is independent of update order and an unrolled SQL oracle
+    * reproduces the fixpoint exactly). Fixed round count, not
+    * convergence-tested — synchronous LPA can two-cycle on bipartite
+    * structure, and a fixed count is what the oracle can mirror (the
+    * pagerank/kcore contract).
+    *
+    * Loop discipline = kcorePeel's: the node-count-sized label frame is
+    * materialized per round and either broadcast into the edge join
+    * (default — edges never shuffle) or shuffle-joined
+    * (`broadcastLabels = false`, the nodes-too-big-to-broadcast
+    * fallback; GraphSpec pins arm equality). The per-round aggregate is
+    * a two-level hash agg on (node, label) — hub nodes partial-aggregate
+    * map-side exactly as kcore's degree count does.
+    *
+    * @return (lbl, n_members) — the k largest communities after
+    *         `rounds`, ordered by size desc then label. */
+  def labelPropagate(edges: DataFrame, rounds: Int, k: Int,
+      broadcastLabels: Boolean = true): DataFrame = {
+    require(rounds >= 1 && k >= 1, s"need rounds/k >= 1, got $rounds $k")
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    var lbl = sym.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val labeled = lbl.select(col("v").as("b"), col("lbl"))
+      val nl = if (broadcastLabels) sym.join(broadcast(labeled), "b")
+               else sym.join(labeled, "b")
+      val next = nl.groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("a").as("v"), col("lbl"))
+        .localCheckpoint()
+      releaseCheckpoint(lbl)
+      lbl = next
+    }
+    lbl.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("lbl"))
+      .limit(k)
+  }
+
+  private val lpaRounds = 3
+  private val lpaTopK = 20
+
+  /** q_graph_labelprop's oracle: the propagation unrolled round by round
+    * (rounds is a compile-time constant; MATERIALIZED for the same
+    * re-reference reason as kcoreSql). */
+  private def labelPropSql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e0 AS MATERIALIZED (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) x
+        JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) y
+          ON x.ok = y.ok AND x.p < y.p)""",
+      "sym AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)",
+      "l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lbl FROM sym)")
+    for (h <- 1 to lpaRounds) {
+      ctes += s"""l$h AS MATERIALIZED (SELECT v, lbl FROM (
+        SELECT s.a AS v, l.lbl, count(*) AS c,
+               row_number() OVER (PARTITION BY s.a ORDER BY count(*) DESC, l.lbl) AS rn
+        FROM sym s JOIN l${h - 1} l ON l.v = s.b
+        GROUP BY s.a, l.lbl) WHERE rn = 1)"""
+    }
+    "WITH " + ctes.mkString(",\n") + s"""
+     SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+     FROM l$lpaRounds
+     GROUP BY lbl ORDER BY n_members DESC, lbl LIMIT $lpaTopK"""
+  }
+
   // ------------------------------------------------- neighbor-set Jaccard
 
   /** id-domain bound of the packed pair key: v1·packBase + v2 holds two
@@ -653,6 +731,13 @@ object Graph {
     "q_graph_kcore" -> ((s, dir) =>
       kcorePeel(jaccardSliceEdges(s, dir), kcoreK, kcoreRounds)),
 
+    // Community detection over the SAME %16-slice co-purchase graph:
+    // 3 synchronous label-propagation rounds, top-20 communities by
+    // size. Completes the graph tier's clustering story (components =
+    // connectivity, LPA = density).
+    "q_graph_labelprop" -> ((s, dir) =>
+      labelPropagate(jaccardSliceEdges(s, dir), lpaRounds, lpaTopK)),
+
     "q_graph_pagerank" -> ((s, dir) =>
       pagerank(partSupplierEdges(s, dir), prIters, prMass)
         .select(col("node").as("node_id"),
@@ -714,6 +799,7 @@ object Graph {
     "q_sql_recursive" -> recursiveBfsSql("lineitem"),
 
     "q_graph_kcore" -> kcoreSql,
+    "q_graph_labelprop" -> labelPropSql,
 
     "q_graph_jaccard" ->
       """WITH e AS MATERIALIZED (

@@ -204,6 +204,28 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kcorePeel(e, k = 4, rounds = 3).count() === 0)
   }
 
+  test("labelPropagate: two planted cliques converge to two communities; arms agree") {
+    import spark.implicits._
+    // two 5-cliques bridged by one edge: after 3 rounds each clique
+    // carries one label and the bridge doesn't merge them
+    val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val e = (cliqueA ++ cliqueB :+ (4L, 10L)).toDF("a", "b")
+    val got = Graph.labelPropagate(e, rounds = 3, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 2, s"expected 2 communities, got ${got.toSeq}")
+    assert(got.map(_._2).sum === 10L, "every node belongs to exactly one community")
+    assert(got.forall(_._2 >= 5), s"clique communities must hold: ${got.toSeq}")
+    // shuffle fallback = broadcast arm, row for row
+    val sh = Graph.labelPropagate(e, rounds = 3, k = 10, broadcastLabels = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq === sh.toSeq)
+    // determinism: a second run is identical (the tie rule is total)
+    val again = Graph.labelPropagate(e, rounds = 3, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("kcorePeel: broadcastKeep=false shuffle fallback peels identically") {
     import spark.implicits._
     // dense-ish random graph so several rounds actually drop nodes on

@@ -655,6 +655,45 @@ class OperatorsSpec extends SparkSpec {
     assert(mean >= 0.60, f"ADC mean exact-IP percentile $mean%.3f < 0.60 (measured 0.76)")
   }
 
+  test("ANN: filtered search never violates the predicate and matches filtered brute force in routed cells") {
+    val got = Ann.queries("q_ann_filtered")(spark, sf()).cache()
+    // hard correctness: zero candidates outside the probe's allowed labels
+    assert(got.filter(pmod(col("label"), lit(2)) =!= pmod(col("probe_id"), lit(2)))
+      .count() === 0, "a filtered-search candidate violated the predicate")
+    // every probe gets exactly 3 ranked rows
+    assert(got.groupBy("probe_id").count().filter(col("count") =!= 3).count() === 0)
+    // filtered exact top-3: brute force restricted to allowed labels
+    val e = embs
+    val exact = Ann.bruteForceTopK(
+      e.filter(col("vec_id") < 5),
+      e.filter(col("vec_id") >= 5), 1000)
+      .join(e.select(col("vec_id").as("cand_id"), col("label")), "cand_id")
+      .filter(pmod(col("label"), lit(2)) === pmod(col("probe_id"), lit(2)))
+      .withColumn("frn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("frn") <= 3)
+      .select(col("probe_id"), col("cand_id")).cache()
+    // nprobe=2 of 5 allowed cells on a STRUCTURELESS corpus: recall
+    // tracks the scanned fraction (the documented ivf nprobe trade) —
+    // measured 5/15; floor with slack
+    val nEx = exact.count()
+    val hit = exact.join(got.select(col("probe_id"), col("cand_id")),
+      Seq("probe_id", "cand_id")).count()
+    assert(hit.toDouble / nEx >= 4.0 / 15.0,
+      s"filtered recall $hit/$nEx below the nprobe=2 floor (measured 5/15)")
+    // THE correctness property: at nprobe = all 5 allowed cells the cell
+    // partition is exhaustive, so the filtered search must EQUAL the
+    // filtered brute force — the approximation lives entirely in WHICH
+    // cells are probed, never in the in-cell rank
+    val full = Ann.filteredSearch(spark, sf(), nprobe = 5)
+      .select(col("probe_id"), col("cand_id"))
+    assert(full.count() === nEx &&
+      exact.join(full, Seq("probe_id", "cand_id")).count() === nEx,
+      "full-nprobe filtered search must equal the filtered brute force")
+    exact.unpersist(); got.unpersist()
+  }
+
   test("ANN: alphaPrune keeps the closest edge, caps degree, and every kept edge is unoccluded") {
     import spark.implicits._
     import graft.queries.Sim
