@@ -447,6 +447,45 @@ object ScaleProbe {
       }
     }
 
+    // round-13: domain-free quantile summaries at scale — two questions.
+    // (1) Day-partitioned build: replicas shift days, so the day count
+    // grows m× while per-day size is fixed — build wall must track the
+    // fact scan (near-linear) and the merged read must stay
+    // summary-bounded (≤ D·(k+1) rows — it grows m× but stays tiny).
+    // (2) The documented per-key assumption, measured honestly: ALL rows
+    // on ONE day forces the per-day rank through a single task — the
+    // degradation that note warns about, quantified (heavy keys take the
+    // Slices decomposition instead).
+    if (want("quantile_sketch")) {
+      import graft.operators.Freq
+      def valsOf(m: Int) = (0 until m).map { i =>
+        li0.select(date_add(col("l_shipdate").cast("date"), i * 10000).as("day"),
+          floor(col("l_extendedprice") * 100).cast("long").as("v"))
+      }.reduce(_ unionAll _)
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      Freq.quantileSummary(valsOf(1), 64).count() // warm
+      Seq(1, 4, 16).foreach { m =>
+        val vals = valsOf(m).localCheckpoint()
+        val n = vals.count()
+        var summ: org.apache.spark.sql.DataFrame = null
+        val tBuild = time {
+          summ = Freq.quantileSummary(vals, 64).localCheckpoint()
+        }
+        val sRows = summ.count()
+        val ranks = spark.range(1).select(lit(50).as("q_pct"),
+          lit(n / 2).as("r"))
+        val tRead = time(Freq.quantileMergedRead(summ, ranks).count())
+        // the fat-key arm: same rows, ONE day
+        val fat = vals.select(lit("d0").as("day"), col("v"))
+        val tFat = time(Freq.quantileSummary(fat, 64).count())
+        graft.util.Frames.releaseCheckpoint(summ)
+        graft.util.Frames.releaseCheckpoint(vals)
+        println(f"""{"probe":"quantile_sketch","mult":$m,"rows":$n,"summary_rows":$sRows,"build_sec":$tBuild%.2f,"read_sec":$tRead%.2f,"fat_day_build_sec":$tFat%.2f}""")
+      }
+    }
+
     // round-13: k-core peel under hub skew — the fixture slice graph,
     // replicated with disjoint id spaces so edges grow m×, PLUS one
     // synthetic hub whose degree grows m·500 (the jaccard_hub Zipf-apex
