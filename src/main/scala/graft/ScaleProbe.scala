@@ -521,6 +521,7 @@ object ScaleProbe {
           graft.operators.Graph.kcorePeel(g, 3, 4, broadcastKeep = false).count())
         assert(survBc == survSh,
           s"broadcast and shuffle peels must agree at mult=$m: $survBc vs $survSh")
+        graft.util.Frames.releaseCheckpoint(g)
         println(f"""{"probe":"kcore_fallback","mult":$m,"edges":$n,"hub_degree":${m * 500},"survivors":$survBc,"broadcast_sec":$tBc%.2f,"shuffle_sec":$tSh%.2f}""")
       }
     }

@@ -720,7 +720,7 @@ object Ann {
   /** [[graphAnnSearch]] with PER-PROBE entry routing: `entries`
     * (probe_id, cand_id) seeds each probe's frontier individually —
     * the bulk form of HNSW's upper-layer descent, with the router
-    * (IVF centroids → medoids, [[routedEntries]]) standing in for the
+    * (IVF centroids → medoids, [[codebookEntries]]) standing in for the
     * layer hierarchy. Fixed global entries force every probe to walk
     * from the same corner of the graph — the measured failure mode as
     * the corpus grows (round-12: 14/15 → 13/15 recall at 4×); routed
@@ -783,25 +783,57 @@ object Ann {
     * @return (probe_id, cand_id) — ≤ nprobe entries per probe (distinct:
     *         two cells can share a medoid). */
   def codebookEntries(probes: DataFrame, corpus: DataFrame,
-      codebook: Seq[(Int, Seq[Float])], nprobe: Int): DataFrame = {
-    require(codebook.nonEmpty && nprobe >= 1 && nprobe <= codebook.size,
-      s"need 1 <= nprobe <= |codebook|, got $nprobe of ${codebook.size}")
-    def scoresFor(vec: Column) = array(codebook.map { case (id, v) =>
+      codebook: Seq[(Int, Seq[Float])], nprobe: Int): DataFrame =
+    codebookRoute(probes, codebook, nprobe)
+      .join(broadcast(medoidsOf(corpus, codebook)), "cluster")
+      .select(col("probe_id"), col("cand_id")).distinct()
+
+  /** Per-row array of (cosine, cluster) structs against a broadcast-size
+    * codebook — one narrow expression, shared by routing and medoid
+    * selection. */
+  private def cbScores(codebook: Seq[(Int, Seq[Float])])(vec: Column): Column =
+    array(codebook.map { case (id, v) =>
       struct(coalesce(Sim.cosine(vec, typedlit(v)), lit(-2.0)).as("cos"),
         lit(id).as("cluster"))
     }: _*)
-    val med = corpus
-      .select(col("cand_id"), explode(scoresFor(col("cv"))).as("s"))
+
+  /** (probe_id, cluster) — each probe's nprobe nearest cells; narrow. */
+  def codebookRoute(probes: DataFrame, codebook: Seq[(Int, Seq[Float])],
+      nprobe: Int): DataFrame = {
+    require(codebook.nonEmpty && nprobe >= 1 && nprobe <= codebook.size,
+      s"need 1 <= nprobe <= |codebook|, got $nprobe of ${codebook.size}")
+    probes
+      .withColumn("rt",
+        explode(slice(reverse(array_sort(cbScores(codebook)(col("pv")))), 1, nprobe)))
+      .select(col("probe_id"), col("rt.cluster").as("cluster"))
+  }
+
+  /** (cluster, cand_id) — each cell's MEDOID (the corpus vector most
+    * similar to its centroid: an actual graph node, which a centroid is
+    * not). ONE corpus pass (n·k exploded rows + a k-partition window) —
+    * compute it where corpus-sized work belongs (router build /
+    * maintenance) and persist; the per-batch arrival path reads the
+    * stored medoids instead ([[graft.streaming.StreamOps]]'s router). */
+  def medoidsOf(corpus: DataFrame, codebook: Seq[(Int, Seq[Float])]): DataFrame = {
+    require(codebook.nonEmpty, "medoidsOf needs a nonempty codebook")
+    corpus
+      .select(col("cand_id"), explode(cbScores(codebook)(col("cv"))).as("s"))
       .select(col("cand_id"), col("s.cluster").as("cluster"), col("s.cos").as("ccos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("ccos").desc, col("cand_id"))))
       .filter(col("rn") === 1)
       .select(col("cluster"), col("cand_id"))
-    probes
-      .withColumn("rt",
-        explode(slice(reverse(array_sort(scoresFor(col("pv")))), 1, nprobe)))
-      .select(col("probe_id"), col("rt.cluster").as("cluster"))
-      .join(broadcast(med), "cluster")
+  }
+
+  /** Per-probe entries from PRE-COMPUTED medoids — the batch-sized form
+    * of [[codebookEntries]] (no corpus pass at all: probes score k
+    * centroids narrowly, the cluster→medoid map is k rows). */
+  def storedMedoidEntries(probes: DataFrame, codebook: Seq[(Int, Seq[Float])],
+      medoids: Seq[(Int, Long)], nprobe: Int): DataFrame = {
+    require(medoids.nonEmpty, "storedMedoidEntries needs stored medoids")
+    import probes.sparkSession.implicits._
+    codebookRoute(probes, codebook, nprobe)
+      .join(broadcast(medoids.toDF("cluster", "cand_id")), "cluster")
       .select(col("probe_id"), col("cand_id")).distinct()
   }
 
@@ -824,19 +856,6 @@ object Ann {
       (build: => DataFrame): DataFrame =
     graft.util.Memo.benchMemo(s, dir, "ann:" + what)(build)
 
-  /** q_ann_graph: diversified build ([[graphAnnIndexDiversified]]:
-    * exact kNN window → α-occlusion prune) + per-probe routed entries
-    * (per-label 4dp centroids → medoids — the q_ann_ivf router reused
-    * as the entry layer) + [[graphAnnSearch]], on the shared fixture
-    * split; corpus bounded to vec_id ∈ [5, 500) on the ORACLE's account
-    * (a no-op at sf ≤ 0.01; DuckDB pays the full O(n²) build — the
-    * engine does too here, by choice of builder, but its search cost is
-    * parameter-bounded). Scores ride the graft_cosine kernel at 4dp and
-    * the prune inequality is pure e4-integer arithmetic — so the
-    * unrolled-CTE oracle reproduces build, prune, routing, hops, beam
-    * pruning, and rerank hash-exactly. AnnSpec pins the recall floor vs
-    * the exact top-k (15/15 at sf0.001 post-diversification, up from
-    * 14/15 with fixed entries). */
   /** Double-fold cosine over (float array, double array) — the portable
     * routing algebra the DuckDB list_zip/list_sum oracle mirrors (the
     * native graft_cosine kernel is float-array-typed on both sides). */
@@ -860,6 +879,48 @@ object Ann {
       .select(col("label").as("route"),
         transform(col("pm"), _.getField("m")).as("centroid"))
 
+  /** (route, cand_id) — each label cell's medoid under the portable
+    * routing cosine; shared by the routed-entry and filtered queries. */
+  private def labelMedoids(corpusL: DataFrame, cents: DataFrame): DataFrame =
+    corpusL.join(broadcast(cents), col("label") === col("route"))
+      .select(col("route"), col("cand_id"),
+        round(cosD(col("cv"), col("centroid")), 4).as("mcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("route")).orderBy(col("mcos").desc, col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("route"), col("cand_id"))
+
+  /** (probe_id, pv, route) — each probe's nprobe nearest label cells by
+    * the portable routing cosine; `pred` restricts the cells BEFORE
+    * ranking (cell-level predicate pruning — the filtered query's
+    * device). One copy of the recipe the DuckDB oracles mirror: a drift
+    * in the 4dp rounding or the (ccos desc, route) tie-break breaks
+    * oracle hash-parity, so it must not be re-spelled per call site. */
+  private def routedCells(probes: DataFrame, cents: DataFrame, nprobe: Int,
+      pred: Option[Column] = None): DataFrame = {
+    val crossed = probes.crossJoin(broadcast(cents))
+    pred.fold(crossed)(crossed.filter)
+      .select(col("probe_id"), col("pv"), col("route"),
+        round(cosD(col("pv"), col("centroid")), 4).as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("ccos").desc, col("route"))))
+      .filter(col("crn") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("route"))
+  }
+
+  /** q_ann_graph: diversified build ([[graphAnnIndexDiversified]]:
+    * exact kNN window → α-occlusion prune) + per-probe routed entries
+    * (per-label 4dp centroids → medoids — the q_ann_ivf router reused
+    * as the entry layer) + [[graphAnnSearch]], on the shared fixture
+    * split; corpus bounded to vec_id ∈ [5, 500) on the ORACLE's account
+    * (a no-op at sf ≤ 0.01; DuckDB pays the full O(n²) build — the
+    * engine does too here, by choice of builder, but its search cost is
+    * parameter-bounded). Scores ride the graft_cosine kernel at 4dp and
+    * the prune inequality is pure e4-integer arithmetic — so the
+    * unrolled-CTE oracle reproduces build, prune, routing, hops, beam
+    * pruning, and rerank hash-exactly. OperatorsSpec pins the recall
+    * floor vs the exact top-k (15/15 at sf0.001 post-diversification,
+    * up from 14/15 with fixed entries). */
   private def graphAnnOracleQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
@@ -871,19 +932,8 @@ object Ann {
     val index = memo(s, dir, "graphAnnEdgesDiv")(
       graphAnnIndexDiversified(corpus, gR, gAlpha, gWindow))
     val cents = labelCents(corpusL)
-    val med = corpusL.join(broadcast(cents), $"label" === $"route")
-      .select($"route", $"cand_id", round(cosD($"cv", $"centroid"), 4).as("mcos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"route").orderBy($"mcos".desc, $"cand_id")))
-      .filter($"rn" === 1)
-      .select($"route", $"cand_id")
-    val routed = probes.crossJoin(broadcast(cents))
-      .select($"probe_id", $"route", round(cosD($"pv", $"centroid"), 4).as("ccos"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy($"probe_id").orderBy($"ccos".desc, $"route")))
-      .filter($"crn" <= gNprobe)
-      .select($"probe_id", $"route")
-    val entries = routed.join(broadcast(med), "route")
+    val entries = routedCells(probes, cents, gNprobe)
+      .join(broadcast(labelMedoids(corpusL, cents)), "route")
       .select($"probe_id", $"cand_id").distinct()
     graphAnnSearch(probes, corpus, index, entries, gBeam, gHops, gK)
   }
@@ -919,14 +969,8 @@ object Ann {
     val corpusL = e.filter($"vec_id" >= 5)
       .select($"vec_id".as("cand_id"), $"label", $"embedding".as("cv"))
     val cents = labelCents(corpusL)
-    val routed = probes.crossJoin(broadcast(cents))
-      .filter(pmod($"route", lit(2)) === pmod($"probe_id", lit(2)))
-      .select($"probe_id", $"pv", $"route",
-        round(cosD($"pv", $"centroid"), 4).as("ccos"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy($"probe_id").orderBy($"ccos".desc, $"route")))
-      .filter($"crn" <= nprobe)
-      .select($"probe_id", $"pv", $"route")
+    val routed = routedCells(probes, cents, nprobe,
+      pred = Some(pmod($"route", lit(2)) === pmod($"probe_id", lit(2))))
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id")
     corpusL.join(broadcast(routed), $"label" === $"route")
       .select($"probe_id", $"cand_id", $"label",

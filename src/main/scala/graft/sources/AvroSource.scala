@@ -60,12 +60,26 @@ object AvroSource {
   }
 
   /** Write `df` as a directory of avro container files (one per
-    * partition, skipping empty partitions) + `_SUCCESS`. */
+    * partition, skipping empty partitions) + `_SUCCESS`. OVERWRITE
+    * semantics like every sibling format writer: pre-existing part
+    * files and `_SUCCESS` are deleted first — a crashed earlier attempt
+    * rerun at different parallelism would otherwise leave orphan
+    * part files that `read`'s glob folds back in as duplicate rows. */
   def write(df: DataFrame, path: String): Unit = {
     val sparkSchema = df.schema
     val avroJson = avroSchemaFor(sparkSchema).toString
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
+    val old = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      old.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith("part-") && n.endsWith(".avro")) || n == "_SUCCESS"
+        }
+        .toSeq.foreach(java.nio.file.Files.delete)
+    } finally old.close()
     val written = df.rdd.mapPartitionsWithIndex { (i, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {

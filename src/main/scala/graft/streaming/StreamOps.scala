@@ -445,38 +445,56 @@ object StreamOps {
 
   private def routerPath(edgeDir: String) = s"$edgeDir/_router"
 
-  /** Persist the entry router: a k-means codebook over `vecs`, written
-    * under `edgeDir/_router` — the underscore prefix makes it invisible
-    * to the edge store's own parquet reads (Spark/Hadoop hide _-prefixed
-    * paths from listing and partition discovery), so the router can live
-    * INSIDE the store it serves and travel with it. Tiny by definition
-    * (k·dim floats); overwrite-idempotent for replays. */
+  /** Persist the entry router: a k-means codebook over `vecs` PLUS each
+    * cell's medoid id, written under `edgeDir/_router` — the underscore
+    * prefix makes it invisible to the edge store's own parquet reads
+    * (Spark/Hadoop hide _-prefixed paths from listing and partition
+    * discovery), so the router can live INSIDE the store it serves and
+    * travel with it. Medoids are computed HERE — the one corpus pass —
+    * precisely so the per-batch path never pays it: [[entriesFor]] reads
+    * them back and routes probes with k narrow centroid scores + a
+    * k-row join. Tiny by definition (k·(dim floats + one id));
+    * overwrite-idempotent for replays. */
   private def writeRouter(spark: org.apache.spark.sql.SparkSession,
       edgeDir: String, vecs: DataFrame, k: Int = 8, iters: Int = 2): Unit = {
     import spark.implicits._
-    val cb = graft.operators.Ann.kmeans(
-      vecs.select(col("cand_id").as("vec_id"), col("cv").as("embedding")),
+    import graft.operators.Ann
+    val corpus = vecs.select(col("cand_id"), col("cv"))
+    val cb = Ann.kmeans(
+      corpus.select(col("cand_id").as("vec_id"), col("cv").as("embedding")),
       k, iters)
-    cb.toDF("cluster", "centroid").coalesce(1)
+    val med = Ann.medoidsOf(corpus, cb).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cb.map { case (c, cent) => (c, cent, med(c)) }
+      .toDF("cluster", "centroid", "medoid").coalesce(1)
       .write.mode("overwrite").parquet(routerPath(edgeDir))
   }
 
-  /** Read the persisted router back as a driver-side codebook (k rows). */
+  /** Read the persisted router back driver-side: k rows of
+    * (cluster, centroid, medoid id). */
   private def readRouter(spark: org.apache.spark.sql.SparkSession,
-      edgeDir: String): Option[Seq[(Int, Seq[Float])]] =
+      edgeDir: String): Option[Seq[(Int, Seq[Float], Long)]] =
     tryReadParquet(spark, routerPath(edgeDir)).map(
-      _.collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1))
+      _.collect().map(r => (r.getInt(0), r.getSeq[Float](1), r.getLong(2)))
+        .toSeq.sortBy(_._1))
 
-  /** Per-probe routed entries from the persisted router (medoids of each
-    * probe's nearest cells — Ann.codebookEntries); a store predating the
-    * router (or whose router was lost) falls back to the corpus's
-    * smallest 4 ids for every probe, the original fixed-spread contract. */
+  /** Per-probe routed entries from the persisted router — BATCH-SIZED by
+    * construction (probes score k centroids narrowly; the cluster→medoid
+    * map is the router's own k stored rows — no corpus pass, keeping the
+    * arrival path's "never corpus-sized" contract). A store predating
+    * the router (or whose router was lost) falls back to the corpus's
+    * smallest 4 ids for every probe, the original fixed-spread
+    * contract. A stored medoid absent from the current corpus view (a
+    * replay whose own batch contains it) merely contributes no scored
+    * entry row — the search proceeds from the remaining entries. */
   private def entriesFor(spark: org.apache.spark.sql.SparkSession,
       edgeDir: String, probes: DataFrame, corpus: DataFrame): DataFrame =
     readRouter(spark, edgeDir) match {
-      case Some(cb) =>
-        graft.operators.Ann.codebookEntries(probes, corpus, cb,
-          math.min(8, cb.size))
+      case Some(router) =>
+        graft.operators.Ann.storedMedoidEntries(probes,
+          router.map { case (c, cent, _) => (c, cent) },
+          router.map { case (c, _, m) => (c, m) },
+          math.min(8, router.size))
       case None =>
         corpus.select(col("cand_id")).orderBy(col("cand_id")).limit(4)
           .crossJoin(probes.select(col("probe_id")))
@@ -544,9 +562,9 @@ object StreamOps {
     Layout.compact(edges, s"$outEdgeDir/batch_id=$CompactBatchId",
       targetFileRows, sortCols = Seq("src"))
     if (refreshRouter) writeRouter(spark, outEdgeDir, vecs)
-    else readRouter(spark, edgeDir).foreach { cb =>
+    else readRouter(spark, edgeDir).foreach { router =>
       import spark.implicits._
-      cb.toDF("cluster", "centroid").coalesce(1)
+      router.toDF("cluster", "centroid", "medoid").coalesce(1)
         .write.mode("overwrite").parquet(routerPath(outEdgeDir))
     }
   }
