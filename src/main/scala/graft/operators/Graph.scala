@@ -439,8 +439,19 @@ object Graph {
     * @return (lbl, n_members) — the k largest communities after
     *         `rounds`, ordered by size desc then label. */
   def labelPropagate(edges: DataFrame, rounds: Int, k: Int,
+      broadcastLabels: Boolean = true): DataFrame =
+    labelAssign(edges, rounds, broadcastLabels)
+      .groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("lbl"))
+      .limit(k)
+
+  /** The full (v, lbl) assignment behind [[labelPropagate]] — also the
+    * input of [[modularityOf]] (community QUALITY needs the assignment,
+    * not just the sizes). Checkpointed; consumers that are done with it
+    * may hand it to Frames.releaseCheckpoint. */
+  def labelAssign(edges: DataFrame, rounds: Int,
       broadcastLabels: Boolean = true): DataFrame = {
-    require(rounds >= 1 && k >= 1, s"need rounds/k >= 1, got $rounds $k")
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val e = edges.select(col("a"), col("b")).localCheckpoint()
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     var lbl = sym.select(col("a").as("v")).distinct()
@@ -458,7 +469,50 @@ object Graph {
       releaseCheckpoint(lbl)
       lbl = next
     }
-    lbl.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    lbl
+  }
+
+  /** Newman modularity of a community assignment, in EXACT integers —
+    * no division anywhere, so there is no truncation-vs-floor or
+    * double-rounding surface for the oracle to disagree on: per
+    * community c the standard Q-contribution e_c/m − (d_c/2m)² is
+    * reported as its numerator over the fixed denominator 4m²,
+    * q_num = 4·m·e_c − d_c² (sum over communities, then divide by 4m²,
+    * = Q — left to the consumer). e_c counts intra-community edges once
+    * (the a < b edge list is the canonical form), d_c sums symmetrized
+    * degrees, and m rides along as a column so the frame is
+    * self-contained.
+    *
+    * Plan shape: two label equi-joins on the edge list (broadcast-able
+    * node-count-sized label frame), one degree agg on the symmetrized
+    * list, one k-group rollup — no window, no shuffle beyond the label
+    * and group-by exchanges.
+    *
+    * @param edges  undirected (a < b) edge list.
+    * @param assign (v, lbl) community assignment (e.g. [[labelAssign]]).
+    * @param k      report the k largest communities.
+    * @return (lbl, n_members, e_in, d_sum, m, q_num), size-desc. */
+  def modularityOf(edges: DataFrame, assign: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val e = edges.select(col("a"), col("b"))
+    val lbl = assign.select(col("v"), col("lbl"))
+    val mC = e.agg(count(lit(1)).as("m"))
+    val eIn = e
+      .join(broadcast(lbl.select(col("v").as("a"), col("lbl").as("la"))), "a")
+      .join(broadcast(lbl.select(col("v").as("b"), col("lbl").as("lb"))), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_in"))
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val dSum = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      .join(broadcast(lbl), "v")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d")).as("d_sum"))
+    dSum.join(eIn, Seq("lbl"), "left")
+      .crossJoin(broadcast(mC))
+      .select(col("lbl"), col("n_members"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"), col("m"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+          - col("d_sum") * col("d_sum")).as("q_num"))
       .orderBy(col("n_members").desc, col("lbl"))
       .limit(k)
   }
@@ -466,10 +520,11 @@ object Graph {
   private val lpaRounds = 3
   private val lpaTopK = 20
 
-  /** q_graph_labelprop's oracle: the propagation unrolled round by round
-    * (rounds is a compile-time constant; MATERIALIZED for the same
-    * re-reference reason as kcoreSql). */
-  private def labelPropSql: String = {
+  /** The unrolled-LPA CTE chain (rounds is a compile-time constant;
+    * MATERIALIZED for the same re-reference reason as kcoreSql) —
+    * shared by the labelprop and modularity oracles so the assignment
+    * both check is one text. */
+  private def lpaCtes: Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       """e0 AS MATERIALIZED (
         SELECT DISTINCT x.p AS a, y.p AS b
@@ -487,11 +542,34 @@ object Graph {
         FROM sym s JOIN l${h - 1} l ON l.v = s.b
         GROUP BY s.a, l.lbl) WHERE rn = 1)"""
     }
-    "WITH " + ctes.mkString(",\n") + s"""
+    ctes.toSeq
+  }
+
+  /** q_graph_labelprop's oracle: the propagation unrolled round by round. */
+  private def labelPropSql: String =
+    "WITH " + lpaCtes.mkString(",\n") + s"""
      SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
      FROM l$lpaRounds
      GROUP BY lbl ORDER BY n_members DESC, lbl LIMIT $lpaTopK"""
-  }
+
+  /** q_graph_modularity's oracle: the same unrolled assignment, scored —
+    * exact integer numerators (4·m·e_c − d_c²), no division anywhere. */
+  private def modularitySql: String =
+    "WITH " + lpaCtes.mkString(",\n") + s""",
+     m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+     ein AS (SELECT x.lbl, CAST(count(*) AS BIGINT) AS e_in
+             FROM e0 e JOIN l$lpaRounds x ON x.v = e.a
+                       JOIN l$lpaRounds y ON y.v = e.b
+             WHERE x.lbl = y.lbl GROUP BY 1),
+     ds AS (SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(d.d) AS BIGINT) AS d_sum
+            FROM (SELECT a AS v, count(*) AS d FROM sym GROUP BY 1) d
+            JOIN l$lpaRounds l ON l.v = d.v GROUP BY 1)
+     SELECT ds.lbl, ds.n_members,
+            CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, ds.d_sum, m.m,
+            CAST(4 * m.m * coalesce(ein.e_in, 0) - ds.d_sum * ds.d_sum AS BIGINT) AS q_num
+     FROM ds LEFT JOIN ein ON ein.lbl = ds.lbl, m
+     ORDER BY ds.n_members DESC, ds.lbl LIMIT 10"""
 
   // ------------------------------------------------- neighbor-set Jaccard
 
@@ -738,6 +816,14 @@ object Graph {
     "q_graph_labelprop" -> ((s, dir) =>
       labelPropagate(jaccardSliceEdges(s, dir), lpaRounds, lpaTopK)),
 
+    // Modularity of the SAME LPA assignment — community QUALITY in
+    // exact integers (per-community q_num = 4·m·e_in − d_sum² over the
+    // implicit 4m² denominator; no division, no rounding surface).
+    "q_graph_modularity" -> ((s, dir) => {
+      val e = jaccardSliceEdges(s, dir).localCheckpoint()
+      modularityOf(e, labelAssign(e, lpaRounds), k = 10)
+    }),
+
     "q_graph_pagerank" -> ((s, dir) =>
       pagerank(partSupplierEdges(s, dir), prIters, prMass)
         .select(col("node").as("node_id"),
@@ -800,6 +886,7 @@ object Graph {
 
     "q_graph_kcore" -> kcoreSql,
     "q_graph_labelprop" -> labelPropSql,
+    "q_graph_modularity" -> modularitySql,
 
     "q_graph_jaccard" ->
       """WITH e AS MATERIALIZED (

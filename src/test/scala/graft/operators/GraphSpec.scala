@@ -226,6 +226,28 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("modularityOf: hand-checked exact integers on the two-clique fixture") {
+    import spark.implicits._
+    val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val e = (cliqueA ++ cliqueB :+ (4L, 10L)).toDF("a", "b")
+    val got = Graph.modularityOf(e, Graph.labelAssign(e, rounds = 3), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // m = 21; each community: 5 members, e_in = 10 (the clique),
+    // d_sum = 5·4 + 1 (bridge endpoint) = 21 → q_num = 4·21·10 − 21² = 399.
+    // Q = Σ q_num / 4m² = 798/1764 ≈ 0.452 — the planted two-community
+    // structure scores strongly positive, as it must.
+    assert(got.toSeq === Seq((5L, 10L, 21L, 21L, 399L), (5L, 10L, 21L, 21L, 399L)),
+      s"got ${got.toSeq}")
+    // a single-community assignment scores ZERO by construction:
+    // e_in = m and d_sum = 2m → 4m·m − (2m)² = 0
+    val one = e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
+      .distinct().select($"v", lit(0L).as("lbl"))
+    val q1 = Graph.modularityOf(e, one, k = 1).collect()(0)
+    assert(q1.getLong(5) === 0L, s"one-community q_num must be 0, got $q1")
+  }
+
   test("kcorePeel: broadcastKeep=false shuffle fallback peels identically") {
     import spark.implicits._
     // dense-ish random graph so several rounds actually drop nodes on
