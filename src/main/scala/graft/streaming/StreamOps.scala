@@ -312,6 +312,73 @@ object StreamOps {
       }
       .start()
 
+  /** Quantile-summary maintenance on arrival — the streaming form of
+    * q_agg_quantile_sketch (as dedupOnArrival is of q_dedup_incremental
+    * and annIngestOnArrival of the graph-ANN tier): each micro-batch of
+    * (day, v) rows is compacted to its ≤ (k+1)-rows-per-day
+    * block-compaction summary (Freq.quantileSummary) and appended as one
+    * idempotent batch partition; any quantile over EVERYTHING INGESTED
+    * is then a summary-store read (Freq.quantileMergedRead over the
+    * unioned partitions — summaries merge by concatenation, the whole
+    * point of the domain-free sketch), never a fact re-scan. Per-batch
+    * cost is batch-sized (one per-day rank over the batch); the store
+    * grows by sketch rows, not fact rows.
+    *
+    * Rank-error bound across the store: each (batch, day) block
+    * contributes < ⌈n_block/k⌉, so the merged read errs by
+    * < n/k + (#batch-day blocks) — the same shape as the batch
+    * operator's bound with D counted per (batch, day). A day split
+    * across B batches costs B small terms instead of one; callers that
+    * need the tighter bound fold the store through the batch operator
+    * at maintenance time (read store days → re-sketch — still
+    * sketch-sized work).
+    *
+    * Replay contract: the summary is a pure function of the batch, and
+    * the write is a dynamic overwrite of the batch's own partition —
+    * re-execution with the same (batchId, data) rewrites identical
+    * rows (StreamOpsSpec pins it). */
+  def quantileOnArrival(vals: DataFrame, storeDir: String,
+      checkpointDir: String, k: Int = 64) =
+    vals.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        quantileSummaryBatch(batch, batchId, storeDir, k)
+      }
+      .start()
+
+  /** The quantile-ingest foreachBatch body (public like [[dedupBatch]]:
+    * directly testable, doubles as a batch backfill). */
+  def quantileSummaryBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, k: Int): Unit = {
+    graft.operators.Freq.quantileSummary(
+        batch.select(col("day"), col("v")), k)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+  }
+
+  /** Read quantiles off the arrival-built summary store: one
+    * sketch-sized pass (Σw recovers the exact ingested row count; the
+    * weighted rank read is [[graft.operators.Freq.quantileMergedRead]]).
+    * @param qPcts target percentiles (e.g. Seq(50, 90, 99)).
+    * @return (q_pct, n, r, est_v). */
+  def quantileStoreRead(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, qPcts: Seq[Int]): DataFrame = {
+    val summ = spark.read.parquet(storeDir)
+      .select(col("day"), col("v"), col("rnk"), col("w"))
+    val ranks = summ.agg(sum(col("w")).as("n"))
+      .select(explode(array(qPcts.map(lit): _*)).as("q_pct"), col("n"))
+      .withColumn("r", expr("(n * q_pct + 99) div 100"))
+    graft.operators.Freq.quantileMergedRead(summ,
+        ranks.select(col("q_pct"), col("r")))
+      .join(broadcast(ranks.select(col("q_pct"), col("n"))), Seq("q_pct"))
+      .select(col("q_pct"), col("n"), col("r"), col("est_v"))
+      .orderBy(col("q_pct"))
+  }
+
   /** The ANN-ingest foreachBatch body, public for the same reason as
     * [[dedupBatch]]: the replay contract is directly testable and the
     * same body serves a batch backfill. Idempotent under re-execution

@@ -539,6 +539,48 @@ class StreamOpsSpec extends SparkSpec {
       "the recovery partition did not survive the replay")
   }
 
+  test("quantile-on-arrival: batch summaries accrete; store read within bound; replay idempotent") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("q_arrival").toString
+    val store = s"$tmp/summaries"
+    // three batches over two days with very different shapes (skewed
+    // power-law + uniform), day d1 split ACROSS batches
+    val b1 = (1 to 900).map(i => ("d1", (i.toLong * i * i) / 7))
+    val b2 = (1 to 700).map(i => ("d1", i.toLong * 13 % 1000))
+    val b3 = (1 to 800).map(i => ("d2", 500000L + i.toLong * 17 % 5000))
+    val in = MemoryStream[(String, Long)]
+    val q = StreamOps.quantileOnArrival(
+      in.toDF().toDF("day", "v"), store, s"$tmp/ckpt", k = 64)
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // store invariants: one partition per batch, sketch-sized, Σw = n
+    val raw = spark.read.parquet(store)
+    assert(raw.select(col("batch_id").cast("long")).distinct().count() === 3)
+    val n = (b1 ++ b2 ++ b3).length
+    assert(raw.agg(sum("w")).collect()(0).getLong(0) === n.toLong)
+    assert(raw.count() <= 4 * 65, "store must hold sketch rows, not facts")
+    // merged read within the documented bound: tol = n/k + #(batch, day) blocks
+    val sorted = (b1 ++ b2 ++ b3).map(_._2).sorted
+    val tol = n / 64 + 3
+    val got = StreamOps.quantileStoreRead(spark, store, Seq(50, 95))
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for ((qp, (r, est)) <- got) {
+      val lo = sorted((math.max(1L, r - tol) - 1).toInt)
+      val hi = sorted((math.min(n.toLong, r + tol) - 1).toInt)
+      assert(est >= lo && est <= hi, s"q$qp: est $est outside [$lo, $hi]")
+    }
+    // replay idempotence: re-running batch 1's body rewrites identical rows
+    val before = raw.collect().map(_.toSeq).toSet
+    StreamOps.quantileSummaryBatch(b1.toDF("day", "v"), 0L, store, 64)
+    val after = spark.read.parquet(store).collect().map(_.toSeq).toSet
+    assert(before === after, "batch replay must be a no-op on the store")
+  }
+
   test("ann-ingest: incremental store at the 4× sf0.1 corpus holds the fixture recall floor") {
     // The round-12 verdict's ONLY measured quality regression: the
     // incremental store's recall fell 14/15 → 13/15 at 4× corpus under
