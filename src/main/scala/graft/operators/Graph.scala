@@ -507,7 +507,10 @@ object Graph {
       .join(broadcast(lbl), "v")
       .groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_members"), sum(col("d")).as("d_sum"))
-    dSum.join(eIn, Seq("lbl"), "left")
+    // eIn is community-count-sized but hides behind pessimistic agg
+    // stats — unhinted this left join planned as a sort-merge join,
+    // two exchanges on tiny frames (the pagerank in_sum lesson)
+    dSum.join(broadcast(eIn), Seq("lbl"), "left")
       .crossJoin(broadcast(mC))
       .select(col("lbl"), col("n_members"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"), col("m"),

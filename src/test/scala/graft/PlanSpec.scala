@@ -517,4 +517,27 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).size >= 2,
       s"both median frames must broadcast in:\n$p")
   }
+
+  test("filtered ANN: routed cells broadcast into the corpus join; filter pushed; no sort-merge") {
+    val p = plan("q_ann_filtered")
+    // the routed probe set (≤ probes·nprobe rows) is the broadcast side;
+    // the corpus never shuffles for the cell join
+    assert(p.contains("BroadcastHashJoin"),
+      s"routed cells must broadcast-hash-join the corpus in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the filtered-search plan warrants a sort-merge join:\n$p")
+    // the corpus split predicate reaches the parquet reader
+    assert(p.contains("GreaterThanOrEqual(vec_id,5)"),
+      s"corpus split must push to the scan in:\n$p")
+  }
+
+  test("modularity: label frames broadcast onto the edge list; no sort-merge, no unrestricted product") {
+    val p = plan("q_graph_modularity")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"both edge-label joins and the degree-label join must broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the node-count-sized label frame must never sort-merge in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row m frame may nested-loop in:\n$p")
+  }
 }
