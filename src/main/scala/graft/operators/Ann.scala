@@ -748,6 +748,25 @@ object Ann {
     // the lineage at each round, keeping every plan round-sized.
     var visited = score(entries.select(col("probe_id"), col("cand_id")))
       .localCheckpoint()
+    // Total-entry-loss fallback: a probe whose EVERY entry row dropped out
+    // of the corpus join (all routed medoids absent from the corpus view —
+    // a replayed batch containing every stored medoid, or a damaged
+    // router) would contribute zero visited rows and silently vanish from
+    // the output instead of degrading. Seed any such probe from the
+    // corpus's smallest ids (the original fixed-spread contract). The
+    // guard is one left_anti between two broadcast-/entry-sized frames +
+    // a limit(1) count on its (normally empty) result — probe-sized, paid
+    // once per search; the corpus TakeOrdered runs only when a probe was
+    // actually uncovered.
+    val uncovered = probes.select(col("probe_id"))
+      .join(visited.select(col("probe_id")), Seq("probe_id"), "left_anti")
+      .localCheckpoint()
+    if (uncovered.limit(1).count() > 0) {
+      val fbIds = corpus.select(col("cand_id")).orderBy(col("cand_id")).limit(4)
+      val fb = score(fbIds.crossJoin(uncovered)).localCheckpoint()
+      visited = visited.unionAll(fb)
+    }
+    graft.util.Frames.releaseCheckpoint(uncovered)
     var frontier = visited.select(col("probe_id"), col("cand_id"))
     val wb = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id"))

@@ -246,7 +246,16 @@ object Freq {
     * @param ranks     (q_pct, r) target ranks — broadcast-sized.
     * @return (q_pct, r, est_v). */
   def quantileMergedRead(summaries: DataFrame, ranks: DataFrame): DataFrame = {
+    // ROWS frame, explicitly: the default (no frame + orderBy) is RANGE,
+    // under which rows TIED on the full ordering key share one cumulative
+    // weight and the half-open interval join below can miss or duplicate
+    // a target rank. (v, day, rnk) is unique within one quantileSummary
+    // output, but a union of per-batch summaries — quantileStoreRead's
+    // shape when the same day recurs across batches — can carry exact
+    // ties; any row-unique cumulation is a correct rank estimate, and
+    // ROWS matches the oracle's spelled-out ROWS UNBOUNDED PRECEDING.
     val wC = Window.orderBy(col("v"), col("day"), col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     summaries.withColumn("cw", sum(col("w")).over(wC))
       .join(broadcast(ranks),
         col("cw") >= col("r") && col("cw") - col("w") < col("r"))

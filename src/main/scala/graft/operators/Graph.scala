@@ -491,20 +491,31 @@ object Graph {
     * @param edges  undirected (a < b) edge list.
     * @param assign (v, lbl) community assignment (e.g. [[labelAssign]]).
     * @param k      report the k largest communities.
+    * @param broadcastLabels label-join strategy, [[labelAssign]]'s flag
+    *        mirrored (the assignment is node-count-sized — the SAME
+    *        frame the producer loop broadcasts or not): `true` (default)
+    *        broadcasts the assignment into the three label joins;
+    *        `false` is the nodes-too-big-to-broadcast fallback — the
+    *        label frame shuffle-joins as the small side and nothing
+    *        node-domain-sized lands on the driver. Identical output
+    *        (GraphSpec pins arm equality).
     * @return (lbl, n_members, e_in, d_sum, m, q_num), size-desc. */
-  def modularityOf(edges: DataFrame, assign: DataFrame, k: Int): DataFrame = {
+  def modularityOf(edges: DataFrame, assign: DataFrame, k: Int,
+      broadcastLabels: Boolean = true): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     val e = edges.select(col("a"), col("b"))
     val lbl = assign.select(col("v"), col("lbl"))
+    def lblJ(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
     val mC = e.agg(count(lit(1)).as("m"))
     val eIn = e
-      .join(broadcast(lbl.select(col("v").as("a"), col("lbl").as("la"))), "a")
-      .join(broadcast(lbl.select(col("v").as("b"), col("lbl").as("lb"))), "b")
+      .join(lblJ(lbl.select(col("v").as("a"), col("lbl").as("la"))), "a")
+      .join(lblJ(lbl.select(col("v").as("b"), col("lbl").as("lb"))), "b")
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_in"))
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val dSum = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
-      .join(broadcast(lbl), "v")
+      .join(lblJ(lbl), "v")
       .groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_members"), sum(col("d")).as("d_sum"))
     // eIn is community-count-sized but hides behind pessimistic agg

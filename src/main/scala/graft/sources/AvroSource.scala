@@ -76,7 +76,8 @@ object AvroSource {
       old.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          (n.startsWith("part-") && n.endsWith(".avro")) || n == "_SUCCESS"
+          (n.startsWith("part-") && (n.endsWith(".avro") || n.endsWith(".tmp"))) ||
+            n == "_SUCCESS"
         }
         .toSeq.foreach(java.nio.file.Files.delete)
     } finally old.close()
@@ -84,11 +85,24 @@ object AvroSource {
       if (!rows.hasNext) Iterator.empty
       else {
         val sch = new Schema.Parser().parse(avroJson)
-        val f = new java.io.File(path, f"part-$i%05d.avro")
+        // Per-ATTEMPT temp name + rename-on-success: a retried or
+        // speculative attempt writing part-NNNNN.avro directly could
+        // interleave with a zombie attempt still holding the same file —
+        // a partially-overwritten container reads back corrupt. Each
+        // attempt streams into its own .tmp; the atomic move publishes a
+        // complete container (last successful attempt wins — any winner
+        // carries identical rows), and orphan .tmp files are invisible
+        // to read()'s part-*.avro glob.
+        val attempt = org.apache.spark.TaskContext.get() match {
+          case null => 0L // direct invocation outside a task (tests)
+          case tc => tc.taskAttemptId()
+        }
+        val tmp = new java.io.File(path, f"part-$i%05d.avro.$attempt%d.tmp")
+        val dst = new java.io.File(path, f"part-$i%05d.avro")
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](sch))
         try {
-          w.create(sch, f)
+          w.create(sch, tmp)
           var n = 0L
           rows.foreach { r =>
             val rec = new GenericData.Record(sch)
@@ -98,8 +112,15 @@ object AvroSource {
             w.append(rec)
             n += 1
           }
+          w.close()
+          java.nio.file.Files.move(tmp.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           Iterator.single(n)
-        } finally w.close()
+        } finally {
+          w.close() // idempotent; covers the pre-move failure path
+          java.nio.file.Files.deleteIfExists(tmp.toPath)
+        }
       }
     }.count() // the action that runs the write job
     require(written >= 0) // keep the action's result on a named path

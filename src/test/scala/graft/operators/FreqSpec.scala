@@ -273,4 +273,25 @@ class FreqSpec extends SparkSpec {
         s"q$q: merged-half est $est outside [$lo, $hi]")
     }
   }
+
+  test("quantile merged read: exact-tie summary rows (re-sent batch shape) still hit every rank exactly once") {
+    import spark.implicits._
+    // A summary unioned with ITSELF — the quantileStoreRead shape when
+    // the same day recurs identically across batches: every (v, day, rnk)
+    // row fully tied with its twin. Under the default RANGE frame tied
+    // rows share one cumulative weight, so the half-open interval join
+    // misses ranks that land between the twins (and can duplicate
+    // others); the explicit ROWS frame gives each row a distinct cw. The
+    // pin: EVERY rank 1..n resolves to exactly one row, and the estimate
+    // still lands inside the doubled-count tolerance.
+    val rows = (1 to 300).map(i => ("d", i.toLong * 17 % 500))
+    val summ = Freq.quantileSummary(rows.toDF("day", "v"), 16)
+    val doubled = summ.unionAll(summ)
+    val n = 2L * rows.length
+    val allRanks = (1L to n).map(r => (r.toInt, r)).toDF("q_pct", "r")
+    val got = Freq.quantileMergedRead(doubled, allRanks)
+    assert(got.count() === n, "every rank must resolve exactly once")
+    assert(got.select("r").distinct().count() === n,
+      "no rank may vanish or duplicate under exact ties")
+  }
 }

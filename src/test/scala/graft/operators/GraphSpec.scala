@@ -246,6 +246,13 @@ class GraphSpec extends SparkSpec {
       .distinct().select($"v", lit(0L).as("lbl"))
     val q1 = Graph.modularityOf(e, one, k = 1).collect()(0)
     assert(q1.getLong(5) === 0L, s"one-community q_num must be 0, got $q1")
+    // shuffle fallback (broadcastLabels=false, the nodes-too-big-to-
+    // broadcast arm) scores identically, row for row
+    val sh = Graph.modularityOf(e, Graph.labelAssign(e, rounds = 3), k = 10,
+        broadcastLabels = false)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === sh.toSeq, "broadcast and shuffle arms must agree")
   }
 
   test("kcorePeel: broadcastKeep=false shuffle fallback peels identically") {

@@ -413,6 +413,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rescored.count() === 0, "graph search emitted a non-exact score")
   }
 
+  test("ANN: a probe whose every routed entry is absent degrades to the spread fallback, never vanishes") {
+    import spark.implicits._
+    // entries route BOTH probes to cand_ids no longer in the corpus view
+    // (the replayed-batch / damaged-router case): without the fallback
+    // such probes contribute zero visited rows and silently drop from the
+    // output; with it they seed from the corpus's smallest ids and still
+    // return a full rn 1..k.
+    val (probes, corpus) = graphFixture()
+    val deadEntries = probes.select(col("probe_id"))
+      .crossJoin(Seq(999999L, 999998L).toDF("cand_id"))
+    val res = Ann.graphAnnSearch(probes, corpus, Ann.graphAnnIndex(corpus, 12),
+      deadEntries, beam = 16, hops = 4, k = 3)
+    val perProbe = res.groupBy("probe_id").agg(count(lit(1)).as("n"))
+    assert(perProbe.count() === probes.count(),
+      "every probe must appear in the output despite total entry loss")
+    assert(perProbe.filter(col("n") =!= 3).count() === 0,
+      "uncovered probes must still return k results via the fallback")
+  }
+
   test("ANN: q_ann_graph (diversified + label-routed) fixture recall@3 ≥ 14/15 vs exact") {
     // pins the CHECKED query's recall directly (diversified 48→24 build,
     // per-label centroid→medoid routed entries, beam 32): measured 15/15,
