@@ -241,6 +241,10 @@ object Bench {
         (medians.getOrElse(name, Double.MaxValue), name)
       }
 
+    // query -> (raw first sample, retry count) for queries that took the
+    // outlier-retry path; serialized into the artifact's "retried" map
+    val retryLog = collection.mutable.Map.empty[String, (Double, Int)]
+
     def artifactJson(results: Seq[(String, Double)], partial: Boolean,
         endProbe: Option[Double] = None): String = {
       // 3-dp per-query values: milliseconds resolve fine and the line
@@ -249,10 +253,19 @@ object Bench {
       // and break the JSON.
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+      // Retry transparency (round-14): any query whose shipped value went
+      // through the outlier-retry path carries its raw first sample and
+      // retry count in a parallel map, so a reader of the artifact can
+      // tell "measured slow, retried inside the same elevation episode"
+      // from "genuinely this slow" without the stderr log. Only retried
+      // queries appear — the map is empty on a clean pass.
+      val retried = retryLog.toSeq.sortBy(_._1).map { case (k, (first, n)) =>
+        "\"" + k + "\":{\"first\":" + fmt(first) + ",\"retries\":" + n + "}"
+      }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val part = if (partial) "\"partial\":true," else ""
       val end = endProbe.map(v => s""""calib_spark_end":${fmt(v)},""").getOrElse("")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$part"calib":${fmt(calib)},"calib_fault":${fmt(calibFault)},"calib_spark":${fmt(calibSpark)},$end"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$part"calib":${fmt(calib)},"calib_fault":${fmt(calibFault)},"calib_spark":${fmt(calibSpark)},$end"retried":$retried,"queries":$qs,"sf":"$sfDir"}"""
     }
     // One artifact file per pass (epoch-stamped) ALONGSIDE last_run.json:
     // round 7's end-of-round snapshot overwrote the full-run artifact with
@@ -305,6 +318,7 @@ object Bench {
         // one extra sample on a sub-second query is milliseconds against
         // a judged artifact poisoned by seconds.
         for (m <- medians.get(name) if med > 3 * m && med > 0) {
+          val preRetry = med
           var tries = 0
           while (tries < 2 && med > 3 * m) {
             val retry = time(fn)
@@ -315,6 +329,7 @@ object Bench {
             }
             tries += 1
           }
+          retryLog(name) = (preRetry, tries)
         }
         results += name -> med
         // one short line per query, to stderr, the moment it finishes —

@@ -388,6 +388,57 @@ object ScaleProbe {
       }
     }
 
+    // round-14: the weighted graph tier under replication + hub skew.
+    // (a) pagerankWeighted on the weighted part↔supplier graph replicated
+    //     m× with disjoint id spaces — near-linear sec is the evidence the
+    //     edge-side (rank·w) div wout term kept the Pregel shape (same
+    //     bound as the unweighted probe; the broadcast state merely
+    //     widened by one column).
+    // (b) ssspWeighted with ONE synthetic hub of degree m·500 placed AT
+    //     the source (the worst case: the hub's whole edge set relaxes in
+    //     round 1): near-linear sec across m is the evidence frontier
+    //     relaxation is O(edges touched) — the dst-keyed min aggregate
+    //     partial-aggregates the hub's candidates map-side, so a
+    //     celebrity node costs its edge count, never C(deg, 2).
+    if (want("weighted_graph")) {
+      val pairs0 = li0
+        .groupBy(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w")).localCheckpoint()
+      def graphOf(m: Int) = {
+        val oneWay = (0 until m).map { i =>
+          pairs0.select(($"src" + lit(i.toLong * 1000000000L)).as("src"),
+            ($"dst" + lit(i.toLong * 1000000000L)).as("dst"), $"w")
+        }.reduce(_ unionAll _)
+        oneWay.unionAll(oneWay.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      }
+      graft.operators.Graph.pagerankWeighted(graphOf(1), 1).count() // warm
+      Seq(1, 4, 16).foreach { m =>
+        val edges = graphOf(m)
+        val n = edges.count()
+        val t0 = System.nanoTime()
+        graft.operators.Graph.pagerankWeighted(edges, 5)
+          .agg(sum($"rank")).collect()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"weighted_pagerank","mult":$m,"edges":$n,"sec":$t%.2f}""")
+      }
+      val hubId = 999999999999L
+      Seq(1, 4, 16).foreach { m =>
+        val base = graphOf(m)
+        val hubDeg = m * 500
+        val spokes = spark.range(hubDeg)
+          .select(lit(hubId).as("src"), ($"id" * 2).as("dst"), lit(1L).as("w"))
+        val edges = base
+          .unionAll(spokes)
+          .unionAll(spokes.select($"dst".as("src"), $"src".as("dst"), $"w"))
+        val n = edges.count()
+        val srcs = Seq(hubId).toDF("node")
+        val t0 = System.nanoTime()
+        val reached = graft.operators.Graph.ssspWeighted(edges, srcs, 4).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"sssp_hub","mult":$m,"edges":$n,"hub_degree":$hubDeg,"reached":$reached,"sec":$t%.2f}""")
+      }
+    }
+
     // round-8 late: degree-oriented triangle count — the co-purchase edge
     // list replicated N× with DISJOINT node id spaces, so nodes/edges/
     // wedges/triangles all grow exactly N× while per-copy structure is

@@ -215,24 +215,72 @@ object Freq {
     * facts. Value ties need no tie-break: any rank order among equal
     * values yields the identical (v, w) multiset.
     *
-    * Scale shape: the per-day rank runs day-partitioned (the build is
-    * per-ingest-slice by design — the same assumption every per-key
-    * GK/KLL build makes; a pathologically heavy single key takes the
-    * Slices decomposition instead), and the output is ≤ k+1 rows per
-    * day regardless of row count.
+    * Scale shape: the per-day rank runs day-partitioned for NORMAL days
+    * (the per-ingest-slice assumption every per-key GK/KLL build makes),
+    * but a pathologically heavy day no longer serializes through one
+    * window task: days above `heavyDayRows` AUTO-ROUTE through the
+    * [[Slices.globalOrdinal]] decomposition (range-partitioned on
+    * (day, v), so one fat day spreads across slices; per-day rank =
+    * global ordinal − the day's prefix offset, a day-count-sized prefix
+    * sum) — the round-13 fat-day probe measured the single-task wall at
+    * 6.3× on 16× rows; the routed arm is what replaces it. The price of
+    * the routing decision is one day-count aggregate over the facts
+    * (map-side partial, day-sized output), which also SUPPLIES n_day to
+    * both arms — the old count-over-window is gone, so the light path
+    * pays one extra scan but one fewer window evaluation. Output is
+    * bit-identical across arms and to the pre-routing operator (rank
+    * ties among equal values pick different rows but the SELECTED
+    * (day, v, rnk, w) multiset is invariant — the docstring's tie
+    * argument), so the checked query's hash is unchanged at every SF.
     *
     * @param vals (day, v BIGINT)
+    * @param heavyDayRows days with more rows than this take the ordinal
+    *        decomposition; the default keeps every fixture day (and any
+    *        sane ingest slice) on the windowed path.
     * @return (day, v, rnk, w) — ≤ k+1 rows per day, Σw = n_day. */
-  def quantileSummary(vals: DataFrame, k: Int): DataFrame = {
+  def quantileSummary(vals: DataFrame, k: Int,
+      heavyDayRows: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val wD = Window.partitionBy(col("day")).orderBy(col("v"))
-    vals.select(col("day"), col("v"))
-      .withColumn("rnk", row_number().over(wD))
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("day"))))
+    val v = vals.select(col("day"), col("v"))
+    // day-count-sized; checkpointed because it both decides the routing
+    // (an action) and rides into the arms' broadcast joins
+    val counts = v.groupBy(col("day")).agg(count(lit(1)).as("nd"))
+      .localCheckpoint()
+    val heavyDays = counts.filter(col("nd") > heavyDayRows)
+    // rnk is BIGINT in both arms: the window arm's row_number is INT-typed
+    // (and INT-bounded — exactly why a >2³¹-row day must route through the
+    // ordinal arm, whose rank is a Long by construction)
+    def compactArm(ranked: DataFrame): DataFrame = ranked
+      .withColumn("rnk", col("rnk").cast("long"))
       .withColumn("step", expr(s"(nd + ${k - 1}) div $k"))
       .filter(expr("rnk % step = 0 OR rnk = nd"))
       .select(col("day"), col("v"), col("rnk"),
         (col("rnk") - expr("((rnk - 1) div step) * step")).as("w"))
+    def lightArm(rows: DataFrame): DataFrame = {
+      val wD = Window.partitionBy(col("day")).orderBy(col("v"))
+      compactArm(rows
+        .withColumn("rnk", row_number().over(wD))
+        .join(broadcast(counts), "day"))
+    }
+    if (heavyDays.limit(1).count() == 0) lightArm(v)
+    else {
+      val hd = broadcast(heavyDays.select(col("day")))
+      val light = lightArm(v.join(hd, Seq("day"), "left_anti"))
+      // heavy arm: global ordinal under (day, v) — the range partitioner
+      // splits on the FULL ordering, so a fat day spreads across slices;
+      // per-day rank = ordinal − (rows of earlier heavy days), a prefix
+      // sum over the (tiny) heavy-day counts
+      val wOff = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = heavyDays
+        .withColumn("off", coalesce(sum(col("nd")).over(wOff), lit(0L)))
+      val heavy = compactArm(
+        Slices.globalOrdinal(v.join(hd, Seq("day")), Seq(col("day"), col("v")), "p0")
+          .join(broadcast(offs), "day")
+          .withColumn("rnk", col("p0") + 1 - col("off"))
+          .drop("p0", "off"))
+      light.unionAll(heavy)
+    }
   }
 
   /** Read quantiles off a UNION of [[quantileSummary]] frames: one

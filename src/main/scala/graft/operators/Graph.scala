@@ -153,6 +153,124 @@ object Graph {
   private def releaseCheckpoint(df: DataFrame): Unit =
     graft.util.Frames.releaseCheckpoint(df)
 
+  /** Weighted integer PageRank — [[pagerank]] with edge weights: a
+    * node's mass splits across its out-edges IN PROPORTION TO w (the
+    * transfer-volume/co-occurrence-count semantics every production
+    * graph carries; the unweighted operator is the w ≡ 1 special case,
+    * and GraphSpec pins bit-equality on that degenerate input).
+    *
+    * Integer discipline unchanged: per-edge contribution is
+    * (rank·w) div W_src with W_src = Σ w over the node's out-edges —
+    * BIGINT throughout (rank ≤ mass and count-like weights keep the
+    * product far inside BIGINT), truncating `div` = DuckDB `//` on
+    * these all-positive quantities, so the result is bit-identical
+    * across engines and partitionings. Unlike the unweighted loop the
+    * quotient cannot be pre-divided per NODE (each edge divides a
+    * different product), so the broadcast rank state carries
+    * (rank, wout) and the per-edge multiply-divide runs edge-side —
+    * still narrow, still inside the one co-located join per round.
+    *
+    * Loop/layout discipline = [[pagerank]]'s verbatim: edge frame laid
+    * out once (dst under broadcastRanks, src under the shuffle
+    * fallback) and persisted; node-count-sized rank frame checkpointed
+    * per round with the superseded round released; dangling nodes
+    * forbidden by the same every-node-appears-as-src contract.
+    *
+    * @param edges directed (src, dst, w BIGINT) — w ≥ 1; every node
+    *              appears as a src (symmetrized graphs do by
+    *              construction).
+    * @return (node BIGINT, rank BIGINT). */
+  def pagerankWeighted(edges: DataFrame, iters: Int = 5,
+      mass: Long = 1000000000000L, broadcastRanks: Boolean = true): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edP = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(if (broadcastRanks) col("dst") else col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val deg = edP.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      .localCheckpoint()
+    try {
+    val ncnt = deg.agg(count(lit(1)).as("n"))
+    var rank = deg.crossJoin(broadcast(ncnt))
+      .select(col("src").as("node"), col("wout"),
+        expr(s"$mass div n").as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val rState = rank.select(col("node").as("src"), col("rank"), col("wout"))
+      val contrib = (if (broadcastRanks) edP.join(broadcast(rState), "src")
+                     else edP.join(rState, "src"))
+        .select(col("dst"), expr("(rank * w) div wout").as("c"))
+      val in = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      val next = rank.select(col("node"), col("wout"))
+        .join(broadcast(in.select(col("dst").as("node"), col("in_sum"))),
+          Seq("node"), "left")
+        .crossJoin(broadcast(ncnt))
+        .select(col("node"), col("wout"),
+          (expr(s"(15 * ($mass div n)) div 100") +
+            expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+        .localCheckpoint()
+      releaseCheckpoint(rank)
+      rank = next
+    }
+    rank.select(col("node"), col("rank"))
+    } finally releaseCheckpoint(deg)
+    } finally edP.unpersist(blocking = false)
+  }
+
+  /** Weighted single/multi-source shortest paths, round-capped — the
+    * weighted member [[bfsHops]] is the w ≡ 1 case of (GraphSpec pins
+    * dist ≡ hop there): after `rounds` rounds, every node's d is the
+    * exact minimum path weight over paths of ≤ `rounds` edges
+    * (Bellman-Ford's d_k), which is the true shortest-path distance
+    * wherever the shortest path uses ≤ `rounds` edges. Fixed round
+    * count, not convergence-tested — the pagerank/kcore contract that
+    * an unrolled min-union CTE oracle can mirror exactly.
+    *
+    * Delta-frontier form, the part that matters at 100 TB: each round
+    * relaxes ONLY the out-edges of nodes whose distance improved last
+    * round — not the whole distance table — and that computes exactly
+    * the full Bellman-Ford d_k (an unimproved node's relaxations were
+    * already min-absorbed the round it last improved). The distance
+    * table updates by anti-join + union (weighted distances can
+    * improve repeatedly, unlike BFS hops which are final on first
+    * reach — the structural difference from [[bfsHops]]'s
+    * append-only union). Everything is a key join or a (dst)-keyed
+    * min aggregate — partial-aggregated map-side, hub-safe; integer
+    * weights keep the min bit-portable.
+    *
+    * @param edges   directed (src, dst, w BIGINT), w ≥ 0.
+    * @param sources (node BIGINT) start set, distinct.
+    * @return (node BIGINT, d BIGINT) for nodes reachable in ≤ rounds
+    *         edges. */
+  def ssspWeighted(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val ed = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    var dist = sources.select(col("node"), lit(0L).as("d")).localCheckpoint()
+    var frontier = dist
+    var prevFrontier: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val cand = ed
+        .join(broadcast(frontier.select(col("node").as("src"), col("d"))), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("d") + col("w")).as("nd"))
+      val improved = cand
+        .join(dist.select(col("node"), col("d").as("cur")), Seq("node"), "left")
+        .filter(col("cur").isNull || col("nd") < col("cur"))
+        .select(col("node"), col("nd").as("d"))
+        .localCheckpoint()
+      val next = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+        .unionAll(improved)
+        .localCheckpoint()
+      releaseCheckpoint(dist)
+      prevFrontier.foreach(releaseCheckpoint)
+      dist = next
+      frontier = improved
+      prevFrontier = Some(improved)
+    }
+    prevFrontier.foreach(releaseCheckpoint)
+    releaseCheckpoint(ed)
+    dist
+  }
+
   /** Multi-source BFS hop counts: every node reachable from `sources`
     * within `maxHops`, labeled with its hop distance (0 for sources).
     *
@@ -197,6 +315,8 @@ object Graph {
   private val bfsHopCap = 4
   private val kcoreK = 3
   private val kcoreRounds = 4
+  private val ssspRounds = 4
+  private val ssspSources = 3
 
   /** q_graph_kcore's oracle: the peel unrolled round by round (rounds is
     * a compile-time constant; every CTE MATERIALIZED — the peel chain
@@ -227,13 +347,29 @@ object Graph {
 
   /** The query's graph: the part↔supplier co-purchase graph from lineitem
     * (distinct pairs, symmetrized; part nodes even = key*2, supplier nodes
-    * odd = key*2+1 so one BIGINT id space holds both sides). */
-  private def partSupplierEdges(s: SparkSession, dir: String): DataFrame = {
+    * odd = key*2+1 so one BIGINT id space holds both sides).
+    * `private[graft]`: the graft_pagerank TVF splices the SAME builder. */
+  private[graft] def partSupplierEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = lineitem(s, dir)
       .select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The WEIGHTED part↔supplier graph: same node space, with each edge
+    * carrying its lineitem MULTIPLICITY as weight — the transfer-volume
+    * information [[partSupplierEdges]]'s distinct throws away (the
+    * weighted tier's whole point: a supplier shipping a part 50 times
+    * is a stronger tie than one shipping it once). One count aggregate
+    * instead of a distinct — identical shuffle shape. */
+  private def partSupplierWeightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lineitem(s, dir)
+      .groupBy((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    pairs.unionAll(
+      pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
   }
 
   /** Degree-oriented triangle count over an undirected (a < b) edge list.
@@ -762,6 +898,26 @@ object Graph {
       .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
   }
 
+  /** The %16-slice co-purchase graph WITH a distance weight, symmetrized
+    * — [[jaccardSliceEdges]]'s weighted sibling for the SSSP query: edge
+    * length w = 100 div c + 1 where c = co-occurrence support, so
+    * strongly co-purchased parts are CLOSE (c=100 → w=2) and one-off
+    * pairings are FAR (c=1 → w=101) — the inverse-affinity metric a
+    * recommendation walk actually uses. Integer end to end. */
+  private[graft] def sliceEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pc = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val w = pc.select(col("a"), col("b"), expr("100 div c + 1").as("w"))
+    w.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(w.select(col("b").as("src"), col("a").as("dst"), col("w")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> ((s, dir) =>
       triangleCount(coPurchaseEdges(s, dir))),
@@ -838,6 +994,15 @@ object Graph {
       modularityOf(e, labelAssign(e, lpaRounds), k = 10)
     }),
 
+    // The SQL-TVF surface of the graph tier, oracle-checked end to end:
+    // the FULL labelprop assignment reached through spark.sql text alone
+    // (graft_communities splices labelAssign's plan — the analyst-
+    // without-Scala path the TVF tier exists for). The oracle is the
+    // same unrolled LPA CTE chain the labelprop/modularity oracles
+    // share, read as the full (v, lbl) map.
+    "q_tvf_communities" -> ((s, dir) =>
+      s.sql(s"SELECT v, lbl FROM graft_communities('$dir', $lpaRounds) ORDER BY v")),
+
     "q_graph_pagerank" -> ((s, dir) =>
       pagerank(partSupplierEdges(s, dir), prIters, prMass)
         .select(col("node").as("node_id"),
@@ -846,6 +1011,34 @@ object Graph {
           col("rank").as("rank_u"))
         .orderBy(col("rank_u").desc, col("node_id"))
         .limit(20)),
+
+    // WEIGHTED pagerank over the same node space — mass flows in
+    // proportion to lineitem multiplicity (transfer volume), the edge
+    // information the unweighted query's distinct discards. Top-20.
+    "q_graph_pagerank_weighted" -> ((s, dir) =>
+      pagerankWeighted(partSupplierWeightedEdges(s, dir), prIters, prMass)
+        .select(col("node").as("node_id"),
+          when(pmod(col("node"), lit(2)) === 0, lit("part"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("rank").as("rank_w"))
+        .orderBy(col("rank_w").desc, col("node_id"))
+        .limit(20)),
+
+    // Weighted shortest paths over the %16-slice co-purchase graph with
+    // the inverse-affinity edge length (strong ties are short): exact
+    // min path weight within 4 edges from the 3 smallest part nodes —
+    // the weighted member of the traversal tier (q_graph_bfs is its
+    // w ≡ 1 case, GraphSpec-pinned).
+    "q_graph_sssp" -> ((s, dir) => {
+      val e = sliceEdgesWeighted(s, dir).localCheckpoint()
+      val sources = e.select(col("src").as("node")).distinct()
+        .orderBy(col("node")).limit(ssspSources)
+      val out = ssspWeighted(e, sources, ssspRounds)
+        .select(col("node"), col("d").as("dist"))
+        .orderBy(col("node"))
+      releaseCheckpoint(e)
+      out
+    }),
 
     // The SQL-surface twin of q_graph_bfs: the SAME multi-source hop walk
     // as a Spark 4 WITH RECURSIVE query (hop-capped; per-iteration
@@ -901,6 +1094,8 @@ object Graph {
     "q_graph_kcore" -> kcoreSql,
     "q_graph_labelprop" -> labelPropSql,
     "q_graph_modularity" -> modularitySql,
+    "q_tvf_communities" -> ("WITH " + lpaCtes.mkString(",\n") +
+      s" SELECT v, lbl FROM l$lpaRounds ORDER BY v"),
 
     "q_graph_jaccard" ->
       """WITH e AS MATERIALIZED (
@@ -1046,6 +1241,79 @@ object Graph {
          |  FROM r$prIters
          | ORDER BY rank_u DESC, node_id
          | LIMIT 20""".stripMargin
+    },
+
+    // The weighted recurrence with the per-edge (rank·w) // wout term —
+    // same unrolled-MATERIALIZED-CTE chain as q_graph_pagerank (SUM
+    // promotes to HUGEINT mid-chain; // on positives == Spark div; final
+    // CAST lands both on BIGINT).
+    "q_graph_pagerank_weighted" -> {
+      val rounds = (1 to prIters).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT d.src AS node,
+           |         ((15 * ($prMass // (SELECT n FROM nn))) // 100)
+           |         + ((85 * COALESCE(i.s, 0)) // 100) AS rank
+           |    FROM deg d LEFT JOIN (
+           |      SELECT e.dst AS dst, SUM(r.rank * e.w // dd.wout) AS s
+           |        FROM edges e
+           |        JOIN r${i - 1} r ON e.src = r.node
+           |        JOIN deg dd ON dd.src = e.src
+           |       GROUP BY e.dst) i ON i.dst = d.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         |         count(*) AS w
+         |    FROM lineitem GROUP BY 1, 2),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst, w FROM pairs
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst, w FROM pairs),
+         |deg AS MATERIALIZED (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+         |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS MATERIALIZED (
+         |  SELECT src AS node, $prMass // (SELECT n FROM nn) AS rank FROM deg),
+         |$rounds
+         |SELECT CAST(node AS BIGINT) AS node_id,
+         |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+         |       CAST(rank AS BIGINT) AS rank_w
+         |  FROM r$prIters
+         | ORDER BY rank_w DESC, node_id
+         | LIMIT 20""".stripMargin
+    },
+
+    // Weighted Bellman-Ford min-union rounds: d_k(v) = exact min path
+    // WEIGHT over paths of ≤ k edges — identical to the delta-frontier
+    // operator's fixpoint at every k (an unimproved node's relaxations
+    // were min-absorbed the round it last improved).
+    "q_graph_sssp" -> {
+      val rounds = (1 to ssspRounds).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT node, MIN(d) AS d FROM (
+           |    SELECT node, d FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, x.d + e.w AS d
+           |      FROM edges e JOIN d${k - 1} x ON e.src = x.node) u
+           |   GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pc AS MATERIALIZED (
+         |  SELECT x.p AS a, y.p AS b, count(*) AS c
+         |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |        FROM lineitem WHERE l_orderkey % 16 = 0) x
+         |  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |        FROM lineitem WHERE l_orderkey % 16 = 0) y
+         |    ON x.ok = y.ok AND x.p < y.p
+         |  GROUP BY 1, 2),
+         |edges AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, 100 // c + 1 AS w FROM pc
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst, 100 // c + 1 AS w FROM pc),
+         |srcs AS MATERIALIZED (
+         |  SELECT v AS node FROM (SELECT DISTINCT src AS v FROM edges)
+         |  ORDER BY v LIMIT $ssspSources),
+         |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS d FROM srcs),
+         |$rounds
+         |SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS dist
+         |FROM d$ssspRounds ORDER BY node""".stripMargin
     },
 
     // Bellman-Ford min-union rounds: d_k(v) = shortest hop count over

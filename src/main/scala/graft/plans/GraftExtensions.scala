@@ -74,5 +74,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftTvf.getClass, "graft_semantic_dedup",
         "graft_semantic_dedup(dir, threshold) - SemDeDup keep/prune verdicts over dir's embeddings."),
       (children: Seq[Expression]) => GraftTvf.semanticDedup(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_pagerank"),
+      info(GraftTvf.getClass, "graft_pagerank",
+        "graft_pagerank(dir, iters) - full (node, rank) integer pagerank over dir's part-supplier graph."),
+      (children: Seq[Expression]) => GraftTvf.pagerank(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_communities"),
+      info(GraftTvf.getClass, "graft_communities",
+        "graft_communities(dir, rounds) - full (v, lbl) label-propagation assignment over dir's co-purchase graph."),
+      (children: Seq[Expression]) => GraftTvf.communities(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_ann_search"),
+      info(GraftTvf.getClass, "graft_ann_search",
+        "graft_ann_search(vec_dir, edge_dir, probe_id, k) - top-k neighbors of a stored vector in an incremental ANN store."),
+      (children: Seq[Expression]) => GraftTvf.annSearch(children)))
   }
 }

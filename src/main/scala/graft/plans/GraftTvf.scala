@@ -95,6 +95,81 @@ object GraftTvf {
       .queryExecution.analyzed
   }
 
+  private def lng(children: Seq[Expression], i: Int, fn: String): Long =
+    arg(children, i, fn) match {
+      case n: Number => n.longValue()
+      case v => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer, got $v")
+    }
+
+  /** graft_pagerank(dir, iters) — the FULL (node, rank) integer-pagerank
+    * map over `dir`'s part↔supplier co-purchase graph (the q_graph_pagerank
+    * graph without the top-20 cut: ORDER BY/LIMIT belong to the enclosing
+    * SQL). NOTE the iterative-operator contract: unlike the lazy TVFs
+    * above, pagerank's loop is inherently eager (each round checkpoints —
+    * a lazy plan would be exponential in iters), so RESOLVING this TVF
+    * runs the loop and splices the final materialized frame; an EXPLAIN
+    * pays the same cost. That is the price of giving SQL users a loop
+    * operator at all — same trade as a materialized view. */
+  def pagerank(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pagerank"
+    require(children.size == 2, s"$fn(dir, iters) takes 2 arguments")
+    val spark = SparkSession.active
+    graft.operators.Graph
+      .pagerank(graft.operators.Graph.partSupplierEdges(spark, str(children, 0, fn)),
+        int(children, 1, fn))
+      .queryExecution.analyzed
+  }
+
+  /** graft_communities(dir, rounds) — the FULL (v, lbl) label-propagation
+    * assignment over `dir`'s %16-slice co-purchase graph (the
+    * q_graph_labelprop assignment before the size rollup — join it back
+    * to your own tables in SQL). Same eager-loop contract as
+    * [[pagerank]]. */
+  def communities(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_communities"
+    require(children.size == 2, s"$fn(dir, rounds) takes 2 arguments")
+    val spark = SparkSession.active
+    graft.operators.Graph
+      .labelAssign(graft.operators.Graph.jaccardSliceEdges(spark, str(children, 0, fn)),
+        int(children, 1, fn))
+      .queryExecution.analyzed
+  }
+
+  /** graft_ann_search(vec_dir, edge_dir, probe_id, k) — "more like this"
+    * over a PERSISTED incremental ANN store ([[graft.streaming.StreamOps]]
+    * layout): the probe vector is fetched from the store by id, searched
+    * through the proximity graph with router entries, and the top-k
+    * OTHER vectors return as (probe_id, cand_id, cos, rn). The search is
+    * parameter-bounded (entries + hops·beam·degree scores), so the SQL
+    * surface inherits the store's never-corpus-sized read cost. */
+  def annSearch(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ann_search"
+    require(children.size == 4,
+      s"$fn(vec_dir, edge_dir, probe_id, k) takes 4 arguments")
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    val probeId = lng(children, 2, fn)
+    val probes = spark.read.parquet(str(children, 0, fn))
+      .filter(col("cand_id") === probeId)
+      .select(col("cand_id").as("probe_id"), col("cv").as("pv"))
+      .limit(1)
+    val k = int(children, 3, fn)
+    // k+1 then re-rank: the probe usually finds itself at rn 1 (cos 1),
+    // but an exact-duplicate vector with a smaller id can outrank it —
+    // recompute rn over the ≤ k+1 survivors instead of shifting
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    graft.streaming.StreamOps
+      .annIncrementalSearch(probes, str(children, 0, fn), str(children, 1, fn),
+        k = k + 1)
+      .filter(col("cand_id") =!= probeId)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= k)
+      .queryExecution.analyzed
+  }
+
   /** graft_semantic_dedup(dir, threshold) — SemDeDup keep/prune verdicts
     * over `dir`'s embeddings with label clusters (Dedup.semanticDedup). */
   def semanticDedup(children: Seq[Expression]): LogicalPlan = {

@@ -397,8 +397,11 @@ object StreamOps {
     // pre-batch view). The checkpoint handle is kept SEPARATE from the
     // emptiness-filtered Option: an empty frame (bootstrap replay after
     // a vec-only crash) still materialized blocks that must be released.
-    val corpusCk = tryReadParquet(spark, vecDir).map(
-      _.select(col("cand_id"), col("cv"))
+    // tombstones excluded too: a new batch must not spend degree budget
+    // linking to nodes a delete has already condemned (their vectors
+    // would drop out of every future search's corpus view anyway)
+    val corpusCk = tryReadParquet(spark, vecDir).map(c =>
+      dropTombstoned(spark, vecDir, c.select(col("cand_id"), col("cv")), "cand_id")
         .join(b.select(col("cand_id")), Seq("cand_id"), "left_anti")
         .localCheckpoint())
     val corpus = corpusCk.filter(_.limit(1).count() > 0)
@@ -477,6 +480,73 @@ object StreamOps {
     graft.util.Frames.releaseCheckpoint(b)
     graft.util.Frames.releaseCheckpoint(ne)
   }
+
+  private def tombstonePath(vecDir: String) = s"$vecDir/_tombstones"
+
+  /** Delete vectors from the incremental ANN store: a TOMBSTONE write,
+    * the forget path the append-only store was missing (the reference's
+    * own reorg semantics REMOVE rows — replace-on-reorg — and any
+    * right-to-forget curation workflow needs the same; an index that can
+    * only grow cannot serve either). Tombstones live under
+    * `vecDir/_tombstones` — the router's underscore trick: invisible to
+    * the vec store's own parquet reads and partition discovery, so the
+    * delete state travels inside the store it governs — partitioned by
+    * delete-batch id with dynamic overwrite, so a replayed delete batch
+    * rewrites identical rows (the exactly-once contract of every sink
+    * here, StreamOpsSpec-pinned).
+    *
+    * Division of labor (the RECOVERY-partition discipline applied to
+    * forgetting): the delete itself is O(|ids|) — no store rewrite, no
+    * graph surgery. Read paths anti-join the tombstone set (batch-sized
+    * small side, broadcast): deleted vectors can never be scored, so
+    * they vanish from results IMMEDIATELY; their graph nodes degrade to
+    * dead ends (edges into them expand to candidates the corpus join
+    * drops — wasted frontier slots, bounded by beam). PHYSICAL removal
+    * + navigability repair happen where corpus-sized work belongs:
+    * [[annCompactStore]] drops tombstoned vectors and their edges,
+    * re-links the nodes that lost neighbors (dangling-edge heal), and
+    * PURGES the tombstones — the fresh store starts clean.
+    *
+    * Contract: a deleted id stays deleted until a compaction purges its
+    * tombstone; re-ingesting the SAME id before that compaction is
+    * out of contract (the tombstone would hide the new vector too) —
+    * use fresh ids, the same immutability rule the batch partitions
+    * already impose. */
+  def annDeleteBatch(ids: DataFrame, delBatchId: Long, vecDir: String): Unit =
+    ids.select(col("cand_id")).distinct()
+      .withColumn("batch_id", lit(delBatchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(tombstonePath(vecDir))
+
+  /** Streaming wrapper of [[annDeleteBatch]] — a deletion feed (ids to
+    * forget) maintained with the same checkpoint/replay contract as the
+    * ingest sink. */
+  def annDeleteOnArrival(ids: DataFrame, vecDir: String, checkpointDir: String) =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annDeleteBatch(batch, batchId, vecDir)
+      }
+      .start()
+
+  /** The store's tombstoned ids (distinct), absent when none exist. */
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      vecDir: String): Option[DataFrame] =
+    tryReadParquet(spark, tombstonePath(vecDir))
+      .map(_.select(col("cand_id")).distinct())
+
+  /** Anti-join `df` against the store's tombstones on `key` (broadcast —
+    * the tombstone set is delete-sized, not corpus-sized). */
+  private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
+      vecDir: String, df: DataFrame, key: String): DataFrame =
+    tombstonesOf(spark, vecDir) match {
+      case Some(t) =>
+        df.join(broadcast(t.select(col("cand_id").as(key))), Seq(key), "left_anti")
+      case None => df
+    }
 
   /** FS-portable bootstrap probe shared by the arrival sinks: a missing
     * store reads as absent (first batch), and so does a dir holding no
@@ -591,7 +661,11 @@ object StreamOps {
       beam: Int = 32, hops: Int = 6, k: Int = 3): DataFrame = {
     import graft.operators.Ann
     val spark = probes.sparkSession
-    val corpus = spark.read.parquet(vecDir).select(col("cand_id"), col("cv"))
+    // tombstoned vectors are OUT of the corpus view, so they can never be
+    // scored or returned; their graph nodes become dead ends until the
+    // next compaction physically removes and heals around them
+    val corpus = dropTombstoned(spark, vecDir,
+      spark.read.parquet(vecDir).select(col("cand_id"), col("cv")), "cand_id")
     val e = spark.read.parquet(edgeDir)
     Ann.graphAnnSearch(probes, corpus, symmetrized(e),
       entriesFor(spark, edgeDir, probes, corpus), beam, hops, k)
@@ -619,22 +693,203 @@ object StreamOps {
     * compacted one, and [[symmetrized]] flips only them. */
   def annCompactStore(spark: org.apache.spark.sql.SparkSession,
       vecDir: String, edgeDir: String, outVecDir: String, outEdgeDir: String,
-      refreshRouter: Boolean = true, targetFileRows: Long = 1L << 20): Unit = {
+      refreshRouter: Boolean = true, targetFileRows: Long = 1L << 20,
+      healR: Int = 12): Unit = {
     import graft.operators.{Ann, Layout}
-    val vecs = spark.read.parquet(vecDir).select(col("cand_id"), col("cv"))
-      .dropDuplicates("cand_id")
+    val tomb = tombstonesOf(spark, vecDir)
+    // physical removal: tombstoned vectors do not cross into the fresh
+    // store, and neither does the tombstone sidecar — compaction is the
+    // purge point (the fresh store starts with nothing to anti-join)
+    val vecs = dropTombstoned(spark, vecDir,
+        spark.read.parquet(vecDir).select(col("cand_id"), col("cv"))
+          .dropDuplicates("cand_id"), "cand_id")
+      .localCheckpoint()
     Layout.compact(vecs, s"$outVecDir/batch_id=$CompactBatchId",
       targetFileRows, sortCols = Seq("cand_id"))
-    val edges = symmetrized(spark.read.parquet(edgeDir)).distinct()
-    Layout.compact(edges, s"$outEdgeDir/batch_id=$CompactBatchId",
-      targetFileRows, sortCols = Seq("src"))
+    val allEdges = symmetrized(spark.read.parquet(edgeDir)).distinct()
+    tomb match {
+      case None =>
+        Layout.compact(allEdges, s"$outEdgeDir/batch_id=$CompactBatchId",
+          targetFileRows, sortCols = Seq("src"))
+      case Some(t) =>
+        // Dangling-edge heal: dropping a node's edges leaves its former
+        // neighbors with a hole in their out-sets — paths that routed
+        // THROUGH deleted nodes break, and a survivor whose neighborhood
+        // was mostly deleted can fall off the graph entirely. Re-link
+        // every survivor that lost an edge (affected = survivors
+        // adjacent to a tombstoned node — delete-degree-sized, never
+        // corpus-sized) by searching the FILTERED graph with their own
+        // vectors and α-pruning the searched neighborhood to healR
+        // out-edges — exactly how a new node links in on arrival.
+        val tb = broadcast(t.localCheckpoint())
+        val kept = allEdges
+          .join(tb.select(col("cand_id").as("src")), Seq("src"), "left_anti")
+          .join(tb.select(col("cand_id").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+        val affected = allEdges
+          .join(tb.select(col("cand_id").as("dst")), Seq("dst"))
+          .select(col("src").as("cand_id")).distinct()
+          .join(tb, Seq("cand_id"), "left_anti")
+        val probes = vecs.join(affected, Seq("cand_id"))
+          .select(col("cand_id").as("probe_id"), col("cv").as("pv"))
+          .localCheckpoint()
+        val healed = if (probes.limit(1).count() == 0) kept else {
+          val searched = Ann.graphAnnSearch(probes, vecs, kept,
+            entriesFor(spark, edgeDir, probes, vecs),
+            beam = 32, hops = 6, k = 2 * healR)
+          val pruned = Ann.alphaPrune(
+            searched.filter(col("probe_id") =!= col("cand_id"))
+              .select(col("probe_id").as("src"), col("cand_id").as("dst"),
+                col("cos")),
+            vecs, healR, alphaPct = 120, window = 2 * healR)
+          graft.util.Frames.releaseCheckpoint(searched)
+          // the compacted partition is stored ALREADY symmetrized (the
+          // read path never flips it), so heal edges enter both ways
+          kept.unionAll(pruned.select(col("src"), col("dst")))
+            .unionAll(pruned.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct()
+        }
+        Layout.compact(healed, s"$outEdgeDir/batch_id=$CompactBatchId",
+          targetFileRows, sortCols = Seq("src"))
+        graft.util.Frames.releaseCheckpoint(kept)
+        graft.util.Frames.releaseCheckpoint(probes)
+        graft.util.Frames.releaseCheckpoint(tb)
+    }
     if (refreshRouter) writeRouter(spark, outEdgeDir, vecs)
     else readRouter(spark, edgeDir).foreach { router =>
       import spark.implicits._
       router.toDF("cluster", "centroid", "medoid").coalesce(1)
         .write.mode("overwrite").parquet(routerPath(outEdgeDir))
     }
+    graft.util.Frames.releaseCheckpoint(vecs)
   }
+
+  /** Incremental connected-components maintenance — the components
+    * sibling of [[annIngestOnArrival]] (verdict-13 #7): each micro-batch
+    * of edges updates a PERSISTED node→component map with batch-sized
+    * compute, never a full-graph recompute. The trick is label
+    * CONTRACTION: the stored labels are component minima (the
+    * [[graft.operators.Components]] invariant), so a batch's effect on
+    * global connectivity factors entirely through the label graph —
+    * contract each batch endpoint to its current label, run exact
+    * connected components over THAT graph (≤ 2·|batch| nodes, in-batch
+    * transitivity included), and the result is a label merge map.
+    * Everything downstream of the merge map is affected-sized: new
+    * nodes get their resolved label, and stored rows whose label merged
+    * get relabeled — nodes in untouched components are never read back,
+    * never rewritten.
+    *
+    * Store layout (the merge-on-read discipline): `mapDir` holds
+    * (node, component) rows partitioned by batch_id, one delta
+    * partition per batch — a node's CURRENT label is its row with the
+    * greatest batch_id ([[componentsStoreRead]]); `edgeDir` keeps the
+    * raw batch edges (rebuild path + audit). Per-batch cost: one
+    * broadcast-semi-joined map read (batch-sized output), one
+    * batch-sized components run, one affected-sized map scan-filter,
+    * two idempotent partition writes.
+    *
+    * Replay contract (StreamOpsSpec-pinned): a replayed batch reads the
+    * map INCLUDING its own prior delta — every endpoint already carries
+    * its merged label, so the label graph is discrete, the merge map is
+    * empty, the delta is empty, and an empty dynamic overwrite touches
+    * nothing. In the crash window (edges written, delta not) the map
+    * lacks the delta, so the recompute reproduces it exactly — the
+    * delta is a pure function of (batch, pre-batch map). */
+  def componentsOnArrival(edges: DataFrame, mapDir: String, edgeDir: String,
+      checkpointDir: String) =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        componentsBatch(batch, batchId, mapDir, edgeDir)
+      }
+      .start()
+
+  /** The components foreachBatch body (public like [[dedupBatch]]:
+    * directly testable, doubles as a batch backfill). */
+  def componentsBatch(batch: DataFrame, batchId: Long, mapDir: String,
+      edgeDir: String): Unit = {
+    import graft.operators.Components
+    val spark = batch.sparkSession
+    val e = batch.select(col("src"), col("dst")).localCheckpoint()
+    // edges first (the ANN sink's vec-first discipline): a crash after
+    // this write replays into the same delta computation either way
+    e.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(edgeDir)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    // current labels of the batch's endpoints only: ONE map scan with the
+    // batch-sized node set broadcast into it (hit is batch-sized), then
+    // every later use of "which endpoints exist / what are their labels"
+    // reads hit — the map is never shuffled and never re-scanned
+    val cur = tryReadParquet(spark, mapDir).map(componentsMergeRead)
+    val hit = (cur match {
+      case Some(m) => m.join(broadcast(nodes), Seq("node"))
+      case None => nodes.select(col("node"), lit(null).cast("long").as("component")).limit(0)
+    }).localCheckpoint()
+    val labeled = nodes.join(broadcast(hit), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("lbl"))
+      .localCheckpoint()
+    // the label graph: batch edges contracted to labels; exact components
+    // over it (batch-sized — the distributed path is never needed, but
+    // correctness must not depend on that, so the cap stays default)
+    val lblEdges = e
+      .join(labeled.select(col("node").as("src"), col("lbl").as("la")), "src")
+      .join(labeled.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("src"), col("lb").as("dst"))
+    val mergeMap = (
+      if (lblEdges.limit(1).count() == 0)
+        spark.emptyDataFrame
+          .select(lit(0L).as("lbl"), lit(0L).as("newc")).limit(0)
+      else Components.connectedComponents(lblEdges)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("lbl"), col("component").as("newc"))
+    ).localCheckpoint()
+    val resolvedNew = labeled
+      .join(broadcast(hit.select(col("node"))), Seq("node"), "left_anti")
+      .join(broadcast(mergeMap), Seq("lbl"), "left")
+      .select(col("node"), coalesce(col("newc"), col("lbl")).as("component"))
+    // affected-sized relabel: only stored rows whose CURRENT label merged
+    // — a second map scan, paid only when a merge actually happened
+    val relabeled = cur match {
+      case Some(m) => m
+        .join(broadcast(mergeMap.select(col("lbl").as("component"), col("newc"))),
+          Seq("component"))
+        .select(col("node"), col("newc").as("component"))
+      case None => resolvedNew.limit(0)
+    }
+    val delta = resolvedNew.unionAll(relabeled).localCheckpoint()
+    delta.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(mapDir)
+    graft.util.Frames.releaseCheckpoint(delta)
+    graft.util.Frames.releaseCheckpoint(mergeMap)
+    graft.util.Frames.releaseCheckpoint(labeled)
+    graft.util.Frames.releaseCheckpoint(hit)
+    graft.util.Frames.releaseCheckpoint(nodes)
+    graft.util.Frames.releaseCheckpoint(e)
+  }
+
+  /** Latest-wins merge-on-read over the delta partitions: a node's
+    * current component is its row with the greatest batch_id. */
+  private def componentsMergeRead(store: DataFrame): DataFrame =
+    store.select(col("node"), col("component"),
+        col("batch_id").cast("long").as("bid"))
+      .groupBy(col("node"))
+      .agg(max_by(col("component"), col("bid")).as("component"))
+
+  /** Read the current node→component map off the arrival-built store. */
+  def componentsStoreRead(spark: org.apache.spark.sql.SparkSession,
+      mapDir: String): DataFrame =
+    componentsMergeRead(spark.read.parquet(mapDir))
 
   /** Sink an event stream as parquet with checkpointing (ack analog). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String) =

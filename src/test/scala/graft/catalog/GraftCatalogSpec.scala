@@ -79,6 +79,55 @@ class GraftCatalogSpec extends SparkSpec {
     assert(pruned === prunedApi)
   }
 
+  test("TVF surface: graph tier (pagerank, communities) callable from plain SQL") {
+    // full-map TVFs agree with the DataFrame operators row for row
+    val prSql = spark.sql(
+      s"SELECT node, rank FROM graft_pagerank('${sf()}', 3) ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prApi = graft.operators.Graph
+      .pagerank(graft.operators.Graph.partSupplierEdges(spark, sf()), 3)
+      .orderBy(col("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(prSql === prApi && prSql.nonEmpty)
+    // communities compose with ordinary SQL (size rollup in the outer
+    // query reproduces labelPropagate's top-k)
+    val viaSql = spark.sql(s"""
+      SELECT lbl, count(*) AS n_members
+      FROM graft_communities('${sf()}', 3)
+      GROUP BY lbl ORDER BY n_members DESC, lbl LIMIT 5""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaApi = graft.operators.Graph
+      .labelPropagate(graft.operators.Graph.jaccardSliceEdges(spark, sf()),
+        rounds = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql === viaApi)
+  }
+
+  test("TVF surface: graft_ann_search reads a persisted incremental store from SQL") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tvf_ann").toString
+    val (vecDir, edgeDir) = (s"$tmp/vecs", s"$tmp/edges")
+    val vecs = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") >= 5 && col("vec_id") < 300)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    graft.streaming.StreamOps.annIngestBatch(vecs, 0L, vecDir, edgeDir, 12)
+    val got = spark.sql(
+      s"SELECT cand_id, rn FROM graft_ann_search('$vecDir', '$edgeDir', 7, 3) ORDER BY rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got.length === 3, s"expected 3 neighbors, got $got")
+    assert(got.map(_._2) === Seq(1, 2, 3), "rn must be contiguous 1..k")
+    assert(!got.map(_._1).contains(7L), "the probe must not return itself")
+    // agrees with the DataFrame store search on the same probe
+    val api = graft.streaming.StreamOps.annIncrementalSearch(
+        vecs.filter(col("cand_id") === 7L)
+          .select(col("cand_id").as("probe_id"), col("cv").as("pv")),
+        vecDir, edgeDir, k = 4)
+      .filter(col("cand_id") =!= 7L)
+      .orderBy(col("rn")).limit(3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got.map(_._1) === api)
+  }
+
   test("bronze blockchain tables queryable by SQL after ingest") {
     val raw = spark.read.text(getClass.getResource("/blocks/blocks.jsonl").getPath)
     val out = java.nio.file.Files.createTempDirectory("bronze_sql").toString

@@ -274,6 +274,30 @@ class FreqSpec extends SparkSpec {
     }
   }
 
+  test("quantile summary: heavy-day ordinal routing is bit-identical to the windowed path") {
+    import spark.implicits._
+    // mixed load: one day over the (tiny, test-forced) threshold, one
+    // under, duplicates included — the routed union must reproduce the
+    // windowed operator's output EXACTLY (the tie argument: rank ties
+    // pick different rows, the selected (day, v, rnk, w) multiset is
+    // invariant), so the checked query's hash cannot move at any SF
+    val rows =
+      (1 to 900).map(i => ("fat", (i * 13 % 200).toLong)) ++
+      (1 to 80).map(i => ("thin", (i * 7 % 50).toLong))
+    val vals = rows.toDF("day", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    val routed = canon(Freq.quantileSummary(vals, 16, heavyDayRows = 500L))
+    val windowed = canon(Freq.quantileSummary(vals, 16, heavyDayRows = Long.MaxValue))
+    assert(routed === windowed,
+      "ordinal-routed heavy day must reproduce the windowed summary exactly")
+    assert(routed.nonEmpty && routed.count(_._1 == "fat") <= 17)
+    // every-day-heavy degenerate: pure ordinal path, same law
+    val allHeavy = canon(Freq.quantileSummary(vals, 16, heavyDayRows = 10L))
+    assert(allHeavy === windowed)
+  }
+
   test("quantile merged read: exact-tie summary rows (re-sent batch shape) still hit every rank exactly once") {
     import spark.implicits._
     // A summary unioned with ITSELF — the quantileStoreRead shape when

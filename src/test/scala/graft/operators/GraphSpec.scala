@@ -88,6 +88,73 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("pagerankWeighted: w ≡ 1 is bit-identical to unweighted pagerank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val raw = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val es = (raw ++ raw.map(_.swap)).distinct
+    val unw = Graph.pagerank(edgesDf(es), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = Graph.pagerankWeighted(
+        es.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 === unw, "w ≡ 1 weighted pagerank must equal unweighted exactly")
+  }
+
+  test("pagerankWeighted: mass follows weight; shuffle arm bit-identical") {
+    import spark.implicits._
+    // Symmetric triangle 0-1-2, but edge 0↔1 carries weight 8 vs 1
+    // elsewhere: 0 and 1 feed each other 8/9 of their mass and must both
+    // outrank 2; under w ≡ 1 all three tie by symmetry — the ranking IS
+    // the weight information.
+    val es = Seq((0L, 1L, 8L), (1L, 0L, 8L), (0L, 2L, 1L), (2L, 0L, 1L),
+      (1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.pagerankWeighted(es, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === got(1L), "0 and 1 are symmetric")
+    assert(got(0L) > got(2L), "heavy mutual edge must concentrate mass")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = Graph.pagerankWeighted(es, iters = 5, broadcastRanks = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sh === got, "weighted shuffle arm must match broadcast exactly")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("ssspWeighted: relaxation improves an already-reached node; round cap respected") {
+    import spark.implicits._
+    // 0→1 costs 10 direct, but 0→2→1 costs 2+3=5: round 1 sets d(1)=10,
+    // round 2 must IMPROVE it to 5 (the update bfsHops structurally
+    // cannot express). 1→3 extends the improved path in round 3.
+    val es = Seq((0L, 1L, 10L), (0L, 2L, 2L), (2L, 1L, 3L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val src = Seq(0L).toDF("node")
+    val r1 = Graph.ssspWeighted(es, src, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(0L -> 0L, 1L -> 10L, 2L -> 2L))
+    val r3 = Graph.ssspWeighted(es, src, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 === Map(0L -> 0L, 1L -> 5L, 2L -> 2L, 3L -> 6L),
+      s"round-2 relaxation must improve d(1) to 5 and extend to 3: $r3")
+  }
+
+  test("ssspWeighted: w ≡ 1 distances equal bfsHops hop counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val raw = Seq.fill(300)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val es = (raw ++ raw.map(_.swap)).distinct
+    val src = Seq(0L, 7L).toDF("node")
+    val hops = Graph.bfsHops(edgesDf(es), src, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val dist = Graph.ssspWeighted(
+        es.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+        src, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === hops, "unit-weight SSSP must reproduce BFS hop counts")
+  }
+
   test("q_graph_jaccard: matches a driver-side neighbor-set replay on the fixture graph") {
     import spark.implicits._
     val got = graft.SparkEntry.queries("q_graph_jaccard")(spark, sf())

@@ -539,6 +539,72 @@ class StreamOpsSpec extends SparkSpec {
       "the recovery partition did not survive the replay")
   }
 
+  test("ann-delete: tombstoned ids vanish from search, replay idempotent, compaction purges and heals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_delete").toString
+    val (vecDir, edgeDir) = (s"$tmp/vecs", s"$tmp/edges")
+    val (b1, b2, b3, probes) = embSlices()
+    StreamOps.annIngestBatch(b1.toDF("cand_id", "cv"), 0L, vecDir, edgeDir, 12)
+    StreamOps.annIngestBatch(b2.toDF("cand_id", "cv"), 1L, vecDir, edgeDir, 12)
+    StreamOps.annIngestBatch(b3.toDF("cand_id", "cv"), 2L, vecDir, edgeDir, 12)
+    // delete every probe's CURRENT top-1 — the adversarial set: ids the
+    // search provably returns, sitting in well-connected neighborhoods
+    val before = StreamOps.annIncrementalSearch(probes, vecDir, edgeDir, k = 3)
+    val delIds = before.filter(col("rn") === 1)
+      .select(col("cand_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    StreamOps.annDeleteBatch(delIds.toSeq.toDF("cand_id"), 0L, vecDir)
+    // 1) deleted ids never surface again; every probe still gets k rows
+    val after = StreamOps.annIncrementalSearch(probes, vecDir, edgeDir, k = 3)
+      .select(col("probe_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.forall { case (_, c) => !delIds.contains(c) },
+      "a tombstoned id surfaced in search results")
+    assert(after.groupBy(_._1).forall(_._2.length === 3),
+      "every probe must still return k survivors")
+    // 2) replaying the delete batch (same id, same data) is a no-op
+    val tombBefore = spark.read.parquet(s"$vecDir/_tombstones").count()
+    StreamOps.annDeleteBatch(delIds.toSeq.toDF("cand_id"), 0L, vecDir)
+    assert(spark.read.parquet(s"$vecDir/_tombstones").count() === tombBefore)
+    assert(StreamOps.annIncrementalSearch(probes, vecDir, edgeDir, k = 3)
+      .select(col("probe_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === after.toSet,
+      "delete replay must not change search results")
+    // 3) compaction physically purges: vectors gone, tombstone sidecar
+    // gone, no edge touches a deleted id, affected survivors re-linked
+    StreamOps.annCompactStore(spark, vecDir, edgeDir,
+      s"$tmp/vecs_c", s"$tmp/edges_c", refreshRouter = true)
+    val vecsC = spark.read.parquet(s"$tmp/vecs_c")
+    assert(vecsC.count() === 495 - delIds.size)
+    assert(vecsC.filter(col("cand_id").isin(delIds.toSeq: _*)).count() === 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/vecs_c/_tombstones")),
+      "compaction must purge the tombstone sidecar")
+    val edgesC = spark.read.parquet(s"$tmp/edges_c")
+    assert(edgesC.filter(col("src").isin(delIds.toSeq: _*) ||
+      col("dst").isin(delIds.toSeq: _*)).count() === 0,
+      "compacted store still carries edges of deleted nodes")
+    // every survivor keeps out-edges (the heal re-links nodes that lost
+    // neighbors; nothing falls off the graph)
+    assert(edgesC.select("src").distinct().count() === 495L - delIds.size,
+      "a survivor lost all its out-edges through the purge")
+    // 4) search on the compacted store: still k survivors per probe, no
+    // deleted ids, and recall vs exact-over-survivors holds the floor
+    val gotC = StreamOps.annIncrementalSearch(probes, s"$tmp/vecs_c", s"$tmp/edges_c", k = 3)
+      .select(col("probe_id"), col("cand_id"))
+    assert(gotC.filter(col("cand_id").isin(delIds.toSeq: _*)).count() === 0)
+    val e = graft.catalog.Tables.embeddings(spark, sf())
+    val exactSurv = graft.operators.Ann.bruteForceTopK(
+      e.filter(col("vec_id") < 5),
+      e.filter(col("vec_id") >= 5 && !col("vec_id").isin(delIds.toSeq: _*)), 3)
+      .select(col("probe_id"), col("cand_id"))
+    val nEx = exactSurv.count()
+    val hit = exactSurv.join(gotC, Seq("probe_id", "cand_id")).count()
+    assert(hit.toDouble / nEx >= 0.8,
+      s"post-delete-compaction recall $hit/$nEx below floor")
+  }
+
   test("quantile-on-arrival: batch summaries accrete; store read within bound; replay idempotent") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -619,6 +685,84 @@ class StreamOpsSpec extends SparkSpec {
     graft.util.Frames.releaseCheckpoint(corpus)
     assert(hit.toDouble / nEx >= 14.0 / 15.0,
       s"4× incremental recall $hit/$nEx below the fixture floor (measured 15/15)")
+  }
+
+  test("components-on-arrival: incremental map ≡ full recompute across batches; replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("cc_arrival").toString
+    val (mapDir, edgeDir) = (s"$tmp/map", s"$tmp/edges")
+    // Batches chosen to exercise every merge shape:
+    //   b1: two chains 1-2-3 and 10-11 (bootstrap, in-batch transitivity)
+    //   b2: 20-21 (new component) + 3-10 (MERGES the two stored components
+    //       — relabels every node of the 10-component, incl. ones this
+    //       batch never touches: the affected-sized relabel path)
+    //   b3: 2-11 (edge INSIDE an already-merged component — no-op merge)
+    //       + 30 self-contained pair 30-31
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((20L, 21L), (3L, 10L)),
+      Seq((2L, 11L), (30L, 31L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamOps.componentsBatch(b.toDF("src", "dst"), i.toLong, mapDir, edgeDir)
+    }
+    def mapNow(): Map[Long, Long] =
+      StreamOps.componentsStoreRead(spark, mapDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = mapNow()
+    // oracle: full recompute over the union of all batch edges
+    val full = graft.operators.Components.connectedComponents(
+        batches.flatten.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === full, s"incremental $got != full recompute $full")
+    assert(got(11L) === 1L, "the cross-batch merge must relabel untouched nodes")
+    // replay every batch (same id, same data): store state unchanged
+    val deltaRows = spark.read.parquet(mapDir).count()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamOps.componentsBatch(b.toDF("src", "dst"), i.toLong, mapDir, edgeDir)
+    }
+    assert(mapNow() === full, "replays must not change the merged map")
+    assert(spark.read.parquet(mapDir).count() === deltaRows,
+      "a replayed batch must write an empty delta")
+    // crash window: edges landed, delta did not — drop batch 1's delta
+    // partition and replay; the recompute must restore the same map
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(mapDir, "batch_id=1")
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    assert(mapNow() !== full) // the window is real
+    StreamOps.componentsBatch(batches(1).toDF("src", "dst"), 1L, mapDir, edgeDir)
+    assert(mapNow() === full, "crash-window replay must reproduce the delta")
+    // the per-batch write is a DELTA, not a map snapshot: batch 3's
+    // partition may carry only its own new nodes (2-11 merged nothing)
+    val b3rows = spark.read.parquet(mapDir)
+      .filter(col("batch_id").cast("long") === 2L).count()
+    assert(b3rows === 2L, s"batch 3 should write only nodes 30,31, got $b3rows")
+  }
+
+  test("components-on-arrival: streaming equivalence on a seeded random edge stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("cc_stream").toString
+    val rnd = new scala.util.Random(23)
+    val all = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamOps.componentsOnArrival(
+      in.toDF().toDF("src", "dst"), s"$tmp/map", s"$tmp/edges", s"$tmp/ck")
+    try {
+      all.grouped(30).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = StreamOps.componentsStoreRead(spark, s"$tmp/map").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.Components.connectedComponents(
+        all.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === full)
+    // the stored edges reproduce the stream (rebuild/audit path)
+    assert(spark.read.parquet(s"$tmp/edges").select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === all.toSet)
   }
 
   test("stream-stream interval join: signups within the hour match, older do not") {
