@@ -221,6 +221,54 @@ object ScaleProbe {
       } finally q.stop()
     }
 
+    // round-14: incremental connected components — per-batch cost as the
+    // STORED map grows. Each batch carries the same number of fresh edges
+    // (fixed batch-sized work by the label-contraction design), but the
+    // accumulated map grows linearly, and every batch's edges MERGE a new
+    // chain into the giant component rooted at node 0 (worst case: each
+    // batch triggers the affected-sized relabel path against an
+    // ever-larger component — relabel rows grow, the map SCAN is the
+    // term to watch). Per-batch sec should grow gently with the
+    // map-scan term, never with batch count × map size.
+    if (want("components_arrival")) {
+      // arm "grow": batch b's 20k-edge chain bridges to node 0 — new
+      // nodes always join the EXISTING minimum, so the relabel path never
+      // fires and the per-batch cost isolates the map-scan term (should
+      // stay flat-ish while the map grows 12×).
+      // arm "relabel": chains arrive with DESCENDING minima, each bridged
+      // to the previous chain — every batch renames the ENTIRE stored
+      // component (the worst case: relabel rows grow linearly, so batch
+      // sec may grow linearly with map size but never superlinearly).
+      Seq("grow", "relabel").foreach { arm =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"cc_probe_$arm").toString
+        val (mapDir, edgeDir) = (s"$tmp/map", s"$tmp/edges")
+        (0 until 12).foreach { b =>
+          val base = if (arm == "grow") b.toLong * 1000000L + 1L
+                     else (12L - b) * 1000000L
+          val chain = spark.range(20000)
+            .select(($"id" + base).as("src"), ($"id" + base + 1).as("dst"))
+          val bridge =
+            if (arm == "grow")
+              spark.range(1).select(lit(0L).as("src"), lit(base).as("dst"))
+            else if (b == 0) // first chain stands alone (no node 0 — the
+              // descending minima must stay the component roots)
+              spark.range(1).select(lit(base).as("src"), lit(base + 1).as("dst"))
+            else spark.range(1).select(lit(base).as("src"),
+              lit((12L - b + 1L) * 1000000L).as("dst"))
+          val edges = chain.unionAll(bridge)
+          val t0 = System.nanoTime()
+          graft.streaming.StreamOps.componentsBatch(edges, b.toLong, mapDir, edgeDir)
+          val t = (System.nanoTime() - t0) / 1e9
+          val mapRows = spark.read.parquet(mapDir).count()
+          println(f"""{"probe":"components_arrival","arm":"$arm","batch":$b,"batch_edges":20001,"map_rows":$mapRows,"sec":$t%.2f}""")
+        }
+        // invariant: one component per arm construction (everything merged)
+        val comps = graft.streaming.StreamOps.componentsStoreRead(spark, mapDir)
+          .select($"component").distinct().count()
+        println(s"""{"probe":"components_arrival_check","arm":"$arm","components":$comps}""")
+      }
+    }
+
     // round-6: SRP-LSH embedding near-dup on an N×-grown corpus. Replicas
     // get per-(replica, dim) deterministic sign flips, so each replica is
     // a fresh pseudo-random direction — bucket DENSITY stays constant and

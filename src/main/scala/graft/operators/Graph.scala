@@ -217,6 +217,67 @@ object Graph {
     } finally edP.unpersist(blocking = false)
   }
 
+  /** Personalized PageRank — the restart mass concentrated on a source
+    * set instead of spread uniformly: r'(v) = 15%·(mass div |S|)·[v∈S]
+    * + 85%·Σ inbound contributions. THE "related to these" primitive
+    * (recommendation seeds, account-of-interest neighborhoods,
+    * topic-conditioned importance) that global pagerank cannot express:
+    * rank mass can only reach nodes via paths from S, so the result IS
+    * proximity to the seed set. Same exact-integer discipline and the
+    * same layout/loop as [[pagerank]] — the ONLY change is the base
+    * term's indicator (a node-count-sized broadcast membership flag
+    * carried through the rank state, costing nothing per round).
+    *
+    * @param edges   directed (src, dst); every node appears as a src.
+    * @param sources (node BIGINT) seed set, distinct, non-empty.
+    * @return (node, rank) — nodes unreachable from S rank 0. */
+  def pagerankPersonalized(edges: DataFrame, sources: DataFrame, iters: Int = 5,
+      mass: Long = 1000000000000L, broadcastRanks: Boolean = true): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ed = edges.select(col("src"), col("dst"))
+    val edP = ed
+      .repartition(if (broadcastRanks) col("dst") else col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val deg = edP.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    try {
+    val src = sources.select(col("node")).distinct().localCheckpoint()
+    val ns = src.agg(count(lit(1)).as("ns"))
+    // seed membership rides in the rank state (one more tiny column
+    // through each round's checkpoint) so the base term never re-joins
+    var rank = deg
+      .join(broadcast(src.select(col("node").as("src"), lit(1L).as("is_src"))),
+        Seq("src"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("src").as("node"), col("outdeg"),
+        coalesce(col("is_src"), lit(0L)).as("is_src"),
+        expr(s"coalesce(is_src, 0L) * ($mass div ns)").as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribSrc = rank.select(col("node").as("src"),
+        expr("rank div outdeg").as("c"))
+      val contrib = (if (broadcastRanks) edP.join(broadcast(contribSrc), "src")
+                     else edP.join(contribSrc, "src"))
+        .select(col("dst"), col("c"))
+      val in = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      val next = rank.select(col("node"), col("outdeg"), col("is_src"))
+        .join(broadcast(in.select(col("dst").as("node"), col("in_sum"))),
+          Seq("node"), "left")
+        .crossJoin(broadcast(ns))
+        .select(col("node"), col("outdeg"), col("is_src"),
+          (expr(s"is_src * ((15 * ($mass div ns)) div 100)") +
+            expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+        .localCheckpoint()
+      releaseCheckpoint(rank)
+      rank = next
+    }
+    releaseCheckpoint(src)
+    rank.select(col("node"), col("rank"))
+    } finally releaseCheckpoint(deg)
+    } finally edP.unpersist(blocking = false)
+  }
+
   /** Weighted single/multi-source shortest paths, round-capped — the
     * weighted member [[bfsHops]] is the w ≡ 1 case of (GraphSpec pins
     * dist ≡ hop there): after `rounds` rounds, every node's d is the
@@ -317,6 +378,7 @@ object Graph {
   private val kcoreRounds = 4
   private val ssspRounds = 4
   private val ssspSources = 3
+  private val pprSources = 3
 
   /** q_graph_kcore's oracle: the peel unrolled round by round (rounds is
     * a compile-time constant; every CTE MATERIALIZED — the peel chain
@@ -586,17 +648,34 @@ object Graph {
     * not just the sizes). Checkpointed; consumers that are done with it
     * may hand it to Frames.releaseCheckpoint. */
   def labelAssign(edges: DataFrame, rounds: Int,
+      broadcastLabels: Boolean = true): DataFrame =
+    labelAssignWeighted(
+      edges.select(col("a"), col("b"), lit(1L).as("w")), rounds, broadcastLabels)
+
+  /** WEIGHTED label propagation assignment — each round a node adopts
+    * the label with the greatest incident EDGE-WEIGHT sum (ties →
+    * smallest label), so a 50-times-co-purchased neighbor outvotes
+    * fifty one-off ones: the natural rule on the multiplicity-weighted
+    * graphs the weighted tier carries. [[labelAssign]] is the w ≡ 1
+    * case (sum of ones = count — bit-identical, GraphSpec-pinned); the
+    * loop/broadcast discipline is shared, and the per-round aggregate
+    * is still a two-level hash agg on (node, label) — hub weights
+    * partial-sum map-side exactly as counts did.
+    *
+    * @param edges undirected (a, b, w BIGINT), a < b, w ≥ 1. */
+  def labelAssignWeighted(edges: DataFrame, rounds: Int,
       broadcastLabels: Boolean = true): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
-    val e = edges.select(col("a"), col("b")).localCheckpoint()
-    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val e = edges.select(col("a"), col("b"), col("w")).localCheckpoint()
+    val sym = e.unionAll(
+      e.select(col("b").as("a"), col("a").as("b"), col("w")))
     var lbl = sym.select(col("a").as("v")).distinct()
       .select(col("v"), col("v").as("lbl")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val labeled = lbl.select(col("v").as("b"), col("lbl"))
       val nl = if (broadcastLabels) sym.join(broadcast(labeled), "b")
                else sym.join(labeled, "b")
-      val next = nl.groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+      val next = nl.groupBy(col("a"), col("lbl")).agg(sum(col("w")).as("c"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("a")).orderBy(col("c").desc, col("lbl"))))
         .filter(col("rn") === 1)
@@ -637,20 +716,37 @@ object Graph {
     *        (GraphSpec pins arm equality).
     * @return (lbl, n_members, e_in, d_sum, m, q_num), size-desc. */
   def modularityOf(edges: DataFrame, assign: DataFrame, k: Int,
+      broadcastLabels: Boolean = true): DataFrame =
+    modularityOfWeighted(edges.select(col("a"), col("b"), lit(1L).as("w")),
+      assign, k, broadcastLabels)
+
+  /** WEIGHTED Newman modularity — [[modularityOf]] generalized to the
+    * standard weighted form (every count becomes a weight sum: W = Σw,
+    * e_in = intra-community weight, d_sum = weighted degrees; the
+    * reported numerator is q_num = 4·W·e_in − d_sum² over the implicit
+    * 4W² denominator). Still EXACT integers end to end — weights are
+    * BIGINT counts, so the no-division/no-rounding oracle surface of
+    * the unweighted operator carries over unchanged, and w ≡ 1
+    * reproduces it bit-for-bit (sum of ones = count; GraphSpec pins).
+    *
+    * @param edges undirected (a, b, w BIGINT), a < b, w ≥ 1. */
+  def modularityOfWeighted(edges: DataFrame, assign: DataFrame, k: Int,
       broadcastLabels: Boolean = true): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val e = edges.select(col("a"), col("b"))
+    val e = edges.select(col("a"), col("b"), col("w"))
     val lbl = assign.select(col("v"), col("lbl"))
     def lblJ(df: DataFrame): DataFrame =
       if (broadcastLabels) broadcast(df) else df
-    val mC = e.agg(count(lit(1)).as("m"))
+    // coalesce: sum over an EMPTY edge list is null where count was 0
+    val mC = e.agg(coalesce(sum(col("w")), lit(0L)).as("m"))
     val eIn = e
       .join(lblJ(lbl.select(col("v").as("a"), col("lbl").as("la"))), "a")
       .join(lblJ(lbl.select(col("v").as("b"), col("lbl").as("lb"))), "b")
       .filter(col("la") === col("lb"))
-      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_in"))
-    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-    val dSum = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      .groupBy(col("la").as("lbl")).agg(sum(col("w")).as("e_in"))
+    val sym = e.unionAll(
+      e.select(col("b").as("a"), col("a").as("b"), col("w")))
+    val dSum = sym.groupBy(col("a").as("v")).agg(sum(col("w")).as("d"))
       .join(lblJ(lbl), "v")
       .groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_members"), sum(col("d")).as("d_sum"))
@@ -701,6 +797,54 @@ object Graph {
      SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
      FROM l$lpaRounds
      GROUP BY lbl ORDER BY n_members DESC, lbl LIMIT $lpaTopK"""
+
+  /** The WEIGHTED unrolled-LPA chain (votes = sum of edge multiplicity)
+    * — shared by the weighted labelprop and weighted modularity oracles
+    * exactly as [[lpaCtes]] is by the unweighted pair. */
+  private def lpaCtesW: Seq[String] = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e0 AS MATERIALIZED (
+        SELECT x.p AS a, y.p AS b, count(*) AS w
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) x
+        JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) y
+          ON x.ok = y.ok AND x.p < y.p
+        GROUP BY 1, 2)""",
+      "sym AS MATERIALIZED (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0)",
+      "l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lbl FROM sym)")
+    for (h <- 1 to lpaRounds) {
+      ctes += s"""l$h AS MATERIALIZED (SELECT v, lbl FROM (
+        SELECT s.a AS v, l.lbl, sum(s.w) AS c,
+               row_number() OVER (PARTITION BY s.a ORDER BY sum(s.w) DESC, l.lbl) AS rn
+        FROM sym s JOIN l${h - 1} l ON l.v = s.b
+        GROUP BY s.a, l.lbl) WHERE rn = 1)"""
+    }
+    ctes.toSeq
+  }
+
+  private def labelPropWeightedSql: String =
+    "WITH " + lpaCtesW.mkString(",\n") + s"""
+     SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+     FROM l$lpaRounds
+     GROUP BY lbl ORDER BY n_members DESC, lbl LIMIT $lpaTopK"""
+
+  private def modularityWeightedSql: String =
+    "WITH " + lpaCtesW.mkString(",\n") + s""",
+     m AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM e0),
+     ein AS (SELECT x.lbl, CAST(sum(e.w) AS BIGINT) AS e_in
+             FROM e0 e JOIN l$lpaRounds x ON x.v = e.a
+                       JOIN l$lpaRounds y ON y.v = e.b
+             WHERE x.lbl = y.lbl GROUP BY 1),
+     ds AS (SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(d.d) AS BIGINT) AS d_sum
+            FROM (SELECT a AS v, sum(w) AS d FROM sym GROUP BY 1) d
+            JOIN l$lpaRounds l ON l.v = d.v GROUP BY 1)
+     SELECT ds.lbl, ds.n_members,
+            CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, ds.d_sum, m.m,
+            CAST(4 * m.m * coalesce(ein.e_in, 0) - ds.d_sum * ds.d_sum AS BIGINT) AS q_num
+     FROM ds LEFT JOIN ein ON ein.lbl = ds.lbl, m
+     ORDER BY ds.n_members DESC, ds.lbl LIMIT 10"""
 
   /** q_graph_modularity's oracle: the same unrolled assignment, scored —
     * exact integer numerators (4·m·e_c − d_c²), no division anywhere. */
@@ -898,6 +1042,20 @@ object Graph {
       .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
   }
 
+  /** The %16-slice co-purchase pairs WITH their multiplicity — the ONE
+    * builder behind every weighted slice-graph query (a < b, c =
+    * co-occurring order count). */
+  private[graft] def slicePairCounts(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** The %16-slice co-purchase graph WITH a distance weight, symmetrized
     * — [[jaccardSliceEdges]]'s weighted sibling for the SSSP query: edge
     * length w = 100 div c + 1 where c = co-occurrence support, so
@@ -905,18 +1063,17 @@ object Graph {
     * pairings are FAR (c=1 → w=101) — the inverse-affinity metric a
     * recommendation walk actually uses. Integer end to end. */
   private[graft] def sliceEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir)
-      .filter(col("l_orderkey") % 16 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
-    val pc = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("c"))
-    val w = pc.select(col("a"), col("b"), expr("100 div c + 1").as("w"))
+    val w = slicePairCounts(s, dir)
+      .select(col("a"), col("b"), expr("100 div c + 1").as("w"))
     w.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(w.select(col("b").as("src"), col("a").as("dst"), col("w")))
   }
+
+  /** The same slice graph with AFFINITY weights (w = multiplicity c):
+    * the vote/mass weighting the weighted community tier uses — a
+    * 50-times-co-purchased tie counts 50. */
+  private[graft] def sliceEdgesAffinity(s: SparkSession, dir: String): DataFrame =
+    slicePairCounts(s, dir).select(col("a"), col("b"), col("c").as("w"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_triangles" -> ((s, dir) =>
@@ -992,6 +1149,44 @@ object Graph {
     "q_graph_modularity" -> ((s, dir) => {
       val e = jaccardSliceEdges(s, dir).localCheckpoint()
       modularityOf(e, labelAssign(e, lpaRounds), k = 10)
+    }),
+
+    // WEIGHTED community detection: label propagation where a neighbor's
+    // vote counts its co-purchase multiplicity (a 50-times-paired tie
+    // outvotes fifty one-offs) — the density clustering the multiplicity
+    // information actually changes. Top-20 communities by size.
+    "q_graph_labelprop_weighted" -> ((s, dir) =>
+      labelAssignWeighted(sliceEdgesAffinity(s, dir), lpaRounds)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("lbl"))
+        .limit(lpaTopK)),
+
+    // WEIGHTED modularity of that weighted assignment — q_num =
+    // 4·W·e_in − d_sum² with every count a weight sum; exact integers.
+    // (e stays checkpointed un-released: modularityOfWeighted's plan is
+    // lazy over it — the q_graph_modularity discipline; the bench's
+    // between-queries cleanup reclaims it)
+    "q_graph_modularity_weighted" -> ((s, dir) => {
+      val e = sliceEdgesAffinity(s, dir).localCheckpoint()
+      modularityOfWeighted(e, labelAssignWeighted(e, lpaRounds), k = 10)
+    }),
+
+    // Personalized PageRank from the 3 smallest part nodes — "related to
+    // these" proximity over the part↔supplier graph (rank mass reaches a
+    // node only through paths from the seeds). Top-20.
+    "q_graph_ppr" -> ((s, dir) => {
+      val ed = partSupplierEdges(s, dir).localCheckpoint()
+      val sources = ed.select(col("src").as("node")).distinct()
+        .orderBy(col("node")).limit(pprSources)
+      val out = pagerankPersonalized(ed, sources, prIters, prMass)
+        .select(col("node").as("node_id"),
+          when(pmod(col("node"), lit(2)) === 0, lit("part"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("rank").as("rank_p"))
+        .orderBy(col("rank_p").desc, col("node_id"))
+        .limit(20)
+      releaseCheckpoint(ed)
+      out
     }),
 
     // The SQL-TVF surface of the graph tier, oracle-checked end to end:
@@ -1094,8 +1289,55 @@ object Graph {
     "q_graph_kcore" -> kcoreSql,
     "q_graph_labelprop" -> labelPropSql,
     "q_graph_modularity" -> modularitySql,
+    "q_graph_labelprop_weighted" -> labelPropWeightedSql,
+    "q_graph_modularity_weighted" -> modularityWeightedSql,
     "q_tvf_communities" -> ("WITH " + lpaCtes.mkString(",\n") +
       s" SELECT v, lbl FROM l$lpaRounds ORDER BY v"),
+
+    // The pagerank CTE chain with the restart mass gated on seed
+    // membership (LEFT JOIN srcs: the CASE arm is the is_src indicator).
+    "q_graph_ppr" -> {
+      val rounds = (1 to prIters).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT d.src AS node,
+           |         (CASE WHEN s.node IS NOT NULL
+           |               THEN (15 * ($prMass // (SELECT ns FROM nsrc))) // 100
+           |               ELSE 0 END)
+           |         + ((85 * COALESCE(i.s, 0)) // 100) AS rank
+           |    FROM deg d
+           |    LEFT JOIN srcs s ON s.node = d.src
+           |    LEFT JOIN (
+           |      SELECT e.dst AS dst, SUM(r.rank // dd.outdeg) AS s
+           |        FROM edges e
+           |        JOIN r${i - 1} r ON e.src = r.node
+           |        JOIN deg dd ON dd.src = e.src
+           |       GROUP BY e.dst) i ON i.dst = d.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |    FROM lineitem),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM pairs
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst FROM pairs),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |srcs AS MATERIALIZED (
+         |  SELECT node FROM (SELECT DISTINCT src AS node FROM edges)
+         |  ORDER BY node LIMIT $pprSources),
+         |nsrc AS MATERIALIZED (SELECT COUNT(*) AS ns FROM srcs),
+         |r0 AS MATERIALIZED (
+         |  SELECT d.src AS node,
+         |         CASE WHEN s.node IS NOT NULL
+         |              THEN $prMass // (SELECT ns FROM nsrc) ELSE 0 END AS rank
+         |    FROM deg d LEFT JOIN srcs s ON s.node = d.src),
+         |$rounds
+         |SELECT CAST(node AS BIGINT) AS node_id,
+         |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+         |       CAST(rank AS BIGINT) AS rank_p
+         |  FROM r$prIters
+         | ORDER BY rank_p DESC, node_id
+         | LIMIT 20""".stripMargin
+    },
 
     "q_graph_jaccard" ->
       """WITH e AS MATERIALIZED (

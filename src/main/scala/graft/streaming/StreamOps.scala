@@ -824,12 +824,14 @@ object StreamOps {
       .unionAll(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     // current labels of the batch's endpoints only: ONE map scan with the
-    // batch-sized node set broadcast into it (hit is batch-sized), then
-    // every later use of "which endpoints exist / what are their labels"
-    // reads hit — the map is never shuffled and never re-scanned
-    val cur = tryReadParquet(spark, mapDir).map(componentsMergeRead)
-    val hit = (cur match {
-      case Some(m) => m.join(broadcast(nodes), Seq("node"))
+    // batch-sized node set broadcast into the RAW delta rows BEFORE the
+    // latest-wins aggregate — the merge-on-read agg then runs on
+    // batch-sized rows. (Joining after a whole-store componentsMergeRead
+    // would shuffle the entire map every batch — the map-sized-shuffle
+    // anti-pattern this operator exists to avoid.)
+    val store = tryReadParquet(spark, mapDir)
+    val hit = (store match {
+      case Some(st) => componentsMergeRead(st.join(broadcast(nodes), Seq("node")))
       case None => nodes.select(col("node"), lit(null).cast("long").as("component")).limit(0)
     }).localCheckpoint()
     val labeled = nodes.join(broadcast(hit), Seq("node"), "left")
@@ -855,14 +857,26 @@ object StreamOps {
       .join(broadcast(hit.select(col("node"))), Seq("node"), "left_anti")
       .join(broadcast(mergeMap), Seq("lbl"), "left")
       .select(col("node"), coalesce(col("newc"), col("lbl")).as("component"))
-    // affected-sized relabel: only stored rows whose CURRENT label merged
-    // — a second map scan, paid only when a merge actually happened
-    val relabeled = cur match {
-      case Some(m) => m
-        .join(broadcast(mergeMap.select(col("lbl").as("component"), col("newc"))),
-          Seq("component"))
-        .select(col("node"), col("newc").as("component"))
-      case None => resolvedNew.limit(0)
+    // Affected-sized relabel: stored rows whose CURRENT label merged —
+    // paid only when a merge actually happened (mergeMap is tiny and
+    // checkpointed, so the guard is a cheap count). Two map SCANS, zero
+    // map shuffles: (1) rows carrying a merged label give the candidate
+    // node superset (a node's STALE row can match — resolved next);
+    // (2) those nodes' full row sets re-read, latest-wins aggregated at
+    // candidate size, then filtered to the truly affected by the merge
+    // join. The candidate set is relabel-sized; a merge so large it
+    // outgrows the broadcast is paying relabel-sized writes anyway.
+    val relabeled = store match {
+      case Some(st) if mergeMap.limit(1).count() > 0 =>
+        val candNodes = st
+          .join(broadcast(mergeMap.select(col("lbl").as("component"))),
+            Seq("component"))
+          .select(col("node")).distinct()
+        componentsMergeRead(st.join(broadcast(candNodes), Seq("node")))
+          .join(broadcast(mergeMap.select(col("lbl").as("component"), col("newc"))),
+            Seq("component"))
+          .select(col("node"), col("newc").as("component"))
+      case _ => resolvedNew.limit(0)
     }
     val delta = resolvedNew.unionAll(relabeled).localCheckpoint()
     delta.withColumn("batch_id", lit(batchId))

@@ -155,6 +155,59 @@ class GraphSpec extends SparkSpec {
     assert(dist === hops, "unit-weight SSSP must reproduce BFS hop counts")
   }
 
+  test("labelAssignWeighted/modularityOfWeighted: w ≡ 1 reproduces the unweighted operators bit-for-bit") {
+    import spark.implicits._
+    val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val es = cliqueA ++ cliqueB :+ (4L, 10L)
+    val e = es.toDF("a", "b")
+    val ew = es.map { case (a, b) => (a, b, 1L) }.toDF("a", "b", "w")
+    val unw = Graph.labelAssign(e, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val w1 = Graph.labelAssignWeighted(ew, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(w1 === unw)
+    val qUnw = Graph.modularityOf(e, Graph.labelAssign(e, 3), k = 10)
+      .collect().map(_.toSeq).toSeq
+    val qW1 = Graph.modularityOfWeighted(ew, Graph.labelAssignWeighted(ew, 3), k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(qW1 === qUnw)
+  }
+
+  test("labelAssignWeighted: one heavy tie outvotes many light ones") {
+    import spark.implicits._
+    // node 5 has 3 unit edges into clique {0..3} (label 0 after round 1)
+    // and ONE weight-10 edge to node 9 (self-labeled 9): unweighted LPA
+    // would give 5 label 0 (3 votes > 1); weighted must give 9's label.
+    val base = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j, 1L)
+    val es = base ++ Seq((0L, 5L, 1L), (1L, 5L, 1L), (2L, 5L, 1L), (5L, 9L, 10L))
+    val got = Graph.labelAssignWeighted(es.toDF("a", "b", "w"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5L) === 9L, s"weight-10 vote must win: $got")
+    val unw = Graph.labelAssign(es.map(t => (t._1, t._2)).toDF("a", "b"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unw(5L) === 0L, "the unweighted rule must disagree — the weight IS the information")
+  }
+
+  test("pagerankPersonalized: mass stays on paths from the seeds; uniform seeds ≠ global pagerank") {
+    import spark.implicits._
+    // two components: triangle {0,1,2} and pair {10,11}; seeds in the
+    // triangle only — the pair must rank EXACTLY 0 (no path from seeds)
+    val raw = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L))
+    val es = (raw ++ raw.map(_.swap)).distinct
+    val got = Graph.pagerankPersonalized(edgesDf(es), Seq(0L).toDF("node"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) === 0L && got(11L) === 0L,
+      s"unreachable nodes must hold zero personalized rank: $got")
+    assert(got(0L) > got(1L) && got(0L) > got(2L),
+      "the seed must outrank its neighbors under restart")
+    assert(got(1L) === got(2L), "symmetric neighbors tie")
+    // seeding EVERY node uniformly is NOT global pagerank's init-sensitive
+    // twin here, but total mass must still be conserved within floor slack
+    val total = got.values.sum
+    assert(total <= 1000000000000L && total > 0L)
+  }
+
   test("q_graph_jaccard: matches a driver-side neighbor-set replay on the fixture graph") {
     import spark.implicits._
     val got = graft.SparkEntry.queries("q_graph_jaccard")(spark, sf())
