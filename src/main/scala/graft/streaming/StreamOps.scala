@@ -379,6 +379,57 @@ object StreamOps {
       .orderBy(col("q_pct"))
   }
 
+  /** Compact the arrival-built quantile-summary store into a FRESH store
+    * with ≤ k rows per day — the maintenance fold the ingest scaladoc
+    * promises: per-batch partitions make the store grow as
+    * (#batch-day blocks)·(k+1) rows and widen the merged-read bound to
+    * n/k + #blocks, so a day split across B batches costs B terms.
+    * Compaction is WEIGHTED re-compaction of the summary itself (never
+    * a fact re-scan — the input is already sketch rows): per day, the
+    * value at every weighted rank j·⌈n_d/k⌉ (and at n_d) becomes the
+    * block representative, carrying the rank gap as weight — exactly
+    * the MRL collapse applied to weighted rows, so Σw = n_d is
+    * preserved, the output merges by concatenation like any summary,
+    * and the read error grows by at most one fresh ⌈n_d/k⌉ per day
+    * (total bound 2·n/k + D after any number of compactions, since
+    * re-compaction always restarts from ≤ k-row-per-day state).
+    *
+    * All work is summary-sized: one weighted cumsum per day over store
+    * rows, a k-per-day rank frame, one broadcast interval join. The
+    * fresh store lands under one [[CompactBatchId]] partition; the
+    * source store is untouched (idempotent, crash = partial output
+    * only) — swap directories like [[annCompactStore]]. */
+  def quantileCompactStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, outDir: String, k: Int = 64): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = spark.read.parquet(storeDir)
+      .select(col("day"), col("v"), col("rnk"), col("w"))
+    // row-unique ROWS cumsum (the quantileMergedRead tie discipline),
+    // checkpointed: the interval join and nothing else reads it, but the
+    // day totals below must agree with the exact frame the join sees
+    val wC = Window.partitionBy(col("day")).orderBy(col("v"), col("rnk"), col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = s.withColumn("cw", sum(col("w")).over(wC)).localCheckpoint()
+    val nd = s.groupBy(col("day")).agg(sum(col("w")).as("nd"))
+    val targets = nd
+      .select(col("day"), col("nd"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("step", expr(s"(nd + ${k - 1}) div $k"))
+      .select(col("day"), least(col("j") * col("step"), col("nd")).as("tr"))
+      .distinct()
+    val wLag = Window.partitionBy(col("day")).orderBy(col("tr"))
+    val out = cum.join(broadcast(targets),
+        cum("day") === targets("day") &&
+          col("cw") >= col("tr") && col("cw") - col("w") < col("tr"))
+      .select(cum("day"), col("v"), col("tr"))
+      .withColumn("w", col("tr") - coalesce(lag(col("tr"), 1).over(wLag), lit(0L)))
+      .select(col("day"), col("v"), col("tr").as("rnk"), col("w"))
+    out.write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$CompactBatchId")
+    graft.util.Frames.releaseCheckpoint(cum)
+  }
+
   /** The ANN-ingest foreachBatch body, public for the same reason as
     * [[dedupBatch]]: the replay contract is directly testable and the
     * same body serves a batch backfill. Idempotent under re-execution

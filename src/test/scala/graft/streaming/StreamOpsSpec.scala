@@ -645,6 +645,36 @@ class StreamOpsSpec extends SparkSpec {
     StreamOps.quantileSummaryBatch(b1.toDF("day", "v"), 0L, store, 64)
     val after = spark.read.parquet(store).collect().map(_.toSeq).toSet
     assert(before === after, "batch replay must be a no-op on the store")
+    // ---- compaction: fold per-(batch, day) blocks into ≤ k rows per day;
+    // Σw preserved, reads still in bound (2·n/k + D after the fold), and
+    // a re-compaction of the compacted store is a fixpoint
+    StreamOps.quantileCompactStore(spark, store, s"$tmp/sum_c", k = 64)
+    val c = spark.read.parquet(s"$tmp/sum_c")
+    assert(c.agg(sum("w")).collect()(0).getLong(0) === n.toLong,
+      "compaction must preserve total weight")
+    val perDay = c.groupBy("day").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDay.values.forall(_ <= 64), s"compacted day over k rows: $perDay")
+    // the split day d1 held 2 batch blocks (~130 rows) — compaction folds it
+    assert(perDay("d1") <= 64)
+    val tolC = 2 * (n / 64) + 2
+    val gotC = StreamOps.quantileStoreRead(spark, s"$tmp/sum_c", Seq(50, 95))
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for ((qp, (r, est)) <- gotC) {
+      val lo = sorted((math.max(1L, r - tolC) - 1).toInt)
+      val hi = sorted((math.min(n.toLong, r + tolC) - 1).toInt)
+      assert(est >= lo && est <= hi, s"q$qp post-compact: est $est outside [$lo, $hi]")
+    }
+    StreamOps.quantileCompactStore(spark, s"$tmp/sum_c", s"$tmp/sum_c2", k = 64)
+    val again = spark.read.parquet(s"$tmp/sum_c2")
+      .select("day", "v", "rnk", "w").collect().map(_.toSeq).toSet
+    assert(again === c.select("day", "v", "rnk", "w").collect().map(_.toSeq).toSet,
+      "re-compacting a compacted store must be a fixpoint")
+    // post-compact ingest keeps working: a fresh batch lands beside the
+    // compacted partition and the merged read sees both
+    StreamOps.quantileSummaryBatch(b3.toDF("day", "v"), 9L, s"$tmp/sum_c", 64)
+    assert(spark.read.parquet(s"$tmp/sum_c").agg(sum("w"))
+      .collect()(0).getLong(0) === n.toLong + b3.length)
   }
 
   test("ann-ingest: incremental store at the 4× sf0.1 corpus holds the fixture recall floor") {
