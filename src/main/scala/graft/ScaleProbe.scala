@@ -221,6 +221,54 @@ object ScaleProbe {
       } finally q.stop()
     }
 
+    // round-14: ANN deletion under load — tombstone a growing fraction of
+    // the incremental store and measure what a reader pays BEFORE the
+    // compaction heals (anti-joined corpus, dead-end edges wasting
+    // frontier slots) and what survives AFTER (physical purge +
+    // affected-node re-link). recall = hits against exact top-3 over the
+    // SURVIVORS; the question is whether heavy deletion degrades the
+    // graph gracefully (pre-compact ≥ floor) and heals fully (post ≈
+    // pre-delete).
+    if (want("ann_delete")) {
+      val e = graft.catalog.Tables.embeddings(spark, sfDir)
+      val vecs = e.filter($"vec_id" >= 5)
+        .select($"vec_id".as("cand_id"), $"embedding".as("cv")).localCheckpoint()
+      val probes = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+      def recallOf(got: org.apache.spark.sql.DataFrame,
+          survivors: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val exact = graft.operators.Ann.bruteForceTopK(
+          e.filter($"vec_id" < 5),
+          survivors.select($"cand_id".as("vec_id"), $"cv".as("embedding")), 3)
+          .select($"probe_id", $"cand_id")
+        (exact.join(got.select($"probe_id", $"cand_id"),
+          Seq("probe_id", "cand_id")).count(), exact.count())
+      }
+      Seq(10, 3).foreach { everyNth => // 10% and 33% deletion
+        val tmp = java.nio.file.Files.createTempDirectory(s"anndel_$everyNth").toString
+        val (vd, ed) = (s"$tmp/vecs", s"$tmp/edges")
+        graft.streaming.StreamOps.annIngestBatch(vecs, 0L, vd, ed, 12)
+        val dead = vecs.filter($"cand_id" % everyNth === 0).select($"cand_id")
+        val nDead = dead.count()
+        graft.streaming.StreamOps.annDeleteBatch(dead, 0L, vd)
+        val survivors = vecs.join(dead, Seq("cand_id"), "left_anti").localCheckpoint()
+        val t0 = System.nanoTime()
+        val pre = graft.streaming.StreamOps.annIncrementalSearch(probes, vd, ed, k = 3)
+        val (hitPre, nEx) = recallOf(pre, survivors)
+        val tPre = (System.nanoTime() - t0) / 1e9
+        graft.streaming.StreamOps.annCompactStore(spark, vd, ed,
+          s"$tmp/vecs_c", s"$tmp/edges_c")
+        val t1 = System.nanoTime()
+        val post = graft.streaming.StreamOps.annIncrementalSearch(probes,
+          s"$tmp/vecs_c", s"$tmp/edges_c", k = 3)
+        val (hitPost, _) = recallOf(post, survivors)
+        val tPost = (System.nanoTime() - t1) / 1e9
+        println(f"""{"probe":"ann_delete","deleted":$nDead,"pre_hits":$hitPre,"post_hits":$hitPost,"of":$nEx,"pre_sec":$tPre%.2f,"post_sec":$tPost%.2f}""")
+        graft.util.Frames.releaseCheckpoint(survivors)
+      }
+      graft.util.Frames.releaseCheckpoint(vecs)
+    }
+
     // round-14: incremental connected components — per-batch cost as the
     // STORED map grows. Each batch carries the same number of fresh edges
     // (fixed batch-sized work by the label-contraction design), but the

@@ -85,6 +85,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_communities(dir, rounds) - full (v, lbl) label-propagation assignment over dir's co-purchase graph."),
       (children: Seq[Expression]) => GraftTvf.communities(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_ppr"),
+      info(GraftTvf.getClass, "graft_ppr",
+        "graft_ppr(dir, iters, seed...) - personalized pagerank from explicit seed node ids."),
+      (children: Seq[Expression]) => GraftTvf.ppr(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_sssp"),
+      info(GraftTvf.getClass, "graft_sssp",
+        "graft_sssp(dir, rounds, source...) - weighted shortest paths from explicit source node ids."),
+      (children: Seq[Expression]) => GraftTvf.sssp(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_ann_search"),
       info(GraftTvf.getClass, "graft_ann_search",
         "graft_ann_search(vec_dir, edge_dir, probe_id, k) - top-k neighbors of a stored vector in an incremental ANN store."),

@@ -136,6 +136,39 @@ object GraftTvf {
       .queryExecution.analyzed
   }
 
+  /** graft_ppr(dir, iters, seed...) — personalized PageRank from explicit
+    * seed node ids (≥ 1), full (node, rank) map. Same eager-loop contract
+    * as [[pagerank]]. */
+  def ppr(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ppr"
+    require(children.size >= 3, s"$fn(dir, iters, seed...) takes >= 3 arguments")
+    val spark = SparkSession.active
+    import spark.implicits._
+    val seeds = (2 until children.size).map(i => lng(children, i, fn))
+    graft.operators.Graph
+      .pagerankPersonalized(
+        graft.operators.Graph.partSupplierEdges(spark, str(children, 0, fn)),
+        seeds.toDF("node"), int(children, 1, fn))
+      .queryExecution.analyzed
+  }
+
+  /** graft_sssp(dir, rounds, source...) — weighted shortest paths from
+    * explicit source node ids over `dir`'s inverse-affinity co-purchase
+    * graph (the q_graph_sssp graph); (node, d) for nodes within
+    * `rounds` edges. Eager-loop contract. */
+  def sssp(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_sssp"
+    require(children.size >= 3, s"$fn(dir, rounds, source...) takes >= 3 arguments")
+    val spark = SparkSession.active
+    import spark.implicits._
+    val sources = (2 until children.size).map(i => lng(children, i, fn))
+    graft.operators.Graph
+      .ssspWeighted(
+        graft.operators.Graph.sliceEdgesWeighted(spark, str(children, 0, fn)),
+        sources.toDF("node"), int(children, 1, fn))
+      .queryExecution.analyzed
+  }
+
   /** graft_ann_search(vec_dir, edge_dir, probe_id, k) — "more like this"
     * over a PERSISTED incremental ANN store ([[graft.streaming.StreamOps]]
     * layout): the probe vector is fetched from the store by id, searched

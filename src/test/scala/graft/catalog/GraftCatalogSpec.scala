@@ -103,6 +103,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(viaSql === viaApi)
   }
 
+  test("TVF surface: graft_ppr and graft_sssp take explicit seed varargs from SQL") {
+    import spark.implicits._
+    // personalized pagerank: SQL with two explicit seeds ≡ the operator
+    val prSql = spark.sql(
+      s"SELECT node, rank FROM graft_ppr('${sf()}', 3, 2, 4) ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prApi = graft.operators.Graph.pagerankPersonalized(
+        graft.operators.Graph.partSupplierEdges(spark, sf()),
+        Seq(2L, 4L).toDF("node"), iters = 3)
+      .orderBy(col("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(prSql === prApi && prSql.nonEmpty)
+    // sssp composes with ordinary SQL (reachability count per distance band)
+    val dSql = spark.sql(
+      s"SELECT node, d FROM graft_sssp('${sf()}', 3, 0, 1) ORDER BY node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dApi = graft.operators.Graph.ssspWeighted(
+        graft.operators.Graph.sliceEdgesWeighted(spark, sf()),
+        Seq(0L, 1L).toDF("node"), rounds = 3)
+      .orderBy(col("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dSql === dApi && dSql.nonEmpty)
+  }
+
   test("TVF surface: graft_ann_search reads a persisted incremental store from SQL") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("tvf_ann").toString
