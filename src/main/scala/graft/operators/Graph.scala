@@ -301,17 +301,27 @@ object Graph {
     *
     * @param edges   directed (src, dst, w BIGINT), w ≥ 0.
     * @param sources (node BIGINT) start set, distinct.
+    * @param broadcastFrontier frontier-distribution strategy, the
+    *        loop-family flag (pagerank's broadcastRanks, kcore's
+    *        broadcastKeep): `true` (default) broadcasts the improved
+    *        set into the relaxation join — edges never move; `false`
+    *        is the frontier-too-big-to-broadcast fallback (a dense
+    *        weighted graph can improve most nodes in one round) —
+    *        the frontier shuffle-joins as the small side. Identical
+    *        distances (GraphSpec pins arm equality).
     * @return (node BIGINT, d BIGINT) for nodes reachable in ≤ rounds
     *         edges. */
-  def ssspWeighted(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+  def ssspWeighted(edges: DataFrame, sources: DataFrame, rounds: Int,
+      broadcastFrontier: Boolean = true): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val ed = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
     var dist = sources.select(col("node"), lit(0L).as("d")).localCheckpoint()
     var frontier = dist
     var prevFrontier: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
+      val f = frontier.select(col("node").as("src"), col("d"))
       val cand = ed
-        .join(broadcast(frontier.select(col("node").as("src"), col("d"))), "src")
+        .join(if (broadcastFrontier) broadcast(f) else f, "src")
         .groupBy(col("dst").as("node")).agg(min(col("d") + col("w")).as("nd"))
       val improved = cand
         .join(dist.select(col("node"), col("d").as("cur")), Seq("node"), "left")

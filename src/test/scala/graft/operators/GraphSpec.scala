@@ -153,6 +153,15 @@ class GraphSpec extends SparkSpec {
         src, rounds = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist === hops, "unit-weight SSSP must reproduce BFS hop counts")
+    // frontier-too-big-to-broadcast fallback arm: identical distances
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = Graph.ssspWeighted(
+          es.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+          src, rounds = 4, broadcastFrontier = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sh === hops, "shuffle-frontier arm must match broadcast exactly")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("labelAssignWeighted/modularityOfWeighted: w ≡ 1 reproduces the unweighted operators bit-for-bit") {
