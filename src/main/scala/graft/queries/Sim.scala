@@ -124,6 +124,58 @@ object Sim {
         .orderBy($"label", $"pos")
     }),
 
+    // Margin-based aligned-pair mining [Artetxe & Schwenk, ACL'19 — the
+    // CCMatrix/LASER bitext-mining criterion]: a pair qualifies not by
+    // raw cosine (hubs score high against EVERYTHING) but by cosine
+    // RELATIVE to each side's own neighborhood — the absolute-margin
+    // variant 2k·cos − Σ_k cos(x,·) − Σ_k cos(y,·), kept as EXACT e4
+    // integers (k-sums instead of means; monotonic, zero float-division
+    // portability surface), with the mutual-best filter (pair kept iff
+    // it is x's best margin AND y's best) — the "intersection" strategy
+    // that makes mined corpora precision-first. Sides: even/odd vec_id
+    // (stand-ins for the two languages of a parallel-corpus miner).
+    // Scale: the cross-score here runs on the bounded checked slice;
+    // at 100 TB the candidate set comes from the ANN tier (SRP buckets /
+    // IVF routing — q_sim_bucket_pairs' plan) and the margin algebra is
+    // candidate-local: the k-sums need only each side's top-k, which the
+    // index search already returns.
+    "q_embed_margin_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val k = 4
+      val e = embeddings(s, dir).filter($"vec_id" < 400)
+      val xs = e.filter($"vec_id" % 2 === 0)
+        .select($"vec_id".as("id_x"), $"embedding".as("vx"))
+      val ys = e.filter($"vec_id" % 2 === 1)
+        .select($"vec_id".as("id_y"), $"embedding".as("vy"))
+      // scored is read three times (k-sums per side + the pair frame) —
+      // materialized once; bench cleanup reclaims it between queries
+      val scored = xs.crossJoin(broadcast(ys))
+        .select($"id_x", $"id_y",
+          floor(round(cosine($"vx", $"vy"), 4) * 10000 + 0.5)
+            .cast("long").as("e4"))
+        .localCheckpoint()
+      def kSum(side: String, other: String) = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col(side)).orderBy($"e4".desc, col(other))))
+        .filter($"rn" <= k)
+        .groupBy(col(side)).agg(sum($"e4").as(s"s$side"))
+      val pairs = scored
+        .join(broadcast(kSum("id_x", "id_y")), "id_x")
+        .join(broadcast(kSum("id_y", "id_x")), "id_y")
+        .select($"id_x", $"id_y", $"e4",
+          (lit(2L * k) * $"e4" - $"sid_x" - $"sid_y").as("margin"))
+        .localCheckpoint()
+      def best(side: String, other: String) = pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col(side)).orderBy($"margin".desc, col(other))))
+        .filter($"rn" === 1).select($"id_x", $"id_y")
+      pairs
+        .join(best("id_x", "id_y"), Seq("id_x", "id_y"))
+        .join(best("id_y", "id_x"), Seq("id_x", "id_y"))
+        .select($"id_x", $"id_y", $"e4".as("cos_e4"), $"margin")
+        .orderBy($"margin".desc, $"id_x")
+    }),
+
     // Sign-LSH candidate pairs: bucket every vector by the sign pattern of
     // its first 8 dimensions (8 axis-aligned random-hyperplane bits — the
     // deterministic, oracle-expressible instance of SRP-LSH), then verify
@@ -208,6 +260,37 @@ object Sim {
           WHERE n_chars > 100
             AND round(sqrt(${normSql("embedding")}), 4) > 0.7
           ORDER BY doc_id""",
+
+    "q_embed_margin_pairs" -> {
+      val cos = s"""round(${dotSql.format("x.vx", "y.vy")}
+                 / (sqrt(${normSql("x.vx")}) * sqrt(${normSql("y.vy")})), 4)"""
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+        xs AS (SELECT vec_id AS id_x, embedding AS vx FROM e WHERE vec_id % 2 = 0),
+        ys AS (SELECT vec_id AS id_y, embedding AS vy FROM e WHERE vec_id % 2 = 1),
+        sc AS MATERIALIZED (
+          SELECT x.id_x, y.id_y,
+                 CAST(floor($cos * 10000 + 0.5) AS BIGINT) AS e4
+          FROM xs x, ys y),
+        kx AS (SELECT id_x, CAST(sum(e4) AS BIGINT) AS sx FROM (
+            SELECT id_x, e4, row_number() OVER (PARTITION BY id_x ORDER BY e4 DESC, id_y) AS rn
+            FROM sc) WHERE rn <= 4 GROUP BY id_x),
+        ky AS (SELECT id_y, CAST(sum(e4) AS BIGINT) AS sy FROM (
+            SELECT id_y, e4, row_number() OVER (PARTITION BY id_y ORDER BY e4 DESC, id_x) AS rn
+            FROM sc) WHERE rn <= 4 GROUP BY id_y),
+        pr AS MATERIALIZED (
+          SELECT s.id_x, s.id_y, s.e4, CAST(8 * s.e4 - kx.sx - ky.sy AS BIGINT) AS margin
+          FROM sc s JOIN kx ON kx.id_x = s.id_x JOIN ky ON ky.id_y = s.id_y),
+        bx AS (SELECT id_x, id_y FROM (
+            SELECT id_x, id_y, row_number() OVER (PARTITION BY id_x ORDER BY margin DESC, id_y) AS rn
+            FROM pr) WHERE rn = 1),
+        by2 AS (SELECT id_x, id_y FROM (
+            SELECT id_x, id_y, row_number() OVER (PARTITION BY id_y ORDER BY margin DESC, id_x) AS rn
+            FROM pr) WHERE rn = 1)
+        SELECT p.id_x, p.id_y, p.e4 AS cos_e4, p.margin
+        FROM pr p JOIN bx ON bx.id_x = p.id_x AND bx.id_y = p.id_y
+                  JOIN by2 ON by2.id_x = p.id_x AND by2.id_y = p.id_y
+        ORDER BY p.margin DESC, p.id_x"""
+    },
 
     "q_sim_bucket_pairs" ->
       s"""WITH b AS (
