@@ -103,6 +103,14 @@ object Vocab {
         filter(split(col("text"), " "), w => w =!= ""),
         w => applyMerges(w, merges))).as("units"))
 
+  /** The FIXED demo merge table of q_text_bpe_apply — multi-level chains
+    * ("t a"→…→"table") so merge ORDER is load-bearing, over pairs the
+    * synthetic corpus actually contains. */
+  val demoMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("v", "a"), ("va", "l"), ("r", "o"))
+
   /** Learn 10 merges on a bounded corpus slice, emit per-doc unit counts
     * and the serialized tokenization. Fully oracle-checked: the iterative
     * learning loop unrolls into [[bpeOracleSql]]'s chained CTEs. */
@@ -113,6 +121,25 @@ object Vocab {
       tokenize(docs, merges)
         .select(col("doc_id"), size(col("units")).as("n_units"),
           array_join(col("units"), "|").as("units_str"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The APPLY half of the tokenizer pipeline: q_vocab_bpe trains on a
+    // slice; production then encodes the WHOLE corpus under the frozen
+    // merge table — embarrassingly parallel (applyMerges is a narrow
+    // per-row fold: 10 greedy left-to-right merge passes per word, no
+    // shuffle until the per-doc stats agg), which is exactly the shape a
+    // 100 TB tokenization pass needs. Fixed demo merges (merge order is
+    // load-bearing through the t→ta→tab→tabl→table chain); per-doc
+    // token count + merged-unit count. The oracle replays the greedy
+    // fold with unit-boundary-safe nested replaces (each unit wrapped
+    // |u|, pattern |a||b| — flanking bars cannot be shared between
+    // adjacent matches, so leftmost-nonoverlapping replace ≡ the fold).
+    "q_text_bpe_apply" -> ((s, dir) => {
+      val units = tokenize(graft.catalog.Tables.documents(s, dir), demoMerges)
+      units.select(col("doc_id"),
+          size(col("units")).cast("long").as("n_units"),
+          size(filter(col("units"), u => length(u) > 1)).cast("long").as("n_merged"))
         .orderBy(col("doc_id"))
     }))
 
@@ -171,5 +198,27 @@ SELECT doc_id, CAST(len(flat) AS INT) AS n_units, array_to_string(flat, '|') AS 
 FROM fl ORDER BY doc_id"""
   }
 
-  val oracle: Map[String, String] = Map("q_vocab_bpe" -> bpeOracleSql(10))
+  val oracle: Map[String, String] = Map(
+    "q_vocab_bpe" -> bpeOracleSql(10),
+
+    "q_text_bpe_apply" -> {
+      val chain = demoMerges.foldLeft("s") { case (acc, (a, b)) =>
+        s"replace($acc, '|$a||$b|', '|$a$b|')"
+      }
+      s"""WITH w AS (SELECT doc_id,
+            unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS wd
+          FROM documents),
+        u AS (SELECT doc_id,
+            array_to_string(list_transform(range(1, len(wd) + 1),
+              j -> '|' || wd[j] || '|'), '') AS s
+          FROM w),
+        m AS (SELECT doc_id, $chain AS s FROM u),
+        per AS (SELECT doc_id,
+            CAST((len(string_split(s, '|')) - 1) // 2 AS BIGINT) AS nu,
+            CAST(len(list_filter(string_split(s, '|'), x -> len(x) > 1)) AS BIGINT) AS nm
+          FROM m)
+        SELECT doc_id, CAST(sum(nu) AS BIGINT) AS n_units,
+               CAST(sum(nm) AS BIGINT) AS n_merged
+        FROM per GROUP BY doc_id ORDER BY doc_id"""
+    })
 }
