@@ -241,9 +241,10 @@ object Bench {
         (medians.getOrElse(name, Double.MaxValue), name)
       }
 
-    // query -> (raw first sample, retry count) for queries that took the
-    // outlier-retry path; serialized into the artifact's "retried" map
-    val retryLog = collection.mutable.Map.empty[String, (Double, Int)]
+    // query -> (raw first sample, pre-retry median, retry count) for
+    // queries that took the outlier-retry path; serialized into the
+    // artifact's "retried" map
+    val retryLog = collection.mutable.Map.empty[String, (Double, Double, Int)]
 
     def artifactJson(results: Seq[(String, Double)], partial: Boolean,
         endProbe: Option[Double] = None): String = {
@@ -254,13 +255,16 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // Retry transparency (round-14): any query whose shipped value went
-      // through the outlier-retry path carries its raw first sample and
-      // retry count in a parallel map, so a reader of the artifact can
-      // tell "measured slow, retried inside the same elevation episode"
-      // from "genuinely this slow" without the stderr log. Only retried
-      // queries appear — the map is empty on a clean pass.
-      val retried = retryLog.toSeq.sortBy(_._1).map { case (k, (first, n)) =>
-        "\"" + k + "\":{\"first\":" + fmt(first) + ",\"retries\":" + n + "}"
+      // through the outlier-retry path carries its raw FIRST sample, the
+      // pre-retry median that actually tripped the 3× gate, and the retry
+      // count — so a reader of the artifact can tell "measured slow,
+      // retried inside the same elevation episode" from "genuinely this
+      // slow" without the stderr log. Only retried queries appear — the
+      // map is empty on a clean pass.
+      val retried = retryLog.toSeq.sortBy(_._1).map {
+        case (k, (first, pre, n)) =>
+          "\"" + k + "\":{\"first\":" + fmt(first) +
+            ",\"pre_retry\":" + fmt(pre) + ",\"retries\":" + n + "}"
       }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val part = if (partial) "\"partial\":true," else ""
@@ -329,7 +333,7 @@ object Bench {
             }
             tries += 1
           }
-          retryLog(name) = (preRetry, tries)
+          retryLog(name) = (firstSample, preRetry, tries)
         }
         results += name -> med
         // one short line per query, to stderr, the moment it finishes —

@@ -235,15 +235,6 @@ object ScaleProbe {
         .select($"vec_id".as("cand_id"), $"embedding".as("cv")).localCheckpoint()
       val probes = e.filter($"vec_id" < 5)
         .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
-      def recallOf(got: org.apache.spark.sql.DataFrame,
-          survivors: org.apache.spark.sql.DataFrame): (Long, Long) = {
-        val exact = graft.operators.Ann.bruteForceTopK(
-          e.filter($"vec_id" < 5),
-          survivors.select($"cand_id".as("vec_id"), $"cv".as("embedding")), 3)
-          .select($"probe_id", $"cand_id")
-        (exact.join(got.select($"probe_id", $"cand_id"),
-          Seq("probe_id", "cand_id")).count(), exact.count())
-      }
       Seq(10, 3).foreach { everyNth => // 10% and 33% deletion
         val tmp = java.nio.file.Files.createTempDirectory(s"anndel_$everyNth").toString
         val (vd, ed) = (s"$tmp/vecs", s"$tmp/edges")
@@ -252,17 +243,26 @@ object ScaleProbe {
         val nDead = dead.count()
         graft.streaming.StreamOps.annDeleteBatch(dead, 0L, vd)
         val survivors = vecs.join(dead, Seq("cand_id"), "left_anti").localCheckpoint()
-        val t0 = System.nanoTime()
-        val pre = graft.streaming.StreamOps.annIncrementalSearch(probes, vd, ed, k = 3)
-        val (hitPre, nEx) = recallOf(pre, survivors)
-        val tPre = (System.nanoTime() - t0) / 1e9
+        // the exact oracle runs OUTSIDE the clocks: pre_sec/post_sec must
+        // measure the store's read path, not the brute-force recall check
+        val exact = graft.operators.Ann.bruteForceTopK(
+            e.filter($"vec_id" < 5),
+            survivors.select($"cand_id".as("vec_id"), $"cv".as("embedding")), 3)
+          .select($"probe_id", $"cand_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        def searchHits(vDir: String, eDir: String): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val got = graft.streaming.StreamOps
+            .annIncrementalSearch(probes, vDir, eDir, k = 3)
+            .select($"probe_id", $"cand_id").collect()
+          val t = (System.nanoTime() - t0) / 1e9
+          (got.count(r => exact.contains((r.getLong(0), r.getLong(1)))).toLong, t)
+        }
+        val (hitPre, tPre) = searchHits(vd, ed)
         graft.streaming.StreamOps.annCompactStore(spark, vd, ed,
           s"$tmp/vecs_c", s"$tmp/edges_c")
-        val t1 = System.nanoTime()
-        val post = graft.streaming.StreamOps.annIncrementalSearch(probes,
-          s"$tmp/vecs_c", s"$tmp/edges_c", k = 3)
-        val (hitPost, _) = recallOf(post, survivors)
-        val tPost = (System.nanoTime() - t1) / 1e9
+        val (hitPost, tPost) = searchHits(s"$tmp/vecs_c", s"$tmp/edges_c")
+        val nEx = exact.size
         println(f"""{"probe":"ann_delete","deleted":$nDead,"pre_hits":$hitPre,"post_hits":$hitPost,"of":$nEx,"pre_sec":$tPre%.2f,"post_sec":$tPost%.2f}""")
         graft.util.Frames.releaseCheckpoint(survivors)
       }

@@ -233,6 +233,17 @@ object Freq {
     * (day, v, rnk, w) multiset is invariant — the docstring's tie
     * argument), so the checked query's hash is unchanged at every SF.
     *
+    * Compatibility note: rnk is BIGINT as of round 14 (it was INT via
+    * row_number) — a summary STORE holding pre-round-14 partitions mixes
+    * INT32/INT64 parquet files under one column, which Spark's reader
+    * rejects; rewrite such a store once (read each old partition, cast
+    * rnk to long, write back) before appending new batches.
+    *
+    * The returned plan pins the day-counts frame (and on the heavy
+    * route, the ordinal slices) as localCheckpoints — callers on a
+    * long-running path should hand the frame to Frames.releaseCheckpoint
+    * once fully consumed (quantileSummaryBatch does).
+    *
     * @param vals (day, v BIGINT)
     * @param heavyDayRows days with more rows than this take the ordinal
     *        decomposition; the default keeps every fixture day (and any

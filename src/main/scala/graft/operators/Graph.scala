@@ -242,7 +242,17 @@ object Graph {
     val deg = edP.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     try {
-    val src = sources.select(col("node")).distinct().localCheckpoint()
+    // Seeds intersected with the GRAPH's nodes before |S| is taken: a
+    // seed absent from the graph would otherwise inflate ns while
+    // getting no rank row — silently discarding its share of the
+    // restart mass (a typo'd graft_ppr vararg would be
+    // indistinguishable from a disconnected node). All-absent seeds
+    // fail loudly instead of returning all-zero ranks.
+    val src = sources.select(col("node")).distinct()
+      .join(deg.select(col("src").as("node")), Seq("node"), "left_semi")
+      .localCheckpoint()
+    require(src.limit(1).count() > 0,
+      "pagerankPersonalized: no seed appears in the graph")
     val ns = src.agg(count(lit(1)).as("ns"))
     // seed membership rides in the rank state (one more tiny column
     // through each round's checkpoint) so the base term never re-joins
@@ -315,7 +325,11 @@ object Graph {
       broadcastFrontier: Boolean = true): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val ed = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
-    var dist = sources.select(col("node"), lit(0L).as("d")).localCheckpoint()
+    // distinct enforced, not assumed: duplicate seeds (e.g. repeated
+    // graft_sssp varargs) would ride the anti-join as duplicate rows
+    // into every round and duplicate the output
+    var dist = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("d")).localCheckpoint()
     var frontier = dist
     var prevFrontier: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
@@ -1042,15 +1056,10 @@ object Graph {
     * and ScaleProbe's jaccard_hub probe must test the SAME edge builder
     * the checked query runs — a drifted re-implementation would silently
     * pin a different graph. */
-  private[graft] def jaccardSliceEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir)
-      .filter(col("l_orderkey") % 16 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
-    li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-  }
+  private[graft] def jaccardSliceEdges(s: SparkSession, dir: String): DataFrame =
+    // the unweighted view of [[slicePairCounts]] — group keys ≡ distinct
+    // pairs, same shuffle shape; ONE builder owns the slice graph
+    slicePairCounts(s, dir).select(col("a"), col("b"))
 
   /** The %16-slice co-purchase pairs WITH their multiplicity — the ONE
     * builder behind every weighted slice-graph query (a < b, c =

@@ -137,7 +137,11 @@ object Vocab {
     // adjacent matches, so leftmost-nonoverlapping replace ≡ the fold).
     "q_text_bpe_apply" -> ((s, dir) => {
       val units = tokenize(graft.catalog.Tables.documents(s, dir), demoMerges)
-      units.select(col("doc_id"),
+      // empty/whitespace/NULL texts drop (size 0 / -1): the oracle's
+      // word unnest emits zero rows for such docs, so they must be
+      // absent here too, not present as zero-count rows
+      units.filter(size(col("units")) > 0)
+        .select(col("doc_id"),
           size(col("units")).cast("long").as("n_units"),
           size(filter(col("units"), u => length(u) > 1)).cast("long").as("n_merged"))
         .orderBy(col("doc_id"))

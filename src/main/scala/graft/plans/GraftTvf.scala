@@ -183,7 +183,11 @@ object GraftTvf {
     val spark = SparkSession.active
     import org.apache.spark.sql.functions.col
     val probeId = lng(children, 2, fn)
-    val probes = spark.read.parquet(str(children, 0, fn))
+    // live-vectors read: a TOMBSTONED id must not be usable as a probe
+    // either — right-to-forget means the embedding stops driving queries
+    // the moment it is deleted, not at the next compaction
+    val probes = graft.streaming.StreamOps
+      .annStoreVectors(spark, str(children, 0, fn))
       .filter(col("cand_id") === probeId)
       .select(col("cand_id").as("probe_id"), col("cv").as("pv"))
       .limit(1)

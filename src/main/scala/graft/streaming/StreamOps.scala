@@ -351,13 +351,21 @@ object StreamOps {
     * directly testable, doubles as a batch backfill). */
   def quantileSummaryBatch(batch: DataFrame, batchId: Long,
       storeDir: String, k: Int): Unit = {
-    graft.operators.Freq.quantileSummary(
-        batch.select(col("day"), col("v")), k)
-      .withColumn("batch_id", lit(batchId))
+    val summ = graft.operators.Freq.quantileSummary(
+      batch.select(col("day"), col("v")), k)
+    summ.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(storeDir)
+    // quantileSummary pins its day-counts frame (and, on the heavy-day
+    // route, the ordinal slices) as localCheckpoints inside summ's lazy
+    // plan — the write above was their last reader, and a stream running
+    // thousands of micro-batches must not leave one pinned frame per
+    // batch to the driver's rare GC (the accretion discipline every
+    // other arrival sink here follows). releaseCheckpoint walks summ's
+    // plan and frees every checkpoint leaf.
+    graft.util.Frames.releaseCheckpoint(summ)
   }
 
   /** Read quantiles off the arrival-built summary store: one
@@ -708,15 +716,22 @@ object StreamOps {
     * batches stores, symmetrizes the append-only edge list, routes each
     * probe through the persisted router (fixed-spread fallback), and
     * runs the standard parameter-bounded beam search. */
+  /** The store's LIVE vectors — the vec read every consumer must use:
+    * tombstoned vectors are OUT of the view, so they can never be scored,
+    * returned, linked to, or used as a probe ("deleted" means deleted on
+    * every read path, not just result rows); their graph nodes become
+    * dead ends until the next compaction physically removes and heals
+    * around them. */
+  def annStoreVectors(spark: org.apache.spark.sql.SparkSession,
+      vecDir: String): DataFrame =
+    dropTombstoned(spark, vecDir,
+      spark.read.parquet(vecDir).select(col("cand_id"), col("cv")), "cand_id")
+
   def annIncrementalSearch(probes: DataFrame, vecDir: String, edgeDir: String,
       beam: Int = 32, hops: Int = 6, k: Int = 3): DataFrame = {
     import graft.operators.Ann
     val spark = probes.sparkSession
-    // tombstoned vectors are OUT of the corpus view, so they can never be
-    // scored or returned; their graph nodes become dead ends until the
-    // next compaction physically removes and heals around them
-    val corpus = dropTombstoned(spark, vecDir,
-      spark.read.parquet(vecDir).select(col("cand_id"), col("cv")), "cand_id")
+    val corpus = annStoreVectors(spark, vecDir)
     val e = spark.read.parquet(edgeDir)
     Ann.graphAnnSearch(probes, corpus, symmetrized(e),
       entriesFor(spark, edgeDir, probes, corpus), beam, hops, k)
