@@ -1031,6 +1031,33 @@ object ScaleProbe {
       val nCand = graft.operators.Freq.candidates(items, 64).count()
       println(f"""{"probe":"heavy_hitters","distinct":$d,"rows":$n,"exact_sec":$tExact%.2f,"mg_sec":$tMg%.2f,"mg_top":${mg.length},"candidates":$nCand}""")
     }
+
+    // round-15: candidate-local margin mining (Sim.marginPairsFromCandidates,
+    // the Ann.marginPairsAnn tail stage). The ANN tier's own growth is
+    // probed by ann_descent; THIS probe isolates the margin algebra over a
+    // candidate-pair frame that grows LINEARLY with the corpus (per-side
+    // top-R lists, R = 8 — the shape the index search returns). Synthetic
+    // hash-scored candidates so the probe measures the k-sum windows +
+    // mutual-best filter, not cosine kernels. Wall must track candidate
+    // rows near-linearly — sec/Mcand flat across 16× is the 100 TB claim.
+    if (want("margin")) Seq(1, 4, 16).foreach { m =>
+      val nSide = 100000L * m
+      val R = 8
+      def sideCands(swap: Boolean) = spark.range(nSide)
+        .select($"id", explode(sequence(lit(0), lit(R - 1))).as("j"))
+        .select(
+          (if (swap) pmod(hash($"id", $"j", lit(7)), lit(nSide)).cast("long") else $"id").as("id_x"),
+          (if (swap) $"id" else pmod(hash($"id", $"j", lit(3)), lit(nSide)).cast("long")).as("id_y"))
+      val cands = sideCands(swap = false).unionAll(sideCands(swap = true))
+        .groupBy($"id_x", $"id_y")
+        .agg((pmod(hash(first($"id_x"), first($"id_y")), lit(20001)) - 10000L)
+          .cast("long").as("e4"))
+      val t0 = System.nanoTime()
+      val mined = graft.queries.Sim.marginPairsFromCandidates(cands, 4).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nCand = nSide * 2 * R // upper bound pre-dedup; printed for rate context
+      println(f"""{"probe":"margin","mult":$m,"side":$nSide,"cand_rows_ub":$nCand,"mined":$mined,"sec":$sec%.2f}""")
+    }
     spark.stop()
   }
 }

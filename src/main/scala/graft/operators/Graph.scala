@@ -365,23 +365,31 @@ object Graph {
     * unweighted graphs it computes exactly the Bellman-Ford fixpoint the
     * oracle's min-union rounds mirror (hop k is final the round it is
     * first assigned). Same loop discipline as [[pagerank]]: edge frame
-    * materialized once, frontier broadcast (frontiers only shrink after
-    * the expansion wave peaks; node-count-sized at worst), every frontier
-    * checkpointed so `dist` — a lazy union of checkpointed frontiers —
-    * never re-executes a prior round.
+    * materialized once, every frontier checkpointed so `dist` — a lazy
+    * union of checkpointed frontiers — never re-executes a prior round.
     *
     * @param edges   directed (src, dst) BIGINT pairs.
     * @param sources (node BIGINT) start set; must be distinct.
+    * @param broadcastFrontier frontier-distribution strategy, the
+    *        loop-family flag (pagerank's broadcastRanks, kcore's
+    *        broadcastKeep, sssp's broadcastFrontier): `true` (default)
+    *        broadcasts the frontier into the expansion join — edges
+    *        never move; `false` is the frontier-too-big-to-broadcast
+    *        fallback (the expansion wave's peak is node-count-sized on
+    *        a dense graph) — the frontier shuffle-joins as the small
+    *        side. Identical hops (GraphSpec pins arm equality).
     * @return (node BIGINT, hop INT) for reached nodes only.
     */
-  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      broadcastFrontier: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val ed = edges.select(col("src"), col("dst")).localCheckpoint()
     var dist = sources.select(col("node"), lit(0).as("hop")).localCheckpoint()
     var frontier = dist.select(col("node"))
     for (h <- 1 to maxHops) {
+      val f = frontier.select(col("node").as("src"))
       val reached = ed
-        .join(broadcast(frontier.select(col("node").as("src"))), "src")
+        .join(if (broadcastFrontier) broadcast(f) else f, "src")
         .select(col("dst").as("node")).distinct()
       val newFrontier = reached
         .join(dist.select(col("node")), Seq("node"), "left_anti")

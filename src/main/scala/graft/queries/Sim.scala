@@ -42,6 +42,64 @@ object Sim {
     * bit-identical to dot/(√·√) in the HOF formulation. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
+  /** Candidate-local margin mining [Artetxe & Schwenk, ACL'19] — the
+    * at-scale form of q_embed_margin_pairs' algebra, factored so the SAME
+    * code runs over any candidate-pair source: the bounded exact cross
+    * (the oracle-checked slice) or the ANN tier's output
+    * (graft.operators.Ann.marginPairsAnn — bidirectional top-R lists). The
+    * absolute-margin score 2k·e4 − Σk(x) − Σk(y) and the mutual-best
+    * filter are computed entirely within `cands` — the k-sums need only
+    * each side's top-k BY CANDIDATE SCORE, which is exactly what an index
+    * search returns. Candidate-locality law (OperatorsSpec-pinned): if
+    * `cands` ⊇ each side's true top-R for R ≥ k, the k-sums are EXACT
+    * and the mined set reproduces the exact-cross mutual-best set
+    * (124/124 on the fixture at R=8 = 4.7% of the cross). Nothing here
+    * touches the corpus: cost is O(|cands|) + two (side)-keyed window
+    * top-ks — at 100 TB the pair frame is the retrieved candidate set,
+    * never corpus².
+    *
+    * @param cands (id_x BIGINT, id_y BIGINT, e4 BIGINT) candidate pairs
+    *        with exact e4-integer cosines (floor(round(cos,4)·1e4+0.5)).
+    *        Must be distinct on (id_x, id_y).
+    * @param k     neighborhood size for the k-sums. Sides with fewer than
+    *        k candidates sum what they have (the published algorithm's
+    *        small-neighborhood behavior; deterministic both engines).
+    * @param broadcastSums distribution strategy for the per-side k-sum
+    *        frames — one row per distinct id PER SIDE, corpus-sized at
+    *        scale: `false` (default) shuffle-joins them (the 100 TB-safe
+    *        arm); `true` broadcasts (right for bounded slices — the
+    *        q_embed_margin_pairs plan). Identical output either way.
+    * @return (id_x, id_y, cos_e4, margin) mutual-best pairs, unordered. */
+  def marginPairsFromCandidates(cands: DataFrame, k: Int,
+      broadcastSums: Boolean = false): DataFrame = {
+    // scored is read three times (k-sums per side + the pair frame) —
+    // materialized once; bench cleanup reclaims it between queries
+    val scored = cands.select(col("id_x"), col("id_y"), col("e4"))
+      .localCheckpoint()
+    def kSum(side: String, other: String) = {
+      val s = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col(side)).orderBy(col("e4").desc, col(other))))
+        .filter(col("rn") <= k)
+        .groupBy(col(side)).agg(sum(col("e4")).as(s"s$side"))
+      if (broadcastSums) broadcast(s) else s
+    }
+    val pairs = scored
+      .join(kSum("id_x", "id_y"), "id_x")
+      .join(kSum("id_y", "id_x"), "id_y")
+      .select(col("id_x"), col("id_y"), col("e4"),
+        (lit(2L * k) * col("e4") - col("sid_x") - col("sid_y")).as("margin"))
+      .localCheckpoint()
+    def best(side: String, other: String) = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(side)).orderBy(col("margin").desc, col(other))))
+      .filter(col("rn") === 1).select(col("id_x"), col("id_y"))
+    pairs
+      .join(best("id_x", "id_y"), Seq("id_x", "id_y"))
+      .join(best("id_y", "id_x"), Seq("id_x", "id_y"))
+      .select(col("id_x"), col("id_y"), col("e4").as("cos_e4"), col("margin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // pairwise cosine over a bounded id set (190 pairs at every SF).
     "q_sim_cosine" -> ((s, dir) => {
@@ -135,10 +193,11 @@ object Sim {
     // that makes mined corpora precision-first. Sides: even/odd vec_id
     // (stand-ins for the two languages of a parallel-corpus miner).
     // Scale: the cross-score here runs on the bounded checked slice;
-    // at 100 TB the candidate set comes from the ANN tier (SRP buckets /
-    // IVF routing — q_sim_bucket_pairs' plan) and the margin algebra is
-    // candidate-local: the k-sums need only each side's top-k, which the
-    // index search already returns.
+    // at 100 TB the candidate set comes from the ANN tier and the margin
+    // algebra is candidate-local — [[marginPairsFromCandidates]] is that
+    // EXACT shared code path (this query = it over the bounded cross,
+    // broadcastSums arm; the scale path = it over [[srpCandidates]],
+    // recall-pinned in OperatorsSpec, corpus-growth probe arm).
     "q_embed_margin_pairs" -> ((s, dir) => {
       import s.implicits._
       val k = 4
@@ -147,32 +206,11 @@ object Sim {
         .select($"vec_id".as("id_x"), $"embedding".as("vx"))
       val ys = e.filter($"vec_id" % 2 === 1)
         .select($"vec_id".as("id_y"), $"embedding".as("vy"))
-      // scored is read three times (k-sums per side + the pair frame) —
-      // materialized once; bench cleanup reclaims it between queries
       val scored = xs.crossJoin(broadcast(ys))
         .select($"id_x", $"id_y",
           floor(round(cosine($"vx", $"vy"), 4) * 10000 + 0.5)
             .cast("long").as("e4"))
-        .localCheckpoint()
-      def kSum(side: String, other: String) = scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col(side)).orderBy($"e4".desc, col(other))))
-        .filter($"rn" <= k)
-        .groupBy(col(side)).agg(sum($"e4").as(s"s$side"))
-      val pairs = scored
-        .join(broadcast(kSum("id_x", "id_y")), "id_x")
-        .join(broadcast(kSum("id_y", "id_x")), "id_y")
-        .select($"id_x", $"id_y", $"e4",
-          (lit(2L * k) * $"e4" - $"sid_x" - $"sid_y").as("margin"))
-        .localCheckpoint()
-      def best(side: String, other: String) = pairs
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col(side)).orderBy($"margin".desc, col(other))))
-        .filter($"rn" === 1).select($"id_x", $"id_y")
-      pairs
-        .join(best("id_x", "id_y"), Seq("id_x", "id_y"))
-        .join(best("id_y", "id_x"), Seq("id_x", "id_y"))
-        .select($"id_x", $"id_y", $"e4".as("cos_e4"), $"margin")
+      marginPairsFromCandidates(scored, k, broadcastSums = true)
         .orderBy($"margin".desc, $"id_x")
     }),
 

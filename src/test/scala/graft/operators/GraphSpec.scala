@@ -164,6 +164,25 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bfsHops: shuffle-frontier fallback (broadcastFrontier=false) is bit-identical to broadcast") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val raw = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val es = (raw ++ raw.map(_.swap)).distinct
+    val src = Seq(0L, 11L).toDF("node")
+    val viaBroadcast = Graph.bfsHops(edgesDf(es), src, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaShuffle = Graph.bfsHops(edgesDf(es), src, maxHops = 4,
+          broadcastFrontier = false)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(viaShuffle === viaBroadcast,
+        "shuffle-frontier arm must match broadcast exactly")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("labelAssignWeighted/modularityOfWeighted: w ≡ 1 reproduces the unweighted operators bit-for-bit") {
     import spark.implicits._
     val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)

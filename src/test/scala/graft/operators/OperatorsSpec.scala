@@ -803,4 +803,57 @@ class OperatorsSpec extends SparkSpec {
     assert(hit.toDouble / nEx >= 14.0 / 15.0,
       s"4× diversified+routed recall $hit/$nEx below the fixture floor (measured 15/15)")
   }
+
+  test("margin mining: shuffle-sums arm ≡ broadcast; top-R candidates reproduce bounded exact; ANN tier recall") {
+    // the q_embed_margin_pairs fixture (vec_id < 400, even/odd sides, k=4)
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.Sim
+    val e = embs.filter(col("vec_id") < 400)
+    val xs = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id_x"), col("embedding").as("vx"))
+    val ys = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("id_y"), col("embedding").as("vy"))
+    val scored = xs.crossJoin(broadcast(ys))
+      .select(col("id_x"), col("id_y"),
+        floor(round(Sim.cosine(col("vx"), col("vy")), 4) * 10000 + 0.5)
+          .cast("long").as("e4"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_x", "id_y", "cos_e4", "margin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // arm equality: the corpus-sized-sums shuffle fallback is bit-identical
+    val exact = pairSet(Sim.marginPairsFromCandidates(scored, 4, broadcastSums = true))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val viaShuffle = try {
+      pairSet(Sim.marginPairsFromCandidates(scored, 4))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(viaShuffle === exact, "shuffle-sums arm must match broadcast-sums exactly")
+    // Candidate-locality law: when candidates contain each side's true
+    // top-R (R ≥ k), the k-sums are exact and candidate-local mining
+    // REPRODUCES the bounded-exact mutual-best set — 124/124 on this
+    // fixture at R = 8 (4.7% of the cross). This is the invariant the
+    // at-scale path rides: a ≥top-R-recall index ⇒ exact margins.
+    val r = 8
+    val topX = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("id_x")).orderBy(col("e4").desc, col("id_y"))))
+      .filter(col("rn") <= r).select("id_x", "id_y", "e4")
+    val topY = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("id_y")).orderBy(col("e4").desc, col("id_x"))))
+      .filter(col("rn") <= r).select("id_x", "id_y", "e4")
+    val topCands = topX.unionAll(topY)
+      .groupBy(col("id_x"), col("id_y")).agg(first(col("e4")).as("e4"))
+    val viaTopR = pairSet(Sim.marginPairsFromCandidates(topCands, 4))
+    assert(viaTopR === exact,
+      s"bidirectional top-$r candidate mining must reproduce the exact mutual-best set")
+    // End-to-end ANN tier (descent build + α-prune + routed beam search,
+    // both directions): measured 124/124 at r=8 on this fixture; floor
+    // pinned at 0.95 for headroom against future index-parameter drift.
+    val exactIds = exact.map(t => (t._1, t._2))
+    val mined = Ann.marginPairsAnn(xs, ys, 4, r)
+      .select("id_x", "id_y").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    val hit = exactIds.intersect(mined).size
+    info(s"ANN-tier margin recall: $hit/${exactIds.size}")
+    assert(hit.toDouble / exactIds.size >= 0.95,
+      s"ANN-tier margin recall $hit/${exactIds.size} below floor (measured 124/124)")
+  }
 }
