@@ -51,6 +51,7 @@ object SparkEntry {
       (Timeseries.queries, Timeseries.oracle),
       (Tpch.queries, Tpch.oracle),
       (Logs.queries, Logs.oracle),
+      (IngestQ.queries, IngestQ.oracle),
       (Dedup.queries, Dedup.oracle),
       (graft.operators.Ann.queries, graft.operators.Ann.oracle),
       (graft.operators.Freq.queries, graft.operators.Freq.oracle),

@@ -408,6 +408,10 @@ object Graph {
   private val bfsHopCap = 4
   private val kcoreK = 3
   private val kcoreRounds = 4
+  // weighted peel threshold: strength ≥ 4 sits just above the unweighted
+  // k=3 on a mostly-unit-weight graph, so multiplicity is what decides
+  // the margin cases — the peel the weights actually change
+  private val kcoreS = 4L
   private val ssspRounds = 4
   private val ssspSources = 3
   private val pprSources = 3
@@ -436,6 +440,33 @@ object Graph {
     "WITH " + ctes.mkString(",\n") + s"""
      SELECT node, CAST(count(*) AS BIGINT) AS deg
      FROM (SELECT a AS node FROM e$kcoreRounds UNION ALL SELECT b FROM e$kcoreRounds)
+     GROUP BY node ORDER BY node"""
+  }
+
+  /** q_graph_kcore_weighted's oracle: [[kcoreSql]] with every count a
+    * weight sum — e0 keeps the pair multiplicity, each round keeps nodes
+    * with strength ≥ kcoreS. */
+  private def kcoreWeightedSql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e0 AS MATERIALIZED (
+        SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS w
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) x
+        JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) y
+          ON x.ok = y.ok AND x.p < y.p
+        GROUP BY 1, 2)""")
+    for (h <- 1 to kcoreRounds) {
+      ctes += s"""k$h AS MATERIALIZED (SELECT v FROM (
+        SELECT v, sum(w) AS d
+        FROM (SELECT a AS v, w FROM e${h - 1} UNION ALL SELECT b, w FROM e${h - 1})
+        GROUP BY v) WHERE d >= $kcoreS)"""
+      ctes += s"""e$h AS MATERIALIZED (SELECT e.a, e.b, e.w FROM e${h - 1} e
+        JOIN k$h x ON x.v = e.a JOIN k$h y ON y.v = e.b)"""
+    }
+    "WITH " + ctes.mkString(",\n") + s"""
+     SELECT node, CAST(sum(w) AS BIGINT) AS strength
+     FROM (SELECT a AS node, w FROM e$kcoreRounds UNION ALL SELECT b, w FROM e$kcoreRounds)
      GROUP BY node ORDER BY node"""
   }
 
@@ -643,6 +674,47 @@ object Graph {
     }
     e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("node"))
+  }
+
+  /** WEIGHTED k-core — the s-core generalization [Eidsaa & Almaas, PRE'13]:
+    * peel every node whose STRENGTH (incident edge-weight sum) is below
+    * `s`, so fifty one-off co-purchases don't outrank one 50-strong tie
+    * the way raw degree counts them. [[kcorePeel]] is the w ≡ 1 instance
+    * (sum of ones = count — bit-identical peel, GraphSpec-pinned). Loop,
+    * checkpoint, and broadcast-fallback discipline shared verbatim; the
+    * per-round strength aggregate partial-sums map-side exactly as the
+    * degree count did (the struct explode doubles rows like the id
+    * explode did — weights ride along, nothing new shuffles).
+    *
+    * @param edges undirected (a, b, w BIGINT), a < b, distinct, w ≥ 1.
+    * @return (node, strength) for surviving nodes — strength measured
+    *         WITHIN the peeled subgraph, ordered by node. */
+  def kcorePeelWeighted(edges: DataFrame, s: Long, rounds: Int,
+      broadcastKeep: Boolean = true): DataFrame = {
+    require(s >= 1 && rounds >= 1, s"need s/rounds >= 1, got $s $rounds")
+    def endpoints(f: DataFrame) = f
+      .select(explode(array(
+        struct(col("a").as("v"), col("w")),
+        struct(col("b").as("v"), col("w")))).as("x"))
+      .select(col("x.v").as("v"), col("x.w").as("w"))
+    var e = edges.select(col("a"), col("b"), col("w")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = endpoints(e)
+        .groupBy(col("v")).agg(sum(col("w")).as("d"))
+        .filter(col("d") >= s).select(col("v"))
+        .localCheckpoint()
+      val keepJ = if (broadcastKeep) broadcast(keep) else keep
+      val next = e
+        .join(keepJ, col("a") === col("v")).drop("v")
+        .join(keepJ, col("b") === col("v")).drop("v")
+        .localCheckpoint()
+      releaseCheckpoint(e)
+      releaseCheckpoint(keep)
+      e = next
+    }
+    endpoints(e)
+      .groupBy(col("v").as("node")).agg(sum(col("w")).as("strength"))
       .orderBy(col("node"))
   }
 
@@ -1058,6 +1130,56 @@ object Graph {
     jaccardRank(common, deg, k)
   }
 
+  /** WEIGHTED Jaccard link prediction — the Ružička/min-max similarity
+    * Σ_z min(w(a,z), w(b,z)) / Σ_z max(w(a,z), w(b,z)) over the
+    * neighborhood union, the multiset generalization [[jaccardTopK]]
+    * collapses to at w ≡ 1 (min-sum = common count, strength = degree —
+    * same e4 integers, GraphSpec-pinned). The denominator never needs
+    * union enumeration: Σ max = S(a) + S(b) − Σ_common min, with S the
+    * node strength — exactly the d1 + d2 − common identity, weighted.
+    *
+    * Same wedge-enumeration shape and hub posture as the unweighted
+    * path: grouped (v, w)-struct adjacency, indexed-transform explode
+    * emitting each ordered pair once with its min-weight payload
+    * (deg·(deg−1)/2 rows, no join), `maxDegree` bounding per-apex pair
+    * volume under power-law skew (capped pairs score a lower bound —
+    * the [[jaccardTopK]] contract). The pair key stays a (v1, v2)
+    * struct, not the packed long: the min-weight payload must ride the
+    * wedge row anyway, so the single-long key's exchange win doesn't
+    * apply — and no pack means no [0, 1e9) id-domain guard either.
+    *
+    * @param edges undirected (a, b, w BIGINT), a < b, distinct, w ≥ 1.
+    * @return top-k (v1, v2, common, min_sum, max_sum, ruzicka_e4). */
+  def jaccardTopKWeighted(edges: DataFrame, k: Int, minCommon: Long = 2L,
+      maxDegree: Int = jaccardMaxDegree): DataFrame = {
+    val e = edges.select(col("a"), col("b"), col("w"))
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("w")))
+    val adj = sym.groupBy(col("a"))
+      .agg(sort_array(collect_list(struct(col("b").as("v"), col("w")))).as("ns"))
+      .localCheckpoint()
+    val str = adj.select(col("a").as("v"),
+      expr("aggregate(ns, CAST(0 AS BIGINT), (acc, x) -> acc + x.w)").as("s"))
+    val apex = if (maxDegree == Int.MaxValue) adj
+               else adj.filter(size(col("ns")) <= maxDegree)
+    val pairs = apex.select(explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns)), y -> " +
+          "struct(x.v AS v1, y.v AS v2, least(x.w, y.w) AS mw))))"
+      )).as("p"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"), col("p.mw").as("mw"))
+      .groupBy(col("v1"), col("v2"))
+      .agg(sum(col("mw")).as("min_sum"), count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    pairs
+      .join(str.select(col("v").as("v1"), col("s").as("s1")), "v1")
+      .join(str.select(col("v").as("v2"), col("s").as("s2")), "v2")
+      .select(col("v1"), col("v2"), col("common"), col("min_sum"),
+        (col("s1") + col("s2") - col("min_sum")).as("max_sum"),
+        expr("min_sum * 10000 div (s1 + s2 - min_sum)").as("ruzicka_e4"))
+      .orderBy(col("ruzicka_e4").desc, col("v1"), col("v2"))
+      .limit(k)
+  }
+
   /** q_graph_jaccard's graph: %16-slice co-purchase edges (a < b,
     * distinct) — see the query comment for the slice rationale.
     * `private[graft]`, not private: GraphSpec's capped-no-op/recall pins
@@ -1162,6 +1284,17 @@ object Graph {
     // sf0.001/0.01/0.1.
     "q_graph_kcore" -> ((s, dir) =>
       kcorePeel(jaccardSliceEdges(s, dir), kcoreK, kcoreRounds)),
+
+    // WEIGHTED (s-core) peel of the same graph with multiplicity
+    // weights: strength = incident co-purchase support sum, threshold 4
+    // — repeat ties keep a node the raw-degree peel would drop.
+    "q_graph_kcore_weighted" -> ((s, dir) =>
+      kcorePeelWeighted(sliceEdgesAffinity(s, dir), kcoreS, kcoreRounds)),
+
+    // WEIGHTED (Ružička min/max) Jaccard over the same multiplicity
+    // graph — overlap weighted by co-purchase support, top-50.
+    "q_graph_jaccard_weighted" -> ((s, dir) =>
+      jaccardTopKWeighted(sliceEdgesAffinity(s, dir), k = 50)),
 
     // Community detection over the SAME %16-slice co-purchase graph:
     // 3 synchronous label-propagation rounds, top-20 communities by
@@ -1387,6 +1520,35 @@ object Graph {
          JOIN deg d2 ON d2.v = c.v2
          WHERE c.common >= 2
          ORDER BY jaccard_e4 DESC, v1, v2
+         LIMIT 50""",
+
+    "q_graph_kcore_weighted" -> kcoreWeightedSql,
+
+    "q_graph_jaccard_weighted" ->
+      """WITH e AS MATERIALIZED (
+           SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS w
+           FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                 FROM lineitem WHERE l_orderkey % 16 = 0) x
+           JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                 FROM lineitem WHERE l_orderkey % 16 = 0) y
+             ON x.ok = y.ok AND x.p < y.p
+           GROUP BY 1, 2),
+         sym AS (SELECT a, b, w FROM e UNION ALL SELECT b AS a, a AS b, w FROM e),
+         pairs AS (
+           SELECT n1.b AS v1, n2.b AS v2,
+                  CAST(count(*) AS BIGINT) AS common,
+                  CAST(sum(LEAST(n1.w, n2.w)) AS BIGINT) AS min_sum
+           FROM sym n1 JOIN sym n2 ON n1.a = n2.a AND n1.b < n2.b
+           GROUP BY 1, 2),
+         str AS (SELECT a AS v, CAST(sum(w) AS BIGINT) AS s FROM sym GROUP BY 1)
+         SELECT p.v1, p.v2, p.common, p.min_sum,
+                CAST(s1.s + s2.s - p.min_sum AS BIGINT) AS max_sum,
+                CAST(p.min_sum * 10000 // (s1.s + s2.s - p.min_sum) AS BIGINT) AS ruzicka_e4
+         FROM pairs p
+         JOIN str s1 ON s1.v = p.v1
+         JOIN str s2 ON s2.v = p.v2
+         WHERE p.common >= 2
+         ORDER BY ruzicka_e4 DESC, v1, v2
          LIMIT 50""",
 
     "q_graph_components" ->

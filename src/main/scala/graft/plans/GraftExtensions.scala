@@ -95,6 +95,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_sssp(dir, rounds, source...) - weighted shortest paths from explicit source node ids."),
       (children: Seq[Expression]) => GraftTvf.sssp(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_dedup_clusters"),
+      info(GraftTvf.getClass, "graft_dedup_clusters",
+        "graft_dedup_clusters(dir, threshold) - near-dup cluster id + canonical-keeper verdict per document."),
+      (children: Seq[Expression]) => GraftTvf.dedupClusters(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_quantiles"),
+      info(GraftTvf.getClass, "graft_quantiles",
+        "graft_quantiles(store_dir, p...) - percentile reads off a persisted quantile-summary store."),
+      (children: Seq[Expression]) => GraftTvf.quantiles(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_ann_search"),
       info(GraftTvf.getClass, "graft_ann_search",
         "graft_ann_search(vec_dir, edge_dir, probe_id, k) - top-k neighbors of a stored vector in an incremental ANN store."),

@@ -207,6 +207,55 @@ object GraftTvf {
       .queryExecution.analyzed
   }
 
+  /** graft_dedup_clusters(dir, threshold) — every document labeled with
+    * its near-dup CLUSTER id (connected components over the MinHash-LSH
+    * verified pair graph at `threshold`) plus the is_canonical verdict
+    * (keeper = the cluster's smallest doc_id — the keep-one-per-group
+    * step a curation pipeline executes; dropping both ends of every pair
+    * over-deletes chains). Output (doc_id, cluster_id, is_canonical).
+    * Same EAGER-loop contract as [[pagerank]]: connectedComponents is
+    * iterative pointer-jumping (each round checkpoints), so resolving
+    * this TVF runs the loop — the price of giving SQL users a loop
+    * operator, same trade as a materialized view. */
+  def dedupClusters(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_dedup_clusters"
+    require(children.size == 2, s"$fn(dir, threshold) takes 2 arguments")
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val docs = graft.catalog.Tables.documents(spark, str(children, 0, fn))
+    val d = graft.operators.Dedup
+    val pairs = d.verifyJaccard(docs,
+      d.lshCandidatesLazy(d.lshBuckets(d.minhashSignatures(docs))),
+      dbl(children, 1, fn))
+    val comp = graft.operators.Components.connectedComponents(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    docs.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .queryExecution.analyzed
+  }
+
+  /** graft_quantiles(store_dir, p...) — percentile reads off a PERSISTED
+    * arrival-built quantile-summary store ([[graft.streaming.StreamOps]]
+    * quantileOnArrival layout): one sketch-sized merged-rank pass, never
+    * a fact scan — (q_pct, n, r, est_v) with Σw = n exact and the MRL
+    * n/k + D rank bound. Lazy (no loop): the plan splices like any
+    * named subquery. */
+  def quantiles(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_quantiles"
+    require(children.size >= 2, s"$fn(store_dir, p...) takes >= 2 arguments")
+    val spark = SparkSession.active
+    val pcts = (1 until children.size).map(i => int(children, i, fn))
+    pcts.foreach(p => require(p >= 1 && p <= 100,
+      s"$fn: percentile $p outside [1, 100]"))
+    graft.streaming.StreamOps
+      .quantileStoreRead(spark, str(children, 0, fn), pcts)
+      .queryExecution.analyzed
+  }
+
   /** graft_semantic_dedup(dir, threshold) — SemDeDup keep/prune verdicts
     * over `dir`'s embeddings with label clusters (Dedup.semanticDedup). */
   def semanticDedup(children: Seq[Expression]): LogicalPlan = {

@@ -25,7 +25,54 @@ import graft.util.D._
   */
 object Streams {
 
+  private val storeLock = new Object
+
+  /** A persisted 3-batch quantile-summary store built from lineitem cent
+    * prices per ship-day (batch = l_orderkey % 3 — the same day recurs
+    * across batches, so the merged read exercises the cross-batch tie
+    * discipline). Built ONCE per (dir, mtime) through the REAL arrival
+    * body (StreamOps.quantileSummaryBatch — dynamic partition overwrite,
+    * replay-idempotent); q_tvf_quantiles then reads it through the SQL
+    * TVF surface. */
+  private[queries] def quantileStoreFixture(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(dir, "lineitem.parquet")
+    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val stamp = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"qstore:$dir@$mtime").toLong & 0xffffffffL)
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_qstore_$stamp")
+    storeLock.synchronized {
+      if (!java.nio.file.Files.exists(out.resolve("_DONE"))) {
+        val vals = lineitem(s, dir).select(
+          (col("l_orderkey") % 3).as("b"),
+          col("l_shipdate").cast("date").as("day"),
+          floor(col("l_extendedprice") * 100).cast("long").as("v"))
+        for (b <- 0L to 2L)
+          graft.streaming.StreamOps.quantileSummaryBatch(
+            vals.filter(col("b") === b).select(col("day"), col("v")),
+            b, out.resolve("store").toString, k = 64)
+        java.nio.file.Files.write(out.resolve("_DONE"), Array.emptyByteArray)
+      }
+    }
+    out.resolve("store").toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The sketch-store SQL surface oracle-checked end to end (the
+    // q_tvf_communities pattern): p50/90/99 off the persisted 3-batch
+    // MRL summary store through spark.sql TEXT alone — the
+    // analyst-without-Scala path to the arrival stores. The TVF read is
+    // sketch-sized (merged weighted-rank pass over ≤ D·(k+1) rows per
+    // batch), never a fact scan; the oracle REBUILDS the same per-
+    // (batch, day) block-compaction summaries from lineitem in SQL and
+    // reads the same merged rank — value-at-rank determinism holds
+    // through ties because tied rows share v (the quantileMergedRead
+    // ROWS-frame discipline).
+    "q_tvf_quantiles" -> ((s, dir) => {
+      val store = quantileStoreFixture(s, dir)
+      s.sql(s"SELECT q_pct, n, r, est_v FROM graft_quantiles('$store', 50, 90, 99) ORDER BY q_pct")
+    }),
+
     // 1h tumbling count/sum per event_type.
     "q_stream_tumbling" -> ((s, dir) => {
       import s.implicits._
@@ -118,6 +165,25 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tvf_quantiles" ->
+      """WITH v AS (SELECT l_orderkey % 3 AS b, CAST(l_shipdate AS DATE) AS day,
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+         ranked AS (SELECT b, day, v,
+                  row_number() OVER (PARTITION BY b, day ORDER BY v) AS rnk,
+                  count(*) OVER (PARTITION BY b, day) AS nd FROM v),
+         summ AS (SELECT day, v, rnk, CAST(rnk - ((rnk - 1) // step) * step AS BIGINT) AS w
+                  FROM (SELECT day, v, rnk, nd, (nd + 63) // 64 AS step FROM ranked)
+                  WHERE rnk % step = 0 OR rnk = nd),
+         n AS (SELECT CAST(sum(w) AS BIGINT) AS n FROM summ),
+         ranks AS (SELECT q_pct, n, CAST((n * q_pct + 99) // 100 AS BIGINT) AS r
+                  FROM (SELECT unnest([50, 90, 99]) AS q_pct), n),
+         cum AS (SELECT v, day, rnk, w,
+                 CAST(sum(w) OVER (ORDER BY v, day, rnk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+                 FROM summ)
+         SELECT r.q_pct, r.n, r.r, c.v AS est_v
+         FROM ranks r JOIN cum c ON c.cw >= r.r AND c.cw - c.w < r.r
+         ORDER BY q_pct""",
+
     "q_stream_late" ->
       """WITH e AS (
            SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

@@ -152,6 +152,52 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got.map(_._1) === api)
   }
 
+  test("TVF surface: graft_dedup_clusters and graft_quantiles callable from plain SQL") {
+    import spark.implicits._
+    // clusters ≡ the DataFrame composition (pairs → components → labels)
+    val viaSql = spark.sql(
+      s"SELECT doc_id, cluster_id, is_canonical FROM graft_dedup_clusters('${sf()}', 0.5) ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val docs = Tables.documents(spark, sf())
+    val d = graft.operators.Dedup
+    val pairs = d.minhashNearDups(docs, 0.5)
+    val comp = graft.operators.Components.connectedComponents(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    val viaApi = docs.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(viaSql === viaApi && viaSql.nonEmpty)
+    // every cluster has exactly one canonical keeper = its smallest member
+    val keepers = viaSql.groupBy(_._2).map { case (c, rows) =>
+      (c, rows.count(_._3), rows.map(_._1).min) }
+    keepers.foreach { case (c, nCanon, minId) =>
+      assert(nCanon === 1 && minId === c,
+        s"cluster $c: $nCanon keepers, min member $minId") }
+    // quantiles TVF ≡ the store-read operator on a persisted store
+    val store = java.nio.file.Files.createTempDirectory("tvf_q").toString + "/store"
+    val vals = Tables.lineitem(spark, sf()).select(
+      col("l_shipdate").cast("date").as("day"),
+      floor(col("l_extendedprice") * 100).cast("long").as("v"))
+    graft.streaming.StreamOps.quantileSummaryBatch(vals, 0L, store, k = 64)
+    val qSql = spark.sql(
+      s"SELECT q_pct, n, r, est_v FROM graft_quantiles('$store', 25, 75) ORDER BY q_pct")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val qApi = graft.streaming.StreamOps
+      .quantileStoreRead(spark, store, Seq(25, 75))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(qSql === qApi && qSql.size === 2)
+    // out-of-range percentile fails the literal contract loudly
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_quantiles('$store', 0)").collect()
+    }
+    assert(err.getMessage.contains("[1, 100]") || err.getMessage.contains("resolve"))
+  }
+
   test("bronze blockchain tables queryable by SQL after ingest") {
     val raw = spark.read.text(getClass.getResource("/blocks/blocks.jsonl").getPath)
     val out = java.nio.file.Files.createTempDirectory("bronze_sql").toString

@@ -322,6 +322,57 @@ class GraphSpec extends SparkSpec {
     assert(hit >= 45, s"recall $hit/50 under the pinned 0.90 floor")
   }
 
+  test("jaccardTopKWeighted: w ≡ 1 reproduces jaccardTopK bit-for-bit; weights reorder the ranking") {
+    import spark.implicits._
+    val e = fixtureJaccardEdges()
+    val e1 = e.select(col("a"), col("b"), lit(1L).as("w"))
+    // w≡1: min_sum = common, max_sum = d1 + d2 − common, same e4, same
+    // rank order — compare on the shared invariant view
+    val unw = pairRows(Graph.jaccardTopK(e, k = 50))
+      .map(t => (t._1, t._2, t._3, t._3, t._4 + t._5 - t._3, t._6))
+    val wgt = Graph.jaccardTopKWeighted(e1, k = 50)
+      .select("v1", "v2", "common", "min_sum", "max_sum", "ruzicka_e4")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(wgt === unw, "unit-weight Ružička must equal unweighted Jaccard")
+    // hand-checked weighted triangle: a-z w=10, b-z w=4, a-b w=1 →
+    // pair (a,b): common neighbor z contributes min(10,4)=4;
+    // S(a)=11, S(b)=5 → max_sum = 11+5-4 = 12, e4 = 4*10000 div 12
+    val tiny = Seq((1L, 9L, 10L), (2L, 9L, 4L), (1L, 2L, 1L)).toDF("a", "b", "w")
+    val got = Graph.jaccardTopKWeighted(tiny, k = 10, minCommon = 1L)
+      .filter(col("v1") === 1L && col("v2") === 2L)
+      .select("min_sum", "max_sum", "ruzicka_e4").collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+      (4L, 12L, 4L * 10000 / 12))
+  }
+
+  test("kcorePeelWeighted: w ≡ 1 reproduces kcorePeel; strength keeps a repeat-tie node; arm equality") {
+    import spark.implicits._
+    val e = fixtureJaccardEdges()
+    val e1 = e.select(col("a"), col("b"), lit(1L).as("w"))
+    val unw = Graph.kcorePeel(e, k = 3, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wgt = Graph.kcorePeelWeighted(e1, s = 3L, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(wgt === unw, "unit-weight s-core must equal the degree k-core")
+    // strength semantics: path x-y (w=5) survives s=4 where degree-2
+    // peel at k=4 would drop everything; y-z (w=1) peels away, and the
+    // SECOND round re-checks x-y's strength without z's edge
+    val tiny = Seq((1L, 2L, 5L), (2L, 3L, 1L)).toDF("a", "b", "w")
+    val got = Graph.kcorePeelWeighted(tiny, s = 4L, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 5L), (2L, 5L)),
+      "strength-4 peel must keep the w=5 edge and drop the w=1 tendril")
+    // nodes-too-big-to-broadcast fallback arm: identical survivors
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = Graph.kcorePeelWeighted(e1, s = 3L, rounds = 4,
+          broadcastKeep = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(sh === unw, "shuffle-keep arm must match broadcast exactly")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("jaccardTopK: pair-pack id guard fails loudly outside [0, 1e9)") {
     import spark.implicits._
     val bad = Seq((1L, 2000000000L)).toDF("a", "b")
