@@ -84,6 +84,16 @@ for med_key, bench_key in (('_calib', 'calib'), ('_calib_fault', 'calib_fault'),
                 print(f"ENV  this machine is {r:.2f}x slower than the medians' "
                       f"({bench_key} {now:.2f}s vs {base:.2f}s) — gates scaled")
 
+# Top-level anomaly marking (round-15): Bench inlines every shipped value
+# still >3x its stored median (with median + retry history) so the artifact
+# is self-describing — surface them loudly here, as a WARN rather than a
+# gate (the env-scaled 4x per-query gate below stays the failure authority).
+for q, a in sorted(bench.get('anomalies', {}).items()):
+    rh = (f" (first {a['first']:.2f}s, pre-retry {a['pre_retry']:.2f}s, "
+          f"{a['retries']} retries)") if 'retries' in a else ''
+    print(f"WARN anomaly {q}: {a['value']:.2f}s vs median {a['median']:.2f}s "
+          f"({a['value'] / a['median']:.1f}x){rh}")
+
 # A partial artifact (budget/timeout truncation — Bench marks it) has a
 # meaningless total and legitimately missing tail queries: keep the
 # per-query gates for what DID run, skip the total and missing-query gates.

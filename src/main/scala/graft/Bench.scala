@@ -266,10 +266,28 @@ object Bench {
           "\"" + k + "\":{\"first\":" + fmt(first) +
             ",\"pre_retry\":" + fmt(pre) + ",\"retries\":" + n + "}"
       }.mkString("{", ",", "}")
+      // Top-level anomaly marking (round-15): any SHIPPED value still >3×
+      // its stored median, with the median and any retry history inline —
+      // the r14 artifact buried its one 8.9× entry inside "retried", and a
+      // self-describing artifact must not make the reader join two maps to
+      // find its outliers. Empty on a clean pass; benchguard WARNs on
+      // non-empty.
+      val anomalies = results
+        .filter { case (k, v) =>
+          medians.get(k).exists(m => m > 0 && v > 3 * m) }
+        .sortBy(_._1)
+        .map { case (k, v) =>
+          val m = medians(k)
+          val rh = retryLog.get(k).map { case (first, pre, n) =>
+            ",\"first\":" + fmt(first) + ",\"pre_retry\":" + fmt(pre) +
+              ",\"retries\":" + n
+          }.getOrElse("")
+          "\"" + k + "\":{\"value\":" + fmt(v) + ",\"median\":" + fmt(m) + rh + "}"
+        }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val part = if (partial) "\"partial\":true," else ""
       val end = endProbe.map(v => s""""calib_spark_end":${fmt(v)},""").getOrElse("")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$part"calib":${fmt(calib)},"calib_fault":${fmt(calibFault)},"calib_spark":${fmt(calibSpark)},$end"retried":$retried,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$part"calib":${fmt(calib)},"calib_fault":${fmt(calibFault)},"calib_spark":${fmt(calibSpark)},$end"anomalies":$anomalies,"retried":$retried,"queries":$qs,"sf":"$sfDir"}"""
     }
     // One artifact file per pass (epoch-stamped) ALONGSIDE last_run.json:
     // round 7's end-of-round snapshot overwrote the full-run artifact with

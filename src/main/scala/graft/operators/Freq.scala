@@ -236,8 +236,10 @@ object Freq {
     * Compatibility note: rnk is BIGINT as of round 14 (it was INT via
     * row_number) — a summary STORE holding pre-round-14 partitions mixes
     * INT32/INT64 parquet files under one column, which Spark's reader
-    * rejects; rewrite such a store once (read each old partition, cast
-    * rnk to long, write back) before appending new batches.
+    * rejects. StreamOps.quantileStoreRead fails FAST on such stores with
+    * a guided message (round-15 guard), and
+    * StreamOps.quantileStoreMigrate performs the one-shot per-partition
+    * rnk-to-long rewrite into a fresh store.
     *
     * The returned plan pins the day-counts frame (and on the heavy
     * route, the ordinal slices) as localCheckpoints — callers on a

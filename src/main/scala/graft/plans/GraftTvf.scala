@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
@@ -102,6 +102,49 @@ object GraftTvf {
         s"$fn: argument ${i + 1} must be an integer, got $v")
     }
 
+  /** LRU of spliced EAGER-loop TVF plans (round-15, the advice-14 fix):
+    * a loop TVF runs its whole iterative job at analysis time and
+    * splices localCheckpoint-backed frames that SQL callers have no way
+    * to release — so repeated invocations (or even EXPLAIN) in a
+    * long-lived SQL session used to accumulate pinned checkpoint blocks
+    * without bound. The memo makes a repeated invocation (same fn, same
+    * literal args, same source mtime, same session) REUSE the spliced
+    * plan — EXPLAIN-then-run now pays the loop once — and eviction past
+    * `loopLruCap` distinct invocations releases the evicted plan's
+    * blocks. Contract: a DataFrame captured from a loop TVF more than
+    * `loopLruCap` distinct loop-TVF invocations ago must be re-resolved,
+    * not re-executed (its checkpoint blocks may be gone — the price of
+    * ANY release path over lineage-free blocks). */
+  private val loopLruCap = 8
+  private val loopLru =
+    new java.util.LinkedHashMap[String, LogicalPlan](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, LogicalPlan]): Boolean =
+        if (size() > loopLruCap) {
+          graft.util.Frames.releaseCheckpointPlan(e.getValue); true
+        } else false
+    }
+
+  /** mtime stamp of the table file a loop TVF reads — keys the memo so
+    * a rewritten source dir re-resolves instead of serving stale loops. */
+  private def dirStamp(dir: String, table: String): String =
+    try java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(dir, s"$table.parquet"))
+      .toMillis.toString
+    catch { case _: java.io.IOException => "0" }
+
+  private def loopMemo(key: String)(build: => DataFrame): LogicalPlan =
+    loopLru.synchronized {
+      Option(loopLru.get(key)).getOrElse {
+        val plan = build.queryExecution.analyzed
+        loopLru.put(key, plan)
+        plan
+      }
+    }
+
+  private def sessionKey(spark: SparkSession): String =
+    graft.catalog.Tables.sessionKey(spark)
+
   /** graft_pagerank(dir, iters) — the FULL (node, rank) integer-pagerank
     * map over `dir`'s part↔supplier co-purchase graph (the q_graph_pagerank
     * graph without the top-20 cut: ORDER BY/LIMIT belong to the enclosing
@@ -115,10 +158,12 @@ object GraftTvf {
     val fn = "graft_pagerank"
     require(children.size == 2, s"$fn(dir, iters) takes 2 arguments")
     val spark = SparkSession.active
-    graft.operators.Graph
-      .pagerank(graft.operators.Graph.partSupplierEdges(spark, str(children, 0, fn)),
-        int(children, 1, fn))
-      .queryExecution.analyzed
+    val dir = str(children, 0, fn)
+    val iters = int(children, 1, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$iters") {
+      graft.operators.Graph
+        .pagerank(graft.operators.Graph.partSupplierEdges(spark, dir), iters)
+    }
   }
 
   /** graft_communities(dir, rounds) — the FULL (v, lbl) label-propagation
@@ -130,10 +175,12 @@ object GraftTvf {
     val fn = "graft_communities"
     require(children.size == 2, s"$fn(dir, rounds) takes 2 arguments")
     val spark = SparkSession.active
-    graft.operators.Graph
-      .labelAssign(graft.operators.Graph.jaccardSliceEdges(spark, str(children, 0, fn)),
-        int(children, 1, fn))
-      .queryExecution.analyzed
+    val dir = str(children, 0, fn)
+    val rounds = int(children, 1, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$rounds") {
+      graft.operators.Graph
+        .labelAssign(graft.operators.Graph.jaccardSliceEdges(spark, dir), rounds)
+    }
   }
 
   /** graft_ppr(dir, iters, seed...) — personalized PageRank from explicit
@@ -145,11 +192,14 @@ object GraftTvf {
     val spark = SparkSession.active
     import spark.implicits._
     val seeds = (2 until children.size).map(i => lng(children, i, fn))
-    graft.operators.Graph
-      .pagerankPersonalized(
-        graft.operators.Graph.partSupplierEdges(spark, str(children, 0, fn)),
-        seeds.toDF("node"), int(children, 1, fn))
-      .queryExecution.analyzed
+    val dir = str(children, 0, fn)
+    val iters = int(children, 1, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$iters|${seeds.mkString(",")}") {
+      graft.operators.Graph
+        .pagerankPersonalized(
+          graft.operators.Graph.partSupplierEdges(spark, dir),
+          seeds.toDF("node"), iters)
+    }
   }
 
   /** graft_sssp(dir, rounds, source...) — weighted shortest paths from
@@ -162,11 +212,14 @@ object GraftTvf {
     val spark = SparkSession.active
     import spark.implicits._
     val sources = (2 until children.size).map(i => lng(children, i, fn))
-    graft.operators.Graph
-      .ssspWeighted(
-        graft.operators.Graph.sliceEdgesWeighted(spark, str(children, 0, fn)),
-        sources.toDF("node"), int(children, 1, fn))
-      .queryExecution.analyzed
+    val dir = str(children, 0, fn)
+    val rounds = int(children, 1, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$rounds|${sources.mkString(",")}") {
+      graft.operators.Graph
+        .ssspWeighted(
+          graft.operators.Graph.sliceEdgesWeighted(spark, dir),
+          sources.toDF("node"), rounds)
+    }
   }
 
   /** graft_ann_search(vec_dir, edge_dir, probe_id, k) — "more like this"
@@ -222,20 +275,22 @@ object GraftTvf {
     require(children.size == 2, s"$fn(dir, threshold) takes 2 arguments")
     val spark = SparkSession.active
     import org.apache.spark.sql.functions.{coalesce, col}
-    val docs = graft.catalog.Tables.documents(spark, str(children, 0, fn))
-    val d = graft.operators.Dedup
-    val pairs = d.verifyJaccard(docs,
-      d.lshCandidatesLazy(d.lshBuckets(d.minhashSignatures(docs))),
-      dbl(children, 1, fn))
-    val comp = graft.operators.Components.connectedComponents(
-      pairs.select(col("d1").as("src"), col("d2").as("dst")))
-    docs.select(col("doc_id"))
-      .join(comp.select(col("id").as("doc_id"), col("component")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .queryExecution.analyzed
+    val dir = str(children, 0, fn)
+    val tau = dbl(children, 1, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "documents")}|$tau") {
+      val docs = graft.catalog.Tables.documents(spark, dir)
+      val d = graft.operators.Dedup
+      val pairs = d.verifyJaccard(docs,
+        d.lshCandidatesLazy(d.lshBuckets(d.minhashSignatures(docs))), tau)
+      val comp = graft.operators.Components.connectedComponents(
+        pairs.select(col("d1").as("src"), col("d2").as("dst")))
+      docs.select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    }
   }
 
   /** graft_quantiles(store_dir, p...) — percentile reads off a PERSISTED

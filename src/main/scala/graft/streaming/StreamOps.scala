@@ -268,6 +268,13 @@ object StreamOps {
   val RecoveryBatchId = -1L
   val CompactBatchId = -2L
 
+  /** Row cap above which componentsBatch's relabel frames (candidate
+    * nodes, merge map) shuffle-join instead of broadcasting — ~32 MB of
+    * long keys, comfortably inside executor memory, far below Spark's
+    * broadcast hard limit the unconditional broadcast used to hit on a
+    * merge into a giant component. */
+  val RelabelBroadcastRows: Long = 4L << 20
+
   /** Streaming ANN index maintenance — the arrival path of the graph-ANN
     * tier (the vector analog of [[dedupOnArrival]]): each micro-batch of
     * new vectors is LINKED INTO the existing proximity graph by searching
@@ -375,8 +382,26 @@ object StreamOps {
     * @return (q_pct, n, r, est_v). */
   def quantileStoreRead(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, qPcts: Seq[Int]): DataFrame = {
-    val summ = spark.read.parquet(storeDir)
-      .select(col("day"), col("v"), col("rnk"), col("w"))
+    // Mixed-schema guard (round-14's rnk INT→BIGINT change): a store
+    // holding pre-change partitions mixes INT32/INT64 parquet under one
+    // column. A plain read picks a random footer and fails mid-execution
+    // with an opaque column-convert error; the mergeSchema probe fails
+    // FAST at read setup, and we convert that into a guided migration
+    // message. An all-old (uniform INT32) store reads fine — the cast
+    // below lifts it to long.
+    val raw =
+      try spark.read.option("mergeSchema", "true").parquet(storeDir)
+      catch {
+        case e: org.apache.spark.SparkException
+            if Option(e.getCondition).exists(_.startsWith("CANNOT_MERGE")) =>
+          throw new IllegalStateException(
+            s"quantile store $storeDir mixes INT32 and INT64 `rnk` partitions " +
+              "(pre- and post-round-14 writers). Run " +
+              "StreamOps.quantileStoreMigrate(spark, storeDir, freshDir) once " +
+              "and swap directories.", e)
+      }
+    val summ = raw
+      .select(col("day"), col("v"), col("rnk").cast("long").as("rnk"), col("w"))
     val ranks = summ.agg(sum(col("w")).as("n"))
       .select(explode(array(qPcts.map(lit): _*)).as("q_pct"), col("n"))
       .withColumn("r", expr("(n * q_pct + 99) div 100"))
@@ -385,6 +410,24 @@ object StreamOps {
       .join(broadcast(ranks.select(col("q_pct"), col("n"))), Seq("q_pct"))
       .select(col("q_pct"), col("n"), col("r"), col("est_v"))
       .orderBy(col("q_pct"))
+  }
+
+  /** One-shot migration for a quantile store with pre-round-14 INT32
+    * `rnk` partitions: every batch partition is read with ITS OWN
+    * schema, rnk lifted to BIGINT, and rewritten under the same
+    * partition name in a fresh store — swap directories afterwards like
+    * [[quantileCompactStore]]. Idempotent; the source is untouched. */
+  def quantileStoreMigrate(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, outDir: String): Unit = {
+    val parts = new java.io.File(storeDir).listFiles()
+    require(parts != null, s"quantile store $storeDir does not exist")
+    parts.filter(p => p.isDirectory && p.getName.startsWith("batch_id="))
+      .foreach { p =>
+        spark.read.parquet(p.getAbsolutePath)
+          .select(col("day"), col("v"),
+            col("rnk").cast("long").as("rnk"), col("w"))
+          .write.mode("overwrite").parquet(s"$outDir/${p.getName}")
+      }
   }
 
   /** Compact the arrival-built quantile-summary store into a FRESH store
@@ -460,7 +503,9 @@ object StreamOps {
     // linking to nodes a delete has already condemned (their vectors
     // would drop out of every future search's corpus view anyway)
     val corpusCk = tryReadParquet(spark, vecDir).map(c =>
-      dropTombstoned(spark, vecDir, c.select(col("cand_id"), col("cv")), "cand_id")
+      dropTombstoned(spark, vecDir,
+          c.select(col("cand_id"), col("cv"), col("batch_id")), "cand_id")
+        .select(col("cand_id"), col("cv"))
         .join(b.select(col("cand_id")), Seq("cand_id"), "left_anti")
         .localCheckpoint())
     val corpus = corpusCk.filter(_.limit(1).count() > 0)
@@ -566,18 +611,47 @@ object StreamOps {
     * re-links the nodes that lost neighbors (dangling-edge heal), and
     * PURGES the tombstones — the fresh store starts clean.
     *
-    * Contract: a deleted id stays deleted until a compaction purges its
-    * tombstone; re-ingesting the SAME id before that compaction is
-    * out of contract (the tombstone would hide the new vector too) —
-    * use fresh ids, the same immutability rule the batch partitions
-    * already impose. */
-  def annDeleteBatch(ids: DataFrame, delBatchId: Long, vecDir: String): Unit =
+    * Delete→re-ingest law (the upsert contract, round-15): each
+    * tombstone carries an INGEST-BATCH WATERMARK `wm` = the greatest
+    * ingest batch id present in the vec store when the delete COMMITTED.
+    * A vector row is dead iff some tombstone for its id has wm ≥ the
+    * row's ingest batch — so re-ingesting a deleted id in a LATER batch
+    * makes it searchable again (StreamOpsSpec-pinned), and the store
+    * upserts like a real vector store instead of forbidding id reuse.
+    * Compaction keeps the NEWEST surviving row per id and purges only
+    * tombstones whose id has no post-watermark re-ingest.
+    *
+    * Replay contract: wm is a function of STORE STATE, not of the batch,
+    * so a naive re-execution after a crash could recompute a LARGER wm
+    * and swallow a re-ingest that landed in the crash window. The commit
+    * marker (`_committed_<batchId>` beside the tombstone partitions —
+    * underscore-invisible to parquet like the sidecar itself) makes
+    * replay a no-op once the delete committed: coverage never extends
+    * past first commit. A crash BETWEEN the partition write and the
+    * marker re-executes the whole delete — the one window where wm may
+    * legitimately move, because the delete never committed. */
+  def annDeleteBatch(ids: DataFrame, delBatchId: Long, vecDir: String): Unit = {
+    val spark = ids.sparkSession
+    val marker = java.nio.file.Paths.get(
+      tombstonePath(vecDir), s"_committed_$delBatchId")
+    if (java.nio.file.Files.exists(marker)) return
+    // batch_id is a discovered partition column — inferred INT; cast
+    // before the driver-side read
+    val wm = tryReadParquet(spark, vecDir)
+      .map(_.agg(max(col("batch_id").cast("long"))).first())
+      .filter(!_.isNullAt(0)).map(_.getLong(0))
+      .getOrElse(CompactBatchId.toLong)
     ids.select(col("cand_id")).distinct()
+      .withColumn("wm", lit(wm))
       .withColumn("batch_id", lit(delBatchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(tombstonePath(vecDir))
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker,
+      wm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** Streaming wrapper of [[annDeleteBatch]] — a deletion feed (ids to
     * forget) maintained with the same checkpoint/replay contract as the
@@ -591,19 +665,35 @@ object StreamOps {
       }
       .start()
 
-  /** The store's tombstoned ids (distinct), absent when none exist. */
+  /** The store's tombstones as (cand_id, wm) with the greatest watermark
+    * per id; absent when none exist. Pre-round-15 tombstone partitions
+    * carry no wm column — mergeSchema surfaces them as null, coalesced to
+    * Long.MaxValue (the old hide-everything semantics, so mixed stores
+    * keep their original behavior for old deletes). */
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
       vecDir: String): Option[DataFrame] =
-    tryReadParquet(spark, tombstonePath(vecDir))
-      .map(_.select(col("cand_id")).distinct())
+    tryReadParquet(spark, tombstonePath(vecDir)).map { _ => // presence probe
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(tombstonePath(vecDir))
+      val withWm =
+        if (raw.columns.contains("wm"))
+          raw.select(col("cand_id"),
+            coalesce(col("wm"), lit(Long.MaxValue)).as("wm"))
+        else raw.select(col("cand_id"), lit(Long.MaxValue).as("wm"))
+      withWm.groupBy(col("cand_id")).agg(max(col("wm")).as("wm"))
+    }
 
-  /** Anti-join `df` against the store's tombstones on `key` (broadcast —
-    * the tombstone set is delete-sized, not corpus-sized). */
+  /** Drop `df` rows hidden by a tombstone: row dead iff some tombstone
+    * for its id has wm ≥ the row's ingest `batch_id` (so re-ingests
+    * after the delete's watermark survive). `df` MUST carry the store's
+    * batch_id column; the tombstone side is delete-sized (broadcast). */
   private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
       vecDir: String, df: DataFrame, key: String): DataFrame =
     tombstonesOf(spark, vecDir) match {
       case Some(t) =>
-        df.join(broadcast(t.select(col("cand_id").as(key))), Seq(key), "left_anti")
+        val tb = broadcast(t.select(col("cand_id").as("_t_id"), col("wm")))
+        df.join(tb, df(key) === col("_t_id") && col("wm") >= df("batch_id"),
+          "left_anti")
       case None => df
     }
 
@@ -725,7 +815,9 @@ object StreamOps {
   def annStoreVectors(spark: org.apache.spark.sql.SparkSession,
       vecDir: String): DataFrame =
     dropTombstoned(spark, vecDir,
-      spark.read.parquet(vecDir).select(col("cand_id"), col("cv")), "cand_id")
+        spark.read.parquet(vecDir)
+          .select(col("cand_id"), col("cv"), col("batch_id")), "cand_id")
+      .select(col("cand_id"), col("cv"))
 
   def annIncrementalSearch(probes: DataFrame, vecDir: String, edgeDir: String,
       beam: Int = 32, hops: Int = 6, k: Int = 3): DataFrame = {
@@ -746,8 +838,9 @@ object StreamOps {
     * (defense against an unclean stop), edges materialized as the
     * SYMMETRIZED DISTINCT closure laid out by src (the search's probe
     * key) — and carries the router across (refreshed from the full
-    * corpus when `refreshRouter`, copied verbatim otherwise, so a
-    * compaction can be proven read-identical). File sizing reuses
+    * corpus when `refreshRouter` OR whenever tombstones were purged —
+    * see the in-body note; copied verbatim only in the no-delete case,
+    * where a compaction can be proven read-identical). File sizing reuses
     * [[graft.operators.Layout.compact]], writing INTO the partition
     * directory path.
     *
@@ -761,33 +854,50 @@ object StreamOps {
       vecDir: String, edgeDir: String, outVecDir: String, outEdgeDir: String,
       refreshRouter: Boolean = true, targetFileRows: Long = 1L << 20,
       healR: Int = 12): Unit = {
+    import org.apache.spark.sql.expressions.Window
     import graft.operators.{Ann, Layout}
     val tomb = tombstonesOf(spark, vecDir)
-    // physical removal: tombstoned vectors do not cross into the fresh
-    // store, and neither does the tombstone sidecar — compaction is the
-    // purge point (the fresh store starts with nothing to anti-join)
+    // physical removal: tombstone-hidden vector rows do not cross into
+    // the fresh store, and neither does the tombstone sidecar —
+    // compaction is the purge point (the fresh store starts with nothing
+    // to anti-join). Among SURVIVING rows the NEWEST ingest batch wins
+    // per id — the delete→re-ingest upsert's latest-wins read, and the
+    // defense against an unclean stop's duplicate rows.
+    val wNewest = Window.partitionBy(col("cand_id")).orderBy(col("batch_id").desc)
     val vecs = dropTombstoned(spark, vecDir,
-        spark.read.parquet(vecDir).select(col("cand_id"), col("cv"))
-          .dropDuplicates("cand_id"), "cand_id")
+        spark.read.parquet(vecDir)
+          .select(col("cand_id"), col("cv"), col("batch_id")), "cand_id")
+      .withColumn("_rn", row_number().over(wNewest))
+      .filter(col("_rn") === 1)
+      .select(col("cand_id"), col("cv"))
       .localCheckpoint()
     Layout.compact(vecs, s"$outVecDir/batch_id=$CompactBatchId",
       targetFileRows, sortCols = Seq("cand_id"))
     val allEdges = symmetrized(spark.read.parquet(edgeDir)).distinct()
-    tomb match {
+    // DEAD ids: tombstoned with no surviving re-ingest — only these lose
+    // their graph nodes (a re-ingested id keeps its node; its stale
+    // pre-delete edges re-rank against the NEW vector at search time and
+    // re-link through the heal below only if it lost neighbors)
+    val tDeadCk = tomb.map(t =>
+        t.select(col("cand_id"))
+          .join(vecs.select(col("cand_id")), Seq("cand_id"), "left_anti")
+          .localCheckpoint())
+    val tDead = tDeadCk.filter(_.limit(1).count() > 0)
+    tDead match {
       case None =>
         Layout.compact(allEdges, s"$outEdgeDir/batch_id=$CompactBatchId",
           targetFileRows, sortCols = Seq("src"))
       case Some(t) =>
         // Dangling-edge heal: dropping a node's edges leaves its former
         // neighbors with a hole in their out-sets — paths that routed
-        // THROUGH deleted nodes break, and a survivor whose neighborhood
+        // THROUGH dead nodes break, and a survivor whose neighborhood
         // was mostly deleted can fall off the graph entirely. Re-link
         // every survivor that lost an edge (affected = survivors
-        // adjacent to a tombstoned node — delete-degree-sized, never
+        // adjacent to a dead node — delete-degree-sized, never
         // corpus-sized) by searching the FILTERED graph with their own
         // vectors and α-pruning the searched neighborhood to healR
         // out-edges — exactly how a new node links in on arrival.
-        val tb = broadcast(t.localCheckpoint())
+        val tb = broadcast(t)
         val kept = allEdges
           .join(tb.select(col("cand_id").as("src")), Seq("src"), "left_anti")
           .join(tb.select(col("cand_id").as("dst")), Seq("dst"), "left_anti")
@@ -820,14 +930,21 @@ object StreamOps {
           targetFileRows, sortCols = Seq("src"))
         graft.util.Frames.releaseCheckpoint(kept)
         graft.util.Frames.releaseCheckpoint(probes)
-        graft.util.Frames.releaseCheckpoint(tb)
     }
-    if (refreshRouter) writeRouter(spark, outEdgeDir, vecs)
+    // Router: copy-verbatim is only sound when compaction changed
+    // nothing the router points at — with tombstones purged, copied
+    // medoid entries can reference dead (or re-ingested-and-moved)
+    // nodes, silently losing entry diversity (the total-entry-loss
+    // fallback fires only when ALL of a probe's entries drop). Force a
+    // refresh whenever tombstones existed; `refreshRouter = false` keeps
+    // its read-identical meaning in the no-delete case it was made for.
+    if (refreshRouter || tomb.nonEmpty) writeRouter(spark, outEdgeDir, vecs)
     else readRouter(spark, edgeDir).foreach { router =>
       import spark.implicits._
       router.toDF("cluster", "centroid", "medoid").coalesce(1)
         .write.mode("overwrite").parquet(routerPath(outEdgeDir))
     }
+    tDeadCk.foreach(graft.util.Frames.releaseCheckpoint)
     graft.util.Frames.releaseCheckpoint(vecs)
   }
 
@@ -875,7 +992,8 @@ object StreamOps {
   /** The components foreachBatch body (public like [[dedupBatch]]:
     * directly testable, doubles as a batch backfill). */
   def componentsBatch(batch: DataFrame, batchId: Long, mapDir: String,
-      edgeDir: String): Unit = {
+      edgeDir: String,
+      relabelBroadcastRows: Long = RelabelBroadcastRows): Unit = {
     import graft.operators.Components
     val spark = batch.sparkSession
     val e = batch.select(col("src"), col("dst")).localCheckpoint()
@@ -919,32 +1037,48 @@ object StreamOps {
         .filter(col("id") =!= col("component"))
         .select(col("id").as("lbl"), col("component").as("newc"))
     ).localCheckpoint()
+    // merge cardinality decides both the relabel guard and the join
+    // strategy below; mergeMap is checkpointed so the count is label-sized
+    val nMerge = mergeMap.count()
+    val mergeJ =
+      if (nMerge > relabelBroadcastRows) mergeMap else broadcast(mergeMap)
     val resolvedNew = labeled
       .join(broadcast(hit.select(col("node"))), Seq("node"), "left_anti")
-      .join(broadcast(mergeMap), Seq("lbl"), "left")
+      .join(mergeJ, Seq("lbl"), "left")
       .select(col("node"), coalesce(col("newc"), col("lbl")).as("component"))
     // Affected-sized relabel: stored rows whose CURRENT label merged —
-    // paid only when a merge actually happened (mergeMap is tiny and
-    // checkpointed, so the guard is a cheap count). Two map SCANS, zero
-    // map shuffles: (1) rows carrying a merged label give the candidate
-    // node superset (a node's STALE row can match — resolved next);
-    // (2) those nodes' full row sets re-read, latest-wins aggregated at
-    // candidate size, then filtered to the truly affected by the merge
-    // join. The candidate set is relabel-sized; a merge so large it
-    // outgrows the broadcast is paying relabel-sized writes anyway.
+    // paid only when a merge actually happened. Two map SCANS, zero
+    // unconditional map shuffles: (1) rows carrying a merged label give
+    // the candidate node superset (a node's STALE row can match —
+    // resolved next); (2) those nodes' full row sets re-read,
+    // latest-wins aggregated at candidate size, then filtered to the
+    // truly affected by the merge join. The candidate set is
+    // relabel-sized — but a merge INTO a giant component makes it
+    // component-sized, where a forced broadcast would hard-fail at
+    // Spark's broadcast limit instead of degrading: the size gate
+    // (RelabelBroadcastRows, counted on the checkpointed frame) drops
+    // oversized candidate/merge frames to shuffle joins — the
+    // loop-family broadcast-fallback contract applied to the arrival
+    // path (StreamOpsSpec pins arm equality over the gate).
+    var candCk: Option[DataFrame] = None
     val relabeled = store match {
-      case Some(st) if mergeMap.limit(1).count() > 0 =>
+      case Some(st) if nMerge > 0 =>
         val candNodes = st
-          .join(broadcast(mergeMap.select(col("lbl").as("component"))),
-            Seq("component"))
+          .join(mergeJ.select(col("lbl").as("component")), Seq("component"))
           .select(col("node")).distinct()
-        componentsMergeRead(st.join(broadcast(candNodes), Seq("node")))
-          .join(broadcast(mergeMap.select(col("lbl").as("component"), col("newc"))),
+          .localCheckpoint()
+        candCk = Some(candNodes)
+        val candJ =
+          if (candNodes.count() > relabelBroadcastRows) candNodes
+          else broadcast(candNodes)
+        componentsMergeRead(st.join(candJ, Seq("node")))
+          .join(mergeJ.select(col("lbl").as("component"), col("newc")),
             Seq("component"))
           .select(col("node"), col("newc").as("component"))
       case _ => resolvedNew.limit(0)
     }
     val delta = resolvedNew.unionAll(relabeled).localCheckpoint()
+    candCk.foreach(graft.util.Frames.releaseCheckpoint)
     delta.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

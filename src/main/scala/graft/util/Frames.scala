@@ -17,7 +17,13 @@ object Frames {
     * Dataset is a no-op on these blocks); the checkpointed RDD sits
     * behind the plan's LogicalRDD leaf. */
   def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    releaseCheckpointPlan(df.queryExecution.analyzed)
+
+  /** Plan-level form of [[releaseCheckpoint]] — for holders of a bare
+    * analyzed plan (the TVF LRU) with no Dataset handle. */
+  def releaseCheckpointPlan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    plan.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()

@@ -605,6 +605,83 @@ class StreamOpsSpec extends SparkSpec {
       s"post-delete-compaction recall $hit/$nEx below floor")
   }
 
+  test("ann-delete: re-ingesting a deleted id after the watermark restores it (upsert law)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_upsert").toString
+    val (vecDir, edgeDir) = (s"$tmp/vecs", s"$tmp/edges")
+    val (b1, _, _, probes) = embSlices()
+    StreamOps.annIngestBatch(b1.toDF("cand_id", "cv"), 0L, vecDir, edgeDir, 12)
+    val x = StreamOps.annIncrementalSearch(probes, vecDir, edgeDir, k = 1)
+      .select(col("cand_id")).first().getLong(0)
+    StreamOps.annDeleteBatch(Seq(x).toDF("cand_id"), 0L, vecDir)
+    assert(StreamOps.annStoreVectors(spark, vecDir)
+      .filter(col("cand_id") === x).count() === 0, "deleted id still live")
+    // re-ingest the SAME id (same geometry) in a newer batch — the
+    // tombstone's watermark (wm = 0) must not hide batch 1's row
+    StreamOps.annIngestBatch(b1.filter(_._1 == x).toDF("cand_id", "cv"),
+      1L, vecDir, edgeDir, 12)
+    val live = StreamOps.annStoreVectors(spark, vecDir)
+    assert(live.filter(col("cand_id") === x).count() === 1,
+      "re-ingested id must be live exactly once")
+    val again = StreamOps.annIncrementalSearch(probes, vecDir, edgeDir, k = 3)
+      .select(col("cand_id")).collect().map(_.getLong(0)).toSet
+    assert(again.contains(x), "re-ingested id must be searchable again")
+    // replaying the COMMITTED delete must not re-hide the re-ingest
+    // (coverage never extends past first commit — the marker contract)
+    StreamOps.annDeleteBatch(Seq(x).toDF("cand_id"), 0L, vecDir)
+    assert(StreamOps.annStoreVectors(spark, vecDir)
+      .filter(col("cand_id") === x).count() === 1,
+      "replayed delete re-hid a post-watermark re-ingest")
+    // compaction: the re-ingested id survives (newest row), a dead id
+    // does not, the sidecar purges either way
+    val z = again.find(_ != x).get
+    StreamOps.annDeleteBatch(Seq(z).toDF("cand_id"), 1L, vecDir)
+    StreamOps.annCompactStore(spark, vecDir, edgeDir,
+      s"$tmp/vecs_c", s"$tmp/edges_c", refreshRouter = false)
+    val vecsC = spark.read.parquet(s"$tmp/vecs_c")
+    assert(vecsC.filter(col("cand_id") === x).count() === 1,
+      "re-ingested id must survive compaction once")
+    assert(vecsC.filter(col("cand_id") === z).count() === 0,
+      "dead id must not survive compaction")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/vecs_c/_tombstones")))
+    val edgesC = spark.read.parquet(s"$tmp/edges_c")
+    assert(edgesC.filter(col("src") === z || col("dst") === z).count() === 0,
+      "compacted store still carries edges of a dead node")
+    val gotC = StreamOps.annIncrementalSearch(
+        probes, s"$tmp/vecs_c", s"$tmp/edges_c", k = 3)
+      .select(col("cand_id")).collect().map(_.getLong(0)).toSet
+    assert(gotC.contains(x) && !gotC.contains(z),
+      "compacted search must keep the re-ingested id and drop the dead one")
+  }
+
+  test("quantile store: mixed INT32/INT64 rnk fails fast with guidance; migrate restores reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("qstore_mixed").toString
+    val vals = (1L to 500L).map(i => ("d1", i)).toDF("day", "v")
+    // new-format partition through the real writer (rnk BIGINT)
+    StreamOps.quantileSummaryBatch(vals, 0L, store, k = 16)
+    // pre-round-14 partition: same summary shape, rnk as INT32
+    graft.operators.Freq.quantileSummary(
+        (501L to 900L).map(i => ("d1", i)).toDF("day", "v"), 16)
+      .select(col("day"), col("v"), col("rnk").cast("int").as("rnk"), col("w"))
+      .write.mode("overwrite").parquet(s"$store/batch_id=1")
+    val err = intercept[IllegalStateException] {
+      StreamOps.quantileStoreRead(spark, store, Seq(50)).collect()
+    }
+    assert(err.getMessage.contains("quantileStoreMigrate"),
+      s"error must point at the migration helper, got: ${err.getMessage}")
+    // migrate into a fresh store; reads work and Σw is preserved
+    val fresh = java.nio.file.Files.createTempDirectory("qstore_migr").toString
+    StreamOps.quantileStoreMigrate(spark, store, fresh)
+    val got = StreamOps.quantileStoreRead(spark, fresh, Seq(50, 99))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(got.map(_._2).toSet === Set(900L), "migrated store must preserve Σw = n")
+    assert(got.length === 2 && got.forall(t => t._3 >= 1L && t._3 <= 900L))
+  }
+
   test("quantile-on-arrival: batch summaries accrete; store read within bound; replay idempotent") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -768,6 +845,31 @@ class StreamOpsSpec extends SparkSpec {
     val b3rows = spark.read.parquet(mapDir)
       .filter(col("batch_id").cast("long") === 2L).count()
     assert(b3rows === 2L, s"batch 3 should write only nodes 30,31, got $b3rows")
+  }
+
+  test("components-on-arrival: relabel shuffle-fallback arm (gate = 0) ≡ broadcast arm") {
+    import spark.implicits._
+    // the same merge-heavy batch sequence through both relabel arms —
+    // gate 0 forces EVERY candNodes/mergeMap join onto the shuffle path
+    // (the giant-component defense); the maps must be identical
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((20L, 21L), (3L, 10L)),
+      Seq((2L, 11L), (30L, 31L), (21L, 1L)))
+    def run(gate: Long): Map[Long, Long] = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"cc_arm$gate").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamOps.componentsBatch(b.toDF("src", "dst"), i.toLong,
+          s"$tmp/map", s"$tmp/edges", relabelBroadcastRows = gate)
+      }
+      StreamOps.componentsStoreRead(spark, s"$tmp/map").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val viaShuffle = try run(0L)
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(viaShuffle === run(StreamOps.RelabelBroadcastRows),
+      "shuffle-relabel arm must produce the identical component map")
   }
 
   test("components-on-arrival: streaming equivalence on a seeded random edge stream") {
