@@ -1143,16 +1143,19 @@ object Graph {
     * emitting each ordered pair once with its min-weight payload
     * (deg·(deg−1)/2 rows, no join), `maxDegree` bounding per-apex pair
     * volume under power-law skew (capped pairs score a lower bound —
-    * the [[jaccardTopK]] contract). The pair key stays a (v1, v2)
-    * struct, not the packed long: the min-weight payload must ride the
-    * wedge row anyway, so the single-long key's exchange win doesn't
-    * apply — and no pack means no [0, 1e9) id-domain guard either.
+    * the [[jaccardTopK]] contract), and the SAME packed-long pair key
+    * (v1·1e9 + v2, [[guardId]]-guarded): the wedge-pair group domain is
+    * mostly-unique, so partial aggregation can't shrink the exchange
+    * and the single-long key is the measured ~25% lever — the
+    * min-weight payload rides beside it as the one aggregated column.
     *
-    * @param edges undirected (a, b, w BIGINT), a < b, distinct, w ≥ 1.
+    * @param edges undirected (a, b, w BIGINT), a < b, distinct, w ≥ 1;
+    *              ids must lie in [0, 1e9) (guarded in-plan).
     * @return top-k (v1, v2, common, min_sum, max_sum, ruzicka_e4). */
   def jaccardTopKWeighted(edges: DataFrame, k: Int, minCommon: Long = 2L,
       maxDegree: Int = jaccardMaxDegree): DataFrame = {
-    val e = edges.select(col("a"), col("b"), col("w"))
+    val e = edges.select(guardId(col("a")).as("a"), guardId(col("b")).as("b"),
+      col("w"))
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("w")))
     val adj = sym.groupBy(col("a"))
       .agg(sort_array(collect_list(struct(col("b").as("v"), col("w")))).as("ns"))
@@ -1164,12 +1167,14 @@ object Graph {
     val pairs = apex.select(explode(expr(
         "flatten(transform(ns, (x, i) -> " +
           "transform(slice(ns, i + 2, size(ns)), y -> " +
-          "struct(x.v AS v1, y.v AS v2, least(x.w, y.w) AS mw))))"
+          s"struct(x.v * ${packBase}L + y.v AS pk, least(x.w, y.w) AS mw))))"
       )).as("p"))
-      .select(col("p.v1").as("v1"), col("p.v2").as("v2"), col("p.mw").as("mw"))
-      .groupBy(col("v1"), col("v2"))
+      .select(col("p.pk").as("pk"), col("p.mw").as("mw"))
+      .groupBy(col("pk"))
       .agg(sum(col("mw")).as("min_sum"), count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)
+      .select(expr(s"pk div ${packBase}L").as("v1"),
+        expr(s"pk % ${packBase}L").as("v2"), col("min_sum"), col("common"))
     pairs
       .join(str.select(col("v").as("v1"), col("s").as("s1")), "v1")
       .join(str.select(col("v").as("v2"), col("s").as("s2")), "v2")

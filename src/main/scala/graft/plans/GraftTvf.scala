@@ -135,11 +135,18 @@ object GraftTvf {
 
   private def loopMemo(key: String)(build: => DataFrame): LogicalPlan =
     loopLru.synchronized {
-      Option(loopLru.get(key)).getOrElse {
-        val plan = build.queryExecution.analyzed
-        loopLru.put(key, plan)
-        plan
-      }
+      // liveness check on reuse: a cached plan is backed by lineage-free
+      // localCheckpoint blocks that an EXTERNAL party may have released
+      // (the bench harness drops dead checkpoint blocks between samples,
+      // honoring its own contract — see graft.util.Memo's CONTRACT note).
+      // Serving a released plan would fail the query; rebuild instead.
+      Option(loopLru.get(key))
+        .filter(graft.util.Frames.checkpointsAlive)
+        .getOrElse {
+          val plan = build.queryExecution.analyzed
+          loopLru.put(key, plan)
+          plan
+        }
     }
 
   private def sessionKey(spark: SparkSession): String =

@@ -28,4 +28,21 @@ object Frames {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Whether every checkpoint-backed leaf of `plan` still holds its
+    * blocks. A localCheckpoint has no lineage: once ANY external party
+    * (the bench harness's between-samples release, a user unpersist)
+    * drops its blocks, re-executing the plan fails — a cache serving
+    * such plans must detect the release and rebuild instead. */
+  def checkpointsAlive(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    var alive = true
+    plan.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE =>
+        alive = false
+      case _ => ()
+    }
+    alive
+  }
 }
