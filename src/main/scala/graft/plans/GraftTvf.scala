@@ -107,22 +107,27 @@ object GraftTvf {
     * splices localCheckpoint-backed frames that SQL callers have no way
     * to release — so repeated invocations (or even EXPLAIN) in a
     * long-lived SQL session used to accumulate pinned checkpoint blocks
-    * without bound. The memo makes a repeated invocation (same fn, same
-    * literal args, same source mtime, same session) REUSE the spliced
-    * plan — EXPLAIN-then-run now pays the loop once — and eviction past
-    * `loopLruCap` distinct invocations releases the evicted plan's
-    * blocks. Contract: a DataFrame captured from a loop TVF more than
-    * `loopLruCap` distinct loop-TVF invocations ago must be re-resolved,
-    * not re-executed (its checkpoint blocks may be gone — the price of
-    * ANY release path over lineage-free blocks). */
+    * without bound, because the memo-less builders left one strongly-
+    * reachable-until-GC frame per statement. The memo makes a repeated
+    * invocation (same fn, same literal args, same source mtime, same
+    * session) REUSE the spliced plan — EXPLAIN-then-run now pays the
+    * loop once — and caps STRONG references at `loopLruCap` plans.
+    *
+    * Eviction drops the reference WITHOUT unpersisting: an evicted plan
+    * may still be spliced into a not-yet-executed statement (a UNION ALL
+    * over more than `loopLruCap` distinct loop TVFs resolves the
+    * (cap+1)-th while the first is still in the statement's tree — the
+    * round-15 review's scenario), and a lineage-free LogicalRDD whose
+    * blocks were force-dropped cannot recompute. Once every holder of
+    * the evicted plan is garbage, the ContextCleaner reclaims its
+    * checkpoint blocks through the normal RDD cleanup path — bounded by
+    * eviction rate instead of the old one-leak-per-statement. */
   private val loopLruCap = 8
   private val loopLru =
     new java.util.LinkedHashMap[String, LogicalPlan](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, LogicalPlan]): Boolean =
-        if (size() > loopLruCap) {
-          graft.util.Frames.releaseCheckpointPlan(e.getValue); true
-        } else false
+        size() > loopLruCap
     }
 
   /** mtime stamp of the table file a loop TVF reads — keys the memo so
@@ -133,21 +138,26 @@ object GraftTvf {
       .toMillis.toString
     catch { case _: java.io.IOException => "0" }
 
-  private def loopMemo(key: String)(build: => DataFrame): LogicalPlan =
-    loopLru.synchronized {
-      // liveness check on reuse: a cached plan is backed by lineage-free
-      // localCheckpoint blocks that an EXTERNAL party may have released
-      // (the bench harness drops dead checkpoint blocks between samples,
-      // honoring its own contract — see graft.util.Memo's CONTRACT note).
-      // Serving a released plan would fail the query; rebuild instead.
-      Option(loopLru.get(key))
-        .filter(graft.util.Frames.checkpointsAlive)
-        .getOrElse {
-          val plan = build.queryExecution.analyzed
-          loopLru.put(key, plan)
-          plan
-        }
+  private def loopMemo(key: String)(build: => DataFrame): LogicalPlan = {
+    // liveness check on reuse: a cached plan is backed by lineage-free
+    // localCheckpoint blocks that an EXTERNAL party may have released
+    // (the bench harness drops dead checkpoint blocks between samples,
+    // honoring its own contract — see graft.util.Memo's CONTRACT note).
+    // Serving a released plan would fail the query; rebuild instead.
+    val cached = loopLru.synchronized { Option(loopLru.get(key)) }
+      .filter(graft.util.Frames.checkpointsAlive)
+    cached.getOrElse {
+      // the loop RUNS here, outside the lock: a cold-cache resolution
+      // must not serialize every other session's loop-TVF analysis
+      // behind a minutes-long iterative job (round-15 review). Two
+      // concurrent cold resolutions of the SAME key both build; the
+      // loser's plan becomes garbage and the ContextCleaner reclaims
+      // its blocks — duplicate cost, never wrong results.
+      val plan = build.queryExecution.analyzed
+      loopLru.synchronized { loopLru.put(key, plan) }
+      plan
     }
+  }
 
   private def sessionKey(spark: SparkSession): String =
     graft.catalog.Tables.sessionKey(spark)

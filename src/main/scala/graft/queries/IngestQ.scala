@@ -45,19 +45,14 @@ import graft.ingest.BlockIngest
   */
 object IngestQ {
 
-  private val exportLock = new Object
-
   /** Build the message lines, run the bronze chain once, return the
-    * bronze root. Cached per (dir, orders mtime). */
+    * bronze root. Cached per (dir, orders mtime) through
+    * [[graft.util.FixtureCache]] — staging-dir publish, so a kill during
+    * the append-mode writeBronze can never leave a partial tree the next
+    * run appends onto (the round-15 review finding). */
   private[queries] def bronzeDir(s: SparkSession, dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "orders.parquet")
-    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
-    val stamp = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"bronze:$dir@$mtime").toLong & 0xffffffffL)
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_bronze_$stamp")
-    exportLock.synchronized {
-      if (!java.nio.file.Files.exists(out.resolve("_DONE"))) {
+    val out = graft.util.FixtureCache.buildOnce(dir, "orders", "bronze") {
+      staging =>
         import s.implicits._
         val base = Tables.orders(s, dir)
           .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"),
@@ -109,14 +104,13 @@ object IngestQ {
               .as("value"))
         lines.unionAll(dups).unionAll(variants)
           .select($"value")
-          .write.mode("overwrite").text(out.resolve("messages").toString)
+          .write.mode("overwrite").text(staging.resolve("messages").toString)
         val raw = s.read.schema(StructType(Seq(StructField("value", StringType))))
-          .text(out.resolve("messages").toString)
-        BlockIngest.writeBronze(BlockIngest.parse(raw), out.resolve("bronze").toString)
-        java.nio.file.Files.write(out.resolve("_DONE"), Array.emptyByteArray)
-      }
+          .text(staging.resolve("messages").toString)
+        BlockIngest.writeBronze(BlockIngest.parse(raw),
+          staging.resolve("bronze").toString)
     }
-    out.resolve("bronze").toString
+    s"$out/bronze"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

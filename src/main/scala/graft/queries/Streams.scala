@@ -25,24 +25,16 @@ import graft.util.D._
   */
 object Streams {
 
-  private val storeLock = new Object
-
   /** A persisted 3-batch quantile-summary store built from lineitem cent
     * prices per ship-day (batch = l_orderkey % 3 — the same day recurs
     * across batches, so the merged read exercises the cross-batch tie
     * discipline). Built ONCE per (dir, mtime) through the REAL arrival
-    * body (StreamOps.quantileSummaryBatch — dynamic partition overwrite,
-    * replay-idempotent); q_tvf_quantiles then reads it through the SQL
-    * TVF surface. */
+    * body (StreamOps.quantileSummaryBatch) into a
+    * [[graft.util.FixtureCache]] staging publish; q_tvf_quantiles then
+    * reads it through the SQL TVF surface. */
   private[queries] def quantileStoreFixture(s: SparkSession, dir: String): String = {
-    val src = java.nio.file.Paths.get(dir, "lineitem.parquet")
-    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
-    val stamp = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"qstore:$dir@$mtime").toLong & 0xffffffffL)
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_qstore_$stamp")
-    storeLock.synchronized {
-      if (!java.nio.file.Files.exists(out.resolve("_DONE"))) {
+    val out = graft.util.FixtureCache.buildOnce(dir, "lineitem", "qstore") {
+      staging =>
         val vals = lineitem(s, dir).select(
           (col("l_orderkey") % 3).as("b"),
           col("l_shipdate").cast("date").as("day"),
@@ -50,11 +42,9 @@ object Streams {
         for (b <- 0L to 2L)
           graft.streaming.StreamOps.quantileSummaryBatch(
             vals.filter(col("b") === b).select(col("day"), col("v")),
-            b, out.resolve("store").toString, k = 64)
-        java.nio.file.Files.write(out.resolve("_DONE"), Array.emptyByteArray)
-      }
+            b, staging.resolve("store").toString, k = 64)
     }
-    out.resolve("store").toString
+    s"$out/store"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -689,7 +689,15 @@ object StreamOps {
     * batch_id column; the tombstone side is delete-sized (broadcast). */
   private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
       vecDir: String, df: DataFrame, key: String): DataFrame =
-    tombstonesOf(spark, vecDir) match {
+    dropTombstonedWith(tombstonesOf(spark, vecDir), df, key)
+
+  /** [[dropTombstoned]] over an ALREADY-READ tombstone frame — callers
+    * that need the frame themselves (compaction's dead-id computation)
+    * pass it through instead of paying the sidecar read + max-wm
+    * aggregate twice. */
+  private def dropTombstonedWith(tomb: Option[DataFrame], df: DataFrame,
+      key: String): DataFrame =
+    tomb match {
       case Some(t) =>
         val tb = broadcast(t.select(col("cand_id").as("_t_id"), col("wm")))
         df.join(tb, df(key) === col("_t_id") && col("wm") >= df("batch_id"),
@@ -864,7 +872,7 @@ object StreamOps {
     // per id — the delete→re-ingest upsert's latest-wins read, and the
     // defense against an unclean stop's duplicate rows.
     val wNewest = Window.partitionBy(col("cand_id")).orderBy(col("batch_id").desc)
-    val vecs = dropTombstoned(spark, vecDir,
+    val vecs = dropTombstonedWith(tomb,
         spark.read.parquet(vecDir)
           .select(col("cand_id"), col("cv"), col("batch_id")), "cand_id")
       .withColumn("_rn", row_number().over(wNewest))

@@ -20,7 +20,7 @@ object Frames {
     releaseCheckpointPlan(df.queryExecution.analyzed)
 
   /** Plan-level form of [[releaseCheckpoint]] — for holders of a bare
-    * analyzed plan (the TVF LRU) with no Dataset handle. */
+    * analyzed plan with no Dataset handle. */
   def releaseCheckpointPlan(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
     plan.foreach {
