@@ -413,6 +413,17 @@ class PlanSpec extends SparkSpec {
       s"wedge/closure joins must stay equi-joins in:\n$p")
   }
 
+  test("weighted jaccard: wedge aggregate exchanges on the packed single-long key") {
+    val p = plan("q_graph_jaccard_weighted")
+    // the measured ~25% lever: the wedge-pair shuffle keys on pk (one
+    // BIGINT), not a (v1, v2) struct — regression here silently reverts
+    // the exchange-width win
+    assert(p.contains("hashpartitioning(pk"),
+      s"wedge aggregate must key on the packed long in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"weighted wedge/strength joins must stay equi-joins in:\n$p")
+  }
+
   test("cdc diff: one full-outer equi-join on the key, classification post-join") {
     val p = plan("q_cdc_diff")
     assert(p.contains("FullOuter"), s"expected the full-outer join in:\n$p")

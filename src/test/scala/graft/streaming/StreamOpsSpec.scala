@@ -656,6 +656,36 @@ class StreamOpsSpec extends SparkSpec {
       "compacted search must keep the re-ingested id and drop the dead one")
   }
 
+  test("ann-delete: re-ingest with CHANGED geometry serves the new vector (upsert moves, not just restores)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_move").toString
+    val (vecDir, edgeDir) = (s"$tmp/vecs", s"$tmp/edges")
+    val (b1, _, _, probes) = embSlices()
+    StreamOps.annIngestBatch(b1.toDF("cand_id", "cv"), 0L, vecDir, edgeDir, 12)
+    val probe0 = probes.filter(col("probe_id") === 0L)
+    val x = StreamOps.annIncrementalSearch(probe0, vecDir, edgeDir, k = 1)
+      .select(col("cand_id")).first().getLong(0)
+    StreamOps.annDeleteBatch(Seq(x).toDF("cand_id"), 0L, vecDir)
+    // re-ingest x with probe 0's OWN vector — cosine(probe0, x) becomes
+    // exactly 1.0, so the upsert must not only restore x but serve the
+    // NEW geometry: x returns at rank 1 with cos 1.0
+    val pv = probe0.select(col("pv")).first().getSeq[Float](0)
+    StreamOps.annIngestBatch(Seq((x, pv)).toDF("cand_id", "cv"),
+      1L, vecDir, edgeDir, 12)
+    val top = StreamOps.annIncrementalSearch(probe0, vecDir, edgeDir, k = 1)
+      .select(col("cand_id"), col("cos")).first()
+    assert(top.getLong(0) === x && top.getDouble(1) === 1.0,
+      s"re-ingested id must serve its NEW vector (got $top)")
+    // the OLD geometry is gone from every read path: the live view holds
+    // exactly the new row, and its cosine against probe 0 is 1.0
+    val live = StreamOps.annStoreVectors(spark, vecDir)
+      .filter(col("cand_id") === x)
+      .select(graft.queries.Sim.cosine(col("cv"), typedlit(pv)).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(live === Seq(1.0), s"live view must hold only the new vector, got $live")
+  }
+
   test("quantile store: mixed INT32/INT64 rnk fails fast with guidance; migrate restores reads") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
