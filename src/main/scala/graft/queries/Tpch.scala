@@ -7,15 +7,14 @@ import org.apache.spark.sql.functions._
 import graft.catalog.Tables._
 import graft.util.D._
 
-/** Composite TPC-H-shape analytics (every TPC-H query the synthetic schema
-  * can express: Q3/Q4/Q5/Q6/Q7/Q8/Q10/Q13/Q14/Q15/Q17/Q18/Q19/Q21/Q22 —
-  * Q2/Q9/Q11/Q16/Q20 need partsupp, Q12 needs shipmode, and Q1 is
-  * q_agg_pricing_summary) — the end-to-end check that multi-join +
-  * filter + agg + top-k COMPOSITIONS plan well, not just the operators in
-  * isolation: Catalyst's join reordering, filter pushdown through
-  * three-to-six-way joins, semi/anti rewrites of EXISTS subqueries, partial
-  * aggregation over the joined fact, and TakeOrderedAndProject for the
-  * LIMIT — all in one plan per query.
+/** Composite TPC-H-shape analytics — ALL 22 TPC-H queries realized (Q1 is
+  * q_agg_pricing_summary; the rest are q_tpch_q2..q22 here) — the
+  * end-to-end check that multi-join + filter + agg + top-k COMPOSITIONS
+  * plan well, not just the operators in isolation: Catalyst's join
+  * reordering, filter pushdown through three-to-six-way joins, semi/anti
+  * rewrites of EXISTS subqueries, partial aggregation over the joined
+  * fact, and TakeOrderedAndProject for the LIMIT — all in one plan per
+  * query.
   *
   * Schema adaptations (the synthetic lineitem has no
   * commitdate/receiptdate/shipmode and part has no container): Q4's and
@@ -23,6 +22,23 @@ import graft.util.D._
   * disjunction ranges over brand/size/quantity, Q22's "no orders" becomes
   * "no orders since 2000-06-01" (every synthetic customer has at least one
   * order, so the literal anti-join would be empty at every SF).
+  *
+  * The synthetic schema has no partsupp table, so Q2/Q9/Q11/Q16/Q20 run
+  * over [[partsupp]], the lineitem-DERIVED part-supplier relation (one
+  * row per observed (l_partkey, l_suppkey) pair; availqty = total
+  * quantity traded, supplycost = cheapest observed unit price in exact e4
+  * BIGINT micro-units — floor(extendedprice·10⁴/quantity) is bit-portable
+  * because both engines evaluate the identical IEEE double expression).
+  * Q12 has no shipmode column, so its mode axis becomes the ship-delay
+  * bucket (FAST/MEDIUM/SLOW on days between order and ship dates). Q11's
+  * TPC-H threshold is a fixed fraction of total value, which degenerates
+  * with part count; the scale-free form keeps parts above 2× the mean
+  * value (cross-multiplied in BIGINT — no double mean). Q20's "availqty
+  * exceeds half the period's volume" inverts to "the period's volume
+  * exceeds half of availqty" (availqty here is all-time volume, a
+  * superset of any period, so the literal form selects every pair);
+  * this concentration variant keeps Q20's semi-join-on-derived-aggregate
+  * shape with a selective predicate.
   *
   * Scale notes (100 TB posture): each query filters its dimensions BEFORE
   * the fact join (pushdown puts the mktsegment/region/date predicates at
@@ -40,7 +56,178 @@ object Tpch {
   private def revenue = sum(dec4(col("l_extendedprice")) *
     (lit(1) - dec4(col("l_discount"))))
 
+  /** Unit price in exact e4 micro-units: floor(extendedprice·10⁴/quantity).
+    * Both engines evaluate the same IEEE double product/quotient, and floor
+    * of a bit-identical double is always portable (D.scala caveat). */
+  private def unitCostE4 =
+    floor(col("l_extendedprice") * 10000 / col("l_quantity")).cast("long")
+
+  /* The derived partsupp relation (object scaladoc) is never materialized
+   * unpruned engine-side: every consumer's dimension predicate is
+   * PAIR-LOCAL (a pair's availqty/min-cost depends only on that pair's
+   * own lineitem rows), so each query broadcast-prunes the fact by its
+   * filtered dims FIRST and aggregates the pairs after — the oracle SQL
+   * derives the full `ps` CTE and filters late, which is value-identical.
+   * At 100 TB the unpruned relation is what you'd materialize once and
+   * bucket by partkey; these query shapes are what you run when you
+   * haven't. */
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q2: minimum-cost supplier — for each qualifying part, the EUROPE
+    // supplier(s) offering the minimum derived supply cost. The fact is
+    // pruned by the filtered part dim BEFORE the pair aggregation (a
+    // pair's min cost depends only on its own rows, so the prune is
+    // result-neutral and cuts the aggregated frame ~20×); the per-part
+    // min over EU suppliers is then a window on the pair relation — one
+    // pruned-fact shuffle + one window shuffle, every dim broadcast.
+    "q_tpch_q2" -> ((s, dir) => {
+      val qualParts = part(s, dir)
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+      val eu = lineitem(s, dir)
+        .join(broadcast(qualParts.select(col("p_partkey"), col("p_name"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("p_name"))
+        .agg(min(unitCostE4).as("ps_cost_e4"))
+        .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      eu.withColumn("min_cost", min(col("ps_cost_e4")).over(w))
+        .filter(col("ps_cost_e4") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("p_name"),
+          col("ps_cost_e4").as("cost_e4"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q9: product-type profit — revenue minus derived supply cost per
+    // supplier nation per order year, for one part-name family. The
+    // per-pair cost is a window MIN over the part-pruned fact (one scan +
+    // one compound-key shuffle — no partsupp self-join, no second
+    // lineitem scan); profit stays in exact e4 BIGINT micro-units end to
+    // end (revenue: DECIMAL(30,8)·10⁴ is integral because a 2-decimal
+    // price × 2-decimal discount has ≤4 fractional digits).
+    "q_tpch_q9" -> ((s, dir) => {
+      val wps = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      val revE4 = ((dec4(col("l_extendedprice")) *
+        (lit(1) - dec4(col("l_discount")))).cast("decimal(30,8)") * lit(10000))
+        .cast("long")
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir).filter(col("p_name").startsWith("small"))),
+          col("p_partkey") === col("l_partkey"))
+        .withColumn("ps_cost_e4", min(unitCostE4).over(wps))
+        .join(supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(nation(s, dir)), col("n_nationkey") === col("s_nationkey"))
+        .join(orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(revE4 - col("ps_cost_e4") * col("l_quantity").cast("long"))
+          .as("profit_e4"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Q11: important stock — parts whose derived inventory value (cost ×
+    // availqty, summed over one nation group's suppliers) exceeds 2× the
+    // mean part value. The fact is semi-pruned by the nation group's
+    // supplier set (broadcast — supplier count is dim-sized) BEFORE the
+    // pair aggregation (~5× cut); the threshold is cross-multiplied
+    // BIGINT (value·nparts > 2·total) — scale-free and exact.
+    "q_tpch_q11" -> ((s, dir) => {
+      val natSet = Seq("NATION_1", "NATION_6", "NATION_11", "NATION_16", "NATION_21")
+      val groupSupp = supplier(s, dir)
+        .join(broadcast(nation(s, dir).filter(col("n_name").isin(natSet: _*))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val value = lineitem(s, dir)
+        .join(broadcast(groupSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("ps_availqty"),
+          min(unitCostE4).as("ps_cost_e4"))
+        .groupBy(col("l_partkey").as("ps_partkey"))
+        .agg(sum(col("ps_cost_e4") * col("ps_availqty")).as("value_e4"))
+      // The stats come from a single-partition window over `value` rather
+      // than a second aggregate branch: `value` is dim-sized (≤ |part|
+      // rows at any corpus scale), so one narrow partition is cheap,
+      // while the branch form would re-run the fact-sized aggregation a
+      // second time (no cache to share it under lazy evaluation).
+      val w = Window.partitionBy(lit(0))
+      value.select(col("ps_partkey"), col("value_e4"),
+          sum(col("value_e4")).over(w).as("total_e4"),
+          count(lit(1)).over(w).as("nparts"))
+        .filter(col("value_e4") * col("nparts") > lit(2) * col("total_e4"))
+        .select(col("ps_partkey"), col("value_e4"))
+        .orderBy(col("value_e4").desc, col("ps_partkey"))
+    }),
+
+    // Q12: shipping-delay vs priority — the synthetic schema has no
+    // shipmode, so the mode axis becomes the order→ship delay bucket;
+    // counts of high- vs low-priority lines per bucket over one ship
+    // year. Date filter pushes to the scan; one three-group aggregate.
+    "q_tpch_q12" -> ((s, dir) => {
+      val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(when(delay >= 120, "SLOW").when(delay >= 60, "MEDIUM")
+          .otherwise("FAST").as("ship_bucket"), hi.as("hi"))
+        .groupBy(col("ship_bucket"))
+        .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("hi"), 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("ship_bucket"))
+    }),
+
+    // Q16: parts/supplier relationship — distinct supplier count per
+    // (brand, type, size) over the derived pairs, excluding one
+    // brand/type and suppliers in deficit (the complaints-exclusion
+    // adaptation — s_acctbal < 0). Both prunes run on the FACT before
+    // any aggregation (anti on the ~6-row deficit set, inner on the
+    // filtered part dim, both broadcast); the distinct-supplier count is
+    // then a single partial_count(DISTINCT) aggregate — no intermediate
+    // pair materialization at all.
+    "q_tpch_q16" -> ((s, dir) => {
+      val sizes = Seq(1, 5, 9, 13, 17, 21, 25, 29)
+      val deficit = supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      lineitem(s, dir)
+        .join(broadcast(deficit), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(part(s, dir).filter(col("p_brand") =!= "Brand#5" &&
+          col("p_type") =!= "PROMO" && col("p_size").isin(sizes: _*))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // Q20: potential part promotion — ASIA suppliers for whom some
+    // qualifying part's one-year volume exceeds half their all-time
+    // volume with it (the concentration variant — see the object
+    // scaladoc). availqty and the year slice fold in ONE pass over the
+    // fact (conditional sum beside the total — no second scan, no pair
+    // self-join); the qualifying-pair frame then semi-joins the 100-row
+    // supplier dim.
+    "q_tpch_q20" -> ((s, dir) => {
+      val inYear = col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+      val qualifying = lineitem(s, dir)
+        .join(broadcast(part(s, dir).filter(col("p_name").startsWith("small"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("ps_availqty"),
+          sum(when(inYear, col("l_quantity").cast("long")).otherwise(0L))
+            .as("year_qty"))
+        .filter(col("year_qty") > 0 && col("year_qty") * 2 > col("ps_availqty"))
+        .select(col("l_suppkey"))
+      supplier(s, dir)
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
     // Q3: shipping priority — unshipped high-revenue BUILDING orders.
     "q_tpch_q3" -> ((s, dir) => {
       val cutoff = lit("1997-03-15").cast("timestamp")
@@ -348,7 +535,118 @@ object Tpch {
   private val revSql =
     "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)"
 
+  /** The derived partsupp CTE shared by the Q2/Q9/Q11/Q16/Q20 oracles —
+    * the SQL twin of [[partsupp]]. */
+  private val psSql =
+    """ps AS (
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty,
+                min(CAST(floor(l_extendedprice * 10000 / l_quantity) AS BIGINT)) AS ps_cost_e4
+         FROM lineitem GROUP BY 1, 2)"""
+
   val oracle: Map[String, String] = Map(
+    "q_tpch_q2" ->
+      s"""WITH $psSql,
+            eu AS (
+              SELECT ps_partkey, ps_suppkey, ps_cost_e4, s_acctbal, s_name, n_name
+              FROM ps
+              JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            minc AS (SELECT ps_partkey AS mk, min(ps_cost_e4) AS min_cost
+                     FROM eu GROUP BY 1)
+          SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_cost_e4 AS cost_e4
+          FROM part
+          JOIN eu ON p_partkey = ps_partkey
+          JOIN minc ON mk = ps_partkey AND ps_cost_e4 = min_cost
+          WHERE p_size <= 15 AND p_type = 'LARGE'
+          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          LIMIT 100""",
+
+    "q_tpch_q9" ->
+      s"""WITH $psSql
+          SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                               AS DECIMAL(30,8)) * 10000 AS BIGINT)
+                          - ps_cost_e4 * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS profit_e4
+          FROM lineitem
+          JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN orders ON o_orderkey = l_orderkey
+          WHERE p_name LIKE 'small%'
+          GROUP BY 1, 2
+          ORDER BY nation, o_year DESC""",
+
+    "q_tpch_q11" ->
+      s"""WITH $psSql,
+            val AS (
+              SELECT ps_partkey,
+                     CAST(sum(ps_cost_e4 * ps_availqty) AS BIGINT) AS value_e4
+              FROM ps
+              JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_1','NATION_6','NATION_11','NATION_16','NATION_21')
+              GROUP BY 1),
+            tot AS (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4,
+                           CAST(count(*) AS BIGINT) AS nparts FROM val)
+          SELECT ps_partkey, value_e4
+          FROM val, tot
+          WHERE value_e4 * nparts > 2 * total_e4
+          ORDER BY value_e4 DESC, ps_partkey""",
+
+    "q_tpch_q12" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 120 THEN 'SLOW'
+                     WHEN date_diff('day', o_orderdate, l_shipdate) >= 60 THEN 'MEDIUM'
+                     ELSE 'FAST' END AS ship_bucket,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1
+         ORDER BY ship_bucket""",
+
+    "q_tpch_q16" ->
+      s"""WITH $psSql
+          SELECT p_brand, p_type, p_size,
+                 CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+          FROM ps JOIN part ON p_partkey = ps_partkey
+          WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+            AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+            AND NOT EXISTS (SELECT 1 FROM supplier
+                            WHERE s_suppkey = ps_suppkey AND s_acctbal < 0)
+          GROUP BY 1, 2, 3
+          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q_tpch_q20" ->
+      s"""WITH $psSql,
+            shipped AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS year_qty
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2)
+          SELECT s_suppkey, s_name, s_acctbal
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND EXISTS (
+              SELECT 1 FROM ps
+              JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              JOIN part ON p_partkey = ps_partkey
+              WHERE ps_suppkey = s_suppkey AND p_name LIKE 'small%'
+                AND year_qty * 2 > ps_availqty)
+          ORDER BY s_name""",
+
     "q_tpch_q3" ->
       s"""SELECT l_orderkey, $revSql AS revenue,
                  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
