@@ -219,12 +219,15 @@ object Tpch {
           sum(when(inYear, col("l_quantity").cast("long")).otherwise(0L))
             .as("year_qty"))
         .filter(col("year_qty") > 0 && col("year_qty") * 2 > col("ps_availqty"))
-        .select(col("l_suppkey"))
+        .select(col("l_suppkey")).distinct()
+      // the distinct supplier-key frame is provably dim-bounded
+      // (≤ |supplier| rows at any corpus scale), so the semi probe
+      // broadcasts instead of leaving a stats-blind sort-merge join.
       supplier(s, dir)
         .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, dir).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
-        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .orderBy(col("s_name"))
     }),

@@ -551,4 +551,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"only the 1-row m frame may nested-loop in:\n$p")
   }
+
+  test("derived-partsupp TPC-H tier: fact pruned before the pair agg, one lineitem scan, no sort-merge") {
+    // q2/q9/q20 carry the prune-first claim (SURVEY §2B r15 rows): the
+    // lineitem fact is scanned exactly ONCE (formatted plans list each
+    // scan twice — 5 relations ⇒ 10 'Scan parquet'), the part filter is
+    // pushed at the PART scan (the prune side), and every join
+    // broadcasts — a second lineitem scan would mean the derived pair
+    // relation was built unpruned (the 20×-too-large shuffle the plan
+    // audit caught in the first cut of q2).
+    for (q <- Seq("q_tpch_q2", "q_tpch_q9", "q_tpch_q20")) {
+      val p = plan(q)
+      assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 10,
+        s"$q must scan its 5 relations exactly once each in:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: all joins are dim-broadcasts — no sort-merge in:\n$p")
+    }
+    val p2 = plan("q_tpch_q2")
+    assert(p2.contains("EqualTo(p_type,LARGE)"),
+      s"q2's part filter must reach the part scan (the prune side) in:\n$p2")
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"q2's top-100 must never global-sort in:\n$p2")
+    // q16: both prunes (deficit anti, part inner) run on the FACT below
+    // the one distinct-count aggregate — no intermediate pair agg.
+    val p16 = plan("q_tpch_q16")
+    assert(p16.contains("LeftAnti"), s"deficit exclusion must be an anti join in:\n$p16")
+    assert(p16.sliding("Scan parquet".length).count(_ == "Scan parquet") === 6,
+      s"q16 scans lineitem/supplier/part exactly once each in:\n$p16")
+    assert(!p16.contains("SortMergeJoin"), s"q16 joins broadcast in:\n$p16")
+  }
 }
