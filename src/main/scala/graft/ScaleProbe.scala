@@ -1058,6 +1058,47 @@ object ScaleProbe {
       val nCand = nSide * 2 * R // upper bound pre-dedup; printed for rate context
       println(f"""{"probe":"margin","mult":$m,"side":$nSide,"cand_rows_ub":$nCand,"mined":$mined,"sec":$sec%.2f}""")
     }
+
+    // Derived-partsupp TPC-H tier (q_tpch_q2/q9/q11/q16/q20): the q9 shape —
+    // broadcast part-prune of the fact, window-MIN unit cost per
+    // (part, supplier) pair, profit aggregate — over an m×-grown fact with
+    // DISJOINT partkey ranges per replica (matching replicated part dim),
+    // so the pair domain grows linearly with the fact instead of packing
+    // m× rows into fixed pairs. The scale claim under test: cost is linear
+    // in fact rows and the shuffle is bounded by the PRUNED pair rows
+    // (never the unpruned pair relation — the shape the plan audit
+    // rejected in the first cut of q2).
+    if (want("tpch_partsupp")) {
+      val part0 = spark.read.parquet(s"$sfDir/part.parquet")
+      def liOf(m: Int) = (0 until m).map { i =>
+        li0.select(($"l_partkey" + lit(i * 10000000L)).as("l_partkey"),
+          $"l_suppkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      }.reduce(_ unionAll _)
+      def partOf(m: Int) = (0 until m).map { i =>
+        part0.select(($"p_partkey" + lit(i * 10000000L)).as("p_partkey"), $"p_name")
+      }.reduce(_ unionAll _)
+      Seq(1, 4, 16).foreach { m =>
+        val li = liOf(m)
+        val n = li.count()
+        val pruneKeys = partOf(m).filter($"p_name".startsWith("small"))
+          .select($"p_partkey")
+        val wps = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l_partkey", $"l_suppkey")
+        val t0 = System.nanoTime()
+        val out = li
+          .join(broadcast(pruneKeys), $"p_partkey" === $"l_partkey")
+          .withColumn("cost_e4",
+            min(floor($"l_extendedprice" * 10000 / $"l_quantity").cast("long")).over(wps))
+          .groupBy($"l_suppkey")
+          .agg(sum((($"l_extendedprice".cast("decimal(18,4)") *
+              (lit(1) - $"l_discount".cast("decimal(18,4)"))).cast("decimal(30,8)") *
+              lit(10000)).cast("long") -
+            $"cost_e4" * $"l_quantity".cast("long")).as("profit_e4"))
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"tpch_partsupp","mult":$m,"fact_rows":$n,"out_rows":$out,"sec":$sec%.2f,"Mrows_per_sec":${n / sec / 1e6}%.1f}""")
+      }
+    }
     spark.stop()
   }
 }
