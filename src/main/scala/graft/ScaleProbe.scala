@@ -1085,14 +1085,14 @@ object ScaleProbe {
         val wps = org.apache.spark.sql.expressions.Window
           .partitionBy($"l_partkey", $"l_suppkey")
         val t0 = System.nanoTime()
+        // the cost/revenue expressions are the SHIPPED query's own
+        // (Tpch.unitCostE4 / Tpch.revE4) — the probe cannot drift from
+        // the shape it certifies.
         val out = li
           .join(broadcast(pruneKeys), $"p_partkey" === $"l_partkey")
-          .withColumn("cost_e4",
-            min(floor($"l_extendedprice" * 10000 / $"l_quantity").cast("long")).over(wps))
+          .withColumn("cost_e4", min(graft.queries.Tpch.unitCostE4).over(wps))
           .groupBy($"l_suppkey")
-          .agg(sum((($"l_extendedprice".cast("decimal(18,4)") *
-              (lit(1) - $"l_discount".cast("decimal(18,4)"))).cast("decimal(30,8)") *
-              lit(10000)).cast("long") -
+          .agg(sum(graft.queries.Tpch.revE4 -
             $"cost_e4" * $"l_quantity".cast("long")).as("profit_e4"))
           .count()
         val sec = (System.nanoTime() - t0) / 1e9

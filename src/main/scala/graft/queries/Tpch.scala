@@ -24,7 +24,9 @@ import graft.util.D._
   * order, so the literal anti-join would be empty at every SF).
   *
   * The synthetic schema has no partsupp table, so Q2/Q9/Q11/Q16/Q20 run
-  * over [[partsupp]], the lineitem-DERIVED part-supplier relation (one
+  * over the lineitem-DERIVED part-supplier relation (`psSql` is its
+  * oracle-side CTE; engine-side it is never materialized unpruned — see
+  * the note above `queries`): one
   * row per observed (l_partkey, l_suppkey) pair; availqty = total
   * quantity traded, supplycost = cheapest observed unit price in exact e4
   * BIGINT micro-units — floor(extendedprice·10⁴/quantity) is bit-portable
@@ -58,9 +60,20 @@ object Tpch {
 
   /** Unit price in exact e4 micro-units: floor(extendedprice·10⁴/quantity).
     * Both engines evaluate the same IEEE double product/quotient, and floor
-    * of a bit-identical double is always portable (D.scala caveat). */
-  private def unitCostE4 =
+    * of a bit-identical double is always portable (D.scala caveat).
+    * private[graft] so ScaleProbe's tpch_partsupp arm certifies the SAME
+    * expression the shipped queries run, not a copy that can drift. */
+  private[graft] def unitCostE4 =
     floor(col("l_extendedprice") * 10000 / col("l_quantity")).cast("long")
+
+  /** Per-row revenue in exact e4 micro-units: a 2-decimal price × a
+    * 2-decimal discount complement has ≤4 fractional digits, so the
+    * DECIMAL(30,8)·10⁴ product is integral and the BIGINT cast exact.
+    * Shared with ScaleProbe for the same no-drift reason. */
+  private[graft] def revE4 =
+    ((dec4(col("l_extendedprice")) *
+      (lit(1) - dec4(col("l_discount")))).cast("decimal(30,8)") * lit(10000))
+      .cast("long")
 
   /* The derived partsupp relation (object scaladoc) is never materialized
    * unpruned engine-side: every consumer's dimension predicate is
@@ -111,9 +124,6 @@ object Tpch {
     // price × 2-decimal discount has ≤4 fractional digits).
     "q_tpch_q9" -> ((s, dir) => {
       val wps = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
-      val revE4 = ((dec4(col("l_extendedprice")) *
-        (lit(1) - dec4(col("l_discount")))).cast("decimal(30,8)") * lit(10000))
-        .cast("long")
       lineitem(s, dir)
         .join(broadcast(part(s, dir).filter(col("p_name").startsWith("small"))),
           col("p_partkey") === col("l_partkey"))
@@ -539,7 +549,7 @@ object Tpch {
     "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)"
 
   /** The derived partsupp CTE shared by the Q2/Q9/Q11/Q16/Q20 oracles —
-    * the SQL twin of [[partsupp]]. */
+    * the SQL twin of the engine-side pair derivation (object scaladoc). */
   private val psSql =
     """ps AS (
          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
