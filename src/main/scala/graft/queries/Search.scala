@@ -42,38 +42,24 @@ object Search {
   private val B = 0.75
 
   /** Fixed query-term set — present in the synthetic vocab at every SF. */
-  private[queries] val queryTerms = Seq("spark", "join", "stream", "vector", "agg")
+  private[graft] val queryTerms = Seq("spark", "join", "stream", "vector", "agg")
 
   private def microBm25(tf: Column, dl: Column, idf: Column, avgdl: Column): Column =
     floor(
       idf * (tf * lit(K1 + 1.0)) / (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl)) * 1e6 + 0.5
     ).cast("long")
 
-  /** BM25 top-k over a (doc_id, text) frame for an arbitrary term set —
-    * the reusable operator behind q_search_bm25 and the graft_bm25 SQL
-    * TVF. See the object scaladoc for the scale shape and the integer
-    * micro-unit portability discipline. */
-  def bm25(input: DataFrame, terms: Seq[String], k: Int): DataFrame = {
-    val s = input.sparkSession
+  /** The scoring tail shared by the from-text operator below and the
+    * arrival-index read path (StreamOps.bm25StoreSearch): df/idf over the
+    * query-restricted postings, integer micro-unit per-(doc, term) terms,
+    * per-doc BIGINT sum, TakeOrdered top-k. private[graft] so the two
+    * paths CANNOT drift — identical postings in ⇒ identical scores out
+    * (StreamOpsSpec pins batch-vs-store equality on exactly this).
+    * @param tf query-restricted postings: (doc_id, term, tf, dl).
+    * @param stats one row: (n_docs, avgdl). */
+  private[graft] def bm25Score(tf: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    val s = tf.sparkSession
     import s.implicits._
-    require(terms.nonEmpty, "bm25: empty query")
-    val docs = input.filter($"text".isNotNull)
-      .select($"doc_id", split($"text", " ").as("toks"))
-    // corpus scalars: ONE narrow scalar-agg scan (map-side partials, no
-    // data shuffle beyond the single-row combine)
-    val stats = docs.select(size($"toks").cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        (sum($"dl") / count(lit(1))).as("avgdl"))
-    // postings restricted to the query terms BEFORE the aggregate, and
-    // the doc length CARRIED THROUGH it (dl is doc-functional, so
-    // max(dl) reconstructs it) — the scoring side needs no corpus-sized
-    // dl join, so after this shuffle everything is postings-sized
-    val tf = docs
-      .select($"doc_id", size($"toks").cast("long").as("dl"),
-        explode($"toks").as("term"))
-      .filter($"term".isin(terms: _*))
-      .groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).cast("long").as("tf"), max($"dl").as("dl"))
     // df/idf re-aggregates the tf subtree; its (doc, term) exchange is
     // identical to the scoring branch's, so the shuffle write is shared
     // at runtime (AQE stage reuse) — and the frame is postings-sized
@@ -95,11 +81,76 @@ object Search {
       .limit(k)
   }
 
+  /** Tokenize a (doc_id, text) frame into the postings shape bm25Score
+    * and the arrival index share: whitespace terms, per-doc length
+    * carried through (dl is doc-functional, so max(dl) reconstructs it).
+    * Restricting `onlyTerms` BEFORE the aggregate keeps the shuffle
+    * postings-sized; None (the index builder) keeps every term. */
+  private[graft] def bm25Postings(input: DataFrame,
+      onlyTerms: Option[Seq[String]]): DataFrame = {
+    val s = input.sparkSession
+    import s.implicits._
+    val exploded = input.filter($"text".isNotNull)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"),
+        explode($"toks").as("term"))
+    onlyTerms.fold(exploded)(t => exploded.filter($"term".isin(t: _*)))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).cast("long").as("tf"), max($"dl").as("dl"))
+  }
+
+  /** BM25 top-k over a (doc_id, text) frame for an arbitrary term set —
+    * the reusable operator behind q_search_bm25 and the graft_bm25 SQL
+    * TVF. See the object scaladoc for the scale shape and the integer
+    * micro-unit portability discipline. */
+  def bm25(input: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val s = input.sparkSession
+    import s.implicits._
+    require(terms.nonEmpty, "bm25: empty query")
+    val docs = input.filter($"text".isNotNull)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    // corpus scalars: ONE narrow scalar-agg scan (map-side partials, no
+    // data shuffle beyond the single-row combine)
+    val stats = docs.select(size($"toks").cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"dl") / count(lit(1))).as("avgdl"))
+    bm25Score(bm25Postings(input, Some(terms)), stats, k)
+  }
+
+  /** A persisted 3-batch BM25 inverted index built from the documents
+    * corpus (batch = doc_id % 3) through the REAL arrival body
+    * (StreamOps.bm25IngestBatch) into a [[graft.util.FixtureCache]]
+    * staging publish — q_search_bm25_arrival then serves the fixed query
+    * off it. */
+  private def bm25IndexFixture(s: SparkSession, dir: String): String = {
+    val out = graft.util.FixtureCache.buildOnce(dir, "documents", "bm25idx") {
+      staging =>
+        val d = documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            pmod(col("doc_id"), lit(3)).as("b"))
+        for (b <- 0L to 2L)
+          graft.streaming.StreamOps.bm25IngestBatch(
+            d.filter(col("b") === b).select(col("doc_id"), col("text")),
+            b, staging.resolve("index").toString)
+    }
+    s"$out/index"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 top-10 docs for a fixed 5-term disjunctive query.
     "q_search_bm25" -> ((s, dir) =>
       bm25(documents(s, dir).select(col("doc_id"), col("text")),
         queryTerms, k = 10)),
+
+    // The SAME query served off the arrival-built inverted index
+    // (StreamOps.bm25StoreSearch over the 3-batch store fixture): the
+    // store path must reproduce the from-scratch batch scores exactly —
+    // its oracle IS q_search_bm25's oracle, recomputing from the raw
+    // documents table. The streaming-only laws (upsert latest-wins,
+    // replay idempotence) live in StreamOpsSpec.
+    "q_search_bm25_arrival" -> ((s, dir) =>
+      graft.streaming.StreamOps.bm25StoreSearch(
+        s, bm25IndexFixture(s, dir), queryTerms, k = 10)),
 
     // Hybrid retrieval via reciprocal-rank fusion: the lexical arm (BM25
     // top-50 for the fixed 5-term query) and the semantic arm (embedding
@@ -197,16 +248,22 @@ object Search {
             FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))"""
   }
 
+  private val bm25TopSql =
+    s"""WITH $bm25CtesSql
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+               round(sum(micro) / 1e6, 6) AS score,
+               CAST(sum(micro) AS BIGINT) AS score_micro
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY score_micro DESC, doc_id
+        LIMIT 10"""
+
   val oracle: Map[String, String] = Map(
-    "q_search_bm25" ->
-      s"""WITH $bm25CtesSql
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-                 round(sum(micro) / 1e6, 6) AS score,
-                 CAST(sum(micro) AS BIGINT) AS score_micro
-          FROM scored
-          GROUP BY doc_id
-          ORDER BY score_micro DESC, doc_id
-          LIMIT 10""",
+    "q_search_bm25" -> bm25TopSql,
+
+    // the arrival index must reproduce the batch scores — same oracle,
+    // recomputed from the raw documents table.
+    "q_search_bm25_arrival" -> bm25TopSql,
 
     "q_search_hybrid_rrf" -> {
       s"""WITH $bm25CtesSql,

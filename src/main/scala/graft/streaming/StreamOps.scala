@@ -481,6 +481,96 @@ object StreamOps {
     graft.util.Frames.releaseCheckpoint(cum)
   }
 
+  // ---- BM25 inverted index on arrival ------------------------------------
+
+  /** Streaming inverted-index maintenance: each micro-batch of
+    * (doc_id, text) rows lands as a postings delta, and
+    * [[bm25StoreSearch]] serves BM25 queries off the accumulated store
+    * with scores IDENTICAL to a from-scratch batch build (the scoring
+    * tail is literally shared — graft.queries.Search.bm25Score — and
+    * StreamOpsSpec pins store-vs-batch equality). Per-batch work is
+    * batch-sized only (tokenize → one (doc, term) aggregate of the
+    * BATCH); the store grows by the batch's postings, never rewrites.
+    * Upserts follow the store-wide latest-wins law: re-ingesting a
+    * doc_id in a later batch supersedes every earlier version at read
+    * time (the ANN-store delete→re-ingest discipline, without
+    * tombstones — text replacement is total). */
+  def bm25OnArrival(docs: DataFrame, indexDir: String,
+      checkpointDir: String) =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bm25IngestBatch(batch, batchId, indexDir)
+      }
+      .start()
+
+  /** The BM25-ingest foreachBatch body, public like [[dedupBatch]]:
+    * directly testable, doubles as a batch backfill. Two dynamic
+    * partition overwrites keyed on batch_id (idempotent under replay —
+    * same (batchId, data) rewrites the same partitions byte-identically):
+    * full postings (doc_id, term, tf, dl) into the store root, and the
+    * narrow per-doc length table (doc_id, dl) into the `_docs` sidecar
+    * (underscore-named ⇒ invisible to postings reads, travels with the
+    * store it serves — the `_router` discipline). */
+  def bm25IngestBatch(batch: DataFrame, batchId: Long,
+      indexDir: String): Unit = {
+    val postings = graft.queries.Search.bm25Postings(
+      batch.select(col("doc_id"), col("text")), onlyTerms = None)
+    postings.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexDir)
+    batch.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$indexDir/_docs")
+  }
+
+  /** BM25 top-k off the arrival-built index, scores bit-identical to a
+    * batch build over the same (latest-version) corpus.
+    *
+    * Latest-wins and the 100 TB read shape: the narrow `_docs` sidecar
+    * (3 columns, one row per ingested doc version) yields each doc's
+    * surviving version (max_by) and the EXACT corpus scalars (n_docs,
+    * avgdl) in one doc-keyed aggregate — the same corpus-narrow pass the
+    * batch operator's stats scan already pays, so serving off the store
+    * costs no more than scoring from text (an external serving layer
+    * would snapshot this frame at compaction time). The postings side is
+    * query-scoped throughout: term-restricted FIRST (postings-sized),
+    * then version-filtered against the candidate docs' latest batches —
+    * a broadcast of a query-postings-bounded frame, never a corpus-sized
+    * shuffle (the merge-on-read discipline: prune against RAW deltas
+    * before the latest-wins fold). */
+  def bm25StoreSearch(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25StoreSearch: empty query")
+    // partition column reads back as INT — lift to long before compares
+    val docsT = spark.read.parquet(s"$indexDir/_docs")
+      .select(col("doc_id"), col("dl"), col("batch_id").cast("long").as("b"))
+    val docLatest = docsT.groupBy(col("doc_id"))
+      .agg(max_by(col("dl"), col("b")).as("dl"), max(col("b")).as("lb"))
+    val stats = docLatest
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val pf = spark.read.parquet(indexDir)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+        col("batch_id").cast("long").as("b"))
+    val cand = pf.select(col("doc_id")).distinct()
+    val latestC = docLatest.join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lb"))
+    val tf = pf.join(broadcast(latestC),
+        pf("doc_id") === latestC("doc_id") && col("b") === col("lb"))
+      .select(pf("doc_id"), col("term"), col("tf"), pf("dl"))
+    graft.queries.Search.bm25Score(tf, stats, k)
+  }
+
   /** The ANN-ingest foreachBatch body, public for the same reason as
     * [[dedupBatch]]: the replay contract is directly testable and the
     * same body serves a batch backfill. Idempotent under re-execution

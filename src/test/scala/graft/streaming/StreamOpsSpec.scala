@@ -712,6 +712,56 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.length === 2 && got.forall(t => t._3 >= 1L && t._3 <= 900L))
   }
 
+  test("bm25-on-arrival: store search ≡ batch build; upsert latest-wins; replay idempotent") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_arrival").toString
+    val idx = s"$tmp/index"
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text")
+    // --- equivalence: 3-batch ingest of the fixture corpus must score
+    // IDENTICALLY to a from-scratch batch build (shared scoring tail +
+    // exact integer stats — no tolerance, exact row equality)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.bm25OnArrival(
+      in.toDF().toDF("doc_id", "text"), idx, s"$tmp/ckpt")
+    val rows = docs.as[(Long, String)].collect()
+    try {
+      rows.grouped((rows.length + 2) / 3).foreach { g =>
+        in.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val terms = graft.queries.Search.queryTerms
+    val fromStore = StreamOps.bm25StoreSearch(spark, idx, terms, 10)
+      .collect().map(_.toSeq)
+    val fromBatch = graft.queries.Search.bm25(docs, terms, 10)
+      .collect().map(_.toSeq)
+    assert(fromStore.toSeq === fromBatch.toSeq,
+      "arrival-index search must equal the batch build exactly")
+    // --- upsert: re-ingesting the top doc with REPLACED text in a later
+    // batch supersedes its old postings — store search equals a batch
+    // build over the updated corpus (latest-wins, not union)
+    val topDoc = fromBatch.head.head.asInstanceOf[Long]
+    val newText = "spark spark stream vector"
+    StreamOps.bm25IngestBatch(
+      Seq((topDoc, newText)).toDF("doc_id", "text"), 100L, idx)
+    val updated = docs.withColumn("text",
+      when($"doc_id" === topDoc, lit(newText)).otherwise($"text"))
+    val storeUp = StreamOps.bm25StoreSearch(spark, idx, terms, 10)
+      .collect().map(_.toSeq)
+    val batchUp = graft.queries.Search.bm25(updated, terms, 10)
+      .collect().map(_.toSeq)
+    assert(storeUp.toSeq === batchUp.toSeq,
+      "upserted doc must be scored on its NEW text only")
+    // --- replay idempotence: re-running the upsert batch body is a no-op
+    val before = spark.read.parquet(idx).collect().map(_.toSeq).toSet
+    StreamOps.bm25IngestBatch(
+      Seq((topDoc, newText)).toDF("doc_id", "text"), 100L, idx)
+    val after = spark.read.parquet(idx).collect().map(_.toSeq).toSet
+    assert(before === after, "batch replay must be a no-op on the store")
+  }
+
   test("quantile-on-arrival: batch summaries accrete; store read within bound; replay idempotent") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
