@@ -1059,6 +1059,35 @@ object ScaleProbe {
       println(f"""{"probe":"margin","mult":$m,"side":$nSide,"cand_rows_ub":$nCand,"mined":$mined,"sec":$sec%.2f}""")
     }
 
+    // BM25 index on arrival: per-batch ingest cost must be BATCH-sized
+    // (tokenize + one (doc, term) agg of the batch — the store only
+    // receives an appended partition), and the store query cost grows
+    // with the QUERY'S postings, not the ingest history. Replicas get
+    // disjoint doc_ids but KEEP the shared vocabulary (an index over a
+    // growing corpus of the same language — the realistic shape; query
+    // postings grow linearly with the corpus, which the final search
+    // read reflects).
+    if (want("bm25_arrival")) {
+      val tmp = java.nio.file.Files.createTempDirectory("bm25_probe").toString
+      val idx = s"$tmp/index"
+      val batch0 = docs0.limit(2000).select($"doc_id", $"text")
+      (0 until 12).foreach { bIdx =>
+        val data = batch0.select(
+          ($"doc_id" + lit(bIdx.toLong * 10000000L)).as("doc_id"), $"text")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamOps.bm25IngestBatch(data, bIdx.toLong, idx)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (bIdx % 3 == 2) {
+          val tq0 = System.nanoTime()
+          val hits = graft.streaming.StreamOps.bm25StoreSearch(
+            spark, idx, graft.queries.Search.queryTerms, 10).count()
+          val tq = (System.nanoTime() - tq0) / 1e9
+          println(f"""{"probe":"bm25_arrival","batch":$bIdx,"ingest_sec":$t%.2f,"query_sec":$tq%.2f,"hits":$hits}""")
+        } else
+          println(f"""{"probe":"bm25_arrival","batch":$bIdx,"ingest_sec":$t%.2f}""")
+      }
+    }
+
     // Derived-partsupp TPC-H tier (q_tpch_q2/q9/q11/q16/q20): the q9 shape —
     // broadcast part-prune of the fact, window-MIN unit cost per
     // (part, supplier) pair, profit aggregate — over an m×-grown fact with

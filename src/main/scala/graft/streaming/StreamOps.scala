@@ -571,6 +571,41 @@ object StreamOps {
     graft.queries.Search.bm25Score(tf, stats, k)
   }
 
+  /** Compact the arrival-built BM25 index into a FRESH store holding
+    * only each doc's LATEST version — the maintenance fold the ingest
+    * scaladoc's upsert law implies: superseded postings otherwise
+    * accrete forever (every re-ingest leaves its older versions in
+    * place), and every read pays the version filter. The fold is the
+    * read path's own latest-wins (one doc-keyed max over the `_docs`
+    * sidecar, one version-equality join on the postings — store-sized,
+    * never a text re-scan); the fresh store lands under one
+    * [[CompactBatchId]] partition (postings AND sidecar — post-compact
+    * reads see one version per doc by construction, and ingest can
+    * resume on top since any later batch_id wins against
+    * CompactBatchId = -2). The source store is untouched (idempotent,
+    * crash = partial output only) — swap directories like
+    * [[annCompactStore]]. */
+  def bm25CompactStore(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, outDir: String): Unit = {
+    val docsT = spark.read.parquet(s"$indexDir/_docs")
+      .select(col("doc_id"), col("dl"), col("batch_id").cast("long").as("b"))
+    // renamed key breaks the self-join attribute lineage (docsT is both
+    // the aggregate's input and the probe side)
+    val latest = docsT.groupBy(col("doc_id")).agg(max(col("b")).as("lb"))
+      .select(col("doc_id").as("l_doc"), col("lb"))
+    val post = spark.read.parquet(indexDir)
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+        col("batch_id").cast("long").as("b"))
+    post.join(latest, col("doc_id") === col("l_doc") && col("b") === col("lb"))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+      .write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$CompactBatchId")
+    docsT.join(latest, col("doc_id") === col("l_doc") && col("b") === col("lb"))
+      .select(col("doc_id"), col("dl"))
+      .write.mode("overwrite")
+      .parquet(s"$outDir/_docs/batch_id=$CompactBatchId")
+  }
+
   /** The ANN-ingest foreachBatch body, public for the same reason as
     * [[dedupBatch]]: the replay contract is directly testable and the
     * same body serves a batch backfill. Idempotent under re-execution

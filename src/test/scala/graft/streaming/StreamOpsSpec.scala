@@ -760,6 +760,30 @@ class StreamOpsSpec extends SparkSpec {
       Seq((topDoc, newText)).toDF("doc_id", "text"), 100L, idx)
     val after = spark.read.parquet(idx).collect().map(_.toSeq).toSet
     assert(before === after, "batch replay must be a no-op on the store")
+    // --- compaction: fresh store holds ONE version per doc, serves the
+    // same scores, and post-compact ingest still wins (-2 < any batch)
+    val cidx = s"$tmp/compacted"
+    StreamOps.bm25CompactStore(spark, idx, cidx)
+    val storeC = StreamOps.bm25StoreSearch(spark, cidx, terms, 10)
+      .collect().map(_.toSeq)
+    assert(storeC.toSeq === storeUp.toSeq,
+      "compacted store must serve the pre-compaction scores")
+    import org.apache.spark.sql.functions.countDistinct
+    val versions = spark.read.parquet(s"$cidx/_docs")
+      .groupBy($"doc_id").count().filter($"count" > 1).count()
+    assert(versions === 0L, "compaction must keep one version per doc")
+    assert(spark.read.parquet(cidx)
+      .select($"batch_id".cast("long")).distinct().count() === 1L)
+    StreamOps.bm25IngestBatch(
+      Seq((topDoc, "agg agg agg")).toDF("doc_id", "text"), 0L, cidx)
+    val reUp = StreamOps.bm25StoreSearch(spark, cidx, terms, 10)
+      .collect().map(_.toSeq)
+    val reBatch = graft.queries.Search.bm25(
+      updated.withColumn("text",
+        when($"doc_id" === topDoc, lit("agg agg agg")).otherwise($"text")),
+      terms, 10).collect().map(_.toSeq)
+    assert(reUp.toSeq === reBatch.toSeq,
+      "post-compaction ingest must supersede the compacted version")
   }
 
   test("quantile-on-arrival: batch summaries accrete; store read within bound; replay idempotent") {
