@@ -109,5 +109,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftTvf.getClass, "graft_ann_search",
         "graft_ann_search(vec_dir, edge_dir, probe_id, k) - top-k neighbors of a stored vector in an incremental ANN store."),
       (children: Seq[Expression]) => GraftTvf.annSearch(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bm25_index"),
+      info(GraftTvf.getClass, "graft_bm25_index",
+        "graft_bm25_index(store_dir, query, k) - BM25 top-k served off a persisted arrival-built inverted index."),
+      (children: Seq[Expression]) => GraftTvf.bm25Index(children)))
   }
 }

@@ -328,6 +328,22 @@ object GraftTvf {
       .queryExecution.analyzed
   }
 
+  /** graft_bm25_index(store_dir, query, k) — BM25 top-k served off a
+    * PERSISTED arrival-built inverted index
+    * ([[graft.streaming.StreamOps]] bm25OnArrival layout): postings-
+    * scoped reads with latest-wins doc versions, scores identical to a
+    * from-scratch build (the shared Search.bm25Score tail). Lazy (no
+    * loop): the plan splices like any named subquery. */
+  def bm25Index(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_bm25_index"
+    require(children.size == 3, s"$fn(store_dir, query, k) takes 3 arguments")
+    val spark = SparkSession.active
+    val terms = str(children, 1, fn).split("\\s+").toSeq.filter(_.nonEmpty)
+    graft.streaming.StreamOps
+      .bm25StoreSearch(spark, str(children, 0, fn), terms, int(children, 2, fn))
+      .queryExecution.analyzed
+  }
+
   /** graft_semantic_dedup(dir, threshold) — SemDeDup keep/prune verdicts
     * over `dir`'s embeddings with label clusters (Dedup.semanticDedup). */
   def semanticDedup(children: Seq[Expression]): LogicalPlan = {

@@ -198,6 +198,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("[1, 100]") || err.getMessage.contains("resolve"))
   }
 
+  test("TVF surface: graft_bm25_index serves the arrival store from plain SQL ≡ the API read") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tvf_bm25").toString
+    val idx = s"$tmp/index"
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    graft.streaming.StreamOps.bm25IngestBatch(
+      docs.filter(col("doc_id") % 2 === 0), 0L, idx)
+    graft.streaming.StreamOps.bm25IngestBatch(
+      docs.filter(col("doc_id") % 2 === 1), 1L, idx)
+    val viaSql = spark.sql(
+      s"SELECT doc_id, n_terms, score, score_micro FROM graft_bm25_index('$idx', 'spark join stream vector agg', 10)")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.streaming.StreamOps
+      .bm25StoreSearch(spark, idx, graft.queries.Search.queryTerms, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql === viaApi && viaSql.nonEmpty)
+    // ...and both equal the from-text batch build (the store law holds
+    // through the SQL surface too)
+    val viaBatch = graft.queries.Search
+      .bm25(docs, graft.queries.Search.queryTerms, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql === viaBatch)
+  }
+
   test("bronze blockchain tables queryable by SQL after ingest") {
     val raw = spark.read.text(getClass.getResource("/blocks/blocks.jsonl").getPath)
     val out = java.nio.file.Files.createTempDirectory("bronze_sql").toString
