@@ -546,10 +546,21 @@ object StreamOps {
     * then version-filtered against the candidate docs' latest batches —
     * a broadcast of a query-postings-bounded frame, never a corpus-sized
     * shuffle (the merge-on-read discipline: prune against RAW deltas
-    * before the latest-wins fold). */
+    * before the latest-wins fold).
+    *
+    * `broadcastCandidates` is the loop-family fallback flag (the
+    * broadcastRanks/broadcastFrontier contract): the candidate frame is
+    * bounded by the QUERY's postings, which for selective terms is tiny —
+    * but a stopword-class term matches the whole corpus, and then the
+    * candidate set is corpus-sized and a forced broadcast would OOM the
+    * driver. false routes both version joins through shuffle hash joins
+    * instead; results are arm-identical (spec-pinned). */
   def bm25StoreSearch(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, terms: Seq[String], k: Int): DataFrame = {
+      indexDir: String, terms: Seq[String], k: Int,
+      broadcastCandidates: Boolean = true): DataFrame = {
     require(terms.nonEmpty, "bm25StoreSearch: empty query")
+    val bc: DataFrame => DataFrame =
+      if (broadcastCandidates) broadcast else identity
     // partition column reads back as INT — lift to long before compares
     val docsT = spark.read.parquet(s"$indexDir/_docs")
       .select(col("doc_id"), col("dl"), col("batch_id").cast("long").as("b"))
@@ -563,9 +574,9 @@ object StreamOps {
       .select(col("doc_id"), col("term"), col("tf"), col("dl"),
         col("batch_id").cast("long").as("b"))
     val cand = pf.select(col("doc_id")).distinct()
-    val latestC = docLatest.join(broadcast(cand), Seq("doc_id"), "left_semi")
+    val latestC = docLatest.join(bc(cand), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lb"))
-    val tf = pf.join(broadcast(latestC),
+    val tf = pf.join(bc(latestC),
         pf("doc_id") === latestC("doc_id") && col("b") === col("lb"))
       .select(pf("doc_id"), col("term"), col("tf"), pf("dl"))
     graft.queries.Search.bm25Score(tf, stats, k)

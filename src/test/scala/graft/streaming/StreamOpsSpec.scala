@@ -739,6 +739,12 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(fromStore.toSeq === fromBatch.toSeq,
       "arrival-index search must equal the batch build exactly")
+    // loop-family fallback arm: the shuffle-join route (for stopword-class
+    // queries whose candidate set is corpus-sized) is result-identical
+    val fromStoreShuffle = StreamOps.bm25StoreSearch(spark, idx, terms, 10,
+      broadcastCandidates = false).collect().map(_.toSeq)
+    assert(fromStoreShuffle.toSeq === fromBatch.toSeq,
+      "shuffle-candidate arm must equal the broadcast arm")
     // --- upsert: re-ingesting the top doc with REPLACED text in a later
     // batch supersedes its old postings — store search equals a batch
     // build over the updated corpus (latest-wins, not union)
