@@ -152,6 +152,16 @@ object Search {
       graft.streaming.StreamOps.bm25StoreSearch(
         s, bm25IndexFixture(s, dir), queryTerms, k = 10)),
 
+    // ...and the same store reached through spark.sql TEXT alone (the
+    // q_tvf_quantiles discipline: the SQL-TVF surface oracle-checked end
+    // to end — parser → injectTableFunction resolution → the store read),
+    // against the same recompute-from-raw-documents oracle.
+    "q_tvf_bm25" -> ((s, dir) => {
+      val store = bm25IndexFixture(s, dir)
+      s.sql(s"SELECT doc_id, n_terms, score, score_micro FROM " +
+        s"graft_bm25_index('$store', '${queryTerms.mkString(" ")}', 10)")
+    }),
+
     // Hybrid retrieval via reciprocal-rank fusion: the lexical arm (BM25
     // top-50 for the fixed 5-term query) and the semantic arm (embedding
     // cosine vs the vec_id-0 probe, top-50) fused by
@@ -262,8 +272,9 @@ object Search {
     "q_search_bm25" -> bm25TopSql,
 
     // the arrival index must reproduce the batch scores — same oracle,
-    // recomputed from the raw documents table.
+    // recomputed from the raw documents table (API read and SQL-TVF read).
     "q_search_bm25_arrival" -> bm25TopSql,
+    "q_tvf_bm25" -> bm25TopSql,
 
     "q_search_hybrid_rrf" -> {
       s"""WITH $bm25CtesSql,
