@@ -339,6 +339,7 @@ object GraftTvf {
     require(children.size == 3, s"$fn(store_dir, query, k) takes 3 arguments")
     val spark = SparkSession.active
     val terms = str(children, 1, fn).split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, s"$fn: query string has no terms")
     graft.streaming.StreamOps
       .bm25StoreSearch(spark, str(children, 0, fn), terms, int(children, 2, fn))
       .queryExecution.analyzed

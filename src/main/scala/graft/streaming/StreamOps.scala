@@ -493,8 +493,9 @@ object StreamOps {
     * BATCH); the store grows by the batch's postings, never rewrites.
     * Upserts follow the store-wide latest-wins law: re-ingesting a
     * doc_id in a later batch supersedes every earlier version at read
-    * time (the ANN-store delete→re-ingest discipline, without
-    * tombstones — text replacement is total). */
+    * time (the ANN-store delete→re-ingest discipline), and a NULL-text
+    * version is the deletion marker — its win removes the doc from
+    * postings and corpus stats alike (see [[bm25IngestBatch]]). */
   def bm25OnArrival(docs: DataFrame, indexDir: String,
       checkpointDir: String) =
     docs.writeStream
@@ -512,24 +513,45 @@ object StreamOps {
     * full postings (doc_id, term, tf, dl) into the store root, and the
     * narrow per-doc length table (doc_id, dl) into the `_docs` sidecar
     * (underscore-named ⇒ invisible to postings reads, travels with the
-    * store it serves — the `_router` discipline). */
+    * store it serves — the `_router` discipline).
+    *
+    * Version semantics at the batch boundary: micro-batches carry no
+    * arrival order, so duplicate doc_ids WITHIN one batch resolve to one
+    * deterministic winner (max content hash — deliver versions in
+    * separate batches when arrival order matters; a union would store a
+    * chimera doc no corpus ever contained). NULL text is a DELETION
+    * marker: it competes for the win like any version, and a null winner
+    * supersedes all older versions — the doc leaves the postings, the
+    * corpus stats, and every future read (its `_docs` row carries a null
+    * dl as the watermark). */
   def bm25IngestBatch(batch: DataFrame, batchId: Long,
       indexDir: String): Unit = {
-    val postings = graft.queries.Search.bm25Postings(
-      batch.select(col("doc_id"), col("text")), onlyTerms = None)
-    postings.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(indexDir)
-    batch.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("dl"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(s"$indexDir/_docs")
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col("doc_id"))
+      .orderBy(md5(coalesce(col("text"), lit(""))).desc)
+    // checkpointed so the two partition writes read ONE materialization
+    // instead of re-tokenizing the source twice (the annIngestBatch
+    // discipline); released once both writes are down.
+    val b = batch.select(col("doc_id"), col("text"))
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    try {
+      graft.queries.Search.bm25Postings(b, onlyTerms = None)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(indexDir)
+      b.select(col("doc_id"),
+          when(col("text").isNotNull,
+            size(split(col("text"), " ")).cast("long")).as("dl"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$indexDir/_docs")
+    } finally graft.util.Frames.releaseCheckpoint(b)
   }
 
   /** BM25 top-k off the arrival-built index, scores bit-identical to a
@@ -564,11 +586,20 @@ object StreamOps {
     // partition column reads back as INT — lift to long before compares
     val docsT = spark.read.parquet(s"$indexDir/_docs")
       .select(col("doc_id"), col("dl"), col("batch_id").cast("long").as("b"))
-    val docLatest = docsT.groupBy(col("doc_id"))
-      .agg(max_by(col("dl"), col("b")).as("dl"), max(col("b")).as("lb"))
+    // latest version per doc via row_number (NOT max_by — a deletion
+    // marker's dl is NULL and must WIN when it is the newest version,
+    // while max_by skips null values); unique (doc_id, batch) rows are
+    // guaranteed by the ingest's in-batch resolution + dynamic overwrite.
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("b").desc)
+    val docLatest = docsT
+      .withColumn("rn", row_number().over(wl)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("dl"), col("b").as("lb"))
+    // count(dl) skips deletion markers: tombstoned docs leave the corpus
+    // scalars exactly as a batch build over the surviving docs would.
     val stats = docLatest
-      .agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+      .agg(count(col("dl")).as("n_docs"),
+        (sum(col("dl")) / count(col("dl"))).as("avgdl"))
     val pf = spark.read.parquet(indexDir)
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"),

@@ -760,32 +760,65 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(storeUp.toSeq === batchUp.toSeq,
       "upserted doc must be scored on its NEW text only")
-    // --- replay idempotence: re-running the upsert batch body is a no-op
-    val before = spark.read.parquet(idx).collect().map(_.toSeq).toSet
+    // --- replay idempotence: re-running the upsert batch body is a
+    // no-op on BOTH the postings root and the _docs sidecar
+    def storeState() =
+      (spark.read.parquet(idx).collect().map(_.toSeq).toSet,
+        spark.read.parquet(s"$idx/_docs").collect().map(_.toSeq).toSet)
+    val before = storeState()
     StreamOps.bm25IngestBatch(
       Seq((topDoc, newText)).toDF("doc_id", "text"), 100L, idx)
-    val after = spark.read.parquet(idx).collect().map(_.toSeq).toSet
-    assert(before === after, "batch replay must be a no-op on the store")
+    assert(before === storeState(), "batch replay must be a no-op on the store")
+    // --- same-batch duplicate doc_ids resolve to ONE deterministic
+    // winner (max content hash), never a postings union of both versions
+    val vA = "vector vector stream"; val vB = "join join agg"
+    val winner = if (java.security.MessageDigest.getInstance("MD5")
+        .digest(vA.getBytes).map("%02x".format(_)).mkString >
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(vB.getBytes).map("%02x".format(_)).mkString) vA else vB
+    StreamOps.bm25IngestBatch(
+      Seq((topDoc, vA), (topDoc, vB)).toDF("doc_id", "text"), 101L, idx)
+    val dupStore = StreamOps.bm25StoreSearch(spark, idx, terms, 10)
+      .collect().map(_.toSeq)
+    val dupCorpus = docs.withColumn("text",
+      when($"doc_id" === topDoc, lit(winner)).otherwise($"text"))
+    val dupBatch = graft.queries.Search.bm25(dupCorpus, terms, 10)
+      .collect().map(_.toSeq)
+    assert(dupStore.toSeq === dupBatch.toSeq,
+      "in-batch duplicates must resolve to the deterministic winner")
+    // --- NULL text is the deletion marker: the doc leaves postings AND
+    // corpus stats (store ≡ batch build over the corpus WITHOUT the doc)
+    StreamOps.bm25IngestBatch(
+      Seq((topDoc, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      102L, idx)
+    val delStore = StreamOps.bm25StoreSearch(spark, idx, terms, 10)
+      .collect().map(_.toSeq)
+    val delBatch = graft.queries.Search.bm25(
+      docs.filter($"doc_id" =!= topDoc), terms, 10)
+      .collect().map(_.toSeq)
+    assert(delStore.toSeq === delBatch.toSeq,
+      "a null-text win must delete the doc from postings and stats")
     // --- compaction: fresh store holds ONE version per doc, serves the
-    // same scores, and post-compact ingest still wins (-2 < any batch)
+    // same scores (including the deletion above), and post-compact
+    // ingest still wins (-2 < any batch)
     val cidx = s"$tmp/compacted"
     StreamOps.bm25CompactStore(spark, idx, cidx)
     val storeC = StreamOps.bm25StoreSearch(spark, cidx, terms, 10)
       .collect().map(_.toSeq)
-    assert(storeC.toSeq === storeUp.toSeq,
+    assert(storeC.toSeq === delStore.toSeq,
       "compacted store must serve the pre-compaction scores")
-    import org.apache.spark.sql.functions.countDistinct
     val versions = spark.read.parquet(s"$cidx/_docs")
       .groupBy($"doc_id").count().filter($"count" > 1).count()
     assert(versions === 0L, "compaction must keep one version per doc")
     assert(spark.read.parquet(cidx)
       .select($"batch_id".cast("long")).distinct().count() === 1L)
+    // re-ingest of the DELETED doc after compaction resurrects it
     StreamOps.bm25IngestBatch(
       Seq((topDoc, "agg agg agg")).toDF("doc_id", "text"), 0L, cidx)
     val reUp = StreamOps.bm25StoreSearch(spark, cidx, terms, 10)
       .collect().map(_.toSeq)
     val reBatch = graft.queries.Search.bm25(
-      updated.withColumn("text",
+      docs.withColumn("text",
         when($"doc_id" === topDoc, lit("agg agg agg")).otherwise($"text")),
       terms, 10).collect().map(_.toSeq)
     assert(reUp.toSeq === reBatch.toSeq,
