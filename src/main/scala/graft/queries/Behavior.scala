@@ -120,6 +120,31 @@ object Behavior {
         .limit(20)
     }),
 
+    // Markov transition matrix over per-user event streams: count of
+    // each (src → dst) consecutive-event pair plus the row-normalized
+    // transition probability in exact e4 integer units (n·10⁴ div
+    // row_n — BIGINT floor division, no float crosses engines). One
+    // user-keyed window for the lag, one (src, dst) aggregate; the
+    // row-total normalization is a window over the transition frame
+    // itself, which is |event_type|²-bounded (dim-sized at any corpus
+    // scale) — never a second pass over the events fact.
+    "q_path_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val wu = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val t = events(s, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("src", lag($"event_type", 1).over(wu))
+        .filter($"src".isNotNull)
+        .groupBy($"src", $"event_type".as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val wrow = org.apache.spark.sql.expressions.Window.partitionBy($"src")
+      t.withColumn("row_n", sum($"n").over(wrow))
+        .select($"src", $"dst", $"n",
+          expr("n * 10000 div row_n").as("p_e4"))
+        .orderBy($"src", $"dst")
+    }),
+
     "q_scd2_intervals" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("valid_from"), col("event_id"))
@@ -218,6 +243,21 @@ object Behavior {
          GROUP BY path
          ORDER BY n_users DESC, path
          LIMIT 20""",
+
+    "q_path_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+         t AS (SELECT prev AS src, event_type AS dst,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS row_n
+                 FROM t GROUP BY 1)
+         SELECT t.src, t.dst, n, CAST(n * 10000 // row_n AS BIGINT) AS p_e4
+         FROM t JOIN tot USING (src)
+         ORDER BY src, dst""",
 
     "q_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, value,
