@@ -412,6 +412,13 @@ object Graph {
   // k=3 on a mostly-unit-weight graph, so multiplicity is what decides
   // the margin cases — the peel the weights actually change
   private val kcoreS = 4L
+  // truss order 4 (edges must close >= 2 surviving triangles) one notch
+  // above the kcore threshold: the fixture graph keeps a non-trivial
+  // truss while the peel still drops a visible fringe each round
+  private val ktrussK = 4
+  private val ktrussRounds = 3
+  private val harmonicRadius = 3
+  private val harmonicLgK = 12
   private val ssspRounds = 4
   private val ssspSources = 3
   private val pprSources = 3
@@ -468,6 +475,76 @@ object Graph {
      SELECT node, CAST(sum(w) AS BIGINT) AS strength
      FROM (SELECT a AS node, w FROM e$kcoreRounds UNION ALL SELECT b, w FROM e$kcoreRounds)
      GROUP BY node ORDER BY node"""
+  }
+
+  /** q_graph_ktruss's oracle: the truss peel unrolled (kcoreSql's
+    * discipline — every CTE MATERIALIZED, the triangle CTE especially:
+    * three edge projections re-read it). Triangle enumeration needs no
+    * orientation in SQL: with a < b canonical edges, x < y < z appears
+    * exactly once as (x,y)+(y,z) closed by (x,z). */
+  private def ktrussSql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e0 AS MATERIALIZED (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) x
+        JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) y
+          ON x.ok = y.ok AND x.p < y.p)""")
+    // one extra support pass beyond the filters: the output recomputes
+    // support within the final subgraph, exactly as ktrussPeel does
+    for (h <- 1 to (ktrussRounds + 1)) {
+      ctes += s"""t$h AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e${h - 1} e1 JOIN e${h - 1} e2 ON e2.a = e1.b
+        JOIN e${h - 1} e3 ON e3.a = e1.a AND e3.b = e2.b)"""
+      ctes += s"""s$h AS MATERIALIZED (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+          SELECT x AS a, y AS b FROM t$h
+          UNION ALL SELECT y, z FROM t$h
+          UNION ALL SELECT x, z FROM t$h) GROUP BY a, b)"""
+      if (h <= ktrussRounds)
+        ctes += s"""e$h AS MATERIALIZED (
+          SELECT a, b FROM s$h WHERE sup >= ${ktrussK - 2})"""
+    }
+    "WITH " + ctes.mkString(",\n") + s"""
+     SELECT a, b, sup FROM s${ktrussRounds + 1} ORDER BY a, b"""
+  }
+
+  /** q_graph_harmonic's oracle: the EXACT anchor recomputed — unrolled
+    * multi-source reach sets (DISTINCT (s, v) per radius), per-source
+    * ball counts, the same integer-e4 harmonic arithmetic — and TRUE
+    * for the sketch verdict (the q_agg_approx_distinct pattern). */
+  private def harmonicSql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e0 AS MATERIALIZED (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) x
+        JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) y
+          ON x.ok = y.ok AND x.p < y.p)""",
+      """ed AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM e0
+        UNION ALL SELECT b, a FROM e0)""",
+      """r0 AS MATERIALIZED (
+        SELECT DISTINCT src AS s, src AS v FROM ed WHERE src % 19 = 0)""")
+    for (t <- 1 to harmonicRadius) {
+      ctes += s"""r$t AS MATERIALIZED (
+        SELECT DISTINCT s, v FROM (
+          SELECT s, v FROM r${t - 1}
+          UNION ALL
+          SELECT r.s, ed.dst AS v FROM r${t - 1} r JOIN ed ON ed.src = r.v))"""
+      ctes += s"""b$t AS MATERIALIZED (
+        SELECT s, CAST(count(*) AS BIGINT) AS b$t FROM r$t GROUP BY s)"""
+    }
+    "WITH " + ctes.mkString(",\n") + """
+     SELECT s AS source, b1, b2, b3,
+            (b1 - 1) * 10000 + (b2 - b1) * 5000 + ((b3 - b2) * 10000) // 3
+              AS h_e4,
+            TRUE AS approx_ok
+     FROM b1 JOIN b2 USING (s) JOIN b3 USING (s)
+     ORDER BY source"""
   }
 
   /** The query's graph: the part↔supplier co-purchase graph from lineitem
@@ -716,6 +793,181 @@ object Graph {
     endpoints(e)
       .groupBy(col("v").as("node")).agg(sum(col("w")).as("strength"))
       .orderBy(col("node"))
+  }
+
+  /** Per-edge triangle support over an undirected (a < b) edge list —
+    * [[triangleCount]]'s Chiba–Nishizeki degree orientation verbatim
+    * (each triangle materializes exactly once as an (apex, src, third)
+    * closed wedge under the O(√m) out-degree cap), then exploded to its
+    * 3 canonical (min, max) edges for the per-edge tally. Support is
+    * EDGE-domain state, so the result is exactly as large as the
+    * triangle-participating edge subset; both wedge joins are plain
+    * equi-joins whose aggregates partial-sum map-side. Checkpointed
+    * (the caller loops over it); edges in no triangle are ABSENT. */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      struct(
+        when(fwd, col("db")).otherwise(col("da")).as("d"),
+        when(fwd, col("b")).otherwise(col("a")).as("id")).as("dst"))
+      .localCheckpoint()
+    val e1 = oriented.select(col("src").as("apex"), col("dst").as("x"))
+    val e2 = oriented.select(col("src").as("apex"), col("dst").as("y"))
+    val wedges = e1.join(e2, "apex").filter(col("x") < col("y"))
+      .select(col("apex"), col("x.id").as("src"), col("y").as("dst"))
+    val closed = wedges.join(oriented, Seq("src", "dst"))
+      .select(col("apex"), col("src"), col("dst.id").as("third"))
+    val sup = closed.select(explode(array(
+        struct(least(col("apex"), col("src")).as("a"),
+          greatest(col("apex"), col("src")).as("b")),
+        struct(least(col("apex"), col("third")).as("a"),
+          greatest(col("apex"), col("third")).as("b")),
+        struct(least(col("src"), col("third")).as("a"),
+          greatest(col("src"), col("third")).as("b")))).as("ed"))
+      .select(col("ed.a").as("a"), col("ed.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+      .localCheckpoint()
+    // localCheckpoint is eager — sup is materialized, the wedge frame is
+    // dead; release it now (a rounds-deep peel would otherwise pin every
+    // round's orientation simultaneously)
+    releaseCheckpoint(oriented)
+    sup
+  }
+
+  /** Round-capped k-truss peel [Cohen, NSA TR'08]: `rounds` iterations
+    * of "drop every edge whose triangle support within the current
+    * subgraph is < k−2" — the EDGE-granular cohesion filter one tier
+    * above [[kcorePeel]] (a k-truss edge's endpoints always sit in the
+    * (k−1)-core, never vice versa: cores keep hubs whose neighbors
+    * ignore each other, trusses demand the neighborhood actually
+    * interlock). Fixed round count, not convergence-tested — the
+    * pagerank/kcore contract an unrolled SQL oracle can mirror.
+    *
+    * No broadcast arm: unlike the node-domain keep sets of the kcore/
+    * LPA loops, support is EDGE-domain — the filter is a predicate on
+    * the aggregate's own output, so nothing is ever joined back, and
+    * the only wide ops per round are [[edgeSupport]]'s wedge equi-joins
+    * (hub-bounded by the degree orientation). Each round's edge frame
+    * is checkpointed with the superseded round released eagerly.
+    *
+    * @param edges undirected (a BIGINT, b BIGINT), a < b, distinct.
+    * @param k     truss order — an edge must close ≥ k−2 triangles of
+    *              the surviving subgraph to stay.
+    * @return (a, b, sup): edges of the peeled subgraph that participate
+    *         in ≥ 1 triangle, sup recomputed WITHIN the final subgraph
+    *         (the same one-more-support-pass the oracle runs), ordered
+    *         by (a, b). */
+  def ktrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, s"need k >= 3, rounds >= 1, got $k $rounds")
+    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val sup = edgeSupport(e)
+      val next = sup.filter(col("sup") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint()
+      releaseCheckpoint(e)
+      releaseCheckpoint(sup)
+      e = next
+    }
+    edgeSupport(e).orderBy(col("a"), col("b"))
+  }
+
+  /** HyperBall [Boldi & Vigna, WSDM'13]: the per-node neighborhood
+    * function |B_t(v)| (ball of radius t around v, v included) for every
+    * node SIMULTANEOUSLY, each ball an HLL sketch instead of a node set —
+    * THE way centrality/diameter survives 100 TB, because exact per-node
+    * balls are an all-pairs product (n·|B| rows) while sketched balls are
+    * node-count-sized state with a mergeable-union recurrence:
+    * B_t(v) = B_{t−1}(v) ∪ ⋃_{(v,u)∈E} B_{t−1}(u), and HLL union is
+    * register-max — associative, commutative, partition-order-free, so
+    * the estimates are bit-deterministic for a given input set.
+    *
+    * Loop discipline = pagerank's with one deliberate inversion: state is
+    * node-count-sized but sketch-FAT (KBs per node once balls densify),
+    * so the DEFAULT arm is the shuffle join — edges are laid out once on
+    * dst and the sketch frame (the small side in bytes per 100 TB of
+    * edges, but not in broadcast terms) moves onto that fixed layout;
+    * `broadcastState = true` is the small-graph accelerator, not the
+    * default as in the integer-state loops. Per-round aggregate =
+    * hll_union_agg on src (partial-merges map-side: register-max), each
+    * round's state checkpointed, superseded round released.
+    *
+    * @param edges directed (src, dst) pairs; symmetrize for undirected
+    *              balls. Every node must appear as a src (the pagerank
+    *              contract — symmetrized graphs satisfy it).
+    * @param radius rounds (= max ball radius).
+    * @param lgK  HLL lgConfigK: 2^lgK registers, rsd ≈ 1.04/√2^lgK
+    *             (12 → ~1.6%).
+    * @return (node, bs ARRAY<BIGINT>) — bs(t) = estimated |B_t(v)| for
+    *         t = 0..radius (bs(0) = 1). Harmonic centrality, effective
+    *         diameter, HyperANF's N(t) are all arithmetic over bs. */
+  def hyperBall(edges: DataFrame, radius: Int, lgK: Int = 12,
+      broadcastState: Boolean = false): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val edP = edges.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var state = edP.select(col("src").as("node")).distinct()
+        .groupBy(col("node"))
+        .agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk"))
+        .select(col("node"), col("sk"),
+          array(hll_sketch_estimate(col("sk"))).as("bs"))
+        .localCheckpoint()
+      for (_ <- 1 to radius) {
+        val nb = state.select(col("node").as("dst"), col("sk"))
+        val contrib = (if (broadcastState) edP.join(broadcast(nb), "dst")
+                       else edP.join(nb, "dst"))
+          .select(col("src"), col("sk"))
+        val unioned = contrib.groupBy(col("src"))
+          .agg(hll_union_agg(col("sk")).as("nsk"))
+          .select(col("src").as("node"), col("nsk"))
+        val next = state
+          .join(unioned, Seq("node"), "left")
+          .select(col("node"), col("bs"),
+            when(col("nsk").isNull, col("sk"))
+              .otherwise(hll_union(col("sk"), col("nsk"))).as("sk"))
+          .select(col("node"), col("sk"),
+            concat(col("bs"), array(hll_sketch_estimate(col("sk")))).as("bs"))
+          .localCheckpoint()
+        releaseCheckpoint(state)
+        state = next
+      }
+      state.select(col("node"), col("bs"))
+    } finally edP.unpersist()
+  }
+
+  /** EXACT ball sizes from a bounded source sample — [[hyperBall]]'s
+    * anchor (the margin-pairs discipline: the sketch operator runs over
+    * ALL nodes; the oracle-checkable slice is exact and source-bounded).
+    * Multi-source BFS carried as a (source, v) reach-set frame: bounded
+    * by |S|·n rows, the product HyperBall exists to avoid at n sources.
+    *
+    * @return (s, t, b): exact |B_t(s)| for t = 1..radius, source incl. */
+  private[graft] def exactBallSizes(edges: DataFrame, sources: DataFrame,
+      radius: Int): DataFrame = {
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint()
+    var reach = sources.select(col("s"), col("s").as("v")).localCheckpoint()
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to radius) {
+      val expanded = reach.join(ed, col("v") === col("src"))
+        .select(col("s"), col("dst").as("v"))
+      val next = reach.select(col("s"), col("v")).union(expanded)
+        .distinct().localCheckpoint()
+      // materialize the |S|-row size frame BEFORE releasing the
+      // superseded reach set — left lazy it would read a freed block
+      sizes += next.groupBy(col("s"))
+        .agg(count(lit(1)).as("b")).withColumn("t", lit(t))
+        .localCheckpoint()
+      releaseCheckpoint(reach)
+      reach = next
+    }
+    sizes.reduce(_ unionByName _)
   }
 
   /** Fixed-round synchronous label propagation [Raghavan et al., Phys.
@@ -1296,6 +1548,48 @@ object Graph {
     "q_graph_kcore_weighted" -> ((s, dir) =>
       kcorePeelWeighted(sliceEdgesAffinity(s, dir), kcoreS, kcoreRounds)),
 
+    // k-truss of the SAME %16-slice co-purchase graph: 3 rounds of
+    // "drop edges closing < 2 surviving triangles" — the edge-granular
+    // cohesion tier above q_graph_kcore; surviving edges with in-truss
+    // support.
+    "q_graph_ktruss" -> ((s, dir) =>
+      ktrussPeel(jaccardSliceEdges(s, dir), ktrussK, ktrussRounds)),
+
+    // HyperBall harmonic centrality over the symmetrized %16-slice
+    // graph: HLL ball sketches for ALL nodes (the at-scale operator),
+    // exact-anchored on the deterministic %19 source sample — per
+    // source the exact ball sizes b1..b3, exact integer harmonic
+    // centrality (e4 units), and the sketch-estimate tolerance verdict
+    // (the q_agg_approx_distinct pattern: DuckDB asserts TRUE without
+    // reproducing the sketch).
+    "q_graph_harmonic" -> ((s, dir) => {
+      val p = jaccardSliceEdges(s, dir)
+      val ed = p.select(col("a").as("src"), col("b").as("dst"))
+        .union(p.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      val hb = hyperBall(ed, harmonicRadius, harmonicLgK)
+      val sources = ed.select(col("src").as("s")).distinct()
+        .filter(col("s") % 19 === 0)
+      val exact = exactBallSizes(ed, sources, harmonicRadius)
+        .groupBy(col("s"))
+        .agg(max(when(col("t") === 1, col("b"))).as("b1"),
+          max(when(col("t") === 2, col("b"))).as("b2"),
+          max(when(col("t") === 3, col("b"))).as("b3"))
+      // estimate-vs-exact tolerance: max(3, ~8.3%) per radius — at
+      // lgK 12 (rsd ~1.6%) that is ~5 sigma, stable at every SF; the
+      // abs floor covers the tiny-ball regime where 8% rounds to 0
+      def ok(est: Column, ex: String) =
+        abs(est - col(ex)) <= greatest(lit(3L), expr(s"$ex div 12"))
+      exact.join(hb, exact("s") === hb("node"))
+        .select(col("s").as("source"), col("b1"), col("b2"), col("b3"),
+          ((col("b1") - 1) * 10000 + (col("b2") - col("b1")) * 5000 +
+            expr("((b3 - b2) * 10000) div 3")).as("h_e4"),
+          (ok(element_at(col("bs"), 2), "b1") &&
+            ok(element_at(col("bs"), 3), "b2") &&
+            ok(element_at(col("bs"), 4), "b3")).as("approx_ok"))
+        .orderBy(col("source"))
+    }),
+
     // WEIGHTED (Ružička min/max) Jaccard over the same multiplicity
     // graph — overlap weighted by co-purchase support, top-50.
     "q_graph_jaccard_weighted" -> ((s, dir) =>
@@ -1528,6 +1822,8 @@ object Graph {
          LIMIT 50""",
 
     "q_graph_kcore_weighted" -> kcoreWeightedSql,
+    "q_graph_ktruss" -> ktrussSql,
+    "q_graph_harmonic" -> harmonicSql,
 
     "q_graph_jaccard_weighted" ->
       """WITH e AS MATERIALIZED (

@@ -114,5 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftTvf.getClass, "graft_bm25_index",
         "graft_bm25_index(store_dir, query, k) - BM25 top-k served off a persisted arrival-built inverted index."),
       (children: Seq[Expression]) => GraftTvf.bm25Index(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_topk"),
+      info(GraftTvf.getClass, "graft_topk",
+        "graft_topk(store_dir, m) - heavy hitters off a persisted arrival-built Misra-Gries store."),
+      (children: Seq[Expression]) => GraftTvf.topk(children)))
   }
 }

@@ -328,6 +328,21 @@ object GraftTvf {
       .queryExecution.analyzed
   }
 
+  /** graft_topk(store_dir, m) — heavy hitters off a PERSISTED
+    * arrival-built Misra–Gries store ([[graft.streaming.StreamOps]]
+    * topkOnArrival layout): one summary-sized count-addition pass —
+    * (item, lb, n, max_err) with the mergeable-MG guarantee
+    * lb ≤ true ≤ lb + max_err. Lazy (no loop): the plan splices like
+    * any named subquery. */
+  def topk(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_topk"
+    require(children.size == 2, s"$fn(store_dir, m) takes 2 arguments")
+    val spark = SparkSession.active
+    graft.streaming.StreamOps
+      .topkStoreRead(spark, str(children, 0, fn), int(children, 1, fn))
+      .queryExecution.analyzed
+  }
+
   /** graft_bm25_index(store_dir, query, k) — BM25 top-k served off a
     * PERSISTED arrival-built inverted index
     * ([[graft.streaming.StreamOps]] bm25OnArrival layout): postings-

@@ -47,7 +47,42 @@ object Streams {
     s"$out/store"
   }
 
+  /** A persisted 3-batch Misra–Gries heavy-hitter store built from
+    * lineitem quantities (batch = l_orderkey % 3; item = the integer
+    * quantity — ≤ 50 distinct values, so k = 64 keeps every batch in
+    * the EXACT regime: dec = 0, counts whole, max_err = 0 — which is
+    * what lets DuckDB recompute the answer from facts; the lossy
+    * regime's guarantee is StreamOpsSpec/probe territory). Built ONCE
+    * per (dir, mtime) through the REAL arrival body
+    * (StreamOps.topkSummaryBatch) into a FixtureCache staging publish. */
+  private[queries] def topkStoreFixture(s: SparkSession, dir: String): String = {
+    val out = graft.util.FixtureCache.buildOnce(dir, "lineitem", "topkstore") {
+      staging =>
+        val vals = lineitem(s, dir).select(
+          (col("l_orderkey") % 3).as("b"),
+          col("l_quantity").cast("long").cast("string").as("item"))
+        for (b <- 0L to 2L)
+          graft.streaming.StreamOps.topkSummaryBatch(
+            vals.filter(col("b") === b).select(col("item")),
+            b, staging.resolve("store").toString, k = 64)
+    }
+    s"$out/store"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The MG-store SQL surface oracle-checked end to end
+    // (q_tvf_quantiles's frequency-tier sibling): top-10 quantities off
+    // the persisted 3-batch Misra–Gries store through spark.sql TEXT
+    // alone. The TVF read is summary-sized (count addition over ≤ k
+    // rows per batch), never a fact scan; the fixture domain keeps
+    // every batch exact (dec = 0), so the oracle recomputes the same
+    // counts from lineitem and asserts the error budget is zero.
+    "q_tvf_topk" -> ((s, dir) => {
+      val store = topkStoreFixture(s, dir)
+      s.sql(s"SELECT item, lb, n, max_err FROM graft_topk('$store', 10) " +
+        "ORDER BY lb DESC, item")
+    }),
+
     // The sketch-store SQL surface oracle-checked end to end (the
     // q_tvf_communities pattern): p50/90/99 off the persisted 3-batch
     // MRL summary store through spark.sql TEXT alone — the
@@ -155,6 +190,19 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    // the fixture keeps every batch in the exact MG regime (50 distinct
+    // quantities ≤ k = 64 ⇒ dec = 0 per batch), so per-item counts are
+    // whole, n is the fact count and the error budget is literally zero
+    "q_tvf_topk" ->
+      """SELECT CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS item,
+                CAST(count(*) AS BIGINT) AS lb,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
+                CAST(0 AS BIGINT) AS max_err
+         FROM lineitem
+         GROUP BY 1
+         ORDER BY lb DESC, item
+         LIMIT 10""",
+
     "q_tvf_quantiles" ->
       """WITH v AS (SELECT l_orderkey % 3 AS b, CAST(l_shipdate AS DATE) AS day,
                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),

@@ -481,6 +481,129 @@ object StreamOps {
     graft.util.Frames.releaseCheckpoint(cum)
   }
 
+  // ---- Heavy hitters (Misra–Gries) on arrival -----------------------------
+
+  /** Heavy-hitter maintenance on arrival — the streaming form of
+    * q_agg_heavy_hitters (quantileOnArrival's frequency-tier sibling):
+    * each micro-batch of (item) rows is compacted to its ≤ k-row
+    * Misra–Gries summary and appended as one idempotent batch partition;
+    * any top-m over EVERYTHING INGESTED is then a summary-store read
+    * ([[topkStoreRead]] — MG summaries merge by plain count addition,
+    * the Agarwal et al. SIGMOD'12 mergeability result), never a fact
+    * re-scan. Per-batch cost is batch-sized (one exact count aggregate
+    * of the batch + a (k+1)-row TakeOrdered); the store grows by ≤ k
+    * rows per batch.
+    *
+    * Error accounting is EXPLICIT, not implicit in the counters: each
+    * batch records its decrement (the (k+1)-th largest in-batch count —
+    * ≤ n_batch/(k+1) by the standard argument) in a `_meta` sidecar, so
+    * every read can report the guarantee true ∈ [lb, lb + Σ dec]
+    * without any assumption about what other batches contained — and a
+    * batch whose every item was decremented away still leaves its audit
+    * row (rows under `_meta` are the bound; rows under the store are
+    * the survivors). */
+  def topkOnArrival(items: DataFrame, storeDir: String,
+      checkpointDir: String, k: Int = 64) =
+    items.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        topkSummaryBatch(batch, batchId, storeDir, k)
+      }
+      .start()
+
+  /** The heavy-hitter-ingest foreachBatch body (public like
+    * [[dedupBatch]]: directly testable, doubles as a batch backfill).
+    * MG compaction of the batch's EXACT count vector: dec = the
+    * (k+1)-th largest count (0 when ≤ k distinct — the exact regime),
+    * survivors keep cnt − dec > 0, so ≤ k rows land and every stored
+    * count is a LOWER bound short by at most dec. Replay-idempotent:
+    * the summary is a pure function of the batch, both writes overwrite
+    * the batch's own partition. */
+  def topkSummaryBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, k: Int): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // read 3× below (total, threshold, survivors) — materialize once
+    val counts = batch.select(col("item").cast("string").as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // (k+1)-row TakeOrdered, never a full sort: the threshold is the
+    // min of the bounded top slice
+    val thr = counts.orderBy(col("cnt").desc, col("item")).limit(k + 1)
+      .agg(when(count(lit(1)) <= k, lit(0L))
+        .otherwise(min(col("cnt"))).as("dec"))
+    counts.crossJoin(broadcast(thr))
+      .filter(col("cnt") > col("dec"))
+      .select(col("item"), (col("cnt") - col("dec")).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+    // the audit row: exact ingested row count + this batch's decrement
+    // (underscore sidecar — invisible to survivor reads, travels with
+    // the store, the bm25 `_docs` discipline)
+    counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+      .crossJoin(broadcast(thr))
+      .select(col("n"), col("dec"))
+      .write.mode("overwrite")
+      .parquet(s"$storeDir/_meta/batch_id=$batchId")
+    graft.util.Frames.releaseCheckpoint(counts)
+  }
+
+  /** Top-m off the arrival-built MG store: one summary-sized pass —
+    * per-item count addition (THE mergeable-summary property), top-m by
+    * (lb desc, item), the `_meta` totals attached. No fact scan ever.
+    * @return (item, lb, n, max_err): lb ≤ true count ≤ lb + max_err,
+    *         n = exact total ingested rows (Σ batch counts — exact
+    *         regardless of compression), max_err = Σ batch decrements
+    *         ≤ n/(k+1). */
+  def topkStoreRead(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val meta = spark.read.parquet(s"$storeDir/_meta")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("dec")), lit(0L)).as("max_err"))
+    spark.read.parquet(storeDir)
+      .groupBy(col("item")).agg(sum(col("cnt")).as("lb"))
+      .orderBy(col("lb").desc, col("item")).limit(m)
+      .crossJoin(broadcast(meta))
+      .select(col("item"), col("lb"), col("n"), col("max_err"))
+  }
+
+  /** Compact the arrival-built MG store into a FRESH ≤ k-row store: fold
+    * the per-batch summaries by count addition, re-apply the MG
+    * decrement once (dec₂ = the (k+1)-th largest folded count), and
+    * carry the accumulated error forward — the read bound after any
+    * number of compactions stays true ∈ [lb, lb + Σ dec], because each
+    * compaction moves exactly its own decrement from the counts into
+    * the `_meta` total. All work is summary-sized. The fresh store
+    * lands under one [[CompactBatchId]] partition; the source store is
+    * untouched — swap directories like [[quantileCompactStore]]. */
+  def topkCompactStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, outDir: String, k: Int = 64): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val folded = spark.read.parquet(storeDir)
+      .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
+    val thr = folded.orderBy(col("cnt").desc, col("item")).limit(k + 1)
+      .agg(when(count(lit(1)) <= k, lit(0L))
+        .otherwise(min(col("cnt"))).as("dec2"))
+    folded.crossJoin(broadcast(thr))
+      .filter(col("cnt") > col("dec2"))
+      .select(col("item"), (col("cnt") - col("dec2")).as("cnt"))
+      .write.mode("overwrite")
+      .parquet(s"$outDir/batch_id=$CompactBatchId")
+    spark.read.parquet(s"$storeDir/_meta")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("dec")), lit(0L)).as("dec"))
+      .crossJoin(broadcast(thr))
+      .select(col("n"), (col("dec") + col("dec2")).as("dec"))
+      .write.mode("overwrite")
+      .parquet(s"$outDir/_meta/batch_id=$CompactBatchId")
+    graft.util.Frames.releaseCheckpoint(folded)
+  }
+
   // ---- BM25 inverted index on arrival ------------------------------------
 
   /** Streaming inverted-index maintenance: each micro-batch of

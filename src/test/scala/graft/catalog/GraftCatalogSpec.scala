@@ -222,6 +222,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(viaSql === viaBatch)
   }
 
+  test("TVF surface: graft_topk serves the MG store from plain SQL ≡ the API read") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("tvf_topk").toString + "/store"
+    val items = Tables.lineitem(spark, sf())
+      .select(col("l_quantity").cast("long").cast("string").as("item"))
+    graft.streaming.StreamOps.topkSummaryBatch(items, 0L, store, k = 64)
+    val viaSql = spark.sql(
+      s"SELECT item, lb, n, max_err FROM graft_topk('$store', 7)")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.streaming.StreamOps.topkStoreRead(spark, store, 7)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql === viaApi && viaSql.size === 7)
+    // ≤ 50 distinct quantities under k = 64 ⇒ the exact regime: counts
+    // whole, zero error budget, n = the fact count
+    val nFacts = Tables.lineitem(spark, sf()).count()
+    viaSql.foreach { r =>
+      assert(r(2) === nFacts && r(3) === 0L, s"exact regime violated: $r") }
+    // bad arity fails the literal contract loudly
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_topk('$store')").collect()
+    }
+    assert(err.getMessage.contains("2 arguments") || err.getMessage.contains("resolve"))
+  }
+
   test("bronze blockchain tables queryable by SQL after ingest") {
     val raw = spark.read.text(getClass.getResource("/blocks/blocks.jsonl").getPath)
     val out = java.nio.file.Files.createTempDirectory("bronze_sql").toString

