@@ -1128,6 +1128,72 @@ object ScaleProbe {
         println(f"""{"probe":"tpch_partsupp","mult":$m,"fact_rows":$n,"out_rows":$out,"sec":$sec%.2f,"Mrows_per_sec":${n / sec / 1e6}%.1f}""")
       }
     }
+
+    // HyperBall neighborhood sketches: m×-grown edge set with DISJOINT
+    // node-id ranges per replica (balls stay constant-size — measured
+    // growth is the PLAN's, not the problem's). The scale claims under
+    // test: per-round cost linear in edges; the broadcast arm (zero
+    // per-round exchange, the q_graph_harmonic choice) vs the shuffle
+    // arm (the billions-of-nodes fallback) crossover evidence.
+    if (want("hyperball")) {
+      val p0 = graft.operators.Graph.jaccardSliceEdges(spark, sfDir)
+        .localCheckpoint()
+      def edOf(m: Int) = (0 until m).map { i =>
+        val off = lit(i.toLong * 100000000L)
+        p0.select(($"a" + off).as("src"), ($"b" + off).as("dst"))
+          .unionAll(p0.select(($"b" + off).as("src"), ($"a" + off).as("dst")))
+      }.reduce(_ unionAll _)
+      Seq(1, 4, 16).foreach { m =>
+        val ed = edOf(m).localCheckpoint()
+        val nE = ed.count()
+        val t0 = System.nanoTime()
+        val nB = graft.operators.Graph.hyperBall(ed, 3, 12,
+          broadcastState = true).count()
+        val tBc = (System.nanoTime() - t0) / 1e9
+        // the shuffle arm only at the small mult (its claim is equality
+        // + viability, not speed; the broadcast arm is the local pick)
+        val tSh = if (m == 1) {
+          val t1 = System.nanoTime()
+          graft.operators.Graph.hyperBall(ed, 3, 12).count()
+          (System.nanoTime() - t1) / 1e9
+        } else -1.0
+        println(f"""{"probe":"hyperball","mult":$m,"edges":$nE,"nodes":$nB,"bcast_sec":$tBc%.2f,"shuffle_sec":$tSh%.2f,"Medges_per_sec":${3 * nE / tBc / 1e6}%.1f}""")
+      }
+    }
+
+    // Misra–Gries store in the LOSSY regime (the oracle fixture stays
+    // exact by design): 12 batches of a planted heavy hitter over a wide
+    // uniform tail (distinct ≫ k = 64), per-batch ingest must stay
+    // batch-sized while the store stays ≤ k rows/batch, and after every
+    // ingest the planted hitter's bound lb ≤ true ≤ lb + max_err must
+    // hold with the budget ≤ n/(k+1).
+    if (want("topk_arrival")) {
+      val tmp = java.nio.file.Files.createTempDirectory("topk_probe").toString
+      val store = s"$tmp/mg"
+      val batch0 = li0.limit(50000)
+        .select(concat(lit("t"), ($"l_partkey" % 20000).cast("string")).as("item"))
+      var trueHot = 0L
+      (0 until 12).foreach { bIdx =>
+        val hot = spark.range(5000 + 100 * bIdx)
+          .select(lit("hot").as("item"))
+        trueHot += 5000 + 100 * bIdx
+        val data = batch0.unionAll(hot)
+        val t0 = System.nanoTime()
+        graft.streaming.StreamOps.topkSummaryBatch(data, bIdx.toLong, store, 64)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (bIdx % 3 == 2) {
+          val tq0 = System.nanoTime()
+          val top = graft.streaming.StreamOps.topkStoreRead(spark, store, 5)
+            .collect()
+          val tq = (System.nanoTime() - tq0) / 1e9
+          val hotRow = top.find(_.getString(0) == "hot").get
+          val (lb, n, err) = (hotRow.getLong(1), hotRow.getLong(2), hotRow.getLong(3))
+          val ok = lb <= trueHot && trueHot <= lb + err && err <= n / 65
+          println(f"""{"probe":"topk_arrival","batch":$bIdx,"ingest_sec":$t%.2f,"read_sec":$tq%.2f,"hot_lb":$lb,"hot_true":$trueHot,"max_err":$err,"bound_ok":$ok}""")
+        } else
+          println(f"""{"probe":"topk_arrival","batch":$bIdx,"ingest_sec":$t%.2f}""")
+      }
+    }
     spark.stop()
   }
 }

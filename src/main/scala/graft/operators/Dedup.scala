@@ -788,6 +788,51 @@ object Dedup {
         .orderBy(col("name_1"), col("name_2"))
     }),
 
+    // Fellegi–Sunter scoring of the q_er_blocking candidate pairs — the
+    // match-decision stage of the entity-resolution pipeline (blocking
+    // bounds the pair set; scoring turns each pair's field-agreement
+    // vector into a log-odds sum and a match/possible/nonmatch verdict).
+    // Weights are fixed integer milli-log-odds constants (not estimated:
+    // deterministic, engine-portable); the fields are the pair's name
+    // distance plus brand/container/size agreement of each name's
+    // representative part (min partkey — the blocking key's canonical
+    // row, a window over the dim table, never the fact). At 100 TB the
+    // shape is unchanged: candidate pairs come from blocking (bounded),
+    // the representative lookup is a dim-sized window + broadcast join,
+    // and the score is a narrow per-row expression.
+    "q_er_scoring" -> ((s, dir) => {
+      val wRep = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_name")).orderBy(col("p_partkey"))
+      val rep = graft.catalog.Tables.part(s, dir)
+        .withColumn("rn", row_number().over(wRep))
+        .filter(col("rn") === 1)
+        .select(col("p_name").as("name"), col("p_brand"),
+          col("p_type"), col("p_size"))
+      val cands = queries("q_er_blocking")(s, dir)
+        .select(col("name_1"), col("name_2"), col("dist"))
+      cands
+        .join(broadcast(rep.select(col("name").as("name_1"),
+          col("p_brand").as("brand_1"), col("p_type").as("type_1"),
+          col("p_size").as("size_1"))), Seq("name_1"))
+        .join(broadcast(rep.select(col("name").as("name_2"),
+          col("p_brand").as("brand_2"), col("p_type").as("type_2"),
+          col("p_size").as("size_2"))), Seq("name_2"))
+        .select(col("name_1"), col("name_2"), col("dist"),
+          (col("brand_1") === col("brand_2")).as("agr_brand"),
+          (col("type_1") === col("type_2")).as("agr_type"),
+          abs(col("size_1") - col("size_2")).cast("int").as("d_size"))
+        .withColumn("score",
+          when(col("dist") === 0, 4000).when(col("dist") === 1, 2500).otherwise(1000) +
+            when(col("agr_brand"), 1200).otherwise(-300) +
+            when(col("agr_type"), 900).otherwise(-200) +
+            when(col("d_size") === 0, 600).when(col("d_size") <= 2, 250).otherwise(-100))
+        .withColumn("verdict",
+          when(col("score") >= 5500, "match")
+            .when(col("score") >= 4000, "possible")
+            .otherwise("nonmatch"))
+        .orderBy(col("score").desc, col("name_1"), col("name_2"))
+    }),
+
     // Pairs → clusters: connected components over the q_dedup_minhash edge
     // list (Components.connectedComponents), every doc labeled with its
     // cluster's smallest doc_id; the canonical keeper IS that smallest id —
@@ -1084,6 +1129,50 @@ object Dedup {
                 CAST(levenshtein(name_1, name_2) AS INT) AS dist, n_1, n_2
          FROM pairs
          ORDER BY name_1, name_2""",
+
+    "q_er_scoring" ->
+      """WITH names AS (
+           SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
+                  string_split(p_name, ' ')[1] AS adj,
+                  string_split(p_name, ' ')[2] AS noun
+           FROM part GROUP BY 1),
+         pairs AS (
+           SELECT a.name AS name_1, b.name AS name_2
+           FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+           WHERE levenshtein(a.name, b.name) <= 2
+           UNION
+           SELECT a.name, b.name
+           FROM names a JOIN names b ON a.adj = b.adj AND a.name < b.name
+           WHERE levenshtein(a.name, b.name) <= 2),
+         rep AS (
+           SELECT p_name AS name, p_brand, p_type, p_size
+           FROM (SELECT p_name, p_brand, p_type, p_size,
+                        row_number() OVER (PARTITION BY p_name ORDER BY p_partkey) AS rn
+                 FROM part)
+           WHERE rn = 1),
+         feat AS (
+           SELECT p.name_1, p.name_2,
+                  CAST(levenshtein(p.name_1, p.name_2) AS INT) AS dist,
+                  r1.p_brand = r2.p_brand AS agr_brand,
+                  r1.p_type = r2.p_type AS agr_type,
+                  CAST(abs(r1.p_size - r2.p_size) AS INT) AS d_size
+           FROM pairs p
+           JOIN rep r1 ON r1.name = p.name_1
+           JOIN rep r2 ON r2.name = p.name_2),
+         scored AS (
+           SELECT *,
+                  CAST(CASE WHEN dist = 0 THEN 4000 WHEN dist = 1 THEN 2500 ELSE 1000 END
+                   + CASE WHEN agr_brand THEN 1200 ELSE -300 END
+                   + CASE WHEN agr_type THEN 900 ELSE -200 END
+                   + CASE WHEN d_size = 0 THEN 600 WHEN d_size <= 2 THEN 250 ELSE -100 END
+                   AS INT) AS score
+           FROM feat)
+         SELECT name_1, name_2, dist, agr_brand, agr_type, d_size, score,
+                CASE WHEN score >= 5500 THEN 'match'
+                     WHEN score >= 4000 THEN 'possible'
+                     ELSE 'nonmatch' END AS verdict
+         FROM scored
+         ORDER BY score DESC, name_1, name_2""",
 
     "q_dedup_semantic" ->
       """WITH e AS (SELECT vec_id, label AS cluster, embedding FROM embeddings),

@@ -528,7 +528,7 @@ object Graph {
         SELECT a AS src, b AS dst FROM e0
         UNION ALL SELECT b, a FROM e0)""",
       """r0 AS MATERIALIZED (
-        SELECT DISTINCT src AS s, src AS v FROM ed WHERE src % 19 = 0)""")
+        SELECT DISTINCT src AS s, src AS v FROM ed WHERE src % 53 = 0)""")
     for (t <- 1 to harmonicRadius) {
       ctes += s"""r$t AS MATERIALIZED (
         SELECT DISTINCT s, v FROM (
@@ -909,8 +909,15 @@ object Graph {
   def hyperBall(edges: DataFrame, radius: Int, lgK: Int = 12,
       broadcastState: Boolean = false): DataFrame = {
     require(radius >= 1, s"radius must be >= 1, got $radius")
+    // layout follows the arm (the pagerank discipline): under broadcast
+    // the edge frame is laid out on SRC — the round's union aggregate
+    // then runs on co-located data and a round costs ZERO exchange (the
+    // sketch-fat contrib frame never moves; spot-measured 2.6× on the
+    // sf0.1 slice graph) — while the shuffle arm lays out on dst so the
+    // per-round state join lands on the fixed layout and only the
+    // node-sized state moves.
     val edP = edges.select(col("src"), col("dst"))
-      .repartition(col("dst"))
+      .repartition(if (broadcastState) col("src") else col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var state = edP.select(col("src").as("node")).distinct()
@@ -1557,7 +1564,7 @@ object Graph {
 
     // HyperBall harmonic centrality over the symmetrized %16-slice
     // graph: HLL ball sketches for ALL nodes (the at-scale operator),
-    // exact-anchored on the deterministic %19 source sample — per
+    // exact-anchored on the deterministic %53 source sample — per
     // source the exact ball sizes b1..b3, exact integer harmonic
     // centrality (e4 units), and the sketch-estimate tolerance verdict
     // (the q_agg_approx_distinct pattern: DuckDB asserts TRUE without
@@ -1567,9 +1574,13 @@ object Graph {
       val ed = p.select(col("a").as("src"), col("b").as("dst"))
         .union(p.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint()
-      val hb = hyperBall(ed, harmonicRadius, harmonicLgK)
+      // broadcast arm: node-count state fits the budget at every SF and
+      // a round costs zero exchange (GraphSpec pins arm equality; the
+      // shuffle arm is the billions-of-nodes fallback)
+      val hb = hyperBall(ed, harmonicRadius, harmonicLgK,
+        broadcastState = true)
       val sources = ed.select(col("src").as("s")).distinct()
-        .filter(col("s") % 19 === 0)
+        .filter(col("s") % 53 === 0)
       val exact = exactBallSizes(ed, sources, harmonicRadius)
         .groupBy(col("s"))
         .agg(max(when(col("t") === 1, col("b"))).as("b1"),

@@ -750,6 +750,82 @@ object Aggs {
         .select($"n_click", $"n_purchase", $"n_both",
           (abs(($"est_sum" - $"est_union") - $"n_both") <= lit(0.05) * $"n_both")
             .as("approx_ok"))
+    }),
+
+    // KMV / bottom-k (theta-family) sketch set algebra [Beyer et al.
+    // SIGMOD'07; Dasgupta et al., theta sketches] — the DIRECT set
+    // estimator beside q_agg_sketch_intersect's HLL inclusion-exclusion:
+    // keep each set's k smallest distinct member hashes; the union
+    // sketch is the k smallest of the merged survivors (mergeable by
+    // construction), est |U| = (k−1)·2⁶⁰/M_k, and any set EXPRESSION
+    // (∩, \) estimates as its observed fraction among the union
+    // sketch's k hashes × est |U| — the algebra HLL cannot do without
+    // inclusion-exclusion blowup. Sets here: buyers of two brands
+    // (order custkeys through a broadcast part prune). At 100 TB the
+    // per-set shuffle carries (set, distinct-hash) pairs (map-side
+    // partial), the rank window sorts each set's own hashes, and
+    // everything after the k-row survivors is broadcast-scale. The
+    // exact anchors ride along (the q_agg_approx_distinct pattern:
+    // DuckDB recomputes the exact counts and asserts the verdicts
+    // TRUE); md5 hashes make the sketch engine-portable and the
+    // verdict deterministic per dataset — tolerance 15% (k = 512,
+    // rse ≈ 4.4%) with 25% on the doubly-estimated intersection,
+    // pinned with ≥ 2× margin at every shipped SF.
+    "q_agg_kmv_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val k = 512
+      val brandA = "Brand#11"
+      val brandB = "Brand#22"
+      val m = lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+        .join(broadcast(part(s, dir)
+          .filter($"p_brand".isin(brandA, brandB))
+          .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+        .join(orders(s, dir).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"p_brand".as("st"), $"o_custkey".as("mem"))
+      // distinct (set, hash) pairs — duplicates collapse map-side — then
+      // each set's k smallest survive (the sketch)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"st").orderBy($"h")
+      val kmv = m
+        .groupBy($"st",
+          conv(substring(md5($"mem".cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("cnt")).drop("cnt")
+        .withColumn("r", row_number().over(w)).filter($"r" <= k)
+        .localCheckpoint()
+      // union sketch: k smallest of the merged survivors, each flagged
+      // with which per-set sketches contain it
+      val flags = kmv.groupBy($"h").agg(
+        max(when($"st" === brandA, 1L).otherwise(0L)).as("in_a"),
+        max(when($"st" === brandB, 1L).otherwise(0L)).as("in_b"))
+      val uk = flags.orderBy($"h").limit(k)
+      val est = uk.agg(count(lit(1)).as("nk"), max($"h").as("mk"),
+          sum($"in_a" * $"in_b").as("both"),
+          sum($"in_a").as("ka"), sum($"in_b").as("kb"))
+        .select(
+          when($"nk" < k, $"nk".cast("double"))
+            .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / $"mk")
+            .as("est_u"),
+          ($"both".cast("double") / $"nk").as("f_inter"),
+          ($"ka".cast("double") / $"nk").as("f_a"),
+          ($"kb".cast("double") / $"nk").as("f_b"))
+      // exact anchors
+      val d = m.select($"st", $"mem").distinct().localCheckpoint()
+      val ex = d.agg(
+        sum(when($"st" === brandA, 1L)).as("n_a"),
+        sum(when($"st" === brandB, 1L)).as("n_b"))
+        .crossJoin(d.select($"mem").distinct().agg(count(lit(1)).as("n_union")))
+        .select($"n_a", $"n_b", $"n_union",
+          ($"n_a" + $"n_b" - $"n_union").as("n_inter"))
+      def ok(estC: org.apache.spark.sql.Column, exn: String, pct: Int) =
+        abs(estC - col(exn)) <= greatest(lit(25.0), col(exn) * pct / 100.0)
+      ex.crossJoin(est)
+        .select($"n_a", $"n_b", $"n_union", $"n_inter",
+          ok($"est_u" * $"f_a", "n_a", 15).as("ok_a"),
+          ok($"est_u" * $"f_b", "n_b", 15).as("ok_b"),
+          ok($"est_u", "n_union", 15).as("ok_union"),
+          ok($"est_u" * $"f_inter", "n_inter", 25).as("ok_inter"))
     })
   )
 
@@ -1260,6 +1336,20 @@ object Aggs {
                  SELECT user_id FROM events WHERE event_type = 'click'
                  INTERSECT
                  SELECT user_id FROM events WHERE event_type = 'purchase')) c""",
+
+    "q_agg_kmv_intersect" ->
+      """WITH d AS (
+           SELECT DISTINCT p.p_brand AS st, o.o_custkey AS mem
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+             AND p.p_brand IN ('Brand#11', 'Brand#22')
+           JOIN orders o ON o.o_orderkey = l.l_orderkey)
+         SELECT a.n AS n_a, b.n AS n_b, u.n AS n_union,
+                a.n + b.n - u.n AS n_inter,
+                TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_union, TRUE AS ok_inter
+         FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM d WHERE st = 'Brand#11') a,
+              (SELECT CAST(count(*) AS BIGINT) AS n FROM d WHERE st = 'Brand#22') b,
+              (SELECT CAST(count(DISTINCT mem) AS BIGINT) AS n FROM d) u""",
 
     "q_agg_sketch_rollup" ->
       """SELECT event_type,

@@ -220,6 +220,26 @@ object Text {
     // sampling is replayable, engine-portable, and stable under
     // repartitioning; the standard trick for train/val/test splits at
     // scale). Bucket = first 4 md5 hex chars of the key → [0, 65536).
+    // Sequential Poisson sampling [Ohlsson, 1998], the weighted member of
+    // the hash-sampling family: priority = u/w where u is a 48-bit md5
+    // draw and w the document's size weight, keep the bottom-k — longer
+    // documents are proportionally likelier, the whole draw is a pure
+    // function of doc_id (reproducible across runs/engines, no rand()),
+    // and at 100 TB the bottom-k is a TakeOrdered (no global sort, no
+    // second pass; the (k+1)-th priority is the threshold that makes
+    // Horvitz–Thompson subset-sum estimates unbiased [Duffield et al.,
+    // priority sampling]). Integer u div w keeps every engine bit-equal.
+    "q_sample_priority" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).filter($"text".isNotNull)
+        .select($"doc_id", (length($"text") + 1).cast("long").as("w"),
+          conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+            .cast("long").as("u"))
+        .select($"doc_id", $"w", expr("u div w").as("pri"))
+        .orderBy($"pri", $"doc_id")
+        .limit(200)
+    }),
+
     "q_sample_hash" -> ((s, dir) => {
       import s.implicits._
       documents(s, dir)
@@ -827,6 +847,15 @@ object Text {
       """SELECT doc_id,
                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+
+    "q_sample_priority" ->
+      """SELECT doc_id, w, u // w AS pri
+         FROM (
+           SELECT doc_id, CAST(length(text) + 1 AS BIGINT) AS w,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS u
+           FROM documents WHERE text IS NOT NULL)
+         ORDER BY pri, doc_id
+         LIMIT 200""",
 
     "q_sample_hash" ->
       """SELECT doc_id, lang, bucket, split

@@ -90,6 +90,40 @@ object Timeseries {
         .orderBy($"event_type", $"day")
     }),
 
+    // Holt's linear-trend double exponential smoothing (α = β = 1/4) of
+    // the daily event count per type — the EWMA's trend-aware sibling
+    // (level + trend state, 3-day-ahead forecast). The interlocked
+    // recursion can't be truncated into a band join the way EWMA's
+    // single state could, so it runs as an integer fold over the
+    // per-type daily array: state in e4 micro-units, every division a
+    // BIAS-SHIFTED `div 4` ((x + 2^42) div 4 − 2^40 ≡ floor(x/4) on
+    // both engines even for the NEGATIVE trend values, where Spark's
+    // truncating div and DuckDB's flooring // would otherwise split).
+    // Scale: the fold is a narrow per-row expression over the DAILY
+    // AGGREGATE (day-count-sized arrays, never fact rows) — the
+    // embarrassingly-parallel per-key shape of every sequential-state
+    // pass here; the oracle mirrors it as a recursive CTE.
+    "q_timeseries_holt" -> ((s, dir) => {
+      import s.implicits._
+      val lv = "(x * 10000L + 3L * (a.lv + a.tr) + 4398046511104L) div 4L - 1099511627776L"
+      val tr = s"(($lv) - a.lv + 3L * a.tr + 4398046511104L) div 4L - 1099511627776L"
+      events(s, dir)
+        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"x"))).as("sx"))
+        .select($"event_type", size($"sx").as("n_days"),
+          expr(s"""aggregate(transform(sx, e -> e.x),
+                     named_struct('lv', -1L, 'tr', 0L),
+                     (a, x) -> IF(a.lv = -1L,
+                       named_struct('lv', x * 10000L, 'tr', 0L),
+                       named_struct('lv', $lv, 'tr', $tr)))""").as("hw"))
+        .select($"event_type", $"n_days", $"hw.lv".as("level_e4"),
+          $"hw.tr".as("trend_e4"),
+          ($"hw.lv" + lit(3L) * $"hw.tr").as("forecast3_e4"))
+        .orderBy($"event_type")
+    }),
+
     // Forward-fill imputation (LOCF): daily per-type count of high-value
     // events (value > 250 — 96 of the 150 (type, day) cells are empty at
     // sf0.01), date-spined so gaps surface as nulls, then last-observation-
@@ -248,6 +282,30 @@ object Timeseries {
          WHERE rn >= 8
            AND (n*x - sx)*(n*x - sx)*(n-1) > 4*n*(n*sxx - sx*sx)
          ORDER BY event_type, day""",
+
+    "q_timeseries_holt" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x,
+                  row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn
+           FROM events GROUP BY 1, 2),
+         hw AS (
+           SELECT event_type, rn, x * 10000 AS lv, CAST(0 AS BIGINT) AS tr
+           FROM daily WHERE rn = 1
+           UNION ALL
+           SELECT d.event_type, d.rn,
+                  (d.x * 10000 + 3 * (hw.lv + hw.tr) + 4398046511104) // 4 - 1099511627776,
+                  ((d.x * 10000 + 3 * (hw.lv + hw.tr) + 4398046511104) // 4 - 1099511627776
+                    - hw.lv + 3 * hw.tr + 4398046511104) // 4 - 1099511627776
+           FROM hw JOIN daily d
+             ON d.event_type = hw.event_type AND d.rn = hw.rn + 1),
+         fin AS (
+           SELECT event_type, rn, lv, tr,
+                  row_number() OVER (PARTITION BY event_type ORDER BY rn DESC) AS rr
+           FROM hw)
+         SELECT event_type, CAST(rn AS INTEGER) AS n_days, lv AS level_e4,
+                tr AS trend_e4, lv + 3 * tr AS forecast3_e4
+         FROM fin WHERE rr = 1
+         ORDER BY event_type""",
 
     "q_timeseries_ewma" ->
       """WITH daily AS (
