@@ -380,6 +380,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** One-sided shingle CONTAINMENT [Broder, SEQUENCES'97 c(A,B)] — the
+    * sub-document duplication detector Jaccard misses: a short document
+    * quoted whole inside a long one scores tiny Jaccard (the union is
+    * long-doc-sized) but containment ≈ 1. c = |S1∩S2| / min(|S1|,|S2|)
+    * in exact integer e4 (the symmetric max-containment form, so one
+    * score covers both quote directions; the pair orientation stays
+    * d1 < d2). Bounded pair product here (caller slices — the checked
+    * form); the unbounded path is the SAME banded-minhash candidate
+    * tier as shingle near-dup (a contained doc's minhash rows are drawn
+    * from a subset of the container's, so band collisions still fire at
+    * high containment), verify-inside-the-join like every dedup tier. */
+  def containmentNearDups(docs: DataFrame, thresholdE4: Long): DataFrame = {
+    val withSh = docs
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+    val a = withSh.select(col("doc_id").as("d1"), col("sh").as("s1"))
+    val b = withSh.select(col("doc_id").as("d2"), col("sh").as("s2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("s1"), col("s2"))).cast("long").as("inter"),
+        least(size(col("s1")), size(col("s2"))).cast("long").as("mn"))
+      .select(col("d1"), col("d2"), col("inter"), col("mn"),
+        expr("(inter * 10000L) div mn").as("cont_e4"))
+      .filter(col("cont_e4") >= thresholdE4)
+  }
+
   // ------------------------------------------------------------- embeddings
 
   /** Embedding-cosine near-dups over an explicit pair product (bounded by
@@ -592,6 +618,16 @@ object Dedup {
       ngramNearDups(documents(s, dir).filter(col("doc_id") < 200), 0.2)
         .orderBy(col("d1"), col("d2"))
     }),
+
+    // One-sided shingle containment at 0.5 over the bounded 300-doc
+    // slice — the sub-document (quote-inclusion) duplication detector
+    // Jaccard misses; exact integer e4 score, pairs + intersection
+    // sizes.
+    "q_dedup_containment" -> ((s, dir) =>
+      containmentNearDups(
+        documents(s, dir).filter(col("doc_id") < 300 && col("text").isNotNull),
+        5000L)
+        .orderBy(col("d1"), col("d2"))),
 
     // Order-sensitive LSH: MinHash banding over 3-gram shingles — the
     // unbounded scale path for shingle near-dup (same banding algebra as
@@ -1020,6 +1056,20 @@ object Dedup {
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                       / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+          ORDER BY d1, d2""",
+
+    "q_dedup_containment" ->
+      s"""WITH sh AS (
+            SELECT doc_id, $shingleSql AS s
+            FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+          nz AS (SELECT doc_id, s FROM sh WHERE len(s) >= 1)
+          SELECT d1, d2, inter, mn, (inter * 10000) // mn AS cont_e4
+          FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+                   CAST(least(len(a.s), len(b.s)) AS BIGINT) AS mn
+            FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+          WHERE (inter * 10000) // mn >= 5000
           ORDER BY d1, d2""",
 
     "q_dedup_embed" ->

@@ -115,6 +115,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bm25_index(store_dir, query, k) - BM25 top-k served off a persisted arrival-built inverted index."),
       (children: Seq[Expression]) => GraftTvf.bm25Index(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_ktruss"),
+      info(GraftTvf.getClass, "graft_ktruss",
+        "graft_ktruss(dir, k, rounds) - surviving (a, b, sup) edges of the k-truss peel over dir's co-purchase graph."),
+      (children: Seq[Expression]) => GraftTvf.ktruss(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_hyperball"),
+      info(GraftTvf.getClass, "graft_hyperball",
+        "graft_hyperball(dir, radius) - full (node, bs) HyperBall neighborhood-function map over dir's co-purchase graph."),
+      (children: Seq[Expression]) => GraftTvf.hyperball(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_topk"),
       info(GraftTvf.getClass, "graft_topk",
         "graft_topk(store_dir, m) - heavy hitters off a persisted arrival-built Misra-Gries store."),

@@ -239,6 +239,45 @@ object GraftTvf {
     }
   }
 
+  /** graft_ktruss(dir, k, rounds) — the surviving (a, b, sup) edges of
+    * the k-truss peel over `dir`'s %16-slice co-purchase graph (the
+    * q_graph_ktruss operator parameterized; support recomputed within
+    * the final subgraph). Eager-loop contract like [[pagerank]]. */
+  def ktruss(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ktruss"
+    require(children.size == 3, s"$fn(dir, k, rounds) takes 3 arguments")
+    val spark = SparkSession.active
+    val dir = str(children, 0, fn)
+    val k = int(children, 1, fn)
+    val rounds = int(children, 2, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$k|$rounds") {
+      graft.operators.Graph
+        .ktrussPeel(graft.operators.Graph.jaccardSliceEdges(spark, dir), k, rounds)
+    }
+  }
+
+  /** graft_hyperball(dir, radius) — the FULL (node, bs) HyperBall
+    * neighborhood-function map over `dir`'s symmetrized %16-slice
+    * co-purchase graph: bs[t+1] = estimated |ball of radius t| for
+    * t = 0..radius (harmonic centrality, effective diameter, HyperANF
+    * N(t) are all SQL arithmetic over bs). Eager-loop contract like
+    * [[pagerank]]. */
+  def hyperball(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_hyperball"
+    require(children.size == 2, s"$fn(dir, radius) takes 2 arguments")
+    val spark = SparkSession.active
+    val dir = str(children, 0, fn)
+    val radius = int(children, 1, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$radius") {
+      val p = graft.operators.Graph.jaccardSliceEdges(spark, dir)
+      val ed = p.select(org.apache.spark.sql.functions.col("a").as("src"),
+          org.apache.spark.sql.functions.col("b").as("dst"))
+        .union(p.select(org.apache.spark.sql.functions.col("b").as("src"),
+          org.apache.spark.sql.functions.col("a").as("dst")))
+      graft.operators.Graph.hyperBall(ed, radius, broadcastState = true)
+    }
+  }
+
   /** graft_ann_search(vec_dir, edge_dir, probe_id, k) — "more like this"
     * over a PERSISTED incremental ANN store ([[graft.streaming.StreamOps]]
     * layout): the probe vector is fetched from the store by id, searched

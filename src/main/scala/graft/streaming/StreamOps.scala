@@ -564,7 +564,19 @@ object StreamOps {
     val meta = spark.read.parquet(s"$storeDir/_meta")
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("dec")), lit(0L)).as("max_err"))
-    spark.read.parquet(storeDir)
+    // a store whose every batch was empty holds `_meta` audit rows but
+    // no survivor files — read that as the empty summary, not a crash
+    // (the dedupOnArrival empty-store bootstrap discipline); any other
+    // read failure still rethrows
+    val survivors =
+      try spark.read.parquet(storeDir).select(col("item"), col("cnt"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          import spark.implicits._
+          Seq.empty[(String, Long)].toDF("item", "cnt")
+      }
+    survivors
       .groupBy(col("item")).agg(sum(col("cnt")).as("lb"))
       .orderBy(col("lb").desc, col("item")).limit(m)
       .crossJoin(broadcast(meta))

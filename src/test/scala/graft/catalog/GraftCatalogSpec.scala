@@ -246,6 +246,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("2 arguments") || err.getMessage.contains("resolve"))
   }
 
+  test("TVF surface: graft_ktruss and graft_hyperball splice the eager graph loops into SQL") {
+    import spark.implicits._
+    val viaSql = spark.sql(
+      s"SELECT a, b, sup FROM graft_ktruss('${sf()}', 4, 2) ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaApi = graft.operators.Graph
+      .ktrussPeel(graft.operators.Graph.jaccardSliceEdges(spark, sf()), 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql === viaApi && viaSql.nonEmpty)
+    // hyperball: SQL arithmetic over the bs array reproduces monotone
+    // ball growth, and b0 = 1 for every node
+    val hb = spark.sql(
+      s"""SELECT count(*) AS n,
+                 sum(CASE WHEN bs[0] = 1 THEN 1 ELSE 0 END) AS b0_ones,
+                 sum(CASE WHEN bs[1] >= bs[0] AND bs[2] >= bs[1] THEN 1 ELSE 0 END) AS mono
+          FROM graft_hyperball('${sf()}', 2)""").collect()(0)
+    assert(hb.getLong(0) > 0 && hb.getLong(1) === hb.getLong(0) &&
+      hb.getLong(2) === hb.getLong(0), s"got $hb")
+  }
+
   test("bronze blockchain tables queryable by SQL after ingest") {
     val raw = spark.read.text(getClass.getResource("/blocks/blocks.jsonl").getPath)
     val out = java.nio.file.Files.createTempDirectory("bronze_sql").toString

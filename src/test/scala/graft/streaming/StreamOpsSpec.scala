@@ -981,6 +981,12 @@ class StreamOpsSpec extends SparkSpec {
     val ex = StreamOps.topkStoreRead(spark, exact, 3).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
     assert(ex === Map("hot" -> (120L, 0L), "warm" -> (80L, 0L), "cool" -> (40L, 0L)))
+    // an all-empty-batch store holds only `_meta` audit rows — the read
+    // bootstraps to the empty summary instead of crashing
+    val emptyStore = s"$tmp/mg_empty"
+    StreamOps.topkSummaryBatch(
+      Seq.empty[String].toDF("item"), 0L, emptyStore, 16)
+    assert(StreamOps.topkStoreRead(spark, emptyStore, 3).count() === 0)
   }
 
   test("ann-ingest: incremental store at the 4× sf0.1 corpus holds the fixture recall floor") {
