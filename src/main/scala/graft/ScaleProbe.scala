@@ -1186,9 +1186,13 @@ object ScaleProbe {
           val top = graft.streaming.StreamOps.topkStoreRead(spark, store, 5)
             .collect()
           val tq = (System.nanoTime() - tq0) / 1e9
-          val hotRow = top.find(_.getString(0) == "hot").get
-          val (lb, n, err) = (hotRow.getLong(1), hotRow.getLong(2), hotRow.getLong(3))
-          val ok = lb <= trueHot && trueHot <= lb + err && err <= n / 65
+          // a missing hitter is a FAILED bound line, not a probe crash
+          val (lb, n, err, ok) = top.find(_.getString(0) == "hot") match {
+            case Some(r) =>
+              val (l, nn, e) = (r.getLong(1), r.getLong(2), r.getLong(3))
+              (l, nn, e, l <= trueHot && trueHot <= l + e && e <= nn / 65)
+            case None => (-1L, -1L, -1L, false)
+          }
           println(f"""{"probe":"topk_arrival","batch":$bIdx,"ingest_sec":$t%.2f,"read_sec":$tq%.2f,"hot_lb":$lb,"hot_true":$trueHot,"max_err":$err,"bound_ok":$ok}""")
         } else
           println(f"""{"probe":"topk_arrival","batch":$bIdx,"ingest_sec":$t%.2f}""")

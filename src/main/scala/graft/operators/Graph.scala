@@ -874,7 +874,11 @@ object Graph {
       releaseCheckpoint(sup)
       e = next
     }
-    edgeSupport(e).orderBy(col("a"), col("b"))
+    // the final support frame is checkpoint-materialized inside
+    // edgeSupport — the last edge frame is dead the moment it returns
+    val fin = edgeSupport(e)
+    releaseCheckpoint(e)
+    fin.orderBy(col("a"), col("b"))
   }
 
   /** HyperBall [Boldi & Vigna, WSDM'13]: the per-node neighborhood
@@ -920,7 +924,7 @@ object Graph {
       .repartition(if (broadcastState) col("src") else col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var state = edP.select(col("src").as("node")).distinct()
+      var state = edP.select(col("src").as("node"))
         .groupBy(col("node"))
         .agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk"))
         .select(col("node"), col("sk"),
@@ -974,7 +978,22 @@ object Graph {
       releaseCheckpoint(reach)
       reach = next
     }
+    // every per-round size is checkpoint-materialized above — the edge
+    // copy and the last reach set are dead; only the |S|·radius-row
+    // size frames stay pinned for the consumer
+    releaseCheckpoint(reach)
+    releaseCheckpoint(ed)
     sizes.reduce(_ unionByName _)
+  }
+
+  /** The symmetrized %16-slice co-purchase graph as (src, dst) pairs —
+    * ONE builder for the HyperBall family (the certified query, the
+    * graft_hyperball TVF, and ScaleProbe's `hyperball` arm must all run
+    * the same graph — the jaccardSliceEdges sharing discipline). */
+  private[graft] def symmetrizedSliceEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = jaccardSliceEdges(s, dir)
+    p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
   }
 
   /** Fixed-round synchronous label propagation [Raghavan et al., Phys.
@@ -1570,10 +1589,7 @@ object Graph {
     // (the q_agg_approx_distinct pattern: DuckDB asserts TRUE without
     // reproducing the sketch).
     "q_graph_harmonic" -> ((s, dir) => {
-      val p = jaccardSliceEdges(s, dir)
-      val ed = p.select(col("a").as("src"), col("b").as("dst"))
-        .union(p.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
+      val ed = symmetrizedSliceEdges(s, dir).localCheckpoint()
       // broadcast arm: node-count state fits the budget at every SF and
       // a round costs zero exchange (GraphSpec pins arm equality; the
       // shuffle arm is the billions-of-nodes fallback)

@@ -269,12 +269,9 @@ object GraftTvf {
     val dir = str(children, 0, fn)
     val radius = int(children, 1, fn)
     loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$radius") {
-      val p = graft.operators.Graph.jaccardSliceEdges(spark, dir)
-      val ed = p.select(org.apache.spark.sql.functions.col("a").as("src"),
-          org.apache.spark.sql.functions.col("b").as("dst"))
-        .union(p.select(org.apache.spark.sql.functions.col("b").as("src"),
-          org.apache.spark.sql.functions.col("a").as("dst")))
-      graft.operators.Graph.hyperBall(ed, radius, broadcastState = true)
+      graft.operators.Graph.hyperBall(
+        graft.operators.Graph.symmetrizedSliceEdges(spark, dir),
+        radius, broadcastState = true)
     }
   }
 

@@ -813,8 +813,8 @@ object Aggs {
       // exact anchors
       val d = m.select($"st", $"mem").distinct().localCheckpoint()
       val ex = d.agg(
-        sum(when($"st" === brandA, 1L)).as("n_a"),
-        sum(when($"st" === brandB, 1L)).as("n_b"))
+        coalesce(sum(when($"st" === brandA, 1L)), lit(0L)).as("n_a"),
+        coalesce(sum(when($"st" === brandB, 1L)), lit(0L)).as("n_b"))
         .crossJoin(d.select($"mem").distinct().agg(count(lit(1)).as("n_union")))
         .select($"n_a", $"n_b", $"n_union",
           ($"n_a" + $"n_b" - $"n_union").as("n_inter"))

@@ -216,10 +216,6 @@ object Text {
         .orderBy($"doc_id")
     }),
 
-    // reproducible sampling: md5-bucket assignment (NOT rand() — hash-based
-    // sampling is replayable, engine-portable, and stable under
-    // repartitioning; the standard trick for train/val/test splits at
-    // scale). Bucket = first 4 md5 hex chars of the key → [0, 65536).
     // Sequential Poisson sampling [Ohlsson, 1998], the weighted member of
     // the hash-sampling family: priority = u/w where u is a 48-bit md5
     // draw and w the document's size weight, keep the bottom-k — longer
@@ -240,6 +236,10 @@ object Text {
         .limit(200)
     }),
 
+    // reproducible sampling: md5-bucket assignment (NOT rand() — hash-based
+    // sampling is replayable, engine-portable, and stable under
+    // repartitioning; the standard trick for train/val/test splits at
+    // scale). Bucket = first 4 md5 hex chars of the key → [0, 65536).
     "q_sample_hash" -> ((s, dir) => {
       import s.implicits._
       documents(s, dir)

@@ -112,12 +112,15 @@ object Timeseries {
         .agg(count(lit(1)).as("x"))
         .groupBy($"event_type")
         .agg(sort_array(collect_list(struct($"day", $"x"))).as("sx"))
+        // the base case keys on an explicit seen-counter, NOT a level
+        // value sentinel — a declining series can legitimately drive the
+        // level through any value, including a would-be sentinel
         .select($"event_type", size($"sx").as("n_days"),
           expr(s"""aggregate(transform(sx, e -> e.x),
-                     named_struct('lv', -1L, 'tr', 0L),
-                     (a, x) -> IF(a.lv = -1L,
-                       named_struct('lv', x * 10000L, 'tr', 0L),
-                       named_struct('lv', $lv, 'tr', $tr)))""").as("hw"))
+                     named_struct('n', 0L, 'lv', 0L, 'tr', 0L),
+                     (a, x) -> IF(a.n = 0L,
+                       named_struct('n', 1L, 'lv', x * 10000L, 'tr', 0L),
+                       named_struct('n', a.n + 1L, 'lv', $lv, 'tr', $tr)))""").as("hw"))
         .select($"event_type", $"n_days", $"hw.lv".as("level_e4"),
           $"hw.tr".as("trend_e4"),
           ($"hw.lv" + lit(3L) * $"hw.tr").as("forecast3_e4"))

@@ -595,7 +595,18 @@ object StreamOps {
   def topkCompactStore(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, outDir: String, k: Int = 64): Unit = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val folded = spark.read.parquet(storeDir)
+    // same all-empty-batch bootstrap as topkStoreRead: a store holding
+    // only `_meta` audit rows compacts to an empty survivor set with
+    // the carried totals, not a crash
+    val raw =
+      try spark.read.parquet(storeDir).select(col("item"), col("cnt"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          import spark.implicits._
+          Seq.empty[(String, Long)].toDF("item", "cnt")
+      }
+    val folded = raw
       .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
       .localCheckpoint()
     val thr = folded.orderBy(col("cnt").desc, col("item")).limit(k + 1)
