@@ -1161,6 +1161,28 @@ object ScaleProbe {
       }
     }
 
+    // k-truss peel: m×-grown edge set with DISJOINT node-id ranges per
+    // replica (triangle structure per replica constant — growth measures
+    // the PLAN). Claim under test: per-round support cost linear in
+    // edges under the Chiba–Nishizeki wedge bound (triangles' own probe
+    // shape, iterated through the peel's 4 support passes).
+    if (want("ktruss")) {
+      val p0 = graft.operators.Graph.jaccardSliceEdges(spark, sfDir)
+        .localCheckpoint()
+      def edOf(m: Int) = (0 until m).map { i =>
+        val off = lit(i.toLong * 100000000L)
+        p0.select(($"a" + off).as("a"), ($"b" + off).as("b"))
+      }.reduce(_ unionAll _)
+      Seq(1, 4, 16).foreach { m =>
+        val ed = edOf(m).localCheckpoint()
+        val nE = ed.count()
+        val t0 = System.nanoTime()
+        val out = graft.operators.Graph.ktrussPeel(ed, 4, 3).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"ktruss","mult":$m,"edges":$nE,"truss_edges":$out,"sec":$sec%.2f,"Medges_per_sec":${4 * nE / sec / 1e6}%.1f}""")
+      }
+    }
+
     // Misra–Gries store in the LOSSY regime (the oracle fixture stays
     // exact by design): 12 batches of a planted heavy hitter over a wide
     // uniform tail (distinct ≫ k = 64), per-batch ingest must stay

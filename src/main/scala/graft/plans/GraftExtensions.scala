@@ -115,6 +115,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bm25_index(store_dir, query, k) - BM25 top-k served off a persisted arrival-built inverted index."),
       (children: Seq[Expression]) => GraftTvf.bm25Index(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_distinct"),
+      info(GraftTvf.getClass, "graft_distinct",
+        "graft_distinct(store_dir) - per-day distinct estimates off a persisted arrival-built HLL store."),
+      (children: Seq[Expression]) => GraftTvf.distinct(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_ktruss"),
       info(GraftTvf.getClass, "graft_ktruss",
         "graft_ktruss(dir, k, rounds) - surviving (a, b, sup) edges of the k-truss peel over dir's co-purchase graph."),

@@ -379,6 +379,20 @@ object GraftTvf {
       .queryExecution.analyzed
   }
 
+  /** graft_distinct(store_dir) — per-day distinct estimates off a
+    * PERSISTED arrival-built HLL store ([[graft.streaming.StreamOps]]
+    * distinctOnArrival layout): one sketch-sized union pass, never a
+    * fact scan — union is register-max so the read equals the
+    * from-scratch estimate exactly. Lazy (no loop). */
+  def distinct(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_distinct"
+    require(children.size == 1, s"$fn(store_dir) takes 1 argument")
+    val spark = SparkSession.active
+    graft.streaming.StreamOps
+      .distinctStoreRead(spark, str(children, 0, fn))
+      .queryExecution.analyzed
+  }
+
   /** graft_bm25_index(store_dir, query, k) — BM25 top-k served off a
     * PERSISTED arrival-built inverted index
     * ([[graft.streaming.StreamOps]] bm25OnArrival layout): postings-

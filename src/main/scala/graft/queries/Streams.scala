@@ -69,7 +69,49 @@ object Streams {
     s"$out/store"
   }
 
+  /** A persisted 3-batch HLL distinct store built from events
+    * (day = event date, id = user_id, batch = event_id % 3 — every day
+    * recurs across batches, so the union read exercises cross-batch
+    * sketch merging). Built ONCE per (dir, mtime) through the REAL
+    * arrival body into a FixtureCache staging publish. */
+  private[queries] def distinctStoreFixture(s: SparkSession, dir: String): String = {
+    val out = graft.util.FixtureCache.buildOnce(dir, "events", "dstore") {
+      staging =>
+        val vals = events(s, dir).select(
+          (col("event_id") % 3).as("b"),
+          col("ts").cast("timestamp").cast("date").as("day"),
+          col("user_id").as("id"))
+        for (b <- 0L to 2L)
+          graft.streaming.StreamOps.distinctSummaryBatch(
+            vals.filter(col("b") === b).select(col("day"), col("id")),
+            b, staging.resolve("store").toString, lgK = 14)
+    }
+    s"$out/store"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The HLL-store SQL surface oracle-checked end to end
+    // (q_tvf_quantiles/q_tvf_topk's distinct-count sibling): per-day
+    // distinct users off the persisted 3-batch HLL store through
+    // spark.sql text alone, anchored against the exact per-day distinct
+    // recomputed from facts (the q_agg_approx_distinct tolerance
+    // pattern: at lgK 14 the 5% bound is ~6 sigma — and the union read
+    // is register-max, so the store answer equals the from-scratch
+    // sketch exactly).
+    "q_tvf_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val store = distinctStoreFixture(s, dir)
+      val est = s.sql(s"SELECT day, est FROM graft_distinct('$store')")
+      val exact = events(s, dir)
+        .groupBy($"ts".cast("timestamp").cast("date").as("day"))
+        .agg(countDistinct($"user_id").as("exact_users"))
+      exact.join(est, Seq("day"))
+        .select($"day", $"exact_users",
+          (abs($"est" - $"exact_users") <=
+            greatest(lit(2L), expr("exact_users div 20"))).as("approx_ok"))
+        .orderBy($"day")
+    }),
+
     // The MG-store SQL surface oracle-checked end to end
     // (q_tvf_quantiles's frequency-tier sibling): top-10 quantities off
     // the persisted 3-batch Misra–Gries store through spark.sql TEXT
@@ -190,6 +232,14 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tvf_distinct" ->
+      """SELECT CAST(ts AS DATE) AS day,
+                count(DISTINCT user_id) AS exact_users,
+                TRUE AS approx_ok
+         FROM events
+         GROUP BY 1
+         ORDER BY day""",
+
     // the fixture keeps every batch in the exact MG regime (50 distinct
     // quantities ≤ k = 64 ⇒ dec = 0 per batch), so per-item counts are
     // whole, n is the fact count and the error budget is literally zero

@@ -627,6 +627,68 @@ object StreamOps {
     graft.util.Frames.releaseCheckpoint(folded)
   }
 
+  // ---- HLL distinct counts on arrival --------------------------------------
+
+  /** Distinct-count maintenance on arrival — the streaming form of
+    * q_agg_approx_distinct / q_agg_sketch_rollup (the HLL member of the
+    * arrival-store family beside quantiles and heavy hitters): each
+    * micro-batch of (day, id) rows is compacted to one HLL sketch per
+    * day and appended as an idempotent batch partition; "distinct ids
+    * per day over everything ingested" is then a sketch-sized union
+    * read ([[distinctStoreRead]]) — HLL union is register-max, so
+    * sketch(A) ∪ sketch(B) IS sketch(A ⊎ B) and the store read equals
+    * the from-scratch estimate bit-for-bit (StreamOpsSpec pins it).
+    * Per-batch cost is batch-sized (one per-day aggregate); the store
+    * grows by ≤ |days-in-batch| KB-scale sketch rows per batch. */
+  def distinctOnArrival(rows: DataFrame, storeDir: String,
+      checkpointDir: String, lgK: Int = 14) =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        distinctSummaryBatch(batch, batchId, storeDir, lgK)
+      }
+      .start()
+
+  /** The distinct-ingest foreachBatch body (public like [[dedupBatch]]:
+    * directly testable, doubles as a batch backfill). Replay-idempotent
+    * at the READ level: sparse-mode HLL serialization preserves coupon
+    * insertion order, so a replay under different partitioning may
+    * rewrite different BYTES into the same partition — but the register
+    * state is a pure function of the batch's id SET, so every read is
+    * identical (StreamOpsSpec pins it). */
+  def distinctSummaryBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, lgK: Int): Unit =
+    batch.select(col("day"), col("id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+
+  /** Per-day distinct estimates off the arrival-built HLL store: one
+    * sketch-sized union pass, never a fact re-scan.
+    * @return (day, est BIGINT) ordered by day. */
+  def distinctStoreRead(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      .orderBy(col("day"))
+
+  /** Compact the arrival-built HLL store to ONE sketch row per day —
+    * union is lossless (register-max), so reads are IDENTICAL before
+    * and after, the store just stops growing with batch count. Fresh
+    * store under [[CompactBatchId]]; source untouched — swap dirs. */
+  def distinctCompactStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, outDir: String): Unit =
+    spark.read.parquet(storeDir)
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$CompactBatchId")
+
   // ---- BM25 inverted index on arrival ------------------------------------
 
   /** Streaming inverted-index maintenance: each micro-batch of

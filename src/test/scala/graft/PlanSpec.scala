@@ -580,4 +580,29 @@ class PlanSpec extends SparkSpec {
       s"q16 scans lineitem/supplier/part exactly once each in:\n$p16")
     assert(!p16.contains("SortMergeJoin"), s"q16 joins broadcast in:\n$p16")
   }
+
+  test("priority sampling: bottom-k is a TakeOrdered, only the two consumed columns are read") {
+    val p = plan("q_sample_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-200 must never global-sort in:\n$p")
+    assert(!p.contains("lang"), s"unconsumed document column read in:\n$p")
+    assert(p.contains("IsNotNull(text)"),
+      s"the text filter must reach the parquet scan in:\n$p")
+  }
+
+  test("topk TVF read is summary-sized: the store is scanned, the fact table never") {
+    val p = plan("q_tvf_topk")
+    assert(!p.contains("lineitem"),
+      s"the MG-store read must not touch the fact table in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 of the summary must never global-sort in:\n$p")
+  }
+
+  test("er scoring: candidates and representatives join by broadcast — no sort-merge, no product") {
+    val p = plan("q_er_scoring")
+    assert(!p.contains("SortMergeJoin"),
+      s"dictionary-sized ER frames must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"blocking bounds the pair set — no product in:\n$p")
+  }
 }

@@ -244,6 +244,17 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_topk('$store')").collect()
     }
     assert(err.getMessage.contains("2 arguments") || err.getMessage.contains("resolve"))
+    // graft_distinct: SQL ≡ API over an arrival-built HLL store
+    val dstore = java.nio.file.Files.createTempDirectory("tvf_hll").toString + "/store"
+    val ev = graft.catalog.Tables.events(spark, sf()).select(
+      col("ts").cast("timestamp").cast("date").as("day"),
+      col("user_id").as("id"))
+    graft.streaming.StreamOps.distinctSummaryBatch(ev, 0L, dstore, 14)
+    val dSql = spark.sql(s"SELECT day, est FROM graft_distinct('$dstore')")
+      .collect().map(_.toSeq).toSeq
+    val dApi = graft.streaming.StreamOps.distinctStoreRead(spark, dstore)
+      .collect().map(_.toSeq).toSeq
+    assert(dSql === dApi && dSql.nonEmpty)
   }
 
   test("TVF surface: graft_ktruss and graft_hyperball splice the eager graph loops into SQL") {

@@ -989,6 +989,74 @@ class StreamOpsSpec extends SparkSpec {
     assert(StreamOps.topkStoreRead(spark, emptyStore, 3).count() === 0)
   }
 
+  test("distinct-on-arrival: store read ≡ from-scratch sketch; replay idempotent; compaction lossless") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("hll_arrival").toString
+    val store = s"$tmp/hll"
+    // three batches over two days, ids overlapping across batches (the
+    // union read must not double-count recurring ids)
+    val b1 = (1 to 600).map(i => ("d1", (i % 400).toLong))
+    val b2 = (1 to 500).map(i => ("d1", (i % 450 + 100).toLong))
+    val b3 = (1 to 400).map(i => ("d2", (i % 300).toLong))
+    val in = MemoryStream[(String, Long)]
+    val q = StreamOps.distinctOnArrival(
+      in.toDF().toDF("day", "id"), store, s"$tmp/ckpt", lgK = 14)
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    // store invariants: one sketch row per (batch, day) — KB-scale
+    val raw = spark.read.parquet(store)
+    assert(raw.count() === 3, "one sketch row per batch-day block")
+    // merge law: the union read equals the from-scratch sketch estimate
+    // (register-max union — not just within tolerance, IDENTICAL)
+    val got = StreamOps.distinctStoreRead(spark, store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = (b1 ++ b2 ++ b3).toDF("day", "id")
+      .groupBy($"day")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"id", lit(14))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === direct, s"store $got vs direct $direct")
+    // ...and both sit within the lgK-14 tolerance of exact
+    val exact = Map("d1" -> (b1 ++ b2).filter(_._1 == "d1").map(_._2).distinct.size.toLong,
+      "d2" -> b3.map(_._2).distinct.size.toLong)
+    exact.foreach { case (d, ex) =>
+      assert(math.abs(got(d) - ex) <= math.max(2L, ex / 20), s"$d: ${got(d)} vs $ex") }
+    // replay idempotence at READ level: sparse-mode HLL serialization
+    // preserves coupon insertion order, so replaying the same data
+    // under a different partitioning can rewrite different BYTES — but
+    // the register state (and so every read) is identical; that is the
+    // law a register-max sketch store can and does promise
+    def snap() = spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.get(2).toString)).toSet
+    val before = snap()
+    StreamOps.distinctSummaryBatch(b2.toDF("day", "id"), 1L, store, 14)
+    assert(snap() === before, "replay must keep the same (day, batch) rows")
+    val gotReplay = StreamOps.distinctStoreRead(spark, store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotReplay === got, "replay must not change any read")
+    // compaction: one row per day, reads identical, fixpoint
+    StreamOps.distinctCompactStore(spark, store, s"$tmp/hll_c")
+    val c = spark.read.parquet(s"$tmp/hll_c")
+    assert(c.count() === 2)
+    val gotC = StreamOps.distinctStoreRead(spark, s"$tmp/hll_c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotC === got, "compaction must be read-lossless")
+    StreamOps.distinctCompactStore(spark, s"$tmp/hll_c", s"$tmp/hll_c2")
+    val gotC2 = StreamOps.distinctStoreRead(spark, s"$tmp/hll_c2").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotC2 === got, "re-compaction must be a read fixpoint")
+    // post-compact ingest lands beside the folded partition
+    StreamOps.distinctSummaryBatch(
+      Seq(("d2", 999999L)).toDF("day", "id"), 9L, s"$tmp/hll_c", 14)
+    val got2 = StreamOps.distinctStoreRead(spark, s"$tmp/hll_c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2("d2") === got("d2") + 1, s"fresh id must count: $got2 vs $got")
+  }
+
   test("ann-ingest: incremental store at the 4× sf0.1 corpus holds the fixture recall floor") {
     // The round-12 verdict's ONLY measured quality regression: the
     // incremental store's recall fell 14/15 → 13/15 at 4× corpus under
