@@ -387,17 +387,70 @@ object Dedup {
     * in exact integer e4 (the symmetric max-containment form, so one
     * score covers both quote directions; the pair orientation stays
     * d1 < d2). Bounded pair product here (caller slices — the checked
-    * form); the unbounded path is the SAME banded-minhash candidate
-    * tier as shingle near-dup (a contained doc's minhash rows are drawn
-    * from a subset of the container's, so band collisions still fire at
-    * high containment), verify-inside-the-join like every dedup tier. */
-  def containmentNearDups(docs: DataFrame, thresholdE4: Long): DataFrame = {
+    * form); the unbounded path is [[containmentCandidates]] — rare-
+    * shingle inverted-index buckets, NOT minhash banding, because
+    * band collision probability tracks Jaccard and fades exactly in
+    * the small-doc-inside-big-doc regime containment exists to catch —
+    * with the shared [[containmentVerify]] tail (OperatorsSpec pins
+    * candidate-path recall on the fixture pairs). */
+  def containmentNearDups(docs: DataFrame, thresholdE4: Long): DataFrame =
+    containmentVerify(docs,
+      docs.select(col("doc_id").as("d1"))
+        .join(docs.select(col("doc_id").as("d2")), col("d1") < col("d2")),
+      thresholdE4)
+
+  /** Containment candidates AT SCALE: inverted-index bucketing on each
+    * document's k globally-RAREST shingles. Minhash banding cannot
+    * serve one-sided containment (a short doc inside a long one has
+    * small Jaccard, so band collisions fade exactly when containment
+    * is most interesting); rare-shingle postings can: a contained doc
+    * shares EVERY shingle it has with its container, so each of its
+    * rare shingles is a bucket the pair co-occupies. Shingles with
+    * df > dfCap are excluded — they are exactly the buckets that would
+    * explode the join AND exactly the shingles that discriminate
+    * nothing (the q_text_novelty/decontaminate postings discipline).
+    * Work is postings-bounded: every bucket ≤ dfCap docs, every doc
+    * contributes ≤ k buckets — never doc × doc. Recall is
+    * probabilistic in the threshold regime (a 0.5-contained doc shares
+    * half its shingles; its rarest may fall in the unshared half) and
+    * certain at full containment; OperatorsSpec pins the fixture
+    * recall floor and the planted full-containment guarantee. */
+  def containmentCandidates(docs: DataFrame, k: Int = 8,
+      dfCap: Long = 64): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val capped = sh.join(dfs, "s")
+    val rare = capped
+      .withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      .select(col("s"), col("doc_id"))
+    // asymmetric by necessity: the CONTAINED doc's rare shingles are
+    // shared, but the container's own rarest are usually its unshared
+    // ones — so each doc's rare selection probes the FULL capped
+    // postings (≤ dfCap docs per bucket, ≤ k buckets per doc: work
+    // ≤ k·dfCap rows per doc either way)
+    rare.as("a").join(capped.select(col("s"), col("doc_id")).as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .distinct()
+  }
+
+  /** Exact containment verify over an explicit candidate pair set —
+    * the shared tail of the bounded-product checked form
+    * ([[containmentNearDups]]) and the postings-bounded scale path
+    * ([[containmentCandidates]]); precision is 1 by construction
+    * (every emitted pair is exactly verified). */
+  def containmentVerify(docs: DataFrame, cands: DataFrame,
+      thresholdE4: Long): DataFrame = {
     val withSh = docs
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
       .filter(size(col("sh")) >= 1)
-    val a = withSh.select(col("doc_id").as("d1"), col("sh").as("s1"))
-    val b = withSh.select(col("doc_id").as("d2"), col("sh").as("s2"))
-    a.join(b, col("d1") < col("d2"))
+    cands
+      .join(withSh.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
+      .join(withSh.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("s1"), col("s2"))).cast("long").as("inter"),
         least(size(col("s1")), size(col("s2"))).cast("long").as("mn"))

@@ -206,6 +206,39 @@ class OperatorsSpec extends SparkSpec {
     assert(dups === Set((5000L, 5001L)))
   }
 
+  test("containment candidates: full containment always pairs; fixture recall floor; precision 1") {
+    import spark.implicits._
+    // planted guarantee: B = a strict prefix of A (containment 1.0) —
+    // every one of B's shingles lives in A, so B's rare shingles ALL
+    // index the pair and the candidate tier cannot miss it
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (9001L, words),
+      (9002L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (9003L, (100 to 140).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cands = Dedup.containmentCandidates(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((9001L, 9002L)), s"full containment missed: $cands")
+    val verified = Dedup.containmentVerify(planted, Dedup.containmentCandidates(planted), 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified === Set((9001L, 9002L)), s"got $verified")
+    // fixture recall: candidate-path pairs vs the exact bounded product
+    // at the shipped threshold — the 0.5 regime is probabilistic (a
+    // half-contained doc's rarest shingles can fall in the unshared
+    // half), floor pinned at 0.8; precision is 1 by construction
+    val slice = Tables.documents(spark, sf())
+      .filter(col("doc_id") < 300 && col("text").isNotNull)
+    val exact = Dedup.containmentNearDups(slice, 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCands = Dedup.containmentVerify(
+        slice, Dedup.containmentCandidates(slice), 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaCands.subsetOf(exact), "verified candidates must be true pairs")
+    assert(exact.nonEmpty && viaCands.size * 10 >= exact.size * 8,
+      s"recall ${viaCands.size}/${exact.size} below the 0.8 floor")
+  }
+
   test("decontaminate: leaked benchmark passages flagged, boilerplate df-capped") {
     import spark.implicits._
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
