@@ -1183,6 +1183,23 @@ object ScaleProbe {
       }
     }
 
+    // Containment candidate tier: disjoint-vocabulary replicas (the
+    // `docs` probe's corpus — replicas never pair, so true output grows
+    // linearly) through the rare-shingle inverted index + exact verify.
+    // The claim under test: candidate work is postings-bounded
+    // (≤ k·dfCap rows per doc), never doc × doc.
+    if (want("containment")) {
+      docMults.foreach { m =>
+        val docs = replicateDocs(m).localCheckpoint()
+        val n = docs.count()
+        val t0 = System.nanoTime()
+        val out = graft.operators.Dedup.containmentVerify(docs,
+          graft.operators.Dedup.containmentCandidates(docs), 5000L).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"containment","mult":$m,"docs":$n,"pairs":$out,"sec":$sec%.2f,"kdocs_per_sec":${n / sec / 1e3}%.1f}""")
+      }
+    }
+
     // Misra–Gries store in the LOSSY regime (the oracle fixture stays
     // exact by design): 12 batches of a planted heavy hitter over a wide
     // uniform tail (distinct ≫ k = 64), per-batch ingest must stay
