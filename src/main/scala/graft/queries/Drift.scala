@@ -81,6 +81,43 @@ object Drift {
       .orderBy(col("bucket"))
   }
 
+  /** Jensen–Shannon divergence over the same bucketed two-snapshot shape
+    * as [[psi]] — the SYMMETRIC, always-finite ([0, ln 2]) drift measure
+    * the monitoring literature prefers when either side can have empty
+    * buckets (PSI's ln(p/q) needs smoothing to stay finite; JSD's
+    * mixture midpoint m = (p+q)/2 never vanishes where either side
+    * lives). Identical scale discipline: ONE corpus-sized hash
+    * aggregate collapsing to ≤ NBuckets rows map-side, histogram-sized
+    * windows for totals, the explode-to-(-1) total-row trick — corpus
+    * scanned exactly once by construction. Micro-units are
+    * floor(x·1e8 + 0.5) like psi_micro (8-decimal rounding absorbs
+    * last-ULP ln differences across engines). */
+  def jsd(bucketed: DataFrame, smoothBuckets: Int): DataFrame = {
+    val hist = bucketed.groupBy(col("bucket"))
+      .agg(
+        sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_new"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val perBucket = hist
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        ((col("n_old") + 0.5) / (sum(col("n_old")).over(all) + 0.5 * smoothBuckets)).as("p"),
+        ((col("n_new") + 0.5) / (sum(col("n_new")).over(all) + 0.5 * smoothBuckets)).as("q"))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        floor((lit(0.5) * col("p") * log(col("p") / ((col("p") + col("q")) / 2)) +
+          lit(0.5) * col("q") * log(col("q") / ((col("p") + col("q")) / 2))) * 1e8 + 0.5)
+          .cast("long").as("jsd_micro"))
+    perBucket
+      .select(explode(array(col("bucket"), lit(-1))).as("out_bucket"),
+        col("n_old"), col("n_new"), col("jsd_micro"))
+      .groupBy(col("out_bucket"))
+      .agg(sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
+        sum(col("jsd_micro")).as("jsd_micro"))
+      .select(col("out_bucket").as("bucket"), col("n_old"), col("n_new"),
+        col("jsd_micro"), round(col("jsd_micro") / 1e8, 8).as("jsd"))
+      .orderBy(col("bucket"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic over a bucketed pair of
     * snapshots ((bucket: int, is_old: boolean)) — EXACT integer form: the
     * empirical-CDF gap at bucket b is |cumA/totA − cumB/totB|, compared
@@ -214,6 +251,16 @@ object Drift {
         least(floor($"o_totalprice" / BucketWidth), lit(NBuckets - 1))
           .cast("int").as("bucket"),
         ($"o_orderdate" < "1998-01-01").as("is_old")), NBuckets)
+    }),
+
+    // Jensen–Shannon divergence over the same price-bucket snapshot
+    // pair — the symmetric, always-finite drift measure beside PSI.
+    "q_drift_jsd" -> ((s, dir) => {
+      import s.implicits._
+      jsd(orders(s, dir).select(
+        least(floor($"o_totalprice" / BucketWidth), lit(NBuckets - 1))
+          .cast("int").as("bucket"),
+        ($"o_orderdate" < "1998-01-01").as("is_old")), NBuckets)
     })
   )
 
@@ -332,6 +379,37 @@ object Drift {
                   CAST(sum(psi_micro) AS BIGINT) FROM per)
          SELECT bucket, n_old, n_new, psi_micro,
                 round(psi_micro / 1e8, 8) AS psi
+         FROM unioned
+         ORDER BY bucket""",
+
+    "q_drift_jsd" ->
+      """WITH o AS (
+           SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bucket,
+                  o_orderdate < DATE '1998-01-01' AS is_old
+           FROM orders),
+         hist AS (
+           SELECT bucket,
+                  CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                  CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+           FROM o GROUP BY 1),
+         totals AS (
+           SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+                  CAST(sum(n_new) AS BIGINT) AS tot_new FROM hist),
+         per AS (
+           SELECT bucket, n_old, n_new,
+                  CAST(floor((0.5 * p * ln(p / ((p + q) / 2))
+                            + 0.5 * q * ln(q / ((p + q) / 2))) * 1e8 + 0.5) AS BIGINT) AS jsd_micro
+           FROM (SELECT bucket, n_old, n_new,
+                        (n_old + 0.5) / (tot_old + 0.5 * 10) AS p,
+                        (n_new + 0.5) / (tot_new + 0.5 * 10) AS q
+                 FROM hist, totals)),
+         unioned AS (
+           SELECT * FROM per
+           UNION ALL
+           SELECT -1 AS bucket, CAST(sum(n_old) AS BIGINT), CAST(sum(n_new) AS BIGINT),
+                  CAST(sum(jsd_micro) AS BIGINT) FROM per)
+         SELECT bucket, n_old, n_new, jsd_micro,
+                round(jsd_micro / 1e8, 8) AS jsd
          FROM unioned
          ORDER BY bucket"""
   )
