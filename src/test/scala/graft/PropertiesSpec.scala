@@ -258,6 +258,24 @@ class PropertiesSpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("jsd laws on generated histograms: zero iff identical, symmetric, bounded by ln 2") {
+    import spark.implicits._
+    val gen = Gen.listOfN(24, Gen.choose(0, 3))
+    check(Prop.forAll(gen, gen) { (oldB: List[Int], newB: List[Int]) =>
+      val rows = oldB.map((_, true)) ++ newB.map((_, false))
+      def total(rs: Seq[(Int, Boolean)]) = graft.queries.Drift
+        .jsd(rs.toDF("bucket", "is_old"), 4).collect()
+        .find(_.getInt(0) == -1).get.getLong(3)
+      val t = total(rows)
+      // symmetry: JSD(p, q) = JSD(q, p) — PSI has this too, but for JSD
+      // it is definitional (the midpoint mixture is symmetric)
+      val sw = oldB.map((_, false)) ++ newB.map((_, true))
+      val zeroIffSame = if (oldB.sorted == newB.sorted) t == 0L else true
+      t >= 0L && t <= math.ceil(math.log(2) * 1e8).toLong &&
+        t == total(sw) && zeroIffSame
+    }, n = 8)
+  }
+
   test("ks laws on generated histograms: bounded by [0, 1], symmetric") {
     import spark.implicits._
     val gen = Gen.listOfN(20, Gen.choose(0, 3))
