@@ -405,33 +405,46 @@ object Dedup {
     * small Jaccard, so band collisions fade exactly when containment
     * is most interesting); rare-shingle postings can: a contained doc
     * shares EVERY shingle it has with its container, so each of its
-    * rare shingles is a bucket the pair co-occupies. Shingles with
-    * df > dfCap are excluded — they are exactly the buckets that would
-    * explode the join AND exactly the shingles that discriminate
-    * nothing (the q_text_novelty/decontaminate postings discipline).
-    * Work is postings-bounded: every bucket ≤ dfCap docs, every doc
-    * contributes ≤ k buckets — never doc × doc. Recall is
-    * probabilistic in the threshold regime (a 0.5-contained doc shares
-    * half its shingles; its rarest may fall in the unshared half) and
-    * certain at full containment; OperatorsSpec pins the fixture
-    * recall floor and the planted full-containment guarantee. */
+    * rare shingles is a bucket the pair co-occupies. The rare-k
+    * selection ranks over ALL the doc's shingles (no df exclusion —
+    * a doc whose every shingle is boilerplate-common still gets its k
+    * least-common picks, closing the df>dfCap zero-candidate blind
+    * spot); the POSTINGS side is what dfCap bounds: full posting
+    * lists only for df ≤ dfCap shingles, plus every doc's own rare
+    * picks. The rare∪rare arm means exact-boilerplate clusters (all
+    * copies share one shingle set, hence one rare selection) always
+    * collide no matter how common their shingles — and its extra work
+    * is output-bounded (those collisions ARE true duplicate pairs).
+    * Work: ≤ k·dfCap rows per doc on the capped arm; the rare arm is
+    * Σ_s |docs ranking s rare|², nonzero only inside dup clusters.
+    * Recall is probabilistic in the threshold regime (a 0.5-contained
+    * doc shares half its shingles; its rarest may fall in the
+    * unshared half) and certain at full containment whenever the
+    * contained doc has ≥1 shingle with df ≤ dfCap OR the pair is an
+    * exact-content cluster; OperatorsSpec pins the fixture recall
+    * floor, the planted full-containment guarantee, and the
+    * over-dfCap boilerplate cluster. q_dedup_containment_scale runs
+    * this exact algebra under the DuckDB oracle. */
   def containmentCandidates(docs: DataFrame, k: Int = 8,
       dfCap: Long = 64): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
     val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val capped = sh.join(dfs, "s")
-    val rare = capped
+    val withDf = sh.join(dfs, "s")
+    val rare = withDf
       .withColumn("r", row_number().over(w)).filter(col("r") <= k)
       .select(col("s"), col("doc_id"))
     // asymmetric by necessity: the CONTAINED doc's rare shingles are
     // shared, but the container's own rarest are usually its unshared
-    // ones — so each doc's rare selection probes the FULL capped
-    // postings (≤ dfCap docs per bucket, ≤ k buckets per doc: work
-    // ≤ k·dfCap rows per doc either way)
-    rare.as("a").join(capped.select(col("s"), col("doc_id")).as("b"),
+    // ones — so each doc's rare selection probes the capped postings
+    // (≤ dfCap docs per bucket, ≤ k buckets per doc) UNION the rare
+    // selections themselves (the boilerplate-cluster arm)
+    val postings = withDf.filter(col("df") <= dfCap)
+      .select(col("s"), col("doc_id"))
+      .unionByName(rare)
+      .distinct()
+    rare.as("a").join(postings.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
@@ -681,6 +694,20 @@ object Dedup {
         documents(s, dir).filter(col("doc_id") < 300 && col("text").isNotNull),
         5000L)
         .orderBy(col("d1"), col("d2"))),
+
+    // The containment SCALE path under the oracle: rare-shingle
+    // inverted-index candidates (k=8 rarest per doc, dfCap=64 postings
+    // bound, rare∪rare boilerplate arm) → exact verify — the tier a
+    // corpus-scale quote-inclusion dedup actually runs, never doc×doc.
+    // The oracle reproduces the candidate algebra exactly (df counts,
+    // rare-k row_number ranking, postings union, verify tail), the
+    // q_dedup_ngram_lsh precedent.
+    "q_dedup_containment_scale" -> ((s, dir) => {
+      val slice =
+        documents(s, dir).filter(col("doc_id") < 300 && col("text").isNotNull)
+      containmentVerify(slice, containmentCandidates(slice), 5000L)
+        .orderBy(col("d1"), col("d2"))
+    }),
 
     // Order-sensitive LSH: MinHash banding over 3-gram shingles — the
     // unbounded scale path for shingle near-dup (same banding algebra as
@@ -1122,6 +1149,43 @@ object Dedup {
                    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
                    CAST(least(len(a.s), len(b.s)) AS BIGINT) AS mn
             FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+          WHERE (inter * 10000) // mn >= 5000
+          ORDER BY d1, d2""",
+
+    // exact DuckDB replay of containmentCandidates (rare-k ranking,
+    // dfCap postings bound, rare∪rare arm) + the containmentVerify tail
+    "q_dedup_containment_scale" ->
+      s"""WITH sh0 AS (
+            SELECT doc_id, $shingleSql AS sarr
+            FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+          sh AS (SELECT doc_id, unnest(sarr) AS s FROM sh0),
+          dfs AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+          withdf AS (SELECT sh.doc_id, sh.s, dfs.df FROM sh JOIN dfs USING (s)),
+          rare AS (
+            SELECT s, doc_id FROM (
+              SELECT s, doc_id,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS r
+              FROM withdf)
+            WHERE r <= 8),
+          postings AS (
+            SELECT DISTINCT s, doc_id FROM (
+              SELECT s, doc_id FROM withdf WHERE df <= 64
+              UNION ALL
+              SELECT s, doc_id FROM rare)),
+          cands AS (
+            SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+                   greatest(a.doc_id, b.doc_id) AS d2
+            FROM rare a JOIN postings b
+              ON a.s = b.s AND a.doc_id <> b.doc_id),
+          nz AS (SELECT doc_id, sarr FROM sh0 WHERE len(sarr) >= 1)
+          SELECT d1, d2, inter, mn, (inter * 10000) // mn AS cont_e4
+          FROM (
+            SELECT c.d1, c.d2,
+                   CAST(len(list_intersect(a.sarr, b.sarr)) AS BIGINT) AS inter,
+                   CAST(least(len(a.sarr), len(b.sarr)) AS BIGINT) AS mn
+            FROM cands c
+            JOIN nz a ON a.doc_id = c.d1
+            JOIN nz b ON b.doc_id = c.d2)
           WHERE (inter * 10000) // mn >= 5000
           ORDER BY d1, d2""",
 

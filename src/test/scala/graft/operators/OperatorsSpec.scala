@@ -239,6 +239,22 @@ class OperatorsSpec extends SparkSpec {
       s"recall ${viaCands.size}/${exact.size} below the 0.8 floor")
   }
 
+  test("containment candidates: over-dfCap boilerplate cluster still pairs") {
+    import spark.implicits._
+    // 70 identical docs (> dfCap = 64): every shingle's df is 70, so no
+    // doc has a single under-cap shingle — the regime that used to yield
+    // ZERO candidates. Identical shingle sets give identical rare-k
+    // selections, and the rare∪rare postings arm pairs the whole
+    // cluster: all 70·69/2 pairs at containment 1.0.
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val cluster = (0 until 70).map(i => (8000L + i, boiler))
+      .toDF("doc_id", "text")
+    val verified = Dedup.containmentVerify(
+      cluster, Dedup.containmentCandidates(cluster), 5000L)
+    assert(verified.count() === 70L * 69L / 2L)
+    assert(verified.filter(col("cont_e4") === 10000L).count() === 70L * 69L / 2L)
+  }
+
   test("decontaminate: leaked benchmark passages flagged, boilerplate df-capped") {
     import spark.implicits._
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
