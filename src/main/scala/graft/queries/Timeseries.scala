@@ -127,6 +127,65 @@ object Timeseries {
         .orderBy($"event_type")
     }),
 
+    // Holt-Winters ADDITIVE seasonality (α = β = γ = 1/4, period m = 7):
+    // the seasonal member q_timeseries_acf's weekly bump motivates and
+    // q_timeseries_holt's level+trend model lacks. State = (level,
+    // trend, 7 seasonal offsets) in e4 micro-units, folded over the
+    // per-type daily array with the same bias-shifted `div 4` recipe
+    // ((x + 2^42) div 4 − 2^40 ≡ floor(x/4) on both engines even for
+    // negative level/trend/season values). Init at t = 7: level = mean
+    // of the first week (non-negative sum → plain div 7 is floor on
+    // both engines), trend = 0, s_i = x_i − level; then the standard
+    // interlocked recurrences with s_{t−7} read/written at slot
+    // (t−1) mod 7. Output: final state + 1-day and 7-day-ahead
+    // forecasts (l + h·b + s_{t+h−7}). Scale: same shape as holt — a
+    // narrow per-key fold over the DAILY aggregate (day-count-sized
+    // arrays, never fact rows), embarrassingly parallel per key; the
+    // oracle mirrors the recurrence as a recursive CTE carrying the 7
+    // seasonal slots as scalar columns.
+    "q_timeseries_holtwinters" -> ((s, dir) => {
+      import s.implicits._
+      val B = "4398046511104L"
+      val OFF = "1099511627776L"
+      // init at the 7th value: slots 0..5 hold raw x_i·e4, x_7 arrives now
+      val tot = s"(a.ss[0]+a.ss[1]+a.ss[2]+a.ss[3]+a.ss[4]+a.ss[5]+x*10000L)"
+      val lv0 = s"($tot div 7L)"
+      // recurrence at t = a.n+1 > 7: seasonal slot (t−1) mod 7 = a.n mod 7
+      val sOld = "a.ss[CAST(a.n % 7L AS INT)]"
+      val lvN = s"((x*10000L - $sOld + 3L*(a.lv + a.tr) + $B) div 4L - $OFF)"
+      val trN = s"(($lvN - a.lv + 3L*a.tr + $B) div 4L - $OFF)"
+      val sN = s"((x*10000L - $lvN + 3L*$sOld + $B) div 4L - $OFF)"
+      events(s, dir)
+        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"x"))).as("sx"))
+        .select($"event_type", size($"sx").as("n_days"),
+          expr(s"""aggregate(transform(sx, e -> e.x),
+                     named_struct('n', 0L, 'lv', 0L, 'tr', 0L,
+                       'ss', array(0L, 0L, 0L, 0L, 0L, 0L, 0L)),
+                     (a, x) -> IF(a.n < 6L,
+                       named_struct('n', a.n + 1L, 'lv', 0L, 'tr', 0L,
+                         'ss', transform(a.ss,
+                           (v, j) -> IF(CAST(j AS BIGINT) = a.n, x*10000L, v))),
+                       IF(a.n = 6L,
+                         named_struct('n', 7L, 'lv', $lv0, 'tr', 0L,
+                           'ss', transform(a.ss,
+                             (v, j) -> IF(j = 6, x*10000L, v) - $lv0)),
+                         named_struct('n', a.n + 1L, 'lv', $lvN, 'tr', $trN,
+                           'ss', transform(a.ss,
+                             (v, j) -> IF(CAST(j AS BIGINT) = a.n % 7L, $sN, v))))))""")
+            .as("hw"))
+        .filter($"n_days" >= 7)
+        .select($"event_type", $"n_days".cast("long").as("n_days"),
+          $"hw.lv".as("level_e4"), $"hw.tr".as("trend_e4"),
+          ($"hw.lv" + $"hw.tr" +
+            expr("hw.ss[CAST(n_days % 7 AS INT)]")).as("forecast1_e4"),
+          ($"hw.lv" + lit(7L) * $"hw.tr" +
+            expr("hw.ss[CAST((n_days + 6) % 7 AS INT)]")).as("forecast7_e4"))
+        .orderBy($"event_type")
+    }),
+
     // Forward-fill imputation (LOCF): daily per-type count of high-value
     // events (value > 250 — 96 of the 150 (type, day) cells are empty at
     // sf0.01), date-spined so gaps surface as nulls, then last-observation-
@@ -307,6 +366,71 @@ object Timeseries {
            FROM hw)
          SELECT event_type, CAST(rn AS INTEGER) AS n_days, lv AS level_e4,
                 tr AS trend_e4, lv + 3 * tr AS forecast3_e4
+         FROM fin WHERE rr = 1
+         ORDER BY event_type""",
+
+    // recursive-CTE mirror of the Holt-Winters fold: 7 seasonal slots as
+    // scalar columns, lateral aliases (lvn/trn) carry the interlocked
+    // level→trend→season order within each recursion step
+    "q_timeseries_holtwinters" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x,
+                  row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn
+           FROM events GROUP BY 1, 2),
+         init AS (
+           SELECT event_type, CAST(7 AS BIGINT) AS rn,
+                  CAST(sum(x * 10000) // 7 AS BIGINT) AS lv, CAST(0 AS BIGINT) AS tr,
+                  CAST(max(CASE WHEN rn = 1 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s0,
+                  CAST(max(CASE WHEN rn = 2 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s1,
+                  CAST(max(CASE WHEN rn = 3 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s2,
+                  CAST(max(CASE WHEN rn = 4 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s3,
+                  CAST(max(CASE WHEN rn = 5 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s4,
+                  CAST(max(CASE WHEN rn = 6 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s5,
+                  CAST(max(CASE WHEN rn = 7 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s6
+           FROM daily WHERE rn <= 7 GROUP BY 1 HAVING count(*) = 7),
+         hw AS (
+           SELECT * FROM init
+           UNION ALL
+           SELECT d.event_type, d.rn,
+                  (d.x * 10000 - (CASE (d.rn - 1) % 7
+                       WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2
+                       WHEN 3 THEN hw.s3 WHEN 4 THEN hw.s4 WHEN 5 THEN hw.s5
+                       ELSE hw.s6 END)
+                    + 3 * (hw.lv + hw.tr) + 4398046511104) // 4 - 1099511627776 AS lvn,
+                  (lvn - hw.lv + 3 * hw.tr + 4398046511104) // 4 - 1099511627776 AS trn,
+                  CASE WHEN (d.rn - 1) % 7 = 0
+                       THEN (d.x * 10000 - lvn + 3 * hw.s0 + 4398046511104) // 4 - 1099511627776
+                       ELSE hw.s0 END,
+                  CASE WHEN (d.rn - 1) % 7 = 1
+                       THEN (d.x * 10000 - lvn + 3 * hw.s1 + 4398046511104) // 4 - 1099511627776
+                       ELSE hw.s1 END,
+                  CASE WHEN (d.rn - 1) % 7 = 2
+                       THEN (d.x * 10000 - lvn + 3 * hw.s2 + 4398046511104) // 4 - 1099511627776
+                       ELSE hw.s2 END,
+                  CASE WHEN (d.rn - 1) % 7 = 3
+                       THEN (d.x * 10000 - lvn + 3 * hw.s3 + 4398046511104) // 4 - 1099511627776
+                       ELSE hw.s3 END,
+                  CASE WHEN (d.rn - 1) % 7 = 4
+                       THEN (d.x * 10000 - lvn + 3 * hw.s4 + 4398046511104) // 4 - 1099511627776
+                       ELSE hw.s4 END,
+                  CASE WHEN (d.rn - 1) % 7 = 5
+                       THEN (d.x * 10000 - lvn + 3 * hw.s5 + 4398046511104) // 4 - 1099511627776
+                       ELSE hw.s5 END,
+                  CASE WHEN (d.rn - 1) % 7 = 6
+                       THEN (d.x * 10000 - lvn + 3 * hw.s6 + 4398046511104) // 4 - 1099511627776
+                       ELSE hw.s6 END
+           FROM hw JOIN daily d
+             ON d.event_type = hw.event_type AND d.rn = hw.rn + 1),
+         fin AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY rn DESC) AS rr
+           FROM hw)
+         SELECT event_type, CAST(rn AS BIGINT) AS n_days, lv AS level_e4, tr AS trend_e4,
+                lv + tr + (CASE rn % 7
+                    WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+                    WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END) AS forecast1_e4,
+                lv + 7 * tr + (CASE (rn + 6) % 7
+                    WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+                    WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END) AS forecast7_e4
          FROM fin WHERE rr = 1
          ORDER BY event_type""",
 
