@@ -949,6 +949,77 @@ object Dedup {
         .orderBy(col("score").desc, col("name_1"), col("name_2"))
     }),
 
+    // Entity CANONICALIZATION — the ER pipeline's last stage (blocking →
+    // scoring → entities): q_er_scoring's match-verdict pairs become an
+    // undirected edge list, Components.connectedComponents closes them
+    // into entities, and deterministic survivorship elects one canonical
+    // record per multi-member entity (longest name tie-broken
+    // lexicographically; modal brand/type tie-broken by count desc then
+    // value asc; min size; summed part counts). Names are keyed by their
+    // min p_partkey — integer node ids both engines derive identically.
+    // 100 TB posture: edges are blocking-bounded (never name×name),
+    // components is the shared dedup-cluster machinery (driver union-find
+    // under the edge cap, distributed min-label loop above it), and
+    // survivorship is dim-sized hash aggs + windows — facts never enter.
+    // Oracle: the same closure as a recursive reachability CTE + the
+    // survivorship SQL verbatim.
+    "q_er_entities" -> ((s, dir) => {
+      val ids = graft.catalog.Tables.part(s, dir)
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).cast("long").as("nid"),
+          count(lit(1)).as("n_parts"))
+        .select(col("p_name").as("name"), col("nid"), col("n_parts"))
+      val wRep = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_name")).orderBy(col("p_partkey"))
+      val rep = graft.catalog.Tables.part(s, dir)
+        .withColumn("rn", row_number().over(wRep))
+        .filter(col("rn") === 1)
+        .select(col("p_name").as("name"), col("p_brand"),
+          col("p_type"), col("p_size"))
+      // edge tier: score >= 1500. The fixture's two-word synthetic names
+      // cap FS scores at 3000 (brand/type/size rarely co-agree), so the
+      // textbook match tier (>= 5500) is empty here and would leave the
+      // closure + survivorship stages unexercised; 1500 is the
+      // review-accept tier — production swaps in the match threshold
+      // without touching the pipeline shape.
+      val edges = queries("q_er_scoring")(s, dir)
+        .filter(col("score") >= 1500)
+        .join(broadcast(ids.select(col("name").as("name_1"),
+          col("nid").as("src"))), Seq("name_1"))
+        .join(broadcast(ids.select(col("name").as("name_2"),
+          col("nid").as("dst"))), Seq("name_2"))
+        .select(col("src"), col("dst"))
+      val members = Components.connectedComponents(edges)
+        .select(col("id").as("nid"), col("component").as("entity_id"))
+        .join(ids, Seq("nid"))
+        .join(rep, Seq("name"))
+      val wCanon = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id"))
+        .orderBy(length(col("name")).desc, col("name"))
+      val canon = members
+        .withColumn("rn", row_number().over(wCanon)).filter(col("rn") === 1)
+        .select(col("entity_id"), col("name").as("canonical_name"))
+      def modal(field: String, out: String) = {
+        val wM = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("entity_id"))
+          .orderBy(col("cnt").desc, col(field))
+        members.groupBy(col("entity_id"), col(field))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wM)).filter(col("rn") === 1)
+          .select(col("entity_id"), col(field).as(out))
+      }
+      members.groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("p_size")).cast("int").as("size_min"),
+          sum(col("n_parts")).as("n_parts_total"))
+        .join(canon, Seq("entity_id"))
+        .join(modal("p_brand", "brand"), Seq("entity_id"))
+        .join(modal("p_type", "ptype"), Seq("entity_id"))
+        .select(col("entity_id"), col("n_members"), col("canonical_name"),
+          col("brand"), col("ptype"), col("size_min"), col("n_parts_total"))
+        .orderBy(col("entity_id"))
+    }),
+
     // Pairs → clusters: connected components over the q_dedup_minhash edge
     // list (Components.connectedComponents), every doc labeled with its
     // cluster's smallest doc_id; the canonical keeper IS that smallest id —
@@ -970,6 +1041,47 @@ object Dedup {
   )
 
   private[graft] val toksSql = "list_distinct(string_split(text, ' '))"
+
+  /** Shared blocking→scoring CTE chain (names/pairs/rep/feat/scored) —
+    * q_er_scoring's body, composed into q_er_entities' closure +
+    * survivorship so both oracles share one definition. */
+  private val erScoredCtes =
+    """names AS (
+           SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
+                  string_split(p_name, ' ')[1] AS adj,
+                  string_split(p_name, ' ')[2] AS noun
+           FROM part GROUP BY 1),
+         pairs AS (
+           SELECT a.name AS name_1, b.name AS name_2
+           FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+           WHERE levenshtein(a.name, b.name) <= 2
+           UNION
+           SELECT a.name, b.name
+           FROM names a JOIN names b ON a.adj = b.adj AND a.name < b.name
+           WHERE levenshtein(a.name, b.name) <= 2),
+         rep AS (
+           SELECT p_name AS name, p_brand, p_type, p_size
+           FROM (SELECT p_name, p_brand, p_type, p_size,
+                        row_number() OVER (PARTITION BY p_name ORDER BY p_partkey) AS rn
+                 FROM part)
+           WHERE rn = 1),
+         feat AS (
+           SELECT p.name_1, p.name_2,
+                  CAST(levenshtein(p.name_1, p.name_2) AS INT) AS dist,
+                  r1.p_brand = r2.p_brand AS agr_brand,
+                  r1.p_type = r2.p_type AS agr_type,
+                  CAST(abs(r1.p_size - r2.p_size) AS INT) AS d_size
+           FROM pairs p
+           JOIN rep r1 ON r1.name = p.name_1
+           JOIN rep r2 ON r2.name = p.name_2),
+         scored AS (
+           SELECT *,
+                  CAST(CASE WHEN dist = 0 THEN 4000 WHEN dist = 1 THEN 2500 ELSE 1000 END
+                   + CASE WHEN agr_brand THEN 1200 ELSE -300 END
+                   + CASE WHEN agr_type THEN 900 ELSE -200 END
+                   + CASE WHEN d_size = 0 THEN 600 WHEN d_size <= 2 THEN 250 ELSE -100 END
+                   AS INT) AS score
+           FROM feat)"""
 
   /** DuckDB mirror of shingles3 (same as the q_dedup_ngram oracle). */
   private[graft] val shingleSql =
@@ -1298,48 +1410,76 @@ object Dedup {
          ORDER BY name_1, name_2""",
 
     "q_er_scoring" ->
-      """WITH names AS (
-           SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
-                  string_split(p_name, ' ')[1] AS adj,
-                  string_split(p_name, ' ')[2] AS noun
-           FROM part GROUP BY 1),
-         pairs AS (
-           SELECT a.name AS name_1, b.name AS name_2
-           FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
-           WHERE levenshtein(a.name, b.name) <= 2
-           UNION
-           SELECT a.name, b.name
-           FROM names a JOIN names b ON a.adj = b.adj AND a.name < b.name
-           WHERE levenshtein(a.name, b.name) <= 2),
-         rep AS (
-           SELECT p_name AS name, p_brand, p_type, p_size
-           FROM (SELECT p_name, p_brand, p_type, p_size,
-                        row_number() OVER (PARTITION BY p_name ORDER BY p_partkey) AS rn
-                 FROM part)
-           WHERE rn = 1),
-         feat AS (
-           SELECT p.name_1, p.name_2,
-                  CAST(levenshtein(p.name_1, p.name_2) AS INT) AS dist,
-                  r1.p_brand = r2.p_brand AS agr_brand,
-                  r1.p_type = r2.p_type AS agr_type,
-                  CAST(abs(r1.p_size - r2.p_size) AS INT) AS d_size
-           FROM pairs p
-           JOIN rep r1 ON r1.name = p.name_1
-           JOIN rep r2 ON r2.name = p.name_2),
-         scored AS (
-           SELECT *,
-                  CAST(CASE WHEN dist = 0 THEN 4000 WHEN dist = 1 THEN 2500 ELSE 1000 END
-                   + CASE WHEN agr_brand THEN 1200 ELSE -300 END
-                   + CASE WHEN agr_type THEN 900 ELSE -200 END
-                   + CASE WHEN d_size = 0 THEN 600 WHEN d_size <= 2 THEN 250 ELSE -100 END
-                   AS INT) AS score
-           FROM feat)
+      s"""WITH $erScoredCtes
          SELECT name_1, name_2, dist, agr_brand, agr_type, d_size, score,
                 CASE WHEN score >= 5500 THEN 'match'
                      WHEN score >= 4000 THEN 'possible'
                      ELSE 'nonmatch' END AS verdict
          FROM scored
          ORDER BY score DESC, name_1, name_2""",
+
+    // the scoring chain + recursive reachability closure (UNION fixpoint
+    // over the symmetrized match edges) + the survivorship SQL — the
+    // DuckDB replay of connectedComponents' min-label contract
+    "q_er_entities" ->
+      s"""WITH RECURSIVE $erScoredCtes,
+         ids AS (
+           SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS nid,
+                  CAST(count(*) AS BIGINT) AS n_parts
+           FROM part GROUP BY 1),
+         medges AS (
+           SELECT i1.nid AS a, i2.nid AS b
+           FROM scored s
+           JOIN ids i1 ON i1.name = s.name_1
+           JOIN ids i2 ON i2.name = s.name_2
+           WHERE s.score >= 1500),
+         reach AS (
+           SELECT a, b FROM medges UNION SELECT b, a FROM medges),
+         paths AS (
+           SELECT a AS id, b AS nb FROM reach
+           UNION
+           SELECT p.id, r.b FROM paths p JOIN reach r ON p.nb = r.a),
+         comp AS (
+           SELECT id, least(id, min(nb)) AS entity_id
+           FROM paths GROUP BY id),
+         members AS (
+           SELECT c.entity_id, i.name, i.n_parts, r.p_brand, r.p_type, r.p_size
+           FROM comp c
+           JOIN ids i ON i.nid = c.id
+           JOIN rep r ON r.name = i.name),
+         canon AS (
+           SELECT entity_id, name AS canonical_name FROM (
+             SELECT entity_id, name,
+                    row_number() OVER (PARTITION BY entity_id
+                      ORDER BY length(name) DESC, name) AS rn
+             FROM members)
+           WHERE rn = 1),
+         brandm AS (
+           SELECT entity_id, p_brand AS brand FROM (
+             SELECT entity_id, p_brand,
+                    row_number() OVER (PARTITION BY entity_id
+                      ORDER BY count(*) DESC, p_brand) AS rn
+             FROM members GROUP BY 1, 2)
+           WHERE rn = 1),
+         typem AS (
+           SELECT entity_id, p_type AS ptype FROM (
+             SELECT entity_id, p_type,
+                    row_number() OVER (PARTITION BY entity_id
+                      ORDER BY count(*) DESC, p_type) AS rn
+             FROM members GROUP BY 1, 2)
+           WHERE rn = 1),
+         agg AS (
+           SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+                  CAST(min(p_size) AS INT) AS size_min,
+                  CAST(sum(n_parts) AS BIGINT) AS n_parts_total
+           FROM members GROUP BY 1)
+         SELECT a.entity_id, a.n_members, c.canonical_name,
+                b.brand, t.ptype, a.size_min, a.n_parts_total
+         FROM agg a
+         JOIN canon c USING (entity_id)
+         JOIN brandm b USING (entity_id)
+         JOIN typem t USING (entity_id)
+         ORDER BY a.entity_id""",
 
     "q_dedup_semantic" ->
       """WITH e AS (SELECT vec_id, label AS cluster, embedding FROM embeddings),
