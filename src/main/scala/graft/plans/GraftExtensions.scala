@@ -127,8 +127,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((
       FunctionIdentifier("graft_hyperball"),
       info(GraftTvf.getClass, "graft_hyperball",
-        "graft_hyperball(dir, radius) - full (node, bs) HyperBall neighborhood-function map over dir's co-purchase graph."),
+        "graft_hyperball(dir, radius[, broadcast_state]) - full (node, bs) HyperBall neighborhood-function map over dir's co-purchase graph."),
       (children: Seq[Expression]) => GraftTvf.hyperball(children)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_pagerank_store"),
+      info(GraftTvf.getClass, "graft_pagerank_store",
+        "graft_pagerank_store(edge_dir, iters) - pagerank served off a persisted arrival-built edge store."),
+      (children: Seq[Expression]) => GraftTvf.pagerankStore(children)))
     ext.injectTableFunction((
       FunctionIdentifier("graft_topk"),
       info(GraftTvf.getClass, "graft_topk",

@@ -256,24 +256,86 @@ object GraftTvf {
     }
   }
 
-  /** graft_hyperball(dir, radius) — the FULL (node, bs) HyperBall
-    * neighborhood-function map over `dir`'s symmetrized %16-slice
-    * co-purchase graph: bs[t+1] = estimated |ball of radius t| for
-    * t = 0..radius (harmonic centrality, effective diameter, HyperANF
-    * N(t) are all SQL arithmetic over bs). Eager-loop contract like
-    * [[pagerank]]. */
+  /** Node cap for graft_hyperball's auto-chosen broadcast arm: an lgK=12
+    * HLL densifies to ~3 KB, so 16384 nodes bound the broadcast state at
+    * ~48 MB — comfortably inside driver/broadcast limits, while every
+    * fixture slice graph (≈ 10³ nodes) stays on the measured-faster
+    * zero-exchange arm. Above the cap the shuffle arm is hyperBall's own
+    * documented scale default. */
+  private val HyperballBroadcastNodeCap = 16384L
+
+  /** graft_hyperball(dir, radius[, broadcast_state]) — the FULL
+    * (node, bs) HyperBall neighborhood-function map over `dir`'s
+    * symmetrized %16-slice co-purchase graph: bs[t+1] = estimated
+    * |ball of radius t| for t = 0..radius (harmonic centrality,
+    * effective diameter, HyperANF N(t) are all SQL arithmetic over bs).
+    * Eager-loop contract like [[pagerank]]. The state arm follows
+    * hyperBall's own doc — broadcast is the small-graph accelerator,
+    * shuffle the sketch-fat scale default — so with no explicit third
+    * argument (0/1) it is picked from a node count against
+    * [[HyperballBroadcastNodeCap]] instead of hardcoding broadcast
+    * (which would blow past broadcast/driver limits on a large dir). */
   def hyperball(children: Seq[Expression]): LogicalPlan = {
     val fn = "graft_hyperball"
-    require(children.size == 2, s"$fn(dir, radius) takes 2 arguments")
+    require(children.size == 2 || children.size == 3,
+      s"$fn(dir, radius[, broadcast_state]) takes 2 or 3 arguments")
     val spark = SparkSession.active
     val dir = str(children, 0, fn)
     val radius = int(children, 1, fn)
-    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$radius") {
-      graft.operators.Graph.hyperBall(
-        graft.operators.Graph.symmetrizedSliceEdges(spark, dir),
-        radius, broadcastState = true)
+    val arm: Option[Boolean] =
+      if (children.size == 3) Some(int(children, 2, fn) != 0) else None
+    val armKey = arm.map(b => if (b) "1" else "0").getOrElse("auto")
+    loopMemo(
+      s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$radius|$armKey") {
+      import org.apache.spark.sql.functions.col
+      val edges = graft.operators.Graph.symmetrizedSliceEdges(spark, dir)
+      val bc = arm.getOrElse {
+        // one node-count distinct — round-sized relative to the eager
+        // loop this TVF runs anyway, and GraphSpec pins arm equality
+        edges.select(col("src")).distinct().count() <= HyperballBroadcastNodeCap
+      }
+      graft.operators.Graph.hyperBall(edges, radius, broadcastState = bc)
     }
   }
+
+  /** graft_pagerank_store(edge_dir, iters) — PageRank served off a
+    * PERSISTED arrival-built edge store
+    * ([[graft.streaming.StreamOps]] edgesOnArrival layout): the read
+    * runs the shared Graph.pagerank loop over the store's deduped edge
+    * set, so it IS the batch recompute (StreamOpsSpec pins it). Eager-
+    * loop contract like [[pagerank]]; the memo keys on the store's
+    * partition mtimes so a newly ingested batch re-resolves instead of
+    * serving stale ranks. */
+  def pagerankStore(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pagerank_store"
+    require(children.size == 2, s"$fn(edge_dir, iters) takes 2 arguments")
+    val spark = SparkSession.active
+    val dir = str(children, 0, fn)
+    val iters = int(children, 1, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${storeStamp(dir)}|$iters") {
+      graft.streaming.StreamOps.pagerankStoreRead(spark, dir, iters)
+    }
+  }
+
+  /** mtime stamp of a STORE directory (batch_id=N partition layout):
+    * max over the dir and its immediate children, so both a new batch
+    * partition (parent mtime) and a replay's in-place partition rewrite
+    * (child mtime) invalidate the memo. */
+  private def storeStamp(dir: String): String =
+    try {
+      val p = java.nio.file.Paths.get(dir)
+      val own = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator()
+        var mx = own
+        while (it.hasNext) {
+          val c = java.nio.file.Files.getLastModifiedTime(it.next()).toMillis
+          if (c > mx) mx = c
+        }
+        mx.toString
+      } finally s.close()
+    } catch { case _: java.io.IOException => "0" }
 
   /** graft_ann_search(vec_dir, edge_dir, probe_id, k) — "more like this"
     * over a PERSISTED incremental ANN store ([[graft.streaming.StreamOps]]

@@ -257,6 +257,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(dSql === dApi && dSql.nonEmpty)
   }
 
+  test("TVF surface: graft_pagerank_store serves ranks off the edge store ≡ the API read") {
+    import spark.implicits._
+    val estore =
+      java.nio.file.Files.createTempDirectory("tvf_edges").toString + "/store"
+    graft.streaming.StreamOps.edgesIngestBatch(
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst"),
+      0L, estore)
+    graft.streaming.StreamOps.edgesIngestBatch(
+      Seq((3L, 4L), (4L, 3L), (1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      1L, estore)
+    val pSql = spark.sql(
+      s"SELECT node, rank FROM graft_pagerank_store('$estore', 3) ORDER BY node")
+      .collect().map(_.toSeq).toSeq
+    val pApi = graft.streaming.StreamOps.pagerankStoreRead(spark, estore, 3)
+      .orderBy(col("node")).collect().map(_.toSeq).toSeq
+    assert(pSql === pApi && pSql.size === 4)
+    // memo invalidation: a newly ingested batch bumps the store stamp,
+    // so the TVF re-resolves instead of serving stale ranks
+    graft.streaming.StreamOps.edgesIngestBatch(
+      Seq((4L, 5L), (5L, 4L)).toDF("src", "dst"), 2L, estore)
+    val n2 = spark.sql(
+      s"SELECT count(*) AS n FROM graft_pagerank_store('$estore', 3)")
+      .collect()(0).getLong(0)
+    assert(n2 === 5L, "new batch must re-resolve the memoized plan")
+  }
+
   test("TVF surface: graft_ktruss and graft_hyperball splice the eager graph loops into SQL") {
     import spark.implicits._
     val viaSql = spark.sql(

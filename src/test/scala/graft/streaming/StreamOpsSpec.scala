@@ -1097,6 +1097,52 @@ class StreamOpsSpec extends SparkSpec {
       s"4× incremental recall $hit/$nEx below the fixture floor (measured 15/15)")
   }
 
+  test("edges-on-arrival: rank read ≡ batch recompute; replay idempotent; compaction invariant") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("edges_arrival").toString
+    val store = s"$tmp/edges"
+    // a small symmetric graph arriving in three batches, with duplicate
+    // edges across batches (the distinct union read must not double-count)
+    def sym(p: Seq[(Long, Long)]) = p ++ p.map(e => (e._2, e._1))
+    val b1 = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val b2 = sym(Seq((4L, 5L), (5L, 6L), (1L, 2L)))
+    val b3 = sym(Seq((6L, 7L), (7L, 8L), (2L, 3L)))
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamOps.edgesOnArrival(
+      in.toDF().toDF("src", "dst"), store, s"$tmp/ckpt")
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the rank read IS the shared loop over the hand-unioned distinct edges
+    val got = ranks(StreamOps.pagerankStoreRead(spark, store, iters = 3))
+    val direct = ranks(graft.operators.Graph.pagerank(
+      (b1 ++ b2 ++ b3).distinct.toDF("src", "dst"), iters = 3))
+    assert(got === direct && got.size === 8, s"store $got vs direct $direct")
+    // replay: rewriting batch 0's partition changes no read
+    StreamOps.edgesIngestBatch(b1.toDF("src", "dst"), 0L, store)
+    assert(ranks(StreamOps.pagerankStoreRead(spark, store, 3)) === got,
+      "replay must not change the rank read")
+    // compaction: one folded partition, reads identical, and a
+    // post-compact batch lands beside the folded one
+    StreamOps.edgesCompactStore(spark, store, s"$tmp/edges_c")
+    assert(spark.read.parquet(s"$tmp/edges_c")
+      .select($"batch_id").distinct().count() === 1)
+    assert(ranks(StreamOps.pagerankStoreRead(spark, s"$tmp/edges_c", 3)) === got,
+      "compaction must be read-lossless")
+    StreamOps.edgesIngestBatch(
+      sym(Seq((8L, 9L))).toDF("src", "dst"), 9L, s"$tmp/edges_c")
+    val got2 = ranks(StreamOps.pagerankStoreRead(spark, s"$tmp/edges_c", 3))
+    val direct2 = ranks(graft.operators.Graph.pagerank(
+      (b1 ++ b2 ++ b3 ++ sym(Seq((8L, 9L)))).distinct.toDF("src", "dst"), 3))
+    assert(got2 === direct2 && got2.size === 9,
+      "post-compact ingest must extend the graph")
+  }
+
   test("components-on-arrival: incremental map ≡ full recompute across batches; replay idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
