@@ -353,8 +353,8 @@ object Drift {
          LIMIT 1""",
 
     "q_drift_psi" ->
-      """WITH o AS (
-           SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bucket,
+      s"""WITH o AS (
+           SELECT CAST(least(floor(o_totalprice / $BucketWidth), ${NBuckets - 1}) AS INT) AS bucket,
                   o_orderdate < DATE '1998-01-01' AS is_old
            FROM orders),
          hist AS (
@@ -369,8 +369,8 @@ object Drift {
            SELECT bucket, n_old, n_new,
                   CAST(floor(((p - q) * ln(p / q)) * 1e8 + 0.5) AS BIGINT) AS psi_micro
            FROM (SELECT bucket, n_old, n_new,
-                        (n_old + 0.5) / (tot_old + 0.5 * 10) AS p,
-                        (n_new + 0.5) / (tot_new + 0.5 * 10) AS q
+                        (n_old + 0.5) / (tot_old + 0.5 * $NBuckets) AS p,
+                        (n_new + 0.5) / (tot_new + 0.5 * $NBuckets) AS q
                  FROM hist, totals)),
          unioned AS (
            SELECT * FROM per
@@ -383,8 +383,8 @@ object Drift {
          ORDER BY bucket""",
 
     "q_drift_jsd" ->
-      """WITH o AS (
-           SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bucket,
+      s"""WITH o AS (
+           SELECT CAST(least(floor(o_totalprice / $BucketWidth), ${NBuckets - 1}) AS INT) AS bucket,
                   o_orderdate < DATE '1998-01-01' AS is_old
            FROM orders),
          hist AS (
@@ -400,8 +400,8 @@ object Drift {
                   CAST(floor((0.5 * p * ln(p / ((p + q) / 2))
                             + 0.5 * q * ln(q / ((p + q) / 2))) * 1e8 + 0.5) AS BIGINT) AS jsd_micro
            FROM (SELECT bucket, n_old, n_new,
-                        (n_old + 0.5) / (tot_old + 0.5 * 10) AS p,
-                        (n_new + 0.5) / (tot_new + 0.5 * 10) AS q
+                        (n_old + 0.5) / (tot_old + 0.5 * $NBuckets) AS p,
+                        (n_new + 0.5) / (tot_new + 0.5 * $NBuckets) AS q
                  FROM hist, totals)),
          unioned AS (
            SELECT * FROM per

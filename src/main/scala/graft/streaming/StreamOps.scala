@@ -496,12 +496,16 @@ object StreamOps {
     *
     * Error accounting is EXPLICIT, not implicit in the counters: each
     * batch records its decrement (the (k+1)-th largest in-batch count —
-    * ≤ n_batch/(k+1) by the standard argument) in a `_meta` sidecar, so
-    * every read can report the guarantee true ∈ [lb, lb + Σ dec]
-    * without any assumption about what other batches contained — and a
-    * batch whose every item was decremented away still leaves its audit
-    * row (rows under `_meta` are the bound; rows under the store are
-    * the survivors). */
+    * ≤ n_batch/(k+1) by the standard argument) as an AUDIT ROW INSIDE
+    * the batch's own partition (item NULL, carrying n + dec), so every
+    * read can report the guarantee true ∈ [lb, lb + Σ dec] without any
+    * assumption about what other batches contained — and a batch whose
+    * every item was decremented away still leaves its audit row.
+    * In-partition (not a `_meta` sidecar) deliberately: survivors and
+    * their decrement commit in ONE partition write, so no crash window
+    * can leave a batch whose counts are in lb while its dec is missing
+    * from max_err (which would understate the bound on a batch-backfill
+    * path with no streaming replay to heal it). */
   def topkOnArrival(items: DataFrame, storeDir: String,
       checkpointDir: String, k: Int = 64) =
     items.writeStream
@@ -518,8 +522,9 @@ object StreamOps {
     * (k+1)-th largest count (0 when ≤ k distinct — the exact regime),
     * survivors keep cnt − dec > 0, so ≤ k rows land and every stored
     * count is a LOWER bound short by at most dec. Replay-idempotent:
-    * the summary is a pure function of the batch, both writes overwrite
-    * the batch's own partition. */
+    * the summary is a pure function of the batch, and the ONE partition
+    * write (survivors + audit row together — see [[topkOnArrival]]'s
+    * crash-window note) overwrites the batch's own partition. */
   def topkSummaryBatch(batch: DataFrame, batchId: Long,
       storeDir: String, k: Int): Unit = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -532,22 +537,23 @@ object StreamOps {
     val thr = counts.orderBy(col("cnt").desc, col("item")).limit(k + 1)
       .agg(when(count(lit(1)) <= k, lit(0L))
         .otherwise(min(col("cnt"))).as("dec"))
-    counts.crossJoin(broadcast(thr))
+    val survivors = counts.crossJoin(broadcast(thr))
       .filter(col("cnt") > col("dec"))
-      .select(col("item"), (col("cnt") - col("dec")).as("cnt"))
+      .select(col("item"), (col("cnt") - col("dec")).as("cnt"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("dec"))
+    // the audit row: exact ingested row count + this batch's decrement,
+    // item NULL — same partition as the survivors so both commit in one
+    // write (no sidecar crash window)
+    val audit = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+      .crossJoin(broadcast(thr))
+      .select(lit(null).cast("string").as("item"), lit(0L).as("cnt"),
+        col("n"), col("dec"))
+    survivors.unionByName(audit)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(storeDir)
-    // the audit row: exact ingested row count + this batch's decrement
-    // (underscore sidecar — invisible to survivor reads, travels with
-    // the store, the bm25 `_docs` discipline)
-    counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
-      .crossJoin(broadcast(thr))
-      .select(col("n"), col("dec"))
-      .write.mode("overwrite")
-      .parquet(s"$storeDir/_meta/batch_id=$batchId")
     graft.util.Frames.releaseCheckpoint(counts)
   }
 
@@ -561,22 +567,14 @@ object StreamOps {
   def topkStoreRead(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
-    val meta = spark.read.parquet(s"$storeDir/_meta")
+    // every batch leaves its audit row (item NULL) in its own partition,
+    // so even an all-empty-batch store reads with a full schema — no
+    // schema-inference bootstrap needed
+    val store = spark.read.parquet(storeDir)
+    val meta = store.filter(col("item").isNull)
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("dec")), lit(0L)).as("max_err"))
-    // a store whose every batch was empty holds `_meta` audit rows but
-    // no survivor files — read that as the empty summary, not a crash
-    // (the dedupOnArrival empty-store bootstrap discipline); any other
-    // read failure still rethrows
-    val survivors =
-      try spark.read.parquet(storeDir).select(col("item"), col("cnt"))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-          import spark.implicits._
-          Seq.empty[(String, Long)].toDF("item", "cnt")
-      }
-    survivors
+    store.filter(col("item").isNotNull)
       .groupBy(col("item")).agg(sum(col("cnt")).as("lb"))
       .orderBy(col("lb").desc, col("item")).limit(m)
       .crossJoin(broadcast(meta))
@@ -595,36 +593,30 @@ object StreamOps {
   def topkCompactStore(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, outDir: String, k: Int = 64): Unit = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // same all-empty-batch bootstrap as topkStoreRead: a store holding
-    // only `_meta` audit rows compacts to an empty survivor set with
-    // the carried totals, not a crash
-    val raw =
-      try spark.read.parquet(storeDir).select(col("item"), col("cnt"))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-          import spark.implicits._
-          Seq.empty[(String, Long)].toDF("item", "cnt")
-      }
-    val folded = raw
+    val store = spark.read.parquet(storeDir).localCheckpoint()
+    val folded = store.filter(col("item").isNotNull)
       .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
       .localCheckpoint()
     val thr = folded.orderBy(col("cnt").desc, col("item")).limit(k + 1)
       .agg(when(count(lit(1)) <= k, lit(0L))
         .otherwise(min(col("cnt"))).as("dec2"))
-    folded.crossJoin(broadcast(thr))
+    val survivors = folded.crossJoin(broadcast(thr))
       .filter(col("cnt") > col("dec2"))
-      .select(col("item"), (col("cnt") - col("dec2")).as("cnt"))
+      .select(col("item"), (col("cnt") - col("dec2")).as("cnt"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("dec"))
+    // carried totals + this compaction's own decrement fold into one
+    // audit row, committed WITH the survivors (the single-write law)
+    val audit = store.filter(col("item").isNull)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("dec")), lit(0L)).as("carried"))
+      .crossJoin(broadcast(thr))
+      .select(lit(null).cast("string").as("item"), lit(0L).as("cnt"),
+        col("n"), (col("carried") + col("dec2")).as("dec"))
+    survivors.unionByName(audit)
       .write.mode("overwrite")
       .parquet(s"$outDir/batch_id=$CompactBatchId")
-    spark.read.parquet(s"$storeDir/_meta")
-      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
-        coalesce(sum(col("dec")), lit(0L)).as("dec"))
-      .crossJoin(broadcast(thr))
-      .select(col("n"), (col("dec") + col("dec2")).as("dec"))
-      .write.mode("overwrite")
-      .parquet(s"$outDir/_meta/batch_id=$CompactBatchId")
     graft.util.Frames.releaseCheckpoint(folded)
+    graft.util.Frames.releaseCheckpoint(store)
   }
 
   // ---- HLL distinct counts on arrival --------------------------------------

@@ -919,13 +919,20 @@ class StreamOpsSpec extends SparkSpec {
       in.addData(b2); q.processAllAvailable()
       in.addData(b3); q.processAllAvailable()
     } finally q.stop()
-    // store invariants: ≤ k survivor rows per batch; _meta holds the
-    // exact total and a decrement within the n_b/(k+1) bound per batch
+    // store invariants: ≤ k survivor rows per batch, plus EXACTLY ONE
+    // in-partition audit row (item NULL) carrying the exact total and a
+    // decrement within the n_b/(k+1) bound — survivors and their dec
+    // commit in one write (the crash-window law)
     val raw = spark.read.parquet(store)
-    val perBatch = raw.groupBy("batch_id").count().collect()
+    val perBatch = raw.filter(col("item").isNotNull)
+      .groupBy("batch_id").count().collect()
       .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
     assert(perBatch.values.forall(_ <= 16), s"over-k batch summary: $perBatch")
-    val meta = spark.read.parquet(s"$store/_meta")
+    val auditPerBatch = raw.filter(col("item").isNull)
+      .groupBy("batch_id").count().collect().map(_.getLong(1))
+    assert(auditPerBatch.length === 3 && auditPerBatch.forall(_ === 1L),
+      "each batch partition must hold exactly one audit row")
+    val meta = raw.filter(col("item").isNull)
       .select(col("n"), col("dec"), col("batch_id").cast("long"))
       .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
     assert(meta(0L)._1 === b1.size.toLong && meta(1L)._1 === b2.size.toLong &&
@@ -940,8 +947,8 @@ class StreamOpsSpec extends SparkSpec {
     val (n, maxErr) = (top.head.getLong(2), top.head.getLong(3))
     assert(n === all.size.toLong)
     assert(maxErr === meta.values.map(_._2).sum && maxErr > 0)
-    val lbs = spark.read.parquet(store).groupBy("item")
-      .agg(sum("cnt").as("lb")).collect()
+    val lbs = spark.read.parquet(store).filter(col("item").isNotNull)
+      .groupBy("item").agg(sum("cnt").as("lb")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     truth.foreach { case (item, t) =>
       val lb = lbs.getOrElse(item, 0L)
@@ -954,7 +961,7 @@ class StreamOpsSpec extends SparkSpec {
     // compaction: ≤ k rows total, error budget moves INTO _meta (bound
     // law intact for every item), fixpoint on re-compaction
     StreamOps.topkCompactStore(spark, store, s"$tmp/mg_c", k = 16)
-    val c = spark.read.parquet(s"$tmp/mg_c")
+    val c = spark.read.parquet(s"$tmp/mg_c").filter(col("item").isNotNull)
     assert(c.count() <= 16)
     val topC = StreamOps.topkStoreRead(spark, s"$tmp/mg_c", 5).collect()
     assert(topC.head.getString(0) === "hot")
@@ -967,7 +974,8 @@ class StreamOpsSpec extends SparkSpec {
       assert(lb <= t && t <= lb + errC, s"$item post-compact: $t outside [$lb, ${lb + errC}]")
     }
     StreamOps.topkCompactStore(spark, s"$tmp/mg_c", s"$tmp/mg_c2", k = 16)
-    assert(spark.read.parquet(s"$tmp/mg_c2").select("item", "cnt")
+    assert(spark.read.parquet(s"$tmp/mg_c2").filter(col("item").isNotNull)
+      .select("item", "cnt")
       .collect().map(_.toSeq).toSet ===
       c.select("item", "cnt").collect().map(_.toSeq).toSet,
       "re-compacting a compacted store must be a fixpoint")
@@ -981,8 +989,8 @@ class StreamOpsSpec extends SparkSpec {
     val ex = StreamOps.topkStoreRead(spark, exact, 3).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
     assert(ex === Map("hot" -> (120L, 0L), "warm" -> (80L, 0L), "cool" -> (40L, 0L)))
-    // an all-empty-batch store holds only `_meta` audit rows — the read
-    // bootstraps to the empty summary instead of crashing
+    // an all-empty-batch store holds only in-partition audit rows —
+    // they carry the schema, so the read is the empty summary
     val emptyStore = s"$tmp/mg_empty"
     StreamOps.topkSummaryBatch(
       Seq.empty[String].toDF("item"), 0L, emptyStore, 16)
