@@ -911,7 +911,7 @@ object Graph {
     *         t = 0..radius (bs(0) = 1). Harmonic centrality, effective
     *         diameter, HyperANF's N(t) are all arithmetic over bs. */
   def hyperBall(edges: DataFrame, radius: Int, lgK: Int = 12,
-      broadcastState: Boolean = false): DataFrame = {
+      broadcastState: Boolean = false, layoutOwned: Boolean = false): DataFrame = {
     require(radius >= 1, s"radius must be >= 1, got $radius")
     // layout follows the arm (the pagerank discipline): under broadcast
     // the edge frame is laid out on SRC — the round's union aggregate
@@ -920,9 +920,16 @@ object Graph {
     // sf0.1 slice graph) — while the shuffle arm lays out on dst so the
     // per-round state join lands on the fixed layout and only the
     // node-sized state moves.
-    val edP = edges.select(col("src"), col("dst"))
-      .repartition(if (broadcastState) col("src") else col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `layoutOwned`: the caller already laid the frame out to match the
+    // arm (src under broadcast, dst under shuffle) AND owns its
+    // materialization/release — used by q_graph_harmonic to share ONE
+    // laid-out edge frame between this loop and its exact anchor
+    // instead of materializing two copies.
+    val edP =
+      if (layoutOwned) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst"))
+        .repartition(if (broadcastState) col("src") else col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var state = edP.select(col("src").as("node"))
         .groupBy(col("node"))
@@ -950,7 +957,7 @@ object Graph {
         state = next
       }
       state.select(col("node"), col("bs"))
-    } finally edP.unpersist()
+    } finally if (!layoutOwned) edP.unpersist()
   }
 
   /** EXACT ball sizes from a bounded source sample — [[hyperBall]]'s
@@ -959,10 +966,16 @@ object Graph {
     * Multi-source BFS carried as a (source, v) reach-set frame: bounded
     * by |S|·n rows, the product HyperBall exists to avoid at n sources.
     *
+    * Materialization contract: the CALLER owns `edges` — pass a
+    * checkpointed/persisted frame when the upstream plan is expensive
+    * (q_graph_harmonic shares its one laid-out symmetrized frame with
+    * [[hyperBall]] here; re-checkpointing internally would materialize
+    * a second edge copy per query).
+    *
     * @return (s, t, b): exact |B_t(s)| for t = 1..radius, source incl. */
   private[graft] def exactBallSizes(edges: DataFrame, sources: DataFrame,
       radius: Int): DataFrame = {
-    val ed = edges.select(col("src"), col("dst")).localCheckpoint()
+    val ed = edges.select(col("src"), col("dst"))
     var reach = sources.select(col("s"), col("s").as("v")).localCheckpoint()
     val sizes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (t <- 1 to radius) {
@@ -978,11 +991,11 @@ object Graph {
       releaseCheckpoint(reach)
       reach = next
     }
-    // every per-round size is checkpoint-materialized above — the edge
-    // copy and the last reach set are dead; only the |S|·radius-row
-    // size frames stay pinned for the consumer
+    // every per-round size is checkpoint-materialized above — the last
+    // reach set is dead (the caller-owned edge frame is the caller's to
+    // release); only the |S|·radius-row size frames stay pinned for the
+    // consumer
     releaseCheckpoint(reach)
-    releaseCheckpoint(ed)
     sizes.reduce(_ unionByName _)
   }
 
@@ -1589,12 +1602,23 @@ object Graph {
     // (the q_agg_approx_distinct pattern: DuckDB asserts TRUE without
     // reproducing the sketch).
     "q_graph_harmonic" -> ((s, dir) => {
-      val ed = symmetrizedSliceEdges(s, dir).localCheckpoint()
+      // ONE laid-out edge frame shared by the sketch loop and its exact
+      // anchor: src-partitioned (the broadcast arm's layout — and the
+      // anchor's reach-expansion joins on src too, so both consumers
+      // read co-located data), PERSISTED once (columnar-compressed —
+      // the pagerank lesson: a localCheckpoint here is row-storage and
+      // measurably slower across the 6 loop reads), unpersisted below.
+      // Previously hyperBall persisted its own repartitioned copy,
+      // exactBallSizes checkpointed a third, and the query's own
+      // checkpoint leaked (the advice-15 finding).
+      val ed = symmetrizedSliceEdges(s, dir)
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // broadcast arm: node-count state fits the budget at every SF and
       // a round costs zero exchange (GraphSpec pins arm equality; the
       // shuffle arm is the billions-of-nodes fallback)
       val hb = hyperBall(ed, harmonicRadius, harmonicLgK,
-        broadcastState = true)
+        broadcastState = true, layoutOwned = true)
       val sources = ed.select(col("src").as("s")).distinct()
         .filter(col("s") % 53 === 0)
       val exact = exactBallSizes(ed, sources, harmonicRadius)
@@ -1607,7 +1631,7 @@ object Graph {
       // abs floor covers the tiny-ball regime where 8% rounds to 0
       def ok(est: Column, ex: String) =
         abs(est - col(ex)) <= greatest(lit(3L), expr(s"$ex div 12"))
-      exact.join(hb, exact("s") === hb("node"))
+      val out = exact.join(hb, exact("s") === hb("node"))
         .select(col("s").as("source"), col("b1"), col("b2"), col("b3"),
           ((col("b1") - 1) * 10000 + (col("b2") - col("b1")) * 5000 +
             expr("((b3 - b2) * 10000) div 3")).as("h_e4"),
@@ -1615,6 +1639,12 @@ object Graph {
             ok(element_at(col("bs"), 3), "b2") &&
             ok(element_at(col("bs"), 4), "b3")).as("approx_ok"))
         .orderBy(col("source"))
+      // both consumers are checkpoint-backed by now (hyperBall's state,
+      // the anchor's size frames) — the edge cache is dead (unpersist,
+      // not a checkpoint release: lineage survives, so this can never
+      // break a straggling reader)
+      ed.unpersist()
+      out
     }),
 
     // WEIGHTED (Ružička min/max) Jaccard over the same multiplicity
