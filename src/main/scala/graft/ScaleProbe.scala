@@ -1237,6 +1237,69 @@ object ScaleProbe {
           println(f"""{"probe":"topk_arrival","batch":$bIdx,"ingest_sec":$t%.2f}""")
       }
     }
+
+    // KMV bottom-k sketch: the claim under test is that the shuffle
+    // carries (set, distinct-hash) pairs collapsed MAP-SIDE and the
+    // rank ≤ k filter prunes partially below the exchange
+    // (WindowGroupLimit — PlanSpec pins the plan shape), so wall tracks
+    // DISTINCT pairs, not facts. Probe: hold the distinct (set, member)
+    // domain constant at 200k and grow per-pair duplication m× — sec
+    // should stay near-flat while Mfacts/sec grows ~linearly.
+    if (want("kmv")) {
+      val k = 512
+      Seq(1, 4, 16).foreach { m =>
+        val facts = spark.range(200000L * m)
+          .select(($"id" % 2).cast("string").as("st"),
+            (($"id" / 2) % 100000L).as("mem"))
+          .localCheckpoint()
+        val n = facts.count()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"st").orderBy($"h")
+        val t0 = System.nanoTime()
+        val kmv = facts
+          .groupBy($"st",
+            conv(substring(md5($"mem".cast("string")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .agg(count(lit(1)).as("cnt")).drop("cnt")
+          .withColumn("r", row_number().over(w)).filter($"r" <= k)
+        val flags = kmv.groupBy($"h").agg(
+          max(when($"st" === "0", 1L).otherwise(0L)).as("in_a"),
+          max(when($"st" === "1", 1L).otherwise(0L)).as("in_b"))
+        val est = flags.orderBy($"h").limit(k)
+          .agg(count(lit(1)).as("nk"), sum($"in_a" * $"in_b").as("both"))
+          .collect()(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"kmv","mult":$m,"facts":$n,"nk":${est.getLong(0)},"sec":$sec%.2f,"Mfacts_per_sec":${n / sec / 1e6}%.1f}""")
+      }
+    }
+
+    // Edges-on-arrival store: per-batch ingest must stay batch-sized
+    // (one partition write, NO store read) while the store grows, and
+    // the rank read recomputes over the accumulated deduped edge set.
+    if (want("edges_store")) {
+      val tmp = java.nio.file.Files.createTempDirectory("edges_probe").toString
+      val store = s"$tmp/edges"
+      (0 until 10).foreach { bIdx =>
+        // each batch: a fresh 50k-edge symmetric band linked to the
+        // previous batch's range, plus 20% replayed overlap with it
+        val lo = bIdx * 40000L
+        val e = spark.range(lo, lo + 50000L)
+          .select($"id".as("src"), ($"id" + 1).as("dst"))
+        val batch = e.unionAll(
+          e.select($"dst".as("src"), $"src".as("dst")))
+        val t0 = System.nanoTime()
+        graft.streaming.StreamOps.edgesIngestBatch(batch, bIdx.toLong, store)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (bIdx == 4 || bIdx == 9) {
+          val tq0 = System.nanoTime()
+          val nRanked = graft.streaming.StreamOps
+            .pagerankStoreRead(spark, store, iters = 3).count()
+          val tq = (System.nanoTime() - tq0) / 1e9
+          println(f"""{"probe":"edges_store","batch":$bIdx,"ingest_sec":$t%.2f,"read_sec":$tq%.2f,"nodes":$nRanked}""")
+        } else
+          println(f"""{"probe":"edges_store","batch":$bIdx,"ingest_sec":$t%.2f}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -90,6 +90,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("kmv sketch: rank <= k filter plans as WindowGroupLimit (partial bottom-k below the exchange)") {
+    // q_agg_kmv_intersect localCheckpoints its sketch frame, so the
+    // query's own explain only shows the materialized RDD — pin the
+    // sketch ALGEBRA fragment (same ops as Aggs.scala's kmv builder)
+    // instead: the per-set bottom-k rewrite must prune each map
+    // partition to k rows per set BEFORE the exchange, so the shuffle
+    // carries at most k·partitions rows per set — never the member
+    // domain.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val m = graft.catalog.Tables.lineitem(spark, sf())
+      .select(($"l_orderkey" % 2).cast("string").as("st"),
+        $"l_partkey".as("mem"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"st").orderBy($"h")
+    val kmv = m
+      .groupBy($"st",
+        conv(substring(md5($"mem".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .agg(count(lit(1)).as("cnt")).drop("cnt")
+      .withColumn("r", row_number().over(w)).filter($"r" <= 512)
+    val p = kmv.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("WindowGroupLimit"),
+      s"kmv rank filter must plan as WindowGroupLimit in:\n$p")
+  }
+
   test("er blocking: dictionary-sized passes broadcast; no sort-merge, no product") {
     val p = plan("q_er_blocking")
     assert(p.contains("BroadcastHashJoin"), s"blocking joins must broadcast in:\n$p")
