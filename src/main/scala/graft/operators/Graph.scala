@@ -419,6 +419,8 @@ object Graph {
   private val ktrussRounds = 3
   private val harmonicRadius = 3
   private val harmonicLgK = 12
+  private val betweennessRadius = 3
+  private val betweennessTopK = 20
   private val ssspRounds = 4
   private val ssspSources = 3
   private val pprSources = 3
@@ -545,6 +547,62 @@ object Graph {
             TRUE AS approx_ok
      FROM b1 JOIN b2 USING (s) JOIN b3 USING (s)
      ORDER BY source"""
+  }
+
+  /** q_graph_betweenness's oracle: the identical forward (σ-counting
+    * BFS with visited anti-joins) and backward (e4 floor-div dependency
+    * accumulation) rounds unrolled as CTEs — every edge term
+    * (σ_v · (10000 + δ_w)) // σ_w floors identically on non-negative
+    * operands, so the sums match bit-for-bit. */
+  private def betweennessSql: String = {
+    val r = betweennessRadius
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e0 AS MATERIALIZED (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) x
+        JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) y
+          ON x.ok = y.ok AND x.p < y.p)""",
+      """ed AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM e0
+        UNION ALL SELECT b, a FROM e0)""",
+      """l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS s, src AS v, CAST(1 AS BIGINT) AS sigma
+        FROM ed WHERE src % 53 = 0)""",
+      """vis0 AS (SELECT s, v FROM l0)""")
+    for (t <- 1 to r) {
+      ctes += s"""l$t AS MATERIALIZED (
+        SELECT q.s, q.v, CAST(sum(q.sigma) AS BIGINT) AS sigma FROM (
+          SELECT l.s, ed.dst AS v, l.sigma
+          FROM l${t - 1} l JOIN ed ON ed.src = l.v) q
+        WHERE NOT EXISTS (
+          SELECT 1 FROM vis${t - 1} w WHERE w.s = q.s AND w.v = q.v)
+        GROUP BY q.s, q.v)"""
+      ctes += s"""vis$t AS (
+        SELECT s, v FROM vis${t - 1} UNION ALL SELECT s, v FROM l$t)"""
+    }
+    ctes += s"""d$r AS (SELECT s, v, CAST(0 AS BIGINT) AS delta FROM l$r)"""
+    for (t <- (r - 1) to 1 by -1) {
+      ctes += s"""d$t AS MATERIALIZED (
+        SELECT lt.s, lt.v, CAST(coalesce(c.delta, 0) AS BIGINT) AS delta
+        FROM l$t lt LEFT JOIN (
+          SELECT l.s, l.v,
+                 sum((l.sigma * (10000 + d.delta)) // ln.sigma) AS delta
+          FROM l$t l
+          JOIN ed ON ed.src = l.v
+          JOIN l${t + 1} ln ON ln.s = l.s AND ln.v = ed.dst
+          JOIN d${t + 1} d ON d.s = l.s AND d.v = ed.dst
+          GROUP BY l.s, l.v) c ON c.s = lt.s AND c.v = lt.v)"""
+    }
+    val unions = (1 to r)
+      .map(t => s"SELECT s, v, delta FROM d$t").mkString("\n          UNION ALL ")
+    "WITH " + ctes.mkString(",\n") + s"""
+     SELECT v AS node, CAST(sum(delta) AS BIGINT) AS b_e4
+     FROM ($unions)
+     GROUP BY v
+     ORDER BY b_e4 DESC, node
+     LIMIT $betweennessTopK"""
   }
 
   /** The query's graph: the part↔supplier co-purchase graph from lineitem
@@ -997,6 +1055,88 @@ object Graph {
     // consumer
     releaseCheckpoint(reach)
     sizes.reduce(_ unionByName _)
+  }
+
+  /** SAMPLED Brandes betweenness, radius-bounded [Brandes, J. Math.
+    * Sociol.'01; Brandes & Pich, IJBC'07 — source sampling is THE
+    * standard scalable betweenness approximation]: exact dependency
+    * accumulation from a bounded source sample S over the L-truncated
+    * shortest-path DAG. Forward phase: multi-source BFS carrying
+    * shortest-path COUNTS σ(s,v) — per-level frames bounded by |S|·n
+    * (the exactBallSizes shape: the product the sample bound exists to
+    * cap), each level one equi-join + one (s,v) count aggregate + one
+    * anti-join against the visited set. Backward phase: the Brandes
+    * recurrence δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ(w)) unrolled
+    * from the deepest level (δ ≡ 0 there under truncation), in exact
+    * e4 integers — each edge term (σ_v · (10000 + δ_w)) div σ_w floors
+    * identically on both engines (all operands non-negative), so an
+    * unrolled SQL oracle reproduces the accumulation bit-for-bit.
+    * B(v) = Σ_s δ(s,v); sources at depth 0 are excluded by
+    * construction. Truncation at `radius` makes this the bounded-
+    * horizon variant (paths longer than L contribute nothing) — the
+    * same honest bound as q_graph_harmonic's radius-3 balls.
+    *
+    * @param edges directed (src, dst); symmetrize for undirected.
+    * @param sources one column `s` — the bounded sample.
+    * @return (node, b_e4): truncated-Brandes betweenness in e4 units,
+    *         one row per node reached at depth ≥ 1 from any source. */
+  def betweennessBounded(edges: DataFrame, sources: DataFrame,
+      radius: Int): DataFrame = {
+    require(radius >= 2, s"radius must be >= 2, got $radius")
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint()
+    val l0 = sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    val lvls = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    lvls += l0
+    var visited = l0.select(col("s"), col("v")).localCheckpoint()
+    for (_ <- 1 to radius) {
+      val next = lvls.last.join(ed, col("v") === col("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("v"), col("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint()
+      val nv = visited.union(next.select(col("s"), col("v")))
+        .localCheckpoint()
+      releaseCheckpoint(visited)
+      visited = nv
+      lvls += next
+    }
+    releaseCheckpoint(visited)
+    // backward: δ at the truncation horizon is 0; each shallower level
+    // joins its successors' (σ, δ) through the edge frame
+    val deltas = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    var deltaNext = lvls(radius)
+      .select(col("s"), col("v"), lit(0L).as("delta")).localCheckpoint()
+    deltas += deltaNext
+    for (t <- (radius - 1) to 1 by -1) {
+      val down = lvls(t + 1)
+        .select(col("s"), col("v").as("w"), col("sigma").as("sw"))
+        .join(deltaNext.select(col("s"), col("v").as("w"),
+          col("delta").as("dw")), Seq("s", "w"))
+      val contrib = lvls(t)
+        .join(ed, col("v") === col("src"))
+        .select(col("s"), col("v"), col("sigma"), col("dst").as("w"))
+        .join(down, Seq("s", "w"))
+        .select(col("s"), col("v"),
+          expr("(sigma * (10000L + dw)) div sw").as("c"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(col("c")).as("delta"))
+      val full = lvls(t).select(col("s"), col("v"))
+        .join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      deltas += full
+      deltaNext = full
+    }
+    releaseCheckpoint(ed)
+    // every delta frame is checkpoint-materialized — the level frames
+    // are dead (the ktrussPeel release discipline)
+    lvls.foreach(releaseCheckpoint)
+    deltas.reduce(_ unionByName _)
+      .groupBy(col("v").as("node"))
+      .agg(sum(col("delta")).as("b_e4"))
   }
 
   /** The symmetrized %16-slice co-purchase graph as (src, dst) pairs —
@@ -1647,6 +1787,20 @@ object Graph {
       out
     }),
 
+    // Sampled Brandes betweenness over the SAME symmetrized slice graph
+    // (radius 3, the %53 source sample q_graph_harmonic anchors on):
+    // exact σ-counting forward BFS + e4-integer dependency accumulation,
+    // top-20 brokers. The |S|·n forward frames are what the sample
+    // bounds; the oracle unrolls the identical forward/backward rounds.
+    "q_graph_betweenness" -> ((s, dir) => {
+      val ed = symmetrizedSliceEdges(s, dir)
+      val sources = ed.select(col("src").as("s")).distinct()
+        .filter(col("s") % 53 === 0)
+      betweennessBounded(ed, sources, betweennessRadius)
+        .orderBy(col("b_e4").desc, col("node"))
+        .limit(betweennessTopK)
+    }),
+
     // WEIGHTED (Ružička min/max) Jaccard over the same multiplicity
     // graph — overlap weighted by co-purchase support, top-50.
     "q_graph_jaccard_weighted" -> ((s, dir) =>
@@ -1881,6 +2035,7 @@ object Graph {
     "q_graph_kcore_weighted" -> kcoreWeightedSql,
     "q_graph_ktruss" -> ktrussSql,
     "q_graph_harmonic" -> harmonicSql,
+    "q_graph_betweenness" -> betweennessSql,
 
     "q_graph_jaccard_weighted" ->
       """WITH e AS MATERIALIZED (

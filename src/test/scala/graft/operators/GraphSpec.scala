@@ -455,6 +455,24 @@ class GraphSpec extends SparkSpec {
       (3L, 1) -> 3L, (3L, 2) -> 4L, (3L, 3) -> 4L), s"got $ex")
   }
 
+  test("betweennessBounded: hand-computed path and diamond dependencies") {
+    import spark.implicits._
+    // path 1-2-3-4-5 symmetrized, source 1, radius 3: node 5 sits past
+    // the horizon; δ(3→4)=0 ⇒ δ(3)=1e4, δ(2)=σ2(1e4+δ3)/σ3=2e4
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val ed = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val got = Graph.betweennessBounded(ed, Seq(1L).toDF("s"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 20000L, 3L -> 10000L, 4L -> 0L), s"got $got")
+    // diamond 1-{2,3}-4: two shortest paths to 4 (σ4 = 2) split the
+    // dependency: δ(2) = δ(3) = 1·1e4/2 = 5000
+    val d = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val edd = (d ++ d.map(_.swap)).toDF("src", "dst")
+    val got2 = Graph.betweennessBounded(edd, Seq(1L).toDF("s"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(2L -> 5000L, 3L -> 5000L, 4L -> 0L), s"got $got2")
+  }
+
   test("labelPropagate: two planted cliques converge to two communities; arms agree") {
     import spark.implicits._
     // two 5-cliques bridged by one edge: after 3 rounds each clique
