@@ -186,6 +186,48 @@ object Timeseries {
         .orderBy($"event_type")
     }),
 
+    // Tabular CUSUM changepoint detection [Page, Biometrika'54] over the
+    // daily per-type counts: reference mean μ0 from a 14-day burn-in,
+    // allowance k = μ0/20, threshold h = μ0/4 (flags ~5 days of
+    // sustained ≥10% drift; fixture-discriminating — some types alarm,
+    // others stay quiet), then the one-sided pair
+    //   S⁺_t = max(0, S⁺_{t−1} + x_t − μ0 − k)
+    //   S⁻_t = max(0, S⁻_{t−1} + μ0 − k − x_t).
+    // The clamped recursion needs NO recursive fold: with C = cumsum(d),
+    // S_t = C_t − min(0, min_{j≤t} C_j) — two window functions, so the
+    // whole detector is one type-partitioned window pass over the DAILY
+    // aggregate on both engines (the embarrassingly-parallel per-key
+    // shape; no day-count-sized arrays, no recursion anywhere). All
+    // exact e4 integers: μ0 = burn-in sum·1e4 div count (non-negative —
+    // plain div floors identically), d/C/S plain sums.
+    "q_timeseries_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy($"event_type")
+        .orderBy($"day")
+      val pre = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val daily = events(s, dir)
+        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("rn", row_number().over(wOrd))
+      val burn = daily.filter($"rn" <= 14)
+        .groupBy($"event_type")
+        .agg(expr("(sum(x) * 10000L) div count(1)").as("mu0_e4"))
+      daily.filter($"rn" >= 15)
+        .join(broadcast(burn), Seq("event_type"))
+        .withColumn("k_e4", expr("mu0_e4 div 20L"))
+        .withColumn("dpos", $"x" * 10000L - $"mu0_e4" - $"k_e4")
+        .withColumn("dneg", $"mu0_e4" - $"k_e4" - $"x" * 10000L)
+        .withColumn("cpos", sum($"dpos").over(pre))
+        .withColumn("cneg", sum($"dneg").over(pre))
+        .withColumn("spos_e4", $"cpos" - least(lit(0L), min($"cpos").over(pre)))
+        .withColumn("sneg_e4", $"cneg" - least(lit(0L), min($"cneg").over(pre)))
+        .select($"event_type", $"day", $"x", $"mu0_e4",
+          $"spos_e4", $"sneg_e4",
+          ($"spos_e4" > expr("mu0_e4 div 4L") ||
+            $"sneg_e4" > expr("mu0_e4 div 4L")).as("alarm"))
+        .orderBy($"event_type", $"day")
+    }),
+
     // Forward-fill imputation (LOCF): daily per-type count of high-value
     // events (value > 250 — 96 of the 150 (type, day) cells are empty at
     // sf0.01), date-spined so gaps surface as nulls, then last-observation-
@@ -368,6 +410,41 @@ object Timeseries {
                 tr AS trend_e4, lv + 3 * tr AS forecast3_e4
          FROM fin WHERE rr = 1
          ORDER BY event_type""",
+
+    // window-function mirror of the CUSUM prefix-sum reformulation:
+    // S_t = C_t − min(0, running min of C) — no recursion on either side
+    "q_timeseries_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x,
+                  row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn
+           FROM events GROUP BY 1, 2),
+         burn AS (
+           SELECT event_type,
+                  CAST(sum(x) * 10000 // count(*) AS BIGINT) AS mu0_e4
+           FROM daily WHERE rn <= 14 GROUP BY 1),
+         scored AS (
+           SELECT d.event_type, d.day, d.x, b.mu0_e4,
+                  d.x * 10000 - b.mu0_e4 - b.mu0_e4 // 20 AS dpos,
+                  b.mu0_e4 - b.mu0_e4 // 20 - d.x * 10000 AS dneg
+           FROM daily d JOIN burn b USING (event_type)
+           WHERE d.rn >= 15),
+         c AS (
+           SELECT event_type, day, x, mu0_e4,
+                  sum(dpos) OVER w AS cpos, sum(dneg) OVER w AS cneg
+           FROM scored
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         s AS (
+           SELECT event_type, day, x, mu0_e4,
+                  CAST(cpos - least(0, min(cpos) OVER w) AS BIGINT) AS spos_e4,
+                  CAST(cneg - least(0, min(cneg) OVER w) AS BIGINT) AS sneg_e4
+           FROM c
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, x, mu0_e4, spos_e4, sneg_e4,
+                (spos_e4 > mu0_e4 // 4 OR sneg_e4 > mu0_e4 // 4) AS alarm
+         FROM s
+         ORDER BY event_type, day""",
 
     // recursive-CTE mirror of the Holt-Winters fold: 7 seasonal slots as
     // scalar columns, lateral aliases (lvn/trn) carry the interlocked
