@@ -1083,12 +1083,21 @@ object Graph {
   def betweennessBounded(edges: DataFrame, sources: DataFrame,
       radius: Int): DataFrame = {
     require(radius >= 2, s"radius must be >= 2, got $radius")
-    val ed = edges.select(col("src"), col("dst")).localCheckpoint()
+    // layout discipline: every join in BOTH phases keys the edge frame
+    // on src (forward expansion v = src, backward successor probe
+    // v = src), so lay it out once — the |S|·n level frames are the
+    // small side and the only thing that moves per round
+    val ed = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l0 = sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
       .localCheckpoint()
     val lvls = new scala.collection.mutable.ArrayBuffer[DataFrame]
     lvls += l0
-    var visited = l0.select(col("s"), col("v")).localCheckpoint()
+    // visited stays LAZY: a union of already-checkpointed level frames
+    // is a trivial plan — materializing it would only add a job per
+    // round (per-action scheduling dominates at node-frame sizes)
+    var visited = l0.select(col("s"), col("v"))
     for (_ <- 1 to radius) {
       val next = lvls.last.join(ed, col("v") === col("src"))
         .groupBy(col("s"), col("dst"))
@@ -1096,18 +1105,15 @@ object Graph {
         .select(col("s"), col("dst").as("v"), col("sigma"))
         .join(visited, Seq("s", "v"), "left_anti")
         .localCheckpoint()
-      val nv = visited.union(next.select(col("s"), col("v")))
-        .localCheckpoint()
-      releaseCheckpoint(visited)
-      visited = nv
+      visited = visited.union(next.select(col("s"), col("v")))
       lvls += next
     }
-    releaseCheckpoint(visited)
     // backward: δ at the truncation horizon is 0; each shallower level
-    // joins its successors' (σ, δ) through the edge frame
+    // joins its successors' (σ, δ) through the edge frame. The horizon
+    // frame is a lazy projection of the checkpointed deepest level.
     val deltas = new scala.collection.mutable.ArrayBuffer[DataFrame]
     var deltaNext = lvls(radius)
-      .select(col("s"), col("v"), lit(0L).as("delta")).localCheckpoint()
+      .select(col("s"), col("v"), lit(0L).as("delta"))
     deltas += deltaNext
     for (t <- (radius - 1) to 1 by -1) {
       val down = lvls(t + 1)
@@ -1130,10 +1136,12 @@ object Graph {
       deltas += full
       deltaNext = full
     }
-    releaseCheckpoint(ed)
-    // every delta frame is checkpoint-materialized — the level frames
-    // are dead (the ktrussPeel release discipline)
-    lvls.foreach(releaseCheckpoint)
+    ed.unpersist()
+    // the shallower delta frames are checkpoint-materialized, so every
+    // level below the horizon is dead (the ktrussPeel release
+    // discipline) — the DEEPEST level stays: the horizon delta in the
+    // output plan is a lazy projection over it
+    lvls.dropRight(1).foreach(releaseCheckpoint)
     deltas.reduce(_ unionByName _)
       .groupBy(col("v").as("node"))
       .agg(sum(col("delta")).as("b_e4"))
