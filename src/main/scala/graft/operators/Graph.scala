@@ -1795,6 +1795,31 @@ object Graph {
       out
     }),
 
+    // Degree ASSORTATIVITY [Newman, PRL'02] of the symmetrized slice
+    // graph: Pearson r over directed edges of (deg(src), deg(dst)) —
+    // do similar-degree nodes attach (r > 0, social-network-like) or
+    // do hubs bind leaves (r < 0, internet-like)? One degree aggregate
+    // + two node-frame joins onto the edge list + one exact-BIGINT
+    // moment aggregate; the only float math is the final Pearson
+    // quotient over exact sums (r4-rounded — the q_agg_corr recipe).
+    // Symmetry makes Σx = Σy; the exact sums ship as anchors.
+    "q_graph_assortativity" -> ((s, dir) => {
+      val ed = symmetrizedSliceEdges(s, dir)
+      val deg = ed.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val j = ed
+        .join(deg.select(col("node").as("src"), col("d").as("dx")), "src")
+        .join(deg.select(col("node").as("dst"), col("d").as("dy")), "dst")
+      j.agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(col("m"), col("sx"), col("sxx"), col("sxy"),
+          graft.util.D.r4(
+            (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+              (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("assortativity"))
+    }),
+
     // Sampled Brandes betweenness over the SAME symmetrized slice graph
     // (radius 3, the %53 source sample q_graph_harmonic anchors on):
     // exact σ-counting forward BFS + e4-integer dependency accumulation,
@@ -2044,6 +2069,34 @@ object Graph {
     "q_graph_ktruss" -> ktrussSql,
     "q_graph_harmonic" -> harmonicSql,
     "q_graph_betweenness" -> betweennessSql,
+
+    "q_graph_assortativity" ->
+      """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT x.p AS a, y.p AS b
+           FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                 FROM lineitem WHERE l_orderkey % 16 = 0) x
+           JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                 FROM lineitem WHERE l_orderkey % 16 = 0) y
+             ON x.ok = y.ok AND x.p < y.p),
+         ed AS (SELECT a AS src, b AS dst FROM e0
+                UNION ALL SELECT b, a FROM e0),
+         deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+                 FROM ed GROUP BY 1),
+         j AS (
+           SELECT dx.d AS dx, dy.d AS dy
+           FROM ed
+           JOIN deg dx ON dx.node = ed.src
+           JOIN deg dy ON dy.node = ed.dst),
+         mo AS (
+           SELECT CAST(count(*) AS BIGINT) AS m,
+                  CAST(sum(dx) AS BIGINT) AS sx,
+                  CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                  CAST(sum(dx * dy) AS BIGINT) AS sxy
+           FROM j)
+         SELECT m, sx, sxx, sxy,
+                round(CAST(m * sxy - sx * sx AS DOUBLE)
+                      / CAST(m * sxx - sx * sx AS DOUBLE), 4) AS assortativity
+         FROM mo""",
 
     "q_graph_jaccard_weighted" ->
       """WITH e AS MATERIALIZED (

@@ -186,6 +186,43 @@ object Timeseries {
         .orderBy($"event_type")
     }),
 
+    // Classical seasonal DECOMPOSITION (the moving-average STL-lite:
+    // trend = centered 7-day MA, seasonal = per-weekday mean of the
+    // detrended series, residual = x − trend − seasonal) — the
+    // diagnostic counterpart of q_timeseries_holtwinters' forecasting
+    // model. All window/aggregate functions over the DAILY frame, no
+    // recursion. Exact integers: trend_e4 = 7-day window sum · 1e4
+    // div 7 (defined only where the window is FULL — count = 7 — so
+    // the div is over non-negative operands); the seasonal mean
+    // divides a NEGATIVE-capable detrended sum by a variable count,
+    // so it uses the variable-divisor bias shift
+    // (x + B·cnt) div cnt − B ≡ floor(x/cnt) on both engines.
+    // Season index = epoch-days mod 7 (engine-neutral weekday — no
+    // dayofweek() convention mismatch).
+    "q_timeseries_decompose" -> ((s, dir) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+      val ma = wOrd.rowsBetween(-3, 3)
+      val daily = events(s, dir)
+        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("w_n", count(lit(1)).over(ma))
+        .withColumn("trend_e4",
+          when($"w_n" === 7, expr("(sum(x) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 10000L) div 7L")))
+        .withColumn("dow", datediff($"day", lit("1970-01-01").cast("date")) % 7)
+        .withColumn("detr", $"x" * 10000L - $"trend_e4")
+      val season = daily.filter($"trend_e4".isNotNull)
+        .groupBy($"event_type", $"dow")
+        .agg(expr(
+          "(sum(detr) + 1048576L * count(1)) div count(1) - 1048576L")
+          .as("seasonal_e4"))
+      daily
+        .join(broadcast(season), Seq("event_type", "dow"), "left")
+        .select($"event_type", $"day", $"x", $"trend_e4", $"seasonal_e4",
+          ($"detr" - $"seasonal_e4").as("resid_e4"))
+        .orderBy($"event_type", $"day")
+    }),
+
     // Tabular CUSUM changepoint detection [Page, Biometrika'54] over the
     // daily per-type counts: reference mean μ0 from a 14-day burn-in,
     // allowance k = μ0/20, threshold h = μ0/4 (flags ~5 days of
@@ -410,6 +447,33 @@ object Timeseries {
                 tr AS trend_e4, lv + 3 * tr AS forecast3_e4
          FROM fin WHERE rr = 1
          ORDER BY event_type""",
+
+    "q_timeseries_decompose" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         ma AS (
+           SELECT event_type, day, x,
+                  count(*) OVER w AS w_n,
+                  CASE WHEN count(*) OVER w = 7
+                       THEN CAST((sum(x) OVER w * 10000) // 7 AS BIGINT) END AS trend_e4,
+                  CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         detr AS (
+           SELECT *, x * 10000 - trend_e4 AS detr FROM ma),
+         season AS (
+           SELECT event_type, dow,
+                  CAST((sum(detr) + 1048576 * count(*)) // count(*) - 1048576 AS BIGINT)
+                    AS seasonal_e4
+           FROM detr WHERE trend_e4 IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT d.event_type, d.day, d.x, d.trend_e4, s.seasonal_e4,
+                CAST(d.detr - s.seasonal_e4 AS BIGINT) AS resid_e4
+         FROM detr d LEFT JOIN season s
+           ON s.event_type = d.event_type AND s.dow = d.dow
+         ORDER BY d.event_type, d.day""",
 
     // window-function mirror of the CUSUM prefix-sum reformulation:
     // S_t = C_t − min(0, running min of C) — no recursion on either side
