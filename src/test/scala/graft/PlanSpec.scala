@@ -118,6 +118,26 @@ class PlanSpec extends SparkSpec {
       s"kmv rank filter must plan as WindowGroupLimit in:\n$p")
   }
 
+  test("round-16 queries: dim joins broadcast, no all-pairs products") {
+    // er_entities: ids/rep lookups are dim-sized broadcasts; the
+    // closure runs on blocking-bounded edges — never name × name
+    val pe = plan("q_er_entities")
+    assert(pe.contains("BroadcastHashJoin"),
+      s"er_entities dim joins must broadcast in:\n$pe")
+    assert(!pe.contains("CartesianProduct"), s"cartesian in:\n$pe")
+    // decompose: the per-weekday seasonal frame broadcasts back onto
+    // the daily frame (weekday-count-sized — never a shuffle join)
+    val pd = plan("q_timeseries_decompose")
+    assert(pd.contains("BroadcastHashJoin"),
+      s"decompose season join must broadcast in:\n$pd")
+    assert(!pd.contains("CartesianProduct"), s"cartesian in:\n$pd")
+    // betweenness: forward/backward phases are equi-joins throughout
+    val pb = plan("q_graph_betweenness")
+    assert(!pb.contains("CartesianProduct") &&
+      !pb.contains("BroadcastNestedLoopJoin"),
+      s"betweenness must stay equi-join-only in:\n$pb")
+  }
+
   test("er blocking: dictionary-sized passes broadcast; no sort-merge, no product") {
     val p = plan("q_er_blocking")
     assert(p.contains("BroadcastHashJoin"), s"blocking joins must broadcast in:\n$p")
