@@ -1238,6 +1238,35 @@ object ScaleProbe {
       }
     }
 
+    // Sampled Brandes betweenness: the claim under test is that work is
+    // |S|·n-bounded per level and the disjoint-replica growth is LINEAR
+    // (replicas never connect, so per-source frontiers stay
+    // replica-sized while |S| and n both grow m×).
+    if (want("betweenness")) {
+      val p0 = graft.operators.Graph.jaccardSliceEdges(spark, sfDir)
+        .localCheckpoint()
+      def edOf(m: Int) = {
+        val rep = (0 until m).map { i =>
+          val off = lit(i.toLong * 100000000L)
+          p0.select(($"a" + off).as("src"), ($"b" + off).as("dst"))
+        }.reduce(_ unionAll _)
+        rep.unionAll(rep.select($"dst".as("src"), $"src".as("dst")))
+      }
+      Seq(1, 4, 16).foreach { m =>
+        val ed = edOf(m).localCheckpoint()
+        val nE = ed.count()
+        val sources = ed.select($"src".as("s")).distinct()
+          .filter($"s" % 53 === 0)
+        val nS = sources.count()
+        val t0 = System.nanoTime()
+        val out = graft.operators.Graph.betweennessBounded(ed, sources, 3)
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"betweenness","mult":$m,"edges":$nE,"sources":$nS,"ranked":$out,"sec":$sec%.2f,"Medges_per_sec":${nE / sec / 1e6}%.2f}""")
+        graft.util.Frames.releaseCheckpoint(ed)
+      }
+    }
+
     // KMV bottom-k sketch: the claim under test is that the shuffle
     // carries (set, distinct-hash) pairs collapsed MAP-SIDE and the
     // rank ≤ k filter prunes partially below the exchange
