@@ -1279,7 +1279,7 @@ object ScaleProbe {
       Seq(1, 4, 16).foreach { m =>
         val facts = spark.range(200000L * m)
           .select(($"id" % 2).cast("string").as("st"),
-            (($"id" / 2) % 100000L).as("mem"))
+            expr("(id div 2) % 100000L").as("mem"))
           .localCheckpoint()
         val n = facts.count()
         val w = org.apache.spark.sql.expressions.Window
@@ -1298,7 +1298,7 @@ object ScaleProbe {
           .agg(count(lit(1)).as("nk"), sum($"in_a" * $"in_b").as("both"))
           .collect()(0)
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"probe":"kmv","mult":$m,"facts":$n,"nk":${est.getLong(0)},"sec":$sec%.2f,"Mfacts_per_sec":${n / sec / 1e6}%.1f}""")
+        println(f"""{"probe":"kmv","mult":$m,"facts":$n,"nk":${est.getLong(0)},"both":${est.getLong(1)},"sec":$sec%.2f,"Mfacts_per_sec":${n / sec / 1e6}%.1f}""")
       }
     }
 

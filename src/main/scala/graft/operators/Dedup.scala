@@ -413,18 +413,24 @@ object Dedup {
     * lists only for df ≤ dfCap shingles, plus every doc's own rare
     * picks. The rare∪rare arm means exact-boilerplate clusters (all
     * copies share one shingle set, hence one rare selection) always
-    * collide no matter how common their shingles — and its extra work
-    * is output-bounded (those collisions ARE true duplicate pairs).
-    * Work: ≤ k·dfCap rows per doc on the capped arm; the rare arm is
-    * Σ_s |docs ranking s rare|², nonzero only inside dup clusters.
-    * Recall is probabilistic in the threshold regime (a 0.5-contained
-    * doc shares half its shingles; its rarest may fall in the
-    * unshared half) and certain at full containment whenever the
-    * contained doc has ≥1 shingle with df ≤ dfCap OR the pair is an
-    * exact-content cluster; OperatorsSpec pins the fixture recall
-    * floor, the planted full-containment guarantee, and the
-    * over-dfCap boilerplate cluster. q_dedup_containment_scale runs
-    * this exact algebra under the DuckDB oracle. */
+    * collide no matter how common their shingles. The rare-arm
+    * posting lists are THEMSELVES capped at dfCap docs (lowest
+    * doc_ids — deterministic): without the cap, non-duplicate docs
+    * that merely share rare-k picks (templated pages over a small
+    * common vocabulary) would rebuild the doc×doc product the tier
+    * exists to avoid. Work: ≤ 2k·dfCap rows per doc across both arms.
+    * An over-cap exact-boilerplate cluster therefore pairs every
+    * member with the cluster's dfCap lowest-id docs — single
+    * connected component (cluster recovery via Components intact),
+    * not all pairs. Recall is probabilistic in the threshold regime
+    * (a 0.5-contained doc shares half its shingles; its rarest may
+    * fall in the unshared half) and certain at full containment
+    * whenever the contained doc has ≥1 shingle with df ≤ dfCap OR the
+    * pair reaches the capped rare arm; OperatorsSpec pins the fixture
+    * recall floor, the planted full-containment guarantee, and the
+    * over-dfCap boilerplate cluster's connectivity + pair count.
+    * q_dedup_containment_scale runs this exact algebra under the
+    * DuckDB oracle. */
   def containmentCandidates(docs: DataFrame, k: Int = 8,
       dfCap: Long = 64): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
@@ -439,10 +445,17 @@ object Dedup {
     // shared, but the container's own rarest are usually its unshared
     // ones — so each doc's rare selection probes the capped postings
     // (≤ dfCap docs per bucket, ≤ k buckets per doc) UNION the rare
-    // selections themselves (the boilerplate-cluster arm)
+    // selections themselves (the boilerplate-cluster arm, ALSO capped
+    // per shingle — lowest doc_ids — so shared-rare-pick non-dups
+    // cannot rebuild the product)
+    val wRare = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("doc_id"))
+    val rareCapped = rare
+      .withColumn("pr", row_number().over(wRare))
+      .filter(col("pr") <= dfCap).drop("pr")
     val postings = withDf.filter(col("df") <= dfCap)
       .select(col("s"), col("doc_id"))
-      .unionByName(rare)
+      .unionByName(rareCapped)
       .distinct()
     rare.as("a").join(postings.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
@@ -1283,7 +1296,11 @@ object Dedup {
             SELECT DISTINCT s, doc_id FROM (
               SELECT s, doc_id FROM withdf WHERE df <= 64
               UNION ALL
-              SELECT s, doc_id FROM rare)),
+              SELECT s, doc_id FROM (
+                SELECT s, doc_id,
+                       row_number() OVER (PARTITION BY s ORDER BY doc_id) AS pr
+                FROM rare)
+              WHERE pr <= 64)),
           cands AS (
             SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
                    greatest(a.doc_id, b.doc_id) AS d2

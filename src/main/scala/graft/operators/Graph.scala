@@ -1137,14 +1137,18 @@ object Graph {
       deltaNext = full
     }
     ed.unpersist()
-    // the shallower delta frames are checkpoint-materialized, so every
-    // level below the horizon is dead (the ktrussPeel release
-    // discipline) — the DEEPEST level stays: the horizon delta in the
-    // output plan is a lazy projection over it
-    lvls.dropRight(1).foreach(releaseCheckpoint)
-    deltas.reduce(_ unionByName _)
+    // materialize the NODE-SIZED final aggregate, then release every
+    // |S|·n-row intermediate (levels AND deltas) — the exactBallSizes
+    // discipline; without this each call pinned ~radius·|S|·n rows of
+    // lineage-free blocks until session end (self-review r16). Only
+    // the node-sized result stays resident for the caller.
+    val out = deltas.reduce(_ unionByName _)
       .groupBy(col("v").as("node"))
       .agg(sum(col("delta")).as("b_e4"))
+      .localCheckpoint()
+    lvls.foreach(releaseCheckpoint)
+    deltas.foreach(releaseCheckpoint)
+    out
   }
 
   /** The symmetrized %16-slice co-purchase graph as (src, dst) pairs —

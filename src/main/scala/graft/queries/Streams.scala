@@ -56,7 +56,7 @@ object Streams {
     * per (dir, mtime) through the REAL arrival body
     * (StreamOps.topkSummaryBatch) into a FixtureCache staging publish. */
   private[queries] def topkStoreFixture(s: SparkSession, dir: String): String = {
-    val out = graft.util.FixtureCache.buildOnce(dir, "lineitem", "topkstore2") {
+    val out = graft.util.FixtureCache.buildOnce(dir, "lineitem", "topkstore3") {
       staging =>
         val vals = lineitem(s, dir).select(
           (col("l_orderkey") % 3).as("b"),

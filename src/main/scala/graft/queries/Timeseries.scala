@@ -196,7 +196,11 @@ object Timeseries {
     // the div is over non-negative operands); the seasonal mean
     // divides a NEGATIVE-capable detrended sum by a variable count,
     // so it uses the variable-divisor bias shift
-    // (x + B·cnt) div cnt − B ≡ floor(x/cnt) on both engines.
+    // (x + B·cnt) div cnt − B ≡ floor(x/cnt) on both engines, valid
+    // while mean(detr) > −B. B = 2^40 e4 ≈ 1.1e11 counts of headroom:
+    // detrended noise grows ~√(daily count), so the margin holds to
+    // absurd scale (self-review r16 raised it from 2^20, whose ~105
+    // counts of headroom would already crack around sf 2–10).
     // Season index = epoch-days mod 7 (engine-neutral weekday — no
     // dayofweek() convention mismatch).
     "q_timeseries_decompose" -> ((s, dir) => {
@@ -214,7 +218,7 @@ object Timeseries {
       val season = daily.filter($"trend_e4".isNotNull)
         .groupBy($"event_type", $"dow")
         .agg(expr(
-          "(sum(detr) + 1048576L * count(1)) div count(1) - 1048576L")
+          "(sum(detr) + 1099511627776L * count(1)) div count(1) - 1099511627776L")
           .as("seasonal_e4"))
       daily
         .join(broadcast(season), Seq("event_type", "dow"), "left")
@@ -465,7 +469,7 @@ object Timeseries {
            SELECT *, x * 10000 - trend_e4 AS detr FROM ma),
          season AS (
            SELECT event_type, dow,
-                  CAST((sum(detr) + 1048576 * count(*)) // count(*) - 1048576 AS BIGINT)
+                  CAST((sum(detr) + 1099511627776 * count(*)) // count(*) - 1099511627776 AS BIGINT)
                     AS seasonal_e4
            FROM detr WHERE trend_e4 IS NOT NULL
            GROUP BY 1, 2)

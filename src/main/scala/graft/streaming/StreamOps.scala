@@ -540,14 +540,17 @@ object StreamOps {
     val survivors = counts.crossJoin(broadcast(thr))
       .filter(col("cnt") > col("dec"))
       .select(col("item"), (col("cnt") - col("dec")).as("cnt"),
-        lit(null).cast("long").as("n"), lit(null).cast("long").as("dec"))
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("dec"),
+        lit(false).as("audit"))
     // the audit row: exact ingested row count + this batch's decrement,
-    // item NULL — same partition as the survivors so both commit in one
-    // write (no sidecar crash window)
+    // flagged by an EXPLICIT audit column (NOT an item-NULL sentinel —
+    // a NULL item is a legitimate stream value and must survive as a
+    // countable key, self-review r16) — same partition as the survivors
+    // so both commit in one write (no sidecar crash window)
     val audit = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
       .crossJoin(broadcast(thr))
       .select(lit(null).cast("string").as("item"), lit(0L).as("cnt"),
-        col("n"), col("dec"))
+        col("n"), col("dec"), lit(true).as("audit"))
     survivors.unionByName(audit)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -559,7 +562,8 @@ object StreamOps {
 
   /** Top-m off the arrival-built MG store: one summary-sized pass —
     * per-item count addition (THE mergeable-summary property), top-m by
-    * (lb desc, item), the `_meta` totals attached. No fact scan ever.
+    * (lb desc, item), the in-partition audit totals attached. No fact
+    * scan ever.
     * @return (item, lb, n, max_err): lb ≤ true count ≤ lb + max_err,
     *         n = exact total ingested rows (Σ batch counts — exact
     *         regardless of compression), max_err = Σ batch decrements
@@ -567,14 +571,14 @@ object StreamOps {
   def topkStoreRead(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
-    // every batch leaves its audit row (item NULL) in its own partition,
-    // so even an all-empty-batch store reads with a full schema — no
+    // every batch leaves its audit row in its own partition, so even an
+    // all-empty-batch store reads with a full schema — no
     // schema-inference bootstrap needed
     val store = spark.read.parquet(storeDir)
-    val meta = store.filter(col("item").isNull)
+    val meta = store.filter(col("audit"))
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("dec")), lit(0L)).as("max_err"))
-    store.filter(col("item").isNotNull)
+    store.filter(!col("audit"))
       .groupBy(col("item")).agg(sum(col("cnt")).as("lb"))
       .orderBy(col("lb").desc, col("item")).limit(m)
       .crossJoin(broadcast(meta))
@@ -587,14 +591,14 @@ object StreamOps {
     * carry the accumulated error forward — the read bound after any
     * number of compactions stays true ∈ [lb, lb + Σ dec], because each
     * compaction moves exactly its own decrement from the counts into
-    * the `_meta` total. All work is summary-sized. The fresh store
+    * the audit total. All work is summary-sized. The fresh store
     * lands under one [[CompactBatchId]] partition; the source store is
     * untouched — swap directories like [[quantileCompactStore]]. */
   def topkCompactStore(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, outDir: String, k: Int = 64): Unit = {
     require(k >= 1, s"k must be >= 1, got $k")
     val store = spark.read.parquet(storeDir).localCheckpoint()
-    val folded = store.filter(col("item").isNotNull)
+    val folded = store.filter(!col("audit"))
       .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
       .localCheckpoint()
     val thr = folded.orderBy(col("cnt").desc, col("item")).limit(k + 1)
@@ -603,15 +607,17 @@ object StreamOps {
     val survivors = folded.crossJoin(broadcast(thr))
       .filter(col("cnt") > col("dec2"))
       .select(col("item"), (col("cnt") - col("dec2")).as("cnt"),
-        lit(null).cast("long").as("n"), lit(null).cast("long").as("dec"))
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("dec"),
+        lit(false).as("audit"))
     // carried totals + this compaction's own decrement fold into one
     // audit row, committed WITH the survivors (the single-write law)
-    val audit = store.filter(col("item").isNull)
+    val audit = store.filter(col("audit"))
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("dec")), lit(0L)).as("carried"))
       .crossJoin(broadcast(thr))
       .select(lit(null).cast("string").as("item"), lit(0L).as("cnt"),
-        col("n"), (col("carried") + col("dec2")).as("dec"))
+        col("n"), (col("carried") + col("dec2")).as("dec"),
+        lit(true).as("audit"))
     survivors.unionByName(audit)
       .write.mode("overwrite")
       .parquet(s"$outDir/batch_id=$CompactBatchId")

@@ -244,15 +244,22 @@ class OperatorsSpec extends SparkSpec {
     // 70 identical docs (> dfCap = 64): every shingle's df is 70, so no
     // doc has a single under-cap shingle — the regime that used to yield
     // ZERO candidates. Identical shingle sets give identical rare-k
-    // selections, and the rare∪rare postings arm pairs the whole
-    // cluster: all 70·69/2 pairs at containment 1.0.
+    // selections; the rare∪rare arm (posting lists capped at the 64
+    // lowest doc_ids) pairs every member with the cluster's lowest-64
+    // docs: C(64,2) + 6·64 = 2400 pairs, all at containment 1.0, every
+    // doc covered — a single connected component, which is what cluster
+    // recovery needs.
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
     val cluster = (0 until 70).map(i => (8000L + i, boiler))
       .toDF("doc_id", "text")
     val verified = Dedup.containmentVerify(
       cluster, Dedup.containmentCandidates(cluster), 5000L)
-    assert(verified.count() === 70L * 69L / 2L)
-    assert(verified.filter(col("cont_e4") === 10000L).count() === 70L * 69L / 2L)
+      .localCheckpoint()
+    assert(verified.count() === 2400L)
+    assert(verified.filter(col("cont_e4") === 10000L).count() === 2400L)
+    val covered = verified.select(col("d1").as("d"))
+      .unionAll(verified.select(col("d2").as("d"))).distinct().count()
+    assert(covered === 70L, "every cluster member must appear in a pair")
   }
 
   test("decontaminate: leaked benchmark passages flagged, boilerplate df-capped") {

@@ -924,15 +924,15 @@ class StreamOpsSpec extends SparkSpec {
     // decrement within the n_b/(k+1) bound — survivors and their dec
     // commit in one write (the crash-window law)
     val raw = spark.read.parquet(store)
-    val perBatch = raw.filter(col("item").isNotNull)
+    val perBatch = raw.filter(!col("audit"))
       .groupBy("batch_id").count().collect()
       .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
     assert(perBatch.values.forall(_ <= 16), s"over-k batch summary: $perBatch")
-    val auditPerBatch = raw.filter(col("item").isNull)
+    val auditPerBatch = raw.filter(col("audit"))
       .groupBy("batch_id").count().collect().map(_.getLong(1))
     assert(auditPerBatch.length === 3 && auditPerBatch.forall(_ === 1L),
       "each batch partition must hold exactly one audit row")
-    val meta = raw.filter(col("item").isNull)
+    val meta = raw.filter(col("audit"))
       .select(col("n"), col("dec"), col("batch_id").cast("long"))
       .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
     assert(meta(0L)._1 === b1.size.toLong && meta(1L)._1 === b2.size.toLong &&
@@ -947,7 +947,7 @@ class StreamOpsSpec extends SparkSpec {
     val (n, maxErr) = (top.head.getLong(2), top.head.getLong(3))
     assert(n === all.size.toLong)
     assert(maxErr === meta.values.map(_._2).sum && maxErr > 0)
-    val lbs = spark.read.parquet(store).filter(col("item").isNotNull)
+    val lbs = spark.read.parquet(store).filter(!col("audit"))
       .groupBy("item").agg(sum("cnt").as("lb")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     truth.foreach { case (item, t) =>
@@ -961,7 +961,7 @@ class StreamOpsSpec extends SparkSpec {
     // compaction: ≤ k rows total, error budget moves INTO _meta (bound
     // law intact for every item), fixpoint on re-compaction
     StreamOps.topkCompactStore(spark, store, s"$tmp/mg_c", k = 16)
-    val c = spark.read.parquet(s"$tmp/mg_c").filter(col("item").isNotNull)
+    val c = spark.read.parquet(s"$tmp/mg_c").filter(!col("audit"))
     assert(c.count() <= 16)
     val topC = StreamOps.topkStoreRead(spark, s"$tmp/mg_c", 5).collect()
     assert(topC.head.getString(0) === "hot")
@@ -974,7 +974,7 @@ class StreamOpsSpec extends SparkSpec {
       assert(lb <= t && t <= lb + errC, s"$item post-compact: $t outside [$lb, ${lb + errC}]")
     }
     StreamOps.topkCompactStore(spark, s"$tmp/mg_c", s"$tmp/mg_c2", k = 16)
-    assert(spark.read.parquet(s"$tmp/mg_c2").filter(col("item").isNotNull)
+    assert(spark.read.parquet(s"$tmp/mg_c2").filter(!col("audit"))
       .select("item", "cnt")
       .collect().map(_.toSeq).toSet ===
       c.select("item", "cnt").collect().map(_.toSeq).toSet,
@@ -995,6 +995,17 @@ class StreamOpsSpec extends SparkSpec {
     StreamOps.topkSummaryBatch(
       Seq.empty[String].toDF("item"), 0L, emptyStore, 16)
     assert(StreamOps.topkStoreRead(spark, emptyStore, 3).count() === 0)
+    // a NULL item is a legitimate stream value, NOT the audit sentinel:
+    // it survives as a countable key and the guarantee covers it
+    val nullStore = s"$tmp/mg_null"
+    StreamOps.topkSummaryBatch(
+      (Seq.fill(100)(None: Option[String]) ++ Seq.fill(7)(Some("a")))
+        .toDF("item"), 0L, nullStore, 16)
+    val nRows = StreamOps.topkStoreRead(spark, nullStore, 3).collect()
+    assert(nRows.head.isNullAt(0) && nRows.head.getLong(1) === 100L,
+      s"null item must top the read: ${nRows.mkString(",")}")
+    assert(nRows.head.getLong(2) === 107L && nRows.head.getLong(3) === 0L,
+      "exact regime: n counts nulls, zero error budget")
   }
 
   test("distinct-on-arrival: store read ≡ from-scratch sketch; replay idempotent; compaction lossless") {
