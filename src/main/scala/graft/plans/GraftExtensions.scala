@@ -130,6 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hyperball(dir, radius[, broadcast_state]) - full (node, bs) HyperBall neighborhood-function map over dir's co-purchase graph."),
       (children: Seq[Expression]) => GraftTvf.hyperball(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_betweenness"),
+      info(GraftTvf.getClass, "graft_betweenness",
+        "graft_betweenness(dir, radius) - full (node, b_e4) sampled-Brandes brokerage map over dir's co-purchase graph."),
+      (children: Seq[Expression]) => GraftTvf.betweenness(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_pagerank_store"),
       info(GraftTvf.getClass, "graft_pagerank_store",
         "graft_pagerank_store(edge_dir, iters) - pagerank served off a persisted arrival-built edge store."),

@@ -298,6 +298,26 @@ object GraftTvf {
     }
   }
 
+  /** graft_betweenness(dir, radius) — the FULL (node, b_e4)
+    * sampled-Brandes brokerage map over `dir`'s symmetrized %16-slice
+    * co-purchase graph (the q_graph_betweenness operator without the
+    * top-20 cut: ORDER BY/LIMIT belong to the enclosing SQL). Eager-
+    * loop contract like [[pagerank]]. */
+  def betweenness(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_betweenness"
+    require(children.size == 2, s"$fn(dir, radius) takes 2 arguments")
+    val spark = SparkSession.active
+    val dir = str(children, 0, fn)
+    val radius = int(children, 1, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$radius") {
+      import org.apache.spark.sql.functions.col
+      val ed = graft.operators.Graph.symmetrizedSliceEdges(spark, dir)
+      val sources = ed.select(col("src").as("s")).distinct()
+        .filter(col("s") % 53 === 0)
+      graft.operators.Graph.betweennessBounded(ed, sources, radius)
+    }
+  }
+
   /** graft_pagerank_store(edge_dir, iters) — PageRank served off a
     * PERSISTED arrival-built edge store
     * ([[graft.streaming.StreamOps]] edgesOnArrival layout): the read

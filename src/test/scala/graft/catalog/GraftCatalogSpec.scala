@@ -257,6 +257,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(dSql === dApi && dSql.nonEmpty)
   }
 
+  test("TVF surface: graft_betweenness splices the sampled-Brandes loop into SQL") {
+    import org.apache.spark.sql.functions.col
+    val viaSql = spark.sql(
+      s"SELECT node, b_e4 FROM graft_betweenness('${sf()}', 3) ORDER BY b_e4 DESC, node LIMIT 20")
+      .collect().map(_.toSeq).toSeq
+    val ed = graft.operators.Graph.symmetrizedSliceEdges(spark, sf())
+    val viaApi = graft.operators.Graph.betweennessBounded(
+        ed, ed.select(col("src").as("s")).distinct().filter(col("s") % 53 === 0), 3)
+      .orderBy(col("b_e4").desc, col("node")).limit(20)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql === viaApi && viaSql.nonEmpty)
+  }
+
   test("TVF surface: graft_pagerank_store serves ranks off the edge store ≡ the API read") {
     import spark.implicits._
     val estore =
