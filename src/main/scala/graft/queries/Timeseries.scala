@@ -42,6 +42,28 @@ object Timeseries {
     * in both engines, so the gap comparison is exact integer math). */
   private val GapUs = 1800L * 1000000L
 
+  /** q_timeseries_periodogram's trig table: (period p, residue r,
+    * round(cos(2πr/p)·1e3), round(sin(2πr/p)·1e3)) for p = 2..14 —
+    * computed ONCE here and inlined into BOTH engines (the Spark
+    * literal frame and the oracle's VALUES list), so neither engine
+    * evaluates a transcendental at query time and the whole statistic
+    * is exact BIGINT arithmetic. e3 (not e4) keeps the squared
+    * demeaned sums inside BIGINT out to ~sf10 (documented bound). */
+  private val periodogramTrig: Seq[(Long, Long, Long, Long)] =
+    for {
+      p <- 2L to 14L
+      r <- 0L until p
+    } yield {
+      val th = 2.0 * math.Pi * r / p
+      (p, r, math.round(math.cos(th) * 1000), math.round(math.sin(th) * 1000))
+    }
+
+  /** The same table as a SQL VALUES body (p, r, c_e3, s_e3). */
+  private def periodogramTrigSql: String =
+    periodogramTrig
+      .map { case (p, r, c, s) => s"($p, $r, $c, $s)" }
+      .mkString(",\n             ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gap-based batch sessionization: a new session starts when the user
     // is idle >= 30 min. lag → boundary flag → running sum = session id,
@@ -343,6 +365,46 @@ object Timeseries {
     // correlation sums are exact BIGINT products of integer counts, and
     // the Pearson formula is ONE shared double expression — the
     // q_agg_corr portability recipe.
+    // Integer PERIODOGRAM (DFT power at candidate periods 2..14) of the
+    // daily per-type counts — the frequency-domain sibling of
+    // q_timeseries_acf's lag correlations: power(p) = (Σ y_t·cos(2πt/p))²
+    // + (Σ y_t·sin(2πt/p))² over the demeaned series, peak period
+    // flagged per type. EXACT cross-engine by construction:
+    // the trig values are e4-scaled BIGINT literals generated ONCE in
+    // Scala (cos is periodic, so only (p, t mod p) cells exist — 104
+    // literals) and inlined into BOTH the Spark literal frame and the
+    // oracle's VALUES list, so no engine evaluates a transcendental and
+    // every sum is exact integer arithmetic ((Σx·c_e4)² ≤ ~4e16 —
+    // inside BIGINT). Work: one broadcast join of the daily frame
+    // against a 104-row literal table + one (type, p) aggregate.
+    "q_timeseries_periodogram" -> ((s, dir) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+      val wAll = Window.partitionBy($"event_type")
+      val trig = periodogramTrig
+        .map { case (p, r, c, sn) => (p, r, c, sn) }
+        .toDF("p", "r", "c_e3", "s_e3")
+      // demean EXACTLY in integers: y = n·x − Σx (the per-type scaling
+      // by n is uniform across periods, so peaks are unaffected) —
+      // without it, DC leakage at non-integer cycle counts swamps the
+      // true weekly line
+      val daily = events(s, dir)
+        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("t", row_number().over(wOrd).cast("long") - 1L)
+        .withColumn("y", count(lit(1)).over(wAll) * $"x" - sum($"x").over(wAll))
+      daily
+        .join(broadcast(trig), $"t" % $"p" === $"r")
+        .groupBy($"event_type", $"p")
+        .agg(sum($"y" * $"c_e3").as("a_e3"), sum($"y" * $"s_e3").as("b_e3"))
+        .select($"event_type", $"p",
+          ($"a_e3" * $"a_e3" + $"b_e3" * $"b_e3").as("power_e6"))
+        .withColumn("is_peak",
+          $"power_e6" === max($"power_e6").over(
+            Window.partitionBy($"event_type")))
+        .orderBy($"event_type", $"p")
+    }),
+
     "q_timeseries_acf" -> ((s, dir) => {
       import s.implicits._
       val daily = events(s, dir)
@@ -451,6 +513,34 @@ object Timeseries {
                 tr AS trend_e4, lv + 3 * tr AS forecast3_e4
          FROM fin WHERE rr = 1
          ORDER BY event_type""",
+
+    // same Scala-generated trig literals — neither engine computes trig
+    "q_timeseries_periodogram" ->
+      s"""WITH trig(p, r, c_e3, s_e3) AS (
+           VALUES $periodogramTrigSql),
+         daily0 AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x,
+                  CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) - 1 AS BIGINT) AS t
+           FROM events GROUP BY 1, 2),
+         daily AS (
+           SELECT event_type, day, t,
+                  CAST(count(*) OVER w * x - sum(x) OVER w AS BIGINT) AS y
+           FROM daily0
+           WINDOW w AS (PARTITION BY event_type)),
+         pw AS (
+           SELECT d.event_type, CAST(tr.p AS BIGINT) AS p,
+                  CAST(sum(d.y * tr.c_e3) AS BIGINT) AS a_e3,
+                  CAST(sum(d.y * tr.s_e3) AS BIGINT) AS b_e3
+           FROM daily d JOIN trig tr ON d.t % tr.p = tr.r
+           GROUP BY 1, 2),
+         fin AS (
+           SELECT event_type, p,
+                  CAST(a_e3 * a_e3 + b_e3 * b_e3 AS BIGINT) AS power_e6
+           FROM pw)
+         SELECT event_type, p, power_e6,
+                power_e6 = max(power_e6) OVER (PARTITION BY event_type) AS is_peak
+         FROM fin
+         ORDER BY event_type, p""",
 
     "q_timeseries_decompose" ->
       """WITH daily AS (
