@@ -438,6 +438,45 @@ object Text {
     // (irrational-valued → round(,4) is portable). Scale shape: two hash
     // aggs (doc×term, then term) + one window over the tf table — the fact
     // rows are touched once by the explode.
+    // Zipf rank-frequency fit per language — the vocabulary-distribution
+    // diagnostic an LLM-corpus curation pass runs (a healthy natural-
+    // language corpus slopes ≈ −1 in log-log; templated/synthetic text
+    // flattens or cliffs). OLS slope over (ln rank, ln tf) of the top
+    // 200 corpus terms: the lns are floor-quantized e3 BIGINTs per row
+    // (the idf_e4 convention — transcendental outputs never ship as
+    // round(double, n)), every sum after that exact integer, and the
+    // final slope a VARIABLE-divisor bias-shifted integer division
+    // (numerator is negative for a falling curve, where Spark's
+    // truncating div and DuckDB's flooring // would split). One token
+    // explode + one (lang, term) aggregate + one windowed top-200 —
+    // postings-shaped, never doc×doc.
+    "q_text_zipf" -> ((s, dir) => {
+      import s.implicits._
+      val B = 1048576L
+      val tf = documents(s, dir)
+        .filter($"text".isNotNull)
+        .select($"lang", explode(split($"text", " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"lang", $"term").agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"tf".desc, $"term")
+      tf.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 200)
+        .select($"lang",
+          floor(log($"rank".cast("double")) * 1e3).cast("long").as("x"),
+          floor(log($"tf".cast("double")) * 1e3).cast("long").as("y"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_terms"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .filter($"n_terms" >= 20)
+        .select($"lang", $"n_terms",
+          expr(s"""((n_terms * sxy - sx * sy) * 10000L
+                    + ${B}L * (n_terms * sxx - sx * sx))
+                   div (n_terms * sxx - sx * sx) - ${B}L""").as("slope_e4"))
+        .orderBy($"lang")
+    }),
+
     "q_text_top_terms" -> ((s, dir) => {
       import s.implicits._
       val docs = documents(s, dir)
@@ -1001,6 +1040,36 @@ object Text {
                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '[email]', 'g'),
                   '[ \t\r\n]+', ' ', 'g')))) AS INT) AS clean_len
          FROM documents ORDER BY doc_id""",
+
+    "q_text_zipf" ->
+      """WITH tf AS (
+           SELECT lang, term, CAST(count(*) AS BIGINT) AS tf FROM (
+             SELECT lang, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE text IS NOT NULL)
+           WHERE term <> ''
+           GROUP BY lang, term),
+         ranked AS (
+           SELECT lang,
+                  CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e3) AS BIGINT) AS x,
+                  CAST(floor(ln(CAST(tf AS DOUBLE)) * 1e3) AS BIGINT) AS y
+           FROM (SELECT lang, tf,
+                        row_number() OVER (PARTITION BY lang
+                          ORDER BY tf DESC, term) AS rank
+                 FROM tf)
+           WHERE rank <= 200),
+         mo AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM ranked GROUP BY lang
+           HAVING count(*) >= 20)
+         SELECT lang, n_terms,
+                CAST(((n_terms * sxy - sx * sy) * 10000
+                       + 1048576 * (n_terms * sxx - sx * sx))
+                     // (n_terms * sxx - sx * sx) - 1048576 AS BIGINT) AS slope_e4
+         FROM mo
+         ORDER BY lang""",
 
     "q_text_top_terms" ->
       """WITH tf AS (
