@@ -370,20 +370,20 @@ object Timeseries {
     // q_timeseries_acf's lag correlations: power(p) = (Σ y_t·cos(2πt/p))²
     // + (Σ y_t·sin(2πt/p))² over the demeaned series, peak period
     // flagged per type. EXACT cross-engine by construction:
-    // the trig values are e4-scaled BIGINT literals generated ONCE in
+    // the trig values are e3-scaled BIGINT literals generated ONCE in
     // Scala (cos is periodic, so only (p, t mod p) cells exist — 104
     // literals) and inlined into BOTH the Spark literal frame and the
     // oracle's VALUES list, so no engine evaluates a transcendental and
-    // every sum is exact integer arithmetic ((Σx·c_e4)² ≤ ~4e16 —
-    // inside BIGINT). Work: one broadcast join of the daily frame
-    // against a 104-row literal table + one (type, p) aggregate.
+    // every sum is exact integer arithmetic (the squared demeaned sums
+    // stay inside BIGINT out to ~sf10 — the periodogramTrig scaladoc's
+    // bound; past it the honest fix is e2 trig, not bigger integers).
+    // Work: one broadcast join of the daily frame against a 104-row
+    // literal table + one (type, p) aggregate.
     "q_timeseries_periodogram" -> ((s, dir) => {
       import s.implicits._
       val wOrd = Window.partitionBy($"event_type").orderBy($"day")
       val wAll = Window.partitionBy($"event_type")
-      val trig = periodogramTrig
-        .map { case (p, r, c, sn) => (p, r, c, sn) }
-        .toDF("p", "r", "c_e3", "s_e3")
+      val trig = periodogramTrig.toDF("p", "r", "c_e3", "s_e3")
       // demean EXACTLY in integers: y = n·x − Σx (the per-type scaling
       // by n is uniform across periods, so peaks are unaffected) —
       // without it, DC leakage at non-integer cycle counts swamps the

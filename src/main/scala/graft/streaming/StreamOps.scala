@@ -497,7 +497,9 @@ object StreamOps {
     * Error accounting is EXPLICIT, not implicit in the counters: each
     * batch records its decrement (the (k+1)-th largest in-batch count —
     * ≤ n_batch/(k+1) by the standard argument) as an AUDIT ROW INSIDE
-    * the batch's own partition (item NULL, carrying n + dec), so every
+    * the batch's own partition (flagged by the boolean `audit` column,
+    * carrying n + dec — NOT an item-NULL sentinel: a NULL item is a
+    * legitimate countable key), so every
     * read can report the guarantee true ∈ [lb, lb + Σ dec] without any
     * assumption about what other batches contained — and a batch whose
     * every item was decremented away still leaves its audit row.
@@ -575,6 +577,7 @@ object StreamOps {
     // all-empty-batch store reads with a full schema — no
     // schema-inference bootstrap needed
     val store = spark.read.parquet(storeDir)
+    requireAuditFormat(store, storeDir)
     val meta = store.filter(col("audit"))
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("dec")), lit(0L)).as("max_err"))
@@ -598,6 +601,7 @@ object StreamOps {
       storeDir: String, outDir: String, k: Int = 64): Unit = {
     require(k >= 1, s"k must be >= 1, got $k")
     val store = spark.read.parquet(storeDir).localCheckpoint()
+    requireAuditFormat(store, storeDir)
     val folded = store.filter(!col("audit"))
       .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
       .localCheckpoint()
@@ -623,6 +627,59 @@ object StreamOps {
       .parquet(s"$outDir/batch_id=$CompactBatchId")
     graft.util.Frames.releaseCheckpoint(folded)
     graft.util.Frames.releaseCheckpoint(store)
+  }
+
+  /** Fail fast on a PRE-audit-column MG store (the `_meta`-sidecar
+    * format): reading it through the audit-column paths would silently
+    * drop every old batch (their rows read `audit` NULL, failing BOTH
+    * filters) — a silent hole in the lb ≤ true ≤ lb + max_err
+    * guarantee. The mixed-format case (old store resumed by a new
+    * writer) is caught the same way. Point at [[topkStoreMigrate]],
+    * the quantileStoreMigrate discipline. */
+  private def requireAuditFormat(store: DataFrame, storeDir: String): Unit =
+    require(store.columns.contains("audit"),
+      s"MG store $storeDir predates the audit-column format (the _meta-" +
+        "sidecar layout) — run StreamOps.topkStoreMigrate into a fresh " +
+        "dir and swap, or reads would silently exclude pre-upgrade batches")
+
+  /** Migrate a `_meta`-sidecar MG store (pre-round-16 format) to the
+    * audit-column layout: each batch partition is rewritten with its
+    * sidecar row folded in as the in-partition audit row. Idempotent;
+    * the source is untouched — swap directories afterwards like
+    * [[quantileCompactStore]]. */
+  def topkStoreMigrate(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, outDir: String): Unit = {
+    val parts = new java.io.File(storeDir).listFiles()
+    require(parts != null, s"MG store $storeDir does not exist")
+    val metaDir = new java.io.File(storeDir, "_meta")
+    require(metaDir.isDirectory,
+      s"$storeDir has no _meta sidecar — already audit-column format?")
+    parts.filter(p => p.isDirectory && p.getName.startsWith("batch_id="))
+      .foreach { p =>
+        val survivors = spark.read.parquet(p.getAbsolutePath)
+          .select(col("item"), col("cnt"),
+            lit(null).cast("long").as("n"), lit(null).cast("long").as("dec"),
+            lit(false).as("audit"))
+        val audit = spark.read
+          .parquet(s"${metaDir.getAbsolutePath}/${p.getName}")
+          .select(lit(null).cast("string").as("item"), lit(0L).as("cnt"),
+            col("n"), col("dec"), lit(true).as("audit"))
+        survivors.unionByName(audit)
+          .write.mode("overwrite").parquet(s"$outDir/${p.getName}")
+      }
+    // meta-only batch partitions (every item decremented away) still
+    // carry their audit row — they exist under _meta but may lack a
+    // survivor partition
+    val survivorNames = parts.map(_.getName).toSet
+    Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .filter(m => m.isDirectory && m.getName.startsWith("batch_id=") &&
+        !survivorNames.contains(m.getName))
+      .foreach { m =>
+        spark.read.parquet(m.getAbsolutePath)
+          .select(lit(null).cast("string").as("item"), lit(0L).as("cnt"),
+            col("n"), col("dec"), lit(true).as("audit"))
+          .write.mode("overwrite").parquet(s"$outDir/${m.getName}")
+      }
   }
 
   // ---- HLL distinct counts on arrival --------------------------------------

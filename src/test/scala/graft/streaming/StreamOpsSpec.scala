@@ -1008,6 +1008,43 @@ class StreamOpsSpec extends SparkSpec {
       "exact regime: n counts nulls, zero error budget")
   }
 
+  test("topk store: pre-audit-column (_meta sidecar) format fails fast; migrate restores reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("topk_migrate").toString
+    val old = s"$tmp/mg_old"
+    // hand-write the ROUND-15 layout: survivor partitions + _meta sidecar
+    Seq(("hot", 90L), ("warm", 40L)).toDF("item", "cnt")
+      .write.parquet(s"$old/batch_id=0")
+    Seq((200L, 10L)).toDF("n", "dec")
+      .write.parquet(s"$old/_meta/batch_id=0")
+    Seq(("hot", 25L)).toDF("item", "cnt")
+      .write.parquet(s"$old/batch_id=1")
+    Seq((25L, 0L)).toDF("n", "dec")
+      .write.parquet(s"$old/_meta/batch_id=1")
+    // a meta-only batch (every item decremented away)
+    Seq((17L, 17L)).toDF("n", "dec")
+      .write.parquet(s"$old/_meta/batch_id=2")
+    // the audit-column read must fail FAST with migration guidance, not
+    // silently drop the pre-upgrade batches
+    val err = intercept[IllegalArgumentException] {
+      StreamOps.topkStoreRead(spark, old, 3).collect()
+    }
+    assert(err.getMessage.contains("topkStoreMigrate"), err.getMessage)
+    // migrate → reads carry every batch's counts and the full budget
+    StreamOps.topkStoreMigrate(spark, old, s"$tmp/mg_new")
+    val top = StreamOps.topkStoreRead(spark, s"$tmp/mg_new", 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(top("hot") === ((115L, 242L, 27L)), s"got $top")
+    assert(top("warm")._1 === 40L)
+    // post-migration ingest lands beside the migrated partitions
+    StreamOps.topkSummaryBatch(Seq.fill(5)("hot").toDF("item"),
+      9L, s"$tmp/mg_new", 16)
+    val top2 = StreamOps.topkStoreRead(spark, s"$tmp/mg_new", 1).collect()
+    assert(top2.head.getLong(1) === 120L && top2.head.getLong(2) === 247L)
+  }
+
   test("distinct-on-arrival: store read ≡ from-scratch sketch; replay idempotent; compaction lossless") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
