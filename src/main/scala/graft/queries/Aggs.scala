@@ -20,9 +20,54 @@ import graft.util.D._
   */
 object Aggs {
 
+  /** q_agg_benford's expected first-digit probabilities
+    * log10(1 + 1/d) — computed ONCE here and inlined into BOTH engines
+    * as full-precision double literals (Double.toString round-trips
+    * exactly, and +/−/×/÷ are IEEE-correctly-rounded on both engines,
+    * so the whole statistic is bit-deterministic — the periodogram
+    * trig-literal discipline; only TRANSCENDENTAL evaluation differs
+    * across libms, and none happens at query time). */
+  private val benfordProbs: Seq[(Int, Double)] =
+    (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+
+  private def benfordProbsSql: String =
+    benfordProbs.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship — TPC-H Q1 style pricing summary.
     "q_agg_pricing_summary" -> ((s, dir) => pricingSummary(s, dir)),
+
+    // Benford first-digit law over order totals — the classic
+    // data-quality / fraud screen (natural multi-scale monetary data
+    // follows log10(1+1/d); fabricated or truncated data doesn't).
+    // Per-digit observed vs expected counts + chi-square contributions
+    // in the q_drift_chisq floor-quantized e8 convention, with a
+    // digit = -1 total row. One scan + one 9-row aggregate; the
+    // expected probabilities are Scala-generated literals (no runtime
+    // log10 on either engine).
+    "q_agg_benford" -> ((s, dir) => {
+      import s.implicits._
+      val probs = benfordProbs.toDF("digit", "p")
+      val obs = orders(s, dir)
+        .select(substring(floor($"o_totalprice").cast("long").cast("string"),
+          1, 1).cast("int").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("obs"))
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      broadcast(probs).join(obs, Seq("digit"), "left")
+        .select($"digit", coalesce($"obs", lit(0L)).as("obs"), $"p")
+        .withColumn("n", sum($"obs").over(all).cast("double"))
+        .select($"digit", $"obs",
+          floor($"n" * $"p" * 1e4 + 0.5).cast("long").as("exp_e4"),
+          floor((($"obs" - $"n" * $"p") * ($"obs" - $"n" * $"p") /
+            ($"n" * $"p")) * 1e8 + 0.5).cast("long").as("chisq_micro"))
+        .select(explode(array($"digit", lit(-1))).as("digit"),
+          $"obs", $"exp_e4", $"chisq_micro")
+        .groupBy($"digit")
+        .agg(sum($"obs").as("obs"), sum($"exp_e4").as("exp_e4"),
+          sum($"chisq_micro").as("chisq_micro"))
+        .orderBy($"digit")
+    }),
 
     "q_agg_distinct" -> ((s, dir) => {
       import s.implicits._
@@ -975,6 +1020,31 @@ object Aggs {
 
   val oracle: Map[String, String] = Map(
     "q_agg_grouping_id" -> groupingIdSql("orders"),
+
+    // same Scala-generated probability literals — no runtime log10
+    "q_agg_benford" ->
+      s"""WITH probs(digit, p) AS (VALUES $benfordProbsSql),
+         obs AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                  CAST(count(*) AS BIGINT) AS obs
+           FROM orders GROUP BY 1),
+         cells AS (
+           SELECT p.digit, coalesce(o.obs, 0) AS obs, p.p,
+                  CAST(sum(coalesce(o.obs, 0)) OVER () AS DOUBLE) AS n
+           FROM probs p LEFT JOIN obs o ON o.digit = p.digit),
+         contrib AS (
+           SELECT digit, obs,
+                  CAST(floor(n * p * 1e4 + 0.5) AS BIGINT) AS exp_e4,
+                  CAST(floor(((obs - n * p) * (obs - n * p) / (n * p)) * 1e8 + 0.5) AS BIGINT) AS chisq_micro
+           FROM cells)
+         SELECT digit, CAST(sum(obs) AS BIGINT) AS obs,
+                CAST(sum(exp_e4) AS BIGINT) AS exp_e4,
+                CAST(sum(chisq_micro) AS BIGINT) AS chisq_micro
+         FROM (SELECT digit, obs, exp_e4, chisq_micro FROM contrib
+               UNION ALL
+               SELECT -1, obs, exp_e4, chisq_micro FROM contrib)
+         GROUP BY digit
+         ORDER BY digit""",
 
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
