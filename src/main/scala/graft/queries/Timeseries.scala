@@ -394,7 +394,12 @@ object Timeseries {
         .withColumn("t", row_number().over(wOrd).cast("long") - 1L)
         .withColumn("y", count(lit(1)).over(wAll) * $"x" - sum($"x").over(wAll))
       daily
-        .join(broadcast(trig), $"t" % $"p" === $"r")
+        // explode the 13 candidate periods FIRST so the trig lookup is
+        // a true equi-join on (p, r = t mod p) — BroadcastHashJoin, not
+        // the nested-loop a theta-condition (t % p = r) would plan
+        .withColumn("p", explode(lit((2 to 14).map(_.toLong).toArray)))
+        .withColumn("r", $"t" % $"p")
+        .join(broadcast(trig), Seq("p", "r"))
         .groupBy($"event_type", $"p")
         .agg(sum($"y" * $"c_e3").as("a_e3"), sum($"y" * $"s_e3").as("b_e3"))
         .select($"event_type", $"p",

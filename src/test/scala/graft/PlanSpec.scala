@@ -138,6 +138,22 @@ class PlanSpec extends SparkSpec {
       s"betweenness must stay equi-join-only in:\n$pb")
   }
 
+  test("literal-table queries: trig/prob tables broadcast onto the aggregate frame") {
+    // periodogram: the 104-row trig table must broadcast (an equi-join
+    // on t % p = r — never a shuffle of the daily frame for it)
+    val pp = plan("q_timeseries_periodogram")
+    assert(pp.contains("BroadcastHashJoin"),
+      s"trig table must broadcast in:\n$pp")
+    assert(!pp.contains("CartesianProduct"), s"cartesian in:\n$pp")
+    // benford: the probs side of the outer join is 9 literal rows —
+    // a broadcast-left outer can't hash-join in Spark, so the honest
+    // pin is single-scan + no product (the join inputs are 9-row)
+    val pb = plan("q_agg_benford")
+    assert(!pb.contains("CartesianProduct"), s"cartesian in:\n$pb")
+    assert("Scan parquet".r.findAllIn(pb).size == 2,
+      s"benford must scan orders exactly once (formatted plans list each scan twice) in:\n$pb")
+  }
+
   test("er blocking: dictionary-sized passes broadcast; no sort-merge, no product") {
     val p = plan("q_er_blocking")
     assert(p.contains("BroadcastHashJoin"), s"blocking joins must broadcast in:\n$p")
