@@ -1057,6 +1057,116 @@ object Graph {
     sizes.reduce(_ unionByName _)
   }
 
+  /** The deterministic %53 source sample over a symmetrized edge frame —
+    * ONE definition for q_graph_harmonic's exact anchor,
+    * q_graph_betweenness and the graft_betweenness TVF (they sample the
+    * same graph; three inline copies drifted one filter away from
+    * breaking the shared-BFS equivalence below). */
+  private[graft] def sources53(ed: DataFrame): DataFrame =
+    ed.select(col("src").as("s")).distinct().filter(col("s") % 53 === 0)
+
+  /** The src-laid-out symmetrized slice frame with a RELEASE HANDLE.
+    * Under the bench buffer pool (-Dgraft.cacheTables=true) the frame is
+    * memoized per (session, dir) and the handle is a no-op — harmonic,
+    * betweenness and assortativity read ONE materialization instead of
+    * each persisting its own copy (verdict r16 #1: back-to-back in the
+    * bench they paid the build twice). Cold runs (Verify, tests) persist
+    * per-query — columnar-compressed MEMORY_AND_DISK, the pagerank
+    * lesson — and the handle unpersists. */
+  private[graft] def symSliceShared(s: SparkSession, dir: String)
+      : (DataFrame, () => Unit) = {
+    def build = symmetrizedSliceEdges(s, dir).repartition(col("src"))
+    if (java.lang.Boolean.getBoolean("graft.cacheTables"))
+      (graft.util.Memo.benchMemo(s, dir, "graph:sym_slice_src")(build),
+        () => ())
+    else {
+      val f = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (f, () => { f.unpersist(); () })
+    }
+  }
+
+  /** Forward σ-BFS levels from `sources`: levels(t) = (s, v, sigma)
+    * with v at BFS distance EXACTLY t from s (the per-round anti-join
+    * against the visited set) and σ(s,v) its shortest-path count. This
+    * is q_graph_betweenness's forward phase AND — because the levels
+    * partition the reach set by first-visit distance —
+    * q_graph_harmonic's exact anchor is a per-source cumulative count
+    * over it ([[ballSizesFromLevels]]): one traversal serves both
+    * queries (verdict r16 #1; previously exactBallSizes re-walked the
+    * same graph from the same sample).
+    *
+    * `wrap(t, build)` materializes each level — localCheckpoint for
+    * one-shot loops, the bench pool's lineage-preserving persist for
+    * cross-query sharing. Each level's plan reads the PREVIOUS WRAPPED
+    * level, so the wrap also bounds plan depth: left lazy, level t
+    * re-enters level t−1 twice (frontier + visited) and the recompute
+    * fan-out is 2^radius (measured 2× wall on the first cut of this
+    * sharing, which unioned unwrapped levels). */
+  private[graft] def sigmaLevels(ed: DataFrame, sources: DataFrame,
+      radius: Int, wrap: (Int, () => DataFrame) => DataFrame)
+      : IndexedSeq[DataFrame] = {
+    val lvls = scala.collection.mutable.ArrayBuffer(
+      wrap(0, () =>
+        sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))))
+    // visited stays LAZY: a union of already-materialized level frames
+    // is a trivial plan
+    var visited = lvls(0).select(col("s"), col("v"))
+    for (t <- 1 to radius) {
+      val prev = lvls.last
+      val vis = visited
+      lvls += wrap(t, () => prev.join(ed, col("v") === col("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("v"), col("sigma"))
+        .join(vis, Seq("s", "v"), "left_anti"))
+      visited = visited.union(lvls.last.select(col("s"), col("v")))
+    }
+    lvls.toIndexedSeq
+  }
+
+  /** The %53 σ-BFS levels, memo-or-build: THE shared forward pass.
+    * Under the bench pool every level is individually memoized and
+    * persisted (pure lineage — the Memo no-embedded-checkpoint
+    * contract holds because persist keeps the recompute path to
+    * parquet); cold runs checkpoint per level and the handle releases
+    * them — callers materialize their (node-/|S|-sized) outputs BEFORE
+    * invoking the handle. Accessor: level t as (s, v, sigma). */
+  private[graft] def sigma53Shared(s: SparkSession, dir: String,
+      ed: DataFrame, radius: Int): (Int => DataFrame, () => Unit) =
+    if (java.lang.Boolean.getBoolean("graft.cacheTables")) {
+      val lvls = sigmaLevels(ed, sources53(ed), radius, (t, build) =>
+        graft.util.Memo.benchMemo(s, dir, s"graph:sigma53_r$radius:l$t")(
+          build()))
+      (t => lvls(t), () => ())
+    } else {
+      val lvls = sigmaLevels(ed, sources53(ed), radius,
+        (_, build) => build().localCheckpoint())
+      (t => lvls(t), () => lvls.foreach(releaseCheckpoint))
+    }
+
+  /** Exact |B_t(s)| off σ-BFS levels: the levels partition the reach set
+    * by first-visit distance, so the ball size is the per-source
+    * CUMULATIVE level count — [[exactBallSizes]] recomputed for free
+    * from the traversal betweenness already ran. The (s × t) grid is
+    * dense (a source whose BFS exhausts early still carries its last
+    * count forward), matching exactBallSizes row-for-row — GraphSpec
+    * pins the equivalence.
+    * @param lvl level accessor from [[sigma53Shared]]/[[sigmaLevelFrame]]
+    * @return (s, t, b) for t = 1..radius, source included in b. */
+  private[graft] def ballSizesFromLevels(lvl: Int => DataFrame,
+      radius: Int): DataFrame = {
+    val counts = (0 to radius)
+      .map(t => lvl(t).groupBy(col("s")).agg(count(lit(1)).as("c"))
+        .withColumn("u", lit(t)))
+      .reduce(_ unionByName _)
+    // |S|·(radius+1)² rows total — driver-trivial at any corpus size
+    counts.select(col("s")).distinct()
+      .select(col("s"), explode(sequence(lit(1), lit(radius))).as("t"))
+      .join(counts, Seq("s"))
+      .filter(col("u") <= col("t"))
+      .groupBy(col("s"), col("t")).agg(sum(col("c")).as("b"))
+  }
+
   /** SAMPLED Brandes betweenness, radius-bounded [Brandes, J. Math.
     * Sociol.'01; Brandes & Pich, IJBC'07 — source sampling is THE
     * standard scalable betweenness approximation]: exact dependency
@@ -1090,37 +1200,40 @@ object Graph {
     val ed = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l0 = sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
-      .localCheckpoint()
-    val lvls = new scala.collection.mutable.ArrayBuffer[DataFrame]
-    lvls += l0
-    // visited stays LAZY: a union of already-checkpointed level frames
-    // is a trivial plan — materializing it would only add a job per
-    // round (per-action scheduling dominates at node-frame sizes)
-    var visited = l0.select(col("s"), col("v"))
-    for (_ <- 1 to radius) {
-      val next = lvls.last.join(ed, col("v") === col("src"))
-        .groupBy(col("s"), col("dst"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .select(col("s"), col("dst").as("v"), col("sigma"))
-        .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint()
-      visited = visited.union(next.select(col("s"), col("v")))
-      lvls += next
-    }
-    // backward: δ at the truncation horizon is 0; each shallower level
-    // joins its successors' (σ, δ) through the edge frame. The horizon
-    // frame is a lazy projection of the checkpointed deepest level.
+    val lvls = sigmaLevels(ed, sources, radius,
+      (_, build) => build().localCheckpoint())
+    val out = brandesBackward(ed, t => lvls(t), radius)
+    ed.unpersist()
+    // the node-sized result is checkpoint-materialized inside
+    // brandesBackward — every |S|·n level frame is dead now (the
+    // exactBallSizes discipline; without this each call pinned
+    // ~radius·|S|·n rows of lineage-free blocks until session end,
+    // self-review r16)
+    lvls.foreach(releaseCheckpoint)
+    out
+  }
+
+  /** The Brandes backward accumulation off forward σ-levels (see
+    * [[betweennessBounded]] for the recurrence and the e4 integer
+    * discipline): δ at the truncation horizon is 0; each shallower
+    * level joins its successors' (σ, δ) through the edge frame.
+    * `lvl(t)` must be cheap to read repeatedly — per-level checkpoints
+    * or filters on the pool-persisted [[sigma53Shared]] union. Returns
+    * the node-sized (node, b_e4) aggregate CHECKPOINT-MATERIALIZED,
+    * with every |S|·n backward intermediate already released — callers
+    * may free the levels and the edge frame immediately after. */
+  private def brandesBackward(ed: DataFrame, lvl: Int => DataFrame,
+      radius: Int): DataFrame = {
     val deltas = new scala.collection.mutable.ArrayBuffer[DataFrame]
-    var deltaNext = lvls(radius)
+    var deltaNext = lvl(radius)
       .select(col("s"), col("v"), lit(0L).as("delta"))
     deltas += deltaNext
     for (t <- (radius - 1) to 1 by -1) {
-      val down = lvls(t + 1)
+      val down = lvl(t + 1)
         .select(col("s"), col("v").as("w"), col("sigma").as("sw"))
         .join(deltaNext.select(col("s"), col("v").as("w"),
           col("delta").as("dw")), Seq("s", "w"))
-      val contrib = lvls(t)
+      val contrib = lvl(t)
         .join(ed, col("v") === col("src"))
         .select(col("s"), col("v"), col("sigma"), col("dst").as("w"))
         .join(down, Seq("s", "w"))
@@ -1128,7 +1241,7 @@ object Graph {
           expr("(sigma * (10000L + dw)) div sw").as("c"))
         .groupBy(col("s"), col("v"))
         .agg(sum(col("c")).as("delta"))
-      val full = lvls(t).select(col("s"), col("v"))
+      val full = lvl(t).select(col("s"), col("v"))
         .join(contrib, Seq("s", "v"), "left")
         .select(col("s"), col("v"),
           coalesce(col("delta"), lit(0L)).as("delta"))
@@ -1136,17 +1249,10 @@ object Graph {
       deltas += full
       deltaNext = full
     }
-    ed.unpersist()
-    // materialize the NODE-SIZED final aggregate, then release every
-    // |S|·n-row intermediate (levels AND deltas) — the exactBallSizes
-    // discipline; without this each call pinned ~radius·|S|·n rows of
-    // lineage-free blocks until session end (self-review r16). Only
-    // the node-sized result stays resident for the caller.
     val out = deltas.reduce(_ unionByName _)
       .groupBy(col("v").as("node"))
       .agg(sum(col("delta")).as("b_e4"))
       .localCheckpoint()
-    lvls.foreach(releaseCheckpoint)
     deltas.foreach(releaseCheckpoint)
     out
   }
@@ -1232,6 +1338,87 @@ object Graph {
       lbl = next
     }
     lbl
+  }
+
+  /** Deterministic synchronous Louvain LOCAL-MOVE phase [Blondel et al.,
+    * J. Stat. Mech.'08] — the modularity-OPTIMIZING community member the
+    * tier lacked (LPA assigns by neighbor-label frequency and can merge
+    * across weak bridges; Louvain's move rule maximizes ΔQ directly).
+    * Every node starts as its own community; each round every node
+    * simultaneously adopts, among its NEIGHBOR communities and its own,
+    * the community C maximizing the exact-integer move score
+    *   sc(C) = 4m·k_{v,C} − 2·d_v·(Σtot_C − [C = cur]·d_v)
+    * (sc(B) − sc(cur) = 4m²·ΔQ of the standard remove-then-insert move:
+    * k_{v,C} = v's edges into C, Σtot_C = C's degree mass, the [C=cur]
+    * term removes v's own degree from its community before comparing).
+    * Ties break to the SMALLEST community label — fully deterministic,
+    * independent of update order, so a fixed round count unrolls into
+    * an exact SQL oracle (the labelprop/kcore recipe). Synchronous
+    * simultaneous moves are what a DataFrame round computes (classic
+    * Louvain sweeps nodes one at a time — order-dependent, not
+    * distributable, not oracle-expressible); GraphSpec pins Q
+    * non-decreasing over rounds on the planted-clique fixture.
+    *
+    * Loop discipline = [[labelAssignWeighted]]'s: the node-sized
+    * assignment/degree frames broadcast into the edge join (or
+    * shuffle-join under `broadcastLabels = false`, the
+    * nodes-too-big-to-broadcast fallback — GraphSpec pins arm
+    * equality); the per-round candidate frame is edge-bounded (one row
+    * per (node, neighbor-community) ≤ one per directed edge, plus the
+    * node-sized current-community rows), each round checkpointed and
+    * its predecessor released.
+    *
+    * @param edges undirected (a, b), a < b, distinct.
+    * @return (v, lbl) community assignment after `rounds`. */
+  def louvainAssign(edges: DataFrame, rounds: Int,
+      broadcastLabels: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val mC = e.agg(count(lit(1)).as("m"))
+    def lblJ(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
+    var assign = deg.select(col("v"), col("v").as("c")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // community degree mass Σtot — community-count-sized (≤ nodes)
+      val ctot = assign.join(lblJ(deg), "v")
+        .groupBy(col("c")).agg(sum(col("d")).as("tot"))
+      // k_{v,C}: v's incident edges into each neighbor community —
+      // two-level hash agg on (v, c), hub rows partial-sum map-side
+      val kv = sym
+        .join(lblJ(assign.select(col("v").as("b"), col("c"))), "b")
+        .groupBy(col("a").as("v"), col("c"))
+        .agg(count(lit(1)).as("k"))
+      // candidates = neighbor communities ∪ own (k = 0 when no
+      // neighbor shares it — the mass term alone may still hold v)
+      val cand = kv.unionByName(
+        assign.select(col("v"), col("c"))
+          .join(kv, Seq("v", "c"), "left_anti")
+          .select(col("v"), col("c"), lit(0L).as("k")))
+      val next = cand
+        .join(lblJ(assign.select(col("v"), col("c").as("cur"))), "v")
+        .join(lblJ(deg), "v")
+        .join(lblJ(ctot), "c")
+        .crossJoin(broadcast(mC))
+        .select(col("v"), col("c"),
+          (lit(4L) * col("m") * col("k") - lit(2L) * col("d") *
+            (col("tot") -
+              when(col("c") === col("cur"), col("d")).otherwise(lit(0L))))
+            .as("sc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("v")).orderBy(col("sc").desc, col("c"))))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("c"))
+        .localCheckpoint()
+      releaseCheckpoint(assign)
+      assign = next
+    }
+    // the final assignment is materialized — its inputs are dead
+    releaseCheckpoint(deg)
+    releaseCheckpoint(e)
+    assign.select(col("v"), col("c").as("lbl"))
   }
 
   /** Newman modularity of a community assignment, in EXACT integers —
@@ -1754,30 +1941,31 @@ object Graph {
     // (the q_agg_approx_distinct pattern: DuckDB asserts TRUE without
     // reproducing the sketch).
     "q_graph_harmonic" -> ((s, dir) => {
-      // ONE laid-out edge frame shared by the sketch loop and its exact
-      // anchor: src-partitioned (the broadcast arm's layout — and the
-      // anchor's reach-expansion joins on src too, so both consumers
-      // read co-located data), PERSISTED once (columnar-compressed —
-      // the pagerank lesson: a localCheckpoint here is row-storage and
-      // measurably slower across the 6 loop reads), unpersisted below.
-      // Previously hyperBall persisted its own repartitioned copy,
-      // exactBallSizes checkpointed a third, and the query's own
-      // checkpoint leaked (the advice-15 finding).
-      val ed = symmetrizedSliceEdges(s, dir)
-        .repartition(col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ONE laid-out edge frame shared by the sketch loop, the exact
+      // anchor AND — under the bench pool — q_graph_betweenness and
+      // q_graph_assortativity (verdict r16 #1): src-partitioned (the
+      // broadcast arm's layout; the anchor's expansion joins on src
+      // too), persisted once, released through the handle.
+      val (ed, releaseEd) = symSliceShared(s, dir)
       // broadcast arm: node-count state fits the budget at every SF and
       // a round costs zero exchange (GraphSpec pins arm equality; the
       // shuffle arm is the billions-of-nodes fallback)
       val hb = hyperBall(ed, harmonicRadius, harmonicLgK,
         broadcastState = true, layoutOwned = true)
-      val sources = ed.select(col("src").as("s")).distinct()
-        .filter(col("s") % 53 === 0)
-      val exact = exactBallSizes(ed, sources, harmonicRadius)
+      // the exact anchor comes off the SHARED %53 σ-BFS (the traversal
+      // betweenness also consumes — one forward pass serves both
+      // queries): ball sizes are cumulative level counts, pinned ≡
+      // exactBallSizes in GraphSpec
+      val (lvl, releaseLvl) = sigma53Shared(s, dir, ed, harmonicRadius)
+      val exact = ballSizesFromLevels(lvl, harmonicRadius)
         .groupBy(col("s"))
         .agg(max(when(col("t") === 1, col("b"))).as("b1"),
           max(when(col("t") === 2, col("b"))).as("b2"),
           max(when(col("t") === 3, col("b"))).as("b3"))
+        // |S|-row frame, materialized so the level frames are dead
+        // before the handles run
+        .localCheckpoint()
+      releaseLvl()
       // estimate-vs-exact tolerance: max(3, ~8.3%) per radius — at
       // lgK 12 (rsd ~1.6%) that is ~5 sigma, stable at every SF; the
       // abs floor covers the tiny-ball regime where 8% rounds to 0
@@ -1792,10 +1980,9 @@ object Graph {
             ok(element_at(col("bs"), 4), "b3")).as("approx_ok"))
         .orderBy(col("source"))
       // both consumers are checkpoint-backed by now (hyperBall's state,
-      // the anchor's size frames) — the edge cache is dead (unpersist,
-      // not a checkpoint release: lineage survives, so this can never
-      // break a straggling reader)
-      ed.unpersist()
+      // the anchor) — the edge cache is dead for this query (no-op
+      // under the pool, where betweenness/assortativity read it next)
+      releaseEd()
       out
     }),
 
@@ -1808,20 +1995,33 @@ object Graph {
     // quotient over exact sums (r4-rounded — the q_agg_corr recipe).
     // Symmetry makes Σx = Σy; the exact sums ship as anchors.
     "q_graph_assortativity" -> ((s, dir) => {
-      val ed = symmetrizedSliceEdges(s, dir)
+      // the shared laid-out slice frame: the plan reads it three times
+      // (degree agg + two degree joins), so even the cold path wins
+      // over the previous unpersisted build-per-read
+      val (ed, releaseEd) = symSliceShared(s, dir)
       val deg = ed.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("d"))
       val j = ed
         .join(deg.select(col("node").as("src"), col("d").as("dx")), "src")
         .join(deg.select(col("node").as("dst"), col("d").as("dy")), "dst")
-      j.agg(count(lit(1)).as("m"),
+      val out = j.agg(count(lit(1)).as("m"),
           sum(col("dx")).as("sx"), sum(col("dx") * col("dx")).as("sxx"),
           sum(col("dx") * col("dy")).as("sxy"))
         .select(col("m"), col("sx"), col("sxx"), col("sxy"),
-          graft.util.D.r4(
-            (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
-              (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          // zero variance (degree-regular graph) → NULL on BOTH engines;
+          // bare double division would give NaN here while DuckDB's
+          // behavior differs by version — define the degenerate case
+          when(col("m") * col("sxx") - col("sx") * col("sx") === 0,
+              lit(null).cast("double"))
+            .otherwise(graft.util.D.r4(
+              (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+                (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")))
             .as("assortativity"))
+        // 1-row result, materialized so the cold path's release below
+        // cannot un-cache the frame under the consumer's plan
+        .localCheckpoint()
+      releaseEd()
+      out
     }),
 
     // Sampled Brandes betweenness over the SAME symmetrized slice graph
@@ -1830,11 +2030,17 @@ object Graph {
     // top-20 brokers. The |S|·n forward frames are what the sample
     // bounds; the oracle unrolls the identical forward/backward rounds.
     "q_graph_betweenness" -> ((s, dir) => {
-      val ed = symmetrizedSliceEdges(s, dir)
-      val sources = ed.select(col("src").as("s")).distinct()
-        .filter(col("s") % 53 === 0)
-      betweennessBounded(ed, sources, betweennessRadius)
-        .orderBy(col("b_e4").desc, col("node"))
+      // shared graph + shared %53 forward σ-BFS with q_graph_harmonic
+      // (verdict r16 #1): only the backward accumulation is this
+      // query's own work under the bench pool
+      val (ed, releaseEd) = symSliceShared(s, dir)
+      val (lvl, releaseLvl) = sigma53Shared(s, dir, ed, betweennessRadius)
+      // node-sized, checkpoint-materialized inside — levels and edge
+      // frame are dead once it returns
+      val out = brandesBackward(ed, lvl, betweennessRadius)
+      releaseLvl()
+      releaseEd()
+      out.orderBy(col("b_e4").desc, col("node"))
         .limit(betweennessTopK)
     }),
 
@@ -2098,8 +2304,10 @@ object Graph {
                   CAST(sum(dx * dy) AS BIGINT) AS sxy
            FROM j)
          SELECT m, sx, sxx, sxy,
-                round(CAST(m * sxy - sx * sx AS DOUBLE)
-                      / CAST(m * sxx - sx * sx AS DOUBLE), 4) AS assortativity
+                CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                     ELSE round(CAST(m * sxy - sx * sx AS DOUBLE)
+                                / CAST(m * sxx - sx * sx AS DOUBLE), 4)
+                END AS assortativity
          FROM mo""",
 
     "q_graph_jaccard_weighted" ->

@@ -310,11 +310,9 @@ object GraftTvf {
     val dir = str(children, 0, fn)
     val radius = int(children, 1, fn)
     loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$radius") {
-      import org.apache.spark.sql.functions.col
       val ed = graft.operators.Graph.symmetrizedSliceEdges(spark, dir)
-      val sources = ed.select(col("src").as("s")).distinct()
-        .filter(col("s") % 53 === 0)
-      graft.operators.Graph.betweennessBounded(ed, sources, radius)
+      graft.operators.Graph.betweennessBounded(ed,
+        graft.operators.Graph.sources53(ed), radius)
     }
   }
 
@@ -337,23 +335,33 @@ object GraftTvf {
     }
   }
 
-  /** mtime stamp of a STORE directory (batch_id=N partition layout):
-    * max over the dir and its immediate children, so both a new batch
-    * partition (parent mtime) and a replay's in-place partition rewrite
-    * (child mtime) invalidate the memo. */
+  /** Change stamp of a STORE directory (batch_id=N partition layout):
+    * recursive max mtime DOWN TO LEAF FILES, folded with the file count
+    * and total byte size. mtime alone (even recursive) is blind to two
+    * rewrites of the same partition inside the filesystem's mtime
+    * granularity — a same-millisecond replay would serve a stale memo;
+    * count+size make a content change distinguishable even in the same
+    * tick (advice r16). Walk cost is a metadata listing of a
+    * summary-sized store — never data-sized. */
   private def storeStamp(dir: String): String =
     try {
       val p = java.nio.file.Paths.get(dir)
-      val own = java.nio.file.Files.getLastModifiedTime(p).toMillis
-      val s = java.nio.file.Files.list(p)
+      var mx = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      var cnt = 0L
+      var bytes = 0L
+      val s = java.nio.file.Files.walk(p)
       try {
         val it = s.iterator()
-        var mx = own
         while (it.hasNext) {
-          val c = java.nio.file.Files.getLastModifiedTime(it.next()).toMillis
-          if (c > mx) mx = c
+          val c = it.next()
+          val m = java.nio.file.Files.getLastModifiedTime(c).toMillis
+          if (m > mx) mx = m
+          if (java.nio.file.Files.isRegularFile(c)) {
+            cnt += 1
+            bytes += java.nio.file.Files.size(c)
+          }
         }
-        mx.toString
+        s"$mx:$cnt:$bytes"
       } finally s.close()
     } catch { case _: java.io.IOException => "0" }
 

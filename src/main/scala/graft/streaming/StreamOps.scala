@@ -548,11 +548,13 @@ object StreamOps {
     // flagged by an EXPLICIT audit column (NOT an item-NULL sentinel —
     // a NULL item is a legitimate stream value and must survive as a
     // countable key, self-review r16) — same partition as the survivors
-    // so both commit in one write (no sidecar crash window)
+    // so both commit in one write (no sidecar crash window). Its null
+    // item takes the SURVIVORS' item type (not a string literal), so
+    // unionByName can never widen the stored type behind the caller
     val audit = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
       .crossJoin(broadcast(thr))
-      .select(lit(null).cast("string").as("item"), lit(0L).as("cnt"),
-        col("n"), col("dec"), lit(true).as("audit"))
+      .select(lit(null).cast(counts.schema("item").dataType).as("item"),
+        lit(0L).as("cnt"), col("n"), col("dec"), lit(true).as("audit"))
     survivors.unionByName(audit)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -614,13 +616,14 @@ object StreamOps {
         lit(null).cast("long").as("n"), lit(null).cast("long").as("dec"),
         lit(false).as("audit"))
     // carried totals + this compaction's own decrement fold into one
-    // audit row, committed WITH the survivors (the single-write law)
+    // audit row, committed WITH the survivors (the single-write law);
+    // null item in the survivors' type, same rationale as the ingest row
     val audit = store.filter(col("audit"))
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("dec")), lit(0L)).as("carried"))
       .crossJoin(broadcast(thr))
-      .select(lit(null).cast("string").as("item"), lit(0L).as("cnt"),
-        col("n"), (col("carried") + col("dec2")).as("dec"),
+      .select(lit(null).cast(folded.schema("item").dataType).as("item"),
+        lit(0L).as("cnt"), col("n"), (col("carried") + col("dec2")).as("dec"),
         lit(true).as("audit"))
     survivors.unionByName(audit)
       .write.mode("overwrite")
@@ -633,14 +636,24 @@ object StreamOps {
     * format): reading it through the audit-column paths would silently
     * drop every old batch (their rows read `audit` NULL, failing BOTH
     * filters) — a silent hole in the lb ≤ true ≤ lb + max_err
-    * guarantee. The mixed-format case (old store resumed by a new
-    * writer) is caught the same way. Point at [[topkStoreMigrate]],
+    * guarantee. Two shapes to catch: an all-old store (no `audit`
+    * column anywhere — the schema check) and a MIXED store (old batches
+    * resumed by the new writer — the inferred schema then HAS the
+    * column, but pre-upgrade rows read it NULL, so the schema check
+    * alone is not enough; scan for a null-audit row, a summary-sized
+    * pass, ≤ k+1 rows per batch). Point at [[topkStoreMigrate]],
     * the quantileStoreMigrate discipline. */
-  private def requireAuditFormat(store: DataFrame, storeDir: String): Unit =
+  private def requireAuditFormat(store: DataFrame, storeDir: String): Unit = {
+    val migrate =
+      "— run StreamOps.topkStoreMigrate into a fresh dir and swap, or " +
+        "reads would silently exclude pre-upgrade batches"
     require(store.columns.contains("audit"),
       s"MG store $storeDir predates the audit-column format (the _meta-" +
-        "sidecar layout) — run StreamOps.topkStoreMigrate into a fresh " +
-        "dir and swap, or reads would silently exclude pre-upgrade batches")
+        s"sidecar layout) $migrate")
+    require(store.filter(col("audit").isNull).limit(1).isEmpty,
+      s"MG store $storeDir MIXES audit-column batches with pre-upgrade " +
+        s"batches (rows with audit NULL) $migrate")
+  }
 
   /** Migrate a `_meta`-sidecar MG store (pre-round-16 format) to the
     * audit-column layout: each batch partition is rewritten with its
@@ -654,6 +667,13 @@ object StreamOps {
     val metaDir = new java.io.File(storeDir, "_meta")
     require(metaDir.isDirectory,
       s"$storeDir has no _meta sidecar — already audit-column format?")
+    // the migrated audit rows' null item takes the OLD store's native
+    // item type (read once from any survivor partition), so migration
+    // never widens the stored type; meta-only stores fall back to string
+    val itemType = parts
+      .find(p => p.isDirectory && p.getName.startsWith("batch_id="))
+      .map(p => spark.read.parquet(p.getAbsolutePath).schema("item").dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)
     parts.filter(p => p.isDirectory && p.getName.startsWith("batch_id="))
       .foreach { p =>
         val survivors = spark.read.parquet(p.getAbsolutePath)
@@ -662,7 +682,7 @@ object StreamOps {
             lit(false).as("audit"))
         val audit = spark.read
           .parquet(s"${metaDir.getAbsolutePath}/${p.getName}")
-          .select(lit(null).cast("string").as("item"), lit(0L).as("cnt"),
+          .select(lit(null).cast(itemType).as("item"), lit(0L).as("cnt"),
             col("n"), col("dec"), lit(true).as("audit"))
         survivors.unionByName(audit)
           .write.mode("overwrite").parquet(s"$outDir/${p.getName}")
@@ -676,7 +696,7 @@ object StreamOps {
         !survivorNames.contains(m.getName))
       .foreach { m =>
         spark.read.parquet(m.getAbsolutePath)
-          .select(lit(null).cast("string").as("item"), lit(0L).as("cnt"),
+          .select(lit(null).cast(itemType).as("item"), lit(0L).as("cnt"),
             col("n"), col("dec"), lit(true).as("audit"))
           .write.mode("overwrite").parquet(s"$outDir/${m.getName}")
       }

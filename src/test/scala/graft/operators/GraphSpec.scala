@@ -455,6 +455,34 @@ class GraphSpec extends SparkSpec {
       (3L, 1) -> 3L, (3L, 2) -> 4L, (3L, 3) -> 4L), s"got $ex")
   }
 
+  test("ballSizesFromLevels ≡ exactBallSizes in both level modes (the shared-BFS anchor, verdict r16 #1)") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a DISJOINT 2-node component {10,11}: source
+    // 10's BFS exhausts at t=1 — the dense (s × t) grid must carry its
+    // ball size forward exactly as exactBallSizes does
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val ed = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val srcs = Seq(1L, 3L, 10L).toDF("s")
+    val want = Graph.exactBallSizes(ed, srcs, 3).collect()
+      .map(r => (r.getAs[Long]("s"), r.getAs[Int]("t")) -> r.getAs[Long]("b"))
+      .toMap
+    assert(want((10L, 3)) === 2L, "exhausted source must carry b forward")
+    // both wrap modes: the cold checkpoint-per-level and the pool's
+    // lazy/persisted shape must agree
+    val wraps: Seq[(String, (Int, () => org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)] =
+      Seq(("checkpoint", (_, b) => b().localCheckpoint()),
+        ("lazy", (_, b) => b()))
+    for ((name, wrap) <- wraps) {
+      val lvls = Graph.sigmaLevels(ed, srcs, 3, wrap)
+      val got = Graph.ballSizesFromLevels(t => lvls(t), 3).collect()
+        .map(r => (r.getAs[Long]("s"), r.getAs[Int]("t")) -> r.getAs[Long]("b"))
+        .toMap
+      assert(got === want, s"wrap=$name: got $got")
+      if (name == "checkpoint")
+        lvls.foreach(graft.util.Frames.releaseCheckpoint)
+    }
+  }
+
   test("betweennessBounded: hand-computed path and diamond dependencies") {
     import spark.implicits._
     // path 1-2-3-4-5 symmetrized, source 1, radius 3: node 5 sits past

@@ -1045,6 +1045,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(top2.head.getLong(1) === 120L && top2.head.getLong(2) === 247L)
   }
 
+  test("topk store: MIXED old/new-format store fails fast (advice r16), never a silent drop") {
+    import spark.implicits._
+    // batch 0 in the round-15 layout (no audit column) …
+    val tmp = java.nio.file.Files.createTempDirectory("topk_mixed").toString
+    val store = s"$tmp/mg_mixed"
+    Seq(("hot", 90L)).toDF("item", "cnt").write.parquet(s"$store/batch_id=0")
+    Seq((100L, 10L)).toDF("n", "dec").write.parquet(s"$store/_meta/batch_id=0")
+    // … resumed by the NEW writer: the inferred schema may now carry the
+    // audit column, so the schema check alone can pass while batch 0's
+    // rows read audit NULL and would fail BOTH read filters — the exact
+    // silent understatement of lb/n/max_err the guard exists for
+    StreamOps.topkSummaryBatch(Seq.fill(7)("hot").toDF("item"), 1L, store, 16)
+    val err = intercept[IllegalArgumentException] {
+      StreamOps.topkStoreRead(spark, store, 3).collect()
+    }
+    assert(err.getMessage.contains("topkStoreMigrate"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException] {
+      StreamOps.topkCompactStore(spark, store, s"$tmp/mg_mixed_c", 16)
+    }
+    assert(err2.getMessage.contains("topkStoreMigrate"), err2.getMessage)
+  }
+
   test("distinct-on-arrival: store read ≡ from-scratch sketch; replay idempotent; compaction lossless") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
