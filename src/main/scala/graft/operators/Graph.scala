@@ -1499,6 +1499,8 @@ object Graph {
 
   private val lpaRounds = 3
   private val lpaTopK = 20
+  private val louvainRounds = 2
+  private val louvainTopK = 20
 
   /** The unrolled-LPA CTE chain (rounds is a compile-time constant;
     * MATERIALIZED for the same re-reference reason as kcoreSql) —
@@ -1598,6 +1600,62 @@ object Graph {
             CAST(4 * m.m * coalesce(ein.e_in, 0) - ds.d_sum * ds.d_sum AS BIGINT) AS q_num
      FROM ds LEFT JOIN ein ON ein.lbl = ds.lbl, m
      ORDER BY ds.n_members DESC, ds.lbl LIMIT 10"""
+
+  /** q_graph_louvain's oracle: the synchronous local-move rounds
+    * unrolled (the labelprop/kcore recipe) — per round the community
+    * mass, the per-(node, neighbor-community) edge counts, the
+    * candidate set (neighbor communities ∪ own, k = 0 when unshared),
+    * and the argmax of the exact-integer move score; then the same
+    * modularity block as [[modularitySql]] over the final assignment.
+    * Every quantity is a BIGINT count product — no division anywhere,
+    * so the window's (sc DESC, c ASC) order is bit-deterministic on
+    * both engines. */
+  private def louvainCtes: Seq[String] = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      lpaCtes(0), lpaCtes(1), // e0 + sym — the LPA slice graph verbatim
+      """deg AS MATERIALIZED (
+         SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1)""",
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0)",
+      "c0 AS MATERIALIZED (SELECT v, v AS c FROM deg)")
+    for (h <- 1 to louvainRounds) {
+      ctes += s"""ct$h AS (SELECT c, CAST(sum(d) AS BIGINT) AS tot
+         FROM c${h - 1} JOIN deg USING (v) GROUP BY c)"""
+      ctes += s"""kv$h AS (
+         SELECT s.a AS v, l.c AS c, CAST(count(*) AS BIGINT) AS k
+         FROM sym s JOIN c${h - 1} l ON l.v = s.b GROUP BY 1, 2)"""
+      ctes += s"""cand$h AS (
+         SELECT v, c, k FROM kv$h
+         UNION ALL
+         SELECT l.v, l.c, CAST(0 AS BIGINT)
+         FROM c${h - 1} l LEFT JOIN kv$h k ON k.v = l.v AND k.c = l.c
+         WHERE k.v IS NULL)"""
+      ctes += s"""c$h AS MATERIALIZED (SELECT v, c FROM (
+         SELECT x.v, x.c, row_number() OVER (PARTITION BY x.v ORDER BY
+             4 * m.m * x.k - 2 * d.d *
+               (ct.tot - CASE WHEN x.c = cur.c THEN d.d ELSE 0 END) DESC,
+             x.c) AS rn
+         FROM cand$h x
+         JOIN c${h - 1} cur ON cur.v = x.v
+         JOIN deg d ON d.v = x.v
+         JOIN ct$h ct ON ct.c = x.c, m) WHERE rn = 1)"""
+    }
+    ctes.toSeq
+  }
+
+  private def louvainSql: String =
+    "WITH " + louvainCtes.mkString(",\n") + s""",
+     ein AS (SELECT x.c AS lbl, CAST(count(*) AS BIGINT) AS e_in
+             FROM e0 e JOIN c$louvainRounds x ON x.v = e.a
+                       JOIN c$louvainRounds y ON y.v = e.b
+             WHERE x.c = y.c GROUP BY 1),
+     ds AS (SELECT l.c AS lbl, CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(d.d) AS BIGINT) AS d_sum
+            FROM deg d JOIN c$louvainRounds l ON l.v = d.v GROUP BY 1)
+     SELECT ds.lbl, ds.n_members,
+            CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, ds.d_sum, m.m,
+            CAST(4 * m.m * coalesce(ein.e_in, 0) - ds.d_sum * ds.d_sum AS BIGINT) AS q_num
+     FROM ds LEFT JOIN ein ON ein.lbl = ds.lbl, m
+     ORDER BY ds.n_members DESC, ds.lbl LIMIT $louvainTopK"""
 
   // ------------------------------------------------- neighbor-set Jaccard
 
@@ -2064,6 +2122,18 @@ object Graph {
       modularityOf(e, labelAssign(e, lpaRounds), k = 10)
     }),
 
+    // Louvain local-move community detection over the SAME slice graph
+    // — the modularity-OPTIMIZING member above LPA's frequency rule
+    // (verdict r16 #2): two deterministic synchronous rounds of
+    // adopt-the-max-ΔQ-neighbor-community, scored with the shared
+    // exact-integer modularity block. Same output shape as
+    // q_graph_modularity, so the two clustering rules are directly
+    // comparable community-for-community.
+    "q_graph_louvain" -> ((s, dir) => {
+      val e = jaccardSliceEdges(s, dir).localCheckpoint()
+      modularityOf(e, louvainAssign(e, louvainRounds), k = louvainTopK)
+    }),
+
     // WEIGHTED community detection: label propagation where a neighbor's
     // vote counts its co-purchase multiplicity (a 50-times-paired tie
     // outvotes fifty one-offs) — the density clustering the multiplicity
@@ -2202,6 +2272,7 @@ object Graph {
     "q_graph_kcore" -> kcoreSql,
     "q_graph_labelprop" -> labelPropSql,
     "q_graph_modularity" -> modularitySql,
+    "q_graph_louvain" -> louvainSql,
     "q_graph_labelprop_weighted" -> labelPropWeightedSql,
     "q_graph_modularity_weighted" -> modularityWeightedSql,
     "q_tvf_communities" -> ("WITH " + lpaCtes.mkString(",\n") +

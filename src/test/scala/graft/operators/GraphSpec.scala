@@ -523,6 +523,50 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("louvainAssign: planted cliques resolve to two communities; Q non-decreasing; arms agree; beats LPA's bridge merge rule") {
+    import spark.implicits._
+    // two 4-cliques bridged by one edge — modularity's textbook case
+    val cliqueA = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val ed = (cliqueA ++ cliqueB :+ (3L, 10L)).toDF("a", "b")
+    val got = Graph.louvainAssign(ed, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique one community, the bridge does not merge them
+    assert(got.values.toSet.size === 2, s"got $got")
+    assert((0L to 3L).map(got).toSet.size === 1, s"clique A split: $got")
+    assert((10L to 13L).map(got).toSet.size === 1, s"clique B split: $got")
+    assert(got(0L) !== got(10L), s"bridge merged the cliques: $got")
+    // Q (Σ q_num over the fixed 4m² denominator) non-decreasing per
+    // round — the modularity-OPTIMIZING property LPA does not have
+    val q = (1 to 3).map { r =>
+      Graph.modularityOf(ed, Graph.louvainAssign(ed, r), k = 100)
+        .agg(org.apache.spark.sql.functions.sum(col("q_num")))
+        .collect()(0).getLong(0)
+    }
+    assert(q(0) <= q(1) && q(1) <= q(2), s"Q decreased across rounds: $q")
+    // arm equality: the shuffle-join fallback is bit-identical
+    val shuffled = Graph.louvainAssign(ed, rounds = 2, broadcastLabels = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled === got)
+  }
+
+  test("louvainAssign: hand-checked first round on the path triangle-pendant") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4 on node 3. m = 4. Round 1 from
+    // singletons: sc(v→C) = 4m·k − 2d·tot (tot without v's own d except
+    // for staying). Node 4 (d=1): stay sc = 0 − 2·1·0 = 0; join {3}
+    // (tot=3): 16·1 − 2·1·3 = 10 → moves to 3. Node 1 (d=2): stay 0−0=0;
+    // join {2} (tot=2): 16 − 2·2·2 = 8; join {3} (tot=3): 16 − 12 = 4
+    // → ties broken by score: moves to 2. Node 2 → smallest-label best:
+    // join {1}: 16 − 8 = 8 > join {3}: 4 → moves to 1. Node 3 (d=3):
+    // join {1}: 16 − 12 = 4; {2}: 4; {4} (tot=1): 16 − 6 = 10 → moves
+    // to 4.
+    val ed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.louvainAssign(ed, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L), s"got $got")
+  }
+
   test("modularityOf: hand-checked exact integers on the two-clique fixture") {
     import spark.implicits._
     val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
