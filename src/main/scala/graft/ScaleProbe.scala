@@ -1329,6 +1329,47 @@ object ScaleProbe {
           println(f"""{"probe":"edges_store","batch":$bIdx,"ingest_sec":$t%.2f}""")
       }
     }
+    // Entities-on-arrival store: per-batch ingest must stay batch-sized
+    // (one per-name agg + one partition write, NO store read) while the
+    // store's name dim grows; the entity read is dim-bounded (blocking
+    // + closure over folded summaries), never fact-count-bounded.
+    if (want("entities_store")) {
+      val tmp = java.nio.file.Files.createTempDirectory("ents_probe").toString
+      val store = s"$tmp/entities"
+      (0 until 8).foreach { bIdx =>
+        // each batch: 200k fact rows over a growing name dim with
+        // BOUNDED blocks — the block-key domain (ng) grows with the
+        // corpus while each block holds ≤ 16 name variants, the
+        // production blocking contract (block sizes bounded, block
+        // COUNT carries the growth; a coarse fixed key set would make
+        // the read quadratic by construction, not by operator fault)
+        val ng = 400L + bIdx * 200L
+        val lo = bIdx * 120000L
+        // batch-disjoint block keys (the betweenness probe's disjoint-
+        // replica discipline): block SIZE stays ≤ 16 while block COUNT
+        // — the name dim — grows with every batch
+        val batch = spark.range(lo, lo + 200000L).select(
+          $"id".as("p_partkey"),
+          concat(lit("blk"), (lit(bIdx * 100000L) + $"id" % ng).cast("string"),
+            lit(" nn"), (lit(bIdx * 100000L) + $"id" % ng).cast("string"),
+            lit(" v"), (($"id" / ng) % 16).cast("string")).as("p_name"),
+          concat(lit("Brand#"), ($"id" % 25).cast("string")).as("p_brand"),
+          concat(lit("TYPE "), ($"id" % 11).cast("string")).as("p_type"),
+          ($"id" % 50).cast("int").as("p_size"))
+        val t0 = System.nanoTime()
+        graft.streaming.StreamOps.entitiesIngestBatch(batch, bIdx.toLong, store)
+        val t = (System.nanoTime() - t0) / 1e9
+        if (bIdx == 3 || bIdx == 7) {
+          val tq0 = System.nanoTime()
+          val nEnts = graft.streaming.StreamOps
+            .entitiesStoreRead(spark, store).count()
+          val tq = (System.nanoTime() - tq0) / 1e9
+          val names = spark.read.parquet(store).select($"name").distinct().count()
+          println(f"""{"probe":"entities_store","batch":$bIdx,"ingest_sec":$t%.2f,"read_sec":$tq%.2f,"entities":$nEnts,"names":$names}""")
+        } else
+          println(f"""{"probe":"entities_store","batch":$bIdx,"ingest_sec":$t%.2f}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -900,21 +900,7 @@ object Dedup {
         .select(col("p_name").as("name"), col("n_parts"),
           element_at(split(col("p_name"), " "), 1).as("adj"),
           element_at(split(col("p_name"), " "), 2).as("noun"))
-      def pass(key: String) = {
-        val a = names.select(col(key).as("k"), col("name").as("name_1"),
-          col("n_parts").as("n_1"))
-        val b = names.select(col(key).as("k"), col("name").as("name_2"),
-          col("n_parts").as("n_2"))
-        a.join(b, Seq("k"))
-          .filter(col("name_1") < col("name_2") &&
-            levenshtein(col("name_1"), col("name_2")) <= 2)
-          .select(col("name_1"), col("name_2"), col("n_1"), col("n_2"))
-      }
-      pass("noun").unionByName(pass("adj")).distinct()
-        .select(col("name_1"), col("name_2"),
-          levenshtein(col("name_1"), col("name_2")).as("dist"),
-          col("n_1"), col("n_2"))
-        .orderBy(col("name_1"), col("name_2"))
+      erBlocking(names).orderBy(col("name_1"), col("name_2"))
     }),
 
     // Fellegi–Sunter scoring of the q_er_blocking candidate pairs — the
@@ -939,26 +925,7 @@ object Dedup {
           col("p_type"), col("p_size"))
       val cands = queries("q_er_blocking")(s, dir)
         .select(col("name_1"), col("name_2"), col("dist"))
-      cands
-        .join(broadcast(rep.select(col("name").as("name_1"),
-          col("p_brand").as("brand_1"), col("p_type").as("type_1"),
-          col("p_size").as("size_1"))), Seq("name_1"))
-        .join(broadcast(rep.select(col("name").as("name_2"),
-          col("p_brand").as("brand_2"), col("p_type").as("type_2"),
-          col("p_size").as("size_2"))), Seq("name_2"))
-        .select(col("name_1"), col("name_2"), col("dist"),
-          (col("brand_1") === col("brand_2")).as("agr_brand"),
-          (col("type_1") === col("type_2")).as("agr_type"),
-          abs(col("size_1") - col("size_2")).cast("int").as("d_size"))
-        .withColumn("score",
-          when(col("dist") === 0, 4000).when(col("dist") === 1, 2500).otherwise(1000) +
-            when(col("agr_brand"), 1200).otherwise(-300) +
-            when(col("agr_type"), 900).otherwise(-200) +
-            when(col("d_size") === 0, 600).when(col("d_size") <= 2, 250).otherwise(-100))
-        .withColumn("verdict",
-          when(col("score") >= 5500, "match")
-            .when(col("score") >= 4000, "possible")
-            .otherwise("nonmatch"))
+      erScoring(cands, rep)
         .orderBy(col("score").desc, col("name_1"), col("name_2"))
     }),
 
@@ -977,6 +944,12 @@ object Dedup {
     // Oracle: the same closure as a recursive reachability CTE + the
     // survivorship SQL verbatim.
     "q_er_entities" -> ((s, dir) => {
+      // edge tier inside erEntitiesFrom: score >= 1500. The fixture's
+      // two-word synthetic names cap FS scores at 3000 (brand/type/size
+      // rarely co-agree), so the textbook match tier (>= 5500) is empty
+      // here and would leave the closure + survivorship stages
+      // unexercised; 1500 is the review-accept tier — production swaps
+      // in the match threshold without touching the pipeline shape.
       val ids = graft.catalog.Tables.part(s, dir)
         .groupBy(col("p_name"))
         .agg(min(col("p_partkey")).cast("long").as("nid"),
@@ -989,48 +962,7 @@ object Dedup {
         .filter(col("rn") === 1)
         .select(col("p_name").as("name"), col("p_brand"),
           col("p_type"), col("p_size"))
-      // edge tier: score >= 1500. The fixture's two-word synthetic names
-      // cap FS scores at 3000 (brand/type/size rarely co-agree), so the
-      // textbook match tier (>= 5500) is empty here and would leave the
-      // closure + survivorship stages unexercised; 1500 is the
-      // review-accept tier — production swaps in the match threshold
-      // without touching the pipeline shape.
-      val edges = queries("q_er_scoring")(s, dir)
-        .filter(col("score") >= 1500)
-        .join(broadcast(ids.select(col("name").as("name_1"),
-          col("nid").as("src"))), Seq("name_1"))
-        .join(broadcast(ids.select(col("name").as("name_2"),
-          col("nid").as("dst"))), Seq("name_2"))
-        .select(col("src"), col("dst"))
-      val members = Components.connectedComponents(edges)
-        .select(col("id").as("nid"), col("component").as("entity_id"))
-        .join(ids, Seq("nid"))
-        .join(rep, Seq("name"))
-      val wCanon = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("entity_id"))
-        .orderBy(length(col("name")).desc, col("name"))
-      val canon = members
-        .withColumn("rn", row_number().over(wCanon)).filter(col("rn") === 1)
-        .select(col("entity_id"), col("name").as("canonical_name"))
-      def modal(field: String, out: String) = {
-        val wM = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("entity_id"))
-          .orderBy(col("cnt").desc, col(field))
-        members.groupBy(col("entity_id"), col(field))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(wM)).filter(col("rn") === 1)
-          .select(col("entity_id"), col(field).as(out))
-      }
-      members.groupBy(col("entity_id"))
-        .agg(count(lit(1)).as("n_members"),
-          min(col("p_size")).cast("int").as("size_min"),
-          sum(col("n_parts")).as("n_parts_total"))
-        .join(canon, Seq("entity_id"))
-        .join(modal("p_brand", "brand"), Seq("entity_id"))
-        .join(modal("p_type", "ptype"), Seq("entity_id"))
-        .select(col("entity_id"), col("n_members"), col("canonical_name"),
-          col("brand"), col("ptype"), col("size_min"), col("n_parts_total"))
-        .orderBy(col("entity_id"))
+      erEntitiesFrom(ids, rep)
     }),
 
     // Pairs → clusters: connected components over the q_dedup_minhash edge
@@ -1052,6 +984,115 @@ object Dedup {
         .orderBy(col("doc_id"))
     })
   )
+
+  // ---- shared ER pipeline stages -------------------------------------
+  // ONE definition of blocking → scoring → closure → survivorship,
+  // parameterized on the name dim — q_er_blocking/q_er_scoring/
+  // q_er_entities instantiate it from the part table;
+  // StreamOps.entitiesStoreRead instantiates it from the arrival-built
+  // store's folded summaries, so the store read IS the batch recompute
+  // by construction (the pagerankStoreRead discipline).
+
+  /** Multi-pass blocked candidate pairs over a name dim
+    * (name, n_parts, adj, noun): per pass one equi-join on a blocking
+    * token (never all-pairs), verify = levenshtein ≤ 2.
+    * @return (name_1, name_2, dist, n_1, n_2), name_1 < name_2. */
+  private[graft] def erBlocking(names: DataFrame): DataFrame = {
+    def pass(key: String) = {
+      val a = names.select(col(key).as("k"), col("name").as("name_1"),
+        col("n_parts").as("n_1"))
+      val b = names.select(col(key).as("k"), col("name").as("name_2"),
+        col("n_parts").as("n_2"))
+      a.join(b, Seq("k"))
+        .filter(col("name_1") < col("name_2") &&
+          levenshtein(col("name_1"), col("name_2")) <= 2)
+        .select(col("name_1"), col("name_2"), col("n_1"), col("n_2"))
+    }
+    pass("noun").unionByName(pass("adj")).distinct()
+      .select(col("name_1"), col("name_2"),
+        levenshtein(col("name_1"), col("name_2")).as("dist"),
+        col("n_1"), col("n_2"))
+  }
+
+  /** Fellegi–Sunter scoring of blocked candidates against a
+    * representative-record dim (name, p_brand, p_type, p_size):
+    * fixed integer milli-log-odds weights, match/possible/nonmatch
+    * verdict. Candidates broadcast-join the dim — blocking bounds the
+    * pair set, so the per-pair cost is a narrow expression. */
+  private[graft] def erScoring(cands: DataFrame, rep: DataFrame): DataFrame =
+    cands
+      .join(broadcast(rep.select(col("name").as("name_1"),
+        col("p_brand").as("brand_1"), col("p_type").as("type_1"),
+        col("p_size").as("size_1"))), Seq("name_1"))
+      .join(broadcast(rep.select(col("name").as("name_2"),
+        col("p_brand").as("brand_2"), col("p_type").as("type_2"),
+        col("p_size").as("size_2"))), Seq("name_2"))
+      .select(col("name_1"), col("name_2"), col("dist"),
+        (col("brand_1") === col("brand_2")).as("agr_brand"),
+        (col("type_1") === col("type_2")).as("agr_type"),
+        abs(col("size_1") - col("size_2")).cast("int").as("d_size"))
+      .withColumn("score",
+        when(col("dist") === 0, 4000).when(col("dist") === 1, 2500).otherwise(1000) +
+          when(col("agr_brand"), 1200).otherwise(-300) +
+          when(col("agr_type"), 900).otherwise(-200) +
+          when(col("d_size") === 0, 600).when(col("d_size") <= 2, 250).otherwise(-100))
+      .withColumn("verdict",
+        when(col("score") >= 5500, "match")
+          .when(col("score") >= 4000, "possible")
+          .otherwise("nonmatch"))
+
+  /** The full ER closure + survivorship over a name dim: `ids` =
+    * (name, nid, n_parts) with nid an integer node key (min p_partkey
+    * in the batch query; the folded min over batches in the store
+    * read), `rep` = (name, p_brand, p_type, p_size) — the
+    * representative record behind each name. Blocking keys (adj/noun)
+    * derive from the name itself, edges are the ≥ 1500 score tier (see
+    * q_er_entities for why the fixture uses the review-accept tier),
+    * closure is the shared Components machinery, survivorship elects
+    * the canonical record deterministically. */
+  private[graft] def erEntitiesFrom(ids: DataFrame, rep: DataFrame): DataFrame = {
+    val names = ids.select(col("name"), col("n_parts"),
+      element_at(split(col("name"), " "), 1).as("adj"),
+      element_at(split(col("name"), " "), 2).as("noun"))
+    val edges = erScoring(
+        erBlocking(names).select(col("name_1"), col("name_2"), col("dist")),
+        rep)
+      .filter(col("score") >= 1500)
+      .join(broadcast(ids.select(col("name").as("name_1"),
+        col("nid").as("src"))), Seq("name_1"))
+      .join(broadcast(ids.select(col("name").as("name_2"),
+        col("nid").as("dst"))), Seq("name_2"))
+      .select(col("src"), col("dst"))
+    val members = Components.connectedComponents(edges)
+      .select(col("id").as("nid"), col("component").as("entity_id"))
+      .join(ids, Seq("nid"))
+      .join(rep, Seq("name"))
+    val wCanon = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id"))
+      .orderBy(length(col("name")).desc, col("name"))
+    val canon = members
+      .withColumn("rn", row_number().over(wCanon)).filter(col("rn") === 1)
+      .select(col("entity_id"), col("name").as("canonical_name"))
+    def modal(field: String, out: String) = {
+      val wM = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity_id"))
+        .orderBy(col("cnt").desc, col(field))
+      members.groupBy(col("entity_id"), col(field))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wM)).filter(col("rn") === 1)
+        .select(col("entity_id"), col(field).as(out))
+    }
+    members.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("p_size")).cast("int").as("size_min"),
+        sum(col("n_parts")).as("n_parts_total"))
+      .join(canon, Seq("entity_id"))
+      .join(modal("p_brand", "brand"), Seq("entity_id"))
+      .join(modal("p_type", "ptype"), Seq("entity_id"))
+      .select(col("entity_id"), col("n_members"), col("canonical_name"),
+        col("brand"), col("ptype"), col("size_min"), col("n_parts_total"))
+      .orderBy(col("entity_id"))
+  }
 
   private[graft] val toksSql = "list_distinct(string_split(text, ' '))"
 

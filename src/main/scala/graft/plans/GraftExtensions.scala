@@ -140,6 +140,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_pagerank_store(edge_dir, iters) - pagerank served off a persisted arrival-built edge store."),
       (children: Seq[Expression]) => GraftTvf.pagerankStore(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_entities"),
+      info(GraftTvf.getClass, "graft_entities",
+        "graft_entities(store_dir) - canonical entities served off a persisted arrival-built entity store."),
+      (children: Seq[Expression]) => GraftTvf.entitiesStore(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_topk"),
       info(GraftTvf.getClass, "graft_topk",
         "graft_topk(store_dir, m) - heavy hitters off a persisted arrival-built Misra-Gries store."),

@@ -335,6 +335,25 @@ object GraftTvf {
     }
   }
 
+  /** graft_entities(store_dir) — canonical entities served off a
+    * PERSISTED arrival-built entity store
+    * ([[graft.streaming.StreamOps]] entitiesOnArrival layout): the read
+    * folds the per-batch name summaries and runs the SHARED
+    * Dedup.erEntitiesFrom blocking → scoring → closure → survivorship,
+    * so it IS the batch q_er_entities recompute (StreamOpsSpec pins
+    * it). Eager-loop contract like [[pagerankStore]] (the closure is a
+    * loop); the memo keys on the store stamp so a newly ingested batch
+    * re-resolves instead of serving stale entities. */
+  def entitiesStore(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_entities"
+    require(children.size == 1, s"$fn(store_dir) takes 1 argument")
+    val spark = SparkSession.active
+    val dir = str(children, 0, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${storeStamp(dir)}") {
+      graft.streaming.StreamOps.entitiesStoreRead(spark, dir)
+    }
+  }
+
   /** Change stamp of a STORE directory (batch_id=N partition layout):
     * recursive max mtime DOWN TO LEAF FILES, folded with the file count
     * and total byte size. mtime alone (even recursive) is blind to two

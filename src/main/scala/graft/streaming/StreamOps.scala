@@ -1630,6 +1630,115 @@ object StreamOps {
     edgesStoreRead(spark, edgeDir)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$CompactBatchId")
 
+  // ---- entity store on arrival (MDM reads) -------------------------------
+
+  /** Streaming ENTITY-STORE maintenance — the entity-resolution member
+    * of the arrival-store family (the production MDM ingest shape: new
+    * records arrive continuously; "current canonical entities" must be
+    * servable at any time without re-scanning facts). Each micro-batch
+    * of part-shaped records (p_partkey, p_name, p_brand, p_type,
+    * p_size) is compacted to ONE per-name summary row — nid = min
+    * partkey, n_parts = count, plus the min-partkey row's
+    * brand/type/size — and appended as an idempotent batch partition
+    * (dynamic overwrite of the batch's OWN partition, the
+    * quantile/topk/edges store discipline). Entity reads
+    * ([[entitiesStoreRead]]) fold the summaries — min/sum are
+    * associative, the representative follows the global min nid — and
+    * run the SHARED [[graft.operators.Dedup.erEntitiesFrom]] blocking →
+    * scoring → closure → survivorship: read ≡ from-scratch
+    * q_er_entities over everything ingested, BY CONSTRUCTION
+    * (StreamOpsSpec pins it, plus replay idempotence and compaction
+    * invariance).
+    *
+    * WHY the read recomputes the closure instead of folding each batch's
+    * matches into stored entities (the edges-store argument): entity
+    * state is not exactly incrementally maintainable — a late record can
+    * (a) take over a name's representative (smaller partkey) and
+    * re-score EXISTING pairs, and (b) bridge two stored entities,
+    * forcing a merge; match decisions frozen against yesterday's
+    * canonicals drift from the batch recompute on exactly those events.
+    * The store therefore keeps the mergeable NAME SUMMARIES (dim-sized,
+    * never facts) and pays blocking + closure at read time: per-batch
+    * ingest is batch-sized (one agg + one partition write, no store
+    * read), the read is name-dim-bounded regardless of facts ingested
+    * (the `entities_store` probe arm measures both). Surfaced in SQL as
+    * graft_entities.
+    *
+    * Contract: batches PARTITION the record stream (the quantile-store
+    * law — the same part row in two DIFFERENT batches double-counts
+    * n_parts exactly as it would double-count weight; a replay of the
+    * SAME batch is idempotent). */
+  def entitiesOnArrival(records: DataFrame, storeDir: String,
+      checkpointDir: String) =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        entitiesIngestBatch(batch, batchId, storeDir)
+      }
+      .start()
+
+  /** The entity-ingest foreachBatch body (public like [[dedupBatch]]:
+    * directly testable, doubles as a batch backfill). */
+  def entitiesIngestBatch(batch: DataFrame, batchId: Long,
+      storeDir: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_name")).orderBy(col("p_partkey"))
+    val agg = batch.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).cast("long").as("nid"),
+        count(lit(1)).as("n_parts"))
+    val rep = batch
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+    agg.join(rep, Seq("p_name"))
+      .select(col("p_name").as("name"), col("nid"), col("n_parts"),
+        col("p_brand"), col("p_type"), col("p_size"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+  }
+
+  /** The folded name dim of the arrival-built entity store: ids =
+    * (name, nid, n_parts) and rep = (name, p_brand, p_type, p_size) —
+    * one summary-sized pass each; rep follows the global min nid
+    * (batch_id breaks exact-nid ties deterministically). */
+  private def entitiesStoreFold(store: DataFrame): (DataFrame, DataFrame) = {
+    val ids = store.groupBy(col("name"))
+      .agg(min(col("nid")).as("nid"), sum(col("n_parts")).as("n_parts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("name")).orderBy(col("nid"), col("batch_id"))
+    val rep = store
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("name"), col("p_brand"), col("p_type"), col("p_size"))
+    (ids, rep)
+  }
+
+  /** Current canonical entities off the arrival-built store: fold the
+    * per-batch name summaries, then the shared ER closure +
+    * survivorship — the read IS the batch recompute (same stages, same
+    * folded dim as q_er_entities derives from the part table). */
+  def entitiesStoreRead(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val (ids, rep) = entitiesStoreFold(spark.read.parquet(storeDir))
+    graft.operators.Dedup.erEntitiesFrom(ids, rep)
+  }
+
+  /** Compact the entity store to ONE folded summary partition under
+    * [[CompactBatchId]] — reads are invariant because the fold is
+    * associative (min of mins, sum of sums, the representative already
+    * follows the global min nid). Fresh store in `outDir`; source
+    * untouched — swap dirs. */
+  def entitiesCompactStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, outDir: String): Unit = {
+    val (ids, rep) = entitiesStoreFold(spark.read.parquet(storeDir))
+    ids.join(rep, Seq("name"))
+      .select(col("name"), col("nid"), col("n_parts"),
+        col("p_brand"), col("p_type"), col("p_size"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$CompactBatchId")
+  }
+
   /** Sink an event stream as parquet with checkpointing (ack analog). */
   def toParquet(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -296,6 +296,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(n2 === 5L, "new batch must re-resolve the memoized plan")
   }
 
+  test("TVF surface: graft_entities serves canonical entities off the store ≡ the API read") {
+    import spark.implicits._
+    val estore =
+      java.nio.file.Files.createTempDirectory("tvf_ents").toString + "/store"
+    val part = graft.catalog.Tables.part(spark, sf())
+      .select(col("p_partkey").cast("long").as("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_type"), col("p_size").cast("int").as("p_size"))
+    graft.streaming.StreamOps.entitiesIngestBatch(
+      part.filter(col("p_partkey") % 2 === 0), 0L, estore)
+    graft.streaming.StreamOps.entitiesIngestBatch(
+      part.filter(col("p_partkey") % 2 === 1), 1L, estore)
+    val eSql = spark.sql(
+      s"SELECT * FROM graft_entities('$estore') ORDER BY entity_id")
+      .collect().map(_.toSeq).toSeq
+    val eApi = graft.streaming.StreamOps.entitiesStoreRead(spark, estore)
+      .orderBy(col("entity_id")).collect().map(_.toSeq).toSeq
+    assert(eSql === eApi && eSql.nonEmpty)
+    // memo invalidation: a new batch bumps the store stamp — a record of
+    // an existing canonical name must fold into its entity's count
+    val total1 = eSql.map(_.last.asInstanceOf[Long]).sum
+    val canonName = eSql.head(2).asInstanceOf[String]
+    graft.streaming.StreamOps.entitiesIngestBatch(
+      part.filter(col("p_name") === canonName).orderBy(col("p_partkey"))
+        .limit(1).withColumn("p_partkey", lit(0L)),
+      2L, estore)
+    val total2 = spark.sql(
+      s"SELECT sum(n_parts_total) AS t FROM graft_entities('$estore')")
+      .collect()(0).getLong(0)
+    assert(total2 === total1 + 1, "new batch must re-resolve the memoized plan")
+  }
+
   test("TVF surface: graft_ktruss and graft_hyperball splice the eager graph loops into SQL") {
     import spark.implicits._
     val viaSql = spark.sql(

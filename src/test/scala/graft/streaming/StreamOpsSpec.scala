@@ -1221,6 +1221,62 @@ class StreamOpsSpec extends SparkSpec {
       "post-compact ingest must extend the graph")
   }
 
+  test("entities-on-arrival: read ≡ the certified q_er_entities recompute; replay idempotent; compaction invariant") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("er_arrival").toString
+    val store = s"$tmp/entities"
+    // the REAL part dim split into three arrival batches by partkey —
+    // representatives and counts must fold across batches exactly
+    val part = graft.catalog.Tables.part(spark, sf())
+      .select($"p_partkey".cast("long").as("p_partkey"), $"p_name",
+        $"p_brand", $"p_type", $"p_size".cast("int").as("p_size"))
+      .localCheckpoint()
+    val batches = (0 to 2).map(i => part.filter($"p_partkey" % 3 === i))
+    val in = MemoryStream[(Long, String, String, String, Int)]
+    val q = StreamOps.entitiesOnArrival(
+      in.toDF().toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
+      store, s"$tmp/ckpt")
+    try {
+      batches.foreach { b =>
+        in.addData(b.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getString(3), r.getInt(4))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // the store read IS the certified batch query on the same dim
+    val want = rows(graft.operators.Dedup.queries("q_er_entities")(spark, sf()))
+    val got = rows(StreamOps.entitiesStoreRead(spark, store))
+    assert(got === want, s"store read diverged:\n$got\nvs\n$want")
+    // replay: rewriting batch 0's partition changes no read
+    StreamOps.entitiesIngestBatch(batches(0), 0L, store)
+    assert(rows(StreamOps.entitiesStoreRead(spark, store)) === want,
+      "replay must not change the entity read")
+    // compaction: one folded partition, reads identical, post-compact
+    // ingest folds in (a new record that takes over a representative)
+    StreamOps.entitiesCompactStore(spark, store, s"$tmp/entities_c")
+    assert(spark.read.parquet(s"$tmp/entities_c")
+      .select($"batch_id").distinct().count() === 1)
+    assert(rows(StreamOps.entitiesStoreRead(spark, s"$tmp/entities_c")) === want,
+      "compaction must be read-lossless")
+    // post-compact ingest: a new record of an ALREADY-MATCHED name
+    // (an entity's canonical), same rep fields but partkey 0 — it must
+    // take over the name's node id (min nid) and fold into the count
+    val canonName = want.head(2).asInstanceOf[String]
+    val usurper = part.filter($"p_name" === canonName)
+      .orderBy($"p_partkey").limit(1)
+      .select(lit(0L).as("p_partkey"), $"p_name", $"p_brand",
+        $"p_type", $"p_size")
+    StreamOps.entitiesIngestBatch(usurper, 9L, s"$tmp/entities_c")
+    val sum2 = StreamOps.entitiesStoreRead(spark, s"$tmp/entities_c")
+      .agg(sum($"n_parts_total")).collect()(0).getLong(0)
+    val sum1 = want.map(_.last.asInstanceOf[Long]).sum
+    assert(sum2 === sum1 + 1, "post-compact ingest must fold in")
+  }
+
   test("components-on-arrival: incremental map ≡ full recompute across batches; replay idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
