@@ -103,6 +103,165 @@ object Vocab {
         filter(split(col("text"), " "), w => w =!= ""),
         w => applyMerges(w, merges))).as("units"))
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer ------------------------
+  // [Kudo, ACL'18] — the OTHER production tokenizer beside BPE: a piece
+  // VOCABULARY with log-probabilities, fit by fixed-round hard EM
+  // (Viterbi-EM: segment under current scores, re-estimate scores from
+  // usage), applied by Viterbi segmentation. Everything is
+  // engine-portable by construction: scores are floor-quantized e4
+  // integer log-probs (the idf_e4 discipline — ln of an integer ratio,
+  // floored once, never compared as a float again), the DP maximizes an
+  // exact BIGINT sum, and ties break "longest piece wins" — so the
+  // unrolled DuckDB oracle (recursive CTE carrying the same sliding DP
+  // state) reproduces the segmentation bit-for-bit.
+
+  /** Max piece length: DP candidates per position = 3. */
+  val unigramMaxPiece = 3
+
+  /** Missing-piece score sentinel: additive-safe (a word of 9k unknown
+    * chars stays far from BIGINT overflow) yet dominated by ANY real
+    * score chain, so unknown substrings lose to known ones and two
+    * engines agree without null handling. */
+  val unigramMissing = -1000000000000000L
+
+  /** All (position, length) substrings of the distinct-word frame
+    * (w, n): one row per (w, j = end position 1..len, L = 1..maxPiece),
+    * piece = w[j−L+1 .. j] (null when j < L — kept so the per-word score
+    * array below is DENSE and indexable as (j−1)·maxPiece + L). */
+  private def wordSubstrings(words: DataFrame): DataFrame =
+    words
+      .select(col("w"), col("n"),
+        explode(sequence(lit(1), length(col("w")))).as("j"))
+      .select(col("w"), col("n"), col("j"),
+        explode(sequence(lit(1), lit(unigramMaxPiece))).as("l"))
+      .withColumn("piece",
+        when(col("j") >= col("l"),
+          col("w").substr(col("j") - col("l") + 1, col("l"))))
+
+  /** Viterbi-segment the distinct words of `words` (w, n) under a
+    * piece-score frame (piece, logp_e4): maximize Σ logp over
+    * segmentations, ties prefer the LONGER piece at each DP step.
+    * Implementation: candidate scores come from a JOIN (the score table
+    * is a frame, never embedded in the expression — a k-entry map
+    * literal inlined 3× per fold step falls out of whole-stage codegen,
+    * the q_text_bpe_apply lesson), collected per word as a dense
+    * (j, L)-indexed array; the fold then carries a sliding window of
+    * the last 3 (best score, segmentation string) pairs FORWARD — the
+    * segmentation rides along, so no backward pass and no backpointer
+    * reconstruction exists to diverge between engines.
+    * @return (w, n, seg) — seg = "|piece|piece|…"-style joined pieces
+    *         (leading separator; split+filter to consume). */
+  def viterbiSegments(words: DataFrame, scores: DataFrame): DataFrame = {
+    val cands = wordSubstrings(words)
+      .join(broadcast(scores.select(col("piece"), col("logp_e4"))),
+        Seq("piece"), "left")
+      .select(col("w"), col("n"), col("j"), col("l"),
+        coalesce(col("logp_e4"), lit(unigramMissing)).as("sc"))
+    val scs = cands.groupBy(col("w"), col("n"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("j"), col("l"), col("sc")))),
+        x => x.getField("sc")).as("scs"))
+    val big = lit(unigramMissing)
+    val init = struct(
+      lit(0L).as("b0"), lit("").as("g0"),
+      big.as("b1"), lit("").as("g1"),
+      big.as("b2"), lit("").as("g2"))
+    scs.select(col("w"), col("n"),
+      aggregate(
+        sequence(lit(1), length(col("w"))), init,
+        (st, j) => {
+          val base = (j - 1) * lit(unigramMaxPiece)
+          val c1 = st.getField("b0") + element_at(col("scs"), (base + 1).cast("int"))
+          val c2 = st.getField("b1") + element_at(col("scs"), (base + 2).cast("int"))
+          val c3 = st.getField("b2") + element_at(col("scs"), (base + 3).cast("int"))
+          // j-guards: an L-piece exists only at j ≥ L. Without them a
+          // sentinel-vs-sentinel tie at j < L could pick a negative
+          // substr position — where Spark and DuckDB disagree.
+          val pick3 = j >= 3 && c3 >= c2 && c3 >= c1
+          val pick2 = j >= 2 && c2 >= c1
+          val newB = when(pick3, c3).otherwise(when(pick2, c2).otherwise(c1))
+          val piece = when(pick3, col("w").substr(j - 2, lit(3)))
+            .otherwise(when(pick2, col("w").substr(j - 1, lit(2)))
+              .otherwise(col("w").substr(j, lit(1))))
+          val prevG = when(pick3, st.getField("g2"))
+            .otherwise(when(pick2, st.getField("g1"))
+              .otherwise(st.getField("g0")))
+          struct(
+            newB.as("b0"), concat(prevG, lit("|"), piece).as("g0"),
+            st.getField("b0").as("b1"), st.getField("g0").as("g1"),
+            st.getField("b1").as("b2"), st.getField("g1").as("g2"))
+        },
+        st => st.getField("g0")).as("seg"))
+  }
+
+  /** One hard-EM usage count: Viterbi-segment, then piece usage weighted
+    * by word frequency. @return (piece, cnt). */
+  def unigramUsage(words: DataFrame, scores: DataFrame): DataFrame =
+    viterbiSegments(words, scores)
+      .select(col("n"),
+        explode(filter(split(col("seg"), "\\|"), p => p =!= "")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+
+  /** Floor-e4 log-prob scores with Laplace smoothing over the SEED piece
+    * domain (so every seed piece — in particular every single char —
+    * stays segmentable in the next round even at zero usage). */
+  private def unigramScores(seed: DataFrame, usage: DataFrame): DataFrame = {
+    val tot = usage.agg(coalesce(sum(col("cnt")), lit(0L)).as("tot"))
+    val nSeed = seed.agg(count(lit(1)).as("n_seed"))
+    seed.select(col("piece"))
+      .join(usage, Seq("piece"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nSeed))
+      .select(col("piece"),
+        floor(log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+          (col("tot") + col("n_seed")).cast("double")) * 1e4)
+          .cast("long").as("logp_e4"))
+  }
+
+  /** Fixed-round unigram-LM induction (hard EM) over a word-frequency
+    * frame: seed = ALL substrings of length ≤ 3 scored by occurrence
+    * count, then `rounds` Viterbi-segment → re-estimate cycles.
+    * @return (piece, cnt, logp_e4) — usage counts of the LAST round,
+    *         scored with the post-round Laplace estimate. */
+  def unigramFit(words: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val wordsM = words.localCheckpoint()
+    val seed = wordSubstrings(wordsM).filter(col("piece").isNotNull)
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+      .localCheckpoint()
+    val tot0 = seed.agg(sum(col("cnt")).as("tot"))
+    var scores = seed
+      .crossJoin(broadcast(tot0))
+      .select(col("piece"),
+        floor(log(col("cnt").cast("double") / col("tot").cast("double"))
+          * 1e4).cast("long").as("logp_e4"))
+      .localCheckpoint()
+    var usage: DataFrame = null
+    for (_ <- 1 to rounds) {
+      usage = unigramUsage(wordsM, scores).localCheckpoint()
+      val next = unigramScores(seed, usage).localCheckpoint()
+      releaseCheckpoint(scores)
+      scores = next
+    }
+    val out = usage.join(scores, Seq("piece"))
+      .select(col("piece"), col("cnt"), col("logp_e4"))
+    out
+  }
+
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    graft.util.Frames.releaseCheckpoint(df)
+
+  /** The FIXED demo piece table of q_text_viterbi_apply (the
+    * [[demoMerges]] analog): hand-set integer scores — no ln anywhere
+    * in the apply path — with multi-char pieces that only win where the
+    * DP actually prefers them, plus the corpus' common chars so most
+    * words segment without the missing sentinel. */
+  val demoPieces: Seq[(String, Long)] = Seq(
+    ("tab", -30000L), ("ble", -32000L), ("ta", -40000L), ("ab", -45000L),
+    ("le", -41000L), ("sca", -31000L), ("an", -42000L), ("val", -33000L),
+    ("row", -34000L), ("er", -39000L), ("in", -38000L), ("on", -43000L),
+    ("re", -44000L), ("at", -46000L), ("en", -47000L)) ++
+    "abcdefghijklmnopqrstuvwxyz0123456789".map(c => (c.toString, -60000L))
+
   /** The FIXED demo merge table of q_text_bpe_apply — multi-level chains
     * ("t a"→…→"table") so merge ORDER is load-bearing, over pairs the
     * synthetic corpus actually contains. */
@@ -121,6 +280,54 @@ object Vocab {
       tokenize(docs, merges)
         .select(col("doc_id"), size(col("units")).as("n_units"),
           array_join(col("units"), "|").as("units_str"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM (SentencePiece) vocabulary induction — the OTHER
+    // production tokenizer beside BPE (verdict r17 #4): seed = all
+    // substrings ≤ 3 of the doc<100 word dictionary scored by
+    // occurrence count, then two hard-EM rounds (Viterbi-segment every
+    // word under current floor-e4 log-probs, re-estimate from usage
+    // with Laplace smoothing over the seed domain so single chars stay
+    // segmentable). Emits the top-150 pieces by final usage with their
+    // post-round scores. The oracle unrolls both rounds: the DP is a
+    // recursive CTE carrying the same sliding (best, segmentation)
+    // window the Spark fold carries — forward-only, no backpointers.
+    "q_vocab_unigram" -> ((s, dir) => {
+      val words = graft.catalog.Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      unigramFit(words, rounds = 2)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(150)
+    }),
+
+    // The APPLY half of the unigram tokenizer: Viterbi-segment the
+    // WHOLE corpus under the FIXED demoPieces table (hand-set integer
+    // scores — no ln anywhere in this path). The per-word DP runs once
+    // per DISTINCT word (vocab-sized), then a join fans the stats back
+    // out to doc occurrences — the 100 TB shape: corpus touched twice
+    // (word count + stat join), the DP never.
+    "q_text_viterbi_apply" -> ((s, dir) => {
+      val docs = graft.catalog.Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      val words = docs
+        .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      import s.implicits._
+      val scores = demoPieces.toDF("piece", "logp_e4")
+      val wstats = viterbiSegments(words, scores)
+        .select(col("w"),
+          filter(split(col("seg"), "\\|"), p => p =!= "").as("pieces"))
+        .select(col("w"), size(col("pieces")).cast("long").as("np"),
+          size(filter(col("pieces"), p => length(p) > 1)).cast("long").as("nm"))
+      docs.select(col("doc_id"),
+          explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+        .join(wstats, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("np")).as("n_pieces"), sum(col("nm")).as("n_multi"))
         .orderBy(col("doc_id"))
     }),
 
@@ -206,8 +413,121 @@ SELECT doc_id, CAST(len(flat) AS INT) AS n_units, array_to_string(flat, '|') AS 
 FROM fl ORDER BY doc_id"""
   }
 
+  /** The Viterbi DP as DuckDB CTEs, parameterized on a round tag, the
+    * substring CTE (`sub`: w, n, j, l, piece) and the score CTE
+    * (piece, logp_e4): `pc$tag` pivots the candidate scores to one row
+    * per (w, j) — missing pieces take the additive sentinel — and
+    * `st$tag` is the recursive forward DP carrying the exact sliding
+    * (best, segmentation) window [[viterbiSegments]]'s fold carries,
+    * with the same j-guards and the same longest-piece tie-break.
+    * `seg$tag` is the final (w, n, seg) frame. */
+  private def viterbiCtes(tag: String, subCte: String, scoreCte: String): String = s"""
+  pc$tag AS MATERIALIZED (
+    SELECT s.w, s.n, s.j,
+           max(CASE WHEN s.l = 1 THEN COALESCE(sc.logp_e4, $unigramMissing) END) AS s1,
+           max(CASE WHEN s.l = 2 THEN COALESCE(sc.logp_e4, $unigramMissing) END) AS s2,
+           max(CASE WHEN s.l = 3 THEN COALESCE(sc.logp_e4, $unigramMissing) END) AS s3
+    FROM $subCte s LEFT JOIN $scoreCte sc ON sc.piece = s.piece
+    GROUP BY s.w, s.n, s.j),
+  st$tag AS (
+    SELECT w, n, len(w) AS len, 0 AS j,
+           CAST(0 AS BIGINT) AS b0, CAST('' AS VARCHAR) AS g0,
+           CAST($unigramMissing AS BIGINT) AS b1, CAST('' AS VARCHAR) AS g1,
+           CAST($unigramMissing AS BIGINT) AS b2, CAST('' AS VARCHAR) AS g2
+    FROM (SELECT DISTINCT w, n FROM $subCte)
+    UNION ALL
+    SELECT s.w, s.n, s.len, s.j + 1,
+           CASE WHEN s.j + 1 >= 3 AND s.b2 + p.s3 >= s.b1 + p.s2 AND s.b2 + p.s3 >= s.b0 + p.s1 THEN s.b2 + p.s3
+                WHEN s.j + 1 >= 2 AND s.b1 + p.s2 >= s.b0 + p.s1 THEN s.b1 + p.s2
+                ELSE s.b0 + p.s1 END,
+           (CASE WHEN s.j + 1 >= 3 AND s.b2 + p.s3 >= s.b1 + p.s2 AND s.b2 + p.s3 >= s.b0 + p.s1 THEN s.g2
+                 WHEN s.j + 1 >= 2 AND s.b1 + p.s2 >= s.b0 + p.s1 THEN s.g1
+                 ELSE s.g0 END) || '|' ||
+           (CASE WHEN s.j + 1 >= 3 AND s.b2 + p.s3 >= s.b1 + p.s2 AND s.b2 + p.s3 >= s.b0 + p.s1 THEN substr(s.w, s.j - 1, 3)
+                 WHEN s.j + 1 >= 2 AND s.b1 + p.s2 >= s.b0 + p.s1 THEN substr(s.w, s.j, 2)
+                 ELSE substr(s.w, s.j + 1, 1) END),
+           s.b0, s.g0, s.b1, s.g1
+    FROM st$tag s JOIN pc$tag p ON p.w = s.w AND p.j = s.j + 1
+    WHERE s.j < s.len),
+  seg$tag AS MATERIALIZED (SELECT w, n, g0 AS seg FROM st$tag WHERE j = len),
+  use$tag AS (
+    SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+    FROM (SELECT n, unnest(list_filter(string_split(seg, '|'), x -> x <> '')) AS piece
+          FROM seg$tag)
+    GROUP BY piece)"""
+
+  /** q_vocab_unigram's oracle: seed counts + floor-e4 ln scores, then
+    * both hard-EM rounds unrolled with [[viterbiCtes]], Laplace
+    * re-estimation between them — the exact [[unigramFit]] recurrence. */
+  private def unigramOracleSql: String = s"""WITH RECURSIVE
+  words AS MATERIALIZED (
+    SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 100)
+    WHERE w <> '' GROUP BY w),
+  sub AS MATERIALIZED (
+    SELECT w, n, j, l,
+           CASE WHEN j >= l THEN substr(w, j - l + 1, l) END AS piece
+    FROM (SELECT w, n, unnest(range(1, len(w) + 1)) AS j FROM words),
+         (VALUES (1), (2), (3)) AS ls(l)),
+  seedcnt AS MATERIALIZED (
+    SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+    FROM sub WHERE piece IS NOT NULL GROUP BY piece),
+  ns AS (SELECT CAST(count(*) AS BIGINT) AS nseed FROM seedcnt),
+  sc0 AS MATERIALIZED (
+    SELECT piece, CAST(floor(ln(CAST(cnt AS DOUBLE) /
+      CAST((SELECT sum(cnt) FROM seedcnt) AS DOUBLE)) * 1e4) AS BIGINT) AS logp_e4
+    FROM seedcnt),
+  ${viterbiCtes("1", "sub", "sc0")},
+  sc1 AS MATERIALIZED (
+    SELECT s.piece, CAST(floor(ln(CAST(COALESCE(u.cnt, 0) + 1 AS DOUBLE) /
+      CAST((SELECT COALESCE(sum(cnt), 0) FROM use1) + ns.nseed AS DOUBLE)) * 1e4) AS BIGINT) AS logp_e4
+    FROM seedcnt s LEFT JOIN use1 u ON u.piece = s.piece, ns),
+  ${viterbiCtes("2", "sub", "sc1")},
+  sc2 AS (
+    SELECT s.piece, CAST(floor(ln(CAST(COALESCE(u.cnt, 0) + 1 AS DOUBLE) /
+      CAST((SELECT COALESCE(sum(cnt), 0) FROM use2) + ns.nseed AS DOUBLE)) * 1e4) AS BIGINT) AS logp_e4
+    FROM seedcnt s LEFT JOIN use2 u ON u.piece = s.piece, ns)
+  SELECT u.piece, u.cnt, sc.logp_e4
+  FROM use2 u JOIN sc2 sc ON sc.piece = u.piece
+  ORDER BY u.cnt DESC, u.piece LIMIT 150"""
+
+  /** q_text_viterbi_apply's oracle: the fixed piece table as VALUES,
+    * one [[viterbiCtes]] pass over the whole-corpus word dictionary,
+    * per-doc sums via the word-occurrence join. */
+  private def viterbiApplySql: String = {
+    val values = demoPieces
+      .map { case (p, s) => s"('$p', CAST($s AS BIGINT))" }.mkString(", ")
+    s"""WITH RECURSIVE
+  words AS MATERIALIZED (
+    SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0)
+    GROUP BY w),
+  sub AS MATERIALIZED (
+    SELECT w, n, j, l,
+           CASE WHEN j >= l THEN substr(w, j - l + 1, l) END AS piece
+    FROM (SELECT w, n, unnest(range(1, len(w) + 1)) AS j FROM words),
+         (VALUES (1), (2), (3)) AS ls(l)),
+  demo AS (SELECT * FROM (VALUES $values) AS t(piece, logp_e4)),
+  ${viterbiCtes("A", "sub", "demo")},
+  wstats AS MATERIALIZED (
+    SELECT w,
+      CAST(len(list_filter(string_split(seg, '|'), x -> x <> '')) AS BIGINT) AS np,
+      CAST(len(list_filter(string_split(seg, '|'), x -> len(x) > 1)) AS BIGINT) AS nm
+    FROM segA),
+  dw AS (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0)
+  SELECT d.doc_id, CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+         CAST(sum(ws.nm) AS BIGINT) AS n_multi
+  FROM dw d JOIN wstats ws ON ws.w = d.w
+  GROUP BY d.doc_id ORDER BY d.doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q_vocab_bpe" -> bpeOracleSql(10),
+    "q_vocab_unigram" -> unigramOracleSql,
+    "q_text_viterbi_apply" -> viterbiApplySql,
 
     "q_text_bpe_apply" -> {
       val chain = demoMerges.foldLeft("s") { case (acc, (a, b)) =>

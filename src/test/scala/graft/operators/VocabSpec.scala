@@ -61,4 +61,45 @@ class VocabSpec extends SparkSpec {
     val one = Vocab.tokenize(sparkUnits, merges).collect().head.getSeq[String](1)
     assert(one === Seq("spark"))
   }
+
+  test("viterbiSegments: hand-checked DP — score max, longest-piece ties, unknown-char runs") {
+    import spark.implicits._
+    def seg(w: String, scores: Seq[(String, Long)]): Seq[String] = {
+      val out = Vocab.viterbiSegments(
+          Seq((w, 1L)).toDF("w", "n"), scores.toDF("piece", "logp_e4"))
+        .collect().head.getString(2)
+      out.split("\\|").filter(_.nonEmpty).toSeq
+    }
+    val chars = "table".map(c => (c.toString, -60L))
+    // ta|ble = -70 beats tab|le = -80 and chars = -300
+    val sc = Seq(("ta", -40L), ("ble", -30L), ("tab", -35L), ("le", -45L)) ++ chars
+    assert(seg("table", sc) === Seq("ta", "ble"))
+    // EXACT tie at the last step: ble+best[2] = -40-40 = le+best[3] =
+    // -45-35 → the longer piece (ble) wins → ta|ble
+    val scTie = Seq(("ta", -40L), ("ble", -40L), ("tab", -35L), ("le", -45L)) ++ chars
+    assert(seg("table", scTie) === Seq("ta", "ble"))
+    // one past the tie: ble -41 → the L=2 path wins → tab|le
+    val scOff = Seq(("ta", -40L), ("ble", -41L), ("tab", -35L), ("le", -45L)) ++ chars
+    assert(seg("table", scOff) === Seq("tab", "le"))
+    // unknown chars: no piece covers 'z' — every candidate is the
+    // sentinel, ties cascade to the longest piece per step → z|zzz
+    assert(seg("zzzz", Seq(("q", -1L))) === Seq("z", "zzz"))
+    // single char word
+    assert(seg("t", sc) === Seq("t"))
+  }
+
+  test("unigramFit: whole-word pieces dominate; usage is word-frequency-weighted; deterministic") {
+    import spark.implicits._
+    // each word's best segmentation is its own ≤3-char piece (a whole-
+    // word piece always beats any split: ln(c/T) > ln(a/T)+ln(b/T) at
+    // these counts), so the final usage IS the word-frequency table
+    val words = Seq(("abe", 5L), ("abd", 3L), ("ab", 2L)).toDF("w", "n")
+    val fit = Vocab.unigramFit(words, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fit === Map("abe" -> 5L, "abd" -> 3L, "ab" -> 2L), s"got $fit")
+    // determinism
+    val fit2 = Vocab.unigramFit(words, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fit2 === fit)
+  }
 }
