@@ -291,6 +291,101 @@ object Timeseries {
         .orderBy($"event_type", $"day")
     }),
 
+    // Rolling-origin one-step-ahead forecast BACKTEST (verdict r17 #5)
+    // — the model-selection diagnostic that justifies the seasonal
+    // model's existence: for each of the last 14 origins t, forecast
+    // day t+1 with (a) Holt level+trend, (b) Holt-Winters additive
+    // seasonal, (c) seasonal-naive (the value 7 positions back — the
+    // same position-based week the HW slots use), and score MAE and
+    // sMAPE per type in exact e4 integers. The per-origin forecasts
+    // come from ONE fold per model that APPENDS its one-step forecast
+    // after every step (the prefix states the rolling origin needs,
+    // without refolding per origin); sMAPE's per-origin quotient
+    // (2·|f−a|·1e4) div (|f|+|a|) and both means divide non-negative
+    // operands, so div ≡ // everywhere. Same per-key daily-aggregate
+    // fold shape as holt/holtwinters; the oracle reads the SAME
+    // recursions at every rn instead of only the last.
+    "q_timeseries_backtest" -> ((s, dir) => {
+      import s.implicits._
+      val B = "4398046511104L"
+      val OFF = "1099511627776L"
+      val lv = s"(x * 10000L + 3L * (a.lv + a.tr) + $B) div 4L - $OFF"
+      val tr = s"(($lv) - a.lv + 3L * a.tr + $B) div 4L - $OFF"
+      val holtAgg = s"""aggregate(transform(sx, e -> e.x),
+          named_struct('n', 0L, 'lv', 0L, 'tr', 0L,
+            'fs', CAST(array() AS ARRAY<BIGINT>)),
+          (a, x) -> IF(a.n = 0L,
+            named_struct('n', 1L, 'lv', x * 10000L, 'tr', 0L,
+              'fs', array(x * 10000L)),
+            named_struct('n', a.n + 1L, 'lv', $lv, 'tr', $tr,
+              'fs', concat(a.fs, array(($lv) + ($tr))))),
+          a -> a.fs)"""
+      val tot = s"(a.ss[0]+a.ss[1]+a.ss[2]+a.ss[3]+a.ss[4]+a.ss[5]+x*10000L)"
+      val lv0 = s"($tot div 7L)"
+      val sOld = "a.ss[CAST(a.n % 7L AS INT)]"
+      val lvN = s"((x*10000L - $sOld + 3L*(a.lv + a.tr) + $B) div 4L - $OFF)"
+      val trN = s"(($lvN - a.lv + 3L*a.tr + $B) div 4L - $OFF)"
+      val sN = s"((x*10000L - $lvN + 3L*$sOld + $B) div 4L - $OFF)"
+      // f1 after state t = a.n+1 reads slot t mod 7, which this step did
+      // NOT rewrite (consecutive mods differ) — so it reads a.ss; at the
+      // init step the algebra collapses to the raw first value a.ss[0]
+      val f1N = s"($lvN + $trN + a.ss[CAST((a.n + 1L) % 7L AS INT)])"
+      val hwAgg = s"""aggregate(transform(sx, e -> e.x),
+          named_struct('n', 0L, 'lv', 0L, 'tr', 0L,
+            'ss', array(0L, 0L, 0L, 0L, 0L, 0L, 0L),
+            'fs', CAST(array() AS ARRAY<BIGINT>)),
+          (a, x) -> IF(a.n < 6L,
+            named_struct('n', a.n + 1L, 'lv', 0L, 'tr', 0L,
+              'ss', transform(a.ss,
+                (v, j) -> IF(CAST(j AS BIGINT) = a.n, x*10000L, v)),
+              'fs', concat(a.fs, array(0L))),
+            IF(a.n = 6L,
+              named_struct('n', 7L, 'lv', $lv0, 'tr', 0L,
+                'ss', transform(a.ss,
+                  (v, j) -> IF(j = 6, x*10000L, v) - $lv0),
+                'fs', concat(a.fs, array(a.ss[0]))),
+              named_struct('n', a.n + 1L, 'lv', $lvN, 'tr', $trN,
+                'ss', transform(a.ss,
+                  (v, j) -> IF(CAST(j AS BIGINT) = a.n % 7L, $sN, v)),
+                'fs', concat(a.fs, array($f1N))))),
+          a -> a.fs)"""
+      def smape(f: String) =
+        s"sum((2L * abs($f - act) * 10000L) div (abs($f) + abs(act))) div count(1)"
+      events(s, dir)
+        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"x"))).as("sx"))
+        // ≥ 22 days: every origin t ≥ 8 has a live HW state (t ≥ 7) and
+        // a naive reference (t − 6 ≥ 1)
+        .filter(size($"sx") >= 22)
+        .select($"event_type", size($"sx").cast("long").as("n_days"),
+          expr("transform(sx, e -> e.x)").as("xs"),
+          expr(holtAgg).as("fh"), expr(hwAgg).as("fw"))
+        .select($"event_type", $"n_days",
+          explode(sequence($"n_days" - 14, $"n_days" - 1)).as("t"),
+          $"xs", $"fh", $"fw")
+        .select($"event_type", $"n_days",
+          (element_at($"xs", ($"t" + 1).cast("int")) * 10000L).as("act"),
+          element_at($"fh", $"t".cast("int")).as("f_holt"),
+          element_at($"fw", $"t".cast("int")).as("f_hw"),
+          (element_at($"xs", ($"t" - 6).cast("int")) * 10000L).as("f_naive"))
+        .groupBy($"event_type", $"n_days")
+        .agg(count(lit(1)).as("n_origins"),
+          expr("sum(abs(f_holt - act)) div count(1)").as("mae_holt_e4"),
+          expr("sum(abs(f_hw - act)) div count(1)").as("mae_hw_e4"),
+          expr("sum(abs(f_naive - act)) div count(1)").as("mae_naive_e4"),
+          expr(smape("f_holt")).as("smape_holt_e4"),
+          expr(smape("f_hw")).as("smape_hw_e4"),
+          expr(smape("f_naive")).as("smape_naive_e4"))
+        .withColumn("best_model",
+          when($"smape_holt_e4" <= $"smape_hw_e4" &&
+              $"smape_holt_e4" <= $"smape_naive_e4", "holt")
+            .when($"smape_hw_e4" <= $"smape_naive_e4", "holtwinters")
+            .otherwise("seasonal_naive"))
+        .orderBy($"event_type")
+    }),
+
     // Forward-fill imputation (LOCF): daily per-type count of high-value
     // events (value > 250 — 96 of the 150 (type, day) cells are empty at
     // sf0.01), date-spined so gaps surface as nulls, then last-observation-
@@ -672,6 +767,101 @@ object Timeseries {
                     WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
                     WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END) AS forecast7_e4
          FROM fin WHERE rr = 1
+         ORDER BY event_type""",
+
+    // the holt + holtwinters recursions verbatim, read at EVERY rn
+    // (each origin's forecast is the prefix state) instead of the last
+    "q_timeseries_backtest" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x,
+                  row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn
+           FROM events GROUP BY 1, 2),
+         ho AS (
+           SELECT event_type, rn, x * 10000 AS lv, CAST(0 AS BIGINT) AS tr
+           FROM daily WHERE rn = 1
+           UNION ALL
+           SELECT d.event_type, d.rn,
+                  (d.x * 10000 + 3 * (ho.lv + ho.tr) + 4398046511104) // 4 - 1099511627776,
+                  ((d.x * 10000 + 3 * (ho.lv + ho.tr) + 4398046511104) // 4 - 1099511627776
+                    - ho.lv + 3 * ho.tr + 4398046511104) // 4 - 1099511627776
+           FROM ho JOIN daily d
+             ON d.event_type = ho.event_type AND d.rn = ho.rn + 1),
+         init AS (
+           SELECT event_type, CAST(7 AS BIGINT) AS rn,
+                  CAST(sum(x * 10000) // 7 AS BIGINT) AS lv, CAST(0 AS BIGINT) AS tr,
+                  CAST(max(CASE WHEN rn = 1 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s0,
+                  CAST(max(CASE WHEN rn = 2 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s1,
+                  CAST(max(CASE WHEN rn = 3 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s2,
+                  CAST(max(CASE WHEN rn = 4 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s3,
+                  CAST(max(CASE WHEN rn = 5 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s4,
+                  CAST(max(CASE WHEN rn = 6 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s5,
+                  CAST(max(CASE WHEN rn = 7 THEN x END) * 10000 - sum(x * 10000) // 7 AS BIGINT) AS s6
+           FROM daily WHERE rn <= 7 GROUP BY 1 HAVING count(*) = 7),
+         hws AS (
+           SELECT * FROM init
+           UNION ALL
+           SELECT d.event_type, d.rn,
+                  (d.x * 10000 - (CASE (d.rn - 1) % 7
+                       WHEN 0 THEN hws.s0 WHEN 1 THEN hws.s1 WHEN 2 THEN hws.s2
+                       WHEN 3 THEN hws.s3 WHEN 4 THEN hws.s4 WHEN 5 THEN hws.s5
+                       ELSE hws.s6 END)
+                    + 3 * (hws.lv + hws.tr) + 4398046511104) // 4 - 1099511627776 AS lvn,
+                  (lvn - hws.lv + 3 * hws.tr + 4398046511104) // 4 - 1099511627776 AS trn,
+                  CASE WHEN (d.rn - 1) % 7 = 0
+                       THEN (d.x * 10000 - lvn + 3 * hws.s0 + 4398046511104) // 4 - 1099511627776
+                       ELSE hws.s0 END,
+                  CASE WHEN (d.rn - 1) % 7 = 1
+                       THEN (d.x * 10000 - lvn + 3 * hws.s1 + 4398046511104) // 4 - 1099511627776
+                       ELSE hws.s1 END,
+                  CASE WHEN (d.rn - 1) % 7 = 2
+                       THEN (d.x * 10000 - lvn + 3 * hws.s2 + 4398046511104) // 4 - 1099511627776
+                       ELSE hws.s2 END,
+                  CASE WHEN (d.rn - 1) % 7 = 3
+                       THEN (d.x * 10000 - lvn + 3 * hws.s3 + 4398046511104) // 4 - 1099511627776
+                       ELSE hws.s3 END,
+                  CASE WHEN (d.rn - 1) % 7 = 4
+                       THEN (d.x * 10000 - lvn + 3 * hws.s4 + 4398046511104) // 4 - 1099511627776
+                       ELSE hws.s4 END,
+                  CASE WHEN (d.rn - 1) % 7 = 5
+                       THEN (d.x * 10000 - lvn + 3 * hws.s5 + 4398046511104) // 4 - 1099511627776
+                       ELSE hws.s5 END,
+                  CASE WHEN (d.rn - 1) % 7 = 6
+                       THEN (d.x * 10000 - lvn + 3 * hws.s6 + 4398046511104) // 4 - 1099511627776
+                       ELSE hws.s6 END
+           FROM hws JOIN daily d
+             ON d.event_type = hws.event_type AND d.rn = hws.rn + 1),
+         nn AS (
+           SELECT event_type, CAST(max(rn) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1 HAVING max(rn) >= 22),
+         org AS (
+           SELECT event_type, n_days, unnest(range(n_days - 14, n_days)) AS t
+           FROM nn),
+         per AS (
+           SELECT o.event_type, o.n_days,
+                  da.x * 10000 AS act,
+                  ho.lv + ho.tr AS f_holt,
+                  hws.lv + hws.tr + (CASE o.t % 7
+                      WHEN 0 THEN hws.s0 WHEN 1 THEN hws.s1 WHEN 2 THEN hws.s2
+                      WHEN 3 THEN hws.s3 WHEN 4 THEN hws.s4 WHEN 5 THEN hws.s5
+                      ELSE hws.s6 END) AS f_hw,
+                  dn.x * 10000 AS f_naive
+           FROM org o
+           JOIN daily da ON da.event_type = o.event_type AND da.rn = o.t + 1
+           JOIN daily dn ON dn.event_type = o.event_type AND dn.rn = o.t - 6
+           JOIN ho ON ho.event_type = o.event_type AND ho.rn = o.t
+           JOIN hws ON hws.event_type = o.event_type AND hws.rn = o.t)
+         SELECT event_type, n_days, CAST(count(*) AS BIGINT) AS n_origins,
+                CAST(sum(abs(f_holt - act)) // count(*) AS BIGINT) AS mae_holt_e4,
+                CAST(sum(abs(f_hw - act)) // count(*) AS BIGINT) AS mae_hw_e4,
+                CAST(sum(abs(f_naive - act)) // count(*) AS BIGINT) AS mae_naive_e4,
+                CAST(sum((2 * abs(f_holt - act) * 10000) // (abs(f_holt) + abs(act))) // count(*) AS BIGINT) AS smape_holt_e4,
+                CAST(sum((2 * abs(f_hw - act) * 10000) // (abs(f_hw) + abs(act))) // count(*) AS BIGINT) AS smape_hw_e4,
+                CAST(sum((2 * abs(f_naive - act) * 10000) // (abs(f_naive) + abs(act))) // count(*) AS BIGINT) AS smape_naive_e4,
+                CASE WHEN smape_holt_e4 <= smape_hw_e4 AND smape_holt_e4 <= smape_naive_e4 THEN 'holt'
+                     WHEN smape_hw_e4 <= smape_naive_e4 THEN 'holtwinters'
+                     ELSE 'seasonal_naive' END AS best_model
+         FROM per
+         GROUP BY event_type, n_days
          ORDER BY event_type""",
 
     "q_timeseries_ewma" ->
