@@ -1257,6 +1257,127 @@ object Graph {
     out
   }
 
+  /** WEIGHTED sampled Brandes betweenness, hop-bounded — the weighted
+    * twin of [[betweennessBounded]] (completing the tier's weighted
+    * pairs: pagerank/sssp/kcore/jaccard/labelprop/modularity all have
+    * one). Distances are edge-weight sums minimized over ≤ `rounds`
+    * hops (the [[ssspWeighted]] relaxation, per source), the
+    * shortest-path DAG is the distance-consistent edge set
+    * (d(s,u) + w = d(s,v)), and σ/δ run over DAG HOP DEPTH — for w ≡ 1
+    * depth IS the BFS level, so the unweighted operator falls out
+    * bit-for-bit (GraphSpec pins it). Bounded-horizon semantics: σ
+    * counts DAG paths of ≤ `rounds` hops (a distance-consistent path
+    * with more hops than the budget is not counted — the weighted
+    * analog of the unweighted radius truncation; both engines iterate
+    * identically, so the oracle reproduces the bound exactly).
+    *
+    * Every per-round frame is |S|·n-bounded (dist/depth/σ/δ keyed
+    * (s, v)); the DAG is |S|·m-bounded; the edge frame lays out once
+    * on src. All arithmetic is exact BIGINT (integer weights; the e4
+    * dependency quotient floors identically on non-negative operands).
+    *
+    * @param edges directed (src, dst, w BIGINT), w ≥ 1; symmetrize for
+    *              undirected.
+    * @param sources one column `s`.
+    * @return (node, b_e4) for every node reached at depth ≥ 1. */
+  def betweennessWeightedBounded(edges: DataFrame, sources: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 2, s"rounds must be >= 2, got $rounds")
+    val ed = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val released = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // 1) per-source bounded relaxation: min-union rounds (the oracle's
+    // exact mirror shape — no delta frontier, so round k IS the ≤ k-hop
+    // Bellman state on both engines)
+    var dist = sources.select(col("s"), col("s").as("v"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cand = dist.join(ed, col("v") === col("src"))
+        .select(col("s"), col("dst").as("v"), (col("d") + col("w")).as("d"))
+      val next = dist.unionByName(cand)
+        .groupBy(col("s"), col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+      releaseCheckpoint(dist)
+      dist = next
+    }
+    // 2) the shortest-path DAG: distance-consistent edges per source
+    val dag = ed
+      .join(dist.select(col("s"), col("v").as("src"), col("d").as("du")),
+        Seq("src"))
+      .join(dist.select(col("s"), col("v").as("dst"), col("d").as("dv")),
+        Seq("s", "dst"))
+      .filter(col("du") + col("w") === col("dv"))
+      .select(col("s"), col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint()
+    released += dag
+    // 3) DAG hop depth: rounds of max-propagation (depth(s) = 0)
+    var dep = sources.select(col("s"), col("s").as("v"), lit(0L).as("dep"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = dep.unionByName(
+          dep.select(col("s"), col("v").as("u"), col("dep"))
+            .join(dag, Seq("s", "u"))
+            .select(col("s"), col("v"), (col("dep") + lit(1L)).as("dep")))
+        .groupBy(col("s"), col("v")).agg(max(col("dep")).as("dep"))
+        .localCheckpoint()
+      releaseCheckpoint(dep)
+      dep = next
+    }
+    released += dep
+    // 4) σ settled depth by depth: at step t every DAG in-edge from an
+    // already-settled (shallower) node contributes; same-or-deeper
+    // in-edges are exactly the over-budget paths the bound excludes
+    var sig = sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    released += sig
+    for (t <- 1 to rounds) {
+      val add = sig.select(col("s"), col("v").as("u"), col("sigma"))
+        .join(dag, Seq("s", "u"))
+        .join(dep.filter(col("dep") === t).select(col("s"), col("v")),
+          Seq("s", "v"))
+        .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint()
+      released += add
+      sig = sig.unionByName(add)
+    }
+    // 5) δ by decreasing depth: horizon depth gets 0; each shallower
+    // depth accumulates the e4 dependency quotient through its settled
+    // DAG successors
+    var del = dep.filter(col("dep") === rounds)
+      .select(col("s"), col("v"), lit(0L).as("delta"))
+    val dels = scala.collection.mutable.ArrayBuffer(del)
+    for (t <- (rounds - 1) to 1 by -1) {
+      val atT = dep.filter(col("dep") === t).select(col("s"), col("v"))
+      val contrib = atT
+        .join(sig, Seq("s", "v"))
+        .join(dag.select(col("s"), col("u").as("v"), col("v").as("w2")),
+          Seq("s", "v"))
+        .join(del.select(col("s"), col("v").as("w2"), col("delta").as("dw")),
+          Seq("s", "w2"))
+        .join(sig.select(col("s"), col("v").as("w2"), col("sigma").as("sw")),
+          Seq("s", "w2"))
+        .select(col("s"), col("v"),
+          expr("(sigma * (10000L + dw)) div sw").as("c"))
+        .groupBy(col("s"), col("v")).agg(sum(col("c")).as("delta"))
+      val full = atT.join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      dels += full
+      del = del.unionByName(full)
+    }
+    val out = del
+      .groupBy(col("v").as("node"))
+      .agg(sum(col("delta")).as("b_e4"))
+      .localCheckpoint()
+    ed.unpersist()
+    released.foreach(releaseCheckpoint)
+    dels.foreach(releaseCheckpoint)
+    releaseCheckpoint(dist)
+    out
+  }
+
   /** The symmetrized %16-slice co-purchase graph as (src, dst) pairs —
     * ONE builder for the HyperBall family (the certified query, the
     * graft_hyperball TVF, and ScaleProbe's `hyperball` arm must all run
@@ -1642,6 +1763,82 @@ object Graph {
     ctes.toSeq
   }
 
+  /** q_graph_betweenness_weighted's oracle: the min-union relaxation,
+    * distance-consistent DAG, max-union depth, σ-by-depth and δ-by-
+    * decreasing-depth iterations of [[betweennessWeightedBounded]]
+    * unrolled round for round — every frame keyed (s, v), every value a
+    * BIGINT, the dependency quotient // on non-negative operands. */
+  private def betweennessWeightedSql: String = {
+    val r = betweennessRadius
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """e0 AS MATERIALIZED (
+        SELECT x.p AS a, y.p AS b, CAST(100 // count(*) + 1 AS BIGINT) AS w
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) x
+        JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem WHERE l_orderkey % 16 = 0) y
+          ON x.ok = y.ok AND x.p < y.p
+        GROUP BY 1, 2)""",
+      "ed AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e0 UNION ALL SELECT b, a, w FROM e0)",
+      "srcs AS (SELECT DISTINCT src AS s FROM ed WHERE src % 107 = 0)",
+      "d0 AS (SELECT s, s AS v, CAST(0 AS BIGINT) AS d FROM srcs)")
+    for (k <- 1 to r)
+      ctes += s"""d$k AS MATERIALIZED (
+        SELECT s, v, min(d) AS d FROM (
+          SELECT s, v, d FROM d${k - 1}
+          UNION ALL
+          SELECT p.s, ed.dst AS v, p.d + ed.w AS d
+          FROM d${k - 1} p JOIN ed ON ed.src = p.v)
+        GROUP BY s, v)"""
+    ctes += s"""dag AS MATERIALIZED (
+        SELECT du.s, ed.src AS u, ed.dst AS v
+        FROM ed
+        JOIN d$r du ON du.v = ed.src
+        JOIN d$r dv ON dv.s = du.s AND dv.v = ed.dst
+        WHERE du.d + ed.w = dv.d)"""
+    ctes += "p0 AS (SELECT s, s AS v, CAST(0 AS BIGINT) AS dep FROM srcs)"
+    for (k <- 1 to r)
+      ctes += s"""p$k AS MATERIALIZED (
+        SELECT s, v, max(dep) AS dep FROM (
+          SELECT s, v, dep FROM p${k - 1}
+          UNION ALL
+          SELECT p.s, g.v, p.dep + 1 AS dep
+          FROM p${k - 1} p JOIN dag g ON g.s = p.s AND g.u = p.v)
+        GROUP BY s, v)"""
+    ctes += "sg0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM srcs)"
+    for (t <- 1 to r)
+      ctes += s"""sg$t AS MATERIALIZED (
+        SELECT s, v, sigma FROM sg${t - 1}
+        UNION ALL
+        SELECT g.s, g.v, CAST(sum(sg.sigma) AS BIGINT) AS sigma
+        FROM sg${t - 1} sg
+        JOIN dag g ON g.s = sg.s AND g.u = sg.v
+        JOIN p$r dp ON dp.s = g.s AND dp.v = g.v AND dp.dep = $t
+        GROUP BY g.s, g.v)"""
+    ctes += s"dl$r AS (SELECT s, v, CAST(0 AS BIGINT) AS delta FROM p$r WHERE dep = $r)"
+    for (t <- (r - 1) to 1 by -1)
+      ctes += s"""dl$t AS MATERIALIZED (
+        SELECT s, v, delta FROM dl${t + 1}
+        UNION ALL
+        SELECT at_t.s, at_t.v, COALESCE(c.delta, 0) AS delta
+        FROM (SELECT s, v FROM p$r WHERE dep = $t) at_t
+        LEFT JOIN (
+          SELECT g.s, g.u AS v,
+                 CAST(sum((sv.sigma * (10000 + dw.delta)) // sw.sigma) AS BIGINT) AS delta
+          FROM dag g
+          JOIN (SELECT s, v FROM p$r WHERE dep = $t) a2
+            ON a2.s = g.s AND a2.v = g.u
+          JOIN sg$r sv ON sv.s = g.s AND sv.v = g.u
+          JOIN dl${t + 1} dw ON dw.s = g.s AND dw.v = g.v
+          JOIN sg$r sw ON sw.s = g.s AND sw.v = g.v
+          GROUP BY g.s, g.u) c
+          ON c.s = at_t.s AND c.v = at_t.v)"""
+    "WITH " + ctes.mkString(",\n") + s"""
+     SELECT v AS node, CAST(sum(delta) AS BIGINT) AS b_e4
+     FROM dl1 GROUP BY v
+     ORDER BY b_e4 DESC, node LIMIT $betweennessTopK"""
+  }
+
   private def louvainSql: String =
     "WITH " + louvainCtes.mkString(",\n") + s""",
      ein AS (SELECT x.c AS lbl, CAST(count(*) AS BIGINT) AS e_in
@@ -1904,12 +2101,15 @@ object Graph {
     * strongly co-purchased parts are CLOSE (c=100 → w=2) and one-off
     * pairings are FAR (c=1 → w=101) — the inverse-affinity metric a
     * recommendation walk actually uses. Integer end to end. */
-  private[graft] def sliceEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
-    val w = slicePairCounts(s, dir)
-      .select(col("a"), col("b"), expr("100 div c + 1").as("w"))
-    w.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(w.select(col("b").as("src"), col("a").as("dst"), col("w")))
-  }
+  private[graft] def sliceEdgesWeighted(s: SparkSession, dir: String): DataFrame =
+    // pool-memoized (pure plan, no embedded checkpoint): q_graph_sssp
+    // and q_graph_betweenness_weighted walk the same distance graph
+    graft.util.Memo.benchMemo(s, dir, "graph:slice_w") {
+      val w = slicePairCounts(s, dir)
+        .select(col("a"), col("b"), expr("100 div c + 1").as("w"))
+      w.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(w.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    }
 
   /** The same slice graph with AFFINITY weights (w = multiplicity c):
     * the vote/mass weighting the weighted community tier uses — a
@@ -2102,6 +2302,26 @@ object Graph {
         .limit(betweennessTopK)
     }),
 
+    // WEIGHTED sampled Brandes over the DISTANCE-weighted slice graph
+    // (w = 100 div c + 1, the inverse-affinity metric q_graph_sssp
+    // walks): brokerage along CHEAPEST paths instead of fewest-hop
+    // paths — the weighted twin completing the betweenness pair
+    // (verdict r16 #8). Same %53 sample, same 3-hop budget; σ/δ run
+    // over DAG hop depth, and w ≡ 1 reproduces the unweighted operator
+    // bit-for-bit (GraphSpec pins it).
+    "q_graph_betweenness_weighted" -> ((s, dir) => {
+      val ed = sliceEdgesWeighted(s, dir)
+      // %107 sample (half the unweighted query's %53): the weighted
+      // forward pass additionally materializes the per-source
+      // shortest-path DAG (|S|·m), so the sample is the lever that
+      // keeps it in the same price class as the unweighted twin
+      val sources = ed.select(col("src").as("s")).distinct()
+        .filter(col("s") % 107 === 0)
+      betweennessWeightedBounded(ed, sources, betweennessRadius)
+        .orderBy(col("b_e4").desc, col("node"))
+        .limit(betweennessTopK)
+    }),
+
     // WEIGHTED (Ružička min/max) Jaccard over the same multiplicity
     // graph — overlap weighted by co-purchase support, top-50.
     "q_graph_jaccard_weighted" -> ((s, dir) =>
@@ -2273,6 +2493,7 @@ object Graph {
     "q_graph_labelprop" -> labelPropSql,
     "q_graph_modularity" -> modularitySql,
     "q_graph_louvain" -> louvainSql,
+    "q_graph_betweenness_weighted" -> betweennessWeightedSql,
     "q_graph_labelprop_weighted" -> labelPropWeightedSql,
     "q_graph_modularity_weighted" -> modularityWeightedSql,
     "q_tvf_communities" -> ("WITH " + lpaCtes.mkString(",\n") +

@@ -501,6 +501,35 @@ class GraphSpec extends SparkSpec {
     assert(got2 === Map(2L -> 5000L, 3L -> 5000L, 4L -> 0L), s"got $got2")
   }
 
+  test("betweennessWeightedBounded: w ≡ 1 reproduces betweennessBounded; weights reroute brokerage") {
+    import spark.implicits._
+    // a 6-node graph with two routes 1→4: direct-ish via 2 and a longer
+    // chain via {5,6}; plus tail 4-7 past nothing. Symmetrized.
+    val p = Seq((1L, 2L), (2L, 4L), (1L, 5L), (5L, 6L), (6L, 4L), (3L, 2L))
+    val ed = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val srcs = Seq(1L, 3L).toDF("s")
+    val un = Graph.betweennessBounded(ed, srcs, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = Graph.betweennessWeightedBounded(
+        ed.withColumn("w", org.apache.spark.sql.functions.lit(1L)), srcs, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 === un, s"w≡1 diverged: $w1 vs $un")
+    // weighted: make the 5-6 chain CHEAP (w=1) and 1-2, 2-4 expensive
+    // (w=10): shortest 1→4 now runs through 5 and 6, so they gain
+    // brokerage from source 1 while 2 keeps only its 3-side role
+    val wts = Map((1L, 2L) -> 10L, (2L, 4L) -> 10L).withDefaultValue(1L)
+    val edw = (p.map(e => (e._1, e._2, wts(e))) ++
+        p.map(e => (e._2, e._1, wts(e)))).toDF("src", "dst", "w")
+    val ww = Graph.betweennessWeightedBounded(edw, Seq(1L).toDF("s"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // from source 1 at 3 hops: the cheap chain 1-5-6-4 (cost 3) beats
+    // 1-2-4 (cost 20), so 4's brokerage moves to {5,6}: δ(6) = 1e4,
+    // δ(5) = 1e4 + δ(6) = 2e4. Node 2 keeps ONLY its broker role for 3
+    // (DAG 1→2→3 at d = 10, 11): δ(2) = 1e4. Endpoints 3, 4 broker 0.
+    assert(ww(5L) === 20000L && ww(6L) === 10000L, s"got $ww")
+    assert(ww(2L) === 10000L && ww(3L) === 0L && ww(4L) === 0L, s"got $ww")
+  }
+
   test("labelPropagate: two planted cliques converge to two communities; arms agree") {
     import spark.implicits._
     // two 5-cliques bridged by one edge: after 3 rounds each clique
