@@ -237,14 +237,19 @@ object Vocab {
       .localCheckpoint()
     var usage: DataFrame = null
     for (_ <- 1 to rounds) {
+      val prevUsage = usage
       usage = unigramUsage(wordsM, scores).localCheckpoint()
+      if (prevUsage != null) releaseCheckpoint(prevUsage)
       val next = unigramScores(seed, usage).localCheckpoint()
       releaseCheckpoint(scores)
       scores = next
     }
-    val out = usage.join(scores, Seq("piece"))
+    // the consumer's plan reads only the LAST usage + scores (both
+    // materialized) — the word/seed inputs are dead now
+    releaseCheckpoint(wordsM)
+    releaseCheckpoint(seed)
+    usage.join(scores, Seq("piece"))
       .select(col("piece"), col("cnt"), col("logp_e4"))
-    out
   }
 
   private def releaseCheckpoint(df: DataFrame): Unit =

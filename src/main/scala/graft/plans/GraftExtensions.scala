@@ -140,6 +140,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_pagerank_store(edge_dir, iters) - pagerank served off a persisted arrival-built edge store."),
       (children: Seq[Expression]) => GraftTvf.pagerankStore(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_louvain"),
+      info(GraftTvf.getClass, "graft_louvain",
+        "graft_louvain(dir, rounds) - full (v, lbl) Louvain local-move community assignment over dir's co-purchase graph."),
+      (children: Seq[Expression]) => GraftTvf.louvain(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_entities"),
       info(GraftTvf.getClass, "graft_entities",
         "graft_entities(store_dir) - canonical entities served off a persisted arrival-built entity store."),

@@ -200,6 +200,22 @@ object GraftTvf {
     }
   }
 
+  /** graft_louvain(dir, rounds) — the modularity-OPTIMIZING community
+    * assignment ([[graft.operators.Graph.louvainAssign]]) as a full
+    * (v, lbl) map, beside [[communities]]' LPA rule. Same eager-loop
+    * contract and memo keying. */
+  def louvain(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_louvain"
+    require(children.size == 2, s"$fn(dir, rounds) takes 2 arguments")
+    val spark = SparkSession.active
+    val dir = str(children, 0, fn)
+    val rounds = int(children, 1, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "lineitem")}|$rounds") {
+      graft.operators.Graph
+        .louvainAssign(graft.operators.Graph.jaccardSliceEdges(spark, dir), rounds)
+    }
+  }
+
   /** graft_ppr(dir, iters, seed...) — personalized PageRank from explicit
     * seed node ids (≥ 1), full (node, rank) map. Same eager-loop contract
     * as [[pagerank]]. */

@@ -101,6 +101,20 @@ class GraftCatalogSpec extends SparkSpec {
         rounds = 3, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaSql === viaApi)
+    // louvain beside the LPA rule: the modularity-optimizing assignment
+    // composes with the same size rollup
+    val lvSql = spark.sql(s"""
+      SELECT lbl, count(*) AS n_members
+      FROM graft_louvain('${sf()}', 2)
+      GROUP BY lbl ORDER BY n_members DESC, lbl LIMIT 5""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lvApi = graft.operators.Graph
+      .louvainAssign(graft.operators.Graph.jaccardSliceEdges(spark, sf()),
+        rounds = 2)
+      .groupBy(col("lbl")).agg(count(org.apache.spark.sql.functions.lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("lbl")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lvSql === lvApi && lvSql.nonEmpty)
   }
 
   test("TVF surface: graft_ppr and graft_sssp take explicit seed varargs from SQL") {
