@@ -669,4 +669,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"blocking bounds the pair set — no product in:\n$p")
   }
+
+  test("backtest: one events scan feeds all three models — per-step forecast folds, no joins") {
+    val p = plan("q_timeseries_backtest")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 2,
+      s"backtest must scan events exactly once (formatted plans list each scan twice) in:\n$p")
+    assert(!p.contains("Join"),
+      s"the origins read prefix states appended by ONE fold per model — no join in:\n$p")
+  }
+
+  test("viterbi apply: the DP runs on the word dictionary; stats broadcast back to doc words") {
+    val p = plan("q_text_viterbi_apply")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 4,
+      s"corpus touched exactly twice (word count + stat fan-out join) in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab-sized score/stat frames must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product in:\n$p")
+  }
+
+  test("louvain: modularity tail broadcasts every label frame; top-k never global-sorts") {
+    // the local-move rounds are checkpoint-truncated (eager loop); the
+    // inspectable tail is the shared modularity block — same posture
+    // pins as q_graph_modularity, plus the presentation TakeOrdered
+    val p = plan("q_graph_louvain")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 communities must never global-sort in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"node-count-sized frames must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row m frame may nested-loop in:\n$p")
+  }
+
+  test("weighted betweenness: node-sized result tail is a TakeOrdered, never a global sort") {
+    val p = plan("q_graph_betweenness_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 brokers must never global-sort in:\n$p")
+  }
 }
