@@ -1492,26 +1492,44 @@ object Graph {
     * @param edges undirected (a, b), a < b, distinct.
     * @return (v, lbl) community assignment after `rounds`. */
   def louvainAssign(edges: DataFrame, rounds: Int,
+      broadcastLabels: Boolean = true): DataFrame =
+    louvainAssignWeighted(
+      edges.select(col("a"), col("b"), lit(1L).as("w")), rounds,
+      broadcastLabels)
+
+  /** WEIGHTED Louvain local-move — [[louvainAssign]] generalized to the
+    * standard weighted form (the [[labelAssignWeighted]] relationship):
+    * every count becomes a weight sum (W = Σw, k_{v,C} = v's incident
+    * weight into C, strength s_v = Σ incident w, Σtot_C = community
+    * strength mass), the move score sc(C) = 4W·k_{v,C} −
+    * 2·s_v·(Σtot_C − [C=cur]·s_v) = 4W²·ΔQ of the weighted remove-then-
+    * insert move. Still exact BIGINTs end to end, and w ≡ 1 reproduces
+    * the unweighted operator bit-for-bit (sum of ones = count —
+    * GraphSpec pins it).
+    *
+    * @param edges undirected (a, b, w BIGINT), a < b, w ≥ 1. */
+  def louvainAssignWeighted(edges: DataFrame, rounds: Int,
       broadcastLabels: Boolean = true): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
-    val e = edges.select(col("a"), col("b")).localCheckpoint()
-    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val e = edges.select(col("a"), col("b"), col("w")).localCheckpoint()
+    val sym = e.unionAll(
+      e.select(col("b").as("a"), col("a").as("b"), col("w")))
+    val deg = sym.groupBy(col("a").as("v")).agg(sum(col("w")).as("d"))
       .localCheckpoint()
-    val mC = e.agg(count(lit(1)).as("m"))
+    val mC = e.agg(coalesce(sum(col("w")), lit(0L)).as("m"))
     def lblJ(df: DataFrame): DataFrame =
       if (broadcastLabels) broadcast(df) else df
     var assign = deg.select(col("v"), col("v").as("c")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      // community degree mass Σtot — community-count-sized (≤ nodes)
+      // community strength mass Σtot — community-count-sized (≤ nodes)
       val ctot = assign.join(lblJ(deg), "v")
         .groupBy(col("c")).agg(sum(col("d")).as("tot"))
-      // k_{v,C}: v's incident edges into each neighbor community —
+      // k_{v,C}: v's incident weight into each neighbor community —
       // two-level hash agg on (v, c), hub rows partial-sum map-side
       val kv = sym
         .join(lblJ(assign.select(col("v").as("b"), col("c"))), "b")
         .groupBy(col("a").as("v"), col("c"))
-        .agg(count(lit(1)).as("k"))
+        .agg(sum(col("w")).as("k"))
       // candidates = neighbor communities ∪ own (k = 0 when no
       // neighbor shares it — the mass term alone may still hold v)
       val cand = kv.unionByName(
@@ -1731,18 +1749,28 @@ object Graph {
     * Every quantity is a BIGINT count product — no division anywhere,
     * so the window's (sc DESC, c ASC) order is bit-deterministic on
     * both engines. */
-  private def louvainCtes: Seq[String] = {
+  private def louvainCtes: Seq[String] = louvainCtesGen(weighted = false)
+
+  /** The unrolled local-move chain, in the unweighted (counts) or
+    * weighted (weight sums — the [[lpaCtesW]] graph) form: the only
+    * differences are the base graph CTEs and count(*) vs sum(w) in
+    * deg/m/kv, exactly mirroring [[louvainAssignWeighted]]'s w ≡ 1
+    * collapse. */
+  private def louvainCtesGen(weighted: Boolean): Seq[String] = {
+    val base = if (weighted) lpaCtesW else lpaCtes
+    val degE = if (weighted) "sum(w)" else "count(*)"
+    val kvE = if (weighted) "sum(s.w)" else "count(*)"
     val ctes = scala.collection.mutable.ArrayBuffer(
-      lpaCtes(0), lpaCtes(1), // e0 + sym — the LPA slice graph verbatim
-      """deg AS MATERIALIZED (
-         SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1)""",
-      "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0)",
+      base(0), base(1), // e0 + sym — the LPA slice graph verbatim
+      s"""deg AS MATERIALIZED (
+         SELECT a AS v, CAST($degE AS BIGINT) AS d FROM sym GROUP BY 1)""",
+      s"m AS (SELECT CAST($degE AS BIGINT) AS m FROM e0)",
       "c0 AS MATERIALIZED (SELECT v, v AS c FROM deg)")
     for (h <- 1 to louvainRounds) {
       ctes += s"""ct$h AS (SELECT c, CAST(sum(d) AS BIGINT) AS tot
          FROM c${h - 1} JOIN deg USING (v) GROUP BY c)"""
       ctes += s"""kv$h AS (
-         SELECT s.a AS v, l.c AS c, CAST(count(*) AS BIGINT) AS k
+         SELECT s.a AS v, l.c AS c, CAST($kvE AS BIGINT) AS k
          FROM sym s JOIN c${h - 1} l ON l.v = s.b GROUP BY 1, 2)"""
       ctes += s"""cand$h AS (
          SELECT v, c, k FROM kv$h
@@ -1839,9 +1867,13 @@ object Graph {
      ORDER BY b_e4 DESC, node LIMIT $betweennessTopK"""
   }
 
-  private def louvainSql: String =
-    "WITH " + louvainCtes.mkString(",\n") + s""",
-     ein AS (SELECT x.c AS lbl, CAST(count(*) AS BIGINT) AS e_in
+  private def louvainSql: String = louvainSqlGen(weighted = false)
+  private def louvainWeightedSql: String = louvainSqlGen(weighted = true)
+
+  private def louvainSqlGen(weighted: Boolean): String = {
+    val einE = if (weighted) "sum(e.w)" else "count(*)"
+    "WITH " + louvainCtesGen(weighted).mkString(",\n") + s""",
+     ein AS (SELECT x.c AS lbl, CAST($einE AS BIGINT) AS e_in
              FROM e0 e JOIN c$louvainRounds x ON x.v = e.a
                        JOIN c$louvainRounds y ON y.v = e.b
              WHERE x.c = y.c GROUP BY 1),
@@ -1853,6 +1885,7 @@ object Graph {
             CAST(4 * m.m * coalesce(ein.e_in, 0) - ds.d_sum * ds.d_sum AS BIGINT) AS q_num
      FROM ds LEFT JOIN ein ON ein.lbl = ds.lbl, m
      ORDER BY ds.n_members DESC, ds.lbl LIMIT $louvainTopK"""
+  }
 
   // ------------------------------------------------- neighbor-set Jaccard
 
@@ -2354,6 +2387,16 @@ object Graph {
       modularityOf(e, louvainAssign(e, louvainRounds), k = louvainTopK)
     }),
 
+    // WEIGHTED Louvain over the multiplicity graph — ΔQ weighted by
+    // co-purchase support (a 50-times-paired tie holds a node where
+    // fifty one-offs would not), scored with the weighted modularity
+    // block; w ≡ 1 reproduces q_graph_louvain (GraphSpec pins).
+    "q_graph_louvain_weighted" -> ((s, dir) => {
+      val e = sliceEdgesAffinity(s, dir).localCheckpoint()
+      modularityOfWeighted(e, louvainAssignWeighted(e, louvainRounds),
+        k = louvainTopK)
+    }),
+
     // WEIGHTED community detection: label propagation where a neighbor's
     // vote counts its co-purchase multiplicity (a 50-times-paired tie
     // outvotes fifty one-offs) — the density clustering the multiplicity
@@ -2493,6 +2536,7 @@ object Graph {
     "q_graph_labelprop" -> labelPropSql,
     "q_graph_modularity" -> modularitySql,
     "q_graph_louvain" -> louvainSql,
+    "q_graph_louvain_weighted" -> louvainWeightedSql,
     "q_graph_betweenness_weighted" -> betweennessWeightedSql,
     "q_graph_labelprop_weighted" -> labelPropWeightedSql,
     "q_graph_modularity_weighted" -> modularityWeightedSql,

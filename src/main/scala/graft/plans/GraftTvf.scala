@@ -398,7 +398,11 @@ object GraftTvf {
         }
         s"$mx:$cnt:$bytes"
       } finally s.close()
-    } catch { case _: java.io.IOException => "0" }
+    } catch {
+      // walk's lazy iteration surfaces I/O races as UncheckedIOException
+      case _: java.io.IOException => "0"
+      case _: java.io.UncheckedIOException => "0"
+    }
 
   /** graft_ann_search(vec_dir, edge_dir, probe_id, k) — "more like this"
     * over a PERSISTED incremental ANN store ([[graft.streaming.StreamOps]]

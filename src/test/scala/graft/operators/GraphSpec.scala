@@ -577,6 +577,23 @@ class GraphSpec extends SparkSpec {
     val shuffled = Graph.louvainAssign(ed, rounds = 2, broadcastLabels = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(shuffled === got)
+    // w ≡ 1 collapse: the weighted operator reproduces the unweighted
+    // assignment bit-for-bit (sum of ones = count)
+    val w1 = Graph.louvainAssignWeighted(
+        ed.withColumn("w", org.apache.spark.sql.functions.lit(1L)), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 === got)
+    // weight matters: a massively heavy bridge makes its endpoints each
+    // other's best move — under SYNCHRONOUS updates the mutually-best
+    // pair two-cycles (the documented LPA-analog caveat), deterministic
+    // either way, and the assignment provably differs from w ≡ 1
+    val wed = (cliqueA ++ cliqueB).map(e => (e._1, e._2, 1L)) :+ (3L, 10L, 60L)
+    val ww = Graph.louvainAssignWeighted(wed.toDF("a", "b", "w"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ww !== got, s"the heavy bridge must change the assignment: $ww")
+    val ww2 = Graph.louvainAssignWeighted(wed.toDF("a", "b", "w"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ww2 === ww, "weighted moves must be deterministic")
   }
 
   test("louvainAssign: hand-checked first round on the path triangle-pendant") {
