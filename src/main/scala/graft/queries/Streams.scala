@@ -69,6 +69,25 @@ object Streams {
     s"$out/store"
   }
 
+  /** A persisted 3-batch ENTITY store built from the part dim
+    * (batch = p_partkey % 3) through the REAL arrival ingest body —
+    * [[topkStoreFixture]]'s ER sibling. Representatives and counts must
+    * fold across the three batches for the read to equal the batch
+    * recompute. */
+  private[queries] def entitiesStoreFixture(s: SparkSession, dir: String): String = {
+    val out = graft.util.FixtureCache.buildOnce(dir, "part", "entstore3") {
+      staging =>
+        val p = graft.catalog.Tables.part(s, dir).select(
+          col("p_partkey").cast("long").as("p_partkey"), col("p_name"),
+          col("p_brand"), col("p_type"), col("p_size").cast("int").as("p_size"))
+        for (b <- 0L to 2L)
+          graft.streaming.StreamOps.entitiesIngestBatch(
+            p.filter(col("p_partkey") % 3 === b), b,
+            staging.resolve("store").toString)
+    }
+    s"$out/store"
+  }
+
   /** A persisted 3-batch HLL distinct store built from events
     * (day = event date, id = user_id, batch = event_id % 3 — every day
     * recurs across batches, so the union read exercises cross-batch
@@ -123,6 +142,18 @@ object Streams {
       val store = topkStoreFixture(s, dir)
       s.sql(s"SELECT item, lb, n, max_err FROM graft_topk('$store', 10) " +
         "ORDER BY lb DESC, item")
+    }),
+
+    // The entity-store SQL surface oracle-checked end to end (the
+    // q_tvf_topk pattern): canonical entities off the persisted 3-batch
+    // arrival store through spark.sql TEXT alone. The store read IS the
+    // batch q_er_entities recompute (the StreamOpsSpec law: folded
+    // summaries + the shared blocking→scoring→closure→survivorship), so
+    // the oracle is q_er_entities' closure + survivorship SQL VERBATIM
+    // — one definition checks the batch query and the store surface.
+    "q_tvf_entities" -> ((s, dir) => {
+      val store = entitiesStoreFixture(s, dir)
+      s.sql(s"SELECT * FROM graft_entities('$store') ORDER BY entity_id")
     }),
 
     // The sketch-store SQL surface oracle-checked end to end (the
@@ -252,6 +283,10 @@ object Streams {
          GROUP BY 1
          ORDER BY lb DESC, item
          LIMIT 10""",
+
+    // the store read ≡ the batch recompute, so the batch query's oracle
+    // IS this surface's oracle — referenced, not copied
+    "q_tvf_entities" -> graft.operators.Dedup.oracle("q_er_entities"),
 
     "q_tvf_quantiles" ->
       """WITH v AS (SELECT l_orderkey % 3 AS b, CAST(l_shipdate AS DATE) AS day,
