@@ -88,6 +88,35 @@ object Streams {
     s"$out/store"
   }
 
+  /** A persisted 3-batch EDGE store over the part↔supplier graph
+    * (batches split the distinct pair set by l_partkey % 3, each
+    * symmetrized; batch 1 additionally REPLAYS a slice of batch 0's
+    * edges so the read's distinct union is load-bearing) — built once
+    * through the REAL edgesIngestBatch body. */
+  private[queries] def edgesStoreFixture(s: SparkSession, dir: String): String = {
+    val out = graft.util.FixtureCache.buildOnce(dir, "lineitem", "prstore3") {
+      staging =>
+        val pairs = lineitem(s, dir)
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"),
+            (col("l_partkey") % 3).as("b"))
+          .distinct()
+        def sym(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("src"), col("dst"))
+            .union(df.select(col("dst").as("src"), col("src").as("dst")))
+        for (b <- 0L to 2L) {
+          val batch =
+            if (b == 1L)
+              sym(pairs.filter(col("b") === 1L))
+                .union(sym(pairs.filter(col("b") === 0L && col("src") % 5 === 0)))
+            else sym(pairs.filter(col("b") === b))
+          graft.streaming.StreamOps.edgesIngestBatch(
+            batch, b, staging.resolve("store").toString)
+        }
+    }
+    s"$out/store"
+  }
+
   /** A persisted 3-batch HLL distinct store built from events
     * (day = event date, id = user_id, batch = event_id % 3 — every day
     * recurs across batches, so the union read exercises cross-batch
@@ -142,6 +171,18 @@ object Streams {
       val store = topkStoreFixture(s, dir)
       s.sql(s"SELECT item, lb, n, max_err FROM graft_topk('$store', 10) " +
         "ORDER BY lb DESC, item")
+    }),
+
+    // The edge-store rank read oracle-checked end to end: PageRank off
+    // the persisted 3-batch edge store (with a replayed overlap slice —
+    // the distinct-union read must not double-count) through spark.sql
+    // TEXT alone. The deduped union IS partSupplierEdges' pair set, so
+    // the oracle is the q_graph_pagerank recurrence unrolled over that
+    // set, read as the full (node, rank) map.
+    "q_tvf_pagerank_store" -> ((s, dir) => {
+      val store = edgesStoreFixture(s, dir)
+      s.sql(s"SELECT node, rank FROM graft_pagerank_store('$store', 3) " +
+        "ORDER BY node")
     }),
 
     // The entity-store SQL surface oracle-checked end to end (the
@@ -287,6 +328,39 @@ object Streams {
     // the store read ≡ the batch recompute, so the batch query's oracle
     // IS this surface's oracle — referenced, not copied
     "q_tvf_entities" -> graft.operators.Dedup.oracle("q_er_entities"),
+
+    // the q_graph_pagerank recurrence (same constants: mass 1e12,
+    // bias-free integer damping) unrolled over the store's deduped
+    // union — which is exactly the distinct part↔supplier pair set
+    "q_tvf_pagerank_store" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT d.src AS node,
+           |         ((15 * (1000000000000 // (SELECT n FROM nn))) // 100)
+           |         + ((85 * COALESCE(i.s, 0)) // 100) AS rank
+           |    FROM deg d LEFT JOIN (
+           |      SELECT e.dst AS dst, SUM(r.rank // dd.outdeg) AS s
+           |        FROM edges e
+           |        JOIN r${i - 1} r ON e.src = r.node
+           |        JOIN deg dd ON dd.src = e.src
+           |       GROUP BY e.dst) i ON i.dst = d.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |    FROM lineitem),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM pairs
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst FROM pairs),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS MATERIALIZED (
+         |  SELECT src AS node, 1000000000000 // (SELECT n FROM nn) AS rank FROM deg),
+         |$rounds
+         |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+         |  FROM r3
+         | ORDER BY node""".stripMargin
+    },
 
     "q_tvf_quantiles" ->
       """WITH v AS (SELECT l_orderkey % 3 AS b, CAST(l_shipdate AS DATE) AS day,
