@@ -140,6 +140,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_pagerank_store(edge_dir, iters) - pagerank served off a persisted arrival-built edge store."),
       (children: Seq[Expression]) => GraftTvf.pagerankStore(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_components_store"),
+      info(GraftTvf.getClass, "graft_components_store",
+        "graft_components_store(map_dir) - current node->component map off a persisted arrival-built components store."),
+      (children: Seq[Expression]) => GraftTvf.componentsStore(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_louvain"),
       info(GraftTvf.getClass, "graft_louvain",
         "graft_louvain(dir, rounds) - full (v, lbl) Louvain local-move community assignment over dir's co-purchase graph."),

@@ -508,6 +508,19 @@ object GraftTvf {
       .queryExecution.analyzed
   }
 
+  /** graft_components_store(map_dir) — the current node→component map
+    * off a PERSISTED arrival-built components store
+    * ([[graft.streaming.StreamOps]] componentsOnArrival layout):
+    * latest-wins merge-on-read over the delta partitions — map-sized,
+    * never an edge re-scan. Lazy (no loop). */
+  def componentsStore(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_components_store"
+    require(children.size == 1, s"$fn(map_dir) takes 1 argument")
+    graft.streaming.StreamOps
+      .componentsStoreRead(SparkSession.active, str(children, 0, fn))
+      .queryExecution.analyzed
+  }
+
   /** graft_distinct(store_dir) — per-day distinct estimates off a
     * PERSISTED arrival-built HLL store ([[graft.streaming.StreamOps]]
     * distinctOnArrival layout): one sketch-sized union pass, never a

@@ -117,6 +117,33 @@ object Streams {
     s"$out/store"
   }
 
+  /** A persisted 3-batch COMPONENTS store over q_graph_components'
+    * repeat-co-purchase graph (edges split by a % 3 — components span
+    * batches, so the incremental merge/relabel path is load-bearing) —
+    * built once through the REAL componentsBatch body. */
+  private[queries] def componentsStoreFixture(s: SparkSession, dir: String): String = {
+    val out = graft.util.FixtureCache.buildOnce(dir, "lineitem", "ccstore3") {
+      staging =>
+        val li = lineitem(s, dir).filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .localCheckpoint()
+        for (b <- 0L to 2L)
+          graft.streaming.StreamOps.componentsBatch(
+            pairs.filter(col("a") % 3 === b)
+              .select(col("a").as("src"), col("b").as("dst")),
+            b, staging.resolve("map").toString,
+            staging.resolve("edges").toString)
+        graft.util.Frames.releaseCheckpoint(pairs)
+    }
+    s"$out/map"
+  }
+
   /** A persisted 3-batch HLL distinct store built from events
     * (day = event date, id = user_id, batch = event_id % 3 — every day
     * recurs across batches, so the union read exercises cross-batch
@@ -171,6 +198,19 @@ object Streams {
       val store = topkStoreFixture(s, dir)
       s.sql(s"SELECT item, lb, n, max_err FROM graft_topk('$store', 10) " +
         "ORDER BY lb DESC, item")
+    }),
+
+    // The components-store SQL surface oracle-checked end to end: the
+    // current node→component map off the persisted 3-batch incremental
+    // store (components SPAN batches, so the affected-sized
+    // merge/relabel path produced the stored labels) through spark.sql
+    // TEXT alone. Incremental ≡ full recompute is the StreamOpsSpec
+    // law, so the oracle is q_graph_components' recursive min-label
+    // closure VERBATIM — same graph, referenced not copied.
+    "q_tvf_components_store" -> ((s, dir) => {
+      val store = componentsStoreFixture(s, dir)
+      s.sql(s"SELECT node, component FROM graft_components_store('$store') " +
+        "ORDER BY node")
     }),
 
     // The edge-store rank read oracle-checked end to end: PageRank off
@@ -328,6 +368,10 @@ object Streams {
     // the store read ≡ the batch recompute, so the batch query's oracle
     // IS this surface's oracle — referenced, not copied
     "q_tvf_entities" -> graft.operators.Dedup.oracle("q_er_entities"),
+
+    // incremental ≡ full recompute, so the batch query's closure IS
+    // this surface's oracle — referenced, not copied
+    "q_tvf_components_store" -> graft.operators.Graph.oracle("q_graph_components"),
 
     // the q_graph_pagerank recurrence (same constants: mass 1e12,
     // bias-free integer damping) unrolled over the store's deduped
