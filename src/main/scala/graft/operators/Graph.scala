@@ -1025,10 +1025,12 @@ object Graph {
     * by |S|·n rows, the product HyperBall exists to avoid at n sources.
     *
     * Materialization contract: the CALLER owns `edges` — pass a
-    * checkpointed/persisted frame when the upstream plan is expensive
-    * (q_graph_harmonic shares its one laid-out symmetrized frame with
-    * [[hyperBall]] here; re-checkpointing internally would materialize
-    * a second edge copy per query).
+    * checkpointed/persisted frame when the upstream plan is expensive.
+    *
+    * Since round 17, q_graph_harmonic derives its anchor from the
+    * SHARED σ-BFS levels instead ([[ballSizesFromLevels]]) — this
+    * direct-traversal form stays as the REFERENCE implementation the
+    * GraphSpec equivalence pin compares against.
     *
     * @return (s, t, b): exact |B_t(s)| for t = 1..radius, source incl. */
   private[graft] def exactBallSizes(edges: DataFrame, sources: DataFrame,
