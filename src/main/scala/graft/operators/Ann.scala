@@ -1022,6 +1022,185 @@ object Ann {
       .orderBy(col("src"), col("dst"))
   }
 
+  // ----------------------------------------- q_cluster_kmeans (round 18)
+
+  private[operators] val kmK = 8
+  private[operators] val kmIters = 3
+  private val kmSample = 20 * kmK
+
+  /** e4-quantized cosine on driver-side double vectors — the SAME
+    * left-fold double algebra the oracle's `list_sum(list_transform(
+    * list_zip(...)))` runs, then floor(x·10⁴ + 0.5): both engines see
+    * the identical BIGINT. Zero-norm → the -20000 sentinel (below every
+    * real score), mirroring [[initSeeds]]'s -2.0. */
+  private def e4CosDriver(a: IndexedSeq[Double], b: IndexedSeq[Double]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -20000L
+    else math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5).toLong
+  }
+
+  /** e4-quantized cosine as a COLUMN against a broadcast centroid literal
+    * — the HOF double fold (engine-portable per q_ann_ivf), not the
+    * float-array native kernel, because the codebook is DOUBLE-typed
+    * (4dp means) and the oracle mirrors this exact algebra. */
+  private def e4CosCol(v: Column, cent: Seq[Double]): Column = {
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val c = typedlit(cent)
+    when(dotD(v, v) === 0.0 || dotD(c, c) === 0.0, lit(-20000L))
+      .otherwise(floor(dotD(v, c) / (sqrt(dotD(v, v)) * sqrt(dotD(c, c))) * 10000 + 0.5)
+        .cast("long"))
+  }
+
+  /** [[assign]]'s engine-portable twin: argmax of e4-quantized cosines,
+    * ties to the SMALLEST cluster id (the -id struct trick — array_max
+    * picks max e4 then max(-id) = min id), so the choice is a pure
+    * BIGINT comparison both engines replay. Narrow: the codebook unrolls
+    * into one expression fused with the scan, exactly like [[assign]]. */
+  def assignPortable(corpus: DataFrame, codebook: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = array(codebook.map { case (id, c) =>
+      struct(e4CosCol(col("embedding"), c).as("e4"), lit(-id).as("negc"))
+    }: _*)
+    corpus.withColumn("cluster", (-array_max(scored).getField("negc")).cast("int"))
+  }
+
+  /** [[kmeans]]'s engine-portable twin — the SAME dataflow (md5-ordered
+    * oversample → driver farthest-first → `iters` Lloyd rounds of argmax
+    * assignment + per-dimension means, empty cells keep their centroid)
+    * with every cross-engine seam quantized: seed picks compare e4
+    * BIGINTs (ties to the first sample index), assignment is
+    * [[assignPortable]], means are round(avg, 4) (bit-identical across
+    * engines per q_ann_ivf's codebook). The fixpoint is therefore fully
+    * replayable as unrolled CTEs — [[kmeansSqlCtes]] generates them from
+    * these same constants, so engine and oracle cannot drift.
+    *
+    * Scale shape is [[kmeans]]'s: init is ONE TakeOrdered pass + O(20k·k
+    * ·dim) driver work; each round ONE narrow assignment pass + ONE
+    * groupBy((cluster, pos)) shuffle whose output is k·dim rows; the
+    * corpus is cached across rounds (at 100 TB the re-scan would
+    * multiply the dominant IO term by `iters`). */
+  def kmeansPortable(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val pinned = corpus.cache()
+    try {
+      val raw = pinned.orderBy(md5(col("vec_id").cast("string")))
+        .limit(math.max(k, 20 * k))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toIndexedSeq
+      val sample = raw.filter(_.exists(_ != 0.0))
+      require(sample.size >= k,
+        s"kmeansPortable: only ${sample.size} non-zero sample vectors for k=$k")
+      var seeds = Vector(sample.head)
+      val best = Array.tabulate(sample.size)(i => e4CosDriver(sample(i), sample.head))
+      while (seeds.size < k) {
+        var idx = 0; var i = 1
+        while (i < sample.size) { if (best(i) < best(idx)) idx = i; i += 1 }
+        // exhaustion (farthest remaining point already e4-coincides with a
+        // seed) would need an extra oracle branch; the fixture has >= k
+        // distinct directions, so fail loudly instead of modeling it.
+        require(best(idx) < 10000L,
+          "kmeansPortable: sample exhausted distinct directions before k seeds")
+        val next = sample(idx)
+        seeds :+= next
+        i = 0
+        while (i < sample.size) {
+          best(i) = math.max(best(i), e4CosDriver(sample(i), next)); i += 1
+        }
+      }
+      var codebook: Seq[(Int, Seq[Double])] =
+        seeds.zipWithIndex.map { case (c, i) => (i, c: Seq[Double]) }
+      (0 until iters).foreach { _ =>
+        val means = assignPortable(pinned, codebook)
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(round(avg(col("x")), 4).as("m"))
+          .groupBy(col("cluster"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cluster"), transform(col("pm"), _.getField("m")).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        codebook = codebook.map { case (i, old) => i -> means.getOrElse(i, old) }
+      }
+      codebook
+    } finally pinned.unpersist(blocking = false)
+  }
+
+  /** q_cluster_kmeans: the Lloyd fixpoint itself as a CHECKED query —
+    * [[kmeansPortable]] (k=8, iters=3, the [[graft.operators.Dedup
+    * .semanticDedupKmeans]] production depth) over the full embeddings
+    * table, emitting one row per cell: (cluster, final-assignment size,
+    * e4 centroid fingerprint). The oracle replays seed-by-seed and
+    * round-by-round from the same constants (the q_ann_descent recipe),
+    * so a drift anywhere in the fixpoint — a seed pick, one mean, one
+    * argmax tie — moves a fingerprint or a count. */
+  private def kmeansOracleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cb = kmeansPortable(corpus, kmK, kmIters)
+    val counts = assignPortable(corpus, cb)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    val cbDf = cb.map { case (i, c) =>
+      (i, c.map(x => math.floor(x * 10000 + 0.5).toLong).sum)
+    }.toDF("cluster", "cent_fp")
+    cbDf.join(counts, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n"), col("cent_fp"))
+      .orderBy(col("cluster"))
+  }
+
+  /** The k-means fixpoint unrolled as CTEs — shared by q_cluster_kmeans
+    * and q_dedup_semantic_kmeans's oracles. Ends at `af` (the final
+    * assignment: vec_id, cv, cluster) and `cb{kmIters}` (the final
+    * codebook). Generated from the query's own constants. */
+  private[operators] def kmeansSqlCtes: Seq[String] = {
+    def nrm(v: String) = normSql(v)
+    def e4(a: String, b: String) =
+      s"""(CASE WHEN ${nrm(a)} = 0 OR ${nrm(b)} = 0 THEN -20000
+          ELSE CAST(floor(${dotSql.format(a, b)} / (sqrt(${nrm(a)}) * sqrt(${nrm(b)})) * 10000 + 0.5) AS BIGINT) END)"""
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "kcorpus AS MATERIALIZED (SELECT vec_id, embedding AS cv FROM embeddings)",
+      s"raws AS MATERIALIZED (SELECT vec_id, cv FROM kcorpus ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $kmSample)",
+      """samp AS MATERIALIZED (SELECT cv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS i
+         FROM raws WHERE len(list_filter(cv, x -> x <> 0)) > 0)""",
+      "s1 AS MATERIALIZED (SELECT cv AS c FROM samp WHERE i = 1)",
+      s"b1 AS MATERIALIZED (SELECT s.i, s.cv, ${e4("s.cv", "t.c")} AS best FROM samp s, s1 t)")
+    for (t <- 2 to kmK) {
+      ctes += s"""s$t AS MATERIALIZED (SELECT cv AS c FROM (
+         SELECT cv, row_number() OVER (ORDER BY best, i) AS rn FROM b${t - 1}) WHERE rn = 1)"""
+      if (t < kmK)
+        ctes += s"""b$t AS MATERIALIZED (SELECT b.i, b.cv, GREATEST(b.best, ${e4("b.cv", "t.c")}) AS best
+           FROM b${t - 1} b, s$t t)"""
+    }
+    ctes += (1 to kmK).map(t =>
+        s"SELECT ${t - 1} AS cluster, list_transform(c, x -> CAST(x AS DOUBLE)) AS c FROM s$t")
+      .mkString("cb0 AS MATERIALIZED (", " UNION ALL ", ")")
+    def assignCte(name: String, cbName: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, cv, cluster FROM (
+         SELECT v.vec_id, v.cv, c.cluster,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY ${e4("v.cv", "c.c")} DESC, c.cluster) AS rn
+         FROM kcorpus v, $cbName c) WHERE rn = 1)"""
+    for (r <- 1 to kmIters) {
+      ctes += assignCte(s"a$r", s"cb${r - 1}")
+      ctes += s"""m$r AS MATERIALIZED (SELECT cluster, list(m ORDER BY pos) AS c FROM (
+         SELECT cluster, pos, round(avg(CAST(x AS DOUBLE)), 4) AS m
+         FROM (SELECT cluster, unnest(cv) AS x, unnest(range(len(cv))) AS pos FROM a$r)
+         GROUP BY 1, 2) GROUP BY cluster)"""
+      ctes += s"""cb$r AS MATERIALIZED (SELECT p.cluster, coalesce(n.c, p.c) AS c
+         FROM cb${r - 1} p LEFT JOIN m$r n USING (cluster))"""
+    }
+    ctes += assignCte("af", s"cb$kmIters")
+    ctes.toSeq
+  }
+
+  private def kmeansSql: String =
+    "WITH " + kmeansSqlCtes.mkString(",\n") + s"""
+     SELECT cb.cluster, coalesce(t.n, 0) AS n,
+            CAST(list_sum(list_transform(cb.c, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))) AS BIGINT) AS cent_fp
+     FROM cb$kmIters cb
+     LEFT JOIN (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM af GROUP BY 1) t USING (cluster)
+     ORDER BY cb.cluster"""
+
   /** At-scale margin mining over the ANN tier — the executable form of
     * q_embed_margin_pairs' scale path (round-14 verdict's one prose-only
     * claim, now code). Candidates are BIDIRECTIONAL top-R lists: each x
@@ -1081,7 +1260,8 @@ object Ann {
     "q_ann_ivfpq" -> ((s, dir) => ivfpqOracleQuery(s, dir)),
     "q_ann_graph" -> ((s, dir) => graphAnnOracleQuery(s, dir)),
     "q_ann_descent" -> ((s, dir) => descentOracleQuery(s, dir)),
-    "q_ann_filtered" -> ((s, dir) => filteredOracleQuery(s, dir))
+    "q_ann_filtered" -> ((s, dir) => filteredOracleQuery(s, dir)),
+    "q_cluster_kmeans" -> ((s, dir) => kmeansOracleQuery(s, dir))
   )
 
   private val dotSql =
@@ -1187,6 +1367,7 @@ object Ann {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_cluster_kmeans" -> kmeansSql,
     "q_ann_descent" -> descentSql,
     "q_ann_graph" -> graphAnnSql,
     "q_ann_filtered" ->

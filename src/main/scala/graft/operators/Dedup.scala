@@ -749,6 +749,24 @@ object Dedup {
         .orderBy(col("vec_id"))
     }),
 
+    // The PRODUCTION SemDeDup path (semanticDedupKmeans's shape) under
+    // the oracle: cells come from the LEARNED Lloyd codebook — the
+    // engine-portable kmeansPortable twin (k=8, iters=3, the same
+    // constants q_cluster_kmeans checks) so the oracle can replay the
+    // clustering itself, then the same within-cell keep-min-id prune as
+    // q_dedup_semantic. Pair work is cluster-scoped Σ|c|² over LEARNED
+    // cells — the arXiv:2303.09540 shape end to end, no label crutch.
+    "q_dedup_semantic_kmeans" -> ((s, dir) => {
+      val embs = embeddings(s, dir)
+      val cb = Ann.kmeansPortable(
+        embs.select(col("vec_id"), col("embedding")), Ann.kmK, Ann.kmIters)
+      semanticDedup(
+        Ann.assignPortable(embs, cb)
+          .select(col("vec_id"), col("cluster"), col("embedding")),
+        threshold = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // Benchmark decontamination: docs < 50 play the benchmark set, docs in
     // [50, 300) the training corpus; pairs sharing ≥ 2 shingles flagged.
     "q_decontaminate" -> ((s, dir) => {
@@ -1553,6 +1571,24 @@ object Dedup {
                 coalesce(d.n_dup_neighbors, 0) AS n_dup_neighbors,
                 coalesce(d.n_dup_neighbors, 0) > 0 AS pruned
          FROM e LEFT JOIN dups d ON e.vec_id = d.vec_id
-         ORDER BY e.vec_id"""
+         ORDER BY e.vec_id""",
+
+    "q_dedup_semantic_kmeans" ->
+      ("WITH " + (Ann.kmeansSqlCtes ++ Seq(
+        "e AS MATERIALIZED (SELECT vec_id, cluster, cv AS embedding FROM af)",
+        """dups AS (
+           SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_dup_neighbors
+           FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3
+           GROUP BY 1)""")).mkString(",\n") +
+        """
+         SELECT e.vec_id, e.cluster,
+                coalesce(d.n_dup_neighbors, 0) AS n_dup_neighbors,
+                coalesce(d.n_dup_neighbors, 0) > 0 AS pruned
+         FROM e LEFT JOIN dups d ON e.vec_id = d.vec_id
+         ORDER BY e.vec_id""")
   )
 }

@@ -912,4 +912,45 @@ class OperatorsSpec extends SparkSpec {
     assert(hit.toDouble / exactIds.size >= 0.95,
       s"ANN-tier margin recall $hit/${exactIds.size} below floor (measured 124/124)")
   }
+
+  test("kmeans: Ann.assign over the learned codebook ≡ the portable e4 argmin; Lloyd rounds shrink quantization error") {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val cb = Ann.kmeansPortable(corpus, Ann.kmK, Ann.kmIters)
+    assert(cb.size === Ann.kmK)
+    // the q_cluster_kmeans oracle's argmin rule and the production
+    // float-kernel router agree cell-for-cell on the learned codebook
+    // (the verdict-17 pin: routing ≡ the oracle's argmin)
+    val portable = Ann.assignPortable(corpus, cb)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val native = Ann.assign(corpus, cb.map { case (i, c) => (i, c.map(_.toFloat)) })
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native === portable,
+      "float-kernel routing must agree with the e4 argmin the oracle replays")
+    // Lloyd must actually optimize: mean within-cell cosine (the objective
+    // in cosine form) does not decrease from the seed codebook to the
+    // learned one, and every cell is non-empty on the fixture
+    def meanCos(codebook: Seq[(Int, Seq[Double])]): Double = {
+      val cents = codebook.toMap
+      val rows = Ann.assignPortable(corpus, codebook)
+        .select(col("cluster"), col("embedding")).collect()
+      val scores = rows.map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toIndexedSeq
+        val c = cents(r.getInt(0)).toIndexedSeq
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < v.length) { dot += v(i)*c(i); na += v(i)*v(i); nb += c(i)*c(i); i += 1 }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      scores.sum / scores.length
+    }
+    val seedsOnly = Ann.kmeansPortable(corpus, Ann.kmK, 0)
+    val fitBefore = meanCos(seedsOnly)
+    val fitAfter = meanCos(cb)
+    info(f"mean within-cell cosine: seeds $fitBefore%.4f -> learned $fitAfter%.4f")
+    assert(fitAfter >= fitBefore - 1e-9,
+      "Lloyd iterations must not worsen the within-cell cosine objective")
+    assert(portable.values.toSet.size === Ann.kmK,
+      "every learned cell is non-empty on the fixture")
+  }
 }
