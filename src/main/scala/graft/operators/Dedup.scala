@@ -758,7 +758,7 @@ object Dedup {
     // cells — the arXiv:2303.09540 shape end to end, no label crutch.
     "q_dedup_semantic_kmeans" -> ((s, dir) => {
       val embs = embeddings(s, dir)
-      val cb = Ann.kmeansPortable(
+      val cb = Ann.kmeansPortableMemo(s, dir,
         embs.select(col("vec_id"), col("embedding")), Ann.kmK, Ann.kmIters)
       semanticDedup(
         Ann.assignPortable(embs, cb)

@@ -1283,100 +1283,108 @@ object Graph {
     * @param sources one column `s`.
     * @return (node, b_e4) for every node reached at depth ≥ 1. */
   def betweennessWeightedBounded(edges: DataFrame, sources: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, broadcastState: Boolean = true): DataFrame = {
     require(rounds >= 2, s"rounds must be >= 2, got $rounds")
-    val ed = edges.select(col("src"), col("dst"), col("w"))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val released = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Broadcast arm (round 18, the labelPropagate/hyperBall discipline):
+    // every per-source state frame here — dist/dep/sig/del, all keyed
+    // (s, v) — is |S|·n-bounded, and |S| is the query's sample lever, so
+    // under the sampled-Brandes contract the state side is
+    // broadcast-scale BY CONSTRUCTION while the edge/DAG side stays laid
+    // out and never moves. broadcastState=false keeps the pure
+    // shuffle-join form (nodes-too-big fallback; GraphSpec pins arm
+    // equality). Measured at sf0.1: the broadcast arm removes ~half the
+    // sequential exchanges (each round: ONE fold shuffle instead of
+    // two-sided join exchanges).
+    def st(df: DataFrame): DataFrame = if (broadcastState) broadcast(df) else df
+    // Materialization discipline (round 18): per-level LAZY
+    // localCheckpoint + ONE action at the end, replacing the previous
+    // ~14 EAGER checkpoint jobs. Every frame here is tiny relative to
+    // the cluster (|S|·n / |S|·m rows of narrow BIGINTs), so the cost
+    // was never data — it was 14 sequential job launches (phase probe:
+    // 16 jobs × 0.3-0.9 s each, no hotspot). localCheckpoint(false)
+    // still CUTS LINEAGE at definition (the plan stays round-sized —
+    // plain persist() was tried first and the uncut self-referencing
+    // plan tree grew exponential in `rounds`, OOMing plan-string
+    // generation) but defers the work: the final aggregate's single job
+    // computes every level once, persisting each as it goes, and the
+    // multiply-referenced levels (dag, dep, sig) read those blocks.
+    // Values are bit-identical to the eager form — the oracle and the
+    // w ≡ 1 pin are untouched.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(false); pinned += c; c
+    }
+    val ed = pin(edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src")))
     // 1) per-source bounded relaxation: min-union rounds (the oracle's
     // exact mirror shape — no delta frontier, so round k IS the ≤ k-hop
     // Bellman state on both engines)
-    var dist = sources.select(col("s"), col("s").as("v"), lit(0L).as("d"))
-      .localCheckpoint()
+    var dist = pin(sources.select(col("s"), col("s").as("v"), lit(0L).as("d")))
     for (_ <- 1 to rounds) {
-      val cand = dist.join(ed, col("v") === col("src"))
+      val cand = st(dist).join(ed, col("v") === col("src"))
         .select(col("s"), col("dst").as("v"), (col("d") + col("w")).as("d"))
-      val next = dist.unionByName(cand)
-        .groupBy(col("s"), col("v")).agg(min(col("d")).as("d"))
-        .localCheckpoint()
-      releaseCheckpoint(dist)
-      dist = next
+      dist = pin(dist.unionByName(cand)
+        .groupBy(col("s"), col("v")).agg(min(col("d")).as("d")))
     }
     // 2) the shortest-path DAG: distance-consistent edges per source
-    val dag = ed
-      .join(dist.select(col("s"), col("v").as("src"), col("d").as("du")),
+    val dag = pin(ed
+      .join(st(dist.select(col("s"), col("v").as("src"), col("d").as("du"))),
         Seq("src"))
-      .join(dist.select(col("s"), col("v").as("dst"), col("d").as("dv")),
+      .join(st(dist.select(col("s"), col("v").as("dst"), col("d").as("dv"))),
         Seq("s", "dst"))
       .filter(col("du") + col("w") === col("dv"))
-      .select(col("s"), col("src").as("u"), col("dst").as("v"))
-      .localCheckpoint()
-    released += dag
+      .select(col("s"), col("src").as("u"), col("dst").as("v")))
     // 3) DAG hop depth: rounds of max-propagation (depth(s) = 0)
-    var dep = sources.select(col("s"), col("s").as("v"), lit(0L).as("dep"))
-      .localCheckpoint()
+    var dep = pin(sources.select(col("s"), col("s").as("v"), lit(0L).as("dep")))
     for (_ <- 1 to rounds) {
-      val next = dep.unionByName(
-          dep.select(col("s"), col("v").as("u"), col("dep"))
+      dep = pin(dep.unionByName(
+          st(dep.select(col("s"), col("v").as("u"), col("dep")))
             .join(dag, Seq("s", "u"))
             .select(col("s"), col("v"), (col("dep") + lit(1L)).as("dep")))
-        .groupBy(col("s"), col("v")).agg(max(col("dep")).as("dep"))
-        .localCheckpoint()
-      releaseCheckpoint(dep)
-      dep = next
+        .groupBy(col("s"), col("v")).agg(max(col("dep")).as("dep")))
     }
-    released += dep
     // 4) σ settled depth by depth: at step t every DAG in-edge from an
     // already-settled (shallower) node contributes; same-or-deeper
     // in-edges are exactly the over-budget paths the bound excludes
-    var sig = sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
-      .localCheckpoint()
-    released += sig
+    var sig = pin(sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma")))
     for (t <- 1 to rounds) {
-      val add = sig.select(col("s"), col("v").as("u"), col("sigma"))
+      val add = pin(st(sig.select(col("s"), col("v").as("u"), col("sigma")))
         .join(dag, Seq("s", "u"))
-        .join(dep.filter(col("dep") === t).select(col("s"), col("v")),
+        .join(st(dep.filter(col("dep") === t).select(col("s"), col("v"))),
           Seq("s", "v"))
-        .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma"))
-        .localCheckpoint()
-      released += add
-      sig = sig.unionByName(add)
+        .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma")))
+      sig = pin(sig.unionByName(add))
     }
     // 5) δ by decreasing depth: horizon depth gets 0; each shallower
     // depth accumulates the e4 dependency quotient through its settled
     // DAG successors
     var del = dep.filter(col("dep") === rounds)
       .select(col("s"), col("v"), lit(0L).as("delta"))
-    val dels = scala.collection.mutable.ArrayBuffer(del)
     for (t <- (rounds - 1) to 1 by -1) {
       val atT = dep.filter(col("dep") === t).select(col("s"), col("v"))
-      val contrib = atT
-        .join(sig, Seq("s", "v"))
+      val contrib = st(atT
+        .join(st(sig), Seq("s", "v")))
         .join(dag.select(col("s"), col("u").as("v"), col("v").as("w2")),
           Seq("s", "v"))
-        .join(del.select(col("s"), col("v").as("w2"), col("delta").as("dw")),
+        .join(st(del.select(col("s"), col("v").as("w2"), col("delta").as("dw"))),
           Seq("s", "w2"))
-        .join(sig.select(col("s"), col("v").as("w2"), col("sigma").as("sw")),
+        .join(st(sig.select(col("s"), col("v").as("w2"), col("sigma").as("sw"))),
           Seq("s", "w2"))
         .select(col("s"), col("v"),
           expr("(sigma * (10000L + dw)) div sw").as("c"))
         .groupBy(col("s"), col("v")).agg(sum(col("c")).as("delta"))
-      val full = atT.join(contrib, Seq("s", "v"), "left")
+      val full = pin(atT.join(st(contrib), Seq("s", "v"), "left")
         .select(col("s"), col("v"),
-          coalesce(col("delta"), lit(0L)).as("delta"))
-        .localCheckpoint()
-      dels += full
+          coalesce(col("delta"), lit(0L)).as("delta")))
       del = del.unionByName(full)
     }
+    // the ONE eager materialization: node-sized, detached from every
+    // pinned frame so the releases below cannot pull its blocks
     val out = del
       .groupBy(col("v").as("node"))
       .agg(sum(col("delta")).as("b_e4"))
       .localCheckpoint()
-    ed.unpersist()
-    released.foreach(releaseCheckpoint)
-    dels.foreach(releaseCheckpoint)
-    releaseCheckpoint(dist)
+    pinned.foreach(releaseCheckpoint)
     out
   }
 
@@ -1509,16 +1517,40 @@ object Graph {
     * the unweighted operator bit-for-bit (sum of ones = count —
     * GraphSpec pins it).
     *
-    * @param edges undirected (a, b, w BIGINT), a < b, w ≥ 1. */
+    * @param edges undirected (a, b, w BIGINT), a < b, w ≥ 1.
+    * @param selfLoops optional (v, sw BIGINT) internal mass per node —
+    *        the COARSENED-graph input ([[louvainCoarsen]]): a super-
+    *        node's intra-community weight. Standard Louvain semantics
+    *        [Blondel et al. JSTAT'08 §2]: a self-loop contributes 2·sw
+    *        to its node's strength and sw to W, but NEVER to k_{v,C} —
+    *        it moves with the node, so it cancels in every ΔQ and must
+    *        not bias the move rule toward staying. None (the default)
+    *        is today's simple-graph behavior, bit-for-bit. */
   def louvainAssignWeighted(edges: DataFrame, rounds: Int,
-      broadcastLabels: Boolean = true): DataFrame = {
+      broadcastLabels: Boolean = true,
+      selfLoops: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val e = edges.select(col("a"), col("b"), col("w")).localCheckpoint()
     val sym = e.unionAll(
       e.select(col("b").as("a"), col("a").as("b"), col("w")))
-    val deg = sym.groupBy(col("a").as("v")).agg(sum(col("w")).as("d"))
-      .localCheckpoint()
-    val mC = e.agg(coalesce(sum(col("w")), lit(0L)).as("m"))
+    // strength: incident weight + 2× internal mass; the union keeps a
+    // super-node whose community had ONLY internal edges in the node set
+    val deg = selfLoops match {
+      case None =>
+        sym.groupBy(col("a").as("v")).agg(sum(col("w")).as("d"))
+          .localCheckpoint()
+      case Some(sl) =>
+        sym.select(col("a").as("v"), col("w"))
+          .unionByName(sl.select(col("v"), (col("sw") * 2).as("w")))
+          .groupBy(col("v")).agg(sum(col("w")).as("d"))
+          .localCheckpoint()
+    }
+    val mC = selfLoops match {
+      case None => e.agg(coalesce(sum(col("w")), lit(0L)).as("m"))
+      case Some(sl) =>
+        e.select(col("w")).unionByName(sl.select(col("sw").as("w")))
+          .agg(coalesce(sum(col("w")), lit(0L)).as("m"))
+    }
     def lblJ(df: DataFrame): DataFrame =
       if (broadcastLabels) broadcast(df) else df
     var assign = deg.select(col("v"), col("v").as("c")).localCheckpoint()
@@ -1560,6 +1592,61 @@ object Graph {
     releaseCheckpoint(deg)
     releaseCheckpoint(e)
     assign.select(col("v"), col("c").as("lbl"))
+  }
+
+  /** Louvain PHASE 2's graph reduction [Blondel et al. JSTAT'08 §2]:
+    * communities become super-nodes, inter-community edges aggregate to
+    * one weighted edge (canonical a < b), intra-community weight folds
+    * into a self-loop mass per super-node. Total weight W is preserved
+    * (Σ coarse w + Σ sw = Σ input w), so modularity on the coarse graph
+    * IS modularity of the induced partition on the original graph.
+    * Plan shape: two broadcast label joins on the edge list (the
+    * assignment is node-count-sized) + two groupBys keyed on community
+    * pairs — community-count-bounded output, never edge-count.
+    *
+    * @param edges  undirected (a, b, w BIGINT), a < b.
+    * @param assign (v, lbl) phase-1 communities.
+    * @return (coarse edges (a, b, w), self-loop mass (v, sw)). */
+  def louvainCoarsen(edges: DataFrame, assign: DataFrame,
+      broadcastLabels: Boolean = true): (DataFrame, DataFrame) = {
+    def lblJ(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
+    val rel = edges
+      .join(lblJ(assign.select(col("v").as("a"), col("lbl").as("ca"))), "a")
+      .join(lblJ(assign.select(col("v").as("b"), col("lbl").as("cb"))), "b")
+    val coarse = rel.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val selfw = rel.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("v")).agg(sum(col("w")).as("sw"))
+    (coarse, selfw)
+  }
+
+  /** MULTILEVEL Louvain (the full Blondel et al. loop at two levels):
+    * phase-1 local moves on the input graph, [[louvainCoarsen]], a
+    * second local-move pass on the coarse graph (self-loop mass in
+    * strengths and W, never in k — [[louvainAssignWeighted]]'s
+    * `selfLoops` contract), labels projected back through the
+    * community map. This is where the hierarchy and the large-Q merges
+    * come from: a whole phase-1 community moves as one unit, which no
+    * amount of extra phase-1 rounds can do. Returns the node-level
+    * (v, lbl) of the LEVEL-2 partition. */
+  def louvainMultilevelAssign(edges: DataFrame, rounds: Int,
+      broadcastLabels: Boolean = true): DataFrame = {
+    val ew = edges.select(col("a"), col("b"), lit(1L).as("w"))
+    val a1 = louvainAssignWeighted(ew, rounds, broadcastLabels)
+    val (ce, sl) = louvainCoarsen(ew, a1, broadcastLabels)
+    val a2 = louvainAssignWeighted(ce, rounds, broadcastLabels,
+      selfLoops = Some(sl))
+    val out = a1.select(col("v"), col("lbl").as("c1"))
+      .join((if (broadcastLabels) broadcast(a2) else a2)
+        .select(col("v").as("c1"), col("lbl")), "c1")
+      .select(col("v"), col("lbl"))
+      .localCheckpoint()
+    releaseCheckpoint(a1)
+    releaseCheckpoint(a2)
+    out
   }
 
   /** Newman modularity of a community assignment, in EXACT integers —
@@ -1871,6 +1958,75 @@ object Graph {
 
   private def louvainSql: String = louvainSqlGen(weighted = false)
   private def louvainWeightedSql: String = louvainSqlGen(weighted = true)
+
+  /** q_graph_louvain_multilevel's oracle: the level-1 unrolled chain
+    * ([[louvainCtesGen]]), the coarsening (community-pair weight sums +
+    * self-loop mass — W preserved by construction), the level-2 move
+    * rounds with self-loop-aware strengths (2·sw in d, sw in W, never
+    * in k — mirroring [[louvainAssignWeighted]]'s `selfLoops` path),
+    * the projection back through the community map, and the same
+    * modularity block over the ORIGINAL graph. All BIGINT products —
+    * bit-deterministic argmaxes on both engines. */
+  private def louvainMultiSql: String = {
+    val R = louvainRounds
+    val ctes = scala.collection.mutable.ArrayBuffer(louvainCtesGen(weighted = false): _*)
+    ctes += s"map1 AS MATERIALIZED (SELECT v, c AS c1 FROM c$R)"
+    ctes += """ce0 AS MATERIALIZED (
+        SELECT LEAST(x.c1, y.c1) AS a, GREATEST(x.c1, y.c1) AS b,
+               CAST(count(*) AS BIGINT) AS w
+        FROM e0 e JOIN map1 x ON x.v = e.a JOIN map1 y ON y.v = e.b
+        WHERE x.c1 <> y.c1 GROUP BY 1, 2)"""
+    ctes += """csl AS MATERIALIZED (
+        SELECT x.c1 AS v, CAST(count(*) AS BIGINT) AS sw
+        FROM e0 e JOIN map1 x ON x.v = e.a JOIN map1 y ON y.v = e.b
+        WHERE x.c1 = y.c1 GROUP BY 1)"""
+    ctes += "sym2 AS MATERIALIZED (SELECT a, b, w FROM ce0 UNION ALL SELECT b, a, w FROM ce0)"
+    ctes += """deg2 AS MATERIALIZED (
+        SELECT v, CAST(sum(w) AS BIGINT) AS d FROM (
+          SELECT a AS v, w FROM sym2
+          UNION ALL SELECT v, 2 * sw AS w FROM csl)
+        GROUP BY 1)"""
+    ctes += """m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM (
+        SELECT w FROM ce0 UNION ALL SELECT sw AS w FROM csl))"""
+    ctes += "g0 AS MATERIALIZED (SELECT v, v AS c FROM deg2)"
+    for (h <- 1 to R) {
+      ctes += s"""gt$h AS (SELECT c, CAST(sum(d) AS BIGINT) AS tot
+         FROM g${h - 1} JOIN deg2 USING (v) GROUP BY c)"""
+      ctes += s"""gkv$h AS (
+         SELECT s.a AS v, l.c AS c, CAST(sum(s.w) AS BIGINT) AS k
+         FROM sym2 s JOIN g${h - 1} l ON l.v = s.b GROUP BY 1, 2)"""
+      ctes += s"""gcand$h AS (
+         SELECT v, c, k FROM gkv$h
+         UNION ALL
+         SELECT l.v, l.c, CAST(0 AS BIGINT)
+         FROM g${h - 1} l LEFT JOIN gkv$h k ON k.v = l.v AND k.c = l.c
+         WHERE k.v IS NULL)"""
+      ctes += s"""g$h AS MATERIALIZED (SELECT v, c FROM (
+         SELECT x.v, x.c, row_number() OVER (PARTITION BY x.v ORDER BY
+             4 * m2.m * x.k - 2 * d.d *
+               (gt.tot - CASE WHEN x.c = cur.c THEN d.d ELSE 0 END) DESC,
+             x.c) AS rn
+         FROM gcand$h x
+         JOIN g${h - 1} cur ON cur.v = x.v
+         JOIN deg2 d ON d.v = x.v
+         JOIN gt$h gt ON gt.c = x.c, m2) WHERE rn = 1)"""
+    }
+    ctes += s"""fin AS MATERIALIZED (
+        SELECT p.v, g.c AS lbl FROM map1 p JOIN g$R g ON g.v = p.c1)"""
+    "WITH " + ctes.mkString(",\n") + s""",
+     ein AS (SELECT x.lbl, CAST(count(*) AS BIGINT) AS e_in
+             FROM e0 e JOIN fin x ON x.v = e.a
+                       JOIN fin y ON y.v = e.b
+             WHERE x.lbl = y.lbl GROUP BY 1),
+     ds AS (SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(d.d) AS BIGINT) AS d_sum
+            FROM deg d JOIN fin l ON l.v = d.v GROUP BY 1)
+     SELECT ds.lbl, ds.n_members,
+            CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, ds.d_sum, m.m,
+            CAST(4 * m.m * coalesce(ein.e_in, 0) - ds.d_sum * ds.d_sum AS BIGINT) AS q_num
+     FROM ds LEFT JOIN ein ON ein.lbl = ds.lbl, m
+     ORDER BY ds.n_members DESC, ds.lbl LIMIT $louvainTopK"""
+  }
 
   private def louvainSqlGen(weighted: Boolean): String = {
     val einE = if (weighted) "sum(e.w)" else "count(*)"
@@ -2399,6 +2555,18 @@ object Graph {
         k = louvainTopK)
     }),
 
+    // MULTILEVEL Louvain over the same slice graph: phase-1 local moves,
+    // coarsen (communities → super-nodes, intra mass → self-loops,
+    // W preserved), phase-2 local moves on the coarse graph, labels
+    // projected back — the full Blondel loop at two levels, scored with
+    // the same exact-integer modularity block on the ORIGINAL graph so
+    // the level-2 partition is directly comparable to q_graph_louvain's.
+    "q_graph_louvain_multilevel" -> ((s, dir) => {
+      val e = jaccardSliceEdges(s, dir).localCheckpoint()
+      modularityOf(e, louvainMultilevelAssign(e, louvainRounds),
+        k = louvainTopK)
+    }),
+
     // WEIGHTED community detection: label propagation where a neighbor's
     // vote counts its co-purchase multiplicity (a 50-times-paired tie
     // outvotes fifty one-offs) — the density clustering the multiplicity
@@ -2539,6 +2707,7 @@ object Graph {
     "q_graph_modularity" -> modularitySql,
     "q_graph_louvain" -> louvainSql,
     "q_graph_louvain_weighted" -> louvainWeightedSql,
+    "q_graph_louvain_multilevel" -> louvainMultiSql,
     "q_graph_betweenness_weighted" -> betweennessWeightedSql,
     "q_graph_labelprop_weighted" -> labelPropWeightedSql,
     "q_graph_modularity_weighted" -> modularityWeightedSql,

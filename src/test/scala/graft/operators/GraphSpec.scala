@@ -528,6 +528,12 @@ class GraphSpec extends SparkSpec {
     // (DAG 1→2→3 at d = 10, 11): δ(2) = 1e4. Endpoints 3, 4 broker 0.
     assert(ww(5L) === 20000L && ww(6L) === 10000L, s"got $ww")
     assert(ww(2L) === 10000L && ww(3L) === 0L && ww(4L) === 0L, s"got $ww")
+    // arm equality (round 18): the shuffle-join fallback — the
+    // state-too-big-to-broadcast form — is row-for-row the broadcast arm
+    val wwS = Graph.betweennessWeightedBounded(edw, Seq(1L).toDF("s"), 3,
+        broadcastState = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wwS === ww, s"shuffle arm diverged: $wwS vs $ww")
   }
 
   test("labelPropagate: two planted cliques converge to two communities; arms agree") {
@@ -594,6 +600,59 @@ class GraphSpec extends SparkSpec {
     val ww2 = Graph.louvainAssignWeighted(wed.toDF("a", "b", "w"), rounds = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ww2 === ww, "weighted moves must be deterministic")
+  }
+
+  test("louvainMultilevel: two-tier fixture resolves both tiers; Q non-decreasing across levels; isolated super-node stays") {
+    import spark.implicits._
+    // tier 1: six 3-cliques; tier 2: two TRIANGLES of cliques (triangle
+    // bridging is the stable synchronous-merge shape — an isolated pair
+    // of equal-mass communities only swaps labels, a triangle settles);
+    // plus a disconnected 12-clique blob that (a) inflates W so the
+    // coarse move scores go positive and (b) coarsens to a super-node
+    // with ONLY a self-loop — the isolated-super-node path.
+    def clique(lo: Long, n: Long): Seq[(Long, Long)] =
+      for (i <- lo until (lo + n); j <- (i + 1) until (lo + n)) yield (i, j)
+    val g1 = clique(0, 4) ++ clique(10, 4) ++ clique(20, 4) ++
+      Seq((3L, 10L), (13L, 20L), (23L, 0L))
+    val g2 = g1.map { case (a, b) => (a + 30L, b + 30L) }
+    val blob = clique(70, 12)
+    val ed = (g1 ++ g2 ++ blob).toDF("a", "b")
+    val lvl1 = Graph.louvainAssign(ed, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lvl2 = Graph.louvainMultilevelAssign(ed, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    info(s"level-1 communities: ${lvl1.values.toSet.size}, " +
+      s"level-2: ${lvl2.values.toSet.size}")
+    val g1Nodes = (0L to 3L) ++ (10L to 13L) ++ (20L to 23L)
+    val g2Nodes = g1Nodes.map(_ + 30L)
+    // tier 1 resolved: each 4-clique one community at level 1
+    for (lo <- Seq(0L, 10L, 20L, 30L, 40L, 50L))
+      assert((lo until lo + 4).map(lvl1).toSet.size === 1,
+        s"level-1 split clique at $lo: $lvl1")
+    // tier 2 resolved: each triangle-group collapses to ONE community
+    // at level 2, the groups stay apart, the blob stays its own
+    assert(g1Nodes.map(lvl2).toSet.size === 1, s"group 1 not merged: $lvl2")
+    assert(g2Nodes.map(lvl2).toSet.size === 1, s"group 2 not merged: $lvl2")
+    assert(lvl2(0L) !== lvl2(30L), s"groups merged across tiers: $lvl2")
+    assert((70L to 81L).map(lvl2).toSet.size === 1, s"blob split: $lvl2")
+    assert(lvl2(70L) !== lvl2(0L), s"blob merged into group 1: $lvl2")
+    assert(lvl2(70L) !== lvl2(30L), s"blob merged into group 2: $lvl2")
+    // Q non-decreasing ACROSS levels (the multilevel point: a whole
+    // phase-1 community moves as one unit)
+    def q(assign: Map[Long, Long]): Long = {
+      val adf = assign.toSeq.toDF("v", "lbl")
+      Graph.modularityOf(ed, adf, k = 100)
+        .agg(org.apache.spark.sql.functions.sum(col("q_num")))
+        .collect()(0).getLong(0)
+    }
+    val q1 = q(lvl1); val q2 = q(lvl2)
+    info(s"Q numerators: level-1 $q1, level-2 $q2")
+    assert(q2 >= q1, s"multilevel decreased Q: $q1 -> $q2")
+    // determinism + arm equality of the whole multilevel chain
+    val again = Graph.louvainMultilevelAssign(ed, rounds = 2,
+        broadcastLabels = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === lvl2, "shuffle arm / rerun diverged")
   }
 
   test("louvainAssign: hand-checked first round on the path triangle-pendant") {
