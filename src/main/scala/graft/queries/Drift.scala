@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Tables._
@@ -261,8 +261,50 @@ object Drift {
         least(floor($"o_totalprice" / BucketWidth), lit(NBuckets - 1))
           .cast("int").as("bucket"),
         ($"o_orderdate" < "1998-01-01").as("is_old")), NBuckets)
-    })
+    }),
+
+    // EMBEDDING-SPACE drift (round 18 — the multimodal member of the
+    // family): a corpus drifts in embedding space first (encoder swap,
+    // domain shift) and no tabular column sees it. Reference = the
+    // 4dp per-dimension centroid of the OLD snapshot half (even
+    // vec_id — the q_embed_centroid device, bit-identical across
+    // engines); every vector's cosine-to-centroid is e4-floored and
+    // bucketed into 10 fixed cells of 0.2 cosine width; the SAME psi
+    // operator scores old vs new. Scale shape: one dim-sized centroid
+    // agg, one narrow cosine pass (centroid broadcast by construction),
+    // one histogram agg — constant-size after the scans.
+    "q_drift_embedding" -> ((s, dir) =>
+      embeddingDriftPsi(embeddings(s, dir)))
   )
+
+  /** q_drift_embedding's core, factored for property tests: reference =
+    * 4dp per-dimension centroid of the OLD half (even vec_id), every
+    * vector's cosine-to-centroid e4-floored into 10 fixed 0.2-wide
+    * cells, old vs new scored by [[psi]]. Identical halves give
+    * identical buckets (PSI exactly 0 per bucket); an encoder swap or
+    * domain shift moves the cosine mass and PSI catches it — the drift
+    * member no tabular column can provide. */
+  def embeddingDriftPsi(embs: DataFrame): DataFrame = {
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val cent = e.filter(col("vec_id") % 2 === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(round(avg(col("x")), 4).as("m"))
+      .groupBy().agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(transform(col("pm"), _.getField("m")).as("cent"))
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val v = col("embedding"); val c = col("cent")
+    val e4 = when(dotD(v, v) === 0.0 || dotD(c, c) === 0.0, lit(-20000L))
+      .otherwise(floor(dotD(v, c) / (sqrt(dotD(v, v)) * sqrt(dotD(c, c)))
+        * 10000 + 0.5).cast("long"))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), e4.as("e4"))
+    psi(scored.select(
+      least(expr("(e4 + 10000) div 2000"), lit((NBuckets - 1).toLong))
+        .cast("int").as("bucket"),
+      (col("vec_id") % 2 === 0).as("is_old")), NBuckets)
+  }
 
   val oracle: Map[String, String] = Map(
     "q_drift_ttest" ->
@@ -410,6 +452,55 @@ object Drift {
                   CAST(sum(jsd_micro) AS BIGINT) FROM per)
          SELECT bucket, n_old, n_new, jsd_micro,
                 round(jsd_micro / 1e8, 8) AS jsd
+         FROM unioned
+         ORDER BY bucket""",
+
+    "q_drift_embedding" ->
+      s"""WITH cent AS MATERIALIZED (
+           SELECT list(m ORDER BY pos) AS cent FROM (
+             SELECT pos, round(avg(CAST(x AS DOUBLE)), 4) AS m
+             FROM (SELECT unnest(embedding) AS x,
+                          unnest(range(len(embedding))) AS pos
+                   FROM embeddings WHERE vec_id % 2 = 0)
+             GROUP BY 1)),
+         scored AS (
+           SELECT e.vec_id,
+                  CASE WHEN list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+                         OR list_sum(list_transform(c.cent, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+                       THEN -20000
+                       ELSE CAST(floor(
+                         list_sum(list_transform(list_zip(e.embedding, c.cent),
+                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(c.cent, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                         * 10000 + 0.5) AS BIGINT) END AS e4
+           FROM embeddings e, cent c),
+         o AS (
+           SELECT CAST(least((e4 + 10000) // 2000, ${NBuckets - 1}) AS INT) AS bucket,
+                  vec_id % 2 = 0 AS is_old
+           FROM scored),
+         hist AS (
+           SELECT bucket,
+                  CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                  CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+           FROM o GROUP BY 1),
+         totals AS (
+           SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+                  CAST(sum(n_new) AS BIGINT) AS tot_new FROM hist),
+         per AS (
+           SELECT bucket, n_old, n_new,
+                  CAST(floor(((p - q) * ln(p / q)) * 1e8 + 0.5) AS BIGINT) AS psi_micro
+           FROM (SELECT bucket, n_old, n_new,
+                        (n_old + 0.5) / (tot_old + 0.5 * $NBuckets) AS p,
+                        (n_new + 0.5) / (tot_new + 0.5 * $NBuckets) AS q
+                 FROM hist, totals)),
+         unioned AS (
+           SELECT * FROM per
+           UNION ALL
+           SELECT -1 AS bucket, CAST(sum(n_old) AS BIGINT), CAST(sum(n_new) AS BIGINT),
+                  CAST(sum(psi_micro) AS BIGINT) FROM per)
+         SELECT bucket, n_old, n_new, psi_micro,
+                round(psi_micro / 1e8, 8) AS psi
          FROM unioned
          ORDER BY bucket"""
   )

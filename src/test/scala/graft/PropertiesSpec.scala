@@ -258,6 +258,30 @@ class PropertiesSpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("embedding drift: identical halves score PSI 0; a planted direction shift scores positive") {
+    import spark.implicits._
+    // old half (even ids) and new half (odd ids) are the SAME 8 vectors
+    // → identical cosine-to-centroid buckets → PSI exactly 0 per bucket
+    val base = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0.9f, 0.1f, 0f, 0f), Seq(0.8f, 0.2f, 0f, 0f),
+      Seq(1f, 0.3f, 0f, 0f), Seq(0.7f, 0f, 0.1f, 0f), Seq(0.9f, 0f, 0.2f, 0f),
+      Seq(1f, 0.1f, 0.1f, 0f), Seq(0.8f, 0.1f, 0f, 0.1f))
+    val same = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, v), (2L * i + 1, v)) }
+    val psiSame = graft.queries.Drift
+      .embeddingDriftPsi(same.toDF("vec_id", "embedding"))
+      .collect().find(_.getInt(0) == -1).get.getLong(3)
+    assert(psiSame === 0L, s"identical halves must score 0, got $psiSame")
+    // encoder swap: the new half points along a DIFFERENT axis — the
+    // cosine-to-(old)-centroid mass moves buckets and PSI goes positive
+    val shifted = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, v), (2L * i + 1, Seq(0f, 0f, v(0), v(1)))) }
+    val psiShift = graft.queries.Drift
+      .embeddingDriftPsi(shifted.toDF("vec_id", "embedding"))
+      .collect().find(_.getInt(0) == -1).get.getLong(3)
+    assert(psiShift > 0L, s"planted shift must score positive, got $psiShift")
+  }
+
   test("jsd laws on generated histograms: zero iff identical, symmetric, bounded by ln 2") {
     import spark.implicits._
     val gen = Gen.listOfN(24, Gen.choose(0, 3))
