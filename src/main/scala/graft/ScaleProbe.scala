@@ -1345,13 +1345,18 @@ object ScaleProbe {
         // the read quadratic by construction, not by operator fault)
         val ng = 400L + bIdx * 200L
         val lo = bIdx * 120000L
-        // batch-disjoint block keys (the betweenness probe's disjoint-
-        // replica discipline): block SIZE stays ≤ 16 while block COUNT
-        // — the name dim — grows with every batch
+        // block keys: 80% fresh per batch (block SIZE stays ≤ 16 while
+        // block COUNT — the name dim — grows), 20% REPLAYED from the
+        // previous batch (the edges probe's overlap discipline, advice
+        // r17 #3) so the store's cross-batch fold paths — per-name
+        // summary summation, min-nid representative takeover — execute
+        // at probe scale instead of every name being batch-unique
+        val keyBase = when(lit(bIdx) > 0 && $"id" % 5 === 0,
+          lit((bIdx - 1) * 100000L)).otherwise(lit(bIdx * 100000L))
         val batch = spark.range(lo, lo + 200000L).select(
           $"id".as("p_partkey"),
-          concat(lit("blk"), (lit(bIdx * 100000L) + $"id" % ng).cast("string"),
-            lit(" nn"), (lit(bIdx * 100000L) + $"id" % ng).cast("string"),
+          concat(lit("blk"), (keyBase + $"id" % ng).cast("string"),
+            lit(" nn"), (keyBase + $"id" % ng).cast("string"),
             lit(" v"), (($"id" / ng) % 16).cast("string")).as("p_name"),
           concat(lit("Brand#"), ($"id" % 25).cast("string")).as("p_brand"),
           concat(lit("TYPE "), ($"id" % 11).cast("string")).as("p_type"),

@@ -699,8 +699,12 @@ object Graph {
     coPurchasePairCounts(s, dir).select(col("a"), col("b"))
 
   /** Co-purchase pairs WITH their support (distinct co-occurring orders) —
-    * the count feeds q_graph_components' ≥ 2-support denoised edge rule. */
-  private def coPurchasePairCounts(s: SparkSession, dir: String): DataFrame = {
+    * the count feeds q_graph_components' ≥ 2-support denoised edge rule.
+    * private[graft]: the components-store fixture (queries.Streams)
+    * builds its batch edges from THIS frame, so the stored graph can
+    * never silently desynchronize from the q_graph_components oracle
+    * graph (advice r17 #1 — referenced, not copied). */
+  private[graft] def coPurchasePairCounts(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir)
       .filter(col("l_orderkey") % 4 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -1136,6 +1140,11 @@ object Graph {
   private[graft] def sigma53Shared(s: SparkSession, dir: String,
       ed: DataFrame, radius: Int): (Int => DataFrame, () => Unit) =
     if (java.lang.Boolean.getBoolean("graft.cacheTables")) {
+      // a radius change would pin the superseded per-level set alongside
+      // the new one for the rest of the session (advice r17 #5) — drop
+      // any differently-keyed sigma53 family for this dir first
+      graft.util.Memo.dropPrefixExcept(s, dir, "graph:sigma53_r",
+        s"graph:sigma53_r$radius:")
       val lvls = sigmaLevels(ed, sources53(ed), radius, (t, build) =>
         graft.util.Memo.benchMemo(s, dir, s"graph:sigma53_r$radius:l$t")(
           build()))

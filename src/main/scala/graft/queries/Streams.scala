@@ -124,13 +124,9 @@ object Streams {
   private[queries] def componentsStoreFixture(s: SparkSession, dir: String): String = {
     val out = graft.util.FixtureCache.buildOnce(dir, "lineitem", "ccstore3") {
       staging =>
-        val li = lineitem(s, dir).filter(col("l_orderkey") % 4 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .distinct()
-        val pairs = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-          .agg(count(lit(1)).as("c"))
+        // the SAME graph q_graph_components' oracle walks — the shared
+        // builder, referenced not copied (advice r17 #1)
+        val pairs = graft.operators.Graph.coPurchasePairCounts(s, dir)
           .filter(col("c") >= 2)
           .localCheckpoint()
         for (b <- 0L to 2L)

@@ -29,4 +29,21 @@ object Memo {
       cache.getOrElseUpdate(
         (graft.catalog.Tables.sessionKey(s), dir, what), build.persist())
     else build
+
+  /** Release every pooled frame for (session, dir) whose `what` starts
+    * with `prefix` EXCEPT those matching `keep` — the bounded-residency
+    * lever for parameter-keyed families (e.g. the per-level σ-BFS sets,
+    * keyed by radius: a radius change would otherwise pin the superseded
+    * full set alongside the new one for the rest of the session). Blocks
+    * are unpersisted and the entries removed, so a later request at the
+    * old key rebuilds cleanly. */
+  def dropPrefixExcept(s: SparkSession, dir: String, prefix: String,
+      keep: String): Unit = {
+    val sk = graft.catalog.Tables.sessionKey(s)
+    cache.keys.foreach { case k @ (ks, kd, what) =>
+      if (ks == sk && kd == dir && what.startsWith(prefix) &&
+          !what.startsWith(keep))
+        cache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
 }

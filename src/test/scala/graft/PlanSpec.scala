@@ -672,16 +672,21 @@ class PlanSpec extends SparkSpec {
 
   test("backtest: one events scan feeds all three models — per-step forecast folds, no joins") {
     val p = plan("q_timeseries_backtest")
-    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 2,
-      s"backtest must scan events exactly once (formatted plans list each scan twice) in:\n$p")
+    // upper bound, not an exact doubled-literal count: plan formatting
+    // may list a scan once or twice per node across Spark versions
+    // (advice r17 #4) — the pin is that no SECOND source scan exists
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 2,
+      s"backtest must scan events exactly once in:\n$p")
     assert(!p.contains("Join"),
       s"the origins read prefix states appended by ONE fold per model — no join in:\n$p")
   }
 
   test("viterbi apply: the DP runs on the word dictionary; stats broadcast back to doc words") {
     val p = plan("q_text_viterbi_apply")
-    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 4,
-      s"corpus touched exactly twice (word count + stat fan-out join) in:\n$p")
+    // upper bound (advice r17 #4): ≤ 2 corpus touches (word count +
+    // stat fan-out join), each of which the formatter may list twice
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 4,
+      s"corpus touched at most twice (word count + stat fan-out join) in:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"vocab-sized score/stat frames must broadcast in:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product in:\n$p")
