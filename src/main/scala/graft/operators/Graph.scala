@@ -1155,6 +1155,86 @@ object Graph {
       (t => lvls(t), () => lvls.foreach(releaseCheckpoint))
     }
 
+  /** The %107-sampled WEIGHTED forward pass over the distance slice
+    * graph — the ≤ `rounds`-hop min-union Bellman state (s, v, d) that
+    * q_graph_betweenness_weighted's forward phase IS and
+    * q_graph_harmonic_weighted's whole input is: ONE pass serves both
+    * (the sigma53Shared discipline for the weighted tier). Under the
+    * bench pool each round is memoized individually (persist,
+    * lineage-preserving — the Memo no-embedded-checkpoint contract);
+    * cold paths chain lazy localCheckpoints with a release handle the
+    * caller invokes AFTER materializing its |S|-sized output. */
+  private[graft] def wdist107Shared(s: SparkSession, dir: String,
+      rounds: Int): (DataFrame, DataFrame, () => Unit) = {
+    val ed = sliceEdgesWeighted(s, dir)
+    val sources = ed.select(col("src").as("s")).distinct()
+      .filter(col("s") % 107 === 0)
+    def round(prev: DataFrame): DataFrame =
+      prev.unionByName(broadcast(prev).join(ed, col("v") === col("src"))
+          .select(col("s"), col("dst").as("v"), (col("d") + col("w")).as("d")))
+        .groupBy(col("s"), col("v")).agg(min(col("d")).as("d"))
+    if (java.lang.Boolean.getBoolean("graft.cacheTables")) {
+      var dist = graft.util.Memo.benchMemo(s, dir, s"graph:wdist107_r$rounds:t0")(
+        sources.select(col("s"), col("s").as("v"), lit(0L).as("d")))
+      for (k <- 1 to rounds)
+        dist = graft.util.Memo.benchMemo(s, dir, s"graph:wdist107_r$rounds:t$k")(
+          round(dist))
+      (sources, dist, () => ())
+    } else {
+      val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def pin(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(false); pinned += c; c
+      }
+      var dist = pin(sources.select(col("s"), col("s").as("v"), lit(0L).as("d")))
+      for (_ <- 1 to rounds) dist = pin(round(dist))
+      (sources, dist, () => pinned.foreach(releaseCheckpoint))
+    }
+  }
+
+  /** WEIGHTED harmonic centrality, sampled and hop-bounded — the
+    * weighted twin of the q_graph_harmonic exact anchor (verdict r17
+    * #7): per sampled source, DISTANCE-BUCKETED ball sizes (|{v :
+    * d(s,v) ≤ t·bucket}| for t = 1..3 — the weighted generalization of
+    * HyperBall's per-radius balls [Boldi & Vigna WSDM'13 §4]) and the
+    * exact-integer weighted harmonic sum Σ_{v≠s} (10000 div d(s,v))
+    * over the ≤ `rounds`-hop Bellman reach set. w ≡ 1 with bucket = 1
+    * collapses to hop balls (GraphSpec pins ≡ exactBallSizes). The
+    * |S|·n dist state is the sample-bounded product; everything after
+    * it is ONE |S|-keyed aggregate. At full-graph scale the ball sides
+    * generalize to per-bucket HLL registers on the [[hyperBall]] loop —
+    * the sample anchor is what the oracle checks. */
+  def harmonicWeightedBounded(edges: DataFrame, sources: DataFrame,
+      rounds: Int, bucket: Long = 100L): DataFrame = {
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(false); pinned += c; c
+    }
+    val ed = pin(edges.select(col("src"), col("dst"), col("w")))
+    var dist = pin(sources.select(col("s"), col("s").as("v"), lit(0L).as("d")))
+    for (_ <- 1 to rounds)
+      dist = pin(dist.unionByName(
+          broadcast(dist).join(ed, col("v") === col("src"))
+            .select(col("s"), col("dst").as("v"), (col("d") + col("w")).as("d")))
+        .groupBy(col("s"), col("v")).agg(min(col("d")).as("d")))
+    val out = harmonicFromWdist(dist, bucket).localCheckpoint()
+    pinned.foreach(releaseCheckpoint)
+    out
+  }
+
+  /** The |S|-keyed aggregate over a weighted forward state (s, v, d):
+    * bucketed ball sizes + the e4 harmonic sum. Shared by
+    * [[harmonicWeightedBounded]] and the pool-shared query path. */
+  private[graft] def harmonicFromWdist(dist: DataFrame, bucket: Long): DataFrame =
+    dist.filter(col("v") =!= col("s"))
+      .groupBy(col("s"))
+      .agg(
+        sum(when(col("d") <= bucket, 1L).otherwise(0L)).as("wb1"),
+        sum(when(col("d") <= 2 * bucket, 1L).otherwise(0L)).as("wb2"),
+        sum(when(col("d") <= 3 * bucket, 1L).otherwise(0L)).as("wb3"),
+        sum(expr("10000L div d")).as("h_e4"))
+      .select(col("s").as("source"), col("wb1"), col("wb2"), col("wb3"),
+        col("h_e4"))
+
   /** Exact |B_t(s)| off σ-BFS levels: the levels partition the reach set
     * by first-visit distance, so the ball size is the per-source
     * CUMULATIVE level count — [[exactBallSizes]] recomputed for free
@@ -1292,7 +1372,8 @@ object Graph {
     * @param sources one column `s`.
     * @return (node, b_e4) for every node reached at depth ≥ 1. */
   def betweennessWeightedBounded(edges: DataFrame, sources: DataFrame,
-      rounds: Int, broadcastState: Boolean = true): DataFrame = {
+      rounds: Int, broadcastState: Boolean = true,
+      distShared: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 2, s"rounds must be >= 2, got $rounds")
     // Broadcast arm (round 18, the labelPropagate/hyperBall discipline):
     // every per-source state frame here — dist/dep/sig/del, all keyed
@@ -1327,13 +1408,20 @@ object Graph {
       .repartition(col("src")))
     // 1) per-source bounded relaxation: min-union rounds (the oracle's
     // exact mirror shape — no delta frontier, so round k IS the ≤ k-hop
-    // Bellman state on both engines)
-    var dist = pin(sources.select(col("s"), col("s").as("v"), lit(0L).as("d")))
-    for (_ <- 1 to rounds) {
-      val cand = st(dist).join(ed, col("v") === col("src"))
-        .select(col("s"), col("dst").as("v"), (col("d") + col("w")).as("d"))
-      dist = pin(dist.unionByName(cand)
-        .groupBy(col("s"), col("v")).agg(min(col("d")).as("d")))
+    // Bellman state on both engines). distShared (round 18): the
+    // ≤ rounds-hop Bellman state is also q_graph_harmonic_weighted's
+    // whole input, so the query layer passes the pool-shared frame
+    // ([[wdist107Shared]]) instead of rebuilding — same values by
+    // construction, never pinned or released here.
+    var dist = distShared.getOrElse {
+      var d0 = pin(sources.select(col("s"), col("s").as("v"), lit(0L).as("d")))
+      for (_ <- 1 to rounds) {
+        val cand = st(d0).join(ed, col("v") === col("src"))
+          .select(col("s"), col("dst").as("v"), (col("d") + col("w")).as("d"))
+        d0 = pin(d0.unionByName(cand)
+          .groupBy(col("s"), col("v")).agg(min(col("d")).as("d")))
+      }
+      d0
     }
     // 2) the shortest-path DAG: distance-consistent edges per source
     val dag = pin(ed
@@ -1894,8 +1982,11 @@ object Graph {
     * decreasing-depth iterations of [[betweennessWeightedBounded]]
     * unrolled round for round — every frame keyed (s, v), every value a
     * BIGINT, the dependency quotient // on non-negative operands. */
-  private def betweennessWeightedSql: String = {
-    val r = betweennessRadius
+  /** The weighted-distance forward chain (e0/ed/srcs/d0..dr) —
+    * [[wdist107Shared]]'s oracle mirror, shared by the weighted
+    * betweenness and weighted harmonic oracles exactly as the engine
+    * side shares ONE forward pass. */
+  private def wdistSqlCtes(r: Int): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       """e0 AS MATERIALIZED (
         SELECT x.p AS a, y.p AS b, CAST(100 // count(*) + 1 AS BIGINT) AS w
@@ -1916,6 +2007,27 @@ object Graph {
           SELECT p.s, ed.dst AS v, p.d + ed.w AS d
           FROM d${k - 1} p JOIN ed ON ed.src = p.v)
         GROUP BY s, v)"""
+    ctes.toSeq
+  }
+
+  /** q_graph_harmonic_weighted's oracle: the shared forward chain + the
+    * ONE |S|-keyed aggregate (bucketed ball counts, e4 harmonic sum —
+    * all BIGINT; 10000 // d floors identically on positive operands). */
+  private def harmonicWeightedSql: String = {
+    val r = betweennessRadius
+    "WITH " + wdistSqlCtes(r).mkString(",\n") + s"""
+     SELECT s AS source,
+            CAST(sum(CASE WHEN d <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS wb1,
+            CAST(sum(CASE WHEN d <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS wb2,
+            CAST(sum(CASE WHEN d <= 300 THEN 1 ELSE 0 END) AS BIGINT) AS wb3,
+            CAST(sum(10000 // d) AS BIGINT) AS h_e4
+     FROM d$r WHERE v <> s
+     GROUP BY s ORDER BY source"""
+  }
+
+  private def betweennessWeightedSql: String = {
+    val r = betweennessRadius
+    val ctes = scala.collection.mutable.ArrayBuffer(wdistSqlCtes(r): _*)
     ctes += s"""dag AS MATERIALIZED (
         SELECT du.s, ed.src AS u, ed.dst AS v
         FROM ed
@@ -2514,12 +2626,30 @@ object Graph {
       // %107 sample (half the unweighted query's %53): the weighted
       // forward pass additionally materializes the per-source
       // shortest-path DAG (|S|·m), so the sample is the lever that
-      // keeps it in the same price class as the unweighted twin
-      val sources = ed.select(col("src").as("s")).distinct()
-        .filter(col("s") % 107 === 0)
-      betweennessWeightedBounded(ed, sources, betweennessRadius)
-        .orderBy(col("b_e4").desc, col("node"))
+      // keeps it in the same price class as the unweighted twin.
+      // The Bellman forward state comes from the SHARED pass — under
+      // the bench pool q_graph_harmonic_weighted reads the same frame.
+      val (sources, dist, release) = wdist107Shared(s, dir, betweennessRadius)
+      val out = betweennessWeightedBounded(ed, sources, betweennessRadius,
+        distShared = Some(dist))
+      release()
+      out.orderBy(col("b_e4").desc, col("node"))
         .limit(betweennessTopK)
+    }),
+
+    // WEIGHTED harmonic centrality off the SAME %107 weighted forward
+    // pass (one Bellman state serves betweenness_weighted AND this —
+    // the sigma53 sharing discipline for the weighted tier): per
+    // sampled source, distance-bucketed ball sizes (≤100/200/300 — the
+    // weighted HyperBall generalization's exact anchor) plus the
+    // exact-integer harmonic sum Σ 10000 div d over the 3-hop reach.
+    "q_graph_harmonic_weighted" -> ((s, dir) => {
+      val (_, dist, release) = wdist107Shared(s, dir, betweennessRadius)
+      // |S|-sized, materialized so the release below cannot pull the
+      // cold path's per-round blocks from under the plan
+      val agg = harmonicFromWdist(dist, bucket = 100L).localCheckpoint()
+      release()
+      agg.orderBy(col("source"))
     }),
 
     // WEIGHTED (Ružička min/max) Jaccard over the same multiplicity
@@ -2718,6 +2848,7 @@ object Graph {
     "q_graph_louvain_weighted" -> louvainWeightedSql,
     "q_graph_louvain_multilevel" -> louvainMultiSql,
     "q_graph_betweenness_weighted" -> betweennessWeightedSql,
+    "q_graph_harmonic_weighted" -> harmonicWeightedSql,
     "q_graph_labelprop_weighted" -> labelPropWeightedSql,
     "q_graph_modularity_weighted" -> modularityWeightedSql,
     "q_tvf_communities" -> ("WITH " + lpaCtes.mkString(",\n") +

@@ -536,6 +536,45 @@ class GraphSpec extends SparkSpec {
     assert(wwS === ww, s"shuffle arm diverged: $wwS vs $ww")
   }
 
+  test("harmonicWeightedBounded: w ≡ 1 + bucket 1 collapses to hop balls; weights stretch distances") {
+    import spark.implicits._
+    // path 1-2-3-4 plus branch 2-5, symmetrized; sources 1 and 3
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L))
+    val ed = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val srcs = Seq(1L, 3L).toDF("s")
+    // w ≡ 1, bucket = 1: wb_t must equal the hop-based cumulative ball
+    // size minus the source itself (the hyperball anchor's law)
+    val w1 = Graph.harmonicWeightedBounded(
+        ed.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        srcs, rounds = 3, bucket = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // exactBallSizes emits (s, b, t)
+    val hop = Graph.exactBallSizes(ed, srcs, 3)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Number](2).longValue) -> r.getAs[Number](1).longValue).toMap
+    for (s0 <- Seq(1L, 3L); t <- 1 to 3) {
+      val wb = t match {
+        case 1 => w1(s0)._1; case 2 => w1(s0)._2; case _ => w1(s0)._3
+      }
+      assert(wb === hop((s0, t.toLong)) - 1,
+        s"w≡1 bucket-1 ball at t=$t for source $s0 diverged from hop ball")
+    }
+    // hand-checked harmonic from source 1 (hops 2:1, 3:2, 5:2, 4:3):
+    // 10000 + 5000 + 5000 + 3333 = 23333
+    assert(w1(1L)._4 === 23333L, s"got ${w1(1L)}")
+    // weights stretch the metric: the same graph with w = 10 on every
+    // edge pushes all neighbors past bucket 100's first cell boundary
+    // except direct ones (d = 10 ≤ 100 — all within wb1 here), and the
+    // harmonic sum scales as 10000 div (10·hops)
+    val w10 = Graph.harmonicWeightedBounded(
+        ed.withColumn("w", org.apache.spark.sql.functions.lit(10L)),
+        srcs, rounds = 3, bucket = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // source 1: 10000/10 + 10000/20 + 10000/20 + 10000/30 = 1000+500+500+333
+    assert(w10(1L) === 2333L, s"got $w10")
+  }
+
   test("labelPropagate: two planted cliques converge to two communities; arms agree") {
     import spark.implicits._
     // two 5-cliques bridged by one edge: after 3 rounds each clique
