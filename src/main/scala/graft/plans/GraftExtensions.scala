@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_semantic_dedup(dir, threshold) - SemDeDup keep/prune verdicts over dir's embeddings."),
       (children: Seq[Expression]) => GraftTvf.semanticDedup(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_backtest"),
+      info(GraftTvf.getClass, "graft_backtest",
+        "graft_backtest(dir) - rolling-origin forecast evaluation (holt vs holtwinters vs seasonal-naive) over dir's events."),
+      (children: Seq[Expression]) => GraftTvf.backtest(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_pagerank"),
       info(GraftTvf.getClass, "graft_pagerank",
         "graft_pagerank(dir, iters) - full (node, rank) integer pagerank over dir's part-supplier graph."),

@@ -566,4 +566,20 @@ object GraftTvf {
         dbl(children, 1, fn))
       .queryExecution.analyzed
   }
+
+  /** graft_backtest(dir) — rolling-origin forecast evaluation over
+    * `dir`'s events (the q_timeseries_backtest frame: per event type,
+    * one-step MAE/sMAPE for holt vs holtwinters vs seasonal-naive and
+    * the winning model) — the SQL-surface member of the time series
+    * family (round 18: every other family had a TVF; none of the 16
+    * timeseries queries was reachable from SQL text). Pure plan (one
+    * date-grain aggregate + per-type state folds), safe to build inside
+    * the analyzer — no eager loop, no memo needed. */
+  def backtest(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_backtest"
+    require(children.size == 1, s"$fn(dir) takes 1 argument")
+    val spark = SparkSession.active
+    graft.queries.Timeseries.backtestFrame(spark, str(children, 0, fn))
+      .queryExecution.analyzed
+  }
 }

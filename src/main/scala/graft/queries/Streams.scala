@@ -248,6 +248,15 @@ object Streams {
       s.sql(s"SELECT q_pct, n, r, est_v FROM graft_quantiles('$store', 50, 90, 99) ORDER BY q_pct")
     }),
 
+    // The time-series SQL surface (round 18 — every other family had a
+    // TVF member; none of the 16 timeseries queries was reachable from
+    // SQL text): rolling-origin forecast evaluation through spark.sql
+    // TEXT alone. The TVF splices q_timeseries_backtest's exact frame
+    // (one shared builder — referenced, not copied), so the batch
+    // query's oracle IS this surface's oracle.
+    "q_tvf_backtest" -> ((s, dir) =>
+      s.sql(s"SELECT * FROM graft_backtest('$dir') ORDER BY event_type")),
+
     // 1h tumbling count/sum per event_type.
     "q_stream_tumbling" -> ((s, dir) => {
       import s.implicits._
@@ -364,6 +373,10 @@ object Streams {
     // the store read ≡ the batch recompute, so the batch query's oracle
     // IS this surface's oracle — referenced, not copied
     "q_tvf_entities" -> graft.operators.Dedup.oracle("q_er_entities"),
+
+    // the TVF splices the same frame the batch query builds, so the
+    // batch oracle is this surface's oracle — referenced, not copied
+    "q_tvf_backtest" -> graft.queries.Timeseries.oracle("q_timeseries_backtest"),
 
     // incremental ≡ full recompute, so the batch query's closure IS
     // this surface's oracle — referenced, not copied

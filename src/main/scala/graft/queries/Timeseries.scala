@@ -64,6 +64,92 @@ object Timeseries {
       .map { case (p, r, c, s) => s"($p, $r, $c, $s)" }
       .mkString(",\n             ")
 
+  /** q_timeseries_backtest's frame — shared by the queries entry and the
+    * graft_backtest TVF (round 18: the SQL-surface member of the time
+    * series family). Pure plan, no embedded checkpoints — safe to build
+    * inside the analyzer. */
+  private[graft] def backtestFrame(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+
+      import s.implicits._
+      val B = "4398046511104L"
+      val OFF = "1099511627776L"
+      val lv = s"(x * 10000L + 3L * (a.lv + a.tr) + $B) div 4L - $OFF"
+      val tr = s"(($lv) - a.lv + 3L * a.tr + $B) div 4L - $OFF"
+      val holtAgg = s"""aggregate(transform(sx, e -> e.x),
+          named_struct('n', 0L, 'lv', 0L, 'tr', 0L,
+            'fs', CAST(array() AS ARRAY<BIGINT>)),
+          (a, x) -> IF(a.n = 0L,
+            named_struct('n', 1L, 'lv', x * 10000L, 'tr', 0L,
+              'fs', array(x * 10000L)),
+            named_struct('n', a.n + 1L, 'lv', $lv, 'tr', $tr,
+              'fs', concat(a.fs, array(($lv) + ($tr))))),
+          a -> a.fs)"""
+      val tot = s"(a.ss[0]+a.ss[1]+a.ss[2]+a.ss[3]+a.ss[4]+a.ss[5]+x*10000L)"
+      val lv0 = s"($tot div 7L)"
+      val sOld = "a.ss[CAST(a.n % 7L AS INT)]"
+      val lvN = s"((x*10000L - $sOld + 3L*(a.lv + a.tr) + $B) div 4L - $OFF)"
+      val trN = s"(($lvN - a.lv + 3L*a.tr + $B) div 4L - $OFF)"
+      val sN = s"((x*10000L - $lvN + 3L*$sOld + $B) div 4L - $OFF)"
+      // f1 after state t = a.n+1 reads slot t mod 7, which this step did
+      // NOT rewrite (consecutive mods differ) — so it reads a.ss; at the
+      // init step the algebra collapses to the raw first value a.ss[0]
+      val f1N = s"($lvN + $trN + a.ss[CAST((a.n + 1L) % 7L AS INT)])"
+      val hwAgg = s"""aggregate(transform(sx, e -> e.x),
+          named_struct('n', 0L, 'lv', 0L, 'tr', 0L,
+            'ss', array(0L, 0L, 0L, 0L, 0L, 0L, 0L),
+            'fs', CAST(array() AS ARRAY<BIGINT>)),
+          (a, x) -> IF(a.n < 6L,
+            named_struct('n', a.n + 1L, 'lv', 0L, 'tr', 0L,
+              'ss', transform(a.ss,
+                (v, j) -> IF(CAST(j AS BIGINT) = a.n, x*10000L, v)),
+              'fs', concat(a.fs, array(0L))),
+            IF(a.n = 6L,
+              named_struct('n', 7L, 'lv', $lv0, 'tr', 0L,
+                'ss', transform(a.ss,
+                  (v, j) -> IF(j = 6, x*10000L, v) - $lv0),
+                'fs', concat(a.fs, array(a.ss[0]))),
+              named_struct('n', a.n + 1L, 'lv', $lvN, 'tr', $trN,
+                'ss', transform(a.ss,
+                  (v, j) -> IF(CAST(j AS BIGINT) = a.n % 7L, $sN, v)),
+                'fs', concat(a.fs, array($f1N))))),
+          a -> a.fs)"""
+      def smape(f: String) =
+        s"sum((2L * abs($f - act) * 10000L) div (abs($f) + abs(act))) div count(1)"
+      events(s, dir)
+        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"day", $"x"))).as("sx"))
+        // ≥ 22 days: every origin t ≥ 8 has a live HW state (t ≥ 7) and
+        // a naive reference (t − 6 ≥ 1)
+        .filter(size($"sx") >= 22)
+        .select($"event_type", size($"sx").cast("long").as("n_days"),
+          expr("transform(sx, e -> e.x)").as("xs"),
+          expr(holtAgg).as("fh"), expr(hwAgg).as("fw"))
+        .select($"event_type", $"n_days",
+          explode(sequence($"n_days" - 14, $"n_days" - 1)).as("t"),
+          $"xs", $"fh", $"fw")
+        .select($"event_type", $"n_days",
+          (element_at($"xs", ($"t" + 1).cast("int")) * 10000L).as("act"),
+          element_at($"fh", $"t".cast("int")).as("f_holt"),
+          element_at($"fw", $"t".cast("int")).as("f_hw"),
+          (element_at($"xs", ($"t" - 6).cast("int")) * 10000L).as("f_naive"))
+        .groupBy($"event_type", $"n_days")
+        .agg(count(lit(1)).as("n_origins"),
+          expr("sum(abs(f_holt - act)) div count(1)").as("mae_holt_e4"),
+          expr("sum(abs(f_hw - act)) div count(1)").as("mae_hw_e4"),
+          expr("sum(abs(f_naive - act)) div count(1)").as("mae_naive_e4"),
+          expr(smape("f_holt")).as("smape_holt_e4"),
+          expr(smape("f_hw")).as("smape_hw_e4"),
+          expr(smape("f_naive")).as("smape_naive_e4"))
+        .withColumn("best_model",
+          when($"smape_holt_e4" <= $"smape_hw_e4" &&
+              $"smape_holt_e4" <= $"smape_naive_e4", "holt")
+            .when($"smape_hw_e4" <= $"smape_naive_e4", "holtwinters")
+            .otherwise("seasonal_naive"))
+        .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gap-based batch sessionization: a new session starts when the user
     // is idle >= 30 min. lag → boundary flag → running sum = session id,
@@ -305,86 +391,7 @@ object Timeseries {
     // operands, so div ≡ // everywhere. Same per-key daily-aggregate
     // fold shape as holt/holtwinters; the oracle reads the SAME
     // recursions at every rn instead of only the last.
-    "q_timeseries_backtest" -> ((s, dir) => {
-      import s.implicits._
-      val B = "4398046511104L"
-      val OFF = "1099511627776L"
-      val lv = s"(x * 10000L + 3L * (a.lv + a.tr) + $B) div 4L - $OFF"
-      val tr = s"(($lv) - a.lv + 3L * a.tr + $B) div 4L - $OFF"
-      val holtAgg = s"""aggregate(transform(sx, e -> e.x),
-          named_struct('n', 0L, 'lv', 0L, 'tr', 0L,
-            'fs', CAST(array() AS ARRAY<BIGINT>)),
-          (a, x) -> IF(a.n = 0L,
-            named_struct('n', 1L, 'lv', x * 10000L, 'tr', 0L,
-              'fs', array(x * 10000L)),
-            named_struct('n', a.n + 1L, 'lv', $lv, 'tr', $tr,
-              'fs', concat(a.fs, array(($lv) + ($tr))))),
-          a -> a.fs)"""
-      val tot = s"(a.ss[0]+a.ss[1]+a.ss[2]+a.ss[3]+a.ss[4]+a.ss[5]+x*10000L)"
-      val lv0 = s"($tot div 7L)"
-      val sOld = "a.ss[CAST(a.n % 7L AS INT)]"
-      val lvN = s"((x*10000L - $sOld + 3L*(a.lv + a.tr) + $B) div 4L - $OFF)"
-      val trN = s"(($lvN - a.lv + 3L*a.tr + $B) div 4L - $OFF)"
-      val sN = s"((x*10000L - $lvN + 3L*$sOld + $B) div 4L - $OFF)"
-      // f1 after state t = a.n+1 reads slot t mod 7, which this step did
-      // NOT rewrite (consecutive mods differ) — so it reads a.ss; at the
-      // init step the algebra collapses to the raw first value a.ss[0]
-      val f1N = s"($lvN + $trN + a.ss[CAST((a.n + 1L) % 7L AS INT)])"
-      val hwAgg = s"""aggregate(transform(sx, e -> e.x),
-          named_struct('n', 0L, 'lv', 0L, 'tr', 0L,
-            'ss', array(0L, 0L, 0L, 0L, 0L, 0L, 0L),
-            'fs', CAST(array() AS ARRAY<BIGINT>)),
-          (a, x) -> IF(a.n < 6L,
-            named_struct('n', a.n + 1L, 'lv', 0L, 'tr', 0L,
-              'ss', transform(a.ss,
-                (v, j) -> IF(CAST(j AS BIGINT) = a.n, x*10000L, v)),
-              'fs', concat(a.fs, array(0L))),
-            IF(a.n = 6L,
-              named_struct('n', 7L, 'lv', $lv0, 'tr', 0L,
-                'ss', transform(a.ss,
-                  (v, j) -> IF(j = 6, x*10000L, v) - $lv0),
-                'fs', concat(a.fs, array(a.ss[0]))),
-              named_struct('n', a.n + 1L, 'lv', $lvN, 'tr', $trN,
-                'ss', transform(a.ss,
-                  (v, j) -> IF(CAST(j AS BIGINT) = a.n % 7L, $sN, v)),
-                'fs', concat(a.fs, array($f1N))))),
-          a -> a.fs)"""
-      def smape(f: String) =
-        s"sum((2L * abs($f - act) * 10000L) div (abs($f) + abs(act))) div count(1)"
-      events(s, dir)
-        .groupBy($"event_type", $"ts".cast("timestamp").cast("date").as("day"))
-        .agg(count(lit(1)).as("x"))
-        .groupBy($"event_type")
-        .agg(sort_array(collect_list(struct($"day", $"x"))).as("sx"))
-        // ≥ 22 days: every origin t ≥ 8 has a live HW state (t ≥ 7) and
-        // a naive reference (t − 6 ≥ 1)
-        .filter(size($"sx") >= 22)
-        .select($"event_type", size($"sx").cast("long").as("n_days"),
-          expr("transform(sx, e -> e.x)").as("xs"),
-          expr(holtAgg).as("fh"), expr(hwAgg).as("fw"))
-        .select($"event_type", $"n_days",
-          explode(sequence($"n_days" - 14, $"n_days" - 1)).as("t"),
-          $"xs", $"fh", $"fw")
-        .select($"event_type", $"n_days",
-          (element_at($"xs", ($"t" + 1).cast("int")) * 10000L).as("act"),
-          element_at($"fh", $"t".cast("int")).as("f_holt"),
-          element_at($"fw", $"t".cast("int")).as("f_hw"),
-          (element_at($"xs", ($"t" - 6).cast("int")) * 10000L).as("f_naive"))
-        .groupBy($"event_type", $"n_days")
-        .agg(count(lit(1)).as("n_origins"),
-          expr("sum(abs(f_holt - act)) div count(1)").as("mae_holt_e4"),
-          expr("sum(abs(f_hw - act)) div count(1)").as("mae_hw_e4"),
-          expr("sum(abs(f_naive - act)) div count(1)").as("mae_naive_e4"),
-          expr(smape("f_holt")).as("smape_holt_e4"),
-          expr(smape("f_hw")).as("smape_hw_e4"),
-          expr(smape("f_naive")).as("smape_naive_e4"))
-        .withColumn("best_model",
-          when($"smape_holt_e4" <= $"smape_hw_e4" &&
-              $"smape_holt_e4" <= $"smape_naive_e4", "holt")
-            .when($"smape_hw_e4" <= $"smape_naive_e4", "holtwinters")
-            .otherwise("seasonal_naive"))
-        .orderBy($"event_type")
-    }),
+    "q_timeseries_backtest" -> ((s, dir) => backtestFrame(s, dir)),
 
     // Forward-fill imputation (LOCF): daily per-type count of high-value
     // events (value > 250 — 96 of the 150 (type, day) cells are empty at

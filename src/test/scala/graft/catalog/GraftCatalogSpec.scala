@@ -310,6 +310,16 @@ class GraftCatalogSpec extends SparkSpec {
     assert(n2 === 5L, "new batch must re-resolve the memoized plan")
   }
 
+  test("TVF surface: graft_backtest splices the forecast evaluation into SQL ≡ the API frame") {
+    val sql = spark.sql(
+      s"SELECT * FROM graft_backtest('${sf()}') ORDER BY event_type")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.queries.Timeseries.backtestFrame(spark, sf())
+      .orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+    assert(sql === api && sql.nonEmpty,
+      "graft_backtest must serve the exact q_timeseries_backtest frame")
+  }
+
   test("TVF surface: graft_entities serves canonical entities off the store ≡ the API read") {
     import spark.implicits._
     val estore =
