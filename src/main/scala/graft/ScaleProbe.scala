@@ -815,6 +815,46 @@ object ScaleProbe {
       }
     }
 
+    // Lloyd k-means (round 18 — q_cluster_kmeans's production path):
+    // corpus replicated N× with sign-flipped dimension masks (new
+    // directions, so the codebook has real work at every mult). Cost
+    // model: init ONE TakeOrdered + driver farthest-first; each iter
+    // ONE narrow assignment pass + ONE (cluster, pos)-keyed agg whose
+    // output is k·dim rows — sec should track vectors near-linearly,
+    // and k ∝ n is the SemDeDup sizing rule (cells stay constant).
+    if (want("kmeans")) {
+      val embK0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      def corpusOf(m: Int) = (0 until m).map { i =>
+        embK0.select(
+          ($"vec_id" + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform($"embedding", (x, d) =>
+            (x * when(pmod(hash(lit(i), d), lit(2)) === 0, 1.0f)
+              .otherwise(-1.0f)).cast("float")).as("embedding"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      graft.operators.Ann.kmeansPortable(corpusOf(1), 8, 1) // warm
+      // two cost lines: fixed k isolates the linear-in-n term (one
+      // narrow pass + one k·dim agg per iter); k ∝ n (the SemDeDup
+      // sizing rule — constant cells) makes per-vector work grow with
+      // k, i.e. the n·k product — measured honestly as such. The
+      // codebook-in-expression argmax is the k ≲ few-hundred regime;
+      // larger k moves centroids table-side behind an IVF coarse layer
+      // (the Ann.route shape), which caps per-vector scoring at
+      // nprobe·(k/cells) regardless of k.
+      for ((m, k) <- Seq((1, 8), (4, 8), (16, 8), (4, 32), (16, 128))) {
+        val c = corpusOf(m)
+        val n = c.count()
+        val t0 = System.nanoTime()
+        val cb = graft.operators.Ann.kmeansPortable(c, k, 3)
+        val t = (System.nanoTime() - t0) / 1e9
+        val ta0 = System.nanoTime()
+        val cells = graft.operators.Ann.assignPortable(c, cb)
+          .select($"cluster").distinct().count()
+        val ta = (System.nanoTime() - ta0) / 1e9
+        println(f"""{"probe":"kmeans","mult":$m,"vectors":$n,"k":$k,"cells":$cells,"fit_sec":$t%.2f,"assign_sec":$ta%.2f}""")
+      }
+    }
+
     // round-8 continuation: BM25 — documents replicated N× verbatim with
     // remapped ids (no disjoint-vocab prefixing: retrieval doesn't pair
     // docs, and the postings of the fixed query must grow with the
