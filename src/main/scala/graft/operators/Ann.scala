@@ -1149,10 +1149,21 @@ object Ann {
     * round-by-round from the same constants (the q_ann_descent recipe),
     * so a drift anywhere in the fixpoint — a seed pick, one mean, one
     * argmax tie — moves a fingerprint or a count. */
-  private def kmeansOracleQuery(s: SparkSession, dir: String): DataFrame = {
+  private def kmeansOracleQuery(s: SparkSession, dir: String): DataFrame =
+    kmeansFrame(s, dir, kmK, kmIters)
+
+  /** The (cluster, n, cent_fp) cell-summary frame — shared by
+    * q_cluster_kmeans and the graft_kmeans TVF (one builder, SQL ≡ API
+    * pinned in GraftCatalogSpec). Only the checked constants (kmK,
+    * kmIters) ride the codebook memo — other parameterizations compute
+    * fresh. */
+  private[graft] def kmeansFrame(s: SparkSession, dir: String,
+      k: Int, iters: Int): DataFrame = {
     import s.implicits._
     val corpus = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cb = kmeansPortableMemo(s, dir, corpus, kmK, kmIters)
+    val cb =
+      if (k == kmK && iters == kmIters) kmeansPortableMemo(s, dir, corpus, k, iters)
+      else kmeansPortable(corpus, k, iters)
     val counts = assignPortable(corpus, cb)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
     val cbDf = cb.map { case (i, c) =>

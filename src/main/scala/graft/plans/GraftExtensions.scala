@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_semantic_dedup(dir, threshold) - SemDeDup keep/prune verdicts over dir's embeddings."),
       (children: Seq[Expression]) => GraftTvf.semanticDedup(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_kmeans"),
+      info(GraftTvf.getClass, "graft_kmeans",
+        "graft_kmeans(dir, k, iters) - Lloyd k-means cell summaries (cluster, n, centroid fingerprint) over dir's embeddings."),
+      (children: Seq[Expression]) => GraftTvf.kmeansTvf(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_backtest"),
       info(GraftTvf.getClass, "graft_backtest",
         "graft_backtest(dir) - rolling-origin forecast evaluation (holt vs holtwinters vs seasonal-naive) over dir's events."),

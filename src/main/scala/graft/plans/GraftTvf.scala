@@ -567,6 +567,24 @@ object GraftTvf {
       .queryExecution.analyzed
   }
 
+  /** graft_kmeans(dir, k, iters) — Lloyd k-means cell summaries
+    * (cluster, n, e4 centroid fingerprint) over `dir`'s embeddings —
+    * the clustering tier's SQL surface (the q_cluster_kmeans frame
+    * parameterized). Eager-loop contract like [[pagerank]]: the
+    * fixpoint's per-round collects run at RESOLUTION, the memoized
+    * plan serves the 8-row summary. */
+  def kmeansTvf(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_kmeans"
+    require(children.size == 3, s"$fn(dir, k, iters) takes 3 arguments")
+    val spark = SparkSession.active
+    val dir = str(children, 0, fn)
+    val k = int(children, 1, fn)
+    val iters = int(children, 2, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "embeddings")}|$k|$iters") {
+      graft.operators.Ann.kmeansFrame(spark, dir, k, iters).localCheckpoint()
+    }
+  }
+
   /** graft_backtest(dir) — rolling-origin forecast evaluation over
     * `dir`'s events (the q_timeseries_backtest frame: per event type,
     * one-step MAE/sMAPE for holt vs holtwinters vs seasonal-naive and

@@ -248,6 +248,15 @@ object Streams {
       s.sql(s"SELECT q_pct, n, r, est_v FROM graft_quantiles('$store', 50, 90, 99) ORDER BY q_pct")
     }),
 
+    // The clustering-tier SQL surface (round 18): Lloyd k-means cell
+    // summaries through spark.sql TEXT alone, at the checked constants
+    // (k=8, iters=3) so the TVF serves q_cluster_kmeans's exact frame
+    // (one shared builder — referenced, not copied) and the batch
+    // query's unrolled-CTE oracle is this surface's oracle.
+    "q_tvf_kmeans" -> ((s, dir) =>
+      s.sql(s"SELECT cluster, n, cent_fp FROM graft_kmeans('$dir', 8, 3) " +
+        "ORDER BY cluster")),
+
     // The time-series SQL surface (round 18 — every other family had a
     // TVF member; none of the 16 timeseries queries was reachable from
     // SQL text): rolling-origin forecast evaluation through spark.sql
@@ -377,6 +386,10 @@ object Streams {
     // the TVF splices the same frame the batch query builds, so the
     // batch oracle is this surface's oracle — referenced, not copied
     "q_tvf_backtest" -> graft.queries.Timeseries.oracle("q_timeseries_backtest"),
+
+    // same-frame-by-construction: the TVF runs kmeansFrame at the
+    // checked constants, so the unrolled-fixpoint oracle is shared
+    "q_tvf_kmeans" -> graft.operators.Ann.oracle("q_cluster_kmeans"),
 
     // incremental ≡ full recompute, so the batch query's closure IS
     // this surface's oracle — referenced, not copied

@@ -320,6 +320,16 @@ class GraftCatalogSpec extends SparkSpec {
       "graft_backtest must serve the exact q_timeseries_backtest frame")
   }
 
+  test("TVF surface: graft_kmeans serves Lloyd cell summaries from plain SQL ≡ the API frame") {
+    val sql = spark.sql(
+      s"SELECT cluster, n, cent_fp FROM graft_kmeans('${sf()}', 8, 3) ORDER BY cluster")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.operators.Ann.kmeansFrame(spark, sf(), 8, 3)
+      .collect().map(_.toSeq).toSeq
+    assert(sql === api && sql.size === 8,
+      "graft_kmeans must serve the exact q_cluster_kmeans frame")
+  }
+
   test("TVF surface: graft_entities serves canonical entities off the store ≡ the API read") {
     import spark.implicits._
     val estore =
