@@ -54,6 +54,7 @@ object SparkEntry {
       (IngestQ.queries, IngestQ.oracle),
       (Dedup.queries, Dedup.oracle),
       (graft.operators.Ann.queries, graft.operators.Ann.oracle),
+      (graft.operators.Cluster.queries, graft.operators.Cluster.oracle),
       (graft.operators.Freq.queries, graft.operators.Freq.oracle),
       (graft.operators.Graph.queries, graft.operators.Graph.oracle),
       (graft.operators.Vocab.queries, graft.operators.Vocab.oracle),

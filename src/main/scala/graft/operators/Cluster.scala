@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Tables
+import graft.queries.Sim
+
+/** Density-based clustering over the embeddings table — the clustering
+  * tier's DENSITY member beside the centroid member (q_cluster_kmeans):
+  * k-means finds convex cells around learned centroids; DBSCAN [Ester et
+  * al., KDD'96] finds arbitrarily-shaped dense regions and — unlike any
+  * centroid method — a first-class NOISE verdict, which is exactly the
+  * outlier-exclusion a curation pipeline wants before the SemDeDup prune
+  * (a vector with no dense neighborhood is not a duplicate of anything;
+  * pruning or keeping it on cluster evidence is meaningless).
+  *
+  * Reference analog: none (*ext*, north-star clustering tier — the
+  * reference's ETL has no clustering surface; SURVEY §2B).
+  *
+  * Every rule is deterministic, so the whole fixpoint runs under the
+  * DuckDB oracle (the q_cluster_kmeans discipline):
+  *
+  *   - neighborhood: u ~ v  iff  round(cos(u,v), 4) ≥ eps, u ≠ v — the
+  *     4dp-rounded `graft_cosine` kernel q_dedup_embed already proves
+  *     portable engine-to-engine.
+  *   - core: deg(v) + 1 ≥ minPts (the point itself counts — KDD'96's
+  *     |N_eps(p)| ≥ MinPts with p ∈ N_eps(p)).
+  *   - clusters: connected components of the core-core subgraph
+  *     (density-connectedness restricted to cores), labeled by smallest
+  *     member vec_id; an isolated core keeps its own id.
+  *   - border: non-core with ≥ 1 core neighbor, assigned the SMALLEST
+  *     core-neighbor cluster label — the deterministic replacement for
+  *     KDD'96's first-scan-wins order dependence (same device as
+  *     semanticDedup's keep-min-id).
+  *   - noise: everything else, cluster −1 (integer sentinel, never NULL —
+  *     the store-pattern null-sentinel hazard).
+  */
+object Cluster {
+
+  /** Checked constants: cosine ≥ 0.3 neighborhoods, minPts 8 — at the
+    * fixture SFs this exercises all three roles and a multi-cluster
+    * core subgraph (18 clusters at sf0.001, 8 at sf0.01). */
+  private val dbEps = 0.3
+  private val dbMinPts = 8
+
+  /** DBSCAN over the cosine eps-graph of `embs` (vec_id, embedding).
+    *
+    * Plan shape: ONE n² pair join builds the eps-graph (the exact,
+    * oracle-checkable anchor — embeddings fixtures are ≤ 2k rows); the
+    * rest is edge-frame algebra: a degree hash-agg, a broadcast-filtered
+    * core subgraph, [[Components.connectedComponents]] (union-find under
+    * `driverEdgeCap`, distributed min-label + pointer-jumping above it),
+    * and one more broadcast join for border assignment. The symmetrized
+    * eps-graph materializes ONCE (localCheckpoint) and feeds all three
+    * consumers (degree, core subgraph, border assignment).
+    *
+    * 100 TB posture: everything downstream of the pair join is bounded
+    * by the eps-graph (edge frame) and the node-sized core/cluster
+    * frames — broadcast-scale by construction. The pair join itself is
+    * the only quadratic stage, and it is exactly the stage the ANN tier
+    * replaces at scale: eps-neighborhood candidates from the IVF/LSH
+    * bucket route ([[Ann]] codebook cells, [[Dedup.embeddingNearDups]]'s
+    * documented scale path) feed the same downstream algebra unchanged —
+    * candidate recall is the one approximation, confined to edge
+    * discovery, never to the component/role fixpoint.
+    *
+    * @param embs (vec_id BIGINT, embedding ARRAY<FLOAT>), distinct ids.
+    * @return (vec_id, deg, role core|border|noise, cluster; −1 = noise),
+    *         one row per input vector, unordered. */
+  def dbscan(embs: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val pairs = e.select(col("vec_id").as("u"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("v"), col("embedding").as("vb")),
+        col("u") < col("v"))
+      .filter(round(Sim.cosine(col("va"), col("vb")), 4) >= eps)
+      .select(col("u"), col("v"))
+    // symmetrize once; three consumers read the materialized blocks
+    val sym = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = e.select(col("vec_id"))
+      .join(sym.groupBy(col("u").as("vec_id"))
+          .agg(count(lit(1)).as("deg")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"))
+    val core = deg.filter(col("deg") + 1 >= minPts).select(col("vec_id"))
+    // core-core subgraph: the node-sized core set broadcasts into the
+    // edge frame twice — edges never shuffle for the restriction
+    val ce = sym
+      .join(broadcast(core.select(col("vec_id").as("u"))), Seq("u"))
+      .join(broadcast(core.select(col("vec_id").as("v"))), Seq("v"))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val comp = Components.connectedComponents(ce)
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val coreClusters = core
+      .join(comp.select(col("id").as("vec_id"), col("component")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+      .localCheckpoint()
+    // border assignment: smallest core-neighbor cluster (deterministic)
+    val borderClusters = sym
+      .join(broadcast(coreClusters.select(col("vec_id").as("v"),
+          col("cluster").as("ncluster"))),
+        Seq("v"))
+      .groupBy(col("u").as("vec_id"))
+      .agg(min(col("ncluster")).as("bcluster"))
+    deg
+      .join(broadcast(coreClusters.select(col("vec_id"),
+          col("cluster").as("ccluster"))),
+        Seq("vec_id"), "left")
+      .join(broadcast(borderClusters), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg"),
+        when(col("ccluster").isNotNull, lit("core"))
+          .when(col("bcluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("ccluster"), col("bcluster"), lit(-1L)).as("cluster"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-vector density verdict over the FULL embeddings table at the
+    // checked constants — every vector gets (deg, role, cluster), so the
+    // oracle checks the eps-graph, the core rule, the component fixpoint
+    // AND the border/noise assignment row by row.
+    "q_cluster_dbscan" -> ((s, dir) =>
+      dbscan(Tables.embeddings(s, dir), dbEps, dbMinPts)
+        .orderBy(col("vec_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cluster_dbscan" ->
+      s"""WITH RECURSIVE
+         ev AS MATERIALIZED (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nv AS MATERIALIZED (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM ev),
+         pe AS MATERIALIZED (
+           SELECT a.vec_id AS u, b.vec_id AS w
+           FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+           WHERE round(list_sum(list_transform(list_zip(a.v, b.v),
+                         x -> x[1] * x[2])) / (a.nrm * b.nrm), 4) >= $dbEps),
+         sym AS MATERIALIZED (
+           SELECT u, w FROM pe UNION ALL SELECT w AS u, u AS w FROM pe),
+         dg AS MATERIALIZED (
+           SELECT e.vec_id, coalesce(d.deg, 0) AS deg
+           FROM ev e LEFT JOIN (
+             SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u) d
+             ON d.u = e.vec_id),
+         co AS MATERIALIZED (SELECT vec_id FROM dg WHERE deg + 1 >= $dbMinPts),
+         ce AS MATERIALIZED (
+           SELECT s.u, s.w FROM sym s
+           JOIN co a ON s.u = a.vec_id
+           JOIN co b ON s.w = b.vec_id),
+         lbl(node, l) AS (
+           SELECT u, u FROM ce
+           UNION
+           SELECT ce.w, lbl.l FROM lbl JOIN ce ON ce.u = lbl.node
+           WHERE lbl.l < ce.w),
+         comp AS MATERIALIZED (
+           SELECT node, min(l) AS component FROM lbl GROUP BY node),
+         cc AS MATERIALIZED (
+           SELECT c.vec_id, coalesce(p.component, c.vec_id) AS cluster
+           FROM co c LEFT JOIN comp p ON p.node = c.vec_id),
+         bc AS MATERIALIZED (
+           SELECT s.u AS vec_id, min(k.cluster) AS bcluster
+           FROM sym s JOIN cc k ON s.w = k.vec_id GROUP BY s.u)
+         SELECT d.vec_id, d.deg,
+                CASE WHEN c.vec_id IS NOT NULL THEN 'core'
+                     WHEN b.vec_id IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                CASE WHEN c.vec_id IS NOT NULL THEN c.cluster
+                     WHEN b.vec_id IS NOT NULL THEN b.bcluster
+                     ELSE -1 END AS cluster
+         FROM dg d
+         LEFT JOIN cc c ON c.vec_id = d.vec_id
+         LEFT JOIN bc b ON b.vec_id = d.vec_id
+         ORDER BY d.vec_id"""
+  )
+}
