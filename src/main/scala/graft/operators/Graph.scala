@@ -1348,6 +1348,112 @@ object Graph {
     out
   }
 
+  /** The ≤ `rounds`-hop min-union Bellman state, driver-side: the exact
+    * mirror of [[wdist107Shared]]'s round — full min-union each round
+    * (round k IS the ≤ k-hop state), integer distances. */
+  private def driverBellman(ed: Array[(Long, Long, Long)], sources: Array[Long],
+      rounds: Int): Array[(Long, Long, Long)] = {
+    val adj = new scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    ed.foreach { case (u, v, w) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += ((v, w))
+    }
+    var dist = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    sources.foreach(s => dist((s, s)) = 0L)
+    for (_ <- 1 to rounds) {
+      val next = dist.clone()
+      dist.foreach { case ((s, v), d) =>
+        adj.get(v).foreach(_.foreach { case (dst, w) =>
+          val nd = d + w
+          val k = (s, dst)
+          if (nd < next.getOrElse(k, Long.MaxValue)) next(k) = nd
+        })
+      }
+      dist = next
+    }
+    dist.iterator.map { case ((s, v), d) => (s, v, d) }.toArray
+  }
+
+  /** Driver-side DAG/depth/σ/δ phase of [[betweennessWeightedBounded]] —
+    * step-for-step the distributed loops below (each step reads the
+    * PRE-STEP snapshot, exactly as each frame join reads the previous
+    * iteration's frame), all-integer, so the two arms are row-identical
+    * (GraphSpec pins it). */
+  private def driverSigmaDelta(ed: Array[(Long, Long, Long)],
+      distArr: Array[(Long, Long, Long)], rounds: Int,
+      spark: SparkSession): DataFrame = {
+    import scala.collection.mutable.{ArrayBuffer, HashMap}
+    val dist = HashMap.empty[(Long, Long), Long]
+    val byNode = HashMap.empty[Long, ArrayBuffer[(Long, Long)]] // v -> (s, d)
+    distArr.foreach { case (s, v, d) =>
+      dist((s, v)) = d
+      byNode.getOrElseUpdate(v, ArrayBuffer.empty) += ((s, d))
+    }
+    // the shortest-path DAG: distance-consistent edges per source
+    val inE = HashMap.empty[(Long, Long), ArrayBuffer[Long]]  // (s,v) -> us
+    val outE = HashMap.empty[(Long, Long), ArrayBuffer[Long]] // (s,u) -> vs
+    ed.foreach { case (u, v, w) =>
+      byNode.get(u).foreach(_.foreach { case (s, du) =>
+        if (dist.get((s, v)).contains(du + w)) {
+          inE.getOrElseUpdate((s, v), ArrayBuffer.empty) += u
+          outE.getOrElseUpdate((s, u), ArrayBuffer.empty) += v
+        }
+      })
+    }
+    // DAG hop depth: `rounds` rounds of max-propagation off the snapshot
+    var dep = HashMap.empty[(Long, Long), Long]
+    distArr.foreach { case (s, v, d) => if (v == s && d == 0L) dep((s, s)) = 0L }
+    for (_ <- 1 to rounds) {
+      val next = dep.clone()
+      dep.foreach { case ((s, u), du) =>
+        outE.get((s, u)).foreach(_.foreach { v =>
+          val k = (s, v)
+          if (du + 1 > next.getOrElse(k, Long.MinValue)) next(k) = du + 1
+        })
+      }
+      dep = next
+    }
+    // σ settled depth by depth; step t reads the pre-step σ only (a
+    // same-depth in-edge — the over-budget path — contributes nothing)
+    val byDepth = HashMap.empty[Long, ArrayBuffer[(Long, Long)]]
+    dep.foreach { case (k, t) => byDepth.getOrElseUpdate(t, ArrayBuffer.empty) += k }
+    val sig = HashMap.empty[(Long, Long), Long]
+    dep.foreach { case ((s, v), t) => if (t == 0L) sig((s, v)) = 1L }
+    for (t <- 1 to rounds) {
+      val step = ArrayBuffer.empty[((Long, Long), Long)]
+      byDepth.get(t.toLong).foreach(_.foreach { case (s, v) =>
+        var sum = 0L; var any = false
+        inE.get((s, v)).foreach(_.foreach { u =>
+          sig.get((s, u)).foreach { su => sum += su; any = true }
+        })
+        if (any) step += (((s, v), sum))
+      })
+      step.foreach { case (k, x) => sig(k) = x }
+    }
+    // δ by decreasing depth: horizon 0; each shallower depth accumulates
+    // the e4 quotient through its settled (deeper, pre-step) successors
+    val del = HashMap.empty[(Long, Long), Long]
+    byDepth.get(rounds.toLong).foreach(_.foreach(k => del(k) = 0L))
+    for (t <- (rounds - 1) to 1 by -1) {
+      val step = ArrayBuffer.empty[((Long, Long), Long)]
+      byDepth.get(t.toLong).foreach(_.foreach { case (s, v) =>
+        var delta = 0L
+        sig.get((s, v)).foreach { sv =>
+          outE.get((s, v)).foreach(_.foreach { w2 =>
+            for (dw <- del.get((s, w2)); sw <- sig.get((s, w2)))
+              delta += sv * (10000L + dw) / sw
+          })
+        }
+        step += (((s, v), delta))
+      })
+      step.foreach { case (k, x) => del(k) = x }
+    }
+    val agg = HashMap.empty[Long, Long]
+    del.foreach { case ((_, v), x) => agg(v) = agg.getOrElse(v, 0L) + x }
+    spark.createDataFrame(agg.toSeq.map { case (v, x) => (v, x) })
+      .toDF("node", "b_e4")
+  }
+
   /** WEIGHTED sampled Brandes betweenness, hop-bounded — the weighted
     * twin of [[betweennessBounded]] (completing the tier's weighted
     * pairs: pagerank/sssp/kcore/jaccard/labelprop/modularity all have
@@ -1373,8 +1479,43 @@ object Graph {
     * @return (node, b_e4) for every node reached at depth ≥ 1. */
   def betweennessWeightedBounded(edges: DataFrame, sources: DataFrame,
       rounds: Int, broadcastState: Boolean = true,
-      distShared: Option[DataFrame] = None): DataFrame = {
+      distShared: Option[DataFrame] = None,
+      driverCap: Long = 1000000L): DataFrame = {
     require(rounds >= 2, s"rounds must be >= 2, got $rounds")
+    require(driverCap < Int.MaxValue, "driverCap must fit an Int limit")
+    // Driver arm (round 18 — the [[Components.connectedComponents]]
+    // driverEdgeCap discipline): every frame this operator iterates on
+    // is sample-bounded — |S|·n state, |S|·m DAG, the edge list itself —
+    // and the distributed form's cost was measured to be ~14 SEQUENTIAL
+    // tiny stages of scheduling latency, not data (sf0.1: dist 85k rows,
+    // DAG 87k rows — megabytes). Under `driverCap` the edge and dist
+    // frames collect once and the whole DAG/depth/σ/δ fixpoint runs as
+    // plain integer loops in ONE job's worth of work; the identical-
+    // semantics distributed path below stays the over-cap fallback
+    // (GraphSpec pins three-arm equality). Pass driverCap = 0 to force
+    // the distributed form.
+    if (driverCap > 0) {
+      val capI = driverCap.toInt
+      val edTake = edges.select(col("src"), col("dst"), col("w"))
+        .limit(capI + 1).collect()
+      if (edTake.length <= driverCap) {
+        val edArr = edTake.map(r => (r.getAs[Number](0).longValue,
+          r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+        val distArr: Array[(Long, Long, Long)] = distShared match {
+          case Some(d) =>
+            val t = d.limit(capI + 1).collect()
+            if (t.length > driverCap) null
+            else t.map(r => (r.getAs[Number](0).longValue,
+              r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+          case None =>
+            val src = sources.select(col("s")).collect()
+              .map(_.getAs[Number](0).longValue)
+            driverBellman(edArr, src, rounds)
+        }
+        if (distArr != null)
+          return driverSigmaDelta(edArr, distArr, rounds, edges.sparkSession)
+      }
+    }
     // Broadcast arm (round 18, the labelPropagate/hyperBall discipline):
     // every per-source state frame here — dist/dep/sig/del, all keyed
     // (s, v) — is |S|·n-bounded, and |S| is the query's sample lever, so

@@ -528,12 +528,23 @@ class GraphSpec extends SparkSpec {
     // (DAG 1→2→3 at d = 10, 11): δ(2) = 1e4. Endpoints 3, 4 broker 0.
     assert(ww(5L) === 20000L && ww(6L) === 10000L, s"got $ww")
     assert(ww(2L) === 10000L && ww(3L) === 0L && ww(4L) === 0L, s"got $ww")
-    // arm equality (round 18): the shuffle-join fallback — the
-    // state-too-big-to-broadcast form — is row-for-row the broadcast arm
+    // three-arm equality (round 18): the default DRIVER arm (computed
+    // above — the sample-bounded-state fast path), the distributed
+    // broadcast arm, and the shuffle-join fallback are row-for-row equal
+    val wwB = Graph.betweennessWeightedBounded(edw, Seq(1L).toDF("s"), 3,
+        driverCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wwB === ww, s"broadcast arm diverged: $wwB vs $ww")
     val wwS = Graph.betweennessWeightedBounded(edw, Seq(1L).toDF("s"), 3,
-        broadcastState = false)
+        broadcastState = false, driverCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(wwS === ww, s"shuffle arm diverged: $wwS vs $ww")
+    // and on the asymmetric-weight multi-source shape: driver ≡ broadcast
+    val ms = Graph.betweennessWeightedBounded(edw, srcs, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val msB = Graph.betweennessWeightedBounded(edw, srcs, 3, driverCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ms === msB, s"driver arm diverged on multi-source: $ms vs $msB")
   }
 
   test("harmonicWeightedBounded: w ≡ 1 + bucket 1 collapses to hop balls; weights stretch distances") {
