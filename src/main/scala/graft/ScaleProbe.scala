@@ -1299,7 +1299,11 @@ object ScaleProbe {
           .filter($"s" % 53 === 0)
         val nS = sources.count()
         val t0 = System.nanoTime()
-        val out = graft.operators.Graph.betweennessBounded(ed, sources, 3)
+        // driverCap = 0: the probe's claim is the DISTRIBUTED arm's
+        // scaling line (the driver arm would otherwise serve the small
+        // multiplicities and put an arm-switch cliff mid-line)
+        val out = graft.operators.Graph.betweennessBounded(ed, sources, 3,
+            driverCap = 0L)
           .count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"betweenness","mult":$m,"edges":$nE,"sources":$nS,"ranked":$out,"sec":$sec%.2f,"Medges_per_sec":${nE / sec / 1e6}%.2f}""")

@@ -1109,25 +1109,138 @@ object Graph {
     * fan-out is 2^radius (measured 2× wall on the first cut of this
     * sharing, which unioned unwrapped levels). */
   private[graft] def sigmaLevels(ed: DataFrame, sources: DataFrame,
-      radius: Int, wrap: (Int, () => DataFrame) => DataFrame)
-      : IndexedSeq[DataFrame] = {
+      radius: Int, wrap: (Int, () => DataFrame) => DataFrame,
+      driverCap: Long = 1000000L): IndexedSeq[DataFrame] = {
+    require(driverCap < Int.MaxValue, "driverCap must fit an Int limit")
+    // Driver arm (round 18, the weighted tier's discipline): under
+    // `driverCap` the edge list collects once and ALL levels compute as
+    // one in-memory multi-source BFS — the per-level join/agg/anti-join
+    // stages were scheduling latency, not data. LAZY: the probe +
+    // collect run only if some level actually builds (a full pool hit
+    // stays zero-job); over cap every thunk falls through to the
+    // distributed chain below, per-level values identical either way.
+    lazy val drv: Option[Array[Array[(Long, Long, Long)]]] =
+      if (driverCap <= 0) None
+      else {
+        val take = ed.select(col("src"), col("dst"))
+          .limit(driverCap.toInt + 1).collect()
+        if (take.length > driverCap) None
+        else {
+          val srcArr = sources.select(col("s")).collect()
+            .map(_.getAs[Number](0).longValue)
+          Some(driverSigmaBfs(take.map(r => (r.getAs[Number](0).longValue,
+            r.getAs[Number](1).longValue)), srcArr, radius))
+        }
+      }
+    def arm(t: Int, dist: () => DataFrame): () => DataFrame = () => drv match {
+      case Some(l) =>
+        ed.sparkSession.createDataFrame(l(t).toSeq).toDF("s", "v", "sigma")
+      case None => dist()
+    }
     val lvls = scala.collection.mutable.ArrayBuffer(
-      wrap(0, () =>
-        sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))))
+      wrap(0, arm(0, () =>
+        sources.select(col("s"), col("s").as("v"), lit(1L).as("sigma")))))
     // visited stays LAZY: a union of already-materialized level frames
     // is a trivial plan
     var visited = lvls(0).select(col("s"), col("v"))
     for (t <- 1 to radius) {
       val prev = lvls.last
       val vis = visited
-      lvls += wrap(t, () => prev.join(ed, col("v") === col("src"))
+      lvls += wrap(t, arm(t, () => prev.join(ed, col("v") === col("src"))
         .groupBy(col("s"), col("dst"))
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("s"), col("dst").as("v"), col("sigma"))
-        .join(vis, Seq("s", "v"), "left_anti"))
+        .join(vis, Seq("s", "v"), "left_anti")))
       visited = visited.union(lvls.last.select(col("s"), col("v")))
     }
     lvls.toIndexedSeq
+  }
+
+  /** All σ-BFS levels in one in-memory pass — the driver arm behind
+    * [[sigmaLevels]]: per source, frontier-by-frontier expansion with
+    * path-count accumulation; a node first reached at level t sums σ
+    * over its level-(t−1) in-neighbors, exactly the frame chain's
+    * join + sum + anti-join. Sources run independently (parallel over
+    * the common pool); sums are order-independent, so the output SET is
+    * deterministic. */
+  private[operators] def driverSigmaBfs(ed: Array[(Long, Long)],
+      sources: Array[Long], radius: Int): Array[Array[(Long, Long, Long)]] = {
+    val adj = new java.util.HashMap[Long,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    ed.foreach { case (u, v) =>
+      var b = adj.get(u)
+      if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(u, b) }
+      b += v
+    }
+    val perSource =
+      new Array[Array[Array[(Long, Long, Long)]]](sources.length)
+    java.util.stream.IntStream.range(0, sources.length).parallel().forEach { i =>
+      val s = sources(i)
+      val res = Array.fill(radius + 1)(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)])
+      res(0) += ((s, s, 1L))
+      val visited = new java.util.HashSet[Long]
+      visited.add(s)
+      var cur = scala.collection.mutable.HashMap(s -> 1L)
+      for (t <- 1 to radius) {
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        cur.foreach { case (v, sg) =>
+          val ns = adj.get(v)
+          if (ns != null) ns.foreach { w =>
+            if (!visited.contains(w)) next(w) = next.getOrElse(w, 0L) + sg
+          }
+        }
+        next.keysIterator.foreach(visited.add)
+        next.foreach { case (w, sg) => res(t) += ((s, w, sg)) }
+        cur = next
+      }
+      perSource(i) = res.map(_.toArray)
+    }
+    (0 to radius).map(t => perSource.iterator.flatMap(_(t)).toArray).toArray
+  }
+
+  /** The Brandes backward accumulation in one in-memory pass — the
+    * driver arm behind [[brandesBackward]]: δ ≡ 0 at the horizon, each
+    * shallower level accumulates the e4 quotient through its settled
+    * level-(t+1) successors off the pre-step snapshot — step-for-step
+    * the frame chain, all-integer. Returns the (node, b_e4) aggregate
+    * (zeros included, matching the frame union's dense output). */
+  private def driverBrandesBackward(ed: Array[(Long, Long)],
+      lvls: Array[Array[(Long, Long, Long)]], radius: Int): Seq[(Long, Long)] = {
+    import scala.collection.mutable.{ArrayBuffer, HashMap}
+    val adj = new java.util.HashMap[Long, ArrayBuffer[Long]]
+    ed.foreach { case (u, v) =>
+      var b = adj.get(u)
+      if (b == null) { b = ArrayBuffer.empty[Long]; adj.put(u, b) }
+      b += v
+    }
+    val agg = HashMap.empty[Long, Long]
+    var sigNext = HashMap.empty[(Long, Long), Long]
+    var deltaNext = HashMap.empty[(Long, Long), Long]
+    lvls(radius).foreach { case (s, v, sg) =>
+      sigNext((s, v)) = sg
+      deltaNext((s, v)) = 0L
+      if (!agg.contains(v)) agg(v) = 0L
+    }
+    for (t <- (radius - 1) to 1 by -1) {
+      val sigT = HashMap.empty[(Long, Long), Long]
+      val deltaT = HashMap.empty[(Long, Long), Long]
+      lvls(t).foreach { case (s, v, sg) =>
+        var d = 0L
+        val ns = adj.get(v)
+        if (ns != null) ns.foreach { w =>
+          deltaNext.get((s, w)).foreach { dw =>
+            d += sg * (10000L + dw) / sigNext((s, w))
+          }
+        }
+        sigT((s, v)) = sg
+        deltaT((s, v)) = d
+        agg(v) = agg.getOrElse(v, 0L) + d
+      }
+      sigNext = sigT
+      deltaNext = deltaT
+    }
+    agg.toSeq
   }
 
   /** The %53 σ-BFS levels, memo-or-build: THE shared forward pass.
@@ -1282,8 +1395,29 @@ object Graph {
     * @return (node, b_e4): truncated-Brandes betweenness in e4 units,
     *         one row per node reached at depth ≥ 1 from any source. */
   def betweennessBounded(edges: DataFrame, sources: DataFrame,
-      radius: Int): DataFrame = {
+      radius: Int, driverCap: Long = 1000000L): DataFrame = {
     require(radius >= 2, s"radius must be >= 2, got $radius")
+    require(driverCap < Int.MaxValue, "driverCap must fit an Int limit")
+    // Driver arm (round 18): when the edge list fits `driverCap`, BOTH
+    // phases run as one in-memory pass — the |S|·n state is the product
+    // the sample bound exists to cap, so it is driver-scale by the same
+    // contract the distributed arm's broadcasts rely on; per-stage
+    // scheduling, not data, was the measured cost. Over cap (the
+    // 100 TB posture) the distributed chain below runs unchanged;
+    // GraphSpec pins arm equality. driverCap = 0 forces distributed.
+    if (driverCap > 0) {
+      val take = edges.select(col("src"), col("dst"))
+        .limit(driverCap.toInt + 1).collect()
+      if (take.length <= driverCap) {
+        val edArr = take.map(r => (r.getAs[Number](0).longValue,
+          r.getAs[Number](1).longValue))
+        val srcArr = sources.select(col("s")).collect()
+          .map(_.getAs[Number](0).longValue)
+        val out = driverBrandesBackward(edArr,
+          driverSigmaBfs(edArr, srcArr, radius), radius)
+        return edges.sparkSession.createDataFrame(out).toDF("node", "b_e4")
+      }
+    }
     // layout discipline: every join in BOTH phases keys the edge frame
     // on src (forward expansion v = src, backward successor probe
     // v = src), so lay it out once — the |S|·n level frames are the
@@ -1292,8 +1426,8 @@ object Graph {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lvls = sigmaLevels(ed, sources, radius,
-      (_, build) => build().localCheckpoint())
-    val out = brandesBackward(ed, t => lvls(t), radius)
+      (_, build) => build().localCheckpoint(), driverCap = 0L)
+    val out = brandesBackward(ed, t => lvls(t), radius, driverCap = 0L)
     ed.unpersist()
     // the node-sized result is checkpoint-materialized inside
     // brandesBackward — every |S|·n level frame is dead now (the
@@ -1314,7 +1448,41 @@ object Graph {
     * with every |S|·n backward intermediate already released — callers
     * may free the levels and the edge frame immediately after. */
   private def brandesBackward(ed: DataFrame, lvl: Int => DataFrame,
-      radius: Int): DataFrame = {
+      radius: Int, driverCap: Long = 1000000L): DataFrame = {
+    require(driverCap < Int.MaxValue, "driverCap must fit an Int limit")
+    // Driver arm (round 18): the backward phase off ALREADY-MATERIALIZED
+    // levels (pool-persisted or checkpointed) is |S|·n state against an
+    // edge frame — under `driverCap` both collect cheaply and the
+    // accumulation runs in-memory (one LocalRelation result, lineage-
+    // free like the checkpoint the distributed arm returns); over cap
+    // the frame chain below runs unchanged.
+    if (driverCap > 0) {
+      val capI = driverCap.toInt
+      val take = ed.select(col("src"), col("dst")).limit(capI + 1).collect()
+      if (take.length <= driverCap) {
+        val lvlArrs = new Array[Array[(Long, Long, Long)]](radius + 1)
+        var total = 0L
+        var ok = true
+        var t = 0
+        while (ok && t <= radius) {
+          val rows = lvl(t).select(col("s"), col("v"), col("sigma"))
+            .limit(capI + 1).collect()
+          total += rows.length
+          if (rows.length > driverCap || total > driverCap) ok = false
+          else {
+            lvlArrs(t) = rows.map(r => (r.getAs[Number](0).longValue,
+              r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+            t += 1
+          }
+        }
+        if (ok) {
+          val edArr = take.map(r => (r.getAs[Number](0).longValue,
+            r.getAs[Number](1).longValue))
+          val out = driverBrandesBackward(edArr, lvlArrs, radius)
+          return ed.sparkSession.createDataFrame(out).toDF("node", "b_e4")
+        }
+      }
+    }
     val deltas = new scala.collection.mutable.ArrayBuffer[DataFrame]
     var deltaNext = lvl(radius)
       .select(col("s"), col("v"), lit(0L).as("delta"))

@@ -492,6 +492,12 @@ class GraphSpec extends SparkSpec {
     val got = Graph.betweennessBounded(ed, Seq(1L).toDF("s"), 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(2L -> 20000L, 3L -> 10000L, 4L -> 0L), s"got $got")
+    // arm equality (round 18): the distributed chain (driverCap = 0)
+    // reproduces the default driver arm row-for-row
+    val gotD = Graph.betweennessBounded(ed, Seq(1L).toDF("s"), 3,
+        driverCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotD === got, s"distributed arm diverged: $gotD vs $got")
     // diamond 1-{2,3}-4: two shortest paths to 4 (σ4 = 2) split the
     // dependency: δ(2) = δ(3) = 1·1e4/2 = 5000
     val d = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
