@@ -855,6 +855,46 @@ object ScaleProbe {
       }
     }
 
+    // DBSCAN (round 18): the cost split the operator's 100 TB posture
+    // claims — the n² eps-graph pair join is the ONLY quadratic stage
+    // (the exact anchor the ANN candidate route replaces at scale);
+    // everything downstream (degree, core restriction, component
+    // closure, border assignment) is edge-bounded. Replicas are
+    // sign-flip-decorrelated (the kmeans arm's device). Measured at
+    // sf0.1 (2k→8k vectors): eps_edges grow ~m² (the fixture's mass
+    // concentrates on few axes, so a sign-flipped twin keeps |cos|
+    // large — cross-replica pairs survive eps at in-replica rate) AND
+    // the downstream remainder (total − pair) still stays ~flat ≈ 1 s
+    // while edges grow 16× — the edge-bounded claim measured directly,
+    // under an adversarially DENSER graph than decorrelation intended.
+    // pair_sec doubles per n-doubling until the cores saturate (4M →
+    // 64M cos evals still under-utilize local[16]); the n² work term
+    // is the count, not yet the wall, at this scale.
+    if (want("dbscan")) {
+      val embD0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      def corpusOf(m: Int) = (0 until m).map { i =>
+        embD0.select(
+          ($"vec_id" + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform($"embedding", (x, d) =>
+            (x * when(pmod(hash(lit(i), d), lit(2)) === 0, 1.0f)
+              .otherwise(-1.0f)).cast("float")).as("embedding"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      graft.operators.Cluster.dbscan(corpusOf(1), 0.3, 8).count() // warm
+      Seq(1, 2, 4).foreach { m =>
+        val c = corpusOf(m)
+        val n = c.count()
+        val tp0 = System.nanoTime()
+        val edges = graft.operators.Cluster.epsPairs(c, 0.3).count()
+        val tp = (System.nanoTime() - tp0) / 1e9
+        val t0 = System.nanoTime()
+        val out = graft.operators.Cluster.dbscan(c, 0.3, 8)
+          .filter($"role" =!= "noise").count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"dbscan","mult":$m,"vectors":$n,"eps_edges":$edges,"clustered":$out,"pair_sec":$tp%.2f,"total_sec":$t%.2f}""")
+      }
+    }
+
     // round-8 continuation: BM25 — documents replicated N× verbatim with
     // remapped ids (no disjoint-vocab prefixing: retrieval doesn't pair
     // docs, and the postings of the fixed query must grow with the

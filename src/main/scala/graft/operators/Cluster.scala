@@ -69,14 +69,23 @@ object Cluster {
     * @param embs (vec_id BIGINT, embedding ARRAY<FLOAT>), distinct ids.
     * @return (vec_id, deg, role core|border|noise, cluster; −1 = noise),
     *         one row per input vector, unordered. */
-  def dbscan(embs: DataFrame, eps: Double, minPts: Int): DataFrame = {
-    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+  /** The eps-graph pair stage — (u, v) with u < v and round(cos,4) ≥
+    * eps. ONE builder for [[dbscan]] and the ScaleProbe `dbscan` arm
+    * (the probe must time the operator's own quadratic stage, never a
+    * copy). */
+  private[graft] def epsPairs(embs: DataFrame, eps: Double): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"))
-    val pairs = e.select(col("vec_id").as("u"), col("embedding").as("va"))
+    e.select(col("vec_id").as("u"), col("embedding").as("va"))
       .join(e.select(col("vec_id").as("v"), col("embedding").as("vb")),
         col("u") < col("v"))
       .filter(round(Sim.cosine(col("va"), col("vb")), 4) >= eps)
       .select(col("u"), col("v"))
+  }
+
+  def dbscan(embs: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val pairs = epsPairs(e, eps)
     // symmetrize once; three consumers read the materialized blocks
     val sym = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()

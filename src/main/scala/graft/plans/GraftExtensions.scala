@@ -80,6 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_kmeans(dir, k, iters) - Lloyd k-means cell summaries (cluster, n, centroid fingerprint) over dir's embeddings."),
       (children: Seq[Expression]) => GraftTvf.kmeansTvf(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_dbscan"),
+      info(GraftTvf.getClass, "graft_dbscan",
+        "graft_dbscan(dir, eps, minPts) - per-vector DBSCAN verdicts (deg, core/border/noise role, cluster) over dir's embeddings."),
+      (children: Seq[Expression]) => GraftTvf.dbscanTvf(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_backtest"),
       info(GraftTvf.getClass, "graft_backtest",
         "graft_backtest(dir) - rolling-origin forecast evaluation (holt vs holtwinters vs seasonal-naive) over dir's events."),

@@ -585,6 +585,27 @@ object GraftTvf {
     }
   }
 
+  /** graft_dbscan(dir, eps, minPts) — per-vector DBSCAN verdicts
+    * (vec_id, deg, role, cluster) over `dir`'s embeddings — the
+    * clustering tier's density SQL surface beside [[kmeansTvf]] (ONE
+    * shared builder: [[graft.operators.Cluster.dbscan]], so at the
+    * checked constants the TVF serves q_cluster_dbscan's exact frame).
+    * Eager-loop contract: the component closure's convergence loop runs
+    * at RESOLUTION; the memoized plan serves the node-sized verdicts. */
+  def dbscanTvf(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_dbscan"
+    require(children.size == 3, s"$fn(dir, eps, minPts) takes 3 arguments")
+    val spark = SparkSession.active
+    val dir = str(children, 0, fn)
+    val eps = dbl(children, 1, fn)
+    val minPts = int(children, 2, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "embeddings")}|$eps|$minPts") {
+      graft.operators.Cluster.dbscan(
+        graft.catalog.Tables.embeddings(spark, dir), eps, minPts)
+        .localCheckpoint()
+    }
+  }
+
   /** graft_backtest(dir) — rolling-origin forecast evaluation over
     * `dir`'s events (the q_timeseries_backtest frame: per event type,
     * one-step MAE/sMAPE for holt vs holtwinters vs seasonal-naive and

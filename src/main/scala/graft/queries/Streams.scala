@@ -257,6 +257,15 @@ object Streams {
       s.sql(s"SELECT cluster, n, cent_fp FROM graft_kmeans('$dir', 8, 3) " +
         "ORDER BY cluster")),
 
+    // The density-clustering SQL surface (round 18, q_tvf_kmeans's
+    // sibling): per-vector DBSCAN verdicts through spark.sql TEXT alone
+    // at the checked constants (eps 0.3, minPts 8) — one shared
+    // Cluster.dbscan builder, so the batch query's eps-graph + closure
+    // oracle is this surface's oracle.
+    "q_tvf_dbscan" -> ((s, dir) =>
+      s.sql(s"SELECT vec_id, deg, role, cluster " +
+        s"FROM graft_dbscan('$dir', 0.3, 8) ORDER BY vec_id")),
+
     // The time-series SQL surface (round 18 — every other family had a
     // TVF member; none of the 16 timeseries queries was reachable from
     // SQL text): rolling-origin forecast evaluation through spark.sql
@@ -390,6 +399,10 @@ object Streams {
     // same-frame-by-construction: the TVF runs kmeansFrame at the
     // checked constants, so the unrolled-fixpoint oracle is shared
     "q_tvf_kmeans" -> graft.operators.Ann.oracle("q_cluster_kmeans"),
+
+    // same-frame-by-construction: the TVF runs Cluster.dbscan at the
+    // checked constants, so the eps-graph + closure oracle is shared
+    "q_tvf_dbscan" -> graft.operators.Cluster.oracle("q_cluster_dbscan"),
 
     // incremental ≡ full recompute, so the batch query's closure IS
     // this surface's oracle — referenced, not copied

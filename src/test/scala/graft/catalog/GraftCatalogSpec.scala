@@ -330,6 +330,18 @@ class GraftCatalogSpec extends SparkSpec {
       "graft_kmeans must serve the exact q_cluster_kmeans frame")
   }
 
+  test("TVF surface: graft_dbscan serves per-vector density verdicts from plain SQL ≡ the API frame") {
+    val sql = spark.sql(
+      s"SELECT vec_id, deg, role, cluster FROM graft_dbscan('${sf()}', 0.3, 8) ORDER BY vec_id")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.operators.Cluster.dbscan(
+        graft.catalog.Tables.embeddings(spark, sf()), 0.3, 8)
+      .orderBy(org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(sql === api && sql.nonEmpty,
+      "graft_dbscan must serve the exact q_cluster_dbscan frame")
+  }
+
   test("TVF surface: graft_entities serves canonical entities off the store ≡ the API read") {
     import spark.implicits._
     val estore =
