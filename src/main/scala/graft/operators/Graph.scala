@@ -2000,6 +2000,35 @@ object Graph {
     assign.select(col("v"), col("c").as("lbl"))
   }
 
+  /** The phase-1 Louvain assignment over the unweighted slice graph —
+    * ONE frame for q_graph_louvain (its whole assignment) and
+    * q_graph_louvain_multilevel (its phase 1; louvainAssign ≡
+    * louvainAssignWeighted at w ≡ 1, so the frames are identical by
+    * construction). Under the bench pool the node-sized (v, lbl) map is
+    * collected once — cap-gated, the driverEdgeCap contract — and
+    * re-served as a pure LocalRelation plan: the eager local-move loop
+    * cannot be memoized directly (its plan embeds checkpoints the bench
+    * harness releases — Memo's contract), but its node-sized RESULT
+    * can. Cold paths (Verify, tests) just run the loop. */
+  private def louvainA1Shared(s: SparkSession, dir: String,
+      e: DataFrame): DataFrame =
+    if (java.lang.Boolean.getBoolean("graft.cacheTables"))
+      graft.util.Memo.benchMemo(s, dir, s"graph:louvain_a1_r$louvainRounds") {
+        val a1 = louvainAssign(e, louvainRounds)
+        val rows = a1.limit(1000001).collect()
+        require(rows.length <= 1000000,
+          "louvain assignment exceeds the pool relocation cap")
+        releaseCheckpoint(a1)
+        // RDD-backed, not a LocalRelation: downstream consumers join and
+        // aggregate against this frame, and a LocalTableScan stream side
+        // degrades them to single-partition work
+        s.createDataFrame(
+          s.sparkContext.parallelize(
+            rows.toSeq.map(r => (r.getLong(0), r.getLong(1))), 8))
+          .toDF("v", "lbl")
+      }
+    else louvainAssign(e, louvainRounds)
+
   /** Louvain PHASE 2's graph reduction [Blondel et al. JSTAT'08 §2]:
     * communities become super-nodes, inter-community edges aggregate to
     * one weighted edge (canonical a < b), intra-community weight folds
@@ -2039,9 +2068,15 @@ object Graph {
     * amount of extra phase-1 rounds can do. Returns the node-level
     * (v, lbl) of the LEVEL-2 partition. */
   def louvainMultilevelAssign(edges: DataFrame, rounds: Int,
-      broadcastLabels: Boolean = true): DataFrame = {
+      broadcastLabels: Boolean = true,
+      a1Shared: Option[DataFrame] = None): DataFrame = {
     val ew = edges.select(col("a"), col("b"), lit(1L).as("w"))
-    val a1 = louvainAssignWeighted(ew, rounds, broadcastLabels)
+    // a1Shared (round 18): phase 1 here IS q_graph_louvain's whole
+    // assignment (louvainAssign ≡ louvainAssignWeighted at w ≡ 1), so
+    // the query layer passes the pool-shared frame instead of
+    // re-running the local-move loop — same values by construction,
+    // never released here (the wdist107Shared discipline).
+    val a1 = a1Shared.getOrElse(louvainAssignWeighted(ew, rounds, broadcastLabels))
     val (ce, sl) = louvainCoarsen(ew, a1, broadcastLabels)
     val a2 = louvainAssignWeighted(ce, rounds, broadcastLabels,
       selfLoops = Some(sl))
@@ -2050,7 +2085,7 @@ object Graph {
         .select(col("v").as("c1"), col("lbl")), "c1")
       .select(col("v"), col("lbl"))
       .localCheckpoint()
-    releaseCheckpoint(a1)
+    if (a1Shared.isEmpty) releaseCheckpoint(a1)
     releaseCheckpoint(a2)
     out
   }
@@ -2990,7 +3025,7 @@ object Graph {
     // comparable community-for-community.
     "q_graph_louvain" -> ((s, dir) => {
       val e = jaccardSliceEdges(s, dir).localCheckpoint()
-      modularityOf(e, louvainAssign(e, louvainRounds), k = louvainTopK)
+      modularityOf(e, louvainA1Shared(s, dir, e), k = louvainTopK)
     }),
 
     // WEIGHTED Louvain over the multiplicity graph — ΔQ weighted by
@@ -3011,7 +3046,11 @@ object Graph {
     // the level-2 partition is directly comparable to q_graph_louvain's.
     "q_graph_louvain_multilevel" -> ((s, dir) => {
       val e = jaccardSliceEdges(s, dir).localCheckpoint()
-      modularityOf(e, louvainMultilevelAssign(e, louvainRounds),
+      // phase 1 comes from the SHARED pool frame q_graph_louvain also
+      // serves — multilevel pays only coarsen + phase 2 + scoring
+      modularityOf(e,
+        louvainMultilevelAssign(e, louvainRounds,
+          a1Shared = Some(louvainA1Shared(s, dir, e))),
         k = louvainTopK)
     }),
 
