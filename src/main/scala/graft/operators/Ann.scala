@@ -1226,6 +1226,91 @@ object Ann {
      LEFT JOIN (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM af GROUP BY 1) t USING (cluster)
      ORDER BY cb.cluster"""
 
+  /** Per-vector silhouette over the LEARNED Lloyd cells [Rousseeuw,
+    * J. Comput. Appl. Math.'87] — the clustering tier's QUALITY metric
+    * (q_cluster_kmeans fits, q_cluster_dbscan segments, this one
+    * scores): a(i) = mean e4 cosine distance to i's own cell, b(i) =
+    * min over other cells of the mean distance, s = (b − a)/max(a, b)
+    * in e4 integers. Every seam is the proven portable device — the
+    * codebook is kmeansPortable's (pool-memoized at the checked
+    * constants), distances are 10000 − e4(round(cos, 4)), means are
+    * floor divs on non-negative operands, and the final ratio is
+    * sign-split so both engines floor the same magnitude (a negative
+    * numerator would floor vs truncate differently). Singleton cells
+    * (a undefined) and the all-one-cell corner (b undefined) score 0,
+    * Rousseeuw's convention.
+    *
+    * Plan shape: ONE n² pair pass (i-side repartitioned, j-side
+    * broadcast — the [[graft.operators.Cluster.epsPairs]] spread) into
+    * a map-side-combining (i, ci, cj) aggregate — the shuffle carries
+    * ≤ n·k mean cells, never pairs. At 100 TB the pair pass is the
+    * stage the ANN tier bounds (per-cell sampled neighbors), the
+    * aggregate shape unchanged. */
+  private[graft] def silhouetteFrame(s: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cb = kmeansPortableMemo(s, dir, embs, kmK, kmIters)
+    silhouetteOf(assignPortable(embs, cb)
+      .select(col("vec_id"), col("cluster"), col("embedding")))
+  }
+
+  /** The silhouette scoring core over any (vec_id, cluster, embedding)
+    * assignment — factored from [[silhouetteFrame]] so OperatorsSpec can
+    * pin hand-computable fixtures independent of the codebook. */
+  private[graft] def silhouetteOf(assigned: DataFrame): DataFrame = {
+    val ai = assigned.select(col("vec_id").as("i"), col("cluster").as("ci"),
+      col("embedding").as("vi"))
+    val bj = assigned.select(col("vec_id").as("j"), col("cluster").as("cj"),
+      col("embedding").as("vj"))
+    val md = ai.repartition(col("i"))
+      .join(broadcast(bj), col("i") =!= col("j"))
+      .select(col("i"), col("ci"), col("cj"),
+        (lit(10000L) - cosE4(round(Sim.cosine(col("vi"), col("vj")), 4)))
+          .as("d"))
+      .groupBy(col("i"), col("ci"), col("cj"))
+      .agg(sum(col("d")).as("sd"), count(lit(1)).as("cnt"))
+      .select(col("i"), col("ci"), col("cj"), expr("sd div cnt").as("m"))
+    val aDf = md.filter(col("cj") === col("ci"))
+      .select(col("i").as("vec_id"), col("m").as("a"))
+    val bDf = md.filter(col("cj") =!= col("ci"))
+      .groupBy(col("i").as("vec_id")).agg(min(col("m")).as("b"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(aDf, Seq("vec_id"), "left")
+      .join(bDf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("a").isNull || col("b").isNull ||
+            greatest(col("a"), col("b")) === 0L, lit(0L))
+          .when(col("b") >= col("a"),
+            expr("((b - a) * 10000L) div greatest(a, b)"))
+          .otherwise(-expr("((a - b) * 10000L) div greatest(a, b)"))
+          .as("s_e4"))
+      .orderBy(col("vec_id"))
+  }
+
+  private def silhouetteSql: String = {
+    def cos(a: String, b: String) =
+      s"round(${dotSql.format(a, b)} / (sqrt(${normSql(a)}) * sqrt(${normSql(b)})), 4)"
+    def e4(x: String) = s"CAST(floor(($x) * 10000 + 0.5) AS BIGINT)"
+    "WITH " + kmeansSqlCtes.mkString(",\n") + s""",
+     pd AS MATERIALIZED (
+       SELECT x.vec_id AS i, x.cluster AS ci, y.cluster AS cj,
+              10000 - ${e4(cos("x.cv", "y.cv"))} AS d
+       FROM af x JOIN af y ON x.vec_id <> y.vec_id),
+     md AS MATERIALIZED (
+       SELECT i, ci, cj,
+              CAST(sum(d) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+       FROM pd GROUP BY 1, 2, 3),
+     av AS (SELECT i, m AS a FROM md WHERE cj = ci),
+     bv AS (SELECT i, min(m) AS b FROM md WHERE cj <> ci GROUP BY i)
+     SELECT f.vec_id, f.cluster,
+            CASE WHEN a IS NULL OR b IS NULL OR greatest(a, b) = 0 THEN 0
+                 WHEN b >= a THEN ((b - a) * 10000) // greatest(a, b)
+                 ELSE -(((a - b) * 10000) // greatest(a, b)) END AS s_e4
+     FROM af f
+     LEFT JOIN av ON av.i = f.vec_id
+     LEFT JOIN bv ON bv.i = f.vec_id
+     ORDER BY f.vec_id"""
+  }
+
   /** At-scale margin mining over the ANN tier — the executable form of
     * q_embed_margin_pairs' scale path (round-14 verdict's one prose-only
     * claim, now code). Candidates are BIDIRECTIONAL top-R lists: each x
@@ -1286,7 +1371,8 @@ object Ann {
     "q_ann_graph" -> ((s, dir) => graphAnnOracleQuery(s, dir)),
     "q_ann_descent" -> ((s, dir) => descentOracleQuery(s, dir)),
     "q_ann_filtered" -> ((s, dir) => filteredOracleQuery(s, dir)),
-    "q_cluster_kmeans" -> ((s, dir) => kmeansOracleQuery(s, dir))
+    "q_cluster_kmeans" -> ((s, dir) => kmeansOracleQuery(s, dir)),
+    "q_cluster_silhouette" -> ((s, dir) => silhouetteFrame(s, dir))
   )
 
   private val dotSql =
@@ -1393,6 +1479,7 @@ object Ann {
 
   val oracle: Map[String, String] = Map(
     "q_cluster_kmeans" -> kmeansSql,
+    "q_cluster_silhouette" -> silhouetteSql,
     "q_ann_descent" -> descentSql,
     "q_ann_graph" -> graphAnnSql,
     "q_ann_filtered" ->

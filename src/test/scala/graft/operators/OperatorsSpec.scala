@@ -953,4 +953,28 @@ class OperatorsSpec extends SparkSpec {
     assert(portable.values.toSet.size === Ann.kmK,
       "every learned cell is non-empty on the fixture")
   }
+
+  test("silhouette: hand-computed e4 scores — misassignment goes negative, singleton scores 0") {
+    import spark.implicits._
+    // 2-D directions: cluster 0 = {0°, 2°} plus a DELIBERATELY
+    // misassigned 88° member; cluster 1 = {90°, 92°}; cluster 2 =
+    // singleton 45°. All pairwise e4 distances hand-derivable from
+    // d = 10000 − floor(round(cos, 4)·10⁴ + 0.5).
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val assigned = Seq(
+      (0L, 0, v(0.0)), (1L, 0, v(2.0)), (2L, 0, v(88.0)),
+      (3L, 1, v(90.0)), (4L, 1, v(92.0)), (5L, 2, v(45.0)))
+      .toDF("vec_id", "cluster", "embedding")
+    val got = Ann.silhouetteOf(assigned)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // e.g. v3 (90°): a = d(90°,92°) = 6; b = min(cluster-0 mean 6552,
+    // singleton 2929) = 2929; s = (2929−6)·10⁴ div 2929 = 9979.
+    // v2 (88° misassigned to cluster 0): a = 9476 vs b = 15 (its true
+    // neighbors) → deep negative; the sign-split floor gives −9984.
+    assert(got === Map(0L -> -3933L, 1L -> -4228L, 2L -> -9984L,
+      3L -> 9979L, 4L -> 9981L, 5L -> 0L), s"got $got")
+  }
 }
