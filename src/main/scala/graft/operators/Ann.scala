@@ -1273,9 +1273,12 @@ object Ann {
       .select(col("i").as("vec_id"), col("m").as("a"))
     val bDf = md.filter(col("cj") =!= col("ci"))
       .groupBy(col("i").as("vec_id")).agg(min(col("m")).as("b"))
+    // a/b are ≤ n rows by construction (one mean per vector) but sit
+    // downstream of the n² aggregate, whose size estimate would push
+    // the planner to sort-merge — broadcast explicitly (PlanSpec pins)
     assigned.select(col("vec_id"), col("cluster"))
-      .join(aDf, Seq("vec_id"), "left")
-      .join(bDf, Seq("vec_id"), "left")
+      .join(broadcast(aDf), Seq("vec_id"), "left")
+      .join(broadcast(bDf), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         when(col("a").isNull || col("b").isNull ||
             greatest(col("a"), col("b")) === 0L, lit(0L))

@@ -85,6 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dbscan(dir, eps, minPts) - per-vector DBSCAN verdicts (deg, core/border/noise role, cluster) over dir's embeddings."),
       (children: Seq[Expression]) => GraftTvf.dbscanTvf(children)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_silhouette"),
+      info(GraftTvf.getClass, "graft_silhouette",
+        "graft_silhouette(dir) - per-vector silhouette (e4) over dir's embeddings under the learned Lloyd cells."),
+      (children: Seq[Expression]) => GraftTvf.silhouetteTvf(children)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_backtest"),
       info(GraftTvf.getClass, "graft_backtest",
         "graft_backtest(dir) - rolling-origin forecast evaluation (holt vs holtwinters vs seasonal-naive) over dir's events."),

@@ -606,6 +606,24 @@ object GraftTvf {
     }
   }
 
+  /** graft_silhouette(dir) — per-vector silhouette over the learned
+    * Lloyd cells (vec_id, cluster, s_e4) — the clustering tier's
+    * quality-metric SQL surface beside [[kmeansTvf]]/[[dbscanTvf]]
+    * (ONE shared builder: [[graft.operators.Ann.silhouetteFrame]] at
+    * the checked codebook constants, so the TVF serves
+    * q_cluster_silhouette's exact frame). Eager-loop contract: the
+    * codebook fit runs at RESOLUTION, the memoized plan serves the
+    * node-sized scores. */
+  def silhouetteTvf(children: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_silhouette"
+    require(children.size == 1, s"$fn(dir) takes 1 argument")
+    val spark = SparkSession.active
+    val dir = str(children, 0, fn)
+    loopMemo(s"$fn|${sessionKey(spark)}|$dir|${dirStamp(dir, "embeddings")}") {
+      graft.operators.Ann.silhouetteFrame(spark, dir).localCheckpoint()
+    }
+  }
+
   /** graft_backtest(dir) — rolling-origin forecast evaluation over
     * `dir`'s events (the q_timeseries_backtest frame: per event type,
     * one-step MAE/sMAPE for holt vs holtwinters vs seasonal-naive and

@@ -266,6 +266,14 @@ object Streams {
       s.sql(s"SELECT vec_id, deg, role, cluster " +
         s"FROM graft_dbscan('$dir', 0.3, 8) ORDER BY vec_id")),
 
+    // The clustering-quality SQL surface (round 18, completing the
+    // tier's TVF trio): per-vector silhouette through spark.sql TEXT
+    // alone — one shared Ann.silhouetteFrame builder, so the batch
+    // query's kmeans-CTE oracle is this surface's oracle.
+    "q_tvf_silhouette" -> ((s, dir) =>
+      s.sql(s"SELECT vec_id, cluster, s_e4 FROM graft_silhouette('$dir') " +
+        "ORDER BY vec_id")),
+
     // The time-series SQL surface (round 18 — every other family had a
     // TVF member; none of the 16 timeseries queries was reachable from
     // SQL text): rolling-origin forecast evaluation through spark.sql
@@ -403,6 +411,10 @@ object Streams {
     // same-frame-by-construction: the TVF runs Cluster.dbscan at the
     // checked constants, so the eps-graph + closure oracle is shared
     "q_tvf_dbscan" -> graft.operators.Cluster.oracle("q_cluster_dbscan"),
+
+    // same-frame-by-construction: the TVF runs silhouetteFrame at the
+    // checked codebook constants, so the kmeans-CTE oracle is shared
+    "q_tvf_silhouette" -> graft.operators.Ann.oracle("q_cluster_silhouette"),
 
     // incremental ≡ full recompute, so the batch query's closure IS
     // this surface's oracle — referenced, not copied

@@ -710,4 +710,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 brokers must never global-sort in:\n$p")
   }
+
+  test("silhouette: the n² pair pass combines map-side — the shuffle carries mean cells, never pairs") {
+    val p = plan("q_cluster_silhouette")
+    // the candidate side broadcasts into the nested-loop pair pass
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the pair pass must broadcast the candidate side in:\n$p")
+    // (i, ci, cj) sums/counts partial-aggregate BELOW the exchange, so
+    // the shuffle moves ≤ n·k cells — at 100 TB this is the difference
+    // between shuffling pairs and shuffling the answer
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      s"pair distances must partial-aggregate map-side in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the node-sized a/b frames must never sort-merge in:\n$p")
+  }
 }

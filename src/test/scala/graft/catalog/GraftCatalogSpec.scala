@@ -342,6 +342,16 @@ class GraftCatalogSpec extends SparkSpec {
       "graft_dbscan must serve the exact q_cluster_dbscan frame")
   }
 
+  test("TVF surface: graft_silhouette serves per-vector quality scores from plain SQL ≡ the API frame") {
+    val sql = spark.sql(
+      s"SELECT vec_id, cluster, s_e4 FROM graft_silhouette('${sf()}') ORDER BY vec_id")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.operators.Ann.silhouetteFrame(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(sql === api && sql.nonEmpty,
+      "graft_silhouette must serve the exact q_cluster_silhouette frame")
+  }
+
   test("TVF surface: graft_entities serves canonical entities off the store ≡ the API read") {
     import spark.implicits._
     val estore =
