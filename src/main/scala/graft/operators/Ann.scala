@@ -1269,16 +1269,19 @@ object Ann {
       .groupBy(col("i"), col("ci"), col("cj"))
       .agg(sum(col("d")).as("sd"), count(lit(1)).as("cnt"))
       .select(col("i"), col("ci"), col("cj"), expr("sd div cnt").as("m"))
-    val aDf = md.filter(col("cj") === col("ci"))
-      .select(col("i").as("vec_id"), col("m").as("a"))
-    val bDf = md.filter(col("cj") =!= col("ci"))
-      .groupBy(col("i").as("vec_id")).agg(min(col("m")).as("b"))
-    // a/b are ≤ n rows by construction (one mean per vector) but sit
-    // downstream of the n² aggregate, whose size estimate would push
-    // the planner to sort-merge — broadcast explicitly (PlanSpec pins)
+    // a and b fold out of the mean cells in ONE more aggregate (the
+    // own-cell row is unique, so min-when recovers it; b is the min
+    // over the other cells) — one n² execution end to end, where
+    // separate a/b tails would each re-run the pair pass inside their
+    // own broadcast build
+    val ab = md.groupBy(col("i").as("vec_id"))
+      .agg(min(when(col("cj") === col("ci"), col("m"))).as("a"),
+        min(when(col("cj") =!= col("ci"), col("m"))).as("b"))
+    // ab is ≤ n rows by construction but sits downstream of the n²
+    // aggregate, whose size estimate would push the planner to
+    // sort-merge — broadcast explicitly (PlanSpec pins)
     assigned.select(col("vec_id"), col("cluster"))
-      .join(broadcast(aDf), Seq("vec_id"), "left")
-      .join(broadcast(bDf), Seq("vec_id"), "left")
+      .join(broadcast(ab), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         when(col("a").isNull || col("b").isNull ||
             greatest(col("a"), col("b")) === 0L, lit(0L))
