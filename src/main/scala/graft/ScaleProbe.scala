@@ -423,24 +423,24 @@ object ScaleProbe {
         }.reduce(_ unionAll _)
         oneWay.union(oneWay.select($"dst".as("src"), $"src".as("dst")))
       }
-      graft.operators.Graph.pagerank(graphOf(1), 1).count() // warm
+      graft.operators.Graph.pagerank(graphOf(1), 1, driverCap = 0L).count() // warm
       Seq(1, 4, 16).foreach { m =>
         val edges = graphOf(m)
         val n = edges.count()
         val t0 = System.nanoTime()
-        graft.operators.Graph.pagerank(edges, 5)
+        graft.operators.Graph.pagerank(edges, 5, driverCap = 0L)
           .agg(sum($"rank")).collect()
         val t = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"pagerank","mult":$m,"edges":$n,"sec":$t%.2f}""")
       }
       val base = {
         val t0 = System.nanoTime()
-        graft.operators.Graph.pagerank(graphOf(1), 1).count()
+        graft.operators.Graph.pagerank(graphOf(1), 1, driverCap = 0L).count()
         (System.nanoTime() - t0) / 1e9
       }
       Seq(3, 6).foreach { iters =>
         val t0 = System.nanoTime()
-        graft.operators.Graph.pagerank(graphOf(1), iters).count()
+        graft.operators.Graph.pagerank(graphOf(1), iters, driverCap = 0L).count()
         val t = (System.nanoTime() - t0) / 1e9
         val marginal = (t - base) / (iters - 1)
         println(f"""{"probe":"pagerank_iters","iters":$iters,"sec":$t%.2f,"first_iter_sec":$base%.2f,"marginal_iter_sec":$marginal%.2f}""")
@@ -465,7 +465,7 @@ object ScaleProbe {
         }.reduce(_ unionAll _)
         oneWay.union(oneWay.select($"dst".as("src"), $"src".as("dst")))
       }
-      graft.operators.Graph.pagerank(graphOf(1), 1).count() // warm
+      graft.operators.Graph.pagerank(graphOf(1), 1, driverCap = 0L).count() // warm
       Seq(1, 16, 64).foreach { m =>
         // NOT checkpointed here: pagerank persists (and releases) its own
         // degree-annotated copy; pinning a second 75M-row copy in the
@@ -474,7 +474,7 @@ object ScaleProbe {
         val n = edges.count()
         val times = Seq(true, false).map { bc =>
           val t0 = System.nanoTime()
-          val mass = graft.operators.Graph.pagerank(edges, 3, broadcastRanks = bc)
+          val mass = graft.operators.Graph.pagerank(edges, 3, broadcastRanks = bc, driverCap = 0L)
             .agg(sum($"rank")).collect()(0).getLong(0)
           ((System.nanoTime() - t0) / 1e9, mass)
         }
@@ -507,12 +507,12 @@ object ScaleProbe {
         }.reduce(_ unionAll _)
         oneWay.unionAll(oneWay.select($"dst".as("src"), $"src".as("dst"), $"w"))
       }
-      graft.operators.Graph.pagerankWeighted(graphOf(1), 1).count() // warm
+      graft.operators.Graph.pagerankWeighted(graphOf(1), 1, driverCap = 0L).count() // warm
       Seq(1, 4, 16).foreach { m =>
         val edges = graphOf(m)
         val n = edges.count()
         val t0 = System.nanoTime()
-        graft.operators.Graph.pagerankWeighted(edges, 5)
+        graft.operators.Graph.pagerankWeighted(edges, 5, driverCap = 0L)
           .agg(sum($"rank")).collect()
         val t = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"weighted_pagerank","mult":$m,"edges":$n,"sec":$t%.2f}""")
@@ -529,7 +529,7 @@ object ScaleProbe {
         val n = edges.count()
         val srcs = Seq(hubId).toDF("node")
         val t0 = System.nanoTime()
-        val reached = graft.operators.Graph.ssspWeighted(edges, srcs, 4).count()
+        val reached = graft.operators.Graph.ssspWeighted(edges, srcs, 4, driverCap = 0L).count()
         val t = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"sssp_hub","mult":$m,"edges":$n,"hub_degree":$hubDeg,"reached":$reached,"sec":$t%.2f}""")
       }
@@ -553,10 +553,10 @@ object ScaleProbe {
         e0.select(($"a" + lit(i.toLong * 1000000000L)).as("a"),
           ($"b" + lit(i.toLong * 1000000000L)).as("b"))
       }.reduce(_ unionAll _)
-      graft.operators.Graph.triangleCount(edgesOf(1)).collect() // warm
+      graft.operators.Graph.triangleCount(edgesOf(1), driverCap = 0L).collect() // warm
       Seq(1, 4, 16).foreach { m =>
         val t0 = System.nanoTime()
-        val r = graft.operators.Graph.triangleCount(edgesOf(m)).collect().head
+        val r = graft.operators.Graph.triangleCount(edgesOf(m), driverCap = 0L).collect().head
         val t = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"triangles","mult":$m,"edges":${r.getLong(1)},"tris":${r.getLong(2)},"sec":$t%.2f}""")
       }
@@ -658,14 +658,14 @@ object ScaleProbe {
         val t0 = System.nanoTime(); val r = f
         ((System.nanoTime() - t0) / 1e9, r)
       }
-      graft.operators.Graph.kcorePeel(hubGraph(1), 3, 4).count() // warm
+      graft.operators.Graph.kcorePeel(hubGraph(1), 3, 4, driverCap = 0L).count() // warm
       Seq(1, 4, 16).foreach { m =>
         val g = hubGraph(m).localCheckpoint()
         val n = g.count()
         val (tBc, survBc) = time(
-          graft.operators.Graph.kcorePeel(g, 3, 4, broadcastKeep = true).count())
+          graft.operators.Graph.kcorePeel(g, 3, 4, broadcastKeep = true, driverCap = 0L).count())
         val (tSh, survSh) = time(
-          graft.operators.Graph.kcorePeel(g, 3, 4, broadcastKeep = false).count())
+          graft.operators.Graph.kcorePeel(g, 3, 4, broadcastKeep = false, driverCap = 0L).count())
         assert(survBc == survSh,
           s"broadcast and shuffle peels must agree at mult=$m: $survBc vs $survSh")
         graft.util.Frames.releaseCheckpoint(g)
@@ -759,7 +759,13 @@ object ScaleProbe {
         // search wall must stay ~FLAT while the corpus grows 16×
         // (entries are replica-0 ids — present at every mult)
         val tSearch = time(graft.operators.Ann.graphAnnSearch(
-          probes, c, index, Seq(5L, 128L, 256L, 384L), 16, 4, 3).count())
+          probes, c, index,
+          c.filter(org.apache.spark.sql.functions.col("cand_id")
+              .isin(Seq(5L, 128L, 256L, 384L): _*))
+            .crossJoin(probes.select(org.apache.spark.sql.functions.col("probe_id")))
+            .select(org.apache.spark.sql.functions.col("probe_id"),
+              org.apache.spark.sql.functions.col("cand_id")),
+          16, 4, 3, driverCap = 0L).count())
         println(f"""{"probe":"ann_descent","mult":$m,"vectors":$n,"descent_sec":$tDesc%.2f,"exact_sec":$tExact%.2f,"search_sec":$tSearch%.2f}""")
       }
     }
@@ -885,7 +891,7 @@ object ScaleProbe {
         val c = corpusOf(m)
         val n = c.count()
         val tp0 = System.nanoTime()
-        val edges = graft.operators.Cluster.epsPairs(c, 0.3).count()
+        val edges = graft.operators.Cluster.epsPairs(c, 0.3, driverCap = 0L).count()
         val tp = (System.nanoTime() - tp0) / 1e9
         val t0 = System.nanoTime()
         val out = graft.operators.Cluster.dbscan(c, 0.3, 8)
@@ -1257,7 +1263,7 @@ object ScaleProbe {
         val ed = edOf(m).localCheckpoint()
         val nE = ed.count()
         val t0 = System.nanoTime()
-        val out = graft.operators.Graph.ktrussPeel(ed, 4, 3).count()
+        val out = graft.operators.Graph.ktrussPeel(ed, 4, 3, driverCap = 0L).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"ktruss","mult":$m,"edges":$nE,"truss_edges":$out,"sec":$sec%.2f,"Medges_per_sec":${4 * nE / sec / 1e6}%.1f}""")
       }

@@ -710,6 +710,9 @@ object Ann {
       entries: Seq[Long], beam: Int, hops: Int, k: Int): DataFrame = {
     require(entries.nonEmpty,
       s"need a nonempty entry set, got $entries")
+    // (no driverCap here: Scala forbids defaults on two overloads — the
+    // DataFrame-entries form below carries it; forced-distributed
+    // callers build the entry frame and call that form directly)
     graphAnnSearch(probes, corpus, edges,
       corpus.filter(col("cand_id").isin(entries: _*))
         .crossJoin(probes.select(col("probe_id")))
@@ -727,9 +730,24 @@ object Ann {
     * entries start each probe inside its own nearest cells, so hops
     * spend on refinement, not on crossing the corpus. */
   def graphAnnSearch(probes: DataFrame, corpus: DataFrame, edges: DataFrame,
-      entries: DataFrame, beam: Int, hops: Int, k: Int): DataFrame = {
+      entries: DataFrame, beam: Int, hops: Int, k: Int,
+      driverCap: Long = 8192L): DataFrame = {
     require(beam >= 1 && hops >= 0 && k >= 1,
       s"need beam >= 1, hops >= 0, k >= 1, got $beam $hops $k")
+    // Driver arm (optimization round — the silhouetteOf/epsPairs
+    // discipline for the search loop): under `driverCap` VECTORS
+    // (corpus + probes; edge list under 128×cap rows) the whole
+    // entry-scoring / fallback / hop-expansion / rerank chain runs in
+    // memory with the frame chain's exact arithmetic — graft_cosine's
+    // sequential double loop, HALF_UP round(·,4), rank order
+    // (cos DESC NULLS LAST, cand_id) with Spark's -0.0 ≡ 0.0 compare
+    // normalization — so the top-k is row-identical (OperatorsSpec pins
+    // arm equality). The measured distributed cost was the hops×
+    // (join + window + checkpoint) stage chain, not data. Over cap the
+    // chain below runs unchanged — per-probe work is parameter-bounded
+    // either way; the arm only relocates it.
+    if (driverCap > 0) driverAnnSearch(probes, corpus, edges, entries,
+      beam, hops, k, driverCap).foreach(return _)
     val ed = edges.localCheckpoint()
     val p = broadcast(probes.select(col("probe_id"), col("pv")))
     def score(cands: DataFrame): DataFrame = corpus
@@ -789,6 +807,108 @@ object Ann {
     visited.withColumn("rn", row_number().over(wb))
       .filter(col("rn") <= k)
       .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /** The in-memory arm behind [[graphAnnSearch]] — None when any input
+    * exceeds its cap (the caller falls through to the frame chain). */
+  private def driverAnnSearch(probes: DataFrame, corpus: DataFrame,
+      edges: DataFrame, entries: DataFrame, beam: Int, hops: Int, k: Int,
+      driverCap: Long): Option[DataFrame] = {
+    val capI = driverCap.toInt
+    val pTake = probes.select(col("probe_id"), col("pv")).limit(capI + 1).collect()
+    if (pTake.length > driverCap) return None
+    val cTake = corpus.select(col("cand_id"), col("cv")).limit(capI + 1).collect()
+    if (cTake.length > driverCap) return None
+    val eCap = 128 * capI
+    val eTake = edges.select(col("src"), col("dst")).limit(eCap + 1).collect()
+    if (eTake.length > eCap) return None
+    val nTake = entries.select(col("probe_id"), col("cand_id"))
+      .limit(eCap + 1).collect()
+    if (nTake.length > eCap) return None
+    val cvs = new java.util.HashMap[Long, Array[Float]]
+    cTake.foreach(r => cvs.put(r.getAs[Number](0).longValue,
+      r.getAs[scala.collection.Seq[Float]](1).toArray))
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    eTake.foreach { r =>
+      val s = r.getAs[Number](0).longValue; val d = r.getAs[Number](1).longValue
+      var b = adj.get(s)
+      if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(s, b) }
+      b += d
+    }
+    // round(graft_cosine, 4) — null on a zero vector, exactly the frame's
+    def cos4(a: Array[Float], b: Array[Float]): Option[Double] = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) None
+      else Some(java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    // (cos DESC NULLS LAST, cand_id ASC) with -0.0 ≡ 0.0 (Spark's sort
+    // normalization)
+    def rankLt(x: (Long, Option[Double]), y: (Long, Option[Double])): Boolean =
+      (x._2, y._2) match {
+        case (Some(a0), Some(b0)) =>
+          val a = if (a0 == 0.0) 0.0 else a0
+          val b = if (b0 == 0.0) 0.0 else b0
+          if (a != b) a > b else x._1 < y._1
+        case (Some(_), None) => true
+        case (None, Some(_)) => false
+        case (None, None) => x._1 < y._1
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Double], Int)]
+    val entryByProbe = nTake.groupBy(_.getAs[Number](0).longValue)
+    for (pr <- pTake.sortBy(_.getAs[Number](0).longValue)) {
+      val pid = pr.getAs[Number](0).longValue
+      val pv = pr.getAs[scala.collection.Seq[Float]](1).toArray
+      val visited = scala.collection.mutable.LinkedHashMap.empty[Long, Option[Double]]
+      def scoreInto(c: Long): Unit =
+        if (!visited.contains(c)) {
+          val v = cvs.get(c)
+          if (v != null) visited(c) = cos4(pv, v)
+        }
+      entryByProbe.getOrElse(pid, Array.empty)
+        .foreach(r => scoreInto(r.getAs[Number](1).longValue))
+      if (visited.isEmpty) {
+        // total-entry-loss fallback: the 4 smallest corpus ids
+        val it = cvs.keySet().iterator()
+        val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (it.hasNext) keys += it.next()
+        keys.sorted.take(4).foreach(scoreInto)
+      }
+      var frontier: Seq[Long] = visited.keysIterator.toSeq
+      for (_ <- 1 to hops) {
+        val fresh = scala.collection.mutable.LinkedHashSet.empty[Long]
+        frontier.foreach { u =>
+          val ns = adj.get(u)
+          if (ns != null) ns.foreach { d =>
+            if (!visited.contains(d)) fresh += d
+          }
+        }
+        val scored = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+        fresh.foreach { c =>
+          val v = cvs.get(c)
+          if (v != null) {
+            val sc = cos4(pv, v)
+            visited(c) = sc
+            scored += ((c, sc))
+          }
+        }
+        frontier = scored.sortWith(rankLt).take(beam).map(_._1).toSeq
+      }
+      visited.toSeq.sortWith(rankLt).take(k).zipWithIndex.foreach {
+        case ((c, sc), i) => out += ((pid, c, sc, i + 1))
+      }
+    }
+    val s = probes.sparkSession
+    Some(s.createDataFrame(out.toSeq)
+      .toDF("probe_id", "cand_id", "cos", "rn")
+      .orderBy(col("probe_id"), col("rn")))
   }
 
   /** Per-probe routed entry set from a k-means codebook — the IVF
@@ -1246,17 +1366,118 @@ object Ann {
     * ≤ n·k mean cells, never pairs. At 100 TB the pair pass is the
     * stage the ANN tier bounds (per-cell sampled neighbors), the
     * aggregate shape unchanged. */
-  private[graft] def silhouetteFrame(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def silhouetteFrame(s: SparkSession, dir: String): DataFrame =
+    silhouetteOf(silhouetteAssigned(s, dir))
+
+  /** The (vec_id, cluster, embedding) assignment silhouette scores —
+    * factored so PlanSpec can pin the distributed arm's plan on the
+    * same input the query runs. */
+  private[graft] def silhouetteAssigned(s: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val cb = kmeansPortableMemo(s, dir, embs, kmK, kmIters)
-    silhouetteOf(assignPortable(embs, cb)
-      .select(col("vec_id"), col("cluster"), col("embedding")))
+    assignPortable(embs, cb)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
   }
 
   /** The silhouette scoring core over any (vec_id, cluster, embedding)
     * assignment — factored from [[silhouetteFrame]] so OperatorsSpec can
-    * pin hand-computable fixtures independent of the codebook. */
-  private[graft] def silhouetteOf(assigned: DataFrame): DataFrame = {
+    * pin hand-computable fixtures independent of the codebook.
+    *
+    * Driver arm (optimization round — the graph tier's driverCap
+    * discipline applied to the clustering tier's n² member): under
+    * `driverCap` VECTORS the whole pair pass runs in memory with the
+    * EXACT per-pair arithmetic of the frame below — the same sequential
+    * double accumulation as graft_cosine (nullSafeEval's loop order),
+    * Spark's HALF_UP round(·, 4) via BigDecimal, floor(x·10⁴ + 0.5)
+    * e4 units, integer mean cells, min-when a/b — so the scores are
+    * bit-identical (OperatorsSpec pins arm equality on the fixture).
+    * The measured gap this closes: the eager TVF checkpoint computed
+    * every column of the n² pass (5.4 s at sf0.1) where the bench's
+    * count() action let the optimizer prune it (0.4 s) — the arm makes
+    * the real computation cheap instead of relying on pruning. Over cap
+    * the distributed pair pass below runs unchanged — n² work needs the
+    * cluster once n is real. */
+  private[graft] def silhouetteOf(assigned: DataFrame,
+      driverCap: Long = 8192L): DataFrame = {
+    if (driverCap > 0) {
+      val take = assigned.select(col("vec_id"), col("cluster"), col("embedding"))
+        .limit(driverCap.toInt + 1).collect()
+      if (take.length <= driverCap) {
+        val n = take.length
+        val ids = new Array[Long](n)
+        // cluster labels stay INT end to end (assignPortable's codebook
+        // ids) — the arm must preserve the column type the distributed
+        // frame emits or the oracle's schema compare breaks
+        val cl = new Array[Int](n)
+        val vs = new Array[Array[Float]](n)
+        var i = 0
+        while (i < n) {
+          val r = take(i)
+          ids(i) = r.getAs[Number](0).longValue
+          cl(i) = r.getAs[Number](1).intValue
+          vs(i) = r.getAs[scala.collection.Seq[Float]](2).toArray
+          i += 1
+        }
+        val sE4 = new Array[Long](n)
+        java.util.stream.IntStream.range(0, n).parallel().forEach { x =>
+          // mean distance cells: per cluster, Σ non-null d and the ALL-row
+          // count (null d rides the count but not the sum — the frame's
+          // sum/count semantics over a null-yielding cosine)
+          val sums = scala.collection.mutable.HashMap.empty[Int, Long]
+          val cnts = scala.collection.mutable.HashMap.empty[Int, Long]
+          val nn = scala.collection.mutable.HashSet.empty[Int]
+          val a = vs(x)
+          var j = 0
+          while (j < n) {
+            if (j != x) {
+              val b = vs(j)
+              val len = math.min(a.length, b.length)
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var t = 0
+              while (t < len) {
+                val xv = a(t).toDouble; val yv = b(t).toDouble
+                dot += xv * yv; na += xv * xv; nb += yv * yv
+                t += 1
+              }
+              cnts(cl(j)) = cnts.getOrElse(cl(j), 0L) + 1L
+              if (na != 0.0 && nb != 0.0) {
+                val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+                val r4 = java.math.BigDecimal.valueOf(cos)
+                  .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+                val d = 10000L - math.floor(r4 * 10000.0 + 0.5).toLong
+                sums(cl(j)) = sums.getOrElse(cl(j), 0L) + d
+                nn += cl(j)
+              }
+            }
+            j += 1
+          }
+          var aM: Option[Long] = None
+          var bM: Option[Long] = None
+          cnts.keysIterator.foreach { c =>
+            if (nn(c)) {
+              val m = sums(c) / cnts(c)
+              if (c == cl(x)) aM = Some(m)
+              else if (bM.forall(m < _)) bM = Some(m)
+            }
+          }
+          sE4(x) = (aM, bM) match {
+            case (Some(av), Some(bv)) if math.max(av, bv) != 0L =>
+              if (bv >= av) ((bv - av) * 10000L) / math.max(av, bv)
+              else -(((av - bv) * 10000L) / math.max(av, bv))
+            case _ => 0L
+          }
+        }
+        return assigned.sparkSession
+          .createDataFrame((0 until n).map(i => (ids(i), cl(i), sE4(i))))
+          .toDF("vec_id", "cluster", "s_e4")
+          .orderBy(col("vec_id"))
+      }
+    }
+    silhouetteOfDistributed(assigned)
+  }
+
+  /** The distributed n² pair pass — [[silhouetteOf]]'s over-cap arm. */
+  private[graft] def silhouetteOfDistributed(assigned: DataFrame): DataFrame = {
     val ai = assigned.select(col("vec_id").as("i"), col("cluster").as("ci"),
       col("embedding").as("vi"))
     val bj = assigned.select(col("vec_id").as("j"), col("cluster").as("cj"),

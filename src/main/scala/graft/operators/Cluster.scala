@@ -73,8 +73,66 @@ object Cluster {
     * eps. ONE builder for [[dbscan]] and the ScaleProbe `dbscan` arm
     * (the probe must time the operator's own quadratic stage, never a
     * copy). */
-  private[graft] def epsPairs(embs: DataFrame, eps: Double): DataFrame = {
+  private[graft] def epsPairs(embs: DataFrame, eps: Double,
+      driverCap: Long = 8192L): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"))
+    // Driver arm (optimization round — the silhouetteOf discipline for
+    // the OTHER n² clustering stage): under `driverCap` VECTORS the
+    // pair pass runs in memory with the exact per-pair arithmetic of
+    // the join condition below — graft_cosine's sequential double
+    // loop, Spark's HALF_UP round(·, 4), the ≥ eps compare (a NULL
+    // cosine drops the row, as a NULL condition does) — so the edge
+    // set is identical (OperatorsSpec pins arm equality). RDD-backed
+    // (three downstream join/agg consumers). Over cap the broadcast-
+    // nested-loop stage below runs unchanged — and at real scale the
+    // ANN candidate route replaces it entirely (see [[dbscan]]).
+    if (driverCap > 0) {
+      val take = e.limit(driverCap.toInt + 1).collect()
+      if (take.length <= driverCap) {
+        val n = take.length
+        val ids = new Array[Long](n)
+        val vs = new Array[Array[Float]](n)
+        var i = 0
+        while (i < n) {
+          ids(i) = take(i).getAs[Number](0).longValue
+          vs(i) = take(i).getAs[scala.collection.Seq[Float]](1).toArray
+          i += 1
+        }
+        val perRow = new Array[Seq[(Long, Long)]](n)
+        java.util.stream.IntStream.range(0, n).parallel().forEach { x =>
+          val a = vs(x)
+          val mine = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var j = x + 1
+          while (j < n) {
+            val b = vs(j)
+            val len = math.min(a.length, b.length)
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var t = 0
+            while (t < len) {
+              val xv = a(t).toDouble; val yv = b(t).toDouble
+              dot += xv * yv; na += xv * xv; nb += yv * yv
+              t += 1
+            }
+            if (na != 0.0 && nb != 0.0 && ids(x) != ids(j)) {
+              val r4 = java.math.BigDecimal
+                .valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              // u < v on VALUES, not indices — ids carry no order contract
+              if (r4 >= eps)
+                mine += (if (ids(x) < ids(j)) (ids(x), ids(j))
+                  else (ids(j), ids(x)))
+            }
+            j += 1
+          }
+          perRow(x) = mine.toSeq
+        }
+        val pairs: Seq[(Long, Long)] =
+          perRow.iterator.filter(_ != null).flatten.toIndexedSeq
+        val s = embs.sparkSession
+        return s.createDataFrame(s.sparkContext.parallelize(pairs, 8))
+          .toDF("u", "v")
+      }
+    }
     // explicit broadcast-nested-loop shape: the candidate side is the
     // broadcast build, the probe side REPARTITIONS so the n² kernel
     // work spreads across cores (a single-file parquet read otherwise

@@ -607,7 +607,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("modularity: label frames broadcast onto the edge list; no sort-merge, no unrestricted product") {
-    val p = plan("q_graph_modularity")
+    // the query takes the cap-gated driver arm (optimization round):
+    // its plan is the in-memory result + TakeOrdered — pin that, then
+    // pin the ORIGINAL 100 TB posture on the distributed arm's plan
+    // (driverCap = 0), which is what actually runs over cap
+    val pq = plan("q_graph_modularity")
+    assert(pq.contains("TakeOrderedAndProject"),
+      s"driver-arm modularity must still take-order its top-k in:\n$pq")
+    assert(!pq.contains("Exchange"),
+      s"the driver-arm plan must carry no shuffle in:\n$pq")
+    val e = graft.operators.Graph.jaccardSliceEdges(spark, sf())
+    val p = graft.operators.Graph.modularityOf(e,
+        graft.operators.Graph.labelAssign(e, 3, driverCap = 0L), k = 10,
+        driverCap = 0L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       s"both edge-label joins and the degree-label join must broadcast in:\n$p")
     assert(!p.contains("SortMergeJoin"),
@@ -712,7 +725,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("silhouette: the n² pair pass combines map-side — the shuffle carries mean cells, never pairs") {
-    val p = plan("q_cluster_silhouette")
+    // the query takes the vector-cap driver arm (optimization round);
+    // the 100 TB posture pins move to the distributed arm's plan, which
+    // is what runs over cap
+    val pq = plan("q_cluster_silhouette")
+    assert(!pq.contains("Exchange") || pq.contains("rangepartitioning"),
+      s"the driver-arm plan is result-sized — at most the order-by exchange in:\n$pq")
+    val assigned = graft.operators.Ann.silhouetteAssigned(spark, sf())
+    val p = graft.operators.Ann.silhouetteOf(assigned, driverCap = 0L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the candidate side broadcasts into the nested-loop pair pass
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"the pair pass must broadcast the candidate side in:\n$p")

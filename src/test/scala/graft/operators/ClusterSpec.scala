@@ -47,6 +47,18 @@ class ClusterSpec extends SparkSpec {
     assert(out(20L) === ((2L, "core", 0L)), s"id 20: ${out(20L)}")
     // id 30: no eps neighbor at all → noise with the −1 sentinel
     assert(out(30L) === ((0L, "noise", -1L)), s"id 30: ${out(30L)}")
+    // arm equality (optimization round): the in-memory pair pass and the
+    // broadcast-nested-loop stage emit the same eps-graph, and the zero
+    // vector drops exactly as a NULL join condition does
+    val withZero = fixture().unionByName(
+      spark.createDataFrame(Seq((40L, Seq(0.0f, 0.0f)))).toDF("vec_id", "embedding"))
+    val drv = Cluster.epsPairs(withZero, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Cluster.epsPairs(withZero, 0.95, driverCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drv === dist, s"eps-pair arms diverged: $drv vs $dist")
+    assert(!drv.exists(p => p._1 == 40L || p._2 == 40L),
+      "zero vector must produce no eps edges on either arm")
   }
 
   test("fixture: raising minPts demotes attached points to border, thin cores to noise") {

@@ -81,7 +81,8 @@ class GraphSpec extends SparkSpec {
     // frame is a checkpoint, so asserting on ITS plan would be vacuous).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val viaShuffle = Graph.pagerank(edgesDf(es), iters = 4, broadcastRanks = false)
+      val viaShuffle = Graph.pagerank(edgesDf(es), iters = 4, broadcastRanks = false,
+          driverCap = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaShuffle === viaBroadcast)
       assert(viaBroadcast === refPagerank(es, iters = 4))
@@ -116,7 +117,8 @@ class GraphSpec extends SparkSpec {
     assert(got(0L) > got(2L), "heavy mutual edge must concentrate mass")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val sh = Graph.pagerankWeighted(es, iters = 5, broadcastRanks = false)
+      val sh = Graph.pagerankWeighted(es, iters = 5, broadcastRanks = false,
+          driverCap = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(sh === got, "weighted shuffle arm must match broadcast exactly")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -158,7 +160,7 @@ class GraphSpec extends SparkSpec {
     try {
       val sh = Graph.ssspWeighted(
           es.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
-          src, rounds = 4, broadcastFrontier = false)
+          src, rounds = 4, broadcastFrontier = false, driverCap = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(sh === hops, "shuffle-frontier arm must match broadcast exactly")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -176,7 +178,7 @@ class GraphSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val viaShuffle = Graph.bfsHops(edgesDf(es), src, maxHops = 4,
-          broadcastFrontier = false)
+          broadcastFrontier = false, driverCap = 0L)
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(viaShuffle === viaBroadcast,
         "shuffle-frontier arm must match broadcast exactly")
@@ -367,7 +369,7 @@ class GraphSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val sh = Graph.kcorePeelWeighted(e1, s = 3L, rounds = 4,
-          broadcastKeep = false)
+          broadcastKeep = false, driverCap = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(sh === unw, "shuffle-keep arm must match broadcast exactly")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -605,7 +607,8 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_._2).sum === 10L, "every node belongs to exactly one community")
     assert(got.forall(_._2 >= 5), s"clique communities must hold: ${got.toSeq}")
     // shuffle fallback = broadcast arm, row for row
-    val sh = Graph.labelPropagate(e, rounds = 3, k = 10, broadcastLabels = false)
+    val sh = Graph.labelPropagate(e, rounds = 3, k = 10, broadcastLabels = false,
+      driverCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.toSeq === sh.toSeq)
     // determinism: a second run is identical (the tie rule is total)
@@ -636,7 +639,8 @@ class GraphSpec extends SparkSpec {
     }
     assert(q(0) <= q(1) && q(1) <= q(2), s"Q decreased across rounds: $q")
     // arm equality: the shuffle-join fallback is bit-identical
-    val shuffled = Graph.louvainAssign(ed, rounds = 2, broadcastLabels = false)
+    val shuffled = Graph.louvainAssign(ed, rounds = 2, broadcastLabels = false,
+      driverCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(shuffled === got)
     // w ≡ 1 collapse: the weighted operator reproduces the unweighted
@@ -706,7 +710,7 @@ class GraphSpec extends SparkSpec {
     assert(q2 >= q1, s"multilevel decreased Q: $q1 -> $q2")
     // determinism + arm equality of the whole multilevel chain
     val again = Graph.louvainMultilevelAssign(ed, rounds = 2,
-        broadcastLabels = false)
+        broadcastLabels = false, driverCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === lvl2, "shuffle arm / rerun diverged")
   }
@@ -751,7 +755,7 @@ class GraphSpec extends SparkSpec {
     // shuffle fallback (broadcastLabels=false, the nodes-too-big-to-
     // broadcast arm) scores identically, row for row
     val sh = Graph.modularityOf(e, Graph.labelAssign(e, rounds = 3), k = 10,
-        broadcastLabels = false)
+        broadcastLabels = false, driverCap = 0L)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
     assert(got.toSeq === sh.toSeq, "broadcast and shuffle arms must agree")
@@ -769,7 +773,8 @@ class GraphSpec extends SparkSpec {
     val e = raw.toDF("a", "b")
     val bc = Graph.kcorePeel(e, k = 3, rounds = 4, broadcastKeep = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val sh = Graph.kcorePeel(e, k = 3, rounds = 4, broadcastKeep = false)
+    val sh = Graph.kcorePeel(e, k = 3, rounds = 4, broadcastKeep = false,
+      driverCap = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(bc.nonEmpty, "fixture should retain a core at k=3")
     assert(bc === sh, "broadcast and shuffle arms must peel identically")
@@ -868,5 +873,69 @@ class GraphSpec extends SparkSpec {
     // ordered by rank desc
     val rs = rows.map(_.getLong(2))
     assert(rs.zip(rs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("driver arm ≡ distributed arm across the loop family (optimization round)") {
+    import spark.implicits._
+    // One seeded random graph (symmetrized, weights 1..5) drives every
+    // loop operator through BOTH arms: the default cap-gated driver arm
+    // and the driverCap = 0 distributed chain must agree row-for-row —
+    // the same pin betweenness/components carry, extended to the
+    // operators the optimization round driver-armed.
+    val rnd = new scala.util.Random(23)
+    val raw = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (raw ++ raw.map(_.swap)).distinct
+    val symW = sym.map { case (a, b) =>
+      (a, b, (math.min(a, b) % 5) + 1L) } // symmetric deterministic weight
+    val und = sym.filter { case (a, b) => a < b }
+    val undW = symW.filter { case (a, b, _) => a < b }
+    val edDf = sym.toDF("src", "dst")
+    val edWDf = symW.toDF("src", "dst", "w")
+    val unDf = und.toDF("a", "b")
+    val unWDf = undW.toDF("a", "b", "w")
+    val srcs = Seq(0L, 7L).toDF("node")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    def eq(name: String, drv: org.apache.spark.sql.DataFrame,
+        dist: org.apache.spark.sql.DataFrame): Unit =
+      assert(rows(drv) === rows(dist), s"$name arms diverged")
+    eq("pagerank", Graph.pagerank(edDf, 3),
+      Graph.pagerank(edDf, 3, driverCap = 0L))
+    eq("pagerankWeighted", Graph.pagerankWeighted(edWDf, 3),
+      Graph.pagerankWeighted(edWDf, 3, driverCap = 0L))
+    eq("pagerankPersonalized",
+      Graph.pagerankPersonalized(edDf, srcs, 3),
+      Graph.pagerankPersonalized(edDf, srcs, 3, driverCap = 0L))
+    eq("ssspWeighted", Graph.ssspWeighted(edWDf, srcs, 3),
+      Graph.ssspWeighted(edWDf, srcs, 3, driverCap = 0L))
+    eq("bfsHops", Graph.bfsHops(edDf, srcs, 3),
+      Graph.bfsHops(edDf, srcs, 3, driverCap = 0L))
+    eq("kcorePeel", Graph.kcorePeel(unDf, 3, 3),
+      Graph.kcorePeel(unDf, 3, 3, driverCap = 0L))
+    eq("kcorePeelWeighted", Graph.kcorePeelWeighted(unWDf, 4L, 3),
+      Graph.kcorePeelWeighted(unWDf, 4L, 3, driverCap = 0L))
+    eq("ktrussPeel", Graph.ktrussPeel(unDf, 4, 2),
+      Graph.ktrussPeel(unDf, 4, 2, driverCap = 0L))
+    eq("triangleCount", Graph.triangleCount(unDf),
+      Graph.triangleCount(unDf, driverCap = 0L))
+    eq("localClusteringTopK", Graph.localClusteringTopK(unDf, 100),
+      Graph.localClusteringTopK(unDf, 100, driverCap = 0L))
+    eq("labelAssignWeighted", Graph.labelAssignWeighted(unWDf, 3),
+      Graph.labelAssignWeighted(unWDf, 3, driverCap = 0L))
+    eq("louvainAssignWeighted", Graph.louvainAssignWeighted(unWDf, 2),
+      Graph.louvainAssignWeighted(unWDf, 2, driverCap = 0L))
+    // louvain with self-loop mass (the coarse-graph contract)
+    val sl = Seq((1L, 3L), (5L, 2L)).toDF("v", "sw")
+    eq("louvainAssignWeighted+selfLoops",
+      Graph.louvainAssignWeighted(unWDf, 2, selfLoops = Some(sl)),
+      Graph.louvainAssignWeighted(unWDf, 2, selfLoops = Some(sl),
+        driverCap = 0L))
+    eq("modularityOfWeighted",
+      Graph.modularityOfWeighted(unWDf,
+        Graph.labelAssignWeighted(unWDf, 2), 100),
+      Graph.modularityOfWeighted(unWDf,
+        Graph.labelAssignWeighted(unWDf, 2, driverCap = 0L), 100,
+        driverCap = 0L))
   }
 }

@@ -854,6 +854,13 @@ class OperatorsSpec extends SparkSpec {
       .select(col("probe_id"), col("cand_id"))
     val nEx = exact.count()
     val hit = exact.join(got, Seq("probe_id", "cand_id")).count()
+    // arm equality (optimization round): the in-memory search and the
+    // frame chain return the same ranked rows, column for column
+    val drvRows = Ann.graphAnnSearch(probes, corpus, index, entries,
+      beam = 32, hops = 6, k = 3).collect().map(_.toSeq).toSeq
+    val distRows = Ann.graphAnnSearch(probes, corpus, index, entries,
+      beam = 32, hops = 6, k = 3, driverCap = 0L).collect().map(_.toSeq).toSeq
+    assert(drvRows === distRows, "graphAnnSearch arms diverged")
     graft.util.Frames.releaseCheckpoint(index)
     graft.util.Frames.releaseCheckpoint(corpus)
     assert(hit.toDouble / nEx >= 14.0 / 15.0,
@@ -976,5 +983,13 @@ class OperatorsSpec extends SparkSpec {
     // neighbors) → deep negative; the sign-split floor gives −9984.
     assert(got === Map(0L -> -3933L, 1L -> -4228L, 2L -> -9984L,
       3L -> 9979L, 4L -> 9981L, 5L -> 0L), s"got $got")
+    // arm equality (optimization round): the in-memory pair pass and the
+    // distributed n² frame must agree row-for-row, schema included
+    val drv = Ann.silhouetteOf(assigned)
+    val dist = Ann.silhouetteOf(assigned, driverCap = 0L)
+    assert(drv.schema.map(f => (f.name, f.dataType)) ===
+      dist.schema.map(f => (f.name, f.dataType)), "arm schemas diverged")
+    assert(drv.collect().map(_.toSeq).toSeq ===
+      dist.collect().map(_.toSeq).toSeq, "silhouette arms diverged")
   }
 }
