@@ -582,14 +582,15 @@ object ScaleProbe {
       def time(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      graft.operators.Graph.jaccardTopK(hubOf(1), 50, 2L, 256).collect() // warm
+      graft.operators.Graph.jaccardTopK(hubOf(1), 50, 2L, 256, driverCap = 0L).collect() // warm
       Seq(1, 4, 16).foreach { m =>
         val g = hubOf(m).localCheckpoint()
         val hubDeg = m * 500
-        val tCap = time(graft.operators.Graph.jaccardTopK(g, 50, 2L, 256).collect())
+        val tCap = time(graft.operators.Graph.jaccardTopK(g, 50, 2L, 256, driverCap = 0L).collect())
         val tApx = time(graft.operators.Graph.jaccardTopKApprox(g, 50).collect())
         val tExact = time(
-          graft.operators.Graph.jaccardTopK(g, 50, 2L, Int.MaxValue).collect())
+          graft.operators.Graph.jaccardTopK(g, 50, 2L, Int.MaxValue,
+            driverCap = 0L).collect())
         println(f"""{"probe":"jaccard_hub","mult":$m,"hub_degree":$hubDeg,"capped_sec":$tCap%.2f,"approx_sec":$tApx%.2f,"exact_sec":$tExact%.2f}""")
       }
     }

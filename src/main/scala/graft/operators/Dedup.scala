@@ -911,15 +911,8 @@ object Dedup {
     // ("small ring"/"small king") survives via the pass whose key it
     // preserves — the classic blocking-recall argument. Verify =
     // levenshtein ≤ 2 (portability proven by q_str_distance).
-    "q_er_blocking" -> ((s, dir) => {
-      val names = graft.catalog.Tables.part(s, dir)
-        .groupBy(col("p_name"))
-        .agg(count(lit(1)).as("n_parts"))
-        .select(col("p_name").as("name"), col("n_parts"),
-          element_at(split(col("p_name"), " "), 1).as("adj"),
-          element_at(split(col("p_name"), " "), 2).as("noun"))
-      erBlocking(names).orderBy(col("name_1"), col("name_2"))
-    }),
+    "q_er_blocking" -> ((s, dir) =>
+      erBlockingShared(s, dir).orderBy(col("name_1"), col("name_2"))),
 
     // Fellegi–Sunter scoring of the q_er_blocking candidate pairs — the
     // match-decision stage of the entity-resolution pipeline (blocking
@@ -941,7 +934,7 @@ object Dedup {
         .filter(col("rn") === 1)
         .select(col("p_name").as("name"), col("p_brand"),
           col("p_type"), col("p_size"))
-      val cands = queries("q_er_blocking")(s, dir)
+      val cands = erBlockingShared(s, dir)
         .select(col("name_1"), col("name_2"), col("dist"))
       erScoring(cands, rep)
         .orderBy(col("score").desc, col("name_1"), col("name_2"))
@@ -980,7 +973,7 @@ object Dedup {
         .filter(col("rn") === 1)
         .select(col("p_name").as("name"), col("p_brand"),
           col("p_type"), col("p_size"))
-      erEntitiesFrom(ids, rep)
+      erEntitiesFrom(ids, rep, blocked = Some(erBlockingShared(s, dir)))
     }),
 
     // Pairs → clusters: connected components over the q_dedup_minhash edge
@@ -1010,6 +1003,23 @@ object Dedup {
   // StreamOps.entitiesStoreRead instantiates it from the arrival-built
   // store's folded summaries, so the store read IS the batch recompute
   // by construction (the pagerankStoreRead discipline).
+
+  /** The part-table blocking frame, pool-memoized (optimization round):
+    * q_er_blocking, q_er_scoring and q_er_entities all run the same
+    * dictionary self-join + levenshtein pass over the same name dim —
+    * one persisted frame serves all three under the bench pool (pure
+    * plan, the Memo no-embedded-checkpoint contract); Verify/tests
+    * build cold. */
+  private def erBlockingShared(s: SparkSession, dir: String): DataFrame =
+    graft.util.Memo.benchMemo(s, dir, "er:blocking_part") {
+      val names = graft.catalog.Tables.part(s, dir)
+        .groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .select(col("p_name").as("name"), col("n_parts"),
+          element_at(split(col("p_name"), " "), 1).as("adj"),
+          element_at(split(col("p_name"), " "), 2).as("noun"))
+      erBlocking(names)
+    }
 
   /** Multi-pass blocked candidate pairs over a name dim
     * (name, n_parts, adj, noun): per pass one equi-join on a blocking
@@ -1068,12 +1078,19 @@ object Dedup {
     * q_er_entities for why the fixture uses the review-accept tier),
     * closure is the shared Components machinery, survivorship elects
     * the canonical record deterministically. */
-  private[graft] def erEntitiesFrom(ids: DataFrame, rep: DataFrame): DataFrame = {
+  private[graft] def erEntitiesFrom(ids: DataFrame, rep: DataFrame,
+      blocked: Option[DataFrame] = None): DataFrame = {
     val names = ids.select(col("name"), col("n_parts"),
       element_at(split(col("name"), " "), 1).as("adj"),
       element_at(split(col("name"), " "), 2).as("noun"))
+    // `blocked` (optimization round): the query layer passes the
+    // pool-shared part-name blocking frame (erBlockingShared) so the
+    // three ER queries pay ONE dictionary self-join pass; the store
+    // read and tests build fresh (None) — same frame by construction
+    // (names here == the blocking query's names: same dim, same keys)
     val edges = erScoring(
-        erBlocking(names).select(col("name_1"), col("name_2"), col("dist")),
+        blocked.getOrElse(erBlocking(names))
+          .select(col("name_1"), col("name_2"), col("dist")),
         rep)
       .filter(col("score") >= 1500)
       .join(broadcast(ids.select(col("name").as("name_1"),

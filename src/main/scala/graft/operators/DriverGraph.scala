@@ -388,6 +388,100 @@ private[operators] object DriverGraph {
     lbl.toSeq
   }
 
+  /** Unweighted neighbor-set Jaccard wedge pass —
+    * [[Graph.jaccardTopK]]'s algebra: symmetrized distinct-neighbor
+    * sets, true degrees from the UNCAPPED adjacency, apexes over
+    * `maxDegree` do not expand, common ≥ minCommon, exact e4 score.
+    * Ids outside [0, 1e9) fail loudly with the pair-pack guard message
+    * (the plan-level [[Graph.guardId]] contract). Returns
+    * (v1, v2, common, d1, d2, jaccard_e4); ordering stays in the
+    * DataFrame. */
+  def jaccardTopK(edges: Array[(Long, Long)], minCommon: Long,
+      maxDegree: Int): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    edges.foreach { case (a, b) =>
+      for (x <- Seq(a, b))
+        require(x >= 0L && x < 1000000000L,
+          s"jaccard pair-pack id outside [0, 1e9): $x")
+    }
+    val nbr = new java.util.HashMap[Long, HashSet[Long]]
+    def add(u: Long, v: Long): Unit = {
+      var s = nbr.get(u)
+      if (s == null) { s = HashSet.empty[Long]; nbr.put(u, s) }
+      s += v
+    }
+    edges.foreach { case (a, b) => add(a, b); add(b, a) }
+    val deg = HashMap.empty[Long, Long]
+    nbr.forEach((v, s) => deg(v) = s.size.toLong)
+    val common = HashMap.empty[Long, Long] // packed v1*1e9+v2 key
+    nbr.forEach { (_, s) =>
+      if (s.size <= maxDegree) {
+        val ns = s.toArray.sorted
+        var i = 0
+        while (i < ns.length) {
+          var j = i + 1
+          while (j < ns.length) {
+            val pk = ns(i) * 1000000000L + ns(j)
+            common(pk) = common.getOrElse(pk, 0L) + 1L
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    common.iterator.filter(_._2 >= minCommon).map { case (pk, c) =>
+      val v1 = pk / 1000000000L; val v2 = pk % 1000000000L
+      val d1 = deg(v1); val d2 = deg(v2)
+      (v1, v2, c, d1, d2, c * 10000L / (d1 + d2 - c))
+    }.toSeq
+  }
+
+  /** Weighted (Ružička) Jaccard wedge pass —
+    * [[Graph.jaccardTopKWeighted]]: min-weight payload per ordered
+    * wedge pair, strengths from the uncapped adjacency, max_sum =
+    * s1 + s2 − min_sum. Returns (v1, v2, common, min_sum, max_sum,
+    * ruzicka_e4). */
+  def jaccardTopKWeighted(edges: Array[(Long, Long, Long)], minCommon: Long,
+      maxDegree: Int): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    edges.foreach { case (a, b, _) =>
+      for (x <- Seq(a, b))
+        require(x >= 0L && x < 1000000000L,
+          s"jaccard pair-pack id outside [0, 1e9): $x")
+    }
+    val nbr = new java.util.HashMap[Long, ArrayBuffer[(Long, Long)]]
+    def add(u: Long, v: Long, w: Long): Unit = {
+      var s = nbr.get(u)
+      if (s == null) { s = ArrayBuffer.empty[(Long, Long)]; nbr.put(u, s) }
+      s += ((v, w))
+    }
+    edges.foreach { case (a, b, w) => add(a, b, w); add(b, a, w) }
+    val str = HashMap.empty[Long, Long]
+    nbr.forEach((v, s) => str(v) = s.iterator.map(_._2).sum)
+    val minSum = HashMap.empty[Long, Long]
+    val common = HashMap.empty[Long, Long]
+    nbr.forEach { (_, s) =>
+      if (s.size <= maxDegree) {
+        val ns = s.toArray.sortBy(x => (x._1, x._2))
+        var i = 0
+        while (i < ns.length) {
+          var j = i + 1
+          while (j < ns.length) {
+            val pk = ns(i)._1 * 1000000000L + ns(j)._1
+            minSum(pk) = minSum.getOrElse(pk, 0L) + math.min(ns(i)._2, ns(j)._2)
+            common(pk) = common.getOrElse(pk, 0L) + 1L
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    common.iterator.filter(_._2 >= minCommon).map { case (pk, c) =>
+      val v1 = pk / 1000000000L; val v2 = pk % 1000000000L
+      val ms = minSum(pk)
+      val mx = str(v1) + str(v2) - ms
+      (v1, v2, c, ms, mx, ms * 10000L / mx)
+    }.toSeq
+  }
+
   /** Exact-integer weighted modularity per community —
     * [[Graph.modularityOfWeighted]]'s aggregates: m = Σw over edges,
     * e_in = intra-community weight (both endpoints IN the assignment,

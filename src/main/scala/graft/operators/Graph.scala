@@ -2839,7 +2839,20 @@ object Graph {
     * @param maxDegree apexes with more neighbors than this do not expand.
     */
   def jaccardTopK(edges: DataFrame, k: Int, minCommon: Long = 2L,
-      maxDegree: Int = jaccardMaxDegree): DataFrame = {
+      maxDegree: Int = jaccardMaxDegree, driverCap: Long = 1000000L): DataFrame = {
+    require(driverCap < Int.MaxValue, "driverCap must fit an Int limit")
+    // driver arm (optimization round): the wedge pass in memory — same
+    // guard (loud pair-pack failure), same capped-apex rule, same exact
+    // integers; the packed-key wedge aggregate below stays the over-cap
+    // path (GraphSpec pins arm equality)
+    if (driverCap > 0)
+      takePairs(edges.select(col("a"), col("b")), driverCap).foreach { arr =>
+        return edges.sparkSession
+          .createDataFrame(DriverGraph.jaccardTopK(arr, minCommon, maxDegree))
+          .toDF("v1", "v2", "common", "d1", "d2", "jaccard_e4")
+          .orderBy(col("jaccard_e4").desc, col("v1"), col("v2"))
+          .limit(k)
+      }
     val adj = jaccardAdjacency(edges, guard = true)
     val deg = adj.select(col("a").as("v"), size(col("ns")).cast("long").as("d"))
     val apex = if (maxDegree == Int.MaxValue) adj
@@ -2923,7 +2936,19 @@ object Graph {
     *              ids must lie in [0, 1e9) (guarded in-plan).
     * @return top-k (v1, v2, common, min_sum, max_sum, ruzicka_e4). */
   def jaccardTopKWeighted(edges: DataFrame, k: Int, minCommon: Long = 2L,
-      maxDegree: Int = jaccardMaxDegree): DataFrame = {
+      maxDegree: Int = jaccardMaxDegree, driverCap: Long = 1000000L): DataFrame = {
+    require(driverCap < Int.MaxValue, "driverCap must fit an Int limit")
+    // driver arm: see [[jaccardTopK]]'s — min-weight payload per wedge
+    if (driverCap > 0)
+      takeTriples(edges.select(col("a"), col("b"), col("w")),
+          driverCap).foreach { arr =>
+        return edges.sparkSession
+          .createDataFrame(
+            DriverGraph.jaccardTopKWeighted(arr, minCommon, maxDegree))
+          .toDF("v1", "v2", "common", "min_sum", "max_sum", "ruzicka_e4")
+          .orderBy(col("ruzicka_e4").desc, col("v1"), col("v2"))
+          .limit(k)
+      }
     val e = edges.select(guardId(col("a")).as("a"), guardId(col("b")).as("b"),
       col("w"))
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b"), col("w")))

@@ -937,5 +937,9 @@ class GraphSpec extends SparkSpec {
       Graph.modularityOfWeighted(unWDf,
         Graph.labelAssignWeighted(unWDf, 2, driverCap = 0L), 100,
         driverCap = 0L))
+    eq("jaccardTopK", Graph.jaccardTopK(unDf, 1000, 1L),
+      Graph.jaccardTopK(unDf, 1000, 1L, driverCap = 0L))
+    eq("jaccardTopKWeighted", Graph.jaccardTopKWeighted(unWDf, 1000, 1L),
+      Graph.jaccardTopKWeighted(unWDf, 1000, 1L, driverCap = 0L))
   }
 }
