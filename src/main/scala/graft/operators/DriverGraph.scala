@@ -522,6 +522,33 @@ private[operators] object DriverGraph {
     }.toSeq
   }
 
+  /** Two-level Louvain — [[Graph.louvainMultilevelAssign]] end to end:
+    * phase-1 local moves at w ≡ 1, [[Graph.louvainCoarsen]]'s exact
+    * reduction (inter-community weights summed on the canonical a < b
+    * pair, intra mass to self-loops), phase-2 local moves with the
+    * self-loop strength/W contract, labels projected back. One edge
+    * collect replaces the per-phase collects + the distributed coarsen
+    * aggregates. */
+  def louvainMultilevel(edges: Array[(Long, Long)],
+      rounds: Int): Seq[(Long, Long)] = {
+    val ew = edges.map { case (a, b) => (a, b, 1L) }
+    val a1 = HashMap(louvainAssignWeighted(ew, rounds, Seq.empty): _*)
+    val coarse = HashMap.empty[(Long, Long), Long]
+    val selfw = HashMap.empty[Long, Long]
+    ew.foreach { case (a, b, w) =>
+      val ca = a1(a); val cb = a1(b)
+      if (ca == cb) selfw(ca) = selfw.getOrElse(ca, 0L) + w
+      else {
+        val k = (math.min(ca, cb), math.max(ca, cb))
+        coarse(k) = coarse.getOrElse(k, 0L) + w
+      }
+    }
+    val a2 = HashMap(louvainAssignWeighted(
+      coarse.iterator.map { case ((a, b), w) => (a, b, w) }.toArray,
+      rounds, selfw.toSeq): _*)
+    a1.iterator.map { case (v, c1) => (v, a2(c1)) }.toSeq
+  }
+
   /** Synchronous weighted Louvain local move —
     * [[Graph.louvainAssignWeighted]]'s exact-integer move rule:
     * sc(C) = 4W·k_{v,C} − 2·s_v·(Σtot_C − [C = cur]·s_v), candidates =

@@ -296,6 +296,127 @@ object Freq {
     }
   }
 
+  /** The distributed frame pipeline behind q_agg_quantile_sketch — the
+    * over-cap arm (and the reference the FreqSpec arm-equality pin runs
+    * against): summary compaction + merged read + exact value-at-rank
+    * anchor + tolerance verdict. */
+  private[operators] def quantileSketchFrames(vals: DataFrame, k: Int,
+      qs: Seq[Int]): DataFrame = {
+    // summary-sized (≤ D·(k+1) rows); checkpointed: the n/D aggregate
+    // and the merged read both consume it — lazy, each would re-run
+    // the fact-scale per-day rank
+    val summ = quantileSummary(vals, k).localCheckpoint()
+    val nd = summ.agg(sum(col("w")).as("n"), countDistinct(col("day")).as("d"))
+    val ranks = nd
+      .select(explode(array(qs.map(lit): _*)).as("q_pct"), col("n"), col("d"))
+      .withColumn("r", expr("(n * q_pct + 99) div 100"))
+      .withColumn("tol", expr(s"n div $k + d"))
+    val est = quantileMergedRead(summ, ranks.select(col("q_pct"), col("r")))
+    val lookups = ranks.select(col("q_pct"), col("n"), col("r"), col("tol"),
+        explode(array(
+          struct(lit("exact").as("kind"), col("r").as("tr")),
+          struct(lit("lo").as("kind"),
+            greatest(lit(1L), col("r") - col("tol")).as("tr")),
+          struct(lit("hi").as("kind"),
+            least(col("n"), col("r") + col("tol")).as("tr")))).as("lk"))
+      .select(col("q_pct"), col("n"), col("r"), col("tol"),
+        col("lk.kind").as("kind"), col("lk.tr").as("tr"))
+    val looked = Slices.globalOrdinal(vals.select(col("v")), Seq(col("v")), "p0")
+      .withColumn("rn", col("p0") + 1)
+      .join(broadcast(lookups), col("rn") === col("tr"))
+      .groupBy(col("q_pct"), col("n"), col("r"), col("tol"))
+      .agg(max(when(col("kind") === "exact", col("v"))).as("exact_v"),
+        max(when(col("kind") === "lo", col("v"))).as("lo_v"),
+        max(when(col("kind") === "hi", col("v"))).as("hi_v"))
+    looked.join(est.select(col("q_pct"), col("est_v")), Seq("q_pct"))
+      .select(col("q_pct"), col("n"), col("r"), col("tol"), col("est_v"),
+        col("exact_v"), col("lo_v"), col("hi_v"),
+        (col("est_v") >= col("lo_v") && col("est_v") <= col("hi_v")).as("ok"))
+      .orderBy(col("q_pct"))
+  }
+
+  /** The in-memory arm behind q_agg_quantile_sketch (optimization
+    * round): per-day sorted compaction, weighted-rank merged read and
+    * the exact value-at-rank anchor as sorted-array arithmetic — every
+    * step integer-deterministic, so the 3-row answer is bit-identical
+    * to the frame pipeline (FreqSpec pins arm equality). None over the
+    * row cap or on a null day/value — the frame pipeline runs then. */
+  private[operators] def quantileSketchDriver(s: SparkSession,
+      vals: DataFrame, k: Int, qs: Seq[Int],
+      cap: Long = 1000000L): Option[DataFrame] = {
+    if (cap <= 0) return None
+    val take = vals
+      .select(unix_date(col("day")).as("ed"), col("v"))
+      .limit(cap.toInt + 1).collect()
+    if (take.length > cap) return None
+    val n = take.length
+    val eds = new Array[Int](n)
+    val vsRaw = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = take(i)
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      eds(i) = r.getInt(0); vsRaw(i) = r.getLong(1)
+      i += 1
+    }
+    // per-day ascending values
+    val byDay = new java.util.TreeMap[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    i = 0
+    while (i < n) {
+      var b = byDay.get(eds(i))
+      if (b == null) {
+        b = scala.collection.mutable.ArrayBuffer.empty[Long]
+        byDay.put(eds(i), b)
+      }
+      b += vsRaw(i)
+      i += 1
+    }
+    // compaction: (v, ed, rnk, w) summary rows in (v, ed, rnk) order
+    // after one global sort — the merged read's cumulation key
+    val summ = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+    val itD = byDay.entrySet().iterator()
+    while (itD.hasNext) {
+      val en = itD.next()
+      val sorted = en.getValue.toArray
+      java.util.Arrays.sort(sorted)
+      val nd = sorted.length.toLong
+      val step = (nd + k - 1) / k
+      var rnk = 1L
+      while (rnk <= nd) {
+        if (rnk % step == 0L || rnk == nd)
+          summ += ((sorted((rnk - 1).toInt), en.getKey, rnk,
+            rnk - ((rnk - 1) / step) * step))
+        rnk += 1L
+      }
+    }
+    val summSorted = summ.sortBy(x => (x._1, x._2, x._3))
+    val total = summSorted.iterator.map(_._4).sum // = n exactly
+    val d = byDay.size.toLong
+    val tol = total / k + d
+    val allSorted = java.util.Arrays.copyOf(vsRaw, n)
+    java.util.Arrays.sort(allSorted)
+    def valueAt(rank: Long): Long = allSorted((rank - 1).toInt)
+    val rows = qs.map { q =>
+      val r = (total * q + 99) / 100
+      var cw = 0L
+      var est = 0L
+      var found = false
+      val it = summSorted.iterator
+      while (!found && it.hasNext) {
+        val row = it.next()
+        cw += row._4
+        if (cw >= r && cw - row._4 < r) { est = row._1; found = true }
+      }
+      val exact = valueAt(r)
+      val lo = valueAt(math.max(1L, r - tol))
+      val hi = valueAt(math.min(total, r + tol))
+      (q, total, r, tol, est, exact, lo, hi, est >= lo && est <= hi)
+    }
+    Some(s.createDataFrame(rows)
+      .toDF("q_pct", "n", "r", "tol", "est_v", "exact_v", "lo_v", "hi_v", "ok")
+      .orderBy(col("q_pct")))
+  }
+
   /** Read quantiles off a UNION of [[quantileSummary]] frames: one
     * weighted cumulative rank over the summary rows (≤ D·(k+1) rows —
     * sketch-bounded, never fact-bounded; the single-partition window is
@@ -419,37 +540,17 @@ object Freq {
       val vals = graft.catalog.Tables.lineitem(s, dir).select(
         col("l_shipdate").cast("date").as("day"),
         floor(col("l_extendedprice") * 100).cast("long").as("v"))
-      // summary-sized (≤ D·(k+1) rows); checkpointed: the n/D aggregate
-      // and the merged read both consume it — lazy, each would re-run
-      // the fact-scale per-day rank
-      val summ = quantileSummary(vals, k).localCheckpoint()
-      val nd = summ.agg(sum(col("w")).as("n"), countDistinct(col("day")).as("d"))
-      val ranks = nd
-        .select(explode(array(qs.map(lit): _*)).as("q_pct"), col("n"), col("d"))
-        .withColumn("r", expr("(n * q_pct + 99) div 100"))
-        .withColumn("tol", expr(s"n div $k + d"))
-      val est = quantileMergedRead(summ, ranks.select(col("q_pct"), col("r")))
-      val lookups = ranks.select(col("q_pct"), col("n"), col("r"), col("tol"),
-          explode(array(
-            struct(lit("exact").as("kind"), col("r").as("tr")),
-            struct(lit("lo").as("kind"),
-              greatest(lit(1L), col("r") - col("tol")).as("tr")),
-            struct(lit("hi").as("kind"),
-              least(col("n"), col("r") + col("tol")).as("tr")))).as("lk"))
-        .select(col("q_pct"), col("n"), col("r"), col("tol"),
-          col("lk.kind").as("kind"), col("lk.tr").as("tr"))
-      val looked = Slices.globalOrdinal(vals.select(col("v")), Seq(col("v")), "p0")
-        .withColumn("rn", col("p0") + 1)
-        .join(broadcast(lookups), col("rn") === col("tr"))
-        .groupBy(col("q_pct"), col("n"), col("r"), col("tol"))
-        .agg(max(when(col("kind") === "exact", col("v"))).as("exact_v"),
-          max(when(col("kind") === "lo", col("v"))).as("lo_v"),
-          max(when(col("kind") === "hi", col("v"))).as("hi_v"))
-      looked.join(est.select(col("q_pct"), col("est_v")), Seq("q_pct"))
-        .select(col("q_pct"), col("n"), col("r"), col("tol"), col("est_v"),
-          col("exact_v"), col("lo_v"), col("hi_v"),
-          (col("est_v") >= col("lo_v") && col("est_v") <= col("hi_v")).as("ok"))
-        .orderBy(col("q_pct"))
+      // Driver arm (optimization round — the graph tier's cap-gated
+      // discipline at the query level): the whole pipeline is integer-
+      // deterministic (per-day value-sorted compaction, weighted-rank
+      // merge, exact value-at-rank anchor), so under the cap it runs as
+      // sorted-array arithmetic over ONE collect of the (epoch-day, v)
+      // pairs — replacing the per-day window pass + the global ordinal
+      // sort + the single-partition merge window + the routing action.
+      // Over cap the frame pipeline below runs unchanged (the sketch
+      // IS the at-scale story; its summaries stay distributed).
+      quantileSketchDriver(s, vals, k, qs)
+        .getOrElse(quantileSketchFrames(vals, k, qs))
     })
   )
 

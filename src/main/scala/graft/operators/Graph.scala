@@ -2282,6 +2282,21 @@ object Graph {
       broadcastLabels: Boolean = true,
       a1Shared: Option[DataFrame] = None,
       driverCap: Long = 1000000L): DataFrame = {
+    require(driverCap < Int.MaxValue, "driverCap must fit an Int limit")
+    // driver arm (optimization round): the WHOLE two-level chain in one
+    // in-memory pass — phase 1 is deterministic, so it equals the
+    // pool-shared a1 frame by construction and the arm skips the
+    // per-phase collects and the distributed coarsen aggregates
+    // (GraphSpec pins multilevel arm equality). RDD-backed: modularityOf
+    // consumes this frame in joins.
+    if (driverCap > 0)
+      takePairs(edges.select(col("a"), col("b")), driverCap).foreach { arr =>
+        val s = edges.sparkSession
+        return s.createDataFrame(
+          s.sparkContext.parallelize(
+            DriverGraph.louvainMultilevel(arr, rounds), 8))
+          .toDF("v", "lbl")
+      }
     val ew = edges.select(col("a"), col("b"), lit(1L).as("w"))
     // a1Shared (round 18): phase 1 here IS q_graph_louvain's whole
     // assignment (louvainAssign ≡ louvainAssignWeighted at w ≡ 1), so

@@ -318,4 +318,24 @@ class FreqSpec extends SparkSpec {
     assert(got.select("r").distinct().count() === n,
       "no rank may vanish or duplicate under exact ties")
   }
+
+  test("quantile sketch: driver arm ≡ frame pipeline on a dated adversarial fixture") {
+    import spark.implicits._
+    // skewed + uniform + tiny days with DATE keys and value ties — the
+    // q_agg_quantile_sketch shape; the arm and the frame pipeline must
+    // agree on every column of every row
+    val rows =
+      (1 to 997).map(i => ("2024-01-01", (math.pow(i, 3) / 7).toLong)) ++
+      (1 to 640).map(i => ("2024-01-02", i.toLong * 13 % 100)) ++
+      (1 to 5).map(i => ("2024-01-03", 7L))
+    val vals = rows.toDF("d", "v")
+      .select(col("d").cast("date").as("day"), col("v"))
+    val qs = Seq(50, 90, 99)
+    val drv = Freq.quantileSketchDriver(spark, vals, 64, qs)
+      .getOrElse(fail("fixture must fit the driver cap"))
+      .collect().map(_.toSeq).toSeq
+    val dist = Freq.quantileSketchFrames(vals, 64, qs)
+      .collect().map(_.toSeq).toSeq
+    assert(drv === dist, s"quantile sketch arms diverged: $drv vs $dist")
+  }
 }
