@@ -449,7 +449,27 @@ class PlanSpec extends SparkSpec {
   }
 
   test("graph ANN: search result reads checkpointed deltas, no product, no corpus window") {
-    val p = plan("q_ann_graph")
+    // the query takes the driver search arm (optimization round): its
+    // plan is the ranked LocalRelation — pin that, then pin the
+    // ORIGINAL contract on the distributed arm's plan (driverCap = 0),
+    // which is what runs over cap
+    val pq = plan("q_ann_graph")
+    assert(!pq.contains("CartesianProduct") && !pq.contains("Scan parquet"),
+      s"the driver-arm result plan is result-sized:\n$pq")
+    import org.apache.spark.sql.functions.col
+    val e = graft.catalog.Tables.embeddings(spark, sf())
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val corpus = e.filter(col("vec_id") >= 5 && col("vec_id") < 500)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val index = graft.operators.Ann.graphAnnIndex(corpus, 12)
+    val entries = corpus.filter(col("cand_id").isin(5L, 128L))
+      .crossJoin(probes.select(col("probe_id")))
+      .select(col("probe_id"), col("cand_id"))
+    val p = graft.operators.Ann
+      .graphAnnSearch(probes, corpus, index, entries, 16, 2, 3,
+        driverCap = 0L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the returned plan is the union of the per-hop checkpointed deltas
     // under the final per-probe rank — the corpus itself appears nowhere
     // (neither a scan nor a product); building the frame already ran the
@@ -478,7 +498,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("weighted jaccard: wedge aggregate exchanges on the packed single-long key") {
-    val p = plan("q_graph_jaccard_weighted")
+    // the query takes the wedge driver arm (optimization round); the
+    // packed-key posture pins move to the distributed arm's plan
+    val pq = plan("q_graph_jaccard_weighted")
+    assert(!pq.contains("CartesianProduct"),
+      s"driver-arm jaccard plan stays product-free:\n$pq")
+    val p = graft.operators.Graph
+      .jaccardTopKWeighted(
+        graft.operators.Graph.sliceEdgesAffinity(spark, sf()), k = 50,
+        driverCap = 0L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the measured ~25% lever: the wedge-pair shuffle keys on pk (one
     // BIGINT), not a (v1, v2) struct — regression here silently reverts
     // the exchange-width win
