@@ -109,7 +109,8 @@ object ScaleProbe {
       val li = Seq.fill(m)(li0).reduce(_ unionAll _)
       val n = li.count()
       val t0 = System.nanoTime()
-      graft.queries.Aggs.percentilesOf(li, Seq(0.25, 0.5, 0.75)).collect()
+      // driverCap = 0: the probe measures the DISTRIBUTED rank chain
+      graft.queries.Aggs.percentilesOf(li, Seq(0.25, 0.5, 0.75), driverCap = 0L).collect()
       val tPct = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"percentiles","mult":$m,"rows":$n,"sec":$tPct%.2f}""")
     }

@@ -417,6 +417,92 @@ object Freq {
       .orderBy(col("q_pct")))
   }
 
+  /** The distributed frame pipeline behind q_agg_quantile_rollup — the
+    * over-cap arm (PlanSpec pins its broadcast-join/no-product shape;
+    * FreqSpec pins arm equality). `vals` = (day, v). */
+  private[graft] def quantileRollupFrames(vals: DataFrame, width: Long,
+      qs: Seq[Int]): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // grid-sized (≤ domain/width rows); checkpointed because BOTH the
+    // total and the cumulative branch read it — lazy, each would
+    // re-run the fact-scale sketch build
+    val merged = gridMerge(gridSketch(vals, width)).localCheckpoint()
+    val n = merged.agg(sum(col("cnt")).as("n"))
+    val wCum = W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, -1)
+    val cum = merged
+      .withColumn("cum_lo", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+    val ranks = n
+      .select(explode(array(qs.map(lit): _*)).as("q_pct"), col("n"))
+      .withColumn("r", expr("(n * q_pct + 99) div 100"))
+    val est = ranks.join(broadcast(cum),
+        col("r") > col("cum_lo") && col("r") <= col("cum_lo") + col("cnt"))
+      .select(col("q_pct"), col("n"), col("r"),
+        (col("b") * width).as("est_lo"))
+    val exact = Slices.globalOrdinal(vals.select(col("v")),
+        Seq(col("v")), "p0")
+      .withColumn("rn", col("p0") + 1)
+      .join(broadcast(ranks.select(col("q_pct"), col("r"))),
+        col("rn") === col("r"))
+      .select(col("q_pct"), col("v").as("exact_v"))
+    est.join(exact, Seq("q_pct"))
+      .select(col("q_pct"), col("n"), col("r"), col("est_lo"), col("exact_v"),
+        (col("exact_v") >= col("est_lo") &&
+          col("exact_v") < col("est_lo") + width).as("ok"))
+      .orderBy(col("q_pct"))
+  }
+
+  /** The in-memory arm behind q_agg_quantile_rollup (optimization
+    * round): per-bucket counts via Math.floorDiv (gridSketch's
+    * (v − pmod) div width), ranks (n·q+99) div 100, est_lo = first
+    * bucket whose cumulative interval contains r, exact value-at-rank
+    * from the sorted array — all exact integers, bit-identical to the
+    * frame chain (FreqSpec pins arm equality). None over the row cap
+    * or on a null v — the distributed chain runs then. */
+  private[graft] def quantileRollupDriver(s: SparkSession,
+      vals: DataFrame, width: Long, qs: Seq[Int],
+      cap: Long = 1000000L): Option[DataFrame] = {
+    if (cap <= 0) return None
+    val take = vals.select(col("v")).limit(cap.toInt + 1).collect()
+    if (take.length > cap || take.isEmpty) return None
+    val n = take.length
+    val vs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = take(i)
+      if (r.isNullAt(0)) return None
+      vs(i) = r.getLong(0)
+      i += 1
+    }
+    val counts = new java.util.TreeMap[Long, Long]
+    i = 0
+    while (i < n) {
+      val b = Math.floorDiv(vs(i), width)
+      counts.merge(b, 1L, (a, c) => a + c)
+      i += 1
+    }
+    val sorted = java.util.Arrays.copyOf(vs, n)
+    java.util.Arrays.sort(sorted)
+    val rows = qs.map { q =>
+      val r = (n.toLong * q + 99) / 100
+      var cumLo = 0L
+      var estLo = 0L
+      var found = false
+      val it = counts.entrySet().iterator()
+      while (!found && it.hasNext) {
+        val en = it.next()
+        if (r > cumLo && r <= cumLo + en.getValue) {
+          estLo = en.getKey * width; found = true
+        }
+        cumLo += en.getValue
+      }
+      val exact = sorted((r - 1).toInt)
+      (q, n.toLong, r, estLo, exact, exact >= estLo && exact < estLo + width)
+    }
+    Some(s.createDataFrame(rows)
+      .toDF("q_pct", "n", "r", "est_lo", "exact_v", "ok")
+      .orderBy(col("q_pct")))
+  }
+
   /** Read quantiles off a UNION of [[quantileSummary]] frames: one
     * weighted cumulative rank over the summary rows (≤ D·(k+1) rows —
     * sketch-bounded, never fact-bounded; the single-partition window is
@@ -491,36 +577,22 @@ object Freq {
     "q_agg_quantile_rollup" -> ((s, dir) => {
       val width = 16384L
       val qs = Seq(50, 90, 99)
-      val W = org.apache.spark.sql.expressions.Window
-      val vals = graft.catalog.Tables.lineitem(s, dir).select(
-        col("l_shipdate").cast("date").as("day"),
-        floor(col("l_extendedprice") * 100).cast("long").as("v"))
-      // grid-sized (≤ domain/width rows); checkpointed because BOTH the
-      // total and the cumulative branch read it — lazy, each would
-      // re-run the fact-scale sketch build
-      val merged = gridMerge(gridSketch(vals, width)).localCheckpoint()
-      val n = merged.agg(sum(col("cnt")).as("n"))
-      val wCum = W.orderBy(col("b")).rowsBetween(W.unboundedPreceding, -1)
-      val cum = merged
-        .withColumn("cum_lo", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
-      val ranks = n
-        .select(explode(array(qs.map(lit): _*)).as("q_pct"), col("n"))
-        .withColumn("r", expr("(n * q_pct + 99) div 100"))
-      val est = ranks.join(broadcast(cum),
-          col("r") > col("cum_lo") && col("r") <= col("cum_lo") + col("cnt"))
-        .select(col("q_pct"), col("n"), col("r"),
-          (col("b") * width).as("est_lo"))
-      val exact = Slices.globalOrdinal(vals.select(col("v")),
-          Seq(col("v")), "p0")
-        .withColumn("rn", col("p0") + 1)
-        .join(broadcast(ranks.select(col("q_pct"), col("r"))),
-          col("rn") === col("r"))
-        .select(col("q_pct"), col("v").as("exact_v"))
-      est.join(exact, Seq("q_pct"))
-        .select(col("q_pct"), col("n"), col("r"), col("est_lo"), col("exact_v"),
-          (col("exact_v") >= col("est_lo") &&
-            col("exact_v") < col("est_lo") + width).as("ok"))
-        .orderBy(col("q_pct"))
+      // Driver arm (optimization round — the quantileSketchDriver
+      // recipe): the whole pipeline is integer-deterministic (floor-div
+      // bucket counts, (n·q+99) div 100 ranks, value-at-rank anchor),
+      // so under the cap the v projection collects once and the merged
+      // grid + est/exact/ok read off sorted-array arithmetic — the
+      // per-day sketch keys sum out in gridMerge, so v alone carries
+      // the state. Over cap / nulls: the distributed chain below runs
+      // unchanged (FreqSpec pins arm equality; PlanSpec the shape).
+      quantileRollupDriver(s, graft.catalog.Tables.lineitem(s, dir)
+          .select(floor(col("l_extendedprice") * 100).cast("long").as("v")),
+          width, qs)
+        .getOrElse(quantileRollupFrames(
+          graft.catalog.Tables.lineitem(s, dir).select(
+            col("l_shipdate").cast("date").as("day"),
+            floor(col("l_extendedprice") * 100).cast("long").as("v")),
+          width, qs))
     }),
 
     // Domain-FREE mergeable quantiles (the gridSketch sibling for

@@ -1449,10 +1449,40 @@ object Graph {
     * cold paths chain lazy localCheckpoints with a release handle the
     * caller invokes AFTER materializing its |S|-sized output. */
   private[graft] def wdist107Shared(s: SparkSession, dir: String,
-      rounds: Int): (DataFrame, DataFrame, () => Unit) = {
+      rounds: Int, driverCap: Long = 1000000L): (DataFrame, DataFrame, () => Unit) = {
     val ed = sliceEdgesWeighted(s, dir)
     val sources = ed.select(col("src").as("s")).distinct()
       .filter(col("s") % 107 === 0)
+    // Driver arm (optimization round — the betweennessWeightedBounded
+    // driverCap discipline, moved UP to the shared pass): the Bellman
+    // state both weighted-tier queries read is |S|·reach-bounded, and the
+    // distributed form's cost was `rounds` sequential broadcast-join +
+    // min-aggregate stages on tiny frames. Under the cap the edge frame
+    // collects once (the pooled frame's cached blocks), [[driverBellman]]
+    // — already the pinned mirror of the round — runs in memory, and the
+    // state ships as a LocalRelation (a PURE plan, so the Memo contract
+    // holds and the pool serves both consumers). Over cap: the unchanged
+    // frame loop below (GraphSpec pins arm equality on the consumers).
+    if (driverCap > 0 && driverCap < Int.MaxValue) {
+      val take = ed.select(col("src"), col("dst"), col("w"))
+        .limit(driverCap.toInt + 1).collect()
+      if (take.length <= driverCap) {
+        val edArr = take.map(r => (r.getAs[Number](0).longValue,
+          r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+        def build: DataFrame = {
+          // the sources rule verbatim: distinct src, s % 107 == 0
+          val srcArr = edArr.iterator.map(_._1)
+            .filter(_ % 107L == 0L).toArray.distinct
+          s.createDataFrame(driverBellman(edArr, srcArr, rounds).toSeq)
+            .toDF("s", "v", "d")
+        }
+        val dist =
+          if (java.lang.Boolean.getBoolean("graft.cacheTables"))
+            graft.util.Memo.benchMemo(s, dir, s"graph:wdist107_r$rounds:drv")(build)
+          else build
+        return (sources, dist, () => ())
+      }
+    }
     def round(prev: DataFrame): DataFrame =
       prev.unionByName(broadcast(prev).join(ed, col("v") === col("src"))
           .select(col("s"), col("dst").as("v"), (col("d") + col("w")).as("d")))

@@ -654,32 +654,9 @@ object Aggs {
     // making the crossing x insensitive to how ties split across
     // partitions. The 2·cum ≥ W predicate is exact integer math; the
     // median itself is a raw parquet double (pass-through, no rounding).
-    "q_agg_weighted_median" -> ((s, dir) => {
-      import s.implicits._
-      val W = org.apache.spark.sql.expressions.Window
-      val t = lineitem(s, dir)
-        .select($"l_returnflag".as("g"), $"l_extendedprice".as("x"),
-          $"l_quantity".cast("long").as("w"))
-        .repartitionByRange($"g", $"x")
-        .withColumn("pid", spark_partition_id())
-      val wOff = W.partitionBy($"g").orderBy($"pid")
-        .rowsBetween(W.unboundedPreceding, -1)
-      val wTot = W.partitionBy($"g")
-      val slices = t.groupBy($"g", $"pid").agg(sum($"w").as("slice_w"))
-        .withColumn("w_off", coalesce(sum($"slice_w").over(wOff), lit(0L)))
-        .withColumn("tot_w", sum($"slice_w").over(wTot))
-        // the one slice per group where the cumulative weight crosses W/2
-        .filter(lit(2) * $"w_off" < $"tot_w" &&
-          lit(2) * ($"w_off" + $"slice_w") >= $"tot_w")
-        .select($"g", $"pid", $"w_off", $"tot_w")
-      val wCum = W.partitionBy($"g").orderBy($"x") // RANGE frame: ties together
-      t.join(broadcast(slices), Seq("g", "pid"))
-        .withColumn("cum", $"w_off" + sum($"w").over(wCum))
-        .filter(lit(2) * $"cum" >= $"tot_w")
-        .groupBy($"g")
-        .agg(min($"tot_w").as("total_weight"), min($"x").as("weighted_median"))
-        .orderBy($"g")
-    }),
+    "q_agg_weighted_median" -> ((s, dir) =>
+      weightedMedianDriver(s, lineitem(s, dir))
+        .getOrElse(weightedMedianDistributed(s, lineitem(s, dir)))),
 
     // Incremental aggregate MAINTENANCE: yesterday's stored per-type
     // rollup (rows with event_id < 8000) combined with today's delta
@@ -735,38 +712,9 @@ object Aggs {
     // equal x, and Σ rank·x is invariant under that permutation, so the
     // result is deterministic. All sums exact decimals; the Gini formula
     // (2·Σrx − (n+1)·Σx)/(n·Σx) is one shared double expression.
-    "q_agg_gini" -> ((s, dir) => {
-      import s.implicits._
-      val W = org.apache.spark.sql.expressions.Window
-      val ranged = orders(s, dir)
-        .select($"o_orderpriority".as("g"), dec4($"o_totalprice").as("x"))
-        .repartitionByRange($"g", $"x")
-        .withColumn("pid", spark_partition_id())
-      val wOff = W.partitionBy($"g").orderBy($"pid")
-        .rowsBetween(W.unboundedPreceding, -1)
-      val wStart = W.partitionBy($"pid").orderBy($"g")
-        .rowsBetween(W.unboundedPreceding, -1)
-      val slices = ranged.groupBy($"g", $"pid")
-        .agg(count(lit(1)).as("slice_n"))
-        .withColumn("rank_off", coalesce(sum($"slice_n").over(wOff), lit(0L)))
-        .withColumn("start_ord", coalesce(sum($"slice_n").over(wStart), lit(0L)))
-        .select($"g", $"pid", $"rank_off", $"start_ord")
-      ranged
-        .sortWithinPartitions($"g", $"x")
-        .withColumn("ord",
-          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-        .join(broadcast(slices), Seq("g", "pid"))
-        .withColumn("rn", $"ord" - $"start_ord" + 1 + $"rank_off")
-        .groupBy($"g")
-        .agg(count(lit(1)).as("n"),
-          sum($"x").as("sx"),
-          sum($"rn".cast("decimal(18,0)") * $"x").as("srx"))
-        .select($"g".as("o_orderpriority"), $"n",
-          r4((lit(2.0) * $"srx".cast("double") -
-              ($"n" + 1).cast("double") * $"sx".cast("double")) /
-             ($"n".cast("double") * $"sx".cast("double"))).as("gini"))
-        .orderBy($"o_orderpriority")
-    }),
+    "q_agg_gini" -> ((s, dir) =>
+      giniDriver(s, orders(s, dir))
+        .getOrElse(giniDistributed(s, orders(s, dir)))),
 
     // Sketch SET ALGEBRA: |clickers ∩ purchasers| estimated by
     // inclusion-exclusion over mergeable HLL state (est_A + est_B −
@@ -897,8 +845,61 @@ object Aggs {
     * value-at-rank (all that quantiles read) unchanged — the output is
     * deterministic. Interpolation algebra is unchanged and byte-identical
     * to the DuckDB oracle. percentile_approx remains the one-pass
-    * production approximation (AggToleranceSpec). */
-  def percentilesOf(li: DataFrame, ps: Seq[Double]): DataFrame = {
+    * production approximation (AggToleranceSpec).
+    *
+    * Driver arm (optimization round — the quantileSketchDriver recipe):
+    * value-at-rank over a sorted in-memory array IS this operator's
+    * semantics, so under `driverCap` the (group, x) projection collects
+    * once and the interpolation runs as plain double arithmetic —
+    * a + (b − a)·g on IEEE doubles, identical to the frame's codegen'd
+    * expression — replacing the range exchange + two window passes with
+    * one job. Over cap (the 100 TB posture) the distributed-rank chain
+    * below runs unchanged (PlanSpec pins its one-exchange shape at
+    * driverCap = 0; AggDriverArmSpec pins arm equality); ScaleProbe
+    * passes 0. */
+  def percentilesOf(li: DataFrame, ps: Seq[Double],
+      driverCap: Long = 1000000L): DataFrame = {
+    require(driverCap < Int.MaxValue, "driverCap must fit an Int limit")
+    if (driverCap > 0) {
+      val s = li.sparkSession
+      val take = li.select(col("l_returnflag"), col("l_extendedprice").as("x"))
+        .limit(driverCap.toInt + 1).collect()
+      if (take.length <= driverCap && !take.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val byG = new java.util.TreeMap[String, scala.collection.mutable.ArrayBuffer[Double]]
+        take.foreach { r =>
+          var b = byG.get(r.getString(0))
+          if (b == null) {
+            b = scala.collection.mutable.ArrayBuffer.empty[Double]
+            byG.put(r.getString(0), b)
+          }
+          b += r.getDouble(1)
+        }
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+        byG.forEach { (g, buf) =>
+          val xs = buf.toArray
+          java.util.Arrays.sort(xs)
+          val n = xs.length.toLong
+          ps.foreach { p =>
+            // the frame's bracket algebra verbatim: h = p·(n−1), lo/hi
+            // 1-based ranks, g' the fractional part — all double ops
+            val h = p * (n - 1).toDouble
+            val lo = math.floor(h).toLong + 1
+            val hi = math.min(math.floor(h).toLong + 2, n)
+            val gg = h - math.floor(h)
+            val a = xs((lo - 1).toInt)
+            val b = xs((hi - 1).toInt)
+            rows += ((g, p, a + (b - a) * gg))
+          }
+        }
+        return s.createDataFrame(rows.toSeq).toDF("l_returnflag", "p", "q")
+          .orderBy(col("l_returnflag"), col("p"))
+      }
+    }
+    percentilesOfDistributed(li, ps)
+  }
+
+  /** The distributed-rank chain — [[percentilesOf]]'s over-cap arm. */
+  private[graft] def percentilesOfDistributed(li: DataFrame, ps: Seq[Double]): DataFrame = {
     def sliced(ranged: DataFrame): DataFrame = ranged
       .sortWithinPartitions(col("l_returnflag"), col("x"))
       .withColumn("ord",
@@ -975,6 +976,199 @@ object Aggs {
             col("l_returnflag"), lit(" p="), col("p").cast("string"))))
           .as("q"))
       .orderBy(col("l_returnflag"), col("p"))
+  }
+
+  /** The range-repartition chain — q_agg_weighted_median's over-cap arm
+    * (PlanSpec pins its one-exchange shape directly). */
+  private[graft] def weightedMedianDistributed(s: SparkSession,
+      li: DataFrame): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val t = li
+      .select($"l_returnflag".as("g"), $"l_extendedprice".as("x"),
+        $"l_quantity".cast("long").as("w"))
+      .repartitionByRange($"g", $"x")
+      .withColumn("pid", spark_partition_id())
+    val wOff = W.partitionBy($"g").orderBy($"pid")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wTot = W.partitionBy($"g")
+    val slices = t.groupBy($"g", $"pid").agg(sum($"w").as("slice_w"))
+      .withColumn("w_off", coalesce(sum($"slice_w").over(wOff), lit(0L)))
+      .withColumn("tot_w", sum($"slice_w").over(wTot))
+      // the one slice per group where the cumulative weight crosses W/2
+      .filter(lit(2) * $"w_off" < $"tot_w" &&
+        lit(2) * ($"w_off" + $"slice_w") >= $"tot_w")
+      .select($"g", $"pid", $"w_off", $"tot_w")
+    val wCum = W.partitionBy($"g").orderBy($"x") // RANGE frame: ties together
+    t.join(broadcast(slices), Seq("g", "pid"))
+      .withColumn("cum", $"w_off" + sum($"w").over(wCum))
+      .filter(lit(2) * $"cum" >= $"tot_w")
+      .groupBy($"g")
+      .agg(min($"tot_w").as("total_weight"), min($"x").as("weighted_median"))
+      .orderBy($"g")
+  }
+
+  /** In-memory arm behind q_agg_weighted_median (optimization round):
+    * the crossing rule — smallest x whose TIE-AGGREGATED cumulative
+    * weight reaches half the group total — is a sorted-array walk, so
+    * under the cap the (g, x, w) projection collects once and the
+    * median reads off exact integer comparisons (2·cum ≥ W), identical
+    * to the frame's RANGE-frame window. None over cap or on any null —
+    * the range-repartition chain runs then (PlanSpec pins its shape;
+    * AggDriverArmSpec pins arm equality). */
+  private[graft] def weightedMedianDriver(s: SparkSession, li: DataFrame,
+      cap: Long = 1000000L): Option[DataFrame] = {
+    if (cap <= 0) return None
+    val take = li.select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long"))
+      .limit(cap.toInt + 1).collect()
+    if (take.length > cap ||
+        take.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)))
+      return None
+    // per-group primitive arrays: the crossing walk needs per-DISTINCT-x
+    // weight sums in ascending x, which a sortable-bits key gives without
+    // boxing 600k tuples (IEEE order-preserving long transform; all-
+    // positive prices, but the sign flip keeps it general)
+    def sortableBits(x: Double): Long = {
+      val b = java.lang.Double.doubleToLongBits(x)
+      if (b >= 0L) b else b ^ Long.MaxValue
+    }
+    def fromSortable(k: Long): Double =
+      java.lang.Double.longBitsToDouble(if (k >= 0L) k else k ^ Long.MaxValue)
+    final class Grp {
+      var keys = new Array[Long](64)
+      var ws = new Array[Long](64)
+      var n = 0
+      def add(k: Long, w: Long): Unit = {
+        if (n == keys.length) {
+          keys = java.util.Arrays.copyOf(keys, n * 2)
+          ws = java.util.Arrays.copyOf(ws, n * 2)
+        }
+        keys(n) = k; ws(n) = w; n += 1
+      }
+    }
+    val byG = new java.util.TreeMap[String, Grp]
+    take.foreach { r =>
+      var b = byG.get(r.getString(0))
+      if (b == null) { b = new Grp; byG.put(r.getString(0), b) }
+      b.add(sortableBits(r.getDouble(1)), r.getLong(2))
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    byG.forEach { (g, grp) =>
+      // weight per distinct key, then one primitive sort of the keys
+      val wByK = new java.util.HashMap[java.lang.Long, java.lang.Long](grp.n * 2)
+      var tot = 0L
+      var i = 0
+      while (i < grp.n) {
+        val k = grp.keys(i); val w = grp.ws(i)
+        val prev = wByK.get(k)
+        wByK.put(k, if (prev == null) w else prev.longValue + w)
+        tot += w
+        i += 1
+      }
+      val uniq = new Array[Long](wByK.size)
+      var j = 0
+      val it = wByK.keySet().iterator()
+      while (it.hasNext) { uniq(j) = it.next().longValue; j += 1 }
+      java.util.Arrays.sort(uniq)
+      var cum = 0L
+      var med = Double.NaN
+      var found = false
+      i = 0
+      while (i < uniq.length && !found) {
+        cum += wByK.get(uniq(i)).longValue
+        // the whole tie run is already aggregated — the RANGE frame
+        if (2L * cum >= tot) { med = fromSortable(uniq(i)); found = true }
+        i += 1
+      }
+      rows += ((g, tot, med))
+    }
+    Some(s.createDataFrame(rows.toSeq)
+      .toDF("g", "total_weight", "weighted_median")
+      .orderBy(col("g")))
+  }
+
+  /** The distributed-rank chain — q_agg_gini's over-cap arm (PlanSpec
+    * pins its one-exchange shape directly). */
+  private[graft] def giniDistributed(s: SparkSession, ord: DataFrame): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ranged = ord
+      .select($"o_orderpriority".as("g"), dec4($"o_totalprice").as("x"))
+      .repartitionByRange($"g", $"x")
+      .withColumn("pid", spark_partition_id())
+    val wOff = W.partitionBy($"g").orderBy($"pid")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wStart = W.partitionBy($"pid").orderBy($"g")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val slices = ranged.groupBy($"g", $"pid")
+      .agg(count(lit(1)).as("slice_n"))
+      .withColumn("rank_off", coalesce(sum($"slice_n").over(wOff), lit(0L)))
+      .withColumn("start_ord", coalesce(sum($"slice_n").over(wStart), lit(0L)))
+      .select($"g", $"pid", $"rank_off", $"start_ord")
+    ranged
+      .sortWithinPartitions($"g", $"x")
+      .withColumn("ord",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .join(broadcast(slices), Seq("g", "pid"))
+      .withColumn("rn", $"ord" - $"start_ord" + 1 + $"rank_off")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"),
+        sum($"rn".cast("decimal(18,0)") * $"x").as("srx"))
+      .select($"g".as("o_orderpriority"), $"n",
+        r4((lit(2.0) * $"srx".cast("double") -
+            ($"n" + 1).cast("double") * $"sx".cast("double")) /
+           ($"n".cast("double") * $"sx".cast("double"))).as("gini"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** In-memory arm behind q_agg_gini (optimization round): ranks are
+    * the sorted positions 1..n (Σ rank·x is invariant under tie
+    * permutation — the frame's own determinism argument), sums run in
+    * exact BigDecimal (the frame's DECIMAL accumulators), and the final
+    * Pearson-style quotient + HALF_UP round(·,4) replicate the frame's
+    * double expression bit-for-bit. None over cap / on nulls. */
+  private[graft] def giniDriver(s: SparkSession, ord: DataFrame,
+      cap: Long = 1000000L): Option[DataFrame] = {
+    if (cap <= 0) return None
+    val take = ord.select(col("o_orderpriority"), dec4(col("o_totalprice")))
+      .limit(cap.toInt + 1).collect()
+    if (take.length > cap ||
+        take.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+      return None
+    val byG = new java.util.TreeMap[String, scala.collection.mutable.ArrayBuffer[java.math.BigDecimal]]
+    take.foreach { r =>
+      var b = byG.get(r.getString(0))
+      if (b == null) {
+        b = scala.collection.mutable.ArrayBuffer.empty[java.math.BigDecimal]
+        byG.put(r.getString(0), b)
+      }
+      b += r.getDecimal(1)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    byG.forEach { (g, buf) =>
+      val xs: Array[java.math.BigDecimal] = buf.toArray
+      java.util.Arrays.sort(xs, java.util.Comparator.naturalOrder[java.math.BigDecimal]())
+      val n = xs.length.toLong
+      var sx = java.math.BigDecimal.ZERO
+      var srx = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < xs.length) {
+        sx = sx.add(xs(i))
+        srx = srx.add(xs(i).multiply(java.math.BigDecimal.valueOf(i + 1L)))
+        i += 1
+      }
+      val sxD = sx.doubleValue
+      val srxD = srx.doubleValue
+      val gini = java.math.BigDecimal
+        .valueOf((2.0 * srxD - (n + 1).toDouble * sxD) / (n.toDouble * sxD))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      rows += ((g, n, gini))
+    }
+    Some(s.createDataFrame(rows.toSeq)
+      .toDF("o_orderpriority", "n", "gini")
+      .orderBy(col("o_orderpriority")))
   }
 
   /** TPC-H-Q1-style pricing summary. Exact decimal pipeline:

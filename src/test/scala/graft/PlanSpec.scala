@@ -242,8 +242,16 @@ class PlanSpec extends SparkSpec {
     // non-canonical (cache, checkpoint, divergent projection), two
     // independent range exchanges appear — and ranks silently corrupt
     // (modulo the runtime bracket guard). Pin the reuse here.
+    // The query itself takes the driver arm (optimization round): pin its
+    // result plan exchange-free, then pin the ORIGINAL contract on the
+    // distributed arm (driverCap = 0) — the over-cap 100 TB path.
     spark.catalog.clearCache()
-    val df = SparkEntry.queries("q_agg_percentiles")(spark, sf())
+    val pq = plan("q_agg_percentiles")
+    assert(!pq.contains("Scan parquet"),
+      s"the driver-arm result plan must be result-sized:\n$pq")
+    val df = graft.queries.Aggs.percentilesOf(
+      graft.catalog.Tables.lineitem(spark, sf()), Seq(0.25, 0.5, 0.75),
+      driverCap = 0L)
     df.collect() // AQE: reuse is visible only in the final executed plan
     // Count only the repartitionByRange exchange (REPARTITION_BY_COL) in
     // the FINAL adaptive plan — the trailing "== Initial Plan ==" section
@@ -262,7 +270,11 @@ class PlanSpec extends SparkSpec {
 
   test("gini: slice-stats and rank branches share ONE range exchange (percentiles discipline)") {
     spark.catalog.clearCache()
-    val df = SparkEntry.queries("q_agg_gini")(spark, sf())
+    val pq = plan("q_agg_gini")
+    assert(!pq.contains("Scan parquet"),
+      s"the driver-arm result plan must be result-sized:\n$pq")
+    val df = graft.queries.Aggs.giniDistributed(spark,
+      graft.catalog.Tables.orders(spark, sf()))
     df.collect()
     val finalSection = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
@@ -276,7 +288,11 @@ class PlanSpec extends SparkSpec {
 
   test("weighted median: slice-offset and crossing branches share ONE range exchange") {
     spark.catalog.clearCache()
-    val df = SparkEntry.queries("q_agg_weighted_median")(spark, sf())
+    val pq = plan("q_agg_weighted_median")
+    assert(!pq.contains("Scan parquet"),
+      s"the driver-arm result plan must be result-sized:\n$pq")
+    val df = graft.queries.Aggs.weightedMedianDistributed(spark,
+      graft.catalog.Tables.lineitem(spark, sf()))
     df.collect()
     val finalSection = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
@@ -437,7 +453,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("quantile rollup: broadcast grid/rank joins, no product, no fact-scale window") {
-    val p = plan("q_agg_quantile_rollup")
+    // driver arm result plan first (optimization round), then the
+    // distributed frames (the over-cap arm) under the original pins
+    val pq = plan("q_agg_quantile_rollup")
+    assert(!pq.contains("Scan parquet"),
+      s"the driver-arm result plan must be result-sized:\n$pq")
+    import org.apache.spark.sql.functions.{col, floor}
+    spark.catalog.clearCache()
+    val p = graft.operators.Freq.quantileRollupFrames(
+      graft.catalog.Tables.lineitem(spark, sf()).select(
+        col("l_shipdate").cast("date").as("day"),
+        floor(col("l_extendedprice") * 100).cast("long").as("v")),
+      16384L, Seq(50, 90, 99))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // grid cum + rank lookups come back through broadcast joins; the
     // heavy frames (merged grid, sliced ranks) sit behind checkpoint
     // boundaries — nothing here may plan a product or a corpus window

@@ -942,4 +942,18 @@ class GraphSpec extends SparkSpec {
     eq("jaccardTopKWeighted", Graph.jaccardTopKWeighted(unWDf, 1000, 1L),
       Graph.jaccardTopKWeighted(unWDf, 1000, 1L, driverCap = 0L))
   }
+
+  test("wdist107Shared: driver Bellman arm ≡ the frame loop (state and schema)") {
+    // the shared weighted forward pass both weighted-tier queries read:
+    // the in-memory Bellman LocalRelation must carry the identical
+    // (s, v, d) state the distributed min-union rounds produce
+    val dir = sf()
+    val (_, dArm, relA) = Graph.wdist107Shared(spark, dir, 3)
+    val (_, dDist, relD) = Graph.wdist107Shared(spark, dir, 3, driverCap = 0L)
+    assert(dArm.schema.map(f => (f.name, f.dataType)) ===
+      dDist.schema.map(f => (f.name, f.dataType)))
+    assert(dArm.collect().map(_.toString).sorted.toSeq ===
+      dDist.collect().map(_.toString).sorted.toSeq)
+    relA(); relD()
+  }
 }
