@@ -1235,14 +1235,15 @@ object ScaleProbe {
         val ed = edOf(m).localCheckpoint()
         val nE = ed.count()
         val t0 = System.nanoTime()
+        // driverCap = 0: the probe measures the DISTRIBUTED arms
         val nB = graft.operators.Graph.hyperBall(ed, 3, 12,
-          broadcastState = true).count()
+          broadcastState = true, driverCap = 0L).count()
         val tBc = (System.nanoTime() - t0) / 1e9
         // the shuffle arm only at the small mult (its claim is equality
         // + viability, not speed; the broadcast arm is the local pick)
         val tSh = if (m == 1) {
           val t1 = System.nanoTime()
-          graft.operators.Graph.hyperBall(ed, 3, 12).count()
+          graft.operators.Graph.hyperBall(ed, 3, 12, driverCap = 0L).count()
           (System.nanoTime() - t1) / 1e9
         } else -1.0
         println(f"""{"probe":"hyperball","mult":$m,"edges":$nE,"nodes":$nB,"bcast_sec":$tBc%.2f,"shuffle_sec":$tSh%.2f,"Medges_per_sec":${3 * nE / tBc / 1e6}%.1f}""")
@@ -1281,8 +1282,10 @@ object ScaleProbe {
         val docs = replicateDocs(m).localCheckpoint()
         val n = docs.count()
         val t0 = System.nanoTime()
+        // driverCap = 0: the probe measures the DISTRIBUTED tier
         val out = graft.operators.Dedup.containmentVerify(docs,
-          graft.operators.Dedup.containmentCandidates(docs), 5000L).count()
+          graft.operators.Dedup.containmentCandidates(docs, driverCap = 0L),
+          5000L, driverCap = 0L).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"containment","mult":$m,"docs":$n,"pairs":$out,"sec":$sec%.2f,"kdocs_per_sec":${n / sec / 1e3}%.1f}""")
       }

@@ -1278,12 +1278,45 @@ object Ann {
     * kmIters) ride the codebook memo — other parameterizations compute
     * fresh. */
   private[graft] def kmeansFrame(s: SparkSession, dir: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, driverCap: Long = 1000000L): DataFrame = {
     import s.implicits._
     val corpus = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val cb =
       if (k == kmK && iters == kmIters) kmeansPortableMemo(s, dir, corpus, k, iters)
       else kmeansPortable(corpus, k, iters)
+    // Driver arm (optimization round): the cell summary after the fit is
+    // ONE argmax-assignment count — integer-deterministic end to end
+    // (e4CosDriver folds the dot in the same array order as e4CosCol's
+    // left fold, so the BIGINT scores are bit-identical; ties to the
+    // smallest cluster id, the -id struct rule). Under the cap the
+    // corpus collects once and the k-row summary ships as a
+    // LocalRelation — replacing the analyzer-heavy k·dim-literal
+    // assignment expression + count/join stages the TVF re-analyzed on
+    // every rebuild. Over cap / null embeddings: the frame chain below
+    // (ClusterSpec pins arm equality).
+    if (driverCap > 0 && driverCap < Int.MaxValue) {
+      val take = corpus.select(col("embedding")).limit(driverCap.toInt + 1).collect()
+      if (take.length <= driverCap && !take.exists(_.isNullAt(0))) {
+        val counts = new Array[Long](k)
+        take.foreach { r =>
+          val v = r.getSeq[Float](0).map(_.toDouble).toIndexedSeq
+          var bestId = Int.MaxValue
+          var bestE4 = Long.MinValue
+          cb.foreach { case (id, c) =>
+            val e4 = e4CosDriver(v, c.toIndexedSeq)
+            if (e4 > bestE4 || (e4 == bestE4 && id < bestId)) {
+              bestE4 = e4; bestId = id
+            }
+          }
+          counts(bestId) += 1L
+        }
+        val rows = cb.map { case (i, c) =>
+          (i, counts(i), c.map(x => math.floor(x * 10000 + 0.5).toLong).sum)
+        }
+        return s.createDataFrame(rows).toDF("cluster", "n", "cent_fp")
+          .orderBy(col("cluster"))
+      }
+    }
     val counts = assignPortable(corpus, cb)
       .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
     val cbDf = cb.map { case (i, c) =>

@@ -432,7 +432,54 @@ object Dedup {
     * q_dedup_containment_scale runs this exact algebra under the
     * DuckDB oracle. */
   def containmentCandidates(docs: DataFrame, k: Int = 8,
-      dfCap: Long = 64): DataFrame = {
+      dfCap: Long = 64, driverCap: Long = 1000000L): DataFrame = {
+    // Driver arm (optimization round): df counts, per-doc rare-k picks
+    // ((df, s)-ordered — ties impossible, shingles are doc-distinct),
+    // the dfCap'd postings union and the pair join are all exact
+    // set/count algebra over the collected (doc, shingles) frame —
+    // previously two window passes + a distinct + a join. Over cap:
+    // the frame chain below (OperatorsSpec pins arm equality).
+    if (driverCap > 0 && driverCap < Int.MaxValue) {
+      collectShingles(docs, driverCap).foreach { shArr =>
+        import scala.collection.mutable.{ArrayBuffer, HashMap, HashSet}
+        val df = HashMap.empty[String, Long]
+        shArr.foreach { case (_, arr) =>
+          arr.foreach(s => df(s) = df.getOrElse(s, 0L) + 1L)
+        }
+        // rare: per doc the k picks by (df asc, s asc)
+        val rareByS = HashMap.empty[String, ArrayBuffer[Long]]
+        shArr.foreach { case (id, arr) =>
+          arr.sortBy(s => (df(s), s)).take(k)
+            .foreach(s => rareByS.getOrElseUpdate(s, ArrayBuffer.empty) += id)
+        }
+        // postings: full lists for df ≤ dfCap shingles, plus each rare
+        // bucket capped at its dfCap lowest doc_ids
+        val postings = HashMap.empty[String, HashSet[Long]]
+        if (dfCap > 0) shArr.foreach { case (id, arr) =>
+          arr.foreach { s =>
+            if (df(s) <= dfCap)
+              postings.getOrElseUpdate(s, HashSet.empty) += id
+          }
+        }
+        rareByS.foreach { case (s, ids) =>
+          val capped = ids.sorted.take(math.min(dfCap, Int.MaxValue).toInt)
+          val p = postings.getOrElseUpdate(s, HashSet.empty)
+          capped.foreach(p += _)
+        }
+        val pairs = HashSet.empty[(Long, Long)]
+        rareByS.foreach { case (s, ids) =>
+          val post = postings.getOrElse(s, HashSet.empty[Long])
+          ids.foreach { a =>
+            post.foreach { b =>
+              if (a != b)
+                pairs += ((math.min(a, b), math.max(a, b)))
+            }
+          }
+        }
+        return docs.sparkSession.createDataFrame(pairs.toSeq)
+          .toDF("d1", "d2")
+      }
+    }
     val sh = docs.select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
     val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -470,7 +517,45 @@ object Dedup {
     * ([[containmentCandidates]]); precision is 1 by construction
     * (every emitted pair is exactly verified). */
   def containmentVerify(docs: DataFrame, cands: DataFrame,
-      thresholdE4: Long): DataFrame = {
+      thresholdE4: Long, driverCap: Long = 1000000L): DataFrame = {
+    // Driver arm (optimization round): the verify is per-pair exact set
+    // arithmetic over doc-distinct shingle arrays — shingles3 still
+    // computes IN SPARK (the collect ships the arrays, so tokenization
+    // semantics have one definition) and the intersection counts/e4
+    // quotient are integer-deterministic in memory, replacing the
+    // array_intersect-per-pair join stage (the pair product × shingle
+    // width was the CPU cost). Over cap / null ids: the frame chain
+    // below (OperatorsSpec pins arm equality).
+    if (driverCap > 0 && driverCap < Int.MaxValue) {
+      val armOut = for {
+        sh <- collectShingles(docs, driverCap)
+        pr <- {
+          val t = cands.select(col("d1"), col("d2"))
+            .limit(driverCap.toInt + 1).collect()
+          if (t.length > driverCap ||
+              t.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+          else Some(t.map(r => (r.getAs[Number](0).longValue,
+            r.getAs[Number](1).longValue)))
+        }
+      } yield {
+        val sets = sh.iterator
+          .map { case (id, arr) => id -> arr.toSet }.toMap
+        val rows = pr.iterator.flatMap { case (d1, d2) =>
+          (sets.get(d1), sets.get(d2)) match {
+            case (Some(s1), Some(s2)) if s1.nonEmpty && s2.nonEmpty =>
+              val (small, big) = if (s1.size <= s2.size) (s1, s2) else (s2, s1)
+              val inter = small.count(big).toLong
+              val mn = small.size.toLong
+              val e4 = inter * 10000L / mn
+              if (e4 >= thresholdE4) Some((d1, d2, inter, mn, e4)) else None
+            case _ => None
+          }
+        }.toSeq
+        docs.sparkSession.createDataFrame(rows)
+          .toDF("d1", "d2", "inter", "mn", "cont_e4")
+      }
+      armOut.foreach(out => return out)
+    }
     val withSh = docs
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
       .filter(size(col("sh")) >= 1)
@@ -483,6 +568,24 @@ object Dedup {
       .select(col("d1"), col("d2"), col("inter"), col("mn"),
         expr("(inter * 10000L) div mn").as("cont_e4"))
       .filter(col("cont_e4") >= thresholdE4)
+  }
+
+  /** Collect (doc_id, shingles3) for the containment driver arms —
+    * shingle arrays computed by the SAME Spark expression the frame
+    * chains use. None over cap or on a null doc_id; a null/empty
+    * shingle array keeps the doc with an empty set (it then pairs with
+    * nothing, the frames' inner-join/explode behavior). */
+  private def collectShingles(docs: DataFrame,
+      cap: Long): Option[Array[(Long, Array[String])]] = {
+    val t = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .limit(cap.toInt + 1).collect()
+    if (t.length > cap || t.exists(_.isNullAt(0))) None
+    else Some(t.map { r =>
+      val sh: Array[String] =
+        if (r.isNullAt(1)) Array.empty[String]
+        else r.getSeq[String](1).toArray
+      (r.getAs[Number](0).longValue, sh)
+    })
   }
 
   // ------------------------------------------------------------- embeddings
@@ -1079,7 +1182,8 @@ object Dedup {
     * closure is the shared Components machinery, survivorship elects
     * the canonical record deterministically. */
   private[graft] def erEntitiesFrom(ids: DataFrame, rep: DataFrame,
-      blocked: Option[DataFrame] = None): DataFrame = {
+      blocked: Option[DataFrame] = None,
+      driverCap: Long = 1000000L): DataFrame = {
     val names = ids.select(col("name"), col("n_parts"),
       element_at(split(col("name"), " "), 1).as("adj"),
       element_at(split(col("name"), " "), 2).as("noun"))
@@ -1088,10 +1192,25 @@ object Dedup {
     // three ER queries pay ONE dictionary self-join pass; the store
     // read and tests build fresh (None) — same frame by construction
     // (names here == the blocking query's names: same dim, same keys)
-    val edges = erScoring(
-        blocked.getOrElse(erBlocking(names))
-          .select(col("name_1"), col("name_2"), col("dist")),
-        rep)
+    val cands = blocked.getOrElse(erBlocking(names))
+      .select(col("name_1"), col("name_2"), col("dist"))
+    // Driver arm (optimization round): everything after blocking —
+    // scoring, min-id closure, survivorship election — is dim-bounded
+    // string/integer arithmetic (blocking-bounded pairs, one row per
+    // name), previously ~7 sequential broadcast-join/window stages.
+    // Under the cap the three frames collect once and the canonical
+    // entities compute in memory with the identical deterministic rules
+    // (FS integer weights, min-member component, longest-then-lexical
+    // canon, count-desc-then-value-asc modal). Over cap or on any null:
+    // the unchanged frame chain below (DedupSpec pins arm equality; the
+    // store read shares this code path, so q_tvf_entities inherits it).
+    if (driverCap > 0 && driverCap < Int.MaxValue) {
+      erEntitiesDriver(ids, rep, cands, driverCap) match {
+        case Some(out) => return out
+        case None => ()
+      }
+    }
+    val edges = erScoring(cands, rep)
       .filter(col("score") >= 1500)
       .join(broadcast(ids.select(col("name").as("name_1"),
         col("nid").as("src"))), Seq("name_1"))
@@ -1127,6 +1246,109 @@ object Dedup {
       .select(col("entity_id"), col("n_members"), col("canonical_name"),
         col("brand"), col("ptype"), col("size_min"), col("n_parts_total"))
       .orderBy(col("entity_id"))
+  }
+
+  /** The in-memory arm behind [[erEntitiesFrom]]: FS scoring of the
+    * collected candidate pairs, min-id union-find closure, and the
+    * survivorship election — each rule integer/string-exact, so the
+    * output is row-identical to the frame chain (DedupSpec pins it).
+    * None over the row cap or on any null field. */
+  private def erEntitiesDriver(ids: DataFrame, rep: DataFrame,
+      cands: DataFrame, cap: Long): Option[DataFrame] = {
+    import scala.collection.mutable.{ArrayBuffer, HashMap}
+    val s = ids.sparkSession
+    val capI = cap.toInt
+    val idRows = ids.select(col("name"), col("nid"), col("n_parts"))
+      .limit(capI + 1).collect()
+    if (idRows.length > cap || idRows.exists(r =>
+        r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) return None
+    val repRows = rep.select(col("name"), col("p_brand"), col("p_type"),
+        col("p_size")).limit(capI + 1).collect()
+    if (repRows.length > cap || repRows.exists(r =>
+        r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3)))
+      return None
+    val candRows = cands.limit(capI + 1).collect()
+    if (candRows.length > cap || candRows.exists(r =>
+        r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) return None
+    // dims
+    val idByName = HashMap.empty[String, (Long, Long)] // name -> (nid, n_parts)
+    idRows.foreach { r =>
+      idByName(r.getString(0)) =
+        (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue)
+    }
+    val repByName = HashMap.empty[String, (String, String, Long)]
+    repRows.foreach { r =>
+      repByName(r.getString(0)) =
+        (r.getString(1), r.getString(2), r.getAs[Number](3).longValue)
+    }
+    // scoring — erScoring's integer weights verbatim; inner-join
+    // semantics: a cand whose name misses either dim contributes nothing
+    val edges = ArrayBuffer.empty[(Long, Long)]
+    candRows.foreach { r =>
+      val n1 = r.getString(0); val n2 = r.getString(1)
+      val dist = r.getAs[Number](2).longValue
+      (repByName.get(n1), repByName.get(n2),
+        idByName.get(n1), idByName.get(n2)) match {
+        case (Some((b1, t1, s1)), Some((b2, t2, s2)),
+              Some((nid1, _)), Some((nid2, _))) =>
+          val dSize = math.abs(s1 - s2)
+          val score =
+            (if (dist == 0L) 4000 else if (dist == 1L) 2500 else 1000) +
+            (if (b1 == b2) 1200 else -300) +
+            (if (t1 == t2) 900 else -200) +
+            (if (dSize == 0L) 600 else if (dSize <= 2L) 250 else -100)
+          if (score >= 1500) edges += ((nid1, nid2))
+        case _ => ()
+      }
+    }
+    // min-id union-find closure (the Components.connectedComponents
+    // contract: component = smallest member id; edge-touched nodes only)
+    val parent = HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    // members: one row per edge-touched nid, with its dim attributes
+    val nidToName = HashMap.empty[Long, String]
+    idByName.foreach { case (n, (nid, _)) => nidToName(nid) = n }
+    case class Mem(entity: Long, name: String, nParts: Long,
+      brand: String, ptype: String, size: Long)
+    val members = parent.keysIterator.map { nid =>
+      val name = nidToName(nid)
+      val (_, nParts) = idByName(name)
+      val (b, t, sz) = repByName(name)
+      Mem(find(nid), name, nParts, b, t, sz)
+    }.toArray
+    // survivorship per entity
+    val byEnt = members.groupBy(_.entity)
+    val rows = byEnt.keysIterator.toArray.sorted.map { ent =>
+      val ms = byEnt(ent)
+      // canon: longest name, ties lexicographically smallest
+      val canon = ms.minBy(m => (-m.name.length, m.name)).name
+      def modal(f: Mem => String): String = {
+        val counts = HashMap.empty[String, Long]
+        ms.foreach(m => counts(f(m)) = counts.getOrElse(f(m), 0L) + 1L)
+        counts.toArray.minBy { case (v, c) => (-c, v) }._1
+      }
+      (ent, ms.length.toLong, canon, modal(_.brand), modal(_.ptype),
+        ms.iterator.map(_.size).min.toInt, ms.iterator.map(_.nParts).sum)
+    }
+    Some(s.createDataFrame(rows.toSeq)
+      .toDF("entity_id", "n_members", "canonical_name", "brand", "ptype",
+        "size_min", "n_parts_total")
+      .orderBy(col("entity_id")))
   }
 
   private[graft] val toksSql = "list_distinct(string_split(text, ' '))"

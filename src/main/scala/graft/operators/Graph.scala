@@ -1131,8 +1131,79 @@ object Graph {
     *         t = 0..radius (bs(0) = 1). Harmonic centrality, effective
     *         diameter, HyperANF's N(t) are all arithmetic over bs. */
   def hyperBall(edges: DataFrame, radius: Int, lgK: Int = 12,
-      broadcastState: Boolean = false, layoutOwned: Boolean = false): DataFrame = {
+      broadcastState: Boolean = false, layoutOwned: Boolean = false,
+      driverCap: Long = 1000000L): DataFrame = {
     require(radius >= 1, s"radius must be >= 1, got $radius")
+    require(driverCap < Int.MaxValue, "driverCap must fit an Int limit")
+    // Driver arm (optimization round): the recurrence is register-max
+    // HLL union — set-determined, so running the SAME DataSketches
+    // library (the one behind hll_sketch_agg/hll_union) over collected
+    // edges yields bit-identical registers, hence bit-identical
+    // Math.round(estimate) values (GraphSpec pins arm equality).
+    // A node with no in-contribution keeps its ORIGINAL direct-update
+    // sketch object — exactly the frame's nsk-null branch, preserving
+    // the HIP-estimator path for untouched sketches. lgK ≤ 12 gate:
+    // hll_union_agg's default union cap is 12, above which the frame
+    // path would downsample while the driver would not. Over cap: the
+    // unchanged loop below (the 100 TB operator).
+    if (driverCap > 0 && lgK <= 12) {
+      val take = edges.select(col("src"), col("dst"))
+        .limit(driverCap.toInt + 1).collect()
+      if (take.length <= driverCap) {
+        import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+        val ids = new java.util.HashMap[Long, Integer]
+        val idList = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def idx(x: Long): Int = {
+          val got = ids.get(x)
+          if (got != null) got.intValue
+          else { val i = idList.length; ids.put(x, i); idList += x; i }
+        }
+        // state domain = src domain (the operator contract); a dst
+        // outside it contributes nothing (the frame's inner state join)
+        val srcIdx = new Array[Int](take.length)
+        val dstRaw = new Array[Long](take.length)
+        var i = 0
+        while (i < take.length) {
+          srcIdx(i) = idx(take(i).getAs[Number](0).longValue)
+          dstRaw(i) = take(i).getAs[Number](1).longValue
+          i += 1
+        }
+        val n = idList.length
+        val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        i = 0
+        while (i < take.length) {
+          val d = ids.get(dstRaw(i))
+          if (d != null) adj(srcIdx(i)) += d.intValue
+          i += 1
+        }
+        var sk = Array.tabulate(n) { v =>
+          val h = new HllSketch(lgK, TgtHllType.HLL_8)
+          h.update(idList(v))
+          h
+        }
+        val bs = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
+        def est(h: HllSketch): Long = Math.round(h.getEstimate)
+        (0 until n).foreach(v => bs(v) += est(sk(v)))
+        for (_ <- 1 to radius) {
+          val cur = sk
+          val next = new Array[HllSketch](n)
+          java.util.stream.IntStream.range(0, n).parallel().forEach { v =>
+            if (adj(v).isEmpty) next(v) = cur(v) // nsk null: sketch kept
+            else {
+              val u = new Union(lgK)
+              u.update(cur(v))
+              adj(v).foreach(d => u.update(cur(d)))
+              next(v) = u.getResult(TgtHllType.HLL_8)
+            }
+          }
+          sk = next
+          (0 until n).foreach(v => bs(v) += est(sk(v)))
+        }
+        return edges.sparkSession.createDataFrame(
+          (0 until n).map(v => (idList(v), bs(v).toSeq)))
+          .toDF("node", "bs")
+      }
+    }
     // layout follows the arm (the pagerank discipline): under broadcast
     // the edge frame is laid out on SRC — the round's union aggregate
     // then runs on co-located data and a round costs ZERO exchange (the

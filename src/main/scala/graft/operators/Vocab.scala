@@ -58,12 +58,67 @@ object Vocab {
       (x, y) => struct(x.as("a"), y.as("b")))
 
   /** Learn up to k merges from the corpus' text column. Stops early when
-    * no pair reaches minCount. Deterministic: ties break on (a, b) order. */
-  def learnMerges(docs: DataFrame, k: Int, minCount: Long = 2L): Seq[(String, String)] = {
-    var words = docs
+    * no pair reaches minCount. Deterministic: ties break on (a, b) order.
+    *
+    * Driver arm (optimization round): the merge loop runs on the
+    * WORD-FREQUENCY table by design — vocab-sized — yet the frame loop
+    * paid k rounds × (pair-count aggregate + argmax collect + merge-fold
+    * checkpoint) of sequential stage latency. Under `driverCap` the
+    * (w, n) frame collects once and the identical greedy recurrence runs
+    * in memory: per-occurrence weighted pair counts, (cnt desc, a, b)
+    * argmax, leftmost-overlap merge scan (the mergeOnce fold's
+    * consume-and-reset rule). Over cap: the unchanged frame loop
+    * (VocabSpec pins arm equality). */
+  def learnMerges(docs: DataFrame, k: Int, minCount: Long = 2L,
+      driverCap: Long = 1000000L): Seq[(String, String)] = {
+    val wordFreq = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    if (driverCap > 0 && driverCap < Int.MaxValue) {
+      val take = wordFreq.limit(driverCap.toInt + 1).collect()
+      if (take.length <= driverCap && !take.exists(_.isNullAt(0))) {
+        var words: Array[(Array[String], Long)] = take.map { r =>
+          (r.getString(0).map(_.toString).toArray, r.getAs[Number](1).longValue)
+        }
+        val merges = ArrayBuffer.empty[(String, String)]
+        var continue = true
+        var round = 0
+        while (continue && round < k) {
+          val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          words.foreach { case (us, n) =>
+            var i = 0
+            while (i + 1 < us.length) {
+              val p = (us(i), us(i + 1))
+              cnt(p) = cnt.getOrElse(p, 0L) + n
+              i += 1
+            }
+          }
+          if (cnt.isEmpty) continue = false
+          else {
+            val ((a, b), c) = cnt.minBy { case ((a, b), c) => (-c, a, b) }
+            if (c < minCount) continue = false
+            else {
+              merges += ((a, b))
+              val merged = a + b
+              words = words.map { case (us, n) =>
+                val out = ArrayBuffer.empty[String]
+                var i = 0
+                while (i < us.length) {
+                  if (i + 1 < us.length && us(i) == a && us(i + 1) == b) {
+                    out += merged; i += 2
+                  } else { out += us(i); i += 1 }
+                }
+                (out.toArray, n)
+              }
+              round += 1
+            }
+          }
+        }
+        return merges.toSeq
+      }
+    }
+    var words = wordFreq
       .select(charUnits(col("w")).as("units"), col("n"))
       .localCheckpoint() // vocab-sized; each round folds on materialized units
     val merges = ArrayBuffer.empty[(String, String)]
@@ -222,8 +277,92 @@ object Vocab {
     * count, then `rounds` Viterbi-segment → re-estimate cycles.
     * @return (piece, cnt, logp_e4) — usage counts of the LAST round,
     *         scored with the post-round Laplace estimate. */
-  def unigramFit(words: DataFrame, rounds: Int): DataFrame = {
+  def unigramFit(words: DataFrame, rounds: Int,
+      driverCap: Long = 1000000L): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    // Driver arm (optimization round): the whole fit is vocab-sized —
+    // seed counts, floor-e4 ln scores (same JVM libm on both arms), the
+    // sliding-window Viterbi DP with its exact j-guarded longest-wins
+    // tie rule, Laplace re-estimation — so under the cap the (w, n)
+    // frame collects once and `rounds` hard-EM cycles run as plain
+    // loops, replacing per-round join+fold+aggregate stage chains.
+    // Over cap / nulls: the frame loop below (VocabSpec pins arm
+    // equality).
+    if (driverCap > 0 && driverCap < Int.MaxValue) {
+      val take = words.select(col("w"), col("n"))
+        .limit(driverCap.toInt + 1).collect()
+      if (take.length <= driverCap &&
+          !take.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        import scala.collection.mutable.HashMap
+        val wn = take.map(r => (r.getString(0), r.getAs[Number](1).longValue))
+        // seed: per-occurrence substring counts, length ≤ maxPiece
+        val seedCnt = HashMap.empty[String, Long]
+        wn.foreach { case (w, n) =>
+          var j = 1
+          while (j <= w.length) {
+            var l = 1
+            while (l <= unigramMaxPiece) {
+              if (j >= l) {
+                val p = w.substring(j - l, j)
+                seedCnt(p) = seedCnt.getOrElse(p, 0L) + n
+              }
+              l += 1
+            }
+            j += 1
+          }
+        }
+        val nSeed = seedCnt.size.toLong
+        val tot0 = seedCnt.valuesIterator.sum
+        var scores = HashMap.empty[String, Long]
+        seedCnt.foreach { case (p, c) =>
+          scores(p) = math.floor(
+            math.log(c.toDouble / tot0.toDouble) * 1e4).toLong
+        }
+        var usage = HashMap.empty[String, Long]
+        for (_ <- 1 to rounds) {
+          usage = HashMap.empty[String, Long]
+          wn.foreach { case (w, n) =>
+            // the viterbiSegments fold verbatim: window of the last 3
+            // (best, pieces) states; ties prefer the LONGER piece
+            var b0 = 0L; var b1 = unigramMissing; var b2 = unigramMissing
+            var g0 = List.empty[String]
+            var g1 = List.empty[String]; var g2 = List.empty[String]
+            var j = 1
+            while (j <= w.length) {
+              def sc(l: Int): Long =
+                if (j >= l) scores.getOrElse(w.substring(j - l, j), unigramMissing)
+                else unigramMissing
+              val c1 = b0 + sc(1)
+              val c2 = b1 + sc(2)
+              val c3 = b2 + sc(3)
+              val pick3 = j >= 3 && c3 >= c2 && c3 >= c1
+              val pick2 = j >= 2 && c2 >= c1
+              val (nb, piece, prevG) =
+                if (pick3) (c3, w.substring(j - 3, j), g2)
+                else if (pick2) (c2, w.substring(j - 2, j), g1)
+                else (c1, w.substring(j - 1, j), g0)
+              b2 = b1; g2 = g1
+              b1 = b0; g1 = g0
+              b0 = nb; g0 = piece :: prevG
+              j += 1
+            }
+            g0.foreach(p => usage(p) = usage.getOrElse(p, 0L) + n)
+          }
+          val totU = usage.valuesIterator.sum
+          val next = HashMap.empty[String, Long]
+          seedCnt.keysIterator.foreach { p =>
+            next(p) = math.floor(
+              math.log((usage.getOrElse(p, 0L) + 1L).toDouble /
+                (totU + nSeed).toDouble) * 1e4).toLong
+          }
+          scores = next
+        }
+        val rows = usage.iterator
+          .map { case (p, c) => (p, c, scores(p)) }.toSeq
+        return words.sparkSession.createDataFrame(rows)
+          .toDF("piece", "cnt", "logp_e4")
+      }
+    }
     val wordsM = words.localCheckpoint()
     val seed = wordSubstrings(wordsM).filter(col("piece").isNotNull)
       .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))

@@ -119,9 +119,29 @@ class PlanSpec extends SparkSpec {
   }
 
   test("round-16 queries: dim joins broadcast, no all-pairs products") {
-    // er_entities: ids/rep lookups are dim-sized broadcasts; the
-    // closure runs on blocking-bounded edges — never name × name
-    val pe = plan("q_er_entities")
+    // er_entities takes the survivorship driver arm (optimization
+    // round): its result plan is dim-row-sized; the ORIGINAL contract —
+    // broadcast dim joins, no product — is pinned on the distributed
+    // chain (driverCap = 0), the over-cap 100 TB path
+    val peArm = plan("q_er_entities")
+    assert(!peArm.contains("Scan parquet"),
+      s"the driver-arm result plan must be result-sized:\n$peArm")
+    val pe = {
+      import org.apache.spark.sql.functions._
+      val wRep = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_name")).orderBy(col("p_partkey"))
+      val part = graft.catalog.Tables.part(spark, sf())
+      val ids = part.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).cast("long").as("nid"),
+          count(lit(1)).as("n_parts"))
+        .select(col("p_name").as("name"), col("nid"), col("n_parts"))
+      val rep = part.withColumn("rn", row_number().over(wRep))
+        .filter(col("rn") === 1)
+        .select(col("p_name").as("name"), col("p_brand"),
+          col("p_type"), col("p_size"))
+      graft.operators.Dedup.erEntitiesFrom(ids, rep, driverCap = 0L)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
     assert(pe.contains("BroadcastHashJoin"),
       s"er_entities dim joins must broadcast in:\n$pe")
     assert(!pe.contains("CartesianProduct"), s"cartesian in:\n$pe")

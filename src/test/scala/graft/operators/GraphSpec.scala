@@ -447,14 +447,33 @@ class GraphSpec extends SparkSpec {
     assert(got === want, s"got $got")
     // broadcast arm: identical estimates (union is register-max — the
     // distribution strategy cannot change the result)
-    val bc = Graph.hyperBall(ed, radius = 3, broadcastState = true)
+    val bc = Graph.hyperBall(ed, radius = 3, broadcastState = true,
+        driverCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
     assert(bc === want)
+    // shuffle arm at driverCap = 0: the over-cap 100 TB path
+    val sh = Graph.hyperBall(ed, radius = 3, driverCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(sh === want)
     // the exact anchor agrees with the sketch on every (source, t)
     val ex = Graph.exactBallSizes(ed, Seq(1L, 3L).toDF("s"), 3).collect()
       .map(r => (r.getAs[Long]("s"), r.getAs[Int]("t")) -> r.getAs[Long]("b")).toMap
     assert(ex === Map((1L, 1) -> 2L, (1L, 2) -> 3L, (1L, 3) -> 4L,
       (3L, 1) -> 3L, (3L, 2) -> 4L, (3L, 3) -> 4L), s"got $ex")
+  }
+
+  test("hyperBall: driver arm ≡ distributed arm on the real sf0.001 slice graph") {
+    // the in-memory DataSketches loop must reproduce the frame loop's
+    // estimates bit-for-bit on a graph whose balls leave trivial
+    // cardinality (register-max union is set-determined — this pins it)
+    val ed = Graph.symSliceShared(spark, sf())._1
+    val arm = Graph.hyperBall(ed, radius = 3, broadcastState = true,
+        layoutOwned = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val dist = Graph.hyperBall(ed, radius = 3, broadcastState = true,
+        layoutOwned = true, driverCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(arm === dist)
   }
 
   test("ballSizesFromLevels ≡ exactBallSizes in both level modes (the shared-BFS anchor, verdict r16 #1)") {

@@ -961,6 +961,64 @@ class OperatorsSpec extends SparkSpec {
       "every learned cell is non-empty on the fixture")
   }
 
+  test("containment: driver arms ≡ frame chains on real sf0.001 docs (driverCap = 0)") {
+    import org.apache.spark.sql.functions.col
+    val slice = graft.catalog.Tables.documents(spark, sf())
+      .filter(col("doc_id") < 300 && col("text").isNotNull)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // candidates arm: same pair set
+    assert(rows(Dedup.containmentCandidates(slice)) ===
+      rows(Dedup.containmentCandidates(slice, driverCap = 0L)))
+    // verify arm over the all-pairs product: identical rows + schema
+    val arm = Dedup.containmentNearDups(slice, 5000L)
+    val dist = Dedup.containmentVerify(slice,
+      slice.select(col("doc_id").as("d1"))
+        .join(slice.select(col("doc_id").as("d2")), col("d1") < col("d2")),
+      5000L, driverCap = 0L)
+    assert(arm.schema.map(f => (f.name, f.dataType)) ===
+      dist.schema.map(f => (f.name, f.dataType)))
+    assert(rows(arm) === rows(dist))
+    // composed scale path: arms ≡ frames end to end
+    assert(rows(Dedup.containmentVerify(slice,
+        Dedup.containmentCandidates(slice), 5000L)) ===
+      rows(Dedup.containmentVerify(slice,
+        Dedup.containmentCandidates(slice, driverCap = 0L), 5000L,
+        driverCap = 0L)))
+  }
+
+  test("erEntitiesFrom: driver-arm survivorship ≡ the frame chain (driverCap = 0)") {
+    import org.apache.spark.sql.functions._
+    val wRep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_name")).orderBy(col("p_partkey"))
+    val part = graft.catalog.Tables.part(spark, sf())
+    val ids = part.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).cast("long").as("nid"),
+        count(lit(1)).as("n_parts"))
+      .select(col("p_name").as("name"), col("nid"), col("n_parts"))
+    val rep = part.withColumn("rn", row_number().over(wRep))
+      .filter(col("rn") === 1)
+      .select(col("p_name").as("name"), col("p_brand"),
+        col("p_type"), col("p_size"))
+    val arm = Dedup.erEntitiesFrom(ids, rep)
+    val dist = Dedup.erEntitiesFrom(ids, rep, driverCap = 0L)
+    assert(arm.schema.map(f => (f.name, f.dataType)) ===
+      dist.schema.map(f => (f.name, f.dataType)))
+    assert(arm.collect().map(_.toString).toSeq ===
+      dist.collect().map(_.toString).toSeq)
+  }
+
+  test("kmeansFrame: driver-arm cell summary ≡ the frame chain (driverCap = 0)") {
+    // the optimization round's in-memory argmax count must reproduce the
+    // assignPortable + count/join pipeline row-for-row, schema included
+    val arm = Ann.kmeansFrame(spark, sf(), Ann.kmK, Ann.kmIters)
+    val dist = Ann.kmeansFrame(spark, sf(), Ann.kmK, Ann.kmIters, driverCap = 0L)
+    assert(arm.schema.map(f => (f.name, f.dataType)) ===
+      dist.schema.map(f => (f.name, f.dataType)))
+    assert(arm.collect().map(_.toString).toSeq ===
+      dist.collect().map(_.toString).toSeq)
+  }
+
   test("silhouette: hand-computed e4 scores — misassignment goes negative, singleton scores 0") {
     import spark.implicits._
     // 2-D directions: cluster 0 = {0°, 2°} plus a DELIBERATELY

@@ -102,4 +102,28 @@ class VocabSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fit2 === fit)
   }
+
+  test("learnMerges: driver arm ≡ frame loop on real sf0.001 docs (driverCap = 0)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.catalog.Tables.documents(spark, sf())
+      .filter(col("doc_id") < 100)
+    assert(Vocab.learnMerges(docs, k = 10) ===
+      Vocab.learnMerges(docs, k = 10, driverCap = 0L))
+  }
+
+  test("unigramFit: driver arm ≡ frame loop on real sf0.001 docs (driverCap = 0)") {
+    import org.apache.spark.sql.functions._
+    val words = graft.catalog.Tables.documents(spark, sf())
+      .filter(col("doc_id") < 100)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val arm = Vocab.unigramFit(words, rounds = 2)
+    val dist = Vocab.unigramFit(words, rounds = 2, driverCap = 0L)
+    assert(arm.schema.map(f => (f.name, f.dataType)) ===
+      dist.schema.map(f => (f.name, f.dataType)))
+    assert(rows(arm) === rows(dist))
+  }
 }
