@@ -896,7 +896,8 @@ object ScaleProbe {
         val edges = graft.operators.Cluster.epsPairs(c, 0.3, driverCap = 0L).count()
         val tp = (System.nanoTime() - tp0) / 1e9
         val t0 = System.nanoTime()
-        val out = graft.operators.Cluster.dbscan(c, 0.3, 8)
+        // driverCap = 0: the probe measures the DISTRIBUTED tail
+        val out = graft.operators.Cluster.dbscan(c, 0.3, 8, driverCap = 0L)
           .filter($"role" =!= "noise").count()
         val t = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"dbscan","mult":$m,"vectors":$n,"eps_edges":$edges,"clustered":$out,"pair_sec":$tp%.2f,"total_sec":$t%.2f}""")

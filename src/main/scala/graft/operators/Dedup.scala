@@ -198,10 +198,84 @@ object Dedup {
     * maxBucketSize (default [[defaultMaxBucketSize]]) are dropped — the
     * 100 TB skew guard is ON unless explicitly opted out. */
   def minhashNearDups(docs: DataFrame, threshold: Double,
-      maxBucketSize: Int = defaultMaxBucketSize): DataFrame =
+      maxBucketSize: Int = defaultMaxBucketSize,
+      driverCap: Long = 1000000L): DataFrame = {
+    // Driver arm (optimization round): signatures and band hashes still
+    // compute IN SPARK (the graft_minhash kernel + md5 band expressions
+    // have one definition); the collect ships the bucket keys and the
+    // token arrays, and the bucket-cap/pairing/exact-Jaccard tail — all
+    // set/count arithmetic with one IEEE division — runs in memory,
+    // replacing the checkpoint + bucket-size join + self-join + two
+    // verify joins. Over cap / null ids: the frame chain below
+    // (OperatorsSpec pins arm equality).
+    if (driverCap > 0 && driverCap < Int.MaxValue) {
+      val capI = driverCap.toInt
+      // ONE pass computes gate + tokens + signature + band hashes
+      // (signatures hash the SAME token array the verify reads — one
+      // evaluation of the upstream pipeline instead of the frame
+      // chain's checkpoint + re-reads)
+      val sig = call_function("graft_minhash", col("toks"),
+        lit(minhashSeeds.size))
+      val bhs = array((0 until bandsOf).map { b =>
+        md5(concat(element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2)))
+      }: _*)
+      val rowsIn = docs
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), sig.as("sig"))
+        .select(col("doc_id"), col("toks"), bhs.as("bhs"))
+        .limit(capI + 1).collect()
+      if (rowsIn.length <= driverCap && !rowsIn.exists(_.isNullAt(0))) {
+        import scala.collection.mutable.{ArrayBuffer, HashMap, HashSet}
+        val byBucket = HashMap.empty[(Int, String), ArrayBuffer[Long]]
+        val toksOf = HashMap.empty[Long, Set[String]]
+        rowsIn.foreach { r =>
+          val id = r.getAs[Number](0).longValue
+          if (!r.isNullAt(1)) toksOf(id) = r.getSeq[String](1).toSet
+          if (!r.isNullAt(2)) {
+            val hs = r.getSeq[String](2)
+            var b = 0
+            while (b < hs.length) {
+              // null band hash (null text) pairs nothing
+              if (hs(b) != null)
+                byBucket.getOrElseUpdate((b, hs(b)), ArrayBuffer.empty) += id
+              b += 1
+            }
+          }
+        }
+        val cand = HashSet.empty[(Long, Long)]
+        byBucket.valuesIterator.foreach { ids =>
+          if (ids.length <= maxBucketSize) {
+            val arr = ids.toArray
+            var i = 0
+            while (i < arr.length) {
+              var j = 0
+              while (j < arr.length) {
+                if (arr(i) < arr(j)) cand += ((arr(i), arr(j)))
+                j += 1
+              }
+              i += 1
+            }
+          }
+        }
+        val rows = cand.iterator.flatMap { case (d1, d2) =>
+          (toksOf.get(d1), toksOf.get(d2)) match {
+            case (Some(t1), Some(t2)) =>
+              val (small, big) = if (t1.size <= t2.size) (t1, t2) else (t2, t1)
+              val inter = small.count(big)
+              val jac = inter.toDouble / (t1.size + t2.size - inter).toDouble
+              if (jac >= threshold) Some((d1, d2, jac)) else None
+            case _ => None
+          }
+        }.toSeq
+        return docs.sparkSession.createDataFrame(rows)
+          .toDF("d1", "d2", "jaccard")
+      }
+    }
     verifyJaccard(docs,
       lshCandidates(lshBuckets(minhashSignatures(docs)), maxBucketSize),
       threshold)
+  }
 
   // -------------------------------------------------- inverted-index path
 

@@ -766,61 +766,143 @@ object Aggs {
     // pinned with ≥ 2× margin at every shipped SF.
     "q_agg_kmv_intersect" -> ((s, dir) => {
       import s.implicits._
-      val k = 512
-      val brandA = "Brand#11"
-      val brandB = "Brand#22"
       val m = lineitem(s, dir).select($"l_orderkey", $"l_partkey")
         .join(broadcast(part(s, dir)
-          .filter($"p_brand".isin(brandA, brandB))
+          .filter($"p_brand".isin(kmvBrandA, kmvBrandB))
           .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
         .join(orders(s, dir).select($"o_orderkey", $"o_custkey"),
           $"l_orderkey" === $"o_orderkey")
         .select($"p_brand".as("st"), $"o_custkey".as("mem"))
-      // distinct (set, hash) pairs — duplicates collapse map-side — then
-      // each set's k smallest survive (the sketch)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"st").orderBy($"h")
-      val kmv = m
-        .groupBy($"st",
-          conv(substring(md5($"mem".cast("string")), 1, 15), 16, 10)
-            .cast("long").as("h"))
-        .agg(count(lit(1)).as("cnt")).drop("cnt")
-        .withColumn("r", row_number().over(w)).filter($"r" <= k)
-        .localCheckpoint()
-      // union sketch: k smallest of the merged survivors, each flagged
-      // with which per-set sketches contain it
-      val flags = kmv.groupBy($"h").agg(
-        max(when($"st" === brandA, 1L).otherwise(0L)).as("in_a"),
-        max(when($"st" === brandB, 1L).otherwise(0L)).as("in_b"))
-      val uk = flags.orderBy($"h").limit(k)
-      val est = uk.agg(count(lit(1)).as("nk"), max($"h").as("mk"),
-          sum($"in_a" * $"in_b").as("both"),
-          sum($"in_a").as("ka"), sum($"in_b").as("kb"))
-        .select(
-          when($"nk" < k, $"nk".cast("double"))
-            .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / $"mk")
-            .as("est_u"),
-          ($"both".cast("double") / $"nk").as("f_inter"),
-          ($"ka".cast("double") / $"nk").as("f_a"),
-          ($"kb".cast("double") / $"nk").as("f_b"))
-      // exact anchors
-      val d = m.select($"st", $"mem").distinct().localCheckpoint()
-      val ex = d.agg(
-        coalesce(sum(when($"st" === brandA, 1L)), lit(0L)).as("n_a"),
-        coalesce(sum(when($"st" === brandB, 1L)), lit(0L)).as("n_b"))
-        .crossJoin(d.select($"mem").distinct().agg(count(lit(1)).as("n_union")))
-        .select($"n_a", $"n_b", $"n_union",
-          ($"n_a" + $"n_b" - $"n_union").as("n_inter"))
-      def ok(estC: org.apache.spark.sql.Column, exn: String, pct: Int) =
-        abs(estC - col(exn)) <= greatest(lit(25.0), col(exn) * pct / 100.0)
-      ex.crossJoin(est)
-        .select($"n_a", $"n_b", $"n_union", $"n_inter",
-          ok($"est_u" * $"f_a", "n_a", 15).as("ok_a"),
-          ok($"est_u" * $"f_b", "n_b", 15).as("ok_b"),
-          ok($"est_u", "n_union", 15).as("ok_union"),
-          ok($"est_u" * $"f_inter", "n_inter", 25).as("ok_inter"))
+      // Driver arm (optimization round): the brand-pruned member frame
+      // is tiny (two brands of a 2%-selective dim), and everything after
+      // it — md5 bottom-k per set, merged union sketch, the exact
+      // distinct anchors, the tolerance verdicts — is deterministic
+      // hash/count arithmetic. One collect replaces the second pass over
+      // m, both localCheckpoints, and the rank window. Over cap: the
+      // frame chain (AggDriverArmSpec pins arm equality).
+      kmvIntersectDriver(s, m).getOrElse(kmvIntersectDistributed(s, m))
     })
   )
+
+  private val kmvK = 512
+  private val kmvBrandA = "Brand#11"
+  private val kmvBrandB = "Brand#22"
+
+  /** The KMV frame chain — q_agg_kmv_intersect's over-cap arm. `m` =
+    * (st, mem) brand-membership rows. */
+  private[graft] def kmvIntersectDistributed(s: SparkSession,
+      m: DataFrame): DataFrame = {
+    import s.implicits._
+    val k = kmvK
+    val brandA = kmvBrandA
+    val brandB = kmvBrandB
+    // distinct (set, hash) pairs — duplicates collapse map-side — then
+    // each set's k smallest survive (the sketch)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"st").orderBy($"h")
+    val kmv = m
+      .groupBy($"st",
+        conv(substring(md5($"mem".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .agg(count(lit(1)).as("cnt")).drop("cnt")
+      .withColumn("r", row_number().over(w)).filter($"r" <= k)
+      .localCheckpoint()
+    // union sketch: k smallest of the merged survivors, each flagged
+    // with which per-set sketches contain it
+    val flags = kmv.groupBy($"h").agg(
+      max(when($"st" === brandA, 1L).otherwise(0L)).as("in_a"),
+      max(when($"st" === brandB, 1L).otherwise(0L)).as("in_b"))
+    val uk = flags.orderBy($"h").limit(k)
+    val est = uk.agg(count(lit(1)).as("nk"), max($"h").as("mk"),
+        sum($"in_a" * $"in_b").as("both"),
+        sum($"in_a").as("ka"), sum($"in_b").as("kb"))
+      .select(
+        when($"nk" < k, $"nk".cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / $"mk")
+          .as("est_u"),
+        ($"both".cast("double") / $"nk").as("f_inter"),
+        ($"ka".cast("double") / $"nk").as("f_a"),
+        ($"kb".cast("double") / $"nk").as("f_b"))
+    // exact anchors
+    val d = m.select($"st", $"mem").distinct().localCheckpoint()
+    val ex = d.agg(
+      coalesce(sum(when($"st" === brandA, 1L)), lit(0L)).as("n_a"),
+      coalesce(sum(when($"st" === brandB, 1L)), lit(0L)).as("n_b"))
+      .crossJoin(d.select($"mem").distinct().agg(count(lit(1)).as("n_union")))
+      .select($"n_a", $"n_b", $"n_union",
+        ($"n_a" + $"n_b" - $"n_union").as("n_inter"))
+    def ok(estC: org.apache.spark.sql.Column, exn: String, pct: Int) =
+      abs(estC - col(exn)) <= greatest(lit(25.0), col(exn) * pct / 100.0)
+    ex.crossJoin(est)
+      .select($"n_a", $"n_b", $"n_union", $"n_inter",
+        ok($"est_u" * $"f_a", "n_a", 15).as("ok_a"),
+        ok($"est_u" * $"f_b", "n_b", 15).as("ok_b"),
+        ok($"est_u", "n_union", 15).as("ok_union"),
+        ok($"est_u" * $"f_inter", "n_inter", 25).as("ok_inter"))
+  }
+
+  /** The in-memory arm behind q_agg_kmv_intersect: md5 bottom-k per set
+    * (the same hex-prefix hash), union sketch flags, exact distinct
+    * anchors and the tolerance verdicts — all hash/count-deterministic,
+    * row-identical to the frame chain (AggDriverArmSpec pins it). None
+    * over cap / on nulls. */
+  private[graft] def kmvIntersectDriver(s: SparkSession, m: DataFrame,
+      cap: Long = 1000000L): Option[DataFrame] = {
+    if (cap <= 0) return None
+    val take = m.limit(cap.toInt + 1).collect()
+    if (take.length > cap ||
+        take.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val k = kmvK
+    import scala.collection.mutable.HashSet
+    val distinctA = HashSet.empty[Long]
+    val distinctB = HashSet.empty[Long]
+    take.foreach { r =>
+      val st = r.getString(0); val mem = r.getAs[Number](1).longValue
+      if (st == kmvBrandA) distinctA += mem
+      if (st == kmvBrandB) distinctB += mem
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(mem: Long): Long = {
+      val hex = md.digest(mem.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def bottomK(mems: HashSet[Long]): Array[Long] = {
+      val hs = mems.iterator.map(h).toArray.distinct
+      java.util.Arrays.sort(hs)
+      hs.take(k)
+    }
+    val ha = bottomK(distinctA)
+    val hb = bottomK(distinctB)
+    val union = (ha ++ hb).distinct.sorted.take(k)
+    if (union.isEmpty) return None // degenerate: let the frame chain define it
+    val inA = ha.toSet
+    val inB = hb.toSet
+    val nk = union.length.toLong
+    val mk = if (union.isEmpty) 0L else union.last
+    val both = union.count(x => inA(x) && inB(x)).toLong
+    val ka = union.count(inA).toLong
+    val kb = union.count(inB).toLong
+    val estU =
+      if (nk < k) nk.toDouble
+      else (k - 1).toDouble * math.pow(2, 60) / mk.toDouble
+    val fInter = both.toDouble / nk
+    val fA = ka.toDouble / nk
+    val fB = kb.toDouble / nk
+    val nA = distinctA.size.toLong
+    val nB = distinctB.size.toLong
+    val nUnion = (distinctA ++ distinctB).size.toLong
+    val nInter = nA + nB - nUnion
+    def ok(est: Double, exn: Long, pct: Int): Boolean =
+      math.abs(est - exn.toDouble) <=
+        math.max(25.0, (exn * pct).toDouble / 100.0)
+    val row = (nA, nB, nUnion, nInter,
+      ok(estU * fA, nA, 15), ok(estU * fB, nB, 15),
+      ok(estU, nUnion, 15), ok(estU * fInter, nInter, 25))
+    Some(s.createDataFrame(Seq(row))
+      .toDF("n_a", "n_b", "n_union", "n_inter",
+        "ok_a", "ok_b", "ok_union", "ok_inter"))
+  }
 
   /** Exact interpolated per-group quantiles over (l_returnflag,
     * l_extendedprice) — the q_agg_percentiles operator, reusable on any

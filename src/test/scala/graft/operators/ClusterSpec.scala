@@ -102,4 +102,15 @@ class ClusterSpec extends SparkSpec {
       .join(labels, col("cluster") === col("core_id") &&
         col("cluster") === col("core_cluster"), "left_anti").isEmpty)
   }
+
+  test("dbscan: driver arm ≡ frame chain on real sf0.001 embeddings (driverCap = 0)") {
+    val embs = graft.catalog.Tables.embeddings(spark, sf())
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val arm = Cluster.dbscan(embs, eps = 0.3, minPts = 8)
+    val dist = Cluster.dbscan(embs, eps = 0.3, minPts = 8, driverCap = 0L)
+    assert(arm.schema.map(f => (f.name, f.dataType)) ===
+      dist.schema.map(f => (f.name, f.dataType)))
+    assert(rows(arm) === rows(dist))
+  }
 }

@@ -961,6 +961,19 @@ class OperatorsSpec extends SparkSpec {
       "every learned cell is non-empty on the fixture")
   }
 
+  test("minhashNearDups: driver arm ≡ frame chain on real sf0.001 docs (driverCap = 0)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.catalog.Tables.documents(spark, sf())
+      .filter(col("doc_id") < 500)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val arm = Dedup.minhashNearDups(docs, 0.5)
+    val dist = Dedup.minhashNearDups(docs, 0.5, driverCap = 0L)
+    assert(arm.schema.map(f => (f.name, f.dataType)) ===
+      dist.schema.map(f => (f.name, f.dataType)))
+    assert(rows(arm) === rows(dist))
+  }
+
   test("containment: driver arms ≡ frame chains on real sf0.001 docs (driverCap = 0)") {
     import org.apache.spark.sql.functions.col
     val slice = graft.catalog.Tables.documents(spark, sf())

@@ -83,6 +83,24 @@ class AggDriverArmSpec extends SparkSpec {
     assert(rowsOf(arm) === rowsOf(dist))
   }
 
+  test("kmv intersect: driver arm ≡ distributed frames on sf0.001 membership") {
+    import spark.implicits._
+    val dir = sf()
+    val m = graft.catalog.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey")
+      .join(broadcast(graft.catalog.Tables.part(spark, dir)
+        .filter($"p_brand".isin("Brand#11", "Brand#22"))
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .join(graft.catalog.Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .select($"p_brand".as("st"), $"o_custkey".as("mem"))
+    val arm = Aggs.kmvIntersectDriver(spark, m).get
+    val dist = Aggs.kmvIntersectDistributed(spark, m)
+    assert(arm.schema.map(f => (f.name, f.dataType)) ===
+      dist.schema.map(f => (f.name, f.dataType)))
+    assert(rowsOf(arm) === rowsOf(dist))
+  }
+
   test("quantile rollup: arm handles negative values (floor-div buckets)") {
     import spark.implicits._
     // negative v across the bucket-0 boundary: floorDiv must match the
