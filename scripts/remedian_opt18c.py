@@ -3,13 +3,13 @@
 
 Per-query median across the three clean back-to-back passes of the
 final tree after the continuation session's arms
-(bench/runs/opt18b_pass_{1..3}.json). Same discipline as
+(bench/runs/opt18c_pass_{1..3}.json). Same discipline as
 remedian_opt18.py: every pass post-dates the last code change, so every
 query uses every pass.
 """
 import json, statistics
 
-passes = [json.load(open(f'bench/runs/opt18b_pass_{i}.json'))
+passes = [json.load(open(f'bench/runs/opt18c_pass_{i}.json'))
           for i in range(1, 4)]
 queries = set()
 for p in passes:

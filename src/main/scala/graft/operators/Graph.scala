@@ -1179,9 +1179,7 @@ object Graph {
     // path would downsample while the driver would not. Over cap: the
     // unchanged loop below (the 100 TB operator).
     if (driverCap > 0 && lgK <= 12) {
-      val take = edges.select(col("src"), col("dst"))
-        .limit(driverCap.toInt + 1).collect()
-      if (take.length <= driverCap) {
+      takePairs(edges.select(col("src"), col("dst")), driverCap).foreach { take =>
         import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
         val ids = new java.util.HashMap[Long, Integer]
         val idList = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -1196,8 +1194,8 @@ object Graph {
         val dstRaw = new Array[Long](take.length)
         var i = 0
         while (i < take.length) {
-          srcIdx(i) = idx(take(i).getAs[Number](0).longValue)
-          dstRaw(i) = take(i).getAs[Number](1).longValue
+          srcIdx(i) = idx(take(i)._1)
+          dstRaw(i) = take(i)._2
           i += 1
         }
         val n = idList.length
@@ -1567,11 +1565,8 @@ object Graph {
     // holds and the pool serves both consumers). Over cap: the unchanged
     // frame loop below (GraphSpec pins arm equality on the consumers).
     if (driverCap > 0 && driverCap < Int.MaxValue) {
-      val take = ed.select(col("src"), col("dst"), col("w"))
-        .limit(driverCap.toInt + 1).collect()
-      if (take.length <= driverCap) {
-        val edArr = take.map(r => (r.getAs[Number](0).longValue,
-          r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+      takeTriples(ed.select(col("src"), col("dst"), col("w")),
+          driverCap).foreach { edArr =>
         def build: DataFrame = {
           // the sources rule verbatim: distinct src, s % 107 == 0
           val srcArr = edArr.iterator.map(_._1)
@@ -1762,8 +1757,7 @@ object Graph {
     // the frame chain below runs unchanged.
     if (driverCap > 0) {
       val capI = driverCap.toInt
-      val take = ed.select(col("src"), col("dst")).limit(capI + 1).collect()
-      if (take.length <= driverCap) {
+      takePairs(ed.select(col("src"), col("dst")), driverCap).foreach { edArr =>
         val lvlArrs = new Array[Array[(Long, Long, Long)]](radius + 1)
         var total = 0L
         var ok = true
@@ -1780,8 +1774,6 @@ object Graph {
           }
         }
         if (ok) {
-          val edArr = take.map(r => (r.getAs[Number](0).longValue,
-            r.getAs[Number](1).longValue))
           val out = driverBrandesBackward(edArr, lvlArrs, radius)
           return ed.sparkSession.createDataFrame(out).toDF("node", "b_e4")
         }
