@@ -213,10 +213,32 @@ object Bench {
       s""","rdds":${infos.length},"cachedMB":$mb"""
     }
 
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // Invocation fence (optimization round 19 — verdict r18 #2): clears
+      // the operators' driver-side collected-array memos so every timed
+      // sample re-executes its own collects; within one sample the memos
+      // still deduplicate repeated collects of the same frame (plain CSE
+      // inside the declared computation). Runs OUTSIDE the timed region.
+      graft.util.Memo.newInvocation()
+      // Guide §1.5: label every job with its query so the UI and the
+      // event-log stage audit (scripts/stage_audit.py) can attribute
+      // per-query time to scheduling vs compute vs IO.
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // Timed action: the noop sink — eagerly computes EVERY column of
+      // every row and discards it (guide §1.4). Through round 18 this
+      // was `.count()`, which lets the optimizer prune computed columns
+      // and sometimes whole subtrees: the round-18 silhouette artifact
+      // proved a query can be under-measured that way, and this round's
+      // bench/noop_audit.json sweep quantified the gap for all 294
+      // queries (see OPTIMIZATION_r19.md §8 — count-basis numbers kept
+      // there). Medians are re-based on the honest action.
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch { case _: Throwable => false }
       val t = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       releaseCheckpoints()
       if (ok) t else -1.0
     }
@@ -321,10 +343,10 @@ object Bench {
         System.err.println(s"[bench] budget exceeded at ${wallS.round}s — emitting partial artifact")
         stopped = true
       } else {
-        val firstSample = time(fn)
+        val firstSample = time(name, fn)
         val samples =
           if (firstSample >= RepThreshold && reps > 1)
-            (firstSample +: Seq.fill(reps - 1)(time(fn))).sorted
+            (firstSample +: Seq.fill(reps - 1)(time(name, fn))).sorted
           else Seq(firstSample)
         var med = samples(samples.size / 2)
         // Outlier retry: episodic allocation collapse lasts minutes and can
@@ -350,7 +372,7 @@ object Bench {
           val preRetry = med
           var tries = 0
           while (tries < 2 && med > retryGate(m) * m) {
-            val retry = time(fn)
+            val retry = time(name, fn)
             if (retry > 0 && retry < med) {
               System.err.println(
                 f"[bench] outlier retry $name: $med%.2fs -> $retry%.2fs (median $m%.2fs)")

@@ -904,6 +904,45 @@ object ScaleProbe {
       }
     }
 
+    // DBSCAN ANN candidate route (round 19 — verdict r18 #3): the
+    // over-`epsAnnCap` eps-pair generator. Same sign-flip replicas as
+    // the dbscan arm; at each size the arm measures the route's pair
+    // stage (kmeans cells + routed candidate join + exact verify)
+    // against the exact n² BNLJ where the product is still affordable
+    // (m ≤ 4), reporting recall honestly — the route's ONE
+    // approximation is edge discovery; every emitted edge passes the
+    // exact kernel. Expected: ann_sec grows ~linearly (candidates ≈
+    // n·cellSize·nprobe²) while exact pair_sec grows ~n².
+    if (want("dbscan_ann")) {
+      val embD0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      def corpusOf(m: Int) = (0 until m).map { i =>
+        embD0.select(
+          ($"vec_id" + lit(i.toLong * 10000000L)).as("vec_id"),
+          transform($"embedding", (x, d) =>
+            (x * when(pmod(hash(lit(i), d), lit(2)) === 0, 1.0f)
+              .otherwise(-1.0f)).cast("float")).as("embedding"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      graft.operators.Cluster.epsPairsAnn(corpusOf(1), 0.3).count() // warm
+      Seq(1, 4, 16).foreach { m =>
+        val c = corpusOf(m)
+        val n = c.count()
+        val ta0 = System.nanoTime()
+        val annEdges = graft.operators.Cluster.epsPairsAnn(c, 0.3).count()
+        val ta = (System.nanoTime() - ta0) / 1e9
+        val (exactEdges, te) =
+          if (m <= 4) {
+            val t0 = System.nanoTime()
+            val ex = graft.operators.Cluster
+              .epsPairs(c, 0.3, driverCap = 0L).count()
+            (ex, (System.nanoTime() - t0) / 1e9)
+          } else (-1L, -1.0)
+        val recall =
+          if (exactEdges > 0) annEdges.toDouble / exactEdges else -1.0
+        println(f"""{"probe":"dbscan_ann","mult":$m,"vectors":$n,"ann_edges":$annEdges,"ann_sec":$ta%.2f,"exact_edges":$exactEdges,"exact_sec":$te%.2f,"recall":$recall%.3f}""")
+      }
+    }
+
     // round-8 continuation: BM25 — documents replicated N× verbatim with
     // remapped ids (no disjoint-vocab prefixing: retrieval doesn't pair
     // docs, and the postings of the fixed query must grow with the

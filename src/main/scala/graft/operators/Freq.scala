@@ -343,7 +343,7 @@ object Freq {
     * row cap or on a null day/value — the frame pipeline runs then. */
   private[operators] def quantileSketchDriver(s: SparkSession,
       vals: DataFrame, k: Int, qs: Seq[Int],
-      cap: Long = 1000000L): Option[DataFrame] = {
+      cap: Long = graft.util.Caps.cap(1000000L)): Option[DataFrame] = {
     if (cap <= 0) return None
     val take = vals
       .select(unix_date(col("day")).as("ed"), col("v"))
@@ -460,7 +460,7 @@ object Freq {
     * or on a null v — the distributed chain runs then. */
   private[graft] def quantileRollupDriver(s: SparkSession,
       vals: DataFrame, width: Long, qs: Seq[Int],
-      cap: Long = 1000000L): Option[DataFrame] = {
+      cap: Long = graft.util.Caps.cap(1000000L)): Option[DataFrame] = {
     if (cap <= 0) return None
     val take = vals.select(col("v")).limit(cap.toInt + 1).collect()
     if (take.length > cap || take.isEmpty) return None

@@ -70,7 +70,7 @@ object Vocab {
     * consume-and-reset rule). Over cap: the unchanged frame loop
     * (VocabSpec pins arm equality). */
   def learnMerges(docs: DataFrame, k: Int, minCount: Long = 2L,
-      driverCap: Long = 1000000L): Seq[(String, String)] = {
+      driverCap: Long = graft.util.Caps.cap(1000000L)): Seq[(String, String)] = {
     val wordFreq = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -278,7 +278,7 @@ object Vocab {
     * @return (piece, cnt, logp_e4) — usage counts of the LAST round,
     *         scored with the post-round Laplace estimate. */
   def unigramFit(words: DataFrame, rounds: Int,
-      driverCap: Long = 1000000L): DataFrame = {
+      driverCap: Long = graft.util.Caps.cap(1000000L)): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     // Driver arm (optimization round): the whole fit is vocab-sized —
     // seed counts, floor-e4 ln scores (same JVM libm on both arms), the

@@ -847,7 +847,7 @@ object Aggs {
     * row-identical to the frame chain (AggDriverArmSpec pins it). None
     * over cap / on nulls. */
   private[graft] def kmvIntersectDriver(s: SparkSession, m: DataFrame,
-      cap: Long = 1000000L): Option[DataFrame] = {
+      cap: Long = graft.util.Caps.cap(1000000L)): Option[DataFrame] = {
     if (cap <= 0) return None
     val take = m.limit(cap.toInt + 1).collect()
     if (take.length > cap ||
@@ -940,7 +940,7 @@ object Aggs {
     * driverCap = 0; AggDriverArmSpec pins arm equality); ScaleProbe
     * passes 0. */
   def percentilesOf(li: DataFrame, ps: Seq[Double],
-      driverCap: Long = 1000000L): DataFrame = {
+      driverCap: Long = graft.util.Caps.cap(1000000L)): DataFrame = {
     require(driverCap < Int.MaxValue, "driverCap must fit an Int limit")
     if (driverCap > 0) {
       val s = li.sparkSession
@@ -1099,7 +1099,7 @@ object Aggs {
     * the range-repartition chain runs then (PlanSpec pins its shape;
     * AggDriverArmSpec pins arm equality). */
   private[graft] def weightedMedianDriver(s: SparkSession, li: DataFrame,
-      cap: Long = 1000000L): Option[DataFrame] = {
+      cap: Long = graft.util.Caps.cap(1000000L)): Option[DataFrame] = {
     if (cap <= 0) return None
     val take = li.select(col("l_returnflag"), col("l_extendedprice"),
         col("l_quantity").cast("long"))
@@ -1212,7 +1212,7 @@ object Aggs {
     * Pearson-style quotient + HALF_UP round(·,4) replicate the frame's
     * double expression bit-for-bit. None over cap / on nulls. */
   private[graft] def giniDriver(s: SparkSession, ord: DataFrame,
-      cap: Long = 1000000L): Option[DataFrame] = {
+      cap: Long = graft.util.Caps.cap(1000000L)): Option[DataFrame] = {
     if (cap <= 0) return None
     val take = ord.select(col("o_orderpriority"), dec4(col("o_totalprice")))
       .limit(cap.toInt + 1).collect()

@@ -904,15 +904,18 @@ object StreamOps {
     // partition column reads back as INT — lift to long before compares
     val docsT = spark.read.parquet(s"$indexDir/_docs")
       .select(col("doc_id"), col("dl"), col("batch_id").cast("long").as("b"))
-    // latest version per doc via row_number (NOT max_by — a deletion
-    // marker's dl is NULL and must WIN when it is the newest version,
-    // while max_by skips null values); unique (doc_id, batch) rows are
-    // guaranteed by the ingest's in-batch resolution + dynamic overwrite.
-    val wl = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("b").desc)
+    // latest version per doc as ONE hash aggregate: max over
+    // struct(b, dl) compares b first, and (doc_id, batch) rows are
+    // unique (ingest's in-batch resolution + dynamic overwrite), so dl
+    // never decides — the struct max IS the newest version's (b, dl)
+    // pair, deletion markers (NULL dl) included (unlike max_by, which
+    // would skip a null value; and unlike the round-18 row_number
+    // window, this partial-aggregates map-side and needs no sort —
+    // guide §2.3/§2.4, plan: Window + sort exchange → HashAggregate).
     val docLatest = docsT
-      .withColumn("rn", row_number().over(wl)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("dl"), col("b").as("lb"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("b"), col("dl"))).as("m"))
+      .select(col("doc_id"), col("m.dl").as("dl"), col("m.b").as("lb"))
     // count(dl) skips deletion markers: tombstoned docs leave the corpus
     // scalars exactly as a batch build over the surviving docs would.
     val stats = docLatest

@@ -113,4 +113,21 @@ class ClusterSpec extends SparkSpec {
       dist.schema.map(f => (f.name, f.dataType)))
     assert(rows(arm) === rows(dist))
   }
+
+  test("epsPairsAnn: one-sided error — every routed edge passes the exact " +
+      "kernel (subset of the exact eps-graph), schema identical") {
+    val embs = graft.catalog.Tables.embeddings(spark, sf())
+    val exact = Cluster.epsPairs(embs, 0.3, driverCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Cluster.epsPairsAnn(embs, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false edges ever (the verify kernel is the same expression);
+    // recall is the documented approximation — positive, not pinned
+    assert(ann.subsetOf(exact),
+      s"ANN route emitted ${(ann -- exact).take(5)} outside the exact eps-graph")
+    assert(ann.nonEmpty, "ANN route found no edges on the real fixture")
+    // the exact tier still decides every oracle-reachable input: the
+    // fixture sits far below the route threshold
+    assert(embs.count() <= Cluster.epsAnnCap)
+  }
 }
