@@ -12,7 +12,9 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx8g \
+# SPARK_GRAFT_JAVA_OPTS: extra JVM flags (e.g. -Dspark.eventLog.enabled=true
+# for the stage-latency audit — scripts/stage_audit.py)
+exec java $OPENS -Xmx8g ${SPARK_GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Dderby.stream.error.file=/tmp/derby.log \

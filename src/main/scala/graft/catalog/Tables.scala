@@ -38,8 +38,46 @@ object Tables {
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (java.lang.Boolean.getBoolean("graft.cacheTables"))
-      cached.getOrElseUpdate((sessionKey(s), dir, name),
-        s.read.parquet(path(dir, name)).persist())
+      cached.getOrElseUpdate((sessionKey(s), dir, name), {
+        val raw = s.read.parquet(path(dir, name))
+        // Spread PAYLOAD-HEAVY pooled tables to the session's
+        // parallelism when the file gives fewer splits (optimization
+        // round 19, guide §2.5 "one huge unsplittable file →
+        // repartition immediately after the read"): the single-file
+        // fixtures scan as ONE partition, so every per-row-heavy
+        // projection over documents (KB texts) / embeddings (64-float
+        // arrays) ran serially — the round-19 event-log audit measured
+        // q_text_bpe_apply at 9 tasks for 86 task-seconds on 32 cores;
+        // spreading cut q_text_novelty 7.7 → 2.8 s and repetition
+        // 7.4 → 1.2 s. Narrow scalar tables (lineitem, orders, events…)
+        // are NOT spread: a same-window A/B measured the extra
+        // 32-tiny-tasks-per-stage overhead at ~2× on their sub-second
+        // aggregate/window chains (q_funnel 0.61 → 1.92) with no
+        // compute to parallelize — their per-row work is vectorized
+        // scalar algebra. A production table arrives pre-split by
+        // bytes, which reproduces exactly this policy: fat rows → more
+        // splits. Scale-adaptive (defaultParallelism), never a shrink;
+        // cold paths (Verify/tests — the oracle surface) are untouched.
+        val p = s.sparkContext.defaultParallelism
+        // target: a 16-way spread for the fat-payload documents table
+        // (its per-row expressions are the CPU; 16 beat both 8 and 32
+        // in same-window A/Bs over the whole doc-query set), a bounded
+        // 8-way spread for the big scalar tables (their aggregates
+        // parallelize, but a 32-way spread of a tiny cached frame costs
+        // more in per-stage task launches than it buys — A/B'd both
+        // ways), dims untouched.
+        val target = name match {
+          case "documents" => math.min(16, p)
+          case "lineitem" | "orders" | "events" | "customer" | "part" |
+               "supplier" | "embeddings" => math.min(8, p)
+          case _ => 1
+        }
+        val spread =
+          !sys.props.get("graft.poolRepartition").contains("false")
+        (if (spread && raw.rdd.getNumPartitions < target)
+           raw.repartition(target)
+         else raw).persist()
+      })
     else s.read.parquet(path(dir, name))
 
   def region(s: SparkSession, dir: String): DataFrame   = t(s, dir, "region")

@@ -489,16 +489,32 @@ object Vocab {
     "q_text_bpe_apply" -> ((s, dir) => {
       // empty/space-only/NULL texts drop BEFORE tokenizing: the oracle's
       // word unnest emits zero rows for such docs, so they must be absent
-      // here too. The predicate runs on the RAW text — filtering on
-      // size(units) would duplicate the whole 10-merge fold expression
-      // into the filter (measured 0.17 s → 14 s: the tripled giant
-      // expression falls out of whole-stage codegen).
+      // here too (a doc surviving the trim filter always has ≥ 1 word).
+      //
+      // Distinct-word shape (optimization round 19 — the
+      // q_text_viterbi_apply discipline, guide §1.2 step 1): the merge
+      // fold is WORD-FUNCTIONAL and both outputs are ADDITIVE over a
+      // doc's words (n_units = Σ_w |units(w)|, n_merged likewise), so
+      // the 10-level fold expression runs once per DISTINCT word
+      // (vocab-sized) and a join fans the two per-word counts back to
+      // occurrences. The old form ran the fold per word OCCURRENCE over
+      // the whole corpus — the round-19 noop audit measured it at
+      // 35.5 s (86 task-seconds, and count() had pruned it to 0.21 s);
+      // per-distinct-word it is corpus-size-free. Values identical
+      // (same fold, same filter, same additivity — the oracle is
+      // unchanged and stays green).
       val docs = graft.catalog.Tables.documents(s, dir)
         .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
-      tokenize(docs, demoMerges)
-        .select(col("doc_id"),
-          size(col("units")).cast("long").as("n_units"),
-          size(filter(col("units"), u => length(u) > 1)).cast("long").as("n_merged"))
+      val occ = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), " "), w => w =!= "")).as("w"))
+      val wstats = occ.groupBy(col("w")).agg(count(lit(1)).as("n_occ"))
+        .select(col("w"), applyMerges(col("w"), demoMerges).as("units"))
+        .select(col("w"),
+          size(col("units")).cast("long").as("nu"),
+          size(filter(col("units"), u => length(u) > 1)).cast("long").as("nm"))
+      occ.join(wstats, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nu")).as("n_units"), sum(col("nm")).as("n_merged"))
         .orderBy(col("doc_id"))
     }))
 

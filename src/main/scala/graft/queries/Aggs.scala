@@ -415,17 +415,27 @@ object Aggs {
       import s.implicits._
       val W = org.apache.spark.sql.expressions.Window
       val e = events(s, dir).select($"event_id", $"event_type", $"value")
-      val cnt = e.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      // Fused (optimization round 19, guide §2.4 — establish the
+      // event_type partitioning ONCE per median pass): the group size n
+      // rides the SAME window partition as the rank (count over the
+      // unbounded frame ≡ the old per-type count aggregate), so the
+      // separate cnt aggregate subtree and its two broadcast joins are
+      // gone — each median is one exchange+sort instead of an
+      // exchange+sort plus an aggregate exchange plus a join. Same rank,
+      // same n, bit-identical medians.
+      val wc = W.partitionBy($"event_type")
       val wv = W.partitionBy($"event_type").orderBy($"value", $"event_id")
-      val med = e.withColumn("rn", row_number().over(wv))
-        .join(broadcast(cnt), "event_type")
+      val med = e
+        .select($"event_type", $"value",
+          row_number().over(wv).as("rn"), count(lit(1)).over(wc).as("n"))
         .filter($"rn" === expr("(n + 1) div 2"))
         .select($"event_type", $"value".as("med"))
       val dev = e.join(broadcast(med), "event_type")
         .select($"event_id", $"event_type", $"value", ($"value" - $"med").as("d"))
       val wd = W.partitionBy($"event_type").orderBy(abs($"d"), $"event_id")
-      val mad = dev.withColumn("rn", row_number().over(wd))
-        .join(broadcast(cnt), "event_type")
+      val mad = dev
+        .select($"event_type", $"d",
+          row_number().over(wd).as("rn"), count(lit(1)).over(wc).as("n"))
         .filter($"rn" === expr("(n + 1) div 2"))
         .select($"event_type", abs($"d").as("mad"))
       dev.join(broadcast(mad), "event_type")
@@ -566,10 +576,19 @@ object Aggs {
     // broadcast-irrelevant) sketch.
     "q_agg_approx_distinct" -> ((s, dir) => {
       import s.implicits._
-      events(s, dir)
-        .groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id", 0.01).as("approx"),
-          countDistinct($"user_id").as("exact_users"))
+      // Sketch and exact in SEPARATE aggregates (optimization round 19):
+      // combining countDistinct with the HLL made Catalyst plan an
+      // Expand (2 rows per input) and evaluate the rsd-0.01 sketch — the
+      // query's dominant per-row cost — over the expanded stream. Split,
+      // the HLL touches each row once and the exact side keeps its
+      // distinct-rewrite; the k-row join is broadcast. Same two
+      // aggregates, same values, same oracle.
+      val e = events(s, dir)
+      val exact = e.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      val approx = e.groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.01).as("approx"))
+      exact.join(broadcast(approx), "event_type")
         .select($"event_type", $"exact_users",
           (abs($"approx" - $"exact_users") <= lit(0.05) * $"exact_users").as("approx_ok"))
         .orderBy($"event_type")

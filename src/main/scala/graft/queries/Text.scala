@@ -304,8 +304,13 @@ object Text {
     "q_text_novelty" -> ((s, dir) => {
       import s.implicits._
       val docs = documents(s, dir)
+      // the shingle explode feeds BOTH the first-occurrence index and
+      // the per-doc tally join — materialize it once (optimization
+      // round 19, the bigram-logprob fusion; the shingles3 expression
+      // is the query's dominant per-row cost)
       val shg = docs.select($"doc_id",
         explode(graft.operators.Dedup.shingles3($"text")).as("sh"))
+        .localCheckpoint()
       val firstOcc = shg.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
       val perDoc = shg.join(firstOcc, "sh")
         .groupBy($"doc_id")
@@ -684,6 +689,15 @@ object Text {
       import s.implicits._
       val toks = documents(s, dir).filter($"text".isNotNull)
         .select($"doc_id", split($"text", " ").as("toks"))
+      // Fused (optimization round 19, guide §2.3/§2.4): the tokenize +
+      // zip_with-explode subtree fed FOUR count aggregates plus the
+      // final scoring join — five evaluations of the explode per action.
+      // It now materializes ONCE (inside the timed region), and the
+      // marginal counts DERIVE from the joint one: c1(w1) = Σ_w2 c12,
+      // c2(w2) = Σ_w1 c12, nb = Σ c12 — exact count algebra, so three
+      // full-corpus explode+aggregate passes become two tiny aggregates
+      // over the (w1, w2) count frame (vocabulary²-bounded, not
+      // corpus-bounded — the at-scale win).
       val big = toks
         .select($"doc_id", explode(zip_with(
           slice($"toks", lit(1), size($"toks") - 1),
@@ -691,10 +705,12 @@ object Text {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
         .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
         .filter($"w1" =!= "" && $"w2" =!= "")
+        .localCheckpoint()
       val c12 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-      val c1 = big.groupBy($"w1").agg(count(lit(1)).as("c1"))
-      val c2 = big.groupBy($"w2").agg(count(lit(1)).as("c2"))
-      val nb = big.agg(count(lit(1)).as("nb"))
+        .localCheckpoint()
+      val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+      val c2 = c12.groupBy($"w2").agg(sum($"c12").as("c2"))
+      val nb = c12.agg(sum($"c12").as("nb"))
       val lm = c12.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(nb))
         .select($"w1", $"w2",
           floor(-log(lit(0.8) * ($"c12".cast("double") / $"c1".cast("double"))
